@@ -1,0 +1,176 @@
+package graft.queries
+
+import graft.Tables
+import graft.core.SchemaNormalizer
+import graft.expressions.Unaccent.unaccent
+import graft.transforms.{Clean, Nest, Timestamps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar-function surface (SURVEY §2.8 F1–F20) as oracle-checked queries.
+  * Accented input is synthesized via replace() so the unaccent/slug path
+  * has real work to do on the ASCII-only testdata. */
+object Scalars {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // F1/F2/U1: unaccent + slugify on values (custom Catalyst expression).
+    "q40_slugify" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .withColumn("accented", regexp_replace(col("c_name"), "Customer", "Çüstömér"))
+        .select(col("c_custkey"),
+          unaccent(col("accented")).as("unaccented"),
+          SchemaNormalizer.slugify(col("accented")).as("slug"))
+        .orderBy(col("c_custkey"))
+    }),
+    // F3/F4/F7: trim + capitalize + value-replace map.
+    "q41_clean_categories" -> ((s, dir) => {
+      val df = t(s, dir, "events")
+        .withColumn("padded", concat(lit("  "), col("event_type"), lit(" ")))
+      // trimStrings trims every string column, so `padded` is clean again.
+      val cleaned = Clean.trimStrings(df, exclude = Set("props"))
+      cleaned.select(col("event_id"),
+          Clean.capitalize(col("padded")).as("category"),
+          Clean.replaceValues(col("padded"),
+            Map("error" -> Some("erro"), "view" -> None)).as("mapped"))
+        .orderBy(col("event_id"))
+    }),
+    // F8: dual-format timestamp parse with fallback (library parseMulti).
+    "q42_multiformat_parse" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("s", when(col("event_id") % 2 === 0,
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+          .otherwise(date_format(col("ts"), "dd/MM/yyyy HH:mm:ss")))
+        .select(col("event_id"),
+          Timestamps.parseMulti(col("s"),
+            Seq("yyyy-MM-dd HH:mm:ss", "dd/MM/yyyy HH:mm:ss")).as("parsed"))
+        .orderBy(col("event_id"))
+    }),
+    // F9/F10/F11: epoch-millis roundtrip, strftime, interval arithmetic.
+    "q43_epoch_roundtrip" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("ms", unix_millis(col("ts")))
+        .select(col("event_id"),
+          col("ms"),
+          Timestamps.fromEpochMillis(col("ms")).as("ts_rt"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("iso_str"),
+          Timestamps.minusMinutes(col("ts"), 90).as("ts_minus_90m"))
+        .orderBy(col("event_id"))
+    }),
+    // F12/F13: safe cast with default + numeric coerce/clamp.
+    "q44_safe_cast" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          Clean.safeCast(substring(col("o_orderpriority"), 1, 1), "int", lit(-1))
+            .as("prio_num"),
+          Clean.safeCast(col("o_orderstatus"), "int", lit(-1)).as("status_num"),
+          Clean.coerceNonNegative(col("o_totalprice") - 200000).as("over_200k"))
+        .orderBy(col("o_orderkey"))
+    }),
+    // F14/U5: row-wise JSON pack (Nest.toContent).
+    "q45_json_pack" -> ((s, dir) => {
+      Nest.toContent(
+          t(s, dir, "customer").select(col("c_custkey"), col("c_name"), col("c_mktsegment")),
+          pk = Seq("c_custkey"))
+        .orderBy(col("c_custkey"))
+    }),
+    // U5: grouped JSON pack — one ordered JSON array per key.
+    "q46_grouped_json" -> ((s, dir) => {
+      Nest.toGroupedContent(
+          t(s, dir, "events").select(col("user_id"), col("event_id"), col("event_type")),
+          pk = Seq("user_id"), orderCols = Seq("event_id"))
+        .orderBy(col("user_id"))
+    }),
+    // F15: JSON parse/extract + aggregate over extracted field.
+    "q47_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy(col("event_type"))
+    }),
+    // F5/F6: regex extract + control-scrub + nullif chain.
+    "q48_regex_scrub" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"),
+          regexp_extract(col("props"), "[0-9]+", 0).as("digits"),
+          Clean.scrub(regexp_replace(col("props"), "[^0-9]", "")).as("scrubbed"))
+        .orderBy(col("event_id"))
+    }),
+    // F18: bbox-membership filter (between on two numeric columns).
+    "q49_bbox_filter" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .filter(col("c_acctbal").between(0, 5000) &&
+          col("c_nationkey").between(5, 15))
+        .select(col("c_custkey"), col("c_acctbal"), col("c_nationkey"))
+        .orderBy(col("c_custkey"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q40_slugify" ->
+      """SELECT c_custkey,
+        |  strip_accents(replace(c_name, 'Customer', 'Çüstömér')) AS unaccented,
+        |  regexp_replace(regexp_replace(
+        |    lower(strip_accents(trim(replace(c_name, 'Customer', 'Çüstömér')))),
+        |    '[\s/\\.-]+', '_', 'g'), '[^a-z0-9_]', '', 'g') AS slug
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q41_clean_categories" ->
+      """SELECT event_id,
+        |  upper(substr(trim('  ' || event_type || ' '), 1, 1)) ||
+        |    lower(substr(trim('  ' || event_type || ' '), 2)) AS category,
+        |  CASE WHEN trim('  ' || event_type || ' ') = 'error' THEN 'erro'
+        |       WHEN trim('  ' || event_type || ' ') = 'view' THEN NULL
+        |       ELSE trim('  ' || event_type || ' ') END AS mapped
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q42_multiformat_parse" ->
+      """SELECT event_id,
+        |  COALESCE(
+        |    try_strptime(s, '%Y-%m-%d %H:%M:%S'),
+        |    try_strptime(s, '%d/%m/%Y %H:%M:%S')) AS parsed
+        |FROM (SELECT event_id,
+        |  CASE WHEN event_id % 2 = 0 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+        |       ELSE strftime(ts, '%d/%m/%Y %H:%M:%S') END AS s
+        |  FROM events) ORDER BY event_id""".stripMargin,
+    "q43_epoch_roundtrip" ->
+      """SELECT event_id, epoch_ms(date_trunc('ms', ts)) AS ms,
+        |  epoch_ms(epoch_ms(date_trunc('ms', ts))) AS ts_rt,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS iso_str,
+        |  ts - INTERVAL 90 MINUTES AS ts_minus_90m
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q44_safe_cast" ->
+      """SELECT o_orderkey,
+        |  COALESCE(TRY_CAST(substr(o_orderpriority, 1, 1) AS INT), -1) AS prio_num,
+        |  COALESCE(TRY_CAST(o_orderstatus AS INT), -1) AS status_num,
+        |  CASE WHEN o_totalprice - 200000 < 0 THEN NULL
+        |       ELSE o_totalprice - 200000 END AS over_200k
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q45_json_pack" ->
+      """SELECT c_custkey,
+        |  to_json(struct_pack(c_name := c_name, c_mktsegment := c_mktsegment))
+        |    AS content
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q46_grouped_json" ->
+      """SELECT user_id,
+        |  to_json(list(struct_pack(event_id := event_id,
+        |    event_type := event_type) ORDER BY event_id)) AS content
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q47_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q48_regex_scrub" ->
+      """SELECT event_id, regexp_extract(props, '[0-9]+') AS digits,
+        |  nullif(nullif(nullif(regexp_replace(
+        |    regexp_replace(props, '[^0-9]', '', 'g'),
+        |    '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g'), 'None'), 'nan'), '')
+        |    AS scrubbed
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q49_bbox_filter" ->
+      """SELECT c_custkey, c_acctbal, c_nationkey FROM customer
+        |WHERE c_acctbal BETWEEN 0 AND 5000 AND c_nationkey BETWEEN 5 AND 15
+        |ORDER BY c_custkey""".stripMargin
+  )
+}

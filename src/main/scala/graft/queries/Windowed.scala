@@ -1,0 +1,216 @@
+package graft.queries
+
+import graft.Tables
+import graft.transforms.{Dedup, Freshness, Timestamps}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Window functions / sorts / limits / time semantics
+  * (SURVEY §2.6 W1–W5, §2.5 A8, §2.9 T2) plus P5/P7 filter queries. */
+object Windowed {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  private def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // W1/W2: top-N after sort (recapture cap shape).
+    "q20_topn" -> ((s, dir) => {
+      t(s, dir, "events")
+        .orderBy(col("ts").desc, col("event_id").desc)
+        .limit(90)
+        .select(col("event_id"), col("ts"))
+    }),
+    // W3/P8: keep-first per key under explicit ordering (via Dedup lib).
+    "q21_keep_first" -> ((s, dir) => {
+      Dedup.keepFirstOrdered(t(s, dir, "events"),
+          Seq(col("user_id")), Seq(col("ts"), col("event_id")))
+        .select(col("user_id"), col("event_id").as("first_event"), col("ts").as("first_ts"))
+        .orderBy(col("user_id"))
+    }),
+    // A8: running sum per entity (rows frame).
+    "q22_running_sum" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("running_value",
+          sum(col("value").cast(DecimalType(18, 2))).over(w).cast(DoubleType))
+        .select(col("event_id"), col("user_id"), col("running_value"))
+        .orderBy(col("event_id"))
+    }),
+    // A8: rolling 1h time-range window per entity (accumulated-rain shape).
+    "q23_rolling_1h" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"))
+        .rangeBetween(-3600, 0)
+      t(s, dir, "events")
+        .withColumn("ts_sec", unix_timestamp(col("ts")))
+        .withColumn("rolling_1h",
+          sum(col("value").cast(DecimalType(18, 2))).over(w).cast(DoubleType))
+        .select(col("event_id"), col("user_id"), col("ts_sec"), col("rolling_1h"))
+        .orderBy(col("event_id"))
+    }),
+    // W5/F20: date-spine generation + left join + coalesce default.
+    "q24_date_spine" -> ((s, dir) => {
+      val spine = s.range(1).select(explode(sequence(
+        lit("2024-01-01").cast("date"), lit("2024-01-31").cast("date"),
+        expr("INTERVAL 1 DAY"))).as("d"))
+      val daily = t(s, dir, "events")
+        .groupBy(col("ts").cast("date").as("d"))
+        .agg(count(lit(1)).as("n_events"))
+      spine.join(daily, Seq("d"), "left")
+        .select(col("d").cast("timestamp").as("day"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"))
+        .orderBy(col("day"))
+    }),
+    // lag/lead analytics: inter-event gap seconds per entity.
+    "q25_event_gaps" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .select(col("event_id"), col("user_id"),
+          (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))).as("gap_sec"))
+        .orderBy(col("event_id"))
+    }),
+    // T2/W4: tumbling 5-minute capture window aggregation.
+    "q26_tumbling_5min" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "5 minutes").getField("start").as("bucket"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("bucket"), col("event_type"))
+    }),
+    // W4: round-to-capture-grid via Timestamps lib (10-minute grid).
+    "q27_round_to_grid" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(Timestamps.roundToGrid(col("ts"), 10).as("grid_ts"))
+        .groupBy(col("grid_ts")).agg(count(lit(1)).as("n"))
+        .orderBy(col("grid_ts"))
+    }),
+
+    // P5/T3: freshness filter against a fixed capture tick.
+    "q30_freshness" -> ((s, dir) => {
+      Freshness.filter(t(s, dir, "events"),
+          col("ts"), lit("2024-01-15 00:00:00").cast("timestamp"))
+        .select(col("event_id"), col("ts"))
+        .orderBy(col("event_id"))
+    }),
+    // P3: audited filter — single-pass kept/removed/critical counts.
+    "q31_filter_audit" -> ((s, dir) => {
+      t(s, dir, "events").agg(
+        count(lit(1)).as("total"),
+        count(when(col("event_type") =!= "error", 1)).as("kept"),
+        count(when(col("event_type") === "error", 1)).as("removed"),
+        count(when(col("event_type") === "error" && col("value") > 100, 1))
+          .as("critical_removed"))
+    }),
+    // P7/A6: dedup by key subset → distinct key tuples.
+    "q32_dedup_keys" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_type")).distinct()
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+    // P4/F6: scrub + null-drop (nullif sentinel → na.drop).
+    "q33_null_scrub" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("et", nullif(col("event_type"), lit("click")))
+        .na.drop(Seq("et"))
+        .select(col("event_id"), col("et"))
+        .orderBy(col("event_id"))
+    }),
+    // T9: CDC-lite — keys in the new batch missing from staging.
+    "q34_cdc_new_keys" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val cutoff = lit("1998-01-01").cast("timestamp")
+      val staging = o.filter(col("o_orderdate") < cutoff)
+        .select(concat_ws("|", col("o_custkey"), col("o_orderstatus")).as("ck"))
+      val batch = o.filter(col("o_orderdate") >= cutoff)
+        .withColumn("ck", concat_ws("|", col("o_custkey"), col("o_orderstatus")))
+      batch.join(staging, Seq("ck"), "left_anti")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .orderBy(col("o_orderkey"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q20_topn" ->
+      """SELECT event_id, ts FROM events
+        |ORDER BY ts DESC, event_id DESC LIMIT 90""".stripMargin,
+    "q21_keep_first" ->
+      """SELECT user_id, first_event, first_ts FROM (
+        |  SELECT user_id, event_id AS first_event, ts AS first_ts,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q22_running_sum" ->
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q23_rolling_1h" ->
+      """SELECT event_id, user_id,
+        |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id
+        |    ORDER BY CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS rolling_1h
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q24_date_spine" ->
+      """WITH spine AS (
+        |  SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-31',
+        |    INTERVAL 1 DAY)) AS d),
+        |daily AS (SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n_events
+        |  FROM events GROUP BY 1)
+        |SELECT CAST(spine.d AS TIMESTAMP) AS day,
+        |  COALESCE(daily.n_events, 0) AS n_events
+        |FROM spine LEFT JOIN daily ON CAST(spine.d AS DATE) = daily.d
+        |ORDER BY day""".stripMargin,
+    "q25_event_gaps" ->
+      """SELECT event_id, user_id,
+        |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) -
+        |  CAST(epoch(date_trunc('second', lag(ts) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS gap_sec
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q26_tumbling_5min" ->
+      """SELECT time_bucket(INTERVAL '5 minutes', ts) AS bucket, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+    "q27_round_to_grid" ->
+      """SELECT time_bucket(INTERVAL '10 minutes', ts) AS grid_ts, COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY grid_ts""".stripMargin,
+    "q30_freshness" ->
+      """SELECT event_id, ts FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' - INTERVAL 60 MINUTES
+        |  AND ts <= TIMESTAMP '2024-01-15 00:00:00' + INTERVAL 20 SECONDS
+        |ORDER BY event_id""".stripMargin,
+    "q31_filter_audit" ->
+      """SELECT COUNT(*) AS total,
+        |  COUNT(CASE WHEN event_type <> 'error' THEN 1 END) AS kept,
+        |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS removed,
+        |  COUNT(CASE WHEN event_type = 'error' AND value > 100 THEN 1 END)
+        |    AS critical_removed
+        |FROM events""".stripMargin,
+    "q32_dedup_keys" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+    "q33_null_scrub" ->
+      """SELECT event_id, nullif(event_type, 'click') AS et FROM events
+        |WHERE nullif(event_type, 'click') IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+    "q34_cdc_new_keys" ->
+      """SELECT o_orderkey, o_custkey FROM orders b
+        |WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |  AND NOT EXISTS (SELECT 1 FROM orders s
+        |    WHERE s.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |      AND concat_ws('|', s.o_custkey, s.o_orderstatus) =
+        |          concat_ws('|', b.o_custkey, b.o_orderstatus))
+        |ORDER BY o_orderkey""".stripMargin
+  )
+}
