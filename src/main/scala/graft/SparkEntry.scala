@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Relational, Scalars, Windowed}
+import graft.queries.{Relational, Scalars, TrainingData, Windowed}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +15,8 @@ object SparkEntry {
     Seq(
       (Relational.defs, Relational.oracles),
       (Windowed.defs, Windowed.oracles),
-      (Scalars.defs, Scalars.oracles)
+      (Scalars.defs, Scalars.oracles),
+      (TrainingData.defs, TrainingData.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document-deduplication operators: exact, MinHash+LSH, SimHash,
+  * n-gram Jaccard. Designed for the 100 TB path:
+  *
+  *  - exact dedup is one hash-shuffle with map-side partial aggregation;
+  *  - MinHash signatures are computed in a single explode→groupBy pass
+  *    (partial min per mapper, tiny shuffle);
+  *  - LSH banding turns candidate generation into an equi-join on band
+  *    keys — no O(n²) comparison ever materializes;
+  *  - Jaccard verification runs only on LSH candidates.
+  *
+  * Hashing is md5-based so results are portable across engines (the
+  * DuckDB oracle computes the identical signatures): min over md5 hex
+  * strings of seed-prefixed shingles is a valid MinHash family because
+  * md5 is uniform and hex ordering is a total order.
+  */
+object DedupOps {
+
+  /** Exact dedup: survivor (min id) per content hash. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** One (doc, shingle) row per distinct shingle. */
+  def explodedShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol), explode(TextOps.shingles(col(textCol), n)).as("shingle"))
+      .distinct()
+
+  /** MinHash signature: numHashes seed-prefixed md5-min aggregations in a
+    * single groupBy pass. Returns idCol, h0..h{k-1}. */
+  def minhashSignature(df: DataFrame, idCol: String, textCol: String,
+                       numHashes: Int = 8, shingleSize: Int = 3): DataFrame = {
+    val sh = explodedShingles(df, idCol, textCol, shingleSize)
+    val aggs = (0 until numHashes).map(i =>
+      min(md5(concat_ws("|", lit(i), col("shingle")))).as(s"h$i"))
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: band key = md5 of the concatenated hashes in the band.
+    * Returns idCol, band_idx, band_key. */
+  def lshBands(sig: DataFrame, idCol: String, numHashes: Int = 8,
+               rowsPerBand: Int = 2): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val bands = (0 until numBands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      sig.select(col(idCol), lit(b).as("band_idx"),
+        md5(concat_ws("|", cols: _*)).as("band_key"))
+    }
+    bands.reduce(_ unionAll _)
+  }
+
+  /** Candidate near-dup pairs: docs sharing any band bucket. The join key
+    * (band_idx, band_key) keeps each band's buckets separate; DISTINCT
+    * collapses pairs found by several bands. */
+  def lshCandidatePairs(sig: DataFrame, idCol: String, numHashes: Int = 8,
+                        rowsPerBand: Int = 2): DataFrame = {
+    val bands = lshBands(sig, idCol, numHashes, rowsPerBand)
+    val a = bands.select(col("band_idx"), col("band_key"), col(idCol).as("id_a"))
+    val b = bands.select(col("band_idx"), col("band_key"), col(idCol).as("id_b"))
+    a.join(b, Seq("band_idx", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** Exact token-set Jaccard for a set of candidate pairs (the LSH verify
+    * stage). `tokens` must be (id, token) distinct rows. */
+  def jaccardForPairs(pairs: DataFrame, tokens: DataFrame, idCol: String): DataFrame = {
+    val sizes = tokens.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val ta = tokens.select(col(idCol).as("id_a"), col("token"))
+    val tb = tokens.select(col(idCol).as("id_b"), col("token"))
+    val inter = pairs.join(ta, "id_a").join(tb, Seq("id_b", "token"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .join(sizes.withColumnRenamed("sz", "sz_a").withColumnRenamed(idCol, "id_a"), "id_a")
+      .join(sizes.withColumnRenamed("sz", "sz_b").withColumnRenamed(idCol, "id_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (coalesce(col("n_inter"), lit(0L)).cast("double") /
+          (col("sz_a") + col("sz_b") - coalesce(col("n_inter"), lit(0L))))
+          .as("jaccard"))
+  }
+
+  /** 16-bit SimHash over unigram tokens: per hex digit of md5(token), the
+    * high bit votes +1/−1; fingerprint bit j is the sign of the vote sum.
+    * Portable across engines (pure string/integer ops). */
+  def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol),
+      explode(TextOps.tokens(col(textCol))).as("w"))
+      .withColumn("h", md5(col("w")))
+    val votes = (1 to 16).map { j =>
+      sum(when(substring(col("h"), j, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+        .otherwise(-1)).as(s"v$j")
+    }
+    tok.groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol), concat((1 to 16).map(j =>
+        when(col(s"v$j") > 0, lit("1")).otherwise(lit("0"))): _*).as("simhash"))
+  }
+}

@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: tokenization,
+  * shingling, language-ID heuristics, quality scoring, fingerprinting.
+  *
+  * All pure Column expressions — codegen-friendly, no UDFs — so they run
+  * inside whole-stage codegen over billions of documents. Deliberately
+  * integer-arithmetic-first (ratios appear only in final scores) so
+  * results are engine-portable and exactly reproducible.
+  */
+object TextOps {
+
+  /** Whitespace tokens (single-space separated corpora). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles: ["a b c", "b c d", ...]. Documents shorter than
+    * n words yield an empty shingle set. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val w = tokens(text)
+    when(size(w) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*)))
+  }
+
+  /** Count of a literal token's occurrences, via length arithmetic —
+    * O(len) with zero allocation, safe inside codegen. */
+  def tokenOccurrences(text: Column, token: String): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    val needle = s" $token "
+    // Overlap-free for space-delimited tokens: count by length difference.
+    ((length(padded) - length(regexp_replace(padded, needle, " "))) /
+      lit(needle.length - 1)).cast("long")
+  }
+
+  /** N-gram-heuristic language ID: integer-ratio votes over marker
+    * stopwords per language. Thresholds are in integer arithmetic
+    * (marker_count * 20 > token_count ⇔ ratio > 5%). */
+  def langIdGuess(text: Column): Column = {
+    val nTok = size(tokens(text)).cast("long")
+    val nThe = tokenOccurrences(text, "the")
+    val nA = tokenOccurrences(text, "a")
+    when(nThe * 20 > nTok, lit("en"))
+      .when(nA * 20 > nTok, lit("en_article"))
+      .otherwise(lit("und"))
+  }
+
+  /** Quality signals: char length, token count, mean token length,
+    * stopword ratio, non-alpha ratio. */
+  def nChars(text: Column): Column = length(text).cast("long")
+  def nTokens(text: Column): Column = size(tokens(text)).cast("long")
+
+  def meanTokenLen(text: Column): Column =
+    (length(regexp_replace(text, " ", "")).cast("double") / nTokens(text))
+
+  def stopwordRatio(text: Column, stops: Seq[String] = Seq("the", "a", "of", "and")): Column =
+    (stops.map(tokenOccurrences(text, _)).reduce(_ + _).cast("double") / nTokens(text))
+
+  def nonAlnumRatio(text: Column): Column =
+    ((length(text) - length(regexp_replace(text, "[^a-zA-Z0-9 ]", ""))).cast("double") /
+      length(text))
+
+  /** Composite quality score in [0,1]. Deliberately NOT rounded: the
+    * arithmetic is scalar per-row IEEE ops, so any engine evaluating the
+    * same expression tree gets bit-identical doubles, whereas round()
+    * semantics differ across engines at exact half-boundaries. */
+  def qualityScore(text: Column): Column =
+    least(lit(1.0), nTokens(text).cast("double") / 100) * lit(0.5) +
+      least(lit(1.0), stopwordRatio(text) * 5) * lit(0.3) +
+      (lit(1.0) - least(lit(1.0), nonAlnumRatio(text) * 10)) * lit(0.2)
+
+  /** BPE-ish token count: runs of letters, runs of digits, single other
+    * non-space chars — a cheap, deterministic proxy for subword count. */
+  def bpeishCount(text: Column): Column =
+    regexp_count(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]")).cast("long")
+
+  /** Canonical content fingerprint: md5 over sorted distinct tokens
+    * (OpenRefine-style key-collision fingerprinting). */
+  def fingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(text))), " "))
+}

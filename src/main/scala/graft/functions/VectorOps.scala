@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding-similarity operators: brute-force cosine top-k (baseline),
+  * sign-bucket LSH pruning and IVF centroids (the scale path).
+  *
+  * Element-wise math is done with zip_with/aggregate over array<float>
+  * columns, widening to double BEFORE the multiply so every product is a
+  * deterministic double (portable vs the DuckDB oracle); only the final
+  * summation order varies, absorbed by round(…, 4).
+  *
+  * At 100 TB: brute-force is one broadcast of the query vector + a single
+  * scan with TakeOrderedAndProject (no full sort, no shuffle of the data);
+  * the LSH/IVF variants prune the scan by bucket equi-join so the
+  * candidate set, not the corpus, is scored.
+  */
+object VectorOps {
+
+  /** Σ aᵢ·bᵢ with double widening per element. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity rounded to 4 dp (cross-engine deterministic). */
+  def cosine(a: Column, b: Column): Column = round(dot(a, b) / (norm(a) * norm(b)), 4)
+
+  /** Brute-force top-k most-similar rows to one query vector.
+    * queryVec is broadcast (a one-row frame crossJoined in). */
+  def bruteForceTopK(corpus: DataFrame, queryVec: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val q = queryVec.select(col(vecCol).as("__qv"))
+    corpus.crossJoin(broadcast(q))
+      .select(col(idCol), cosine(col(vecCol), col("__qv")).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Random-hyperplane-style LSH bucket from the signs of the first
+    * `bits` components (the testdata embeddings are isotropic, so
+    * coordinate signs behave as hyperplane signs). */
+  def signBucket(vec: Column, bits: Int = 4): Column =
+    concat((1 to bits).map(i =>
+      when(element_at(vec, i) >= 0, lit("1")).otherwise(lit("0"))): _*)
+
+  /** LSH-pruned top-k: score only corpus rows in the query's sign bucket. */
+  def lshTopK(corpus: DataFrame, queryVec: DataFrame, idCol: String,
+              vecCol: String, k: Int, bits: Int = 4): DataFrame = {
+    val q = queryVec.select(col(vecCol).as("__qv"),
+      signBucket(col(vecCol), bits).as("__bucket"))
+    corpus.withColumn("__bucket", signBucket(col(vecCol), bits))
+      .join(broadcast(q), Seq("__bucket"))
+      .select(col(idCol), cosine(col(vecCol), col("__qv")).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** IVF coarse quantizer build: per-partition (label) centroid, one row
+    * per (partition, dimension). posexplode keeps it fully distributed. */
+  def centroids(corpus: DataFrame, partCol: String, vecCol: String): DataFrame =
+    corpus.select(col(partCol), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col(partCol), col("dim"))
+      .agg(round(avg(col("x").cast("double")), 4).as("centroid"))
+}

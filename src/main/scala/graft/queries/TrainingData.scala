@@ -1,0 +1,252 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{DedupOps, TextOps, VectorOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over `documents` / `embeddings`:
+  * deduplication (exact, MinHash+LSH, SimHash, Jaccard), text analysis
+  * (language-ID, quality, token counting, fingerprinting) and similarity
+  * search (brute-force cosine, LSH-bucketed, IVF centroids). */
+object TrainingData {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Shared oracle CTE: 8-hash MinHash signature over 3-word shingles. */
+  private val sigCte =
+    """sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(1, greatest(len(words)-1, 1)),
+      |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
+      |sig AS (
+      |  SELECT doc_id,
+      |    min(md5(0 || '|' || shingle)) AS h0, min(md5(1 || '|' || shingle)) AS h1,
+      |    min(md5(2 || '|' || shingle)) AS h2, min(md5(3 || '|' || shingle)) AS h3,
+      |    min(md5(4 || '|' || shingle)) AS h4, min(md5(5 || '|' || shingle)) AS h5,
+      |    min(md5(6 || '|' || shingle)) AS h6, min(md5(7 || '|' || shingle)) AS h7
+      |  FROM sh GROUP BY doc_id)""".stripMargin
+
+  private val bandsCte =
+    """bands AS (
+      |  SELECT doc_id, 0 AS band_idx, md5(h0 || '|' || h1) AS band_key FROM sig
+      |  UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig
+      |  UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sig
+      |  UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sig),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a JOIN bands b USING (band_idx, band_key)
+      |  WHERE a.doc_id < b.doc_id)""".stripMargin
+
+  /** DuckDB double dot product over 64-dim float lists (widened per
+    * element, like the Spark side). */
+  private def duckDot(a: String, b: String): String =
+    s"list_sum(list_transform(range(1,65), i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)))"
+
+  private def duckNorm(a: String): String =
+    s"sqrt(list_sum(list_transform(range(1,65), i -> CAST($a.embedding[i] AS DOUBLE) * CAST($a.embedding[i] AS DOUBLE))))"
+
+  private def duckCos(a: String, b: String): String =
+    s"round(${duckDot(a, b)} / (${duckNorm(a)} * ${duckNorm(b)}), 4)"
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: survivor + multiplicity per content hash.
+    "q50_exact_dedup" -> ((s, dir) => {
+      DedupOps.exact(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("content_hash"))
+    }),
+    // MinHash signatures (8 hashes, 3-word shingles).
+    "q51_minhash_sig" -> ((s, dir) => {
+      DedupOps.minhashSignature(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+    // LSH banding → candidate near-dup pairs (equi-join, no O(n²)).
+    "q52_lsh_pairs" -> ((s, dir) => {
+      val sig = DedupOps.minhashSignature(t(s, dir, "documents"), "doc_id", "text")
+      DedupOps.lshCandidatePairs(sig, "doc_id")
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    // Exact token-set Jaccard verification of the LSH candidates.
+    "q53_jaccard_verify" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sig = DedupOps.minhashSignature(docs, "doc_id", "text")
+      val pairs = DedupOps.lshCandidatePairs(sig, "doc_id")
+      val tokens = docs.select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("token")).distinct()
+      DedupOps.jaccardForPairs(pairs, tokens, "doc_id")
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    // Language-ID heuristic (integer-ratio stopword votes).
+    "q54_langid" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.langIdGuess(col("text")).as("lang_guess"))
+        .orderBy(col("doc_id"))
+    }),
+    // Quality scoring: signals + composite score.
+    "q55_quality" -> ((s, dir) => {
+      val text = col("text")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.nChars(text).as("n_char"),
+          TextOps.nTokens(text).as("n_tok"),
+          TextOps.meanTokenLen(text).as("mean_tok_len"),
+          TextOps.stopwordRatio(text).as("stop_ratio"),
+          TextOps.qualityScore(text).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+    // Token counting: whitespace + BPE-ish regex segmentation.
+    "q56_token_counts" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.nTokens(col("text")).as("n_ws_tok"),
+          TextOps.bpeishCount(col("text")).as("n_bpeish"))
+        .orderBy(col("doc_id"))
+    }),
+    // Content fingerprint (sorted-distinct-token md5) + collision groups.
+    "q57_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+    // 16-bit SimHash fingerprints.
+    "q58_simhash" -> ((s, dir) => {
+      DedupOps.simhash16(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+    // Brute-force cosine top-10 vs query vector (vec_id=0).
+    "q60_knn_bruteforce" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      VectorOps.bruteForceTopK(e, e.filter(col("vec_id") === 0), "vec_id",
+        "embedding", 10)
+    }),
+    // Sign-bucket LSH pruned top-5 (ANN scale path).
+    "q61_knn_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      VectorOps.lshTopK(e, e.filter(col("vec_id") === 0), "vec_id",
+        "embedding", 5)
+    }),
+    // IVF centroid build: per-label mean vector, one row per dimension.
+    "q62_centroids" -> ((s, dir) => {
+      VectorOps.centroids(t(s, dir, "embeddings"), "label", "embedding")
+        .orderBy(col("label"), col("dim"))
+    }),
+    // Embedding-cosine near-dup pairs within label buckets.
+    "q63_vector_neardup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val a = e.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = e.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("vb"))
+      a.join(b, Seq("label"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("score", VectorOps.cosine(col("va"), col("vb")))
+        .filter(col("score") >= 0.35)
+        .select(col("id_a"), col("id_b"), col("score"))
+        .orderBy(col("id_a"), col("id_b"))
+    })
+  )
+
+  private def occ(token: String): String = {
+    // replacing " tok " (len+2 chars) with " " shrinks by len+1 per hit
+    val n = token.length + 1
+    s"CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' $token ', ' '))) / $n AS BIGINT)"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q50_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        |  COUNT(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    "q51_minhash_sig" ->
+      s"""WITH $sigCte
+         |SELECT * FROM sig ORDER BY doc_id""".stripMargin,
+    "q52_lsh_pairs" ->
+      s"""WITH $sigCte,
+         |$bandsCte
+         |SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b""".stripMargin,
+    "q53_jaccard_verify" ->
+      s"""WITH $sigCte,
+         |$bandsCte,
+         |tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+         |  FROM documents),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+         |inter AS (
+         |  SELECT p.id_a, p.id_b, COUNT(*) AS n_inter
+         |  FROM pairs p
+         |  JOIN tok ta ON ta.doc_id = p.id_a
+         |  JOIN tok tb ON tb.doc_id = p.id_b AND tb.token = ta.token
+         |  GROUP BY p.id_a, p.id_b)
+         |SELECT p.id_a, p.id_b,
+         |  CAST(COALESCE(i.n_inter, 0) AS DOUBLE) /
+         |    (sa.sz + sb.sz - COALESCE(i.n_inter, 0)) AS jaccard
+         |FROM pairs p
+         |LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+         |JOIN sizes sa ON sa.doc_id = p.id_a
+         |JOIN sizes sb ON sb.doc_id = p.id_b
+         |ORDER BY p.id_a, p.id_b""".stripMargin,
+    "q54_langid" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN ${occ("the")} * 20 > len(string_split(text, ' ')) THEN 'en'
+         |       WHEN ${occ("a")} * 20 > len(string_split(text, ' ')) THEN 'en_article'
+         |       ELSE 'und' END AS lang_guess
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q55_quality" ->
+      s"""SELECT doc_id,
+         |  length(text) AS n_char,
+         |  len(string_split(text, ' ')) AS n_tok,
+         |  CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         |    / len(string_split(text, ' ')) AS mean_tok_len,
+         |  CAST(${occ("the")} + ${occ("a")} + ${occ("of")} + ${occ("and")} AS DOUBLE)
+         |    / len(string_split(text, ' ')) AS stop_ratio,
+         |  least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100) * 0.5 +
+         |    least(1.0, (CAST(${occ("the")} + ${occ("a")} + ${occ("of")} + ${occ("and")} AS DOUBLE)
+         |      / len(string_split(text, ' '))) * 5) * 0.3 +
+         |    (1.0 - least(1.0, (CAST(length(text) -
+         |      length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+         |      / length(text)) * 10)) * 0.2 AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q56_token_counts" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tok,
+        |  CAST(length(regexp_extract_all(text,
+        |    '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpeish
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q57_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+        |    AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q58_simhash" -> {
+      val votes = (1 to 16).map(j =>
+        s"CASE WHEN sum(CASE WHEN substr(md5(w), $j, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END").mkString(" || ")
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |  FROM documents)
+         |SELECT doc_id, $votes AS simhash
+         |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+    "q60_knn_bruteforce" ->
+      s"""SELECT a.vec_id, ${duckCos("a", "q")} AS score
+         |FROM embeddings a, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+         |ORDER BY score DESC, a.vec_id LIMIT 10""".stripMargin,
+    "q61_knn_lsh" -> {
+      def bucket(t: String): String = (1 to 4).map(i =>
+        s"CASE WHEN $t.embedding[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+      s"""SELECT a.vec_id, ${duckCos("a", "q")} AS score
+         |FROM embeddings a,
+         |  (SELECT embedding, ${bucket("e")} AS bk
+         |   FROM (SELECT * FROM embeddings WHERE vec_id = 0) e) q
+         |WHERE ${bucket("a")} = q.bk
+         |ORDER BY score DESC, a.vec_id LIMIT 5""".stripMargin
+    },
+    "q62_centroids" ->
+      """SELECT label, dim, round(avg(CAST(x AS DOUBLE)), 4) AS centroid
+        |FROM (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+        |  unnest(embedding) AS x FROM embeddings)
+        |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+    "q63_vector_neardup" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${duckCos("a", "b")} AS score
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${duckCos("a", "b")} >= 0.35
+         |ORDER BY id_a, id_b""".stripMargin
+  )
+}
