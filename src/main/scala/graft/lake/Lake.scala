@@ -1,0 +1,75 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The three-zone lake and its writers (SURVEY §1.1, §2.2 K1–K7).
+  *
+  * Zones raw/staging/prod mirror the reference's GCS layout
+  * (rj_smtr/tasks.py:384-429, rj_smtr/utils.py:136-200). Writes are:
+  *
+  *  - `append`: plain file-add (replaces the reference's read-concat-
+  *    rewrite "append", utils/utils.py:499-506 — union semantics, but
+  *    O(new data) instead of O(table));
+  *  - `overwritePartitions`: dynamic partition overwrite — the Spark
+  *    equivalent of delete-partition-blobs-then-upload
+  *    (utils/dump_db/tasks.py:400-435) and the key to idempotent replay;
+  *  - `createOrAppend`: K5 — register the external table in the session
+  *    catalog on first write, append afterwards.
+  *
+  * At cluster scale every write is partition-parallel; nothing funnels
+  * through the driver.
+  */
+final case class TableRef(zone: String, dataset: String, table: String)
+
+class Lake(spark: SparkSession, root: String) {
+
+  def path(ref: TableRef): String = s"$root/${ref.zone}/${ref.dataset}/${ref.table}"
+
+  private def qualified(ref: TableRef): String =
+    s"${ref.zone}_${ref.dataset}.${ref.table}"
+
+  /** K1/K2/K3: partitioned append (CSV kept for raw-zone parity, parquet
+    * default). */
+  def append(df: DataFrame, ref: TableRef, partitionBy: Seq[String] = Nil,
+             format: String = "parquet"): Unit = {
+    val w = df.write.format(format).mode(SaveMode.Append)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .save(path(ref))
+  }
+
+  /** K6: idempotent re-write of exactly the partitions present in `df`
+    * (dynamic partition overwrite — untouched partitions survive). */
+  def overwritePartitions(df: DataFrame, ref: TableRef,
+                          partitionBy: Seq[String]): Unit =
+    df.write.format("parquet")
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionBy: _*)
+      .save(path(ref))
+
+  /** K7: full table reset. */
+  def overwriteAll(df: DataFrame, ref: TableRef,
+                   partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.format("parquet").mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "static")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .save(path(ref))
+  }
+
+  /** K5: create the catalog external table on first append, else append;
+    * table schema is discovered from the files (schema-on-read). */
+  def createOrAppend(df: DataFrame, ref: TableRef,
+                     partitionBy: Seq[String] = Nil): Unit = {
+    append(df, ref, partitionBy)
+    val db = s"${ref.zone}_${ref.dataset}"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    spark.sql(
+      s"""CREATE TABLE IF NOT EXISTS ${qualified(ref)}
+         |USING parquet LOCATION '${path(ref)}'""".stripMargin)
+    if (partitionBy.nonEmpty) spark.sql(s"MSCK REPAIR TABLE ${qualified(ref)}")
+  }
+
+  /** Schema-on-read scan of a lake table (partition discovery included). */
+  def read(ref: TableRef): DataFrame = spark.read.parquet(path(ref))
+}

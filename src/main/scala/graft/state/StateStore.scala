@@ -1,0 +1,107 @@
+package graft.state
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cross-run state (SURVEY §2.9 T6–T8) — the Redis replacement.
+  *
+  * The reference keeps (a) a last-run timestamp per dataset.table
+  * (rj_smtr/utils.py:264-294), (b) per-entity watermarks as a hash
+  * {entity → last_update} seeded with 1900-01-01
+  * (utils/utils.py:1013-1110), and (c) processed-file sets
+  * (rj_smtr/utils.py:335-366). All three become small parquet tables
+  * under `root`; update semantics are read-modify-overwrite, which is
+  * safe under the one-writer-per-pipeline discipline the reference also
+  * assumes (its skip_if_running guard, utils/utils.py:197-231).
+  */
+class StateStore(spark: SparkSession, root: String) {
+  import spark.implicits._
+
+  val SeedWatermark: Timestamp = Timestamp.valueOf("1900-01-01 00:00:00")
+
+  private def runPath = s"$root/last_run"
+  private def entityPath(key: String) = s"$root/entity_watermarks/$key"
+  private def filesPath(key: String) = s"$root/processed_files/$key"
+
+  private def readOrEmpty(path: String, schemaDdl: String): DataFrame =
+    try spark.read.parquet(path)
+    catch { case _: Exception => // first run: table does not exist yet
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
+    }
+
+  // ---- T6: last-run timestamp per table --------------------------------
+
+  def lastRun(key: String): Option[Timestamp] =
+    readOrEmpty(runPath, "key STRING, last_run TIMESTAMP")
+      .filter($"key" === key).select($"last_run")
+      .collect().headOption.map(_.getTimestamp(0))
+
+  def setLastRun(key: String, ts: Timestamp): Unit = {
+    val cur = readOrEmpty(runPath, "key STRING, last_run TIMESTAMP")
+      .filter($"key" =!= key)
+    val updated = cur.unionByName(Seq((key, ts)).toDF("key", "last_run"))
+    // Small table: collect-and-rewrite avoids read-while-overwrite races.
+    val rows = updated.collect().toIndexedSeq
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), updated.schema)
+      .write.mode(SaveMode.Overwrite).parquet(runPath)
+  }
+
+  /** T6 fallback chain: explicit state, else MAX(ts) of the target table,
+    * else the seed (rj_smtr/tasks.py:1216-1251). */
+  def lastRunOrMax(key: String, target: => DataFrame, tsCol: String): Timestamp =
+    lastRun(key).getOrElse {
+      try target.agg(max(col(tsCol))).collect().headOption
+        .flatMap(r => Option(r.getTimestamp(0))).getOrElse(SeedWatermark)
+      catch { case _: Exception => SeedWatermark }
+    }
+
+  // ---- T7: per-entity watermarks ---------------------------------------
+
+  /** entity STRING, last_update TIMESTAMP. */
+  def entityWatermarks(key: String): DataFrame =
+    readOrEmpty(entityPath(key), "entity STRING, last_update TIMESTAMP")
+
+  /** J1: rows strictly newer than the entity's stored watermark (new
+    * entities pass — seed semantics). Broadcast: state is small. */
+  def newerThanWatermark(key: String, df: DataFrame, entityCol: String,
+                         tsCol: String): DataFrame = {
+    val wm = entityWatermarks(key)
+      .withColumnRenamed("entity", entityCol)
+    df.join(broadcast(wm), Seq(entityCol), "left")
+      .filter(col("last_update").isNull || col(tsCol) > col("last_update"))
+      .drop("last_update")
+  }
+
+  /** A3 + upsert: advance each entity's watermark to its max ts seen. */
+  def advanceEntityWatermarks(key: String, df: DataFrame, entityCol: String,
+                              tsCol: String): Unit = {
+    val advanced = df.groupBy(col(entityCol).cast("string").as("entity"))
+      .agg(max(col(tsCol)).as("last_update"))
+    val merged = entityWatermarks(key).unionByName(advanced)
+      .groupBy($"entity").agg(max($"last_update").as("last_update"))
+    val rows = merged.collect().toIndexedSeq
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), merged.schema)
+      .write.mode(SaveMode.Overwrite).parquet(entityPath(key))
+  }
+
+  // ---- T8: processed-file sets -----------------------------------------
+
+  def processedFiles(key: String): DataFrame =
+    readOrEmpty(filesPath(key), "file STRING")
+
+  /** J5: anti-join candidate files against the seen set. */
+  def unprocessed(key: String, files: DataFrame, fileCol: String): DataFrame =
+    files.join(processedFiles(key).withColumnRenamed("file", fileCol),
+      Seq(fileCol), "left_anti")
+
+  def markProcessed(key: String, files: Seq[String]): Unit = {
+    val merged = processedFiles(key)
+      .unionByName(files.toDF("file")).distinct()
+    val rows = merged.collect().toIndexedSeq
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), merged.schema)
+      .write.mode(SaveMode.Overwrite).parquet(filesPath(key))
+  }
+}

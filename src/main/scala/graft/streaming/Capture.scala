@@ -1,0 +1,66 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.lake.{CaptureLog, Lake, TableRef}
+import graft.transforms.{Clean, Nest}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Micro-batch capture pipeline (SURVEY §3.2, §2.9 T1–T5).
+  *
+  * The reference's default_capture_flow per tick: fetch raw → save raw
+  * verbatim → treat (stamp timestamp_captura, strip strings, nest to
+  * pk+content) → staging append → `_logs` row
+  * (rj_smtr/flows.py:46-194, rj_smtr/tasks.py:1403-1505).
+  *
+  * Spark shape: one Structured Streaming query per source with
+  * `foreachBatch` doing raw append → treat → staging append → log append.
+  * The checkpoint gives exactly-once batch tracking; the staging write
+  * uses date/hora partitions so replays land idempotently (T5).
+  */
+final case class CaptureConfig(dataset: String, table: String,
+                               pk: Seq[String], tsCol: String)
+
+class Capture(spark: SparkSession, lake: Lake, log: CaptureLog,
+              cfg: CaptureConfig) {
+
+  /** The per-micro-batch body — usable directly for batch captures and
+    * from foreachBatch for streaming ones. */
+  def processBatch(raw: DataFrame, captureTs: Timestamp): Unit = {
+    try {
+      val stamped = raw.withColumn("timestamp_captura", lit(captureTs))
+      lake.append(
+        stamped.withColumn("data", date_format(col(cfg.tsCol), "yyyy-MM-dd")),
+        TableRef("raw", cfg.dataset, cfg.table), partitionBy = Seq("data"))
+
+      val treated = Nest.toContent(
+        Clean.trimStrings(stamped), pk = cfg.pk :+ "timestamp_captura")
+        .withColumn("data", date_format(col("timestamp_captura"), "yyyy-MM-dd"))
+        .withColumn("hora", date_format(col("timestamp_captura"), "HH"))
+      lake.append(treated, TableRef("staging", cfg.dataset, cfg.table),
+        partitionBy = Seq("data", "hora"))
+
+      log.append(cfg.dataset, cfg.table, captureTs, success = true)
+    } catch {
+      case e: Exception =>
+        log.append(cfg.dataset, cfg.table, captureTs, success = false,
+          error = Some(e.getMessage))
+        throw e
+    }
+  }
+
+  /** T1: continuous capture from any streaming source. */
+  def start(source: DataFrame, checkpoint: String,
+            trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery =
+    source.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ts = new Timestamp(System.currentTimeMillis())
+        processBatch(batch, ts)
+      }
+      .start()
+}

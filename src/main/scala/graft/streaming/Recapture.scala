@@ -1,0 +1,39 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Late-data recovery planner (SURVEY §2.9 T4 — `query_logs`,
+  * rj_smtr/tasks.py:437-558).
+  *
+  * Builds the minute spine over the lookback window, left-anti joins the
+  * successful capture log minutes, and returns the missed minutes capped
+  * at `maxRecaptures` (90 in the reference; overflow is the caller's
+  * alert). The result feeds Trigger.AvailableNow backfill runs.
+  */
+object Recapture {
+
+  final case class Plan(timestamps: Seq[Timestamp], overflowed: Boolean)
+
+  /** Missed capture minutes in (now − lookbackDays, now], oldest first. */
+  def plan(spark: SparkSession, logs: DataFrame, now: Timestamp,
+           intervalMinutes: Int = 1, lookbackDays: Int = 1,
+           maxRecaptures: Int = 90): Plan = {
+    val step = intervalMinutes * 60
+    val startSec = (now.getTime / 1000 - lookbackDays * 86400L) / step * step
+    val spine = spark.range(1).select(explode(sequence(
+      timestamp_seconds(lit(startSec)),
+      lit(now),
+      expr(s"INTERVAL $intervalMinutes MINUTES"))).as("minute"))
+    val ok = logs.filter(col("sucesso") === true)
+      .select(date_trunc("minute", col("timestamp_captura")).as("minute"))
+      .distinct()
+    val missed = spine.join(ok, Seq("minute"), "left_anti")
+      .orderBy(col("minute"))
+      .limit(maxRecaptures + 1)
+      .collect().map(_.getTimestamp(0)).toIndexedSeq
+    Plan(missed.take(maxRecaptures), overflowed = missed.size > maxRecaptures)
+  }
+}

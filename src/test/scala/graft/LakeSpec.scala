@@ -1,0 +1,73 @@
+package graft
+
+import graft.lake.{CaptureLog, Lake, TableRef}
+import graft.core.Partitions
+import org.apache.spark.sql.functions._
+
+class LakeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("partitioned append + read round-trip, partition cols derived") {
+    val lake = new Lake(spark, tmpDir("lake"))
+    val df = Tables.load(spark, sf001, "events").limit(100)
+    val withParts = Partitions.dateHour(df, "ts")
+    val ref = TableRef("staging", "test_ds", "events")
+    lake.append(withParts, ref, partitionBy = Seq("data", "hora"))
+    val back = lake.read(ref)
+    assert(back.count() === 100)
+    // partition columns survive as columns on read
+    assert(back.columns.toSet.contains("data") && back.columns.toSet.contains("hora"))
+  }
+
+  test("append twice = union semantics (reference K2 contract)") {
+    val lake = new Lake(spark, tmpDir("lake"))
+    val ref = TableRef("raw", "ds", "t")
+    lake.append(Seq((1, "a")).toDF("id", "v"), ref)
+    lake.append(Seq((2, "b")).toDF("id", "v"), ref)
+    assert(lake.read(ref).count() === 2)
+  }
+
+  test("dynamic partition overwrite touches only present partitions (K6)") {
+    val lake = new Lake(spark, tmpDir("lake"))
+    val ref = TableRef("staging", "ds", "t")
+    lake.append(Seq((1, "2024-01-01"), (2, "2024-01-02")).toDF("id", "data"),
+      ref, partitionBy = Seq("data"))
+    // overwrite ONLY the 01-02 partition with a single new row
+    lake.overwritePartitions(Seq((99, "2024-01-02")).toDF("id", "data"),
+      ref, partitionBy = Seq("data"))
+    val back = lake.read(ref).select($"id", $"data".cast("string"))
+      .as[(Int, String)].collect().toSet
+    assert(back === Set((1, "2024-01-01"), (99, "2024-01-02")))
+  }
+
+  test("idempotent replay: same partition overwritten twice = once (T5)") {
+    val lake = new Lake(spark, tmpDir("lake"))
+    val ref = TableRef("staging", "ds", "t")
+    val batch = Seq((1, "2024-01-01"), (2, "2024-01-01")).toDF("id", "data")
+    lake.overwritePartitions(batch, ref, Seq("data"))
+    lake.overwritePartitions(batch, ref, Seq("data"))
+    assert(lake.read(ref).count() === 2)
+  }
+
+  test("createOrAppend registers a queryable catalog table (K5)") {
+    val lake = new Lake(spark, tmpDir("lake"))
+    val ref = TableRef("staging", "cat", "t1")
+    lake.createOrAppend(Seq((1, "x")).toDF("id", "v"), ref)
+    lake.createOrAppend(Seq((2, "y")).toDF("id", "v"), ref)
+    assert(spark.sql("SELECT count(*) FROM staging_cat.t1").head().getLong(0) === 2)
+    spark.sql("DROP TABLE staging_cat.t1")
+  }
+
+  test("capture log append + read with [recapturado] marking (K10/T4)") {
+    val lake = new Lake(spark, tmpDir("lake"))
+    val log = new CaptureLog(spark, lake)
+    val ts = java.sql.Timestamp.valueOf("2024-01-05 10:00:00")
+    log.append("ds", "t", ts, success = true)
+    log.append("ds", "t", java.sql.Timestamp.valueOf("2024-01-05 10:01:00"),
+      success = false, error = Some("boom"), recaptured = true)
+    val rows = log.read("ds", "t")
+    assert(rows.count() === 2)
+    assert(rows.filter($"erro".startsWith("[recapturado]")).count() === 1)
+    assert(rows.filter($"sucesso" === true).count() === 1)
+  }
+}

@@ -1,0 +1,121 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.lake.{Lake, TableRef}
+import graft.materialize.{Model, ModelRunner}
+import graft.quality.{Check, Quality}
+import graft.state.StateStore
+import org.apache.spark.sql.functions._
+
+class MaterializeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("incremental model: window from watermark, idempotent re-run (§3.3)") {
+    val root = tmpDir("lake")
+    val lake = new Lake(spark, root)
+    val state = new StateStore(spark, tmpDir("state"))
+    val runner = new ModelRunner(spark, lake, state, "ds")
+
+    Tables.load(spark, sf001, "events")
+      .createOrReplaceTempView("src_events")
+    val model = Model("hourly",
+      """SELECT date_trunc('hour', ts) AS ts, event_type,
+        |  count(*) AS n,
+        |  date_format(ts, 'yyyy-MM-dd') AS data
+        |FROM src_events
+        |WHERE ts > to_timestamp('{{date_range_start}}')
+        |  AND ts <= to_timestamp('{{date_range_end}}')
+        |GROUP BY 1, 2, 4""".stripMargin)
+
+    // first run: empty target → seed watermark → full history window
+    val now1 = Timestamp.valueOf("2024-01-10 00:00:00")
+    runner.run(model, now1)
+    val afterFirst = lake.read(TableRef("prod", "ds", "hourly")).count()
+    assert(afterFirst > 0)
+    // watermark advanced
+    assert(state.lastRun("ds.hourly") === Some(now1))
+
+    // second run over the next window appends only new partitions
+    val now2 = Timestamp.valueOf("2024-01-20 00:00:00")
+    runner.run(model, now2)
+    val afterSecond = lake.read(TableRef("prod", "ds", "hourly")).count()
+    assert(afterSecond > afterFirst)
+
+    // re-running the same window is idempotent (dynamic overwrite)
+    state.setLastRun("ds.hourly", now1)
+    runner.run(model, now2)
+    assert(lake.read(TableRef("prod", "ds", "hourly")).count() === afterSecond)
+  }
+
+  test("model DAG runs dependencies first and detects cycles") {
+    val order = scala.collection.mutable.ArrayBuffer[String]()
+    val lake = new Lake(spark, tmpDir("lake")) {
+      override def overwritePartitions(df: org.apache.spark.sql.DataFrame,
+          ref: TableRef, partitionBy: Seq[String]): Unit =
+        order += ref.table
+    }
+    val state = new StateStore(spark, tmpDir("state"))
+    val runner = new ModelRunner(spark, lake, state, "ds")
+    spark.sql("SELECT to_timestamp('2024-01-01') AS ts, 'x' AS data")
+      .createOrReplaceTempView("one")
+    def m(n: String, deps: Seq[String]) =
+      Model(n, "SELECT ts, data FROM one", deps = deps)
+    runner.runDag(Seq(m("c", Seq("b")), m("a", Nil), m("b", Seq("a"))),
+      Timestamp.valueOf("2024-01-02 00:00:00"))
+    assert(order.toSeq === Seq("a", "b", "c"))
+    intercept[IllegalArgumentException] {
+      runner.runDag(Seq(m("x", Seq("y")), m("y", Seq("x"))),
+        Timestamp.valueOf("2024-01-02 00:00:00"))
+    }
+  }
+
+  test("backfill stepper advances in fixed windows until caught up") {
+    val lake = new Lake(spark, tmpDir("lake"))
+    val state = new StateStore(spark, tmpDir("state"))
+    val runner = new ModelRunner(spark, lake, state, "ds")
+    spark.sql("SELECT to_timestamp('2024-01-01 00:30:00') AS ts, 'p' AS data")
+      .createOrReplaceTempView("tiny")
+    val model = Model("bf",
+      """SELECT ts, data FROM tiny
+        |WHERE ts > to_timestamp('{{date_range_start}}')
+        |  AND ts <= to_timestamp('{{date_range_end}}')""".stripMargin)
+    state.setLastRun("ds.bf", Timestamp.valueOf("2024-01-01 00:00:00"))
+    val steps = runner.backfill(model,
+      Timestamp.valueOf("2024-01-01 06:00:00"), stepHours = 2)
+    assert(steps === 3)
+    assert(state.lastRun("ds.bf") === Some(Timestamp.valueOf("2024-01-01 06:00:00")))
+  }
+
+  test("quality checks: empty result = pass, offending rows reported (A7)") {
+    Tables.load(spark, sf001, "events").createOrReplaceTempView("q_events")
+    val pass = Quality.run(spark, Check("no_null_ids", "ids are never null",
+      "SELECT * FROM q_events WHERE event_id IS NULL"))
+    assert(pass.passed && pass.nOffending === 0)
+    val fail = Quality.run(spark, Check("no_errors", "no error events",
+      "SELECT * FROM q_events WHERE event_type = '{{bad_type}}'"),
+      vars = Map("bad_type" -> "error"))
+    assert(!fail.passed && fail.nOffending > 0 && fail.sample.nonEmpty)
+  }
+
+  test("reference check suite shapes run against lake views (FIXTURES §10)") {
+    val ev = Tables.load(spark, sf001, "events")
+    ev.createOrReplaceTempView("events_v")
+    ev.createOrReplaceTempView("treated_v")
+    // complete log: every minute has a success → capture_gaps passes
+    spark.sql(
+      """SELECT explode(sequence(to_timestamp('2024-01-05 00:00:00'),
+        |  to_timestamp('2024-01-05 00:59:00'), INTERVAL 1 MINUTE))
+        |  AS timestamp_captura, true AS sucesso""".stripMargin)
+      .createOrReplaceTempView("logs_v")
+    spark.sql(
+      """SELECT to_timestamp('2023-01-01') AS feed_start_date,
+        |  CAST(NULL AS TIMESTAMP) AS feed_end_date""".stripMargin)
+      .createOrReplaceTempView("feed_v")
+    val results = Quality.runAll(spark, Quality.referenceChecks, Map(
+      "start_timestamp" -> "2024-01-05 00:00:00",
+      "end_timestamp" -> "2024-01-05 00:59:00",
+      "min_pct" -> "100"))
+    assert(results.forall(_.passed), results.filterNot(_.passed).toString)
+  }
+}

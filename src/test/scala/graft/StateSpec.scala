@@ -1,0 +1,64 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.state.StateStore
+import org.apache.spark.sql.functions._
+
+class StateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("last-run watermark: unset → fallback to MAX(ts) → set → read (T6)") {
+    val st = new StateStore(spark, tmpDir("state"))
+    assert(st.lastRun("ds.t").isEmpty)
+    val target = Seq(
+      ("a", Timestamp.valueOf("2024-01-01 10:00:00")),
+      ("b", Timestamp.valueOf("2024-01-02 11:00:00"))).toDF("id", "ts")
+    assert(st.lastRunOrMax("ds.t", target, "ts") ===
+      Timestamp.valueOf("2024-01-02 11:00:00"))
+    val now = Timestamp.valueOf("2024-02-01 00:00:00")
+    st.setLastRun("ds.t", now)
+    assert(st.lastRun("ds.t") === Some(now))
+    // updating one key leaves others intact
+    st.setLastRun("ds.u", Timestamp.valueOf("2024-03-01 00:00:00"))
+    assert(st.lastRun("ds.t") === Some(now))
+  }
+
+  test("per-entity watermarks: filter newer + advance keeps max (T7/J1/A3)") {
+    val st = new StateStore(spark, tmpDir("state"))
+    val batch1 = Seq(
+      ("s1", Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+      ("s2", Timestamp.valueOf("2024-01-01 10:00:00"), 2.0)).toDF("entity", "ts", "v")
+    // empty state: everything passes (seed semantics)
+    assert(st.newerThanWatermark("k", batch1, "entity", "ts").count() === 2)
+    st.advanceEntityWatermarks("k", batch1, "entity", "ts")
+
+    val batch2 = Seq(
+      ("s1", Timestamp.valueOf("2024-01-01 09:59:00"), 9.0), // stale
+      ("s1", Timestamp.valueOf("2024-01-01 10:05:00"), 3.0), // fresh
+      ("s3", Timestamp.valueOf("2024-01-01 08:00:00"), 4.0)  // new entity
+    ).toDF("entity", "ts", "v")
+    val fresh = st.newerThanWatermark("k", batch2, "entity", "ts")
+      .select($"entity", $"v").as[(String, Double)].collect().toSet
+    assert(fresh === Set(("s1", 3.0), ("s3", 4.0)))
+
+    // advancing with an OLDER batch must not regress the watermark
+    st.advanceEntityWatermarks("k",
+      Seq(("s1", Timestamp.valueOf("2023-12-31 00:00:00"), 0.0))
+        .toDF("entity", "ts", "v"), "entity", "ts")
+    val wm = st.entityWatermarks("k").filter($"entity" === "s1")
+      .head().getTimestamp(1)
+    assert(wm === Timestamp.valueOf("2024-01-01 10:00:00"))
+  }
+
+  test("processed-file set: anti-join + mark (T8/J5)") {
+    val st = new StateStore(spark, tmpDir("state"))
+    val files = Seq("f1", "f2", "f3").toDF("file")
+    assert(st.unprocessed("k", files, "file").count() === 3)
+    st.markProcessed("k", Seq("f1", "f3"))
+    assert(st.unprocessed("k", files, "file").as[String].collect().toSet === Set("f2"))
+    // marking is idempotent
+    st.markProcessed("k", Seq("f1"))
+    assert(st.processedFiles("k").count() === 2)
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.lake.{CaptureLog, Lake, TableRef}
+import graft.streaming.{Capture, CaptureConfig, Recapture}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("capture batch: raw + nested staging + success log (§3.2 slice)") {
+    val lake = new Lake(spark, tmpDir("lake"))
+    val log = new CaptureLog(spark, lake)
+    val cap = new Capture(spark, lake, log,
+      CaptureConfig("smtr", "gps", pk = Seq("event_id"), tsCol = "ts"))
+    val raw = Tables.load(spark, sf001, "events").limit(50)
+    cap.processBatch(raw, Timestamp.valueOf("2024-01-05 10:00:00"))
+
+    assert(lake.read(TableRef("raw", "smtr", "gps")).count() === 50)
+    val staged = lake.read(TableRef("staging", "smtr", "gps"))
+    assert(staged.count() === 50)
+    assert(staged.columns.toSet ===
+      Set("event_id", "timestamp_captura", "content", "data", "hora"))
+    // content is valid JSON carrying the non-pk fields
+    assert(staged.select(get_json_object($"content", "$.event_type").as("et"))
+      .filter($"et".isNotNull).count() === 50)
+    assert(log.read("smtr", "gps").filter($"sucesso" === true).count() === 1)
+  }
+
+  test("streaming capture via foreachBatch over a file source (T1)") {
+    val lake = new Lake(spark, tmpDir("lake"))
+    val log = new CaptureLog(spark, lake)
+    val cap = new Capture(spark, lake, log,
+      CaptureConfig("smtr", "stream_t", pk = Seq("event_id"), tsCol = "ts"))
+    // stage a parquet landing dir as the streaming source
+    val landing = tmpDir("landing")
+    val src = Tables.load(spark, sf001, "events").limit(30)
+    src.write.mode("overwrite").parquet(landing)
+    val stream = spark.readStream.schema(src.schema).parquet(landing)
+    val q = cap.start(stream, checkpoint = tmpDir("ckpt"),
+      trigger = Trigger.AvailableNow())
+    q.awaitTermination(60000)
+    assert(lake.read(TableRef("staging", "smtr", "stream_t")).count() === 30)
+    assert(log.read("smtr", "stream_t").filter($"sucesso" === true).count() >= 1)
+  }
+
+  test("recapture planner finds missed minutes, caps at max (T4)") {
+    val now = Timestamp.valueOf("2024-01-05 01:00:00")
+    // logs: success every minute of the last hour EXCEPT 00:10 and 00:20;
+    // failure row at 00:30 (failures must be replanned too)
+    val minutes = (0 to 60).map(m =>
+      new Timestamp(now.getTime - (60 - m) * 60000L))
+    val logs = minutes.zipWithIndex.map { case (ts, i) =>
+      val missing = i == 10 || i == 20
+      (ts, !missing && i != 30, if (i == 30) "err" else null)
+    }.filterNot { case (_, ok, e) => !ok && e == null } // drop the 2 missing
+      .map { case (ts, ok, e) => (ts, ok, e) }
+      .toDF("timestamp_captura", "sucesso", "erro")
+    // uncapped: the three holes in the last hour are all planned
+    val full = Recapture.plan(spark, logs, now, maxRecaptures = 2000)
+    val planned = full.timestamps.map(_.toString).toSet
+    assert(planned.contains(minutes(10).toString))
+    assert(planned.contains(minutes(20).toString))
+    assert(planned.contains(minutes(30).toString)) // failed tick replanned
+    assert(!planned.contains(minutes(40).toString)) // successful tick is not
+    // capped: oldest-first, exactly 90, overflow flagged (reference cap)
+    val capped = Recapture.plan(spark, logs, now)
+    assert(capped.timestamps.size === 90 && capped.overflowed)
+    assert(capped.timestamps === capped.timestamps.sorted)
+  }
+}
