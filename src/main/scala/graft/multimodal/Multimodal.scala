@@ -1,0 +1,87 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing (builder-prompt requirement; reference
+  * precedent: camera snapshot capture with base64 image columns,
+  * rj_escritorio/flooding_detection/tasks.py:177-230, and satellite
+  * raster decode, SURVEY §2.1 S18/S19/S22, §2.10 U6/U7).
+  *
+  * Media travels as an opaque `binary` column plus a typed metadata
+  * struct. Decoders run batched per partition (`mapPartitions`) so a real
+  * implementation amortizes codec/model setup per batch — exactly the
+  * mapInPandas shape, minus pandas. The actual byte decoding is STUBBED
+  * (no image/audio libs in this container): `decodeStub` derives
+  * deterministic pseudo-features from the bytes so the distributed
+  * plumbing (schema, batching, partitioning) is real and testable.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("content", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("format", StringType, nullable = false),
+      StructField("n_bytes", LongType),
+      StructField("source", StringType))), nullable = false)))
+
+  /** Wrap a binary payload column into the media schema. */
+  def asMedia(df: DataFrame, idCol: String, binCol: String,
+              format: String, sourceCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      col(binCol).cast("binary").as("content"),
+      struct(lit(format).as("format"),
+        length(col(binCol)).cast("long").as("n_bytes"),
+        col(sourceCol).cast("string").as("source")).as("meta"))
+
+  /** Load media files distributed (S22-shape): one row per object. */
+  def readBinaryFiles(spark: SparkSession, glob: String): DataFrame =
+    spark.read.format("binaryFile").load(glob)
+      .select(monotonically_increasing_id().as("media_id"),
+        col("content"),
+        struct(lit("file").as("format"),
+          col("length").cast("long").as("n_bytes"),
+          col("path").as("source")).as("meta"))
+
+  /** STUB decoder: where a real pipeline would decode pixels/samples,
+    * we emit deterministic per-byte statistics. Runs batched per
+    * partition; codec initialization would happen once per partition
+    * here (the `// init` point). */
+  def decodeStub(df: DataFrame, featureDim: Int = 4): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("features", ArrayType(DoubleType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      // init: a real decoder would open its codec/model ONCE here.
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]]("content")
+        val feats = (0 until featureDim).map { d =>
+          if (bytes == null || bytes.isEmpty) 0.0
+          else bytes.iterator.zipWithIndex
+            .filter(_._2 % featureDim == d)
+            .map(b => (b._1 & 0xff).toDouble).sum / bytes.length
+        }.toArray
+        Row.fromSeq(r.toSeq :+ feats)
+      }
+    }(enc)
+  }
+
+  /** Frame-sampling plumbing (video shape): emit every `stride`-th chunk
+    * of `chunkBytes` as a frame row — the real version would seek to
+    * keyframes; the partition/batch mechanics are identical. */
+  def frameSample(df: DataFrame, chunkBytes: Int = 1024,
+                  stride: Int = 2): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col("media_id"), col("content")).as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        if (bytes == null) Iterator.empty
+        else bytes.grouped(chunkBytes).zipWithIndex
+          .filter(_._2 % stride == 0)
+          .map { case (chunk, idx) => (id, idx.toLong, chunk) }
+      }.toDF("media_id", "frame_idx", "frame")
+  }
+}

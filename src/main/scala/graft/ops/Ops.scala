@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Serving/ops-plane operators (SURVEY §2.2 K8/K9/K11/K13).
+  *
+  * K8 export: cost-gated warehouse→file extract — the reference dry-runs
+  * the query and refuses >5 GiB scans (utils/dump_to_gcs/tasks.py:27-164);
+  * we gate on the optimizer's size estimate, then write gzip CSV.
+  * K9 KV sink and K11 messaging are small driver-side sinks behind
+  * interfaces (Redis/webhooks in production, in-memory in tests).
+  */
+object Export {
+
+  final case class ExportRefusedException(estimatedBytes: BigInt, capBytes: Long)
+    extends RuntimeException(
+      s"estimated scan $estimatedBytes B exceeds cap $capBytes B")
+
+  /** Optimizer-estimated input size of the query (the dry-run). */
+  def estimateBytes(df: DataFrame): BigInt =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes
+
+  /** K8: gzip CSV export, refused when the cost gate trips. */
+  def gzipCsv(df: DataFrame, path: String,
+              maxBytes: Long = 5L * 1024 * 1024 * 1024): Unit = {
+    val est = estimateBytes(df)
+    if (est > maxBytes) throw ExportRefusedException(est, maxBytes)
+    df.write.mode("overwrite")
+      .option("compression", "gzip").option("header", "true").csv(path)
+  }
+}
+
+/** K9: key/value dashboard sink (rain_dashboard shape —
+  * rj_escritorio/rain_dashboard/tasks.py:56-79): the query result is
+  * serialized as JSON records under one key. */
+trait KvSink { def set(key: String, value: String): Unit }
+
+final class InMemoryKv extends KvSink {
+  val store = scala.collection.concurrent.TrieMap[String, String]()
+  def set(key: String, value: String): Unit = store.put(key, value)
+}
+
+object KvPublish {
+  /** Collect is bounded by `limit` — dashboards are small by contract. */
+  def publish(df: DataFrame, sink: KvSink, key: String, limit: Int = 10000): Unit =
+    sink.set(key, "[" + df.limit(limit).toJSON.collect().mkString(",") + "]")
+}
+
+/** K11: alert/messaging hooks with the reference's 2000-char chunk split
+  * (utils/utils.py:358-385). */
+trait Alerter { def send(message: String): Unit }
+
+final class BufferAlerter extends Alerter {
+  val sent = scala.collection.mutable.ArrayBuffer[String]()
+  def send(message: String): Unit = sent += message
+}
+
+object Alerts {
+  def sendChunked(alerter: Alerter, message: String, chunk: Int = 2000): Unit =
+    message.grouped(chunk).foreach(alerter.send)
+}
+
+/** K13: per-query stage metrics via a Spark listener (the reference ships
+  * per-stage timings to Elasticsearch; we expose them as rows). */
+final class StageMetricsListener extends org.apache.spark.scheduler.SparkListener {
+  final case class StageMetric(stageId: Int, name: String, numTasks: Int,
+                               runTimeMs: Long, inputBytes: Long,
+                               shuffleReadBytes: Long, shuffleWriteBytes: Long)
+  val metrics = scala.collection.mutable.ArrayBuffer[StageMetric]()
+
+  override def onStageCompleted(
+      sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+    val m = sc.stageInfo.taskMetrics
+    metrics += StageMetric(sc.stageInfo.stageId, sc.stageInfo.name,
+      sc.stageInfo.numTasks, m.executorRunTime, m.inputMetrics.bytesRead,
+      m.shuffleReadMetrics.totalBytesRead, m.shuffleWriteMetrics.bytesWritten)
+  }
+
+  def report(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    metrics.toSeq.map(m => (m.stageId, m.name.take(60), m.numTasks,
+      m.runTimeMs, m.inputBytes, m.shuffleReadBytes, m.shuffleWriteBytes))
+      .toDF("stage_id", "name", "n_tasks", "run_ms", "input_bytes",
+        "shuffle_read", "shuffle_write")
+  }
+}

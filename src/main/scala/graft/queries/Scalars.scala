@@ -99,6 +99,20 @@ object Scalars {
           Clean.scrub(regexp_replace(col("props"), "[^0-9]", "")).as("scrubbed"))
         .orderBy(col("event_id"))
     }),
+    // J6/U3: point-in-polygon spatial join (rows-only check — DuckDB has
+    // no spatial extension offline; semantics covered by ConnectorsSpec).
+    // Points derived deterministically from customer columns; polygon is a
+    // fixed config quadrilateral, as in the reference's Rio polygon.
+    "q64_point_in_polygon" -> ((s, dir) => {
+      val poly = graft.functions.GeoOps.parsePolygonWkt(
+        "POLYGON ((-44.0 -23.5, -42.5 -23.5, -42.5 -22.0, -44.0 -22.0, -44.0 -23.5))")
+      val pts = t(s, dir, "customer").select(
+        col("c_custkey"),
+        (lit(-44.5) + (col("c_acctbal") % 25) / 10).as("lon"),
+        (lit(-23.8) + (col("c_custkey") % 20).cast("double") / 10).as("lat"))
+      pts.filter(graft.functions.GeoOps.pointInPolygon(s, poly)(col("lon"), col("lat")))
+        .orderBy(col("c_custkey"))
+    }),
     // F18: bbox-membership filter (between on two numeric columns).
     "q49_bbox_filter" -> ((s, dir) => {
       t(s, dir, "customer")

@@ -1,0 +1,165 @@
+package graft
+
+import graft.connectors.{Files, Http, Jdbc}
+import graft.functions.GeoOps
+import graft.multimodal.Multimodal
+import graft.ops._
+import org.apache.spark.sql.functions._
+
+class ConnectorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("jdbc incremental/keyset query rewrite (S1-S5/§4 planner)") {
+    val q = Jdbc.incrementalQuery("SELECT * FROM t", "updated_at", "2024-01-01 00:00:00")
+    assert(q === "WITH q AS (SELECT * FROM t) SELECT * FROM q WHERE updated_at >= '2024-01-01 00:00:00'")
+    val k = Jdbc.keysetQuery("SELECT * FROM t", "id", 100, 500)
+    assert(k.contains("id > 100 AND id <= 500"))
+    val reader = Jdbc.reader(spark, connectors.JdbcSource("jdbc:h2:mem:x", "SELECT 1"),
+      bounds = Some(("id", 0L, 1000L, 8)))
+    assert(reader != null) // option plumbing only — no live DB in the env
+  }
+
+  test("http paged top/skip stops at short page; cursor follows next (S6-S8)") {
+    // fake API: 3 pages of 2, then a short page of 1
+    val data = Map(
+      0 -> """[{"id":1},{"id":2}]""", 1 -> """[{"id":3},{"id":4}]""",
+      2 -> """[{"id":5}]""")
+    var calls = 0
+    val t: Http.Transport = { url =>
+      calls += 1
+      val skip = url.split("skip=")(1).toInt / 2
+      data.getOrElse(skip, "[]")
+    }
+    val df = Http.readPagedTopSkip(spark, t, "http://api", pageSize = 2,
+      countFn = b => b.count(_ == '{'))
+    assert(df.count() === 5)
+    assert(calls === 3) // short page ends the loop — no 4th probe
+
+    val pages = Map(
+      "p1" -> """{"data":[{"id":1}],"next":"p2"}""",
+      "p2" -> """{"data":[{"id":2}],"next":"EOF"}""")
+    var fetched = List[String]()
+    val ct: Http.Transport = { u => fetched ::= u; pages(u) }
+    val cdf = Http.readPagedCursor(spark, ct, "p1",
+      nextFn = b => """"next":"([^"]+)"""".r.findFirstMatchIn(b)
+        .map(_.group(1)).filter(_ != "EOF"))
+    assert(cdf.count() === 2)
+    assert(fetched.toSet === Set("p1", "p2")) // each page fetched once
+  }
+
+  test("http retry recovers from transient failures") {
+    var n = 0
+    val flaky: Http.Transport = { _ =>
+      n += 1; if (n < 3) throw new RuntimeException("503") else "ok"
+    }
+    assert(Http.withRetry(flaky, attempts = 5, backoffMs = 1)("u") === "ok")
+  }
+
+  test("zip member extraction runs in-partition (S9)") {
+    val dir = tmpDir("zips")
+    val zipPath = s"$dir/data_20240105.zip"
+    val zos = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(zipPath))
+    zos.putNextEntry(new java.util.zip.ZipEntry("tabela_x.csv"))
+    zos.write("a,b\n1,2\n".getBytes("UTF-8"))
+    zos.closeEntry()
+    zos.putNextEntry(new java.util.zip.ZipEntry("other.txt"))
+    zos.write("junk".getBytes("UTF-8"))
+    zos.closeEntry()
+    zos.close()
+    val out = Files.readZipMembers(spark, dir, memberLike = "tabela_x")
+    val rows = out.collect()
+    assert(rows.length === 1)
+    assert(rows(0).getAs[String]("member") === "tabela_x.csv")
+    assert(rows(0).getAs[String]("text") === "a,b\n1,2\n")
+  }
+
+  test("filename partition extraction (S10)") {
+    val dir = tmpDir("csvs")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/rdo_20240105.csv"), "x\n1\n")
+    val df = Files.readCsv(spark, dir)
+    val parts = Files.withFilenamePartitions(df)
+      .select($"ano", $"mes", $"dia").head()
+    assert(parts.toSeq === Seq("2024", "01", "05"))
+  }
+
+  test("geojson point features → WKT (S15)") {
+    val dir = tmpDir("geo")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/f.json"),
+      """{"type":"FeatureCollection","features":[
+        |{"type":"Feature","properties":{"name":"p1"},
+        | "geometry":{"type":"Point","coordinates":[-43.2,-22.9]}}]}""".stripMargin)
+    val out = Files.readGeoJson(spark, dir)
+    val r = out.head()
+    assert(r.getAs[String]("name") === "p1")
+    assert(r.getAs[String]("geometry_wkt") === "POINT (-43.2 -22.9)")
+  }
+
+  test("geo: dropZ, WKT point accessors, polygon parse, pip (U3/U4/F17)") {
+    val z = Seq("POLYGON Z ((0 0 5, 10 0 5, 10 10 5, 0 0 5))").toDF("w")
+      .select(GeoOps.dropZ($"w")).as[String].head()
+    assert(z === "POLYGON ((0 0, 10 0, 10 10, 0 0))")
+    val lon = Seq("POINT (-43.2 -22.9)").toDF("w")
+      .select(GeoOps.pointLon($"w"), GeoOps.pointLat($"w"))
+      .as[(Double, Double)].head()
+    assert(lon === ((-43.2, -22.9)))
+    val poly = GeoOps.parsePolygonWkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    assert(poly.length === 5)
+    val pts = Seq((5.0, 5.0), (15.0, 5.0), (0.001, 9.999)).toDF("x", "y")
+    val in = pts.filter(GeoOps.pointInPolygon(spark, poly)($"x", $"y"))
+      .as[(Double, Double)].collect().toSet
+    assert(in === Set((5.0, 5.0), (0.001, 9.999)))
+  }
+
+  test("multimodal: media schema, stub decode, frame sampling (U6/U7)") {
+    val docs = Tables.load(spark, sf001, "documents").limit(10)
+    val media = Multimodal.asMedia(
+      docs.withColumn("bin", $"text".cast("binary")),
+      "doc_id", "bin", "text/plain", "source")
+    assert(media.schema === Multimodal.mediaSchema)
+    val decoded = Multimodal.decodeStub(media)
+    val feats = decoded.select($"features").as[Seq[Double]].collect()
+    assert(feats.forall(_.length === 4))
+    assert(feats.forall(_.forall(v => v > 0 && v < 256)))
+    // determinism: same input → same features
+    val again = Multimodal.decodeStub(media).select($"features")
+      .as[Seq[Double]].collect()
+    assert(feats.toSeq === again.toSeq)
+    val frames = Multimodal.frameSample(media, chunkBytes = 64, stride = 2)
+    assert(frames.count() > 0)
+    assert(frames.select(max($"frame_idx")).head().getLong(0) % 2 === 0)
+  }
+
+  test("export cost gate refuses oversized scans (K8)") {
+    val li = Tables.load(spark, sf001, "lineitem")
+    val out = tmpDir("exp") + "/x"
+    Export.gzipCsv(li.limit(10), out) // small: allowed
+    assert(spark.read.option("header", true).csv(out).count() === 10)
+    intercept[Export.ExportRefusedException] {
+      Export.gzipCsv(li, tmpDir("exp2") + "/y", maxBytes = 10)
+    }
+  }
+
+  test("kv publish + chunked alerts (K9/K11)") {
+    val kv = new InMemoryKv
+    KvPublish.publish(Seq((1, "a")).toDF("id", "v"), kv, "dash")
+    assert(kv.store("dash") === """[{"id":1,"v":"a"}]""")
+    val al = new BufferAlerter
+    Alerts.sendChunked(al, "x" * 4500)
+    assert(al.sent.map(_.length).toSeq === Seq(2000, 2000, 500))
+  }
+
+  test("stage metrics listener captures query stages (K13)") {
+    val l = new StageMetricsListener
+    spark.sparkContext.addSparkListener(l)
+    Tables.load(spark, sf001, "orders").groupBy($"o_orderstatus").count().collect()
+    // listener events are async; give the bus a moment to drain
+    val deadline = System.currentTimeMillis() + 10000
+    while (l.metrics.isEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    spark.sparkContext.removeSparkListener(l)
+    assert(l.metrics.nonEmpty)
+    assert(l.report(spark).columns.contains("shuffle_write"))
+  }
+}
