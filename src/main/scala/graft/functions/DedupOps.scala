@@ -25,10 +25,25 @@ object DedupOps {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** One (doc, shingle) row per distinct shingle. */
-  def explodedShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol), explode(TextOps.shingles(col(textCol), n)).as("shingle"))
-      .distinct()
+  /** One (doc, shingle) row per shingle occurrence, built with
+    * posexplode + lead() windows instead of an array-transform HOF:
+    * higher-order functions are interpreted (CodegenFallback) and
+    * re-evaluate split() per element reference, while this shape is
+    * fully codegen'd. The one shuffle (by id) is then REUSED by the
+    * signature groupBy on the same key. No distinct: min-aggregation is
+    * duplicate-insensitive. */
+  def explodedShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val words = df.select(col(idCol),
+      posexplode(split(col(textCol), " ")).as(Seq("__pos", "__w")))
+    val leads = (0 until n).map(j =>
+      (if (j == 0) col("__w") else lead(col("__w"), j).over(w)).as(s"__w$j"))
+    words.select((col(idCol) +: leads): _*)
+      .filter(col(s"__w${n - 1}").isNotNull) // tail positions have no full shingle
+      .select(col(idCol),
+        concat_ws(" ", (0 until n).map(j => col(s"__w$j")): _*).as("shingle"))
+  }
 
   /** MinHash signature: numHashes seed-prefixed md5-min aggregations in a
     * single groupBy pass. Returns idCol, h0..h{k-1}. */
@@ -41,16 +56,19 @@ object DedupOps {
   }
 
   /** LSH banding: band key = md5 of the concatenated hashes in the band.
-    * Returns idCol, band_idx, band_key. */
+    * Returns idCol, band_idx, band_key. Single pass over the signature
+    * (explode of a band array) — a unionAll of per-band selects would
+    * recompute the signature subtree once per band. */
   def lshBands(sig: DataFrame, idCol: String, numHashes: Int = 8,
                rowsPerBand: Int = 2): DataFrame = {
     val numBands = numHashes / rowsPerBand
-    val bands = (0 until numBands).map { b =>
+    val bandStructs = (0 until numBands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-      sig.select(col(idCol), lit(b).as("band_idx"),
-        md5(concat_ws("|", cols: _*)).as("band_key"))
+      struct(lit(b).as("band_idx"), md5(concat_ws("|", cols: _*)).as("band_key"))
     }
-    bands.reduce(_ unionAll _)
+    sig.select(col(idCol), explode(array(bandStructs: _*)).as("band"))
+      .select(col(idCol), col("band.band_idx").as("band_idx"),
+        col("band.band_key").as("band_key"))
   }
 
   /** Candidate near-dup pairs: docs sharing any band bucket. The join key

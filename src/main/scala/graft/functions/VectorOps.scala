@@ -28,13 +28,22 @@ object VectorOps {
   /** Cosine similarity rounded to 4 dp (cross-engine deterministic). */
   def cosine(a: Column, b: Column): Column = round(dot(a, b) / (norm(a) * norm(b)), 4)
 
+  /** Cosine from precomputed norms — higher-order functions are
+    * interpreted (CodegenFallback), so evaluating norm once per ROW
+    * instead of once per PAIR is a 3× cut on the hot path. */
+  def cosinePrenormed(a: Column, b: Column, na: Column, nb: Column): Column =
+    round(dot(a, b) / (na * nb), 4)
+
   /** Brute-force top-k most-similar rows to one query vector.
-    * queryVec is broadcast (a one-row frame crossJoined in). */
+    * queryVec is broadcast (a one-row frame crossJoined in); norms are
+    * computed once per side before the join. */
   def bruteForceTopK(corpus: DataFrame, queryVec: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
-    val q = queryVec.select(col(vecCol).as("__qv"))
-    corpus.crossJoin(broadcast(q))
-      .select(col(idCol), cosine(col(vecCol), col("__qv")).as("score"))
+    val q = queryVec.select(col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn"))
+    corpus.withColumn("__n", norm(col(vecCol)))
+      .crossJoin(broadcast(q))
+      .select(col(idCol),
+        cosinePrenormed(col(vecCol), col("__qv"), col("__n"), col("__qn")).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
@@ -50,10 +59,13 @@ object VectorOps {
   def lshTopK(corpus: DataFrame, queryVec: DataFrame, idCol: String,
               vecCol: String, k: Int, bits: Int = 4): DataFrame = {
     val q = queryVec.select(col(vecCol).as("__qv"),
+      norm(col(vecCol)).as("__qn"),
       signBucket(col(vecCol), bits).as("__bucket"))
     corpus.withColumn("__bucket", signBucket(col(vecCol), bits))
       .join(broadcast(q), Seq("__bucket"))
-      .select(col(idCol), cosine(col(vecCol), col("__qv")).as("score"))
+      .select(col(idCol),
+        cosinePrenormed(col(vecCol), col("__qv"), norm(col(vecCol)), col("__qn"))
+          .as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }

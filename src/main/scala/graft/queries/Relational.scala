@@ -26,8 +26,10 @@ object Relational {
     // ---- Aggregations (SURVEY §2.5) ------------------------------------
     // A1/A5-shape pricing summary (TPC-H Q1 shape): filter + groupBy + sums.
     "q1_pricing_summary" -> ((s, dir) => {
+      // strict-< on the raw timestamp (not cast-to-date) so the predicate
+      // pushes down to the parquet scan
       t(s, dir, "lineitem")
-        .filter(col("l_shipdate").cast("date") <= lit("1998-09-01").cast("date"))
+        .filter(col("l_shipdate") < lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
@@ -164,7 +166,7 @@ object Relational {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
         |  COUNT(*) AS count_order
         |FROM lineitem
-        |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-01'
+        |WHERE l_shipdate < TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q2_incremental_bounds" ->

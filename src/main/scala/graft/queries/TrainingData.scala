@@ -134,12 +134,18 @@ object TrainingData {
     }),
     // Embedding-cosine near-dup pairs within label buckets.
     "q63_vector_neardup" -> ((s, dir) => {
+      // norms are computed once per row BEFORE the pair join (the dot is
+      // unavoidable per pair; the norms are not)
       val e = t(s, dir, "embeddings")
-      val a = e.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("va"))
-      val b = e.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("vb"))
+        .withColumn("__n", VectorOps.norm(col("embedding")))
+      val a = e.select(col("label"), col("vec_id").as("id_a"),
+        col("embedding").as("va"), col("__n").as("na"))
+      val b = e.select(col("label"), col("vec_id").as("id_b"),
+        col("embedding").as("vb"), col("__n").as("nb"))
       a.join(b, Seq("label"))
         .filter(col("id_a") < col("id_b"))
-        .withColumn("score", VectorOps.cosine(col("va"), col("vb")))
+        .withColumn("score", VectorOps.cosinePrenormed(
+          col("va"), col("vb"), col("na"), col("nb")))
         .filter(col("score") >= 0.35)
         .select(col("id_a"), col("id_b"), col("score"))
         .orderBy(col("id_a"), col("id_b"))
