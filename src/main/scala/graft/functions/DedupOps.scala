@@ -71,17 +71,25 @@ object DedupOps {
         col("band.band_key").as("band_key"))
   }
 
-  /** Candidate near-dup pairs: docs sharing any band bucket. The join key
-    * (band_idx, band_key) keeps each band's buckets separate; DISTINCT
-    * collapses pairs found by several bands. */
+  /** Candidate near-dup pairs: docs sharing any band bucket.
+    *
+    * One groupBy on (band_idx, band_key) collects each bucket's members,
+    * then pairs are generated inside the bucket — the signature subtree
+    * is computed ONCE (a band self-join would recompute it per side) and
+    * the pair expansion is bounded by bucket size, never corpus size.
+    * DISTINCT collapses pairs found by several bands. */
   def lshCandidatePairs(sig: DataFrame, idCol: String, numHashes: Int = 8,
                         rowsPerBand: Int = 2): DataFrame = {
     val bands = lshBands(sig, idCol, numHashes, rowsPerBand)
-    val a = bands.select(col("band_idx"), col("band_key"), col(idCol).as("id_a"))
-    val b = bands.select(col("band_idx"), col("band_key"), col(idCol).as("id_b"))
-    a.join(b, Seq("band_idx", "band_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+    bands.groupBy(col("band_idx"), col("band_key"))
+      .agg(sort_array(collect_set(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> " +
+          "transform(slice(ids, i + 2, size(ids)), y -> " +
+          "struct(x AS id_a, y AS id_b))))")).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
   }
 
   /** Exact token-set Jaccard for a set of candidate pairs (the LSH verify
