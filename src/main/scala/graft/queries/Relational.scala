@@ -89,6 +89,14 @@ object Relational {
         max(col("ts")).as("max_ts"))
     }),
 
+    // S16/§3.3: the SQL surface itself — the engine is the warehouse.
+    // One SQL text serves both Spark and the DuckDB oracle (ANSI subset).
+    "q8_sql_surface" -> ((s, dir) => {
+      Seq("customer", "orders", "lineitem").foreach(n =>
+        t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(Relational.shippingPrioritySql)
+    }),
+
     // ---- Joins (SURVEY §2.4) -------------------------------------------
     // J1: left join vs per-entity watermark state, keep rows newer than state.
     "q10_state_join" -> ((s, dir) => {
@@ -157,7 +165,25 @@ object Relational {
     })
   )
 
+  /** TPC-H Q3-shaped shipping-priority query, runnable verbatim by both
+    * Spark SQL and DuckDB (decimal-sum + double-cast parity rules). */
+  val shippingPrioritySql: String =
+    """SELECT o_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  o_orderdate
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |GROUP BY o_orderkey, o_orderdate
+      |ORDER BY revenue DESC, o_orderkey
+      |LIMIT 20""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q8_sql_surface" -> shippingPrioritySql,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -46,6 +46,28 @@ class StreamingSpec extends SparkSpec {
     assert(log.read("smtr", "stream_t").filter($"sucesso" === true).count() >= 1)
   }
 
+  test("watermarked tumbling-window aggregation over a stream (T2/T3)") {
+    val landing = tmpDir("wm_landing")
+    val src = Tables.load(spark, sf001, "events").limit(200)
+    src.write.mode("overwrite").parquet(landing)
+    val stream = spark.readStream.schema(src.schema).parquet(landing)
+    val agg = stream
+      .withWatermark("ts", "60 minutes")
+      .groupBy(window($"ts", "5 minutes"), $"event_type")
+      .agg(count("*").as("n"), sum($"value").as("v"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("wm_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    // append mode emits only windows closed by the watermark; with one
+    // batch the final watermark still holds back the tail windows
+    val batchTotal = src
+      .groupBy(window($"ts", "5 minutes"), $"event_type").count().count()
+    val emitted = spark.sql("SELECT count(*) FROM wm_out").head().getLong(0)
+    assert(emitted > 0 && emitted <= batchTotal)
+  }
+
   test("recapture planner finds missed minutes, caps at max (T4)") {
     val now = Timestamp.valueOf("2024-01-05 01:00:00")
     // logs: success every minute of the last hour EXCEPT 00:10 and 00:20;
