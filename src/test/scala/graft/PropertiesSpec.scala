@@ -1,0 +1,89 @@
+package graft
+
+import graft.core.SchemaNormalizer
+import graft.lake.{Lake, TableRef}
+import graft.state.StateStore
+import graft.transforms.Dedup
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property-based coverage (SURVEY §5 strategy item 3): idempotence of
+  * normalization, watermark monotonicity, partition write↔read
+  * round-trips. Driver-side props run full ScalaCheck; Spark-backed props
+  * sample a handful of generated datasets (a session per case would
+  * dominate the suite). */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(p: Prop): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("prop: normalizeName is idempotent and produces valid identifiers") {
+    check(Prop.forAll(Gen.asciiPrintableStr) { s =>
+      val once = SchemaNormalizer.normalizeName(s)
+      SchemaNormalizer.normalizeName(once) == once &&
+        once.matches("^[a-z0-9_]*$")
+    })
+  }
+
+  test("prop: normalizeName strips accents like its value twin") {
+    val accented = Gen.listOf(Gen.oneOf(
+      'á', 'é', 'ç', 'ã', 'õ', 'ü', 'a', 'b', ' ', '1')).map(_.mkString)
+    check(Prop.forAll(accented) { s =>
+      !SchemaNormalizer.normalizeName(s).exists(_ > 127)
+    })
+  }
+
+  test("prop: keepFirstOrdered emits exactly the per-key ordering minimum") {
+    val rows = Gen.listOfN(120,
+      Gen.zip(Gen.choose(0, 9), Gen.choose(0, 1000), Gen.alphaStr.map(_.take(4))))
+    (1 to 4).foreach { i =>
+      val data = rows.apply(Gen.Parameters.default.withSize(100),
+        org.scalacheck.rng.Seed(i.toLong)).getOrElse(Nil)
+      val df = data.toDF("k", "ord", "v")
+      val got = Dedup.keepFirstOrdered(df, Seq($"k"), Seq($"ord", $"v"))
+        .select($"k", $"ord", $"v").as[(Int, Int, String)].collect().toSet
+      val want = data.groupBy(_._1).map { case (_, g) =>
+        g.minBy(t => (t._2, t._3)) }.toSet
+      assert(got === want)
+    }
+  }
+
+  test("prop: partitioned write ↔ read round-trips the multiset") {
+    val gen = Gen.listOfN(80,
+      Gen.zip(Gen.choose(1L, 999L), Gen.oneOf("2024-01-01", "2024-01-02", "2024-01-03")))
+    (1 to 3).foreach { seed =>
+      val data = gen(Gen.Parameters.default, org.scalacheck.rng.Seed(seed.toLong)).get
+      val lake = new Lake(spark, tmpDir("prop_lake"))
+      val ref = TableRef("staging", "prop", s"t$seed")
+      lake.append(data.toDF("id", "data"), ref, partitionBy = Seq("data"))
+      val back = lake.read(ref).select($"id", $"data".cast("string"))
+        .as[(Long, String)].collect()
+      assert(back.sorted.toSeq === data.sorted)
+    }
+  }
+
+  test("prop: entity watermarks are monotone under any batch order") {
+    val st = new StateStore(spark, tmpDir("prop_state"))
+    val batches = (1 to 3).map { seed =>
+      Gen.listOfN(30, Gen.zip(Gen.oneOf("a", "b", "c"), Gen.choose(0, 10000)))
+        .apply(Gen.Parameters.default, org.scalacheck.rng.Seed(seed.toLong)).get
+        .map { case (e, s) =>
+          (e, new java.sql.Timestamp(1704067200000L + s * 1000L)) }
+    }
+    var seen = Map.empty[String, Long]
+    batches.foreach { b =>
+      st.advanceEntityWatermarks("m", b.toDF("entity", "ts"), "entity", "ts")
+      val wm = st.entityWatermarks("m").as[(String, java.sql.Timestamp)]
+        .collect().toMap.map { case (k, v) => k -> v.getTime }
+      // never regresses, always ≥ the max seen so far per entity
+      wm.foreach { case (k, v) => assert(v >= seen.getOrElse(k, 0L)) }
+      val expected = b.groupBy(_._1).map { case (k, g) =>
+        k -> g.map(_._2.getTime).max }
+      expected.foreach { case (k, v) => assert(wm(k) >= v) }
+      seen = wm
+    }
+  }
+}
