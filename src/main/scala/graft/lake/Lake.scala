@@ -29,11 +29,19 @@ class Lake(spark: SparkSession, root: String) {
   private def qualified(ref: TableRef): String =
     s"${ref.zone}_${ref.dataset}.${ref.table}"
 
+  /** Cluster the frame by its partition columns before a partitioned
+    * write: without this every task holds a writer per touched partition
+    * dir (tasks × dirs small files — the classic 100 TB lake killer);
+    * with it each dir is written by exactly one task. */
+  private def aligned(df: DataFrame, partitionBy: Seq[String]): DataFrame =
+    if (partitionBy.isEmpty) df
+    else df.repartition(partitionBy.map(col): _*)
+
   /** K1/K2/K3: partitioned append (CSV kept for raw-zone parity, parquet
     * default). */
   def append(df: DataFrame, ref: TableRef, partitionBy: Seq[String] = Nil,
              format: String = "parquet"): Unit = {
-    val w = df.write.format(format).mode(SaveMode.Append)
+    val w = aligned(df, partitionBy).write.format(format).mode(SaveMode.Append)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .save(path(ref))
   }
@@ -42,7 +50,7 @@ class Lake(spark: SparkSession, root: String) {
     * (dynamic partition overwrite — untouched partitions survive). */
   def overwritePartitions(df: DataFrame, ref: TableRef,
                           partitionBy: Seq[String]): Unit =
-    df.write.format("parquet")
+    aligned(df, partitionBy).write.format("parquet")
       .mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionBy: _*)

@@ -1,0 +1,93 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.functions.Skew
+import graft.lake.{CaptureLog, Lake, TableRef}
+import graft.materialize.{Model, ModelRunner}
+import graft.quality.{Check, Quality}
+import graft.state.StateStore
+import graft.streaming.{Capture, CaptureConfig, Recapture}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §7.2 minimum end-to-end slice: events as the GPS feed →
+  * capture (raw + nested staging + logs) → incremental materialization
+  * windowed by the state watermark → quality check over raw-vs-treated
+  * counts → recapture planning over the produced logs. */
+class EndToEndSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("capture → staging → materialize → quality → recapture (§7.2)") {
+    val root = tmpDir("e2e")
+    val lake = new Lake(spark, root)
+    val log = new CaptureLog(spark, lake)
+    val state = new StateStore(spark, s"$root/_state")
+    val cap = new Capture(spark, lake, log,
+      CaptureConfig("smtr", "gps", pk = Seq("event_id"), tsCol = "ts"))
+
+    // --- two capture ticks over disjoint event windows -----------------
+    val ev = Tables.load(spark, sf001, "events")
+    val w1 = ev.filter($"ts" < "2024-01-10")
+    val w2 = ev.filter($"ts" >= "2024-01-10" && $"ts" < "2024-01-20")
+    cap.processBatch(w1, Timestamp.valueOf("2024-01-10 00:00:00"))
+    cap.processBatch(w2, Timestamp.valueOf("2024-01-20 00:00:00"))
+    val staged = lake.read(TableRef("staging", "smtr", "gps"))
+    assert(staged.count() === w1.count() + w2.count())
+
+    // --- materialize an hourly model from the staged JSON --------------
+    staged.createOrReplaceTempView("staging_gps")
+    val runner = new ModelRunner(spark, lake, state, "smtr")
+    val model = Model("gps_hourly",
+      """SELECT date_trunc('hour',
+        |    to_timestamp(get_json_object(content, '$.ts'))) AS ts,
+        |  get_json_object(content, '$.event_type') AS event_type,
+        |  count(*) AS n,
+        |  date_format(to_timestamp(get_json_object(content, '$.ts')),
+        |    'yyyy-MM-dd') AS data
+        |FROM staging_gps
+        |WHERE timestamp_captura > to_timestamp('{{date_range_start}}')
+        |  AND timestamp_captura <= to_timestamp('{{date_range_end}}')
+        |GROUP BY 1, 2, 4""".stripMargin)
+    runner.run(model, Timestamp.valueOf("2024-01-25 00:00:00"))
+    val prod = lake.read(TableRef("prod", "smtr", "gps_hourly"))
+    assert(prod.agg(sum($"n")).head().getLong(0) === staged.count())
+
+    // --- quality: raw-vs-treated per-hour counts must reconcile --------
+    lake.read(TableRef("raw", "smtr", "gps")).createOrReplaceTempView("events_v")
+    prod.groupBy($"ts").agg(sum($"n").as("n"))
+      .createOrReplaceTempView("treated_hourly_v")
+    val check = Check("raw_vs_treated_hourly",
+      "hourly counts in prod must equal raw counts",
+      """WITH raw AS (SELECT date_trunc('hour', ts) AS h, count(*) AS n_raw
+        |  FROM events_v GROUP BY 1)
+        |SELECT raw.h FROM raw LEFT JOIN treated_hourly_v t ON raw.h = t.ts
+        |WHERE coalesce(t.n, -1) <> n_raw""".stripMargin)
+    val res = Quality.run(spark, check)
+    assert(res.passed, res.sample.mkString("; "))
+
+    // --- recapture planning over the real logs table -------------------
+    val plan = Recapture.plan(spark, log.read("smtr", "gps"),
+      Timestamp.valueOf("2024-01-20 00:05:00"), intervalMinutes = 1,
+      lookbackDays = 1, maxRecaptures = 10)
+    // both ticks logged success; everything else in the lookback is missed
+    assert(plan.timestamps.size === 10 && plan.overflowed)
+
+    // --- idempotent replay: re-running the window changes nothing ------
+    state.setLastRun("smtr.gps_hourly", Timestamp.valueOf("2024-01-01 00:00:00"))
+    runner.run(model, Timestamp.valueOf("2024-01-25 00:00:00"))
+    assert(lake.read(TableRef("prod", "smtr", "gps_hourly"))
+      .agg(sum($"n")).head().getLong(0) === staged.count())
+  }
+
+  test("salted join spreads hot keys and preserves results (§4 skew)") {
+    val big = (1 to 2000).map(i => (if (i % 10 == 0) "cold" + i else "HOT", i))
+      .toDF("k", "v")
+    val small = Seq(("HOT", "h"), ("cold20", "c")).toDF("k", "name")
+    val plain = big.join(small, Seq("k")).count()
+    val salted = Skew.saltedJoin(big, small, "k", buckets = 8).count()
+    assert(salted === plain)
+    val skew = Skew.keySkew(big, $"k").head()
+    assert(skew.getAs[String]("key") === "HOT")
+    assert(skew.getAs[Double]("share") > 0.8)
+  }
+}
