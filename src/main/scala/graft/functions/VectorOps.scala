@@ -18,10 +18,12 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** Σ aᵢ·bᵢ with double widening per element. */
+  /** Σ aᵢ·bᵢ with double widening per element — native codegen'd
+    * expression (see [[graft.expressions.VecDot]]); semantically equal to
+    * aggregate(zip_with(a, b, (x, y) => x.double * y.double), 0.0, _+_)
+    * but runs as a primitive loop inside whole-stage codegen. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.expressions.VecDot.vec_dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
