@@ -110,6 +110,19 @@ object DedupOps {
           .as("jaccard"))
   }
 
+  /** Survivor selection: drop every doc that appears as the GREATER id of
+    * a verified near-dup pair (pairs are emitted id_a < id_b, so min-id
+    * survives its cluster transitively for chains discovered by LSH).
+    * One anti-join — no connected-components pass needed for the
+    * keep-smallest policy. */
+  def dropNearDuplicates(df: DataFrame, idCol: String, verifiedPairs: DataFrame,
+                         jaccardThreshold: Double = 0.8): DataFrame = {
+    val losers = verifiedPairs
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** 16-bit SimHash over unigram tokens: per hex digit of md5(token), the
     * high bit votes +1/−1; fingerprint bit j is the sign of the vote sum.
     * Portable across engines (pure string/integer ops). */

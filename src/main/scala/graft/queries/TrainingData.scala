@@ -78,6 +78,19 @@ object TrainingData {
       DedupOps.jaccardForPairs(pairs, tokens, "doc_id")
         .orderBy(col("id_a"), col("id_b"))
     }),
+    // Full near-dup dedup: LSH candidates → Jaccard verify → drop the
+    // greater id of every pair over threshold (min-id survivor policy).
+    "q59_neardup_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sig = DedupOps.minhashSignature(docs, "doc_id", "text")
+      val pairs = DedupOps.lshCandidatePairs(sig, "doc_id")
+      val tokens = docs.select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("token")).distinct()
+      val verified = DedupOps.jaccardForPairs(pairs, tokens, "doc_id")
+      DedupOps.dropNearDuplicates(docs, "doc_id", verified, 0.8)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
     // Language-ID heuristic (integer-ratio stopword votes).
     "q54_langid" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -190,6 +203,29 @@ object TrainingData {
          |JOIN sizes sa ON sa.doc_id = p.id_a
          |JOIN sizes sb ON sb.doc_id = p.id_b
          |ORDER BY p.id_a, p.id_b""".stripMargin,
+    "q59_neardup_dedup" ->
+      s"""WITH $sigCte,
+         |$bandsCte,
+         |tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+         |  FROM documents),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+         |inter AS (
+         |  SELECT p.id_a, p.id_b, COUNT(*) AS n_inter
+         |  FROM pairs p
+         |  JOIN tok ta ON ta.doc_id = p.id_a
+         |  JOIN tok tb ON tb.doc_id = p.id_b AND tb.token = ta.token
+         |  GROUP BY p.id_a, p.id_b),
+         |jac AS (
+         |  SELECT p.id_a, p.id_b,
+         |    CAST(COALESCE(i.n_inter, 0) AS DOUBLE) /
+         |      (sa.sz + sb.sz - COALESCE(i.n_inter, 0)) AS jaccard
+         |  FROM pairs p
+         |  LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+         |  JOIN sizes sa ON sa.doc_id = p.id_a
+         |  JOIN sizes sb ON sb.doc_id = p.id_b)
+         |SELECT doc_id, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT id_b FROM jac WHERE jaccard >= 0.8)
+         |ORDER BY doc_id""".stripMargin,
     "q54_langid" ->
       s"""SELECT doc_id,
          |  CASE WHEN ${occ("the")} * 20 > len(string_split(text, ' ')) THEN 'en'

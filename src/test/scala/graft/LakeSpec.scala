@@ -58,6 +58,32 @@ class LakeSpec extends SparkSpec {
     spark.sql("DROP TABLE staging_cat.t1")
   }
 
+  test("bucketed tables join without a shuffle (co-located join)") {
+    val lake = new Lake(spark, tmpDir("lake"))
+    val li = Tables.load(spark, sf001, "lineitem")
+      .select($"l_orderkey", $"l_quantity")
+    val o = Tables.load(spark, sf001, "orders")
+      .select($"o_orderkey", $"o_totalprice")
+    lake.writeBucketed(li, TableRef("staging", "bkt", "li"), "l_orderkey", 4)
+    lake.writeBucketed(o.withColumnRenamed("o_orderkey", "l_orderkey"),
+      TableRef("staging", "bkt", "o"), "l_orderkey", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force a non-broadcast join so bucketing is what avoids the shuffle
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("staging_bkt.li")
+        .join(spark.table("staging_bkt.o"), "l_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange") &&
+        !plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() === li.join(o,
+        li("l_orderkey") === o("o_orderkey")).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    spark.sql("DROP TABLE staging_bkt.li")
+    spark.sql("DROP TABLE staging_bkt.o")
+  }
+
   test("capture log append + read with [recapturado] marking (K10/T4)") {
     val lake = new Lake(spark, tmpDir("lake"))
     val log = new CaptureLog(spark, lake)
