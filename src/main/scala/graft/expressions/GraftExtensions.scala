@@ -14,7 +14,21 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.unaccentDescriptor)
+    e.injectOptimizerRule(_ => CollapseUnaccent)
   }
+}
+
+/** Optimizer rule: unaccent is idempotent, so nested applications
+  * collapse to one — the (small) custom-rule surface SURVEY §4 calls
+  * for, wired through injectOptimizerRule. */
+object CollapseUnaccent
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case Unaccent(inner @ Unaccent(_)) => inner
+    }
 }
 
 object GraftExtensions {

@@ -43,6 +43,37 @@ class ExtrasSpec extends SparkSpec {
     assert(out === "Customer acao")
   }
 
+  test("raster grid flatten: one file → rows×cols cells (S18/S19/U6)") {
+    val media = graft.multimodal.Multimodal.asMedia(
+      Tables.load(spark, sf001, "documents").limit(3)
+        .withColumn("bin", $"text".cast("binary")),
+      "doc_id", "bin", "raster/stub", "source")
+    val spec = graft.multimodal.Raster.GridSpec(4, 5, -23.1, -22.7, -43.8, -43.0)
+    val grid = graft.multimodal.Raster.gridFlatten(media, spec)
+    assert(grid.count() === 3 * 4 * 5)
+    val bounds = grid.agg(min($"lat"), max($"lat"), min($"lon"), max($"lon")).head()
+    assert(bounds.getDouble(0) === -23.1 && bounds.getDouble(1) === -22.7)
+    assert(bounds.getDouble(2) === -43.8 && bounds.getDouble(3) === -43.0)
+    // deterministic stub: re-run gives identical cells
+    assert(graft.multimodal.Raster.gridFlatten(media, spec).collect().toSet ===
+      grid.collect().toSet)
+  }
+
+  test("optimizer rule collapses nested unaccent (§4 custom rule)") {
+    val s2 = spark.newSession()
+    graft.expressions.GraftExtensions.install(s2)
+    s2.experimental.extraOptimizations =
+      Seq(graft.expressions.CollapseUnaccent)
+    import graft.expressions.Unaccent.unaccent
+    val df = s2.range(1).select(
+      unaccent(unaccent(concat(lit("Cü"), $"id".cast("string")))).as("s"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    // exactly one unaccent survives optimization
+    assert("unaccent".r.findAllMatchIn(optimized.toLowerCase).size === 1,
+      optimized)
+    assert(df.as[String](org.apache.spark.sql.Encoders.STRING).head() === "Cu0")
+  }
+
   test("streaming per-entity watermark keeps only newer rows (T7)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EntityWatermark.Keyed]
