@@ -19,6 +19,7 @@ object Bench {
   /** Headline subset: one representative per operator family. */
   val headline: Seq[String] = Seq(
     "q1_pricing_summary",   // scan+agg (TPC-H Q1 shape)
+    "q8_sql_surface",       // 3-table SQL join-agg-topn (TPC-H Q3 shape)
     "q3_last_per_entity",   // window dedup
     "q10_state_join",       // broadcast state join
     "q12_capture_gaps",     // spine generate + anti join
@@ -27,7 +28,8 @@ object Bench {
     "q26_tumbling_5min",    // streaming-shape tumbling agg
     "q47_json_extract",     // json parse + agg
     "q51_minhash_sig",      // explode + 8-way min agg
-    "q52_lsh_pairs",        // LSH band self-join
+    "q52_lsh_pairs",        // LSH band bucketing
+    "q59_neardup_dedup",    // full dedup pipeline (LSH→Jaccard→drop)
     "q55_quality",          // text scoring scan
     "q60_knn_bruteforce",   // vector top-k
     "q63_vector_neardup"    // bucketed vector pair join

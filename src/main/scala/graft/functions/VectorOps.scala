@@ -4,7 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Embedding-similarity operators: brute-force cosine top-k (baseline),
-  * sign-bucket LSH pruning and IVF centroids (the scale path).
+  * sign-bucket LSH pruning and IVF centroids (the scale path; candidate
+  * pruning before exact scoring follows the incremental top-k-search
+  * framing of EDBT 2020's interactive similarity-search work).
   *
   * Element-wise math is done with zip_with/aggregate over array<float>
   * columns, widening to double BEFORE the multiply so every product is a

@@ -18,7 +18,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * Spark shape: one Structured Streaming query per source with
   * `foreachBatch` doing raw append → treat → staging append → log append.
   * The checkpoint gives exactly-once batch tracking; the staging write
-  * uses date/hora partitions so replays land idempotently (T5).
+  * uses date/hora partitions so replays land idempotently (T5) — the
+  * prefix-integrity + idempotent-sink recipe of Armbrust et al.,
+  * "Structured Streaming: A Declarative API for Real-Time Applications
+  * in Apache Spark" (SIGMOD 2018).
   */
 final case class CaptureConfig(dataset: String, table: String,
                                pk: Seq[String], tsCol: String)
