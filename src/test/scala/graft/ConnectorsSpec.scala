@@ -55,6 +55,21 @@ class ConnectorsSpec extends SparkSpec {
     assert(Http.withRetry(flaky, attempts = 5, backoffMs = 1)("u") === "ok")
   }
 
+  test("http single JSON payload → schema-inferred frame (S6)") {
+    val t: Http.Transport = _ => """[{"id": 1, "name": "a"}, {"id": 2, "name": "b"}]"""
+    val df = Http.readJson(spark, t, "http://api/x")
+    assert(df.columns.sorted.toSeq === Seq("id", "name"))
+    assert(df.count() === 2)
+  }
+
+  test("csv append to the raw zone reads back (K1)") {
+    val lake = new graft.lake.Lake(spark, tmpDir("lake"))
+    val ref = graft.lake.TableRef("raw", "csvz", "t")
+    lake.append(Seq((1, "a"), (2, "b")).toDF("id", "v"), ref, format = "csv")
+    val back = spark.read.csv(lake.path(ref))
+    assert(back.count() === 2)
+  }
+
   test("zip member extraction runs in-partition (S9)") {
     val dir = tmpDir("zips")
     val zipPath = s"$dir/data_20240105.zip"
