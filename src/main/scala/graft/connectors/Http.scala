@@ -52,6 +52,16 @@ object Http {
     spark.read.json(Seq(t(url)).toDS())
   }
 
+  /** S11: direct URL download to a landing-zone file (streamed by the
+    * transport; the landing file then enters via spark.read). */
+  def downloadToLanding(t: Transport, url: String, destPath: String): String = {
+    val body = t(url)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(destPath).getParent)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(destPath), body)
+    destPath
+  }
+
   /** S7: `$top/$skip` pagination — stop after the first short page
     * (which is included), or at maxPages. */
   def readPagedTopSkip(spark: SparkSession, t: Transport, baseUrl: String,

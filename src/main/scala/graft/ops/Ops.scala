@@ -46,6 +46,27 @@ object KvPublish {
     sink.set(key, "[" + df.limit(limit).toJSON.collect().mkString(",") + "]")
 }
 
+/** K12: spreadsheet-shaped sink (data-catalog export,
+  * rj_escritorio/data_catalog/tasks.py:170-215): header + string rows.
+  * gspread in production; in-memory for tests. */
+trait SheetSink { def update(header: Seq[String], rows: Seq[Seq[String]]): Unit }
+
+final class InMemorySheet extends SheetSink {
+  var header: Seq[String] = Nil
+  var rows: Seq[Seq[String]] = Nil
+  def update(h: Seq[String], r: Seq[Seq[String]]): Unit = { header = h; rows = r }
+}
+
+object SheetPublish {
+  def publish(df: DataFrame, sink: SheetSink, limit: Int = 10000): Unit = {
+    val header = df.columns.toIndexedSeq
+    val rows = df.limit(limit).collect()
+      .map(_.toSeq.map(v => if (v == null) "" else v.toString).toIndexedSeq)
+      .toIndexedSeq
+    sink.update(header, rows)
+  }
+}
+
 /** K11: alert/messaging hooks with the reference's 2000-char chunk split
   * (utils/utils.py:358-385). */
 trait Alerter { def send(message: String): Unit }

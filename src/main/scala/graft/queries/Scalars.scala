@@ -99,13 +99,14 @@ object Scalars {
           Clean.scrub(regexp_replace(col("props"), "[^0-9]", "")).as("scrubbed"))
         .orderBy(col("event_id"))
     }),
-    // J6/U3: point-in-polygon spatial join (rows-only check — DuckDB has
-    // no spatial extension offline; semantics covered by ConnectorsSpec).
-    // Points derived deterministically from customer columns; polygon is a
-    // fixed config quadrilateral, as in the reference's Rio polygon.
+    // J6/U3: point-in-polygon spatial join. DuckDB has no spatial
+    // extension offline, so the polygon is a rectangle whose bounds have
+    // a 4th decimal the 3-decimal data can never hit — the ray-casting
+    // UDF's answer then equals a strict bbox predicate the oracle CAN
+    // express (general-polygon semantics are covered by ConnectorsSpec).
     "q64_point_in_polygon" -> ((s, dir) => {
       val poly = graft.functions.GeoOps.parsePolygonWkt(
-        "POLYGON ((-44.0 -23.5, -42.5 -23.5, -42.5 -22.0, -44.0 -22.0, -44.0 -23.5))")
+        "POLYGON ((-43.9995 -23.4995, -42.5005 -23.4995, -42.5005 -22.0005, -43.9995 -22.0005, -43.9995 -23.4995))")
       val pts = t(s, dir, "customer").select(
         col("c_custkey"),
         (lit(-44.5) + (col("c_acctbal") % 25) / 10).as("lon"),
@@ -182,6 +183,15 @@ object Scalars {
         |    '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g'), 'None'), 'nan'), '')
         |    AS scrubbed
         |FROM events ORDER BY event_id""".stripMargin,
+    "q64_point_in_polygon" ->
+      """SELECT c_custkey, lon, lat FROM (
+        |  SELECT c_custkey,
+        |    -44.5 + (c_acctbal % 25) / 10 AS lon,
+        |    -23.8 + CAST(c_custkey % 20 AS DOUBLE) / 10 AS lat
+        |  FROM customer)
+        |WHERE lon > -43.9995 AND lon < -42.5005
+        |  AND lat > -23.4995 AND lat < -22.0005
+        |ORDER BY c_custkey""".stripMargin,
     "q49_bbox_filter" ->
       """SELECT c_custkey, c_acctbal, c_nationkey FROM customer
         |WHERE c_acctbal BETWEEN 0 AND 5000 AND c_nationkey BETWEEN 5 AND 15

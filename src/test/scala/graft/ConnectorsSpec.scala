@@ -156,13 +156,25 @@ class ConnectorsSpec extends SparkSpec {
     }
   }
 
-  test("kv publish + chunked alerts (K9/K11)") {
+  test("kv publish + chunked alerts + sheet sink (K9/K11/K12)") {
     val kv = new InMemoryKv
     KvPublish.publish(Seq((1, "a")).toDF("id", "v"), kv, "dash")
     assert(kv.store("dash") === """[{"id":1,"v":"a"}]""")
     val al = new BufferAlerter
     Alerts.sendChunked(al, "x" * 4500)
     assert(al.sent.map(_.length).toSeq === Seq(2000, 2000, 500))
+    val sheet = new InMemorySheet
+    SheetPublish.publish(Seq((1, "a"), (2, null)).toDF("id", "v"), sheet)
+    assert(sheet.header === Seq("id", "v"))
+    assert(sheet.rows === Seq(Seq("1", "a"), Seq("2", "")))
+  }
+
+  test("url download to landing zone then spark.read (S11)") {
+    val t: Http.Transport = _ => "id,v\n1,a\n2,b\n"
+    val dest = Http.downloadToLanding(t, "http://files/x.csv",
+      tmpDir("landing") + "/dl/x.csv")
+    val df = spark.read.option("header", true).csv(dest)
+    assert(df.count() === 2 && df.columns.toSeq === Seq("id", "v"))
   }
 
   test("stage metrics listener captures query stages (K13)") {
