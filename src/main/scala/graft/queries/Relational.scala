@@ -97,6 +97,15 @@ object Relational {
       s.sql(Relational.shippingPrioritySql)
     }),
 
+    // A4-scale path: HLL approximate distinct for cardinality checks
+    // (rows-only: HLL estimates differ across engines by construction;
+    // the exact-count twin q4 is the hash-checked one).
+    "q9_approx_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem").agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+    }),
+
     // ---- Joins (SURVEY §2.4) -------------------------------------------
     // J1: left join vs per-entity watermark state, keep rows newer than state.
     "q10_state_join" -> ((s, dir) => {
