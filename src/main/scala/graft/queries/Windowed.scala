@@ -92,6 +92,22 @@ object Windowed {
         .orderBy(col("grid_ts"))
     }),
 
+    // Gap-based sessionization: new session when >30 min since the
+    // previous event of the same user; session index via running sum.
+    "q28_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1L)
+            .otherwise(0L))
+        .withColumn("session_seq", sum(col("new_session")).over(running))
+        .select(col("event_id"), col("user_id"), col("session_seq"))
+        .orderBy(col("event_id"))
+    }),
+
     // P5/T3: freshness filter against a fixed capture tick.
     "q30_freshness" -> ((s, dir) => {
       Freshness.filter(t(s, dir, "events"),
@@ -185,6 +201,21 @@ object Windowed {
     "q27_round_to_grid" ->
       """SELECT time_bucket(INTERVAL '10 minutes', ts) AS grid_ts, COUNT(*) AS n
         |FROM events GROUP BY 1 ORDER BY grid_ts""".stripMargin,
+    "q28_sessionize" ->
+      """SELECT event_id, user_id,
+        |  SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |FROM (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |           IS NULL
+        |         OR CAST(epoch(date_trunc('second', ts)) AS BIGINT) -
+        |            CAST(epoch(date_trunc('second',
+        |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)))
+        |              AS BIGINT) > 1800
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events)
+        |ORDER BY event_id""".stripMargin,
     "q30_freshness" ->
       """SELECT event_id, ts FROM events
         |WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' - INTERVAL 60 MINUTES
