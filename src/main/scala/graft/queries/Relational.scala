@@ -106,6 +106,20 @@ object Relational {
         approx_count_distinct(col("l_orderkey")).as("approx_orders"))
     }),
 
+    // Native as-of join (custom LogicalPlan + SparkStrategy + exec):
+    // latest order per user as of each event's timestamp.
+    "q65_asof_join" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      graft.plans.AsOf.join(s, e, o,
+          Seq(e("user_id")), Seq(o("o_custkey")),
+          e("ts"), o("o_orderdate"), tiebreak = Seq(o("o_orderkey")))
+        .select(col("event_id"), col("user_id"), col("o_orderkey"),
+          col("o_orderdate"))
+        .orderBy(col("event_id"))
+    }),
+
     // ---- Joins (SURVEY §2.4) -------------------------------------------
     // J1: left join vs per-entity watermark state, keep rows newer than state.
     "q10_state_join" -> ((s, dir) => {
@@ -228,6 +242,15 @@ object Relational {
     "q7_newest_event" ->
       """SELECT max(greatest(value, CAST(event_id AS DOUBLE))) AS max_val,
         |  max(ts) AS max_ts FROM events""".stripMargin,
+    "q65_asof_join" ->
+      """SELECT event_id, user_id, o_orderkey, o_orderdate FROM (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+        |    ROW_NUMBER() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC NULLS LAST,
+        |               o.o_orderkey DESC NULLS LAST) AS rn
+        |  FROM events e LEFT JOIN orders o
+        |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "q10_state_join" ->
       """WITH state AS (
         |  SELECT user_id, max(ts) AS last_update FROM events

@@ -1,0 +1,60 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.plans.AsOf
+import org.apache.spark.sql.functions._
+
+class PlansSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("as-of join: latest right ≤ left, ties broken, unmatched null") {
+    val quotes = Seq(
+      ("A", ts("2024-01-01 10:00:00"), 100.0),
+      ("A", ts("2024-01-01 10:05:00"), 101.0),
+      ("A", ts("2024-01-01 10:05:00"), 102.0), // tie on time
+      ("B", ts("2024-01-01 09:00:00"), 50.0)
+    ).toDF("sym", "qts", "px")
+    val trades = Seq(
+      ("A", ts("2024-01-01 10:00:00"), 1L), // exact match → 100.0
+      ("A", ts("2024-01-01 10:04:59"), 2L), // before 2nd quote → 100.0
+      ("A", ts("2024-01-01 10:06:00"), 3L), // after tie → 102.0 (tiebreak px)
+      ("B", ts("2024-01-01 08:59:59"), 4L), // before any quote → null
+      ("C", ts("2024-01-01 12:00:00"), 5L)  // no quotes at all → null
+    ).toDF("sym", "tts", "id")
+
+    val out = AsOf.join(spark, trades, quotes,
+        Seq(trades("sym")), Seq(quotes("sym")),
+        trades("tts"), quotes("qts"), tiebreak = Seq(quotes("px")))
+      .select($"id", $"px").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(out === Map(1L -> Some(100.0), 2L -> Some(100.0),
+      3L -> Some(102.0), 4L -> None, 5L -> None))
+  }
+
+  test("as-of join plan co-partitions and sorts, no window blow-up") {
+    val e = Tables.load(spark, sf001, "events")
+      .select($"event_id", $"user_id", $"ts")
+    val o = Tables.load(spark, sf001, "orders")
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate")
+    val joined = AsOf.join(spark, e, o, Seq(e("user_id")), Seq(o("o_custkey")),
+      e("ts"), o("o_orderdate"), Seq(o("o_orderkey")))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan) // exec node prints sans "Exec"
+    // row preservation: left outer semantics keep every event exactly once
+    assert(joined.count() === e.count())
+    // cross-check one user against the window-encoding reference result
+    val viaWindow = e.join(o, e("user_id") === o("o_custkey") &&
+        o("o_orderdate") <= e("ts"), "left")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"event_id")
+          .orderBy($"o_orderdate".desc_nulls_last, $"o_orderkey".desc_nulls_last)))
+      .filter($"rn" === 1)
+      .select($"event_id", $"o_orderkey")
+    val native = joined.select($"event_id", $"o_orderkey")
+    assert(native.exceptAll(viaWindow).isEmpty &&
+      viaWindow.exceptAll(native).isEmpty)
+  }
+}
