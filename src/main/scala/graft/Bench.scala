@@ -24,6 +24,7 @@ object Bench {
     "q10_state_join",       // broadcast state join
     "q12_capture_gaps",     // spine generate + anti join
     "q13_validity_range_join", // range join
+    "q65_asof_join",        // native as-of join (custom SparkPlan)
     "q22_running_sum",      // running window
     "q26_tumbling_5min",    // streaming-shape tumbling agg
     "q47_json_extract",     // json parse + agg
