@@ -34,6 +34,30 @@ class PlansSpec extends SparkSpec {
       3L -> Some(102.0), 4L -> None, 5L -> None))
   }
 
+  test("prop: as-of join equals window encoding on random data") {
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val lefts = (1 to 300).map(i =>
+        (i.toLong, s"k${rnd.nextInt(8)}", new Timestamp(1700000000000L + rnd.nextInt(100000) * 1000L)))
+        .toDF("lid", "k", "lts")
+      val rights = (1 to 200).map(i =>
+        (i.toLong, s"k${rnd.nextInt(10)}", new Timestamp(1700000000000L + rnd.nextInt(100000) * 1000L)))
+        .toDF("rid", "rk", "rts")
+      val native = AsOf.join(spark, lefts, rights,
+          Seq(lefts("k")), Seq(rights("rk")), lefts("lts"), rights("rts"),
+          tiebreak = Seq(rights("rid")))
+        .select($"lid", $"rid")
+      val viaWindow = lefts.join(rights,
+          lefts("k") === rights("rk") && rights("rts") <= lefts("lts"), "left")
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"lid")
+            .orderBy($"rts".desc_nulls_last, $"rid".desc_nulls_last)))
+        .filter($"rn" === 1).select($"lid", $"rid")
+      assert(native.exceptAll(viaWindow).isEmpty &&
+        viaWindow.exceptAll(native).isEmpty, s"seed $seed diverged")
+    }
+  }
+
   test("as-of join plan co-partitions and sorts, no window blow-up") {
     val e = Tables.load(spark, sf001, "events")
       .select($"event_id", $"user_id", $"ts")
