@@ -32,8 +32,11 @@ class Capture(spark: SparkSession, lake: Lake, log: CaptureLog,
   /** The per-micro-batch body — usable directly for batch captures and
     * from foreachBatch for streaming ones. */
   def processBatch(raw: DataFrame, captureTs: Timestamp): Unit = {
+    // The batch feeds TWO writes (raw + staging); cache it so the source
+    // is scanned once per tick, not once per sink.
+    val stamped = raw.withColumn("timestamp_captura", lit(captureTs))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val stamped = raw.withColumn("timestamp_captura", lit(captureTs))
       lake.append(
         stamped.withColumn("data", date_format(col(cfg.tsCol), "yyyy-MM-dd")),
         TableRef("raw", cfg.dataset, cfg.table), partitionBy = Seq("data"))
@@ -51,7 +54,7 @@ class Capture(spark: SparkSession, lake: Lake, log: CaptureLog,
         log.append(cfg.dataset, cfg.table, captureTs, success = false,
           error = Some(e.getMessage))
         throw e
-    }
+    } finally stamped.unpersist(blocking = false)
   }
 
   /** T1: continuous capture from any streaming source. */
