@@ -32,11 +32,21 @@ object DedupOps {
     * fully codegen'd. The one shuffle (by id) is then REUSED by the
     * signature groupBy on the same key. No distinct: min-aggregation is
     * duplicate-insensitive. */
-  def explodedShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  def explodedShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    shinglesFromWords(explodedWords(df, idCol, textCol), idCol, n)
+
+  /** One (id, __pos, __w) row per word occurrence. Exposed separately so a
+    * pipeline needing BOTH shingles and unigram tokens (e.g. LSH candidates
+    * + Jaccard verify) can compute/cache this frame once and scan the
+    * source a single time. */
+  def explodedWords(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      posexplode(split(col(textCol), " ")).as(Seq("__pos", "__w")))
+
+  /** Shingles from a pre-exploded word frame (see [[explodedWords]]). */
+  def shinglesFromWords(words: DataFrame, idCol: String, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
-    val words = df.select(col(idCol),
-      posexplode(split(col(textCol), " ")).as(Seq("__pos", "__w")))
     val leads = (0 until n).map(j =>
       (if (j == 0) col("__w") else lead(col("__w"), j).over(w)).as(s"__w$j"))
     words.select((col(idCol) +: leads): _*)
@@ -48,8 +58,15 @@ object DedupOps {
   /** MinHash signature: numHashes seed-prefixed md5-min aggregations in a
     * single groupBy pass. Returns idCol, h0..h{k-1}. */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
+                       numHashes: Int = 8, shingleSize: Int = 3): DataFrame =
+    minhashFromWords(explodedWords(df, idCol, textCol), idCol, numHashes, shingleSize)
+
+  /** MinHash signature from a pre-exploded word frame (see
+    * [[explodedWords]] — lets the caller share the frame with the Jaccard
+    * token subtree, scanning the source once). */
+  def minhashFromWords(words: DataFrame, idCol: String,
                        numHashes: Int = 8, shingleSize: Int = 3): DataFrame = {
-    val sh = explodedShingles(df, idCol, textCol, shingleSize)
+    val sh = shinglesFromWords(words, idCol, shingleSize)
     val aggs = (0 until numHashes).map(i =>
       min(md5(concat_ws("|", lit(i), col("shingle")))).as(s"h$i"))
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)

@@ -174,7 +174,8 @@ object Scalars {
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q47_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,
-        |  SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+        |    AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q48_regex_scrub" ->
       """SELECT event_id, regexp_extract(props, '[0-9]+') AS digits,

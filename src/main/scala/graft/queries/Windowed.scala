@@ -149,6 +149,22 @@ object Windowed {
       batch.join(staging, Seq("ck"), "left_anti")
         .select(col("o_orderkey"), col("o_custkey"))
         .orderBy(col("o_orderkey"))
+    }),
+    // W2: latest-success scan — newest-first order, first NON-NULL
+    // success id per entity (the reference walks capture timestamps
+    // descending and returns the first materialized id:
+    // rj_smtr/tasks.py:671-706). "Success" here = a non-error event.
+    "q66_latest_success" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "events")
+        .withColumn("ok_id",
+          when(col("event_type") =!= "error", col("event_id")))
+        .select(col("user_id"),
+          first(col("ok_id"), ignoreNulls = true).over(w).as("latest_success_id"))
+        .distinct()
+        .orderBy(col("user_id"))
     })
   )
 
@@ -203,8 +219,9 @@ object Windowed {
         |FROM events GROUP BY 1 ORDER BY grid_ts""".stripMargin,
     "q28_sessionize" ->
       """SELECT event_id, user_id,
-        |  SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS session_seq
         |FROM (
         |  SELECT event_id, user_id, ts,
         |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
