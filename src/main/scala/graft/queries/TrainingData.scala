@@ -4,7 +4,6 @@ import graft.Tables
 import graft.functions.{DedupOps, TextOps, VectorOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Training-data pipeline operators over `documents` / `embeddings`:
   * deduplication (exact, MinHash+LSH, SimHash, Jaccard), text analysis
@@ -70,11 +69,14 @@ object TrainingData {
         .orderBy(col("id_a"), col("id_b"))
     }),
     // Exact token-set Jaccard verification of the LSH candidates.
-    // The exploded word frame is cached and feeds BOTH the shingle
-    // signature and the unigram token subtree — one scan of documents.
+    // Deliberately NOT cached: the word-exploded frame is far larger than
+    // the columnar source, so re-scanning `documents` per subtree is
+    // cheaper than a block-manager materialization barrier (measured:
+    // the round-2 persist regressed this 6×). At 100 TB the right
+    // sharing mechanism is a materialized token table in the lake, not
+    // executor cache.
     "q53_jaccard_verify" -> ((s, dir) => {
       val words = DedupOps.explodedWords(t(s, dir, "documents"), "doc_id", "text")
-        .persist(StorageLevel.MEMORY_AND_DISK)
       val sig = DedupOps.minhashFromWords(words, "doc_id")
       val pairs = DedupOps.lshCandidatePairs(sig, "doc_id")
       val tokens = words.select(col("doc_id"), col("__w").as("token")).distinct()
@@ -83,13 +85,11 @@ object TrainingData {
     }),
     // Full near-dup dedup: LSH candidates → Jaccard verify → drop the
     // greater id of every pair over threshold (min-id survivor policy).
-    // Shared cached word frame: the signature subtree and the Jaccard
-    // token subtree explode `documents` once, not twice; the only other
-    // scan is the final column-pruned anti-join (doc_id, n_chars).
+    // Uncached two-scan form (see q53 note); the final anti-join scan is
+    // column-pruned to (doc_id, n_chars).
     "q59_neardup_dedup" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val words = DedupOps.explodedWords(docs, "doc_id", "text")
-        .persist(StorageLevel.MEMORY_AND_DISK)
       val sig = DedupOps.minhashFromWords(words, "doc_id")
       val pairs = DedupOps.lshCandidatePairs(sig, "doc_id")
       val tokens = words.select(col("doc_id"), col("__w").as("token")).distinct()
@@ -156,8 +156,12 @@ object TrainingData {
     // buckets. The 4-bit sign bucket rides on the join key so a hot label
     // splits into ≤16 sub-buckets: pair cost is Σ bucket² over the finer
     // partition, bounding the quadratic blow-up a skewed label would
-    // cause at 100 TB. (Near-identical vectors share coordinate signs, so
-    // the recall loss is the standard hyperplane-LSH trade-off.)
+    // cause at 100 TB. Recall caveat: hyperplane-LSH collision prob per
+    // bit is 1 − θ/π, so at the 0.35 threshold (θ≈69.5°) only ~14% of
+    // boundary pairs share all 4 sign bits — the bucket is a deliberate
+    // approximate/scale path. q67 below is the exact (unbucketed)
+    // variant at the same threshold, so the recall loss is measured by
+    // the correctness harness rather than hidden by a mirrored oracle.
     "q63_vector_neardup" -> ((s, dir) => {
       // norms are computed once per row BEFORE the pair join (the dot is
       // unavoidable per pair; the norms are not)
@@ -169,6 +173,27 @@ object TrainingData {
       val b = e.select(col("label"), col("__bk"), col("vec_id").as("id_b"),
         col("embedding").as("vb"), col("__n").as("nb"))
       a.join(b, Seq("label", "__bk"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("score", VectorOps.cosinePrenormed(
+          col("va"), col("vb"), col("na"), col("nb")))
+        .filter(col("score") >= 0.35)
+        .select(col("id_a"), col("id_b"), col("score"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    // Exact embedding near-dup (label-blocked only, NO sign bucket):
+    // ground truth for q63's approximate path. Row-count delta between
+    // the two queries at the same threshold IS the measured recall loss
+    // of the 4-bit bucket. Label blocking alone still bounds the pair
+    // join (labels are a bounded-cardinality partition key); the bucket
+    // is what makes the skewed-label case safe at 100 TB.
+    "q67_vector_neardup_exact" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .withColumn("__n", VectorOps.norm(col("embedding")))
+      val a = e.select(col("label"), col("vec_id").as("id_a"),
+        col("embedding").as("va"), col("__n").as("na"))
+      val b = e.select(col("label"), col("vec_id").as("id_b"),
+        col("embedding").as("vb"), col("__n").as("nb"))
+      a.join(b, Seq("label"))
         .filter(col("id_a") < col("id_b"))
         .withColumn("score", VectorOps.cosinePrenormed(
           col("va"), col("vb"), col("na"), col("nb")))
@@ -306,6 +331,12 @@ object TrainingData {
          |  AND ${bucket("a")} = ${bucket("b")}
          |WHERE ${duckCos("a", "b")} >= 0.35
          |ORDER BY id_a, id_b""".stripMargin
-    }
+    },
+    "q67_vector_neardup_exact" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${duckCos("a", "b")} AS score
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${duckCos("a", "b")} >= 0.35
+         |ORDER BY id_a, id_b""".stripMargin
   )
 }

@@ -259,6 +259,13 @@ object Windowed {
         |    WHERE s.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |      AND concat_ws('|', s.o_custkey, s.o_orderstatus) =
         |          concat_ws('|', b.o_custkey, b.o_orderstatus))
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+    "q66_latest_success" ->
+      """SELECT u.user_id,
+        |  (SELECT e2.event_id FROM events e2
+        |   WHERE e2.user_id = u.user_id AND e2.event_type <> 'error'
+        |   ORDER BY e2.ts DESC, e2.event_id DESC LIMIT 1) AS latest_success_id
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |ORDER BY user_id""".stripMargin
   )
 }

@@ -32,6 +32,30 @@ class StateStore(spark: SparkSession, root: String) {
         org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
     }
 
+  /** Distributed read-modify-write: the merged frame (which lazily READS
+    * `path`) is executed into `path.tmp`, then swapped in with filesystem
+    * renames. Never collects to the driver — millions of entities/files
+    * stay distributed end-to-end — and never overwrites a path while a
+    * job is still reading it. Safe under the single-writer-per-pipeline
+    * discipline (the reference's skip_if_running guard,
+    * utils/utils.py:197-231); a reader racing the two renames is a
+    * first-run-style miss, not corruption. */
+  private def writeAtomic(df: DataFrame, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(path + ".tmp")
+    val old = new Path(path + ".old")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    // State rows are tiny (entity + timestamp); 4 output files keeps the
+    // table compact up to ~10^8 entities without a count-then-choose pass.
+    df.coalesce(4).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(p)) fs.rename(p, old)
+    fs.rename(tmp, p)
+    fs.delete(old, true)
+  }
+
   // ---- T6: last-run timestamp per table --------------------------------
 
   def lastRun(key: String): Option[Timestamp] =
@@ -43,10 +67,7 @@ class StateStore(spark: SparkSession, root: String) {
     val cur = readOrEmpty(runPath, "key STRING, last_run TIMESTAMP")
       .filter($"key" =!= key)
     val updated = cur.unionByName(Seq((key, ts)).toDF("key", "last_run"))
-    // Small table: collect-and-rewrite avoids read-while-overwrite races.
-    val rows = updated.collect().toIndexedSeq
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), updated.schema)
-      .write.mode(SaveMode.Overwrite).parquet(runPath)
+    writeAtomic(updated, runPath)
   }
 
   /** T6 fallback chain: explicit state, else MAX(ts) of the target table,
@@ -82,9 +103,7 @@ class StateStore(spark: SparkSession, root: String) {
       .agg(max(col(tsCol)).as("last_update"))
     val merged = entityWatermarks(key).unionByName(advanced)
       .groupBy($"entity").agg(max($"last_update").as("last_update"))
-    val rows = merged.collect().toIndexedSeq
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), merged.schema)
-      .write.mode(SaveMode.Overwrite).parquet(entityPath(key))
+    writeAtomic(merged, entityPath(key))
   }
 
   // ---- T8: processed-file sets -----------------------------------------
@@ -97,11 +116,14 @@ class StateStore(spark: SparkSession, root: String) {
     files.join(processedFiles(key).withColumnRenamed("file", fileCol),
       Seq(fileCol), "left_anti")
 
-  def markProcessed(key: String, files: Seq[String]): Unit = {
+  def markProcessed(key: String, files: Seq[String]): Unit =
+    markProcessedDf(key, files.toDF("file"))
+
+  /** Distributed variant: mark an arbitrarily large frame of file names
+    * (one STRING column `file`) as processed without driver collection. */
+  def markProcessedDf(key: String, files: DataFrame): Unit = {
     val merged = processedFiles(key)
       .unionByName(files.toDF("file")).distinct()
-    val rows = merged.collect().toIndexedSeq
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), merged.schema)
-      .write.mode(SaveMode.Overwrite).parquet(filesPath(key))
+    writeAtomic(merged, filesPath(key))
   }
 }

@@ -61,4 +61,37 @@ class StateSpec extends SparkSpec {
     st.markProcessed("k", Seq("f1"))
     assert(st.processedFiles("k").count() === 2)
   }
+
+  test("state upserts stay distributed at 1e5 entities (no driver collect)") {
+    val st = new StateStore(spark, tmpDir("state"))
+    val n = 100000
+    val batch1 = spark.range(n)
+      .select(concat(lit("e"), $"id").as("entity"),
+        lit(Timestamp.valueOf("2024-01-01 00:00:00")).as("ts"))
+    st.advanceEntityWatermarks("big", batch1, "entity", "ts")
+    assert(st.entityWatermarks("big").count() === n)
+
+    // second upsert: half advance, half stale, plus 1000 new entities
+    val batch2 = spark.range(n + 1000)
+      .select(concat(lit("e"), $"id").as("entity"),
+        when($"id" % 2 === 0, Timestamp.valueOf("2024-02-01 00:00:00"))
+          .otherwise(Timestamp.valueOf("2023-06-01 00:00:00")).as("ts"))
+    st.advanceEntityWatermarks("big", batch2, "entity", "ts")
+    val wm = st.entityWatermarks("big")
+    assert(wm.count() === n + 1000)
+    // stale rows did not regress their watermark
+    assert(wm.filter($"last_update" < Timestamp.valueOf("2024-01-01 00:00:00"))
+      .filter(regexp_extract($"entity", "e(\\d+)", 1).cast("long") < n).count() === 0)
+    // even ids advanced
+    assert(wm.filter($"last_update" === Timestamp.valueOf("2024-02-01 00:00:00"))
+      .count() === (n + 1000) / 2)
+
+    // distributed file-set mark at 1e5 files
+    val files = spark.range(n).select(concat(lit("f"), $"id").as("file"))
+    st.markProcessedDf("bigfiles", files)
+    assert(st.processedFiles("bigfiles").count() === n)
+    st.markProcessedDf("bigfiles",
+      spark.range(n + 500).select(concat(lit("f"), $"id").as("file")))
+    assert(st.processedFiles("bigfiles").count() === n + 500)
+  }
 }
