@@ -1,0 +1,137 @@
+package graft.connectors
+
+import graft.core.SchemaNormalizer
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Google Sheets / Drive sources (SURVEY §2.1 S12–S13).
+  *
+  * The reference's `download_url` task handles three URL types
+  * (utils/dump_url/tasks.py:37-140): `google_sheet` — open the sheet by
+  * URL, select a worksheet by name or by zero-based index, optionally a
+  * sub-range, promote the first row to the header and normalize the
+  * column names (remove_columns_accents, utils/utils.py:542-565);
+  * `google_drive` — extract the FILE_ID from the URL path and download
+  * the media in chunks; `direct` — plain streamed GET
+  * ([[Http.downloadToLanding]]).
+  *
+  * Spark-first shape: the worksheet grid is fetched ONCE on the driver
+  * (a sheet is product-capped at ~10M cells — never cluster-scale) and
+  * parsing/typing happens distributed via `spark.read.csv` over a
+  * Dataset[String]. Transports are injected functions so worksheet
+  * selection, header promotion and id extraction are all testable
+  * offline; the production transports live here too.
+  */
+object GSuite {
+
+  val SheetsUrlPrefix = "https://docs.google.com/spreadsheets/d/"
+  val DriveUrlPrefix = "https://drive.google.com/file/d/"
+
+  /** Worksheet addressing — by name, or by zero-based order like the
+    * reference's `gsheets_sheet_order` (tasks.py:85-89). */
+  sealed trait Worksheet
+  final case class ByName(name: String) extends Worksheet
+  final case class ByIndex(index: Int) extends Worksheet
+
+  /** Spreadsheet id from a canonical Sheets URL; same prefix validation
+    * as the reference (tasks.py:68-75). */
+  def spreadsheetId(url: String): String = {
+    require(url.startsWith(SheetsUrlPrefix),
+      s"URL must start with $SheetsUrlPrefix — invalid URL: $url")
+    url.stripPrefix(SheetsUrlPrefix).split("[/?#]")(0)
+  }
+
+  /** FILE_ID from a canonical Drive URL (tasks.py:108-121). */
+  def driveFileId(url: String): String = {
+    require(url.startsWith(DriveUrlPrefix),
+      s"URL must start with $DriveUrlPrefix — invalid URL: $url")
+    url.stripPrefix(DriveUrlPrefix).split("[/?#]")(0)
+  }
+
+  /** CSV-export URL for one worksheet: the gviz endpoint serves a
+    * worksheet as CSV without an API client — by `sheet=` name or (for
+    * index addressing) `gid=`; `range=` narrows to A1 notation. Index→gid
+    * resolution needs sheet metadata, so ByIndex takes the gid the
+    * caller resolved (gid 0 = first worksheet on default-layout sheets). */
+  def exportCsvUrl(spreadsheetId: String, ws: Worksheet,
+                   range: Option[String] = None): String = {
+    val sel = ws match {
+      case ByName(n) => s"sheet=${java.net.URLEncoder.encode(n, "UTF-8")}"
+      case ByIndex(i) => s"gid=$i"
+    }
+    val r = range.map(a1 => s"&range=$a1").getOrElse("")
+    s"$SheetsUrlPrefix$spreadsheetId/gviz/tq?tqx=out:csv&$sel$r"
+  }
+
+  /** S12: one worksheet → DataFrame. First grid row becomes the header
+    * (the reference's `new_header = dataframe.iloc[0]` promotion), then
+    * every column name is accent-stripped/underscored/lowercased
+    * exactly like remove_columns_accents. All values stay STRING — the
+    * reference dumps to CSV untyped; typing is the staging layer's job
+    * ([[graft.core.SchemaNormalizer.conform]]). */
+  def readSheet(spark: SparkSession, t: Http.Transport, url: String,
+                ws: Worksheet = ByIndex(0),
+                range: Option[String] = None): DataFrame = {
+    val body = t(exportCsvUrl(spreadsheetId(url), ws, range))
+    csvWithPromotedHeader(spark, body)
+  }
+
+  /** Header promotion + name normalization over a raw CSV payload;
+    * parsing is distributed (spark.read.csv over a Dataset[String]). */
+  def csvWithPromotedHeader(spark: SparkSession, csvBody: String): DataFrame = {
+    import spark.implicits._
+    // one Dataset element per line — spark.read.csv(ds) parses each
+    // element as one record (quoted embedded newlines excepted: the gviz
+    // export escapes them, so a physical line is a record here)
+    val lines = csvBody.split("\r?\n").toIndexedSeq.filter(_.nonEmpty)
+    val df = spark.read
+      .option("header", "true")
+      .option("quote", "\"").option("escape", "\"")
+      .csv(lines.toDS())
+    SchemaNormalizer.normalizeSchema(df)
+  }
+
+  /** Ranged fetch: (url, startByte, maxBytes) → chunk (short/empty chunk
+    * = EOF), mirroring MediaIoBaseDownload's next_chunk loop. */
+  type RangeTransport = (String, Long, Int) => Array[Byte]
+
+  /** Production ranged transport: HTTP Range requests. */
+  def javaRangeTransport(timeoutSeconds: Int = 60,
+                         headers: Map[String, String] = Map.empty): RangeTransport = {
+    (url, start, maxBytes) =>
+      val client = java.net.http.HttpClient.newBuilder()
+        .connectTimeout(java.time.Duration.ofSeconds(timeoutSeconds)).build()
+      val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+        .timeout(java.time.Duration.ofSeconds(timeoutSeconds))
+        .header("Range", s"bytes=$start-${start + maxBytes - 1}")
+      headers.foreach { case (k, v) => b.header(k, v) }
+      val resp = client.send(b.build(),
+        java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+      if (resp.statusCode() == 416) Array.emptyByteArray else resp.body()
+  }
+
+  /** S13: chunked Drive media download to a landing file (the
+    * reference's while-not-done next_chunk loop, tasks.py:125-135).
+    * Bounded memory: one chunk resident at a time, appended straight to
+    * disk. Returns the landing path for the downstream spark.read. */
+  def downloadDriveFile(t: RangeTransport, url: String, destPath: String,
+                        chunkSize: Int = 1 << 20): String = {
+    val fileId = driveFileId(url)
+    val mediaUrl = s"https://www.googleapis.com/drive/v3/files/$fileId?alt=media"
+    val dest = java.nio.file.Paths.get(destPath)
+    Option(dest.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    val out = java.nio.file.Files.newOutputStream(dest,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+    try {
+      var offset = 0L
+      var done = false
+      while (!done) {
+        val chunk = t(mediaUrl, offset, chunkSize)
+        out.write(chunk)
+        offset += chunk.length
+        done = chunk.length < chunkSize
+      }
+    } finally out.close()
+    destPath
+  }
+}

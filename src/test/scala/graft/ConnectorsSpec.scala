@@ -177,6 +177,52 @@ class ConnectorsSpec extends SparkSpec {
     assert(df.count() === 2 && df.columns.toSeq === Seq("id", "v"))
   }
 
+  test("sheets read: worksheet selection, header promotion, accent-normalized names (S12)") {
+    import graft.connectors.GSuite
+    val url = "https://docs.google.com/spreadsheets/d/1AbC_xyz/edit#gid=0"
+    assert(GSuite.spreadsheetId(url) === "1AbC_xyz")
+    intercept[IllegalArgumentException](GSuite.spreadsheetId("https://evil.example/d/x"))
+
+    // fake transport: assert worksheet/range address in the URL, serve a
+    // grid whose header has accents, spaces, slashes and a numeric lead
+    var requested = ""
+    val t: Http.Transport = { u =>
+      requested = u
+      "Data Medição,Preço/Unidade,3a Coluna\n2024-01-01,10,x\n2024-01-02,20,y\n"
+    }
+    val df = GSuite.readSheet(spark, t, url, GSuite.ByName("Plan 1"),
+      range = Some("A1:C3"))
+    assert(requested.contains("1AbC_xyz/gviz/tq?tqx=out:csv&sheet=Plan+1&range=A1:C3"))
+    assert(df.columns.toSeq === Seq("data_medicao", "preco_unidade", "_3a_coluna"))
+    assert(df.count() === 2)
+
+    // index addressing goes through gid
+    GSuite.readSheet(spark, t, url, GSuite.ByIndex(0))
+    assert(requested.contains("gid=0") && !requested.contains("range="))
+  }
+
+  test("drive download: file-id extraction + chunked ranged fetch (S13)") {
+    import graft.connectors.GSuite
+    val url = "https://drive.google.com/file/d/FILE123/view?usp=sharing"
+    assert(GSuite.driveFileId(url) === "FILE123")
+    intercept[IllegalArgumentException](GSuite.driveFileId("https://drive.google.com/open?id=x"))
+
+    // fake ranged transport over a 10_000-byte payload, 4 KiB chunks →
+    // 3 requests, last one short; bytes must reassemble exactly
+    val payload = Array.tabulate[Byte](10000)(i => (i % 251).toByte)
+    var calls = List[(Long, Int)]()
+    val t: GSuite.RangeTransport = { (u, start, max) =>
+      assert(u.contains("FILE123") && u.contains("alt=media"))
+      calls ::= (start, max)
+      payload.slice(start.toInt, math.min(start + max, payload.length).toInt)
+    }
+    val dest = tmpDir("drive") + "/dl/file.bin"
+    GSuite.downloadDriveFile(t, url, dest, chunkSize = 4096)
+    assert(calls.reverse.map(_._1) === List(0L, 4096L, 8192L))
+    assert(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dest)).toSeq === payload.toSeq)
+  }
+
   test("stage metrics listener captures query stages (K13)") {
     val l = new StageMetricsListener
     spark.sparkContext.addSparkListener(l)
