@@ -52,6 +52,28 @@ object Raster {
       }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(gridSchema))
   }
 
+  /** S18, REAL decode: netCDF-classic files → (source, lat, lon, value)
+    * rows using the pure-JVM [[NetCdf]] parser (coordinate variables +
+    * 2D grid, CF scale/offset/fill unpacking — the read_netcdf →
+    * to_dataframe flatten of satellite_utils.py:481-510). Parsing and
+    * the rows×cols fan-out happen inside the scan partitions; a 5424²
+    * full-disk grid becomes ~29M rows without ever touching the driver. */
+  def gridFlattenNetCdf(media: DataFrame, latVar: String = "lat",
+                        lonVar: String = "lon",
+                        dataVar: String = "Band1"): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select($"meta.source".as("source"), $"content")
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (src, bytes) =>
+          NetCdf.flattenGrid(bytes, latVar, lonVar, dataVar)
+            .map { case (lat, lon, v) =>
+              Row(src, lat, lon, if (v.isNaN) null else v)
+            }
+        }
+      }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(gridSchema))
+  }
+
   /** STUB codec: deterministic pseudo-measurement per cell. */
   private def cellValue(bytes: Array[Byte], r: Int, c: Int): Double = {
     if (bytes == null || bytes.isEmpty) 0.0

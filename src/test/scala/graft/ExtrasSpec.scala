@@ -59,6 +59,90 @@ class ExtrasSpec extends SparkSpec {
       grid.collect().toSet)
   }
 
+  // Assemble a netCDF classic (CDF-1) file byte-for-byte per the public
+  // spec: dims lat=3/lon=4, float coord vars, a short Band1 grid packed
+  // with scale_factor/add_offset and a _FillValue hole. Two passes: first
+  // with zero begins to measure the header, then with real offsets.
+  private def cdf1Fixture: Array[Byte] = {
+    import java.io.{ByteArrayOutputStream, DataOutputStream}
+    val lats = Array(10f, 20f, 30f)
+    val lons = Array(1f, 2f, 3f, 4f)
+    // raw shorts; -1 is the fill; unpacked = raw*0.5 + 10
+    val raw = Array[Short](0, 2, 4, 6, 8, 10, -1, 14, 16, 18, 20, 22)
+
+    def header(beginLat: Int, beginLon: Int, beginBand: Int): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val o = new DataOutputStream(bos)
+      def name(s: String): Unit = {
+        o.writeInt(s.length); o.writeBytes(s)
+        (0 until (4 - s.length % 4) % 4).foreach(_ => o.writeByte(0))
+      }
+      o.writeBytes("CDF"); o.writeByte(1) // magic, version 1
+      o.writeInt(0)                       // numrecs
+      o.writeInt(0x0A); o.writeInt(2)     // NC_DIMENSION ×2
+      name("lat"); o.writeInt(3)
+      name("lon"); o.writeInt(4)
+      o.writeInt(0); o.writeInt(0)        // global atts ABSENT
+      o.writeInt(0x0B); o.writeInt(3)     // NC_VARIABLE ×3
+      name("lat"); o.writeInt(1); o.writeInt(0)
+      o.writeInt(0); o.writeInt(0)        // no atts
+      o.writeInt(5); o.writeInt(12); o.writeInt(beginLat) // NC_FLOAT
+      name("lon"); o.writeInt(1); o.writeInt(1)
+      o.writeInt(0); o.writeInt(0)
+      o.writeInt(5); o.writeInt(16); o.writeInt(beginLon)
+      name("Band1"); o.writeInt(2); o.writeInt(0); o.writeInt(1)
+      o.writeInt(0x0C); o.writeInt(3)     // NC_ATTRIBUTE ×3
+      name("scale_factor"); o.writeInt(6); o.writeInt(1); o.writeDouble(0.5)
+      name("add_offset"); o.writeInt(6); o.writeInt(1); o.writeDouble(10.0)
+      name("_FillValue"); o.writeInt(3); o.writeInt(1)
+      o.writeShort(-1); o.writeShort(0)   // short value + pad to 4
+      o.writeInt(3); o.writeInt(24); o.writeInt(beginBand) // NC_SHORT
+      o.flush(); bos.toByteArray
+    }
+    val hlen = header(0, 0, 0).length
+    val bos = new ByteArrayOutputStream()
+    val o = new DataOutputStream(bos)
+    o.write(header(hlen, hlen + 12, hlen + 28))
+    lats.foreach(o.writeFloat)
+    lons.foreach(o.writeFloat)
+    raw.foreach(v => o.writeShort(v))
+    o.flush(); bos.toByteArray
+  }
+
+  test("netCDF classic decode: header, CF unpack, grid flatten (S18 real)") {
+    import graft.multimodal.NetCdf
+    val bytes = cdf1Fixture
+    val nc = NetCdf.parseHeader(bytes)
+    assert(nc.dims.map(d => (d.name, d.length)) === Seq(("lat", 3), ("lon", 4)))
+    assert(nc.vars.map(_.name) === Seq("lat", "lon", "Band1"))
+    assert(NetCdf.readNumeric(bytes, nc, "lat").toSeq === Seq(10.0, 20.0, 30.0))
+    assert(NetCdf.readNumeric(bytes, nc, "lon").toSeq === Seq(1.0, 2.0, 3.0, 4.0))
+
+    val cells = NetCdf.flattenGrid(bytes, "lat", "lon", "Band1").toSeq
+    assert(cells.size === 12)
+    // raw 0 → 0*0.5+10 = 10; raw 22 → 21; fill (-1) → NaN
+    assert(cells.head === ((10.0, 1.0, 10.0)))
+    assert(cells.last === ((30.0, 4.0, 21.0)))
+    assert(cells(6)._3.isNaN) // the -1 fill hole at (row 1, col 2)
+    // full expected grid, row-major
+    val expected = Seq(10.0, 11.0, 12.0, 13.0, 14.0, 15.0, Double.NaN, 17.0,
+      18.0, 19.0, 20.0, 21.0)
+    cells.map(_._3).zip(expected).foreach { case (a, e) =>
+      assert(a.isNaN === e.isNaN); if (!e.isNaN) assert(a === e)
+    }
+
+    // distributed path: media frame → (source, lat, lon, value) rows
+    val dir = tmpDir("nc")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/g1.nc"), bytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/g2.nc"), bytes)
+    val media = graft.multimodal.Multimodal.readBinaryFiles(spark, s"$dir/*.nc")
+    val df = graft.multimodal.Raster.gridFlattenNetCdf(media)
+    assert(df.count() === 24)
+    assert(df.filter($"value".isNull).count() === 2) // fill → null per file
+    assert(df.filter($"lat" === 30.0 && $"lon" === 4.0 && $"value" === 21.0)
+      .count() === 2)
+  }
+
   test("optimizer rule collapses nested unaccent (§4 custom rule)") {
     val s2 = spark.newSession()
     graft.expressions.GraftExtensions.install(s2)
