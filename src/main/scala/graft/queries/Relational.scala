@@ -106,6 +106,21 @@ object Relational {
         approx_count_distinct(col("l_orderkey")).as("approx_orders"))
     }),
 
+    // A4 at scale (rows-only): the MERGEABLE sketch twin of q9 — two
+    // half-year sketches built independently, merged, and estimated.
+    // Exercises the checkpointable path q9's one-shot estimate cannot:
+    // per-run sketches persist in _state and cross-run cardinality is a
+    // sketch merge, not a history re-scan.
+    "q68_hll_sketch" -> ((s, dir) => {
+      import graft.expressions.HllSketch._
+      val o = t(s, dir, "orders")
+      val halves = o.groupBy(
+          (year(col("o_orderdate")) * 2 + (month(col("o_orderdate")) > 6)
+            .cast("int")).as("half"))
+        .agg(hll_sketch(col("o_custkey")).as("sk"))
+      halves.agg(hll_estimate(hll_merge(col("sk"))).as("approx_customers"))
+    }),
+
     // Native as-of join (custom LogicalPlan + SparkStrategy + exec):
     // latest order per user as of each event's timestamp.
     "q65_asof_join" -> ((s, dir) => {

@@ -106,6 +106,24 @@ class StateStore(spark: SparkSession, root: String) {
     writeAtomic(merged, entityPath(key))
   }
 
+  // ---- A4 at scale: cross-run cardinality sketches ---------------------
+
+  private def sketchPath(key: String) = s"$root/sketches/$key"
+
+  /** Stored HLL sketch for this key, if any (one bounded ~4 KiB row). */
+  def sketch(key: String): Option[Array[Byte]] =
+    readOrEmpty(sketchPath(key), "sketch BINARY")
+      .collect().headOption.map(_.getAs[Array[Byte]](0))
+
+  /** Merge this run's sketch into the stored one (register-wise max —
+    * lossless, so cross-run cardinality never re-scans history). */
+  def mergeSketch(key: String, sk: Array[Byte]): Unit = {
+    val merged = sketch(key)
+      .map(old => graft.expressions.Hll.merge(old.clone(), sk))
+      .getOrElse(sk)
+    writeAtomic(Seq(merged).toDF("sketch"), sketchPath(key))
+  }
+
   // ---- T8: processed-file sets -----------------------------------------
 
   def processedFiles(key: String): DataFrame =

@@ -177,6 +177,56 @@ class ConnectorsSpec extends SparkSpec {
     assert(df.count() === 2 && df.columns.toSeq === Seq("id", "v"))
   }
 
+  test("incremental planner: state → CTE rewrite → pushed-down predicate (§4)") {
+    import java.time.LocalDate
+    import graft.connectors.IncrementalPlanner
+    val today = LocalDate.parse("2024-03-15")
+
+    // no partition column / no prior state → query unchanged (first load)
+    assert(IncrementalPlanner.plan("SELECT * FROM t", None, None,
+      today = today).sql === "SELECT * FROM t")
+    assert(IncrementalPlanner.plan("SELECT * FROM t", Some("d"), None,
+      today = today).sql === "SELECT * FROM t")
+
+    // bounded rewrite, standard dialect
+    val p = IncrementalPlanner.plan("SELECT * FROM t", Some("d"),
+      Some("2024-02-01"), today = today)
+    assert(p.sql ===
+      "WITH q AS (SELECT * FROM t) SELECT * FROM q WHERE d >= '2024-02-01'")
+    assert(p.isIncremental)
+
+    // oracle dialect renders TO_DATE with the translated format
+    assert(IncrementalPlanner.rewrite("SELECT * FROM t", "d", "2024-02-01",
+      dialect = "oracle") ===
+      "WITH q AS (SELECT * FROM t) SELECT * FROM q WHERE d >= TO_DATE('2024-02-01', 'YYYY-MM-DD')")
+
+    // symbolic lower bounds resolve against the injected today, and the
+    // effective bound is min(lower, last_partition)
+    assert(IncrementalPlanner.resolveLowerBound("current_year", today) === "2024-01-01")
+    assert(IncrementalPlanner.resolveLowerBound("current_month", today) === "2024-03-01")
+    assert(IncrementalPlanner.resolveLowerBound("current_day", today) === "2024-03-15")
+    assert(IncrementalPlanner.effectiveLastDate("2024-02-01",
+      Some("current_year"), today) === "2024-01-01") // floor widens window
+    assert(IncrementalPlanner.effectiveLastDate("2024-02-01",
+      Some("current_month"), today) === "2024-02-01") // floor later → keep last
+
+    // full composition: StateStore watermark lands inside the reader's
+    // dbtable subquery (= the predicate executes in the source DBMS)
+    val st = new graft.state.StateStore(spark, tmpDir("state"))
+    st.setLastRun("db.t", java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
+    val (plan2, _) = IncrementalPlanner.planFromState(spark,
+      connectors.JdbcSource("jdbc:h2:mem:x", "SELECT * FROM t"), st, "db.t",
+      "d", today = today)
+    assert(plan2.sql.contains("WHERE d >= '2024-02-01'"))
+
+    // lake-side: the same bound is pushed into the parquet scan
+    val df = IncrementalPlanner.incrementalFilter(
+      Tables.load(spark, sf001, "orders"), "o_orderdate", "1997-01-01")
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters") &&
+      physical.contains("GreaterThanOrEqual(o_orderdate"))
+  }
+
   test("sheets read: worksheet selection, header promotion, accent-normalized names (S12)") {
     import graft.connectors.GSuite
     val url = "https://docs.google.com/spreadsheets/d/1AbC_xyz/edit#gid=0"

@@ -62,6 +62,48 @@ class StateSpec extends SparkSpec {
     assert(st.processedFiles("k").count() === 2)
   }
 
+  test("hll sketch: merge(sk(A), sk(B)) == sk(A∪B), estimate in bound, cross-run (A4)") {
+    import graft.expressions.{Hll, HllSketch}
+    import HllSketch._
+
+    // pure-kernel property: register-wise max commutes with stream union
+    def sk(xs: Range): Array[Byte] = {
+      val s = Hll.empty()
+      xs.foreach(x => Hll.update(s,
+        org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(x.toLong, org.apache.spark.sql.types.LongType, 42L)))
+      s
+    }
+    val a = sk(0 until 6000)
+    val b = sk(4000 until 10000) // overlaps A on [4000, 6000)
+    val union = sk(0 until 10000)
+    assert(Hll.merge(a.clone(), b).toSeq === union.toSeq) // EXACT, not approx
+    val est = Hll.estimate(union)
+    assert(math.abs(est - 10000) < 500, s"estimate $est off >5%")
+
+    // aggregate path: distributed sketch == same registers as serial one
+    val df = spark.range(10000).select(($"id" % 7919).as("v")) // 7919 distinct
+    val distSketch = df.repartition(8)
+      .agg(hll_sketch($"v").as("sk")).head().getAs[Array[Byte]]("sk")
+    val est2 = Hll.estimate(distSketch)
+    assert(math.abs(est2 - 7919) < 400, s"agg estimate $est2 off >5%")
+
+    // hll_merge of per-group sketches == one global sketch
+    val merged = spark.range(10000).select(($"id" % 7919).as("v"), ($"id" % 4).as("g"))
+      .groupBy($"g").agg(hll_sketch($"v").as("sk"))
+      .agg(hll_merge($"sk").as("m"), hll_estimate(hll_merge($"sk")).as("est"))
+      .head()
+    assert(merged.getAs[Array[Byte]]("m").toSeq === distSketch.toSeq)
+    assert(merged.getAs[Long]("est") === est2)
+
+    // cross-run accumulation through _state: two runs, no history re-scan
+    val st = new StateStore(spark, tmpDir("state"))
+    st.mergeSketch("orders.custkey", a)
+    st.mergeSketch("orders.custkey", b)
+    assert(st.sketch("orders.custkey").get.toSeq === union.toSeq)
+    assert(Hll.estimate(st.sketch("orders.custkey").get) === est)
+  }
+
   test("state upserts stay distributed at 1e5 entities (no driver collect)") {
     val st = new StateStore(spark, tmpDir("state"))
     val n = 100000
