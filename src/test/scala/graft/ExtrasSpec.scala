@@ -109,6 +109,74 @@ class ExtrasSpec extends SparkSpec {
     o.flush(); bos.toByteArray
   }
 
+  test("radar PPI: az slotting, median/gap-fill, CMAX/CAVG/CAPPI, geo (S19)") {
+    import graft.multimodal.RadarPpi
+    val gain = 0.5
+    val off = -32.0
+    def ray(el: Double, az: Double, bins: Seq[Double]) =
+      ("v1", el, az, az, gain, off, bins)
+
+    // el 0.5°: slots 0,1,3,4,6,7 single rays; slot 2 MISSING; slot 5 has
+    // three rays (one all-zero → dropped, median of the other two).
+    // el 2.5°: all 8 slots present. nRays = 8 → 45° slots.
+    val el05 = Seq(0, 1, 3, 4, 6, 7).map(s =>
+      ray(0.5, s * 45.0 + 10, Seq.tabulate(4)(j => 10.0 * s + j))) ++ Seq(
+      ray(0.5, 235.0, Seq(2, 4, 6, 8)), ray(0.5, 230.0, Seq(4, 6, 8, 10)),
+      ray(0.5, 232.0, Seq(0, 0, 0, 0)))
+    val el25 = (0 until 8).map(s =>
+      ray(2.5, s * 45.0 + 10, Seq.tabulate(4)(_ => 100.0 + s)))
+    val rays = (el05 ++ el25).toDF("source", "elangle", "start_az", "stop_az",
+      "gain", "offset", "bins")
+
+    // wraparound slotting: start 350 stop 20 → mean 5° → slot 0
+    val wrap = Seq(("w", 0.5, 350.0, 20.0, 1.0, 0.0, Seq(1.0)))
+      .toDF("source", "elangle", "start_az", "stop_az", "gain", "offset", "bins")
+    assert(RadarPpi.slotValues(wrap, nRays = 8).select($"slot").head().getInt(0) === 0)
+
+    val vox = RadarPpi.voxels(rays, nRays = 8).cache()
+    assert(vox.count() === 2 * 8 * 4) // both elevations fully gap-filled
+
+    def v(el: Double, slot: Int, bin: Int): Double =
+      vox.filter($"elangle" === el && $"slot" === slot && $"bin_idx" === bin)
+        .head().getAs[Double]("value")
+    // plain slot: value = gain*raw + offset
+    assert(v(0.5, 0, 2) === gain * 2 + off)
+    // repeated slot 5: all-zero ray dropped, median of (2+2j, 4+2j) = 3+2j
+    assert(v(0.5, 5, 0) === gain * 3 + off)
+    assert(v(0.5, 5, 3) === gain * 9 + off)
+    // missing slot 2: midpoint of slot 1 (raw 10+j) and slot 3 (raw 30+j)
+    assert(v(0.5, 2, 1) === gain * 21 + off)
+
+    // CMAX: el 2.5 (raw 100+s) always dominates
+    val cm = RadarPpi.cmax(vox)
+    assert(cm.count() === 8 * 4)
+    assert(cm.filter($"slot" === 3 && $"bin_idx" === 0).head()
+      .getAs[Double]("value") === gain * 103 + off)
+    // CAVG at slot 0, bin 0: mean of el05 (raw 0) and el25 (raw 100)
+    assert(RadarPpi.cavg(vox).filter($"slot" === 0 && $"bin_idx" === 0).head()
+      .getAs[Double]("value") === (gain * 0 + off + gain * 100 + off) / 2)
+
+    // CAPPI at 0.05 km, rscale 1 km: near range the 2.5° beam is closer
+    // to target, far range the 0.5° beam is — elevation choice flips
+    val cp = RadarPpi.cappi(vox, targetKm = 0.05, rscaleM = 1000.0)
+    assert(cp.filter($"slot" === 0 && $"bin_idx" === 0).head()
+      .getAs[Double]("value") === gain * 100 + off) // el 2.5 wins at 0.5 km
+    assert(cp.filter($"slot" === 0 && $"bin_idx" === 3).head()
+      .getAs[Double]("value") === gain * 3 + off)   // el 0.5 wins at 3.5 km
+
+    // geo: slot 0 = due north (lat moves, lon fixed), slot 2 = due east
+    def geoOf(slot: Int) = RadarPpi.toGeo(
+      cm.filter($"slot" === slot && $"bin_idx" === 3),
+      siteLat = -22.96, siteLon = -43.26, rscaleM = 1000.0, nRays = 8).head()
+    val north = geoOf(0)
+    assert(north.getAs[Double]("lat") > -22.93 &&
+      math.abs(north.getAs[Double]("lon") + 43.26) < 1e-9)
+    val east = geoOf(2)
+    assert(east.getAs[Double]("lon") > -43.23 &&
+      math.abs(east.getAs[Double]("lat") + 22.96) < 1e-9)
+    vox.unpersist()
+  }
+
   test("netCDF classic decode: header, CF unpack, grid flatten (S18 real)") {
     import graft.multimodal.NetCdf
     val bytes = cdf1Fixture
