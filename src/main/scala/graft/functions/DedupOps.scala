@@ -25,15 +25,17 @@ object DedupOps {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** One (doc, shingle) row per shingle occurrence, built with
-    * posexplode + lead() windows instead of an array-transform HOF:
-    * higher-order functions are interpreted (CodegenFallback) and
-    * re-evaluate split() per element reference, while this shape is
-    * fully codegen'd. The one shuffle (by id) is then REUSED by the
-    * signature groupBy on the same key. No distinct: min-aggregation is
-    * duplicate-insensitive. */
+  /** One (doc, shingle) row per shingle occurrence, via the native
+    * [[graft.expressions.Shingles]] expression: the n-gram array is
+    * built inside the scan (codegen'd, one pass over the text), so
+    * NOTHING shuffles before the signature's partial aggregation. The
+    * earlier encoding (posexplode + lead window) had to shuffle+sort
+    * every word occurrence just to line up neighbors; an
+    * array-transform HOF would be interpreted (CodegenFallback). No
+    * distinct: min-aggregation is duplicate-insensitive. */
   def explodedShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    shinglesFromWords(explodedWords(df, idCol, textCol), idCol, n)
+    df.select(col(idCol),
+      explode(graft.expressions.Shingles.shingles(col(textCol), n)).as("shingle"))
 
   /** One (id, __pos, __w) row per word occurrence. Exposed separately so a
     * pipeline needing BOTH shingles and unigram tokens (e.g. LSH candidates
@@ -56,19 +58,40 @@ object DedupOps {
   }
 
   /** MinHash signature: numHashes seed-prefixed md5-min aggregations in a
-    * single groupBy pass. Returns idCol, h0..h{k-1}. */
+    * single groupBy pass over scan-local shingles — the shuffle carries
+    * only the partial mins (numHashes values per id per partition), not
+    * the shingle stream. Returns idCol, h0..h{k-1}. */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
                        numHashes: Int = 8, shingleSize: Int = 3): DataFrame =
-    minhashFromWords(explodedWords(df, idCol, textCol), idCol, numHashes, shingleSize)
+    minhashFromShingles(explodedShingles(df, idCol, textCol, shingleSize),
+      idCol, numHashes)
 
-  /** MinHash signature from a pre-exploded word frame (see
-    * [[explodedWords]] — lets the caller share the frame with the Jaccard
-    * token subtree, scanning the source once). */
+  /** MinHash signature from a pre-exploded word frame (window encoding;
+    * kept as the reference implementation the native-expression path is
+    * property-tested against). */
   def minhashFromWords(words: DataFrame, idCol: String,
-                       numHashes: Int = 8, shingleSize: Int = 3): DataFrame = {
-    val sh = shinglesFromWords(words, idCol, shingleSize)
+                       numHashes: Int = 8, shingleSize: Int = 3): DataFrame =
+    minhashFromShingles(shinglesFromWords(words, idCol, shingleSize),
+      idCol, numHashes)
+
+  /** One MinHash lane: the top 60 bits of md5(seed|shingle) as a LONG.
+    * Still a valid MinHash family (uniform, totally ordered, and for
+    * fixed-width hex the numeric order IS the lexicographic order), but
+    * min(LONG) has a fixed-width mutable buffer → the signature agg runs
+    * as HashAggregate (no per-partition sort), where min(STRING) would
+    * fall back to SortAggregate. 15 hex chars keep it inside a signed
+    * 64-bit so both engines agree (DuckDB: CAST('0x'||… AS BIGINT));
+    * the hex→long step is the native [[graft.expressions.HexPrefixToLong]]
+    * (conv() routes through generic radix conversion, measured 1.8×
+    * slower over a signature scan). */
+  private def h64(c: Column, seed: Int): Column =
+    graft.expressions.HexPrefixToLong.hex_prefix_to_long(
+      md5(concat_ws("|", lit(seed), c)), 15)
+
+  private def minhashFromShingles(sh: DataFrame, idCol: String,
+                                  numHashes: Int): DataFrame = {
     val aggs = (0 until numHashes).map(i =>
-      min(md5(concat_ws("|", lit(i), col("shingle")))).as(s"h$i"))
+      min(h64(col("shingle"), i)).as(s"h$i"))
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 

@@ -14,20 +14,22 @@ object TrainingData {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
-  /** Shared oracle CTE: 8-hash MinHash signature over 3-word shingles. */
-  private val sigCte =
-    """sh AS (
-      |  SELECT DISTINCT doc_id,
-      |    unnest(list_transform(range(1, greatest(len(words)-1, 1)),
-      |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
-      |sig AS (
-      |  SELECT doc_id,
-      |    min(md5(0 || '|' || shingle)) AS h0, min(md5(1 || '|' || shingle)) AS h1,
-      |    min(md5(2 || '|' || shingle)) AS h2, min(md5(3 || '|' || shingle)) AS h3,
-      |    min(md5(4 || '|' || shingle)) AS h4, min(md5(5 || '|' || shingle)) AS h5,
-      |    min(md5(6 || '|' || shingle)) AS h6, min(md5(7 || '|' || shingle)) AS h7
-      |  FROM sh GROUP BY doc_id)""".stripMargin
+  /** Shared oracle CTE: 8-hash MinHash signature over 3-word shingles.
+    * Each lane is the top 60 bits of md5(seed|shingle) as BIGINT —
+    * mirrors DedupOps.h64 (fixed-width hex ⇒ numeric min == lex min). */
+  private val sigCte = {
+    val lanes = (0 to 7).map(i =>
+      s"min(CAST(('0x' || substr(md5($i || '|' || shingle), 1, 15)) AS BIGINT)) AS h$i")
+      .mkString(", ")
+    s"""sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(list_transform(range(1, greatest(len(words)-1, 1)),
+       |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
+       |sig AS (
+       |  SELECT doc_id, $lanes
+       |  FROM sh GROUP BY doc_id)""".stripMargin
+  }
 
   private val bandsCte =
     """bands AS (
@@ -68,31 +70,32 @@ object TrainingData {
       DedupOps.lshCandidatePairs(sig, "doc_id")
         .orderBy(col("id_a"), col("id_b"))
     }),
-    // Exact token-set Jaccard verification of the LSH candidates.
-    // Deliberately NOT cached: the word-exploded frame is far larger than
-    // the columnar source, so re-scanning `documents` per subtree is
-    // cheaper than a block-manager materialization barrier (measured:
-    // the round-2 persist regressed this 6×). At 100 TB the right
-    // sharing mechanism is a materialized token table in the lake, not
-    // executor cache.
+    // Exact token-set Jaccard verification of the LSH candidates. The
+    // signature subtree shuffles nothing but partial mins (native
+    // Shingles expression); the token subtree re-scans the columnar
+    // source, which is cheaper than any block-manager sharing of the
+    // exploded frame (measured: a round-2 persist regressed this 6×).
+    // At 100 TB the right sharing mechanism is a materialized token
+    // table in the lake, not executor cache.
     "q53_jaccard_verify" -> ((s, dir) => {
-      val words = DedupOps.explodedWords(t(s, dir, "documents"), "doc_id", "text")
-      val sig = DedupOps.minhashFromWords(words, "doc_id")
+      val docs = t(s, dir, "documents")
+      val sig = DedupOps.minhashSignature(docs, "doc_id", "text")
       val pairs = DedupOps.lshCandidatePairs(sig, "doc_id")
-      val tokens = words.select(col("doc_id"), col("__w").as("token")).distinct()
+      val tokens = DedupOps.explodedWords(docs, "doc_id", "text")
+        .select(col("doc_id"), col("__w").as("token")).distinct()
       DedupOps.jaccardForPairs(pairs, tokens, "doc_id")
         .orderBy(col("id_a"), col("id_b"))
     }),
     // Full near-dup dedup: LSH candidates → Jaccard verify → drop the
     // greater id of every pair over threshold (min-id survivor policy).
-    // Uncached two-scan form (see q53 note); the final anti-join scan is
-    // column-pruned to (doc_id, n_chars).
+    // Scan-local shingles + uncached token subtree (see q53 note); the
+    // final anti-join scan is column-pruned to (doc_id, n_chars).
     "q59_neardup_dedup" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val words = DedupOps.explodedWords(docs, "doc_id", "text")
-      val sig = DedupOps.minhashFromWords(words, "doc_id")
+      val sig = DedupOps.minhashSignature(docs, "doc_id", "text")
       val pairs = DedupOps.lshCandidatePairs(sig, "doc_id")
-      val tokens = words.select(col("doc_id"), col("__w").as("token")).distinct()
+      val tokens = DedupOps.explodedWords(docs, "doc_id", "text")
+        .select(col("doc_id"), col("__w").as("token")).distinct()
       val verified = DedupOps.jaccardForPairs(pairs, tokens, "doc_id")
       DedupOps.dropNearDuplicates(docs, "doc_id", verified, 0.8)
         .select(col("doc_id"), col("n_chars"))

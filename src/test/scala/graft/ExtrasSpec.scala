@@ -211,6 +211,26 @@ class ExtrasSpec extends SparkSpec {
       .count() === 2)
   }
 
+  test("hex_prefix_to_long matches DuckDB CAST('0x'||substr(md5,1,15)) (codegen + interp)") {
+    import graft.expressions.HexPrefixToLong.hex_prefix_to_long
+    // DuckDB ground truth: CAST('0x'||substr(md5('abc'),1,15) AS BIGINT)
+    val expect = 648541476951500027L
+    val viaCodegen = spark.range(1)
+      .select(hex_prefix_to_long(md5(lit("abc").cast("binary")), 15).as("v"))
+      .head().getLong(0)
+    assert(viaCodegen === expect)
+    // interpreted path agrees with generated code
+    assert(graft.expressions.HexPrefixToLong.parse(
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest("abc".getBytes).map("%02x".format(_)).mkString), 15) === expect)
+    // and with Spark's own conv()
+    val viaConv = spark.range(1)
+      .select(conv(substring(md5(lit("abc").cast("binary")), 1, 15), 16, 10)
+        .cast("long").as("v")).head().getLong(0)
+    assert(viaConv === expect)
+  }
+
   test("optimizer rule collapses nested unaccent (§4 custom rule)") {
     val s2 = spark.newSession()
     graft.expressions.GraftExtensions.install(s2)

@@ -36,6 +36,33 @@ class PropertiesSpec extends SparkSpec {
     })
   }
 
+  test("prop: native Shingles expression == window-lead shingle encoding") {
+    import graft.functions.DedupOps
+    // texts over a tiny alphabet with repeated words, empty words
+    // (consecutive spaces) and sub-shingle lengths
+    val word = Gen.oneOf("a", "bb", "ccc", "a", "")
+    val text = Gen.choose(0, 9).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    // each sample runs two Spark jobs — 15 diverse corpora is plenty
+    val r = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(15),
+      Prop.forAll(Gen.listOfN(20, text)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val native = DedupOps.explodedShingles(df, "doc_id", "text", 3)
+        .groupBy($"doc_id", $"shingle").count()
+      val windowed = DedupOps.shinglesFromWords(
+          DedupOps.explodedWords(df, "doc_id", "text"), "doc_id", 3)
+        .groupBy($"doc_id", $"shingle").count()
+      // same multiset of (doc, shingle) occurrences, not just same set
+      native.unionByName(windowed).groupBy($"doc_id", $"shingle")
+        .agg(countDistinct($"count").as("variants"), count(lit(1)).as("sides"))
+        .filter($"variants" =!= 1 || $"sides" =!= 2)
+        .isEmpty
+    })
+    assert(r.passed, r.status.toString)
+  }
+
   test("prop: keepFirstOrdered emits exactly the per-key ordering minimum") {
     val rows = Gen.listOfN(120,
       Gen.zip(Gen.choose(0, 9), Gen.choose(0, 1000), Gen.alphaStr.map(_.take(4))))
