@@ -163,6 +163,44 @@ object DedupOps {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Distributed connected components over an undirected pair list:
+    * (node, component = min node id reachable). Min-label propagation
+    * with POINTER JUMPING each round (comp := comp's comp), so chains
+    * collapse in O(log n) rounds rather than graph-diameter rounds; each
+    * round is two shuffles on bounded frames and `localCheckpoint`
+    * truncates the iterative lineage (no exponential plan growth).
+    * Converges when no label moves — checked with a cheap limit-1 probe.
+    * This is the transitive closure q59's min-id survivor policy skips:
+    * use it when near-dup CLUSTERS (not just survivors) are the output. */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+                          idB: String = "id_b", maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("dst"), col("comp").as("dcomp")), "dst")
+        .groupBy(col("src").as("node")).agg(min(col("dcomp")).as("ncomp"))
+      val propagated = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+      val jumped = propagated
+        .join(propagated.select(col("node").as("comp"), col("comp").as("cc")),
+          Seq("comp"), "left")
+        .select(col("node"), coalesce(col("cc"), col("comp")).as("comp"))
+        .localCheckpoint()
+      converged = jumped.join(labels.withColumnRenamed("comp", "old"), "node")
+        .filter(col("comp") =!= col("old")).limit(1).isEmpty
+      labels = jumped
+      i += 1
+    }
+    labels
+  }
+
   /** 16-bit SimHash over unigram tokens: per hex digit of md5(token), the
     * high bit votes +1/−1; fingerprint bit j is the sign of the vote sum.
     * Portable across engines (pure string/integer ops). */

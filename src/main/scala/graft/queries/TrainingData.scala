@@ -101,6 +101,25 @@ object TrainingData {
         .select(col("doc_id"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),
+    // Transitive near-dup CLUSTERS: the connected components of the
+    // verified pair graph (what q59's min-id survivor policy skips).
+    // Every document gets a cluster id = min doc id reachable through
+    // jaccard≥0.8 pairs; singletons are their own cluster.
+    "q69_dedup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sig = DedupOps.minhashSignature(docs, "doc_id", "text")
+      val pairs = DedupOps.lshCandidatePairs(sig, "doc_id")
+      val tokens = DedupOps.explodedWords(docs, "doc_id", "text")
+        .select(col("doc_id"), col("__w").as("token")).distinct()
+      val verified = DedupOps.jaccardForPairs(pairs, tokens, "doc_id")
+        .filter(col("jaccard") >= 0.8)
+      val comps = DedupOps.connectedComponents(verified)
+        .withColumnRenamed("node", "doc_id")
+      docs.select(col("doc_id")).join(comps, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+        .orderBy(col("doc_id"))
+    }),
     // Language-ID heuristic (integer-ratio stopword votes).
     "q54_langid" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -267,6 +286,38 @@ object TrainingData {
          |SELECT doc_id, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT id_b FROM jac WHERE jaccard >= 0.8)
          |ORDER BY doc_id""".stripMargin,
+    "q69_dedup_clusters" ->
+      s"""WITH RECURSIVE $sigCte,
+         |$bandsCte,
+         |tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+         |  FROM documents),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+         |inter AS (
+         |  SELECT p.id_a, p.id_b, COUNT(*) AS n_inter
+         |  FROM pairs p
+         |  JOIN tok ta ON ta.doc_id = p.id_a
+         |  JOIN tok tb ON tb.doc_id = p.id_b AND tb.token = ta.token
+         |  GROUP BY p.id_a, p.id_b),
+         |jac AS (
+         |  SELECT p.id_a, p.id_b,
+         |    CAST(COALESCE(i.n_inter, 0) AS DOUBLE) /
+         |      (sa.sz + sb.sz - COALESCE(i.n_inter, 0)) AS jaccard
+         |  FROM pairs p
+         |  LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+         |  JOIN sizes sa ON sa.doc_id = p.id_a
+         |  JOIN sizes sb ON sb.doc_id = p.id_b),
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM jac WHERE jaccard >= 0.8
+         |  UNION SELECT id_b, id_a FROM jac WHERE jaccard >= 0.8),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |comp AS (
+         |  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster FROM reach GROUP BY a)
+         |SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster_id
+         |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "q54_langid" ->
       s"""SELECT doc_id,
          |  CASE WHEN ${occ("the")} * 20 > len(string_split(text, ' ')) THEN 'en'

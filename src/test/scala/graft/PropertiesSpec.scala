@@ -36,6 +36,27 @@ class PropertiesSpec extends SparkSpec {
     })
   }
 
+  test("connected components: chains, triangles and isolated nodes (dedup clusters)") {
+    import graft.functions.DedupOps
+    // component A: chain 1-2-3-4 (diameter 3, exercises pointer jumping)
+    // component B: triangle 10-11-12 plus pendant 13
+    // component C: single edge 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (12L, 13L), (20L, 21L)).toDF("id_a", "id_b")
+    val comps = DedupOps.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(comps(_) == 1L))
+    assert(Seq(10L, 11L, 12L, 13L).forall(comps(_) == 10L))
+    assert(Seq(20L, 21L).forall(comps(_) == 20L))
+    assert(comps.size === 10) // only nodes that appear in pairs
+
+    // a long chain converges too (50 nodes, diameter 49 ≫ log rounds)
+    val chain = (0L until 49L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val chainComps = DedupOps.connectedComponents(chain)
+      .as[(Long, Long)].collect()
+    assert(chainComps.length === 50 && chainComps.forall(_._2 == 0L))
+  }
+
   test("prop: native Shingles expression == window-lead shingle encoding") {
     import graft.functions.DedupOps
     // texts over a tiny alphabet with repeated words, empty words
