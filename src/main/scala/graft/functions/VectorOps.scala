@@ -75,9 +75,36 @@ object VectorOps {
   }
 
   /** IVF coarse quantizer build: per-partition (label) centroid, one row
-    * per (partition, dimension). posexplode keeps it fully distributed. */
+    * per (partition, dimension). posexplode keeps it fully distributed.
+    * Centroids are rounded to 4 dp so downstream distances are computed
+    * from cross-engine-identical inputs. */
   def centroids(corpus: DataFrame, partCol: String, vecCol: String): DataFrame =
     corpus.select(col(partCol), posexplode(col(vecCol)).as(Seq("dim", "x")))
       .groupBy(col(partCol), col("dim"))
       .agg(round(avg(col("x").cast("double")), 4).as("centroid"))
+
+  /** IVF search: rank inverted lists by query↔centroid cosine, probe only
+    * the top `nprobe`, exact-score inside them. At 100 TB the centroid
+    * table is tiny (nlists × dims) and both it and the probe set
+    * broadcast; the corpus join prunes the scan to nprobe/nlists of the
+    * data BEFORE any scoring — the recall/cost dial every IVF index
+    * exposes, with brute force as the nprobe = nlists limit. */
+  def ivfTopK(corpus: DataFrame, queryVec: DataFrame, idCol: String,
+              partCol: String, vecCol: String, k: Int,
+              nprobe: Int = 2): DataFrame = {
+    val cents = centroids(corpus, partCol, vecCol)
+    val q = queryVec.select(posexplode(col(vecCol)).as(Seq("dim", "qx")))
+      .select(col("dim"), col("qx").cast("double").as("qx"))
+    val listScores = cents.join(broadcast(q), Seq("dim"))
+      .groupBy(col(partCol))
+      .agg(sum(col("centroid") * col("qx")).as("cdot"),
+        sum(col("centroid") * col("centroid")).as("cn2"),
+        sum(col("qx") * col("qx")).as("qn2"))
+      .select(col(partCol),
+        round(col("cdot") / sqrt(col("cn2") * col("qn2")), 4).as("csim"))
+    val probes = listScores.orderBy(col("csim").desc, col(partCol))
+      .limit(nprobe).select(col(partCol))
+    bruteForceTopK(corpus.join(broadcast(probes), Seq(partCol)),
+      queryVec, idCol, vecCol, k)
+  }
 }

@@ -174,6 +174,12 @@ object TrainingData {
       VectorOps.centroids(t(s, dir, "embeddings"), "label", "embedding")
         .orderBy(col("label"), col("dim"))
     }),
+    // IVF search: probe the 2 nearest inverted lists, exact-score inside.
+    "q70_knn_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      VectorOps.ivfTopK(e, e.filter(col("vec_id") === 0), "vec_id",
+        "label", "embedding", 10, nprobe = 2)
+    }),
     // Embedding-cosine near-dup pairs within (label × sign-bucket)
     // buckets. The 4-bit sign bucket rides on the join key so a hot label
     // splits into ≤16 sub-buckets: pair cost is Σ bucket² over the finer
@@ -376,6 +382,26 @@ object TrainingData {
         |FROM (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
         |  unnest(embedding) AS x FROM embeddings)
         |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+    "q70_knn_ivf" ->
+      s"""WITH cents AS (
+         |  SELECT label, dim, round(avg(CAST(x AS DOUBLE)), 4) AS centroid
+         |  FROM (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+         |    unnest(embedding) AS x FROM embeddings)
+         |  GROUP BY label, dim),
+         |qv AS (
+         |  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+         |    CAST(unnest(embedding) AS DOUBLE) AS qx
+         |  FROM embeddings WHERE vec_id = 0),
+         |scores AS (
+         |  SELECT label, round(sum(centroid * qx) /
+         |    sqrt(sum(centroid * centroid) * sum(qx * qx)), 4) AS csim
+         |  FROM cents JOIN qv USING (dim) GROUP BY label),
+         |probes AS (SELECT label FROM scores ORDER BY csim DESC, label LIMIT 2)
+         |SELECT a.vec_id, ${duckCos("a", "q")} AS score
+         |FROM embeddings a
+         |JOIN probes USING (label),
+         |  (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+         |ORDER BY score DESC, a.vec_id LIMIT 10""".stripMargin,
     "q63_vector_neardup" -> {
       def bucket(t: String): String = (1 to 4).map(i =>
         s"CASE WHEN $t.embedding[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
