@@ -13,7 +13,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction(GraftExtensions.unaccentDescriptor)
+    GraftExtensions.descriptors.foreach(e.injectFunction)
     e.injectOptimizerRule(_ => CollapseUnaccent)
   }
 }
@@ -33,18 +33,48 @@ object CollapseUnaccent
 
 object GraftExtensions {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
-  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-  private[expressions] val unaccentDescriptor
-      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("unaccent"),
-    new ExpressionInfo(classOf[Unaccent].getName, "unaccent"),
-    (children: Seq[Expression]) => Unaccent(children.head))
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
+
+  /** Every native expression of the engine, SQL-addressable. Aggregates
+    * (hll_sketch / hll_merge) register the raw AggregateFunction — the
+    * analyzer wraps it, same as the built-in sum/min builders. */
+  private[expressions] val descriptors
+      : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("unaccent"),
+      new ExpressionInfo(classOf[Unaccent].getName, "unaccent"),
+      (cs: Seq[Expression]) => Unaccent(cs.head)),
+    (FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (cs: Seq[Expression]) => VecDot(cs(0), cs(1))),
+    (FunctionIdentifier("shingles"),
+      new ExpressionInfo(classOf[Shingles].getName, "shingles"),
+      (cs: Seq[Expression]) => Shingles(cs.head,
+        if (cs.size > 1) intArg(cs(1), "shingle size") else 3)),
+    (FunctionIdentifier("hex_prefix_to_long"),
+      new ExpressionInfo(classOf[HexPrefixToLong].getName, "hex_prefix_to_long"),
+      (cs: Seq[Expression]) => HexPrefixToLong(cs.head,
+        if (cs.size > 1) intArg(cs(1), "prefix length") else 15)),
+    (FunctionIdentifier("hll_sketch"),
+      new ExpressionInfo(classOf[HllSketchAgg].getName, "hll_sketch"),
+      (cs: Seq[Expression]) => HllSketchAgg(cs.head,
+        if (cs.size > 1) intArg(cs(1), "precision") else Hll.DefaultP)),
+    (FunctionIdentifier("hll_merge"),
+      new ExpressionInfo(classOf[HllMergeAgg].getName, "hll_merge"),
+      (cs: Seq[Expression]) => HllMergeAgg(cs.head)),
+    (FunctionIdentifier("hll_estimate"),
+      new ExpressionInfo(classOf[HllEstimate].getName, "hll_estimate"),
+      (cs: Seq[Expression]) => HllEstimate(cs.head)))
 
   /** Register on an already-built session (tests, driver-owned builders). */
-  def install(spark: SparkSession): Unit = {
-    val (_, info, builder) = unaccentDescriptor
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "unaccent", builder, "scala_udf")
-  }
+  def install(spark: SparkSession): Unit =
+    descriptors.foreach { case (id, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        id.funcName, builder, "scala_udf")
+    }
 }

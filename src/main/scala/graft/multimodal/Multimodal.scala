@@ -70,6 +70,33 @@ object Multimodal {
     }(enc)
   }
 
+  /** U7: batched model inference — the mapInPandas shape in Scala
+    * (reference: MLflow pyfunc batch predict, utils/predict_flow/
+    * tasks.py:39-48, and the flooding-detection vision calls). Rows are
+    * sliced into `batchSize` groups inside each partition; `model` is
+    * invoked once per BATCH over the whole feature matrix (the
+    * amortization a model server/vectorized predictor needs), and any
+    * per-partition session/codec setup belongs where the iterator is
+    * opened. Output = input rows + `outCol` score, order preserved. */
+  def batchInfer(df: DataFrame, featuresCol: String, outCol: String,
+                 batchSize: Int,
+                 model: Seq[Seq[Double]] => Seq[Double]): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField(outCol, DoubleType))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      // init point: model session / codec opens ONCE per partition here
+      rows.grouped(batchSize).flatMap { batch =>
+        val feats = batch.map(_.getAs[scala.collection.Seq[Double]](featuresCol).toSeq)
+        val scores = model(feats)
+        require(scores.length == batch.length,
+          s"model returned ${scores.length} scores for ${batch.length} rows")
+        batch.lazyZip(scores).map((r, s) => Row.fromSeq(r.toSeq :+ s))
+      }
+    }(enc)
+  }
+
   /** Frame-sampling plumbing (video shape): emit every `stride`-th chunk
     * of `chunkBytes` as a frame row — the real version would seek to
     * keyframes; the partition/batch mechanics are identical. */

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import graft.connectors.{Files, Http, Jdbc}
 import graft.functions.GeoOps
 import graft.multimodal.Multimodal
@@ -144,6 +146,18 @@ class ConnectorsSpec extends SparkSpec {
     val frames = Multimodal.frameSample(media, chunkBytes = 64, stride = 2)
     assert(frames.count() > 0)
     assert(frames.select(max($"frame_idx")).head().getLong(0) % 2 === 0)
+
+    // U7 batched inference: one model call per batch, order preserved
+    val batchSizes = spark.sparkContext.collectionAccumulator[Int]("batches")
+    val scored = Multimodal.batchInfer(
+      decoded.repartition(2), "features", "score", batchSize = 3,
+      model = { feats => batchSizes.add(feats.length); feats.map(_.sum) })
+    val rows = scored.select($"media_id", $"features", $"score")
+      .as[(Long, Seq[Double], Double)].collect()
+    assert(rows.length === 10)
+    rows.foreach { case (_, f, s) => assert(math.abs(s - f.sum) < 1e-12) }
+    val sizes = batchSizes.value
+    assert(sizes.asScala.forall(_ <= 3) && sizes.asScala.sum === 10)
   }
 
   test("export cost gate refuses oversized scans (K8)") {
@@ -271,6 +285,43 @@ class ConnectorsSpec extends SparkSpec {
     assert(calls.reverse.map(_._1) === List(0L, 4096L, 8192L))
     assert(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(dest)).toSeq === payload.toSeq)
+  }
+
+  test("twitter capture: since-id pages, json_normalize flatten, last-id (S20)") {
+    import graft.connectors.{Twitter, TwitterQuery}
+    val page1 =
+      """{"statuses":[
+        |  {"id":103,"text":"t3","user":{"id":7,"screen_name":"ana","entities":{"url":{"urls":["u"]}}},
+        |   "entities":{"hashtags":["crf"],"user_mentions":[]},"retweet_count":2},
+        |  {"id":102,"text":"t2","user":{"id":8,"screen_name":"bob","entities":{"url":{"urls":[]}}},
+        |   "entities":{"hashtags":[],"user_mentions":["x"]},"retweet_count":0}],
+        | "search_metadata":{"next_results":"?max_id=101&q=flamengo&count=100"}}""".stripMargin
+    val page2 =
+      """{"statuses":[
+        |  {"id":101,"text":"t1","user":{"id":9,"screen_name":"cleo","entities":{"url":{"urls":[]}}},
+        |   "entities":{"hashtags":["crf"],"user_mentions":[]},"retweet_count":5}],
+        | "search_metadata":{"count":100}}""".stripMargin
+    var urls = List[String]()
+    val t: Http.Transport = { u =>
+      urls ::= u
+      if (u.contains("max_id=101")) page2 else page1
+    }
+    val df = Twitter.capture(spark, t, TwitterQuery("flamengo rj"), sinceId = 100L)
+    assert(urls.reverse.head.contains("q=flamengo+rj") &&
+      urls.reverse.head.contains("since_id=100")) // watermark in the request
+    assert(urls.size === 2)                       // cursor followed, then EOF
+    assert(df.count() === 3)
+    // json_normalize flatten: nested names concatenated, no separator
+    val cols = df.columns.toSet
+    assert(Set("id", "text", "userid", "userscreen_name",
+      "userentitiesurlurls", "entitieshashtags", "retweet_count")
+      .subsetOf(cols), cols.toSeq.sorted.mkString(","))
+    // arrays survive as arrays
+    assert(df.filter($"id" === 103).select(size($"entitieshashtags"))
+      .head().getInt(0) === 1)
+    // next run's watermark = max captured id
+    assert(Twitter.newLastId(df) === Some(103L))
+    assert(Twitter.stateKey("flamengo rj") === "twitter/flamengo_rj")
   }
 
   test("stage metrics listener captures query stages (K13)") {

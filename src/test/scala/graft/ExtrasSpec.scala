@@ -41,6 +41,18 @@ class ExtrasSpec extends SparkSpec {
     val out = spark.sql("SELECT unaccent('Cüstómér ação') AS s")
       .as[String].head()
     assert(out === "Customer acao")
+    // the whole native surface is SQL-addressable
+    assert(spark.sql("SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))")
+      .head().getDouble(0) === 11.0)
+    assert(spark.sql("SELECT shingles('a b c d', 3)")
+      .head().getSeq[String](0) === Seq("a b c", "b c d"))
+    assert(spark.sql("SELECT hex_prefix_to_long('09f0ffffffffffff', 4)")
+      .head().getLong(0) === 0x09f0L)
+    val hll = spark.sql(
+      """SELECT hll_estimate(hll_merge(sk)) FROM
+        |  (SELECT hll_sketch(id) AS sk FROM range(5000) GROUP BY id % 4)
+        |""".stripMargin).head().getLong(0)
+    assert(math.abs(hll - 5000) < 250)
   }
 
   test("raster grid flatten: one file → rows×cols cells (S18/S19/U6)") {
