@@ -26,11 +26,15 @@ object GSuite {
   val SheetsUrlPrefix = "https://docs.google.com/spreadsheets/d/"
   val DriveUrlPrefix = "https://drive.google.com/file/d/"
 
-  /** Worksheet addressing — by name, or by zero-based order like the
-    * reference's `gsheets_sheet_order` (tasks.py:85-89). */
+  /** Worksheet addressing — by name, or by gid. The reference also
+    * selects by zero-based order (`gsheets_sheet_order`, tasks.py:85-89);
+    * gid is NOT positional (added/reordered sheets get arbitrary gids),
+    * so order-based selection needs the sheet-metadata call an
+    * authenticated client would make — only gid 0 reliably means "first
+    * worksheet of an untouched spreadsheet". */
   sealed trait Worksheet
   final case class ByName(name: String) extends Worksheet
-  final case class ByIndex(index: Int) extends Worksheet
+  final case class ByGid(gid: Long) extends Worksheet
 
   /** Spreadsheet id from a canonical Sheets URL; same prefix validation
     * as the reference (tasks.py:68-75). */
@@ -48,15 +52,13 @@ object GSuite {
   }
 
   /** CSV-export URL for one worksheet: the gviz endpoint serves a
-    * worksheet as CSV without an API client — by `sheet=` name or (for
-    * index addressing) `gid=`; `range=` narrows to A1 notation. Index→gid
-    * resolution needs sheet metadata, so ByIndex takes the gid the
-    * caller resolved (gid 0 = first worksheet on default-layout sheets). */
+    * worksheet as CSV without an API client — by `sheet=` name or
+    * `gid=`; `range=` narrows to A1 notation. */
   def exportCsvUrl(spreadsheetId: String, ws: Worksheet,
                    range: Option[String] = None): String = {
     val sel = ws match {
       case ByName(n) => s"sheet=${java.net.URLEncoder.encode(n, "UTF-8")}"
-      case ByIndex(i) => s"gid=$i"
+      case ByGid(g) => s"gid=$g"
     }
     val r = range.map(a1 => s"&range=$a1").getOrElse("")
     s"$SheetsUrlPrefix$spreadsheetId/gviz/tq?tqx=out:csv&$sel$r"
@@ -69,24 +71,24 @@ object GSuite {
     * reference dumps to CSV untyped; typing is the staging layer's job
     * ([[graft.core.SchemaNormalizer.conform]]). */
   def readSheet(spark: SparkSession, t: Http.Transport, url: String,
-                ws: Worksheet = ByIndex(0),
+                ws: Worksheet = ByGid(0),
                 range: Option[String] = None): DataFrame = {
     val body = t(exportCsvUrl(spreadsheetId(url), ws, range))
     csvWithPromotedHeader(spark, body)
   }
 
-  /** Header promotion + name normalization over a raw CSV payload;
-    * parsing is distributed (spark.read.csv over a Dataset[String]). */
+  /** Header promotion + name normalization over a raw CSV payload. The
+    * body lands in a temp file and goes through spark.read with
+    * `multiLine` — a quoted cell may contain literal newlines, which a
+    * line-split would shear into malformed rows. */
   def csvWithPromotedHeader(spark: SparkSession, csvBody: String): DataFrame = {
-    import spark.implicits._
-    // one Dataset element per line — spark.read.csv(ds) parses each
-    // element as one record (quoted embedded newlines excepted: the gviz
-    // export escapes them, so a physical line is a record here)
-    val lines = csvBody.split("\r?\n").toIndexedSeq.filter(_.nonEmpty)
+    val tmp = java.nio.file.Files.createTempFile("gsheet", ".csv")
+    java.nio.file.Files.writeString(tmp, csvBody)
     val df = spark.read
       .option("header", "true")
+      .option("multiLine", "true")
       .option("quote", "\"").option("escape", "\"")
-      .csv(lines.toDS())
+      .csv(tmp.toString)
     SchemaNormalizer.normalizeSchema(df)
   }
 
@@ -94,19 +96,27 @@ object GSuite {
     * = EOF), mirroring MediaIoBaseDownload's next_chunk loop. */
   type RangeTransport = (String, Long, Int) => Array[Byte]
 
-  /** Production ranged transport: HTTP Range requests. */
+  /** Production ranged transport: HTTP Range requests. One client (and
+    * connection pool) serves every chunk of the download; non-2xx
+    * responses throw rather than letting an error payload masquerade as
+    * file bytes (416 past-EOF is the loop's normal termination). */
   def javaRangeTransport(timeoutSeconds: Int = 60,
                          headers: Map[String, String] = Map.empty): RangeTransport = {
+    val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(timeoutSeconds)).build()
     (url, start, maxBytes) =>
-      val client = java.net.http.HttpClient.newBuilder()
-        .connectTimeout(java.time.Duration.ofSeconds(timeoutSeconds)).build()
       val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
         .timeout(java.time.Duration.ofSeconds(timeoutSeconds))
         .header("Range", s"bytes=$start-${start + maxBytes - 1}")
       headers.foreach { case (k, v) => b.header(k, v) }
       val resp = client.send(b.build(),
         java.net.http.HttpResponse.BodyHandlers.ofByteArray())
-      if (resp.statusCode() == 416) Array.emptyByteArray else resp.body()
+      resp.statusCode() match {
+        case 416 => Array.emptyByteArray
+        case ok if ok >= 200 && ok < 300 => resp.body()
+        case bad => throw new java.io.IOException(
+          s"ranged GET $url [$start, +$maxBytes) returned HTTP $bad")
+      }
   }
 
   /** S13: chunked Drive media download to a landing file (the

@@ -19,12 +19,14 @@ object Http {
 
   type Transport = String => String
 
-  /** Production transport: plain blocking GET with timeout. */
+  /** Production transport: plain blocking GET with timeout. One client
+    * (and connection pool) serves every call of the returned transport —
+    * paged captures reuse connections instead of re-handshaking. */
   def javaTransport(timeoutSeconds: Int = 60,
                     headers: Map[String, String] = Map.empty): Transport = {
+    val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(timeoutSeconds)).build()
     url =>
-      val client = java.net.http.HttpClient.newBuilder()
-        .connectTimeout(java.time.Duration.ofSeconds(timeoutSeconds)).build()
       val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
         .timeout(java.time.Duration.ofSeconds(timeoutSeconds))
       headers.foreach { case (k, v) => b.header(k, v) }

@@ -56,8 +56,7 @@ object IncrementalPlanner {
               dateFormat: String = "%Y-%m-%d"): String = {
     val bound = dialect match {
       case "oracle" =>
-        val fmt = if (dateFormat == "%Y-%m-%d") "YYYY-MM-DD" else dateFormat
-        s"TO_DATE('$lastDate', '$fmt')"
+        s"TO_DATE('$lastDate', '${oracleFormat(dateFormat)}')"
       case _ => s"'$lastDate'"
     }
     s"WITH q AS ($query) SELECT * FROM q WHERE $partitionColumn >= $bound"
@@ -77,6 +76,18 @@ object IncrementalPlanner {
         Plan(rewrite(query, pc, d, dialect, dateFormat), Some(d))
       case _ => Plan(query, None)
     }
+
+  /** %-style → Oracle TO_DATE pattern. Every %-token must translate —
+    * passing an untranslated %-format to the DBMS is a deferred
+    * ORA-01821 at query time, so unknown tokens fail here instead. */
+  def oracleFormat(dateFormat: String): String = {
+    val out = dateFormat
+      .replace("%Y", "YYYY").replace("%m", "MM").replace("%d", "DD")
+      .replace("%H", "HH24").replace("%M", "MI").replace("%S", "SS")
+    require(!out.contains('%'),
+      s"unsupported %-token in date format '$dateFormat' for the oracle dialect")
+    out
+  }
 
   /** %-style → java.time pattern for the supported reference formats. */
   private def javaPattern(dateFormat: String): String =

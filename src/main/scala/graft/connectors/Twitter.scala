@@ -67,16 +67,22 @@ object Twitter {
               sinceId: Long): DataFrame = {
     val pages = Http.readPagedCursor(spark, t, searchUrl(query, sinceId),
       nextFn = nextResults, maxPages = query.maxPages)
-    val statuses =
-      if (pages.columns.contains("statuses"))
-        pages.select(explode(col("statuses")).as("s")).select(col("s.*"))
-      else pages
-    flattenStructs(statuses)
+    // No-new-tweets runs return {"statuses":[],...}: the inferred element
+    // type is then not a struct and star-expansion would throw — the
+    // empty frame is the correct result (reference logs "No new tweets").
+    val statusesType = pages.schema.fields.find(_.name == "statuses").map(_.dataType)
+    statusesType match {
+      case Some(org.apache.spark.sql.types.ArrayType(_: StructType, _)) =>
+        flattenStructs(
+          pages.select(explode(col("statuses")).as("s")).select(col("s.*")))
+      case _ => spark.emptyDataFrame
+    }
   }
 
   /** The watermark to store for the next run: max captured id (the
     * reference takes the first row of the newest-first page). */
   def newLastId(captured: DataFrame, idCol: String = "id"): Option[Long] =
-    captured.agg(max(col(idCol))).collect().headOption
+    if (!captured.columns.contains(idCol)) None // empty no-new-tweets frame
+    else captured.agg(max(col(idCol))).collect().headOption
       .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
 }

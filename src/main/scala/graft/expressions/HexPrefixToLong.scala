@@ -14,8 +14,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * radix conversion (string → byte array → string → cast), measured
   * ~1.8× slower across a MinHash signature scan. This is a 15-iteration
   * shift-or loop over the UTF8String bytes, inlined into whole-stage
-  * codegen. Input must be lowercase hex (md5's output); no validation on
-  * the hot path. */
+  * codegen. Input must be lowercase hex (md5's output); digit validity is
+  * not checked on the hot path, but length IS bounded by the actual
+  * string (shorter inputs parse what is there). */
 case class HexPrefixToLong(child: Expression, len: Int) extends UnaryExpression {
   require(len >= 1 && len <= 15, s"len $len out of [1,15]")
 
@@ -30,9 +31,14 @@ case class HexPrefixToLong(child: Expression, len: Int) extends UnaryExpression 
       val i = ctx.freshName("i")
       val v = ctx.freshName("v")
       val b = ctx.freshName("b")
+      val n = ctx.freshName("n")
+      // bound by numBytes: UTF8String.getByte has no range check, and the
+      // function is SQL-registered — a short input must not read adjacent
+      // off-heap memory
       s"""
          |long $v = 0L;
-         |for (int $i = 0; $i < $len; $i++) {
+         |int $n = java.lang.Math.min($len, $c.numBytes());
+         |for (int $i = 0; $i < $n; $i++) {
          |  int $b = $c.getByte($i);
          |  $v = ($v << 4) | ($b <= '9' ? $b - '0' : $b - 'a' + 10);
          |}
@@ -48,7 +54,8 @@ object HexPrefixToLong {
   def parse(s: UTF8String, len: Int): Long = {
     var v = 0L
     var i = 0
-    while (i < len) {
+    val n = math.min(len, s.numBytes())
+    while (i < n) {
       val b = s.getByte(i)
       v = (v << 4) | (if (b <= '9') b - '0' else b - 'a' + 10)
       i += 1

@@ -91,8 +91,17 @@ object VectorOps {
     * exposes, with brute force as the nprobe = nlists limit. */
   def ivfTopK(corpus: DataFrame, queryVec: DataFrame, idCol: String,
               partCol: String, vecCol: String, k: Int,
-              nprobe: Int = 2): DataFrame = {
-    val cents = centroids(corpus, partCol, vecCol)
+              nprobe: Int = 2): DataFrame =
+    ivfTopKPrebuilt(corpus, centroids(corpus, partCol, vecCol), queryVec,
+      idCol, partCol, vecCol, k, nprobe)
+
+  /** Search against a PREBUILT centroid table — how a real IVF index
+    * separates build from search: the quantizer is built (and persisted)
+    * once, each query pays only list scoring + the pruned scan, never a
+    * per-query full-corpus centroid rebuild. */
+  def ivfTopKPrebuilt(corpus: DataFrame, cents: DataFrame, queryVec: DataFrame,
+                      idCol: String, partCol: String, vecCol: String, k: Int,
+                      nprobe: Int = 2): DataFrame = {
     val q = queryVec.select(posexplode(col(vecCol)).as(Seq("dim", "qx")))
       .select(col("dim"), col("qx").cast("double").as("qx"))
     val listScores = cents.join(broadcast(q), Seq("dim"))

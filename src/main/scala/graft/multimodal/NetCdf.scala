@@ -146,6 +146,9 @@ object NetCdf {
       b.position(v.begin.toInt)
       Array.tabulate(n)(_ => unpack(readScalar(b, v.ncType)))
     } else {
+      require(nc.numRecs >= 0, // 0xFFFFFFFF = STREAMING sentinel
+        s"'$varName' is a record variable but numrecs is the STREAMING " +
+          "sentinel — record count unknown; streaming-mode files are unsupported")
       val recVars = nc.vars.filter(nc.isRecordVar)
       // single record variable: data is NOT padded per spec; stride is
       // the exact record byte count, not the padded vsize
@@ -153,7 +156,7 @@ object NetCdf {
       val stride =
         if (recVars.size == 1) perRec.toLong * elemSize(v.ncType)
         else recVars.map(_.vsize).sum
-      val out = new Array[Double](math.max(nc.numRecs, 0) * perRec)
+      val out = new Array[Double](nc.numRecs * perRec)
       var r = 0
       while (r < nc.numRecs) {
         b.position((v.begin + r * stride).toInt)

@@ -39,20 +39,36 @@ class StateStore(spark: SparkSession, root: String) {
     * job is still reading it. Safe under the single-writer-per-pipeline
     * discipline (the reference's skip_if_running guard,
     * utils/utils.py:197-231); a reader racing the two renames is a
-    * first-run-style miss, not corruption. */
+    * first-run-style miss, not corruption, and a writer that crashes
+    * between them is healed on the next call — the intact `.old` copy is
+    * restored before the merge plans its read. */
   private def writeAtomic(df: DataFrame, path: String): Unit = {
     import org.apache.hadoop.fs.Path
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(path + ".tmp")
     val old = new Path(path + ".old")
+    // Crash recovery BEFORE the lazy merge executes: a previous writer
+    // that died between the two renames leaves no `path` but a complete
+    // `.old` — restore it so this call's read-merge sees the prior state
+    // instead of silently treating it as a first run.
+    if (!fs.exists(p) && fs.exists(old)) {
+      if (!fs.rename(old, p))
+        throw new java.io.IOException(s"state recovery rename $old -> $p failed")
+    }
     if (fs.exists(tmp)) fs.delete(tmp, true)
     // State rows are tiny (entity + timestamp); 4 output files keeps the
     // table compact up to ~10^8 entities without a count-then-choose pass.
     df.coalesce(4).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(p)) fs.rename(p, old)
-    fs.rename(tmp, p)
+    // HDFS-style rename returns false instead of throwing — a false here
+    // must never be followed by deleting the surviving copy.
+    if (fs.exists(p) && !fs.rename(p, old))
+      throw new java.io.IOException(s"state swap rename $p -> $old failed")
+    if (!fs.rename(tmp, p)) {
+      if (fs.exists(old)) fs.rename(old, p) // best-effort restore
+      throw new java.io.IOException(s"state swap rename $tmp -> $p failed")
+    }
     fs.delete(old, true)
   }
 

@@ -213,6 +213,9 @@ class ConnectorsSpec extends SparkSpec {
     assert(IncrementalPlanner.rewrite("SELECT * FROM t", "d", "2024-02-01",
       dialect = "oracle") ===
       "WITH q AS (SELECT * FROM t) SELECT * FROM q WHERE d >= TO_DATE('2024-02-01', 'YYYY-MM-DD')")
+    // every %-token translates; unknown ones fail at plan time, not ORA-01821
+    assert(IncrementalPlanner.oracleFormat("%Y%m%d %H:%M:%S") === "YYYYMMDD HH24:MI:SS")
+    intercept[IllegalArgumentException](IncrementalPlanner.oracleFormat("%q"))
 
     // symbolic lower bounds resolve against the injected today, and the
     // effective bound is min(lower, last_partition)
@@ -260,9 +263,15 @@ class ConnectorsSpec extends SparkSpec {
     assert(df.columns.toSeq === Seq("data_medicao", "preco_unidade", "_3a_coluna"))
     assert(df.count() === 2)
 
-    // index addressing goes through gid
-    GSuite.readSheet(spark, t, url, GSuite.ByIndex(0))
+    // gid addressing
+    GSuite.readSheet(spark, t, url, GSuite.ByGid(0))
     assert(requested.contains("gid=0") && !requested.contains("range="))
+
+    // quoted multi-line cells survive (gviz CSV keeps literal newlines)
+    val tml: Http.Transport = _ => "id,note\n1,\"line1\nline2\"\n2,plain\n"
+    val mdf = GSuite.readSheet(spark, tml, url, GSuite.ByGid(0))
+    assert(mdf.count() === 2)
+    assert(mdf.filter($"id" === "1").head().getAs[String]("note") === "line1\nline2")
   }
 
   test("drive download: file-id extraction + chunked ranged fetch (S13)") {
@@ -322,6 +331,14 @@ class ConnectorsSpec extends SparkSpec {
     // next run's watermark = max captured id
     assert(Twitter.newLastId(df) === Some(103L))
     assert(Twitter.stateKey("flamengo rj") === "twitter/flamengo_rj")
+
+    // the routine no-new-tweets case: empty statuses array → empty frame,
+    // no watermark advance, no crash
+    val empty: Http.Transport =
+      _ => """{"statuses":[],"search_metadata":{"count":100}}"""
+    val edf = Twitter.capture(spark, empty, TwitterQuery("flamengo rj"), 103L)
+    assert(edf.isEmpty)
+    assert(Twitter.newLastId(edf) === None)
   }
 
   test("stage metrics listener captures query stages (K13)") {
