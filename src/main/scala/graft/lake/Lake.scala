@@ -81,6 +81,43 @@ class Lake(spark: SparkSession, root: String) {
   /** Schema-on-read scan of a lake table (partition discovery included). */
   def read(ref: TableRef): DataFrame = spark.read.parquet(path(ref))
 
+  /** Small-file compaction: rewrite the table into ~`targetFileBytes`
+    * files. Minute-cadence captures append one small file per tick per
+    * partition — a year of that is ~5×10⁵ files per table, and scan
+    * planning starts to cost more than scanning. File count is sized
+    * from the optimizer's own byte statistics (no extra pass over the
+    * data). A table cannot be overwritten from its own live scan, so the
+    * compacted copy lands in a sibling dir and is swapped in with two
+    * renames (the [[graft.state.StateStore]] discipline: rename results
+    * checked, never a window where both copies are gone). */
+  def compact(ref: TableRef, partitionBy: Seq[String] = Nil,
+              targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    val scan = read(ref)
+    val bytes = scan.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nFiles = (BigInt(1).max(
+      (bytes + targetFileBytes - 1) / targetFileBytes)).toInt
+    val compacted =
+      if (partitionBy.isEmpty) scan.coalesce(nFiles)
+      else aligned(scan, partitionBy) // one writer task (= file) per dir
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path(ref))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(path(ref) + ".compact")
+    val old = new Path(path(ref) + ".old")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    val w = compacted.write.format("parquet").mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .save(tmp.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (!fs.rename(p, old))
+      throw new java.io.IOException(s"compaction swap $p -> $old failed")
+    if (!fs.rename(tmp, p)) {
+      fs.rename(old, p) // best-effort restore
+      throw new java.io.IOException(s"compaction swap $tmp -> $p failed")
+    }
+    fs.delete(old, true)
+  }
+
   /** Bucketed catalog table write: rows are hash-clustered (and sorted)
     * by the join key at write time, so equi-joins and aggregations
     * between tables bucketed on the same key run WITHOUT a shuffle —

@@ -84,6 +84,38 @@ class LakeSpec extends SparkSpec {
     spark.sql("DROP TABLE staging_bkt.o")
   }
 
+  test("compaction collapses tiny capture files, data intact (small-files)") {
+    def parquetFiles(dir: String): Int = {
+      val d = new java.io.File(dir)
+      if (!d.exists) 0
+      else d.listFiles.map { f =>
+        if (f.isDirectory) parquetFiles(f.toString)
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      }.sum
+    }
+
+    // unpartitioned: 20 one-row appends → 20 files → 1 after compact
+    val lake = new Lake(spark, tmpDir("lake"))
+    val ref = TableRef("staging", "ds", "ticks")
+    (1 to 20).foreach(i => lake.append(Seq((i, s"v$i")).toDF("id", "v"), ref))
+    assert(parquetFiles(lake.path(ref)) === 20)
+    lake.compact(ref)
+    assert(parquetFiles(lake.path(ref)) === 1)
+    val back = lake.read(ref)
+    assert(back.count() === 20)
+    assert(back.agg(sum($"id")).head().getLong(0) === 210L)
+
+    // partitioned: 10 appends × 2 partitions → 1 file per partition dir
+    val pref = TableRef("staging", "ds", "pticks")
+    (1 to 10).foreach(i => lake.append(
+      Seq((i, "a"), (i, "b")).toDF("id", "part"), pref, partitionBy = Seq("part")))
+    assert(parquetFiles(lake.path(pref)) === 20)
+    lake.compact(pref, partitionBy = Seq("part"))
+    assert(parquetFiles(lake.path(pref)) === 2)
+    assert(lake.read(pref).count() === 20)
+    assert(lake.read(pref).select($"part").distinct().count() === 2)
+  }
+
   test("capture log append + read with [recapturado] marking (K10/T4)") {
     val lake = new Lake(spark, tmpDir("lake"))
     val log = new CaptureLog(spark, lake)
