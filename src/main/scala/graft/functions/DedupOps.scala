@@ -132,6 +132,24 @@ object DedupOps {
       .distinct()
   }
 
+  /** Candidate-pruned verify inputs: materialize the (small) pair frame
+    * once with localCheckpoint, then build the (id, token) frame ONLY for
+    * docs that appear in a pair. The corpus-wide token distinct is the
+    * biggest shuffle of the verify stage at 100 TB; pair members are a
+    * near-dup-density fraction of the corpus, and their id set broadcasts.
+    * Returns (pairs, tokens) with `pairs` safe to reuse without
+    * recomputing the signature subtree. */
+  def verifyInputs(docs: DataFrame, idCol: String, textCol: String,
+                   pairs: DataFrame): (DataFrame, DataFrame) = {
+    val p = pairs.localCheckpoint()
+    val ids = p.select(col("id_a").as(idCol))
+      .unionByName(p.select(col("id_b").as(idCol))).distinct()
+    val toks = explodedWords(docs, idCol, textCol)
+      .join(broadcast(ids), idCol)
+      .select(col(idCol), col("__w").as("token")).distinct()
+    (p, toks)
+  }
+
   /** Exact token-set Jaccard for a set of candidate pairs (the LSH verify
     * stage). `tokens` must be (id, token) distinct rows. */
   def jaccardForPairs(pairs: DataFrame, tokens: DataFrame, idCol: String): DataFrame = {

@@ -73,16 +73,16 @@ object TrainingData {
     // Exact token-set Jaccard verification of the LSH candidates. The
     // signature subtree shuffles nothing but partial mins (native
     // Shingles expression); the token subtree re-scans the columnar
-    // source, which is cheaper than any block-manager sharing of the
-    // exploded frame (measured: a round-2 persist regressed this 6×).
-    // At 100 TB the right sharing mechanism is a materialized token
-    // table in the lake, not executor cache.
+    // source pruned to PAIR MEMBERS (broadcast semi-join on the
+    // checkpointed pair frame), so the token distinct — the verify
+    // stage's biggest shuffle — is near-dup-density-sized, not
+    // corpus-sized. No block-manager caching anywhere (a round-2
+    // persist of the exploded frame measured a 6× regression).
     "q53_jaccard_verify" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val sig = DedupOps.minhashSignature(docs, "doc_id", "text")
-      val pairs = DedupOps.lshCandidatePairs(sig, "doc_id")
-      val tokens = DedupOps.explodedWords(docs, "doc_id", "text")
-        .select(col("doc_id"), col("__w").as("token")).distinct()
+      val (pairs, tokens) = DedupOps.verifyInputs(docs, "doc_id", "text",
+        DedupOps.lshCandidatePairs(sig, "doc_id"))
       DedupOps.jaccardForPairs(pairs, tokens, "doc_id")
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -93,9 +93,8 @@ object TrainingData {
     "q59_neardup_dedup" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val sig = DedupOps.minhashSignature(docs, "doc_id", "text")
-      val pairs = DedupOps.lshCandidatePairs(sig, "doc_id")
-      val tokens = DedupOps.explodedWords(docs, "doc_id", "text")
-        .select(col("doc_id"), col("__w").as("token")).distinct()
+      val (pairs, tokens) = DedupOps.verifyInputs(docs, "doc_id", "text",
+        DedupOps.lshCandidatePairs(sig, "doc_id"))
       val verified = DedupOps.jaccardForPairs(pairs, tokens, "doc_id")
       DedupOps.dropNearDuplicates(docs, "doc_id", verified, 0.8)
         .select(col("doc_id"), col("n_chars"))
@@ -108,9 +107,8 @@ object TrainingData {
     "q69_dedup_clusters" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val sig = DedupOps.minhashSignature(docs, "doc_id", "text")
-      val pairs = DedupOps.lshCandidatePairs(sig, "doc_id")
-      val tokens = DedupOps.explodedWords(docs, "doc_id", "text")
-        .select(col("doc_id"), col("__w").as("token")).distinct()
+      val (pairs, tokens) = DedupOps.verifyInputs(docs, "doc_id", "text",
+        DedupOps.lshCandidatePairs(sig, "doc_id"))
       val verified = DedupOps.jaccardForPairs(pairs, tokens, "doc_id")
         .filter(col("jaccard") >= 0.8)
       val comps = DedupOps.connectedComponents(verified)

@@ -44,6 +44,21 @@ object MicroBench {
         (0 until 8).map(i => min(hex_prefix_to_long(md5(concat_ws("|", lit(i), col("shingle"))), 15)).as(s"h$i")).head,
         (0 until 8).map(i => min(hex_prefix_to_long(md5(concat_ws("|", lit(i), col("shingle"))), 15)).as(s"h$i")).tail: _*))
     }
+
+    // q59 verify stage: corpus-wide token distinct vs candidate-pruned
+    def dedup(pruned: Boolean): org.apache.spark.sql.DataFrame = {
+      val sig = DedupOps.minhashSignature(docs, "doc_id", "text")
+      val rawPairs = DedupOps.lshCandidatePairs(sig, "doc_id")
+      val (pairs, tokens) =
+        if (pruned) DedupOps.verifyInputs(docs, "doc_id", "text", rawPairs)
+        else (rawPairs, DedupOps.explodedWords(docs, "doc_id", "text")
+          .select(col("doc_id"), col("__w").as("token")).distinct())
+      DedupOps.dropNearDuplicates(docs, "doc_id",
+          DedupOps.jaccardForPairs(pairs, tokens, "doc_id"), 0.8)
+        .select(col("doc_id"), col("n_chars"))
+    }
+    time("q59 corpus-tokens") { noop(dedup(pruned = false)) }
+    time("q59 pruned-tokens") { noop(dedup(pruned = true)) }
     spark.stop()
   }
 }
