@@ -18,11 +18,18 @@ class CaptureLog(spark: SparkSession, lake: Lake) {
   def ref(dataset: String, table: String): TableRef =
     TableRef("staging", dataset, s"${table}_logs")
 
-  /** One log row per capture tick. */
+  /** One log row per capture tick. A recaptured tick is marked
+    * `[recapturado]` in `erro` even on success — the reference stamps
+    * the marker unconditionally on backfilled rows so completeness
+    * audits can tell first-try from recovered minutes. */
   def append(dataset: String, table: String, capturedAt: Timestamp,
              success: Boolean, error: Option[String] = None,
              recaptured: Boolean = false): Unit = {
-    val err = error.map(e => if (recaptured) s"[recapturado] $e" else e)
+    val err = (error, recaptured) match {
+      case (Some(e), true) => Some(s"[recapturado] $e")
+      case (None, true) => Some("[recapturado]")
+      case (other, false) => other
+    }
     val row = Seq((capturedAt, success, err.orNull))
       .toDF("timestamp_captura", "sucesso", "erro")
       .withColumn("data", date_format($"timestamp_captura", "yyyy-MM-dd"))

@@ -57,6 +57,45 @@ class Capture(spark: SparkSession, lake: Lake, log: CaptureLog,
     } finally stamped.unpersist(blocking = false)
   }
 
+  /** T4: execute a recapture backfill as ONE job, not one job per missed
+    * minute: every window's rows are stamped with their own
+    * timestamp_captura and unioned, so the raw append and the staging
+    * append each run once over all windows (the partitioned writers land
+    * every (data, hora) dir in that single pass — the
+    * Trigger.AvailableNow shape of a batch backfill). Each recovered
+    * minute still gets its own `[recapturado]` log row. */
+  def processBackfill(windows: Seq[(Timestamp, DataFrame)]): Unit = {
+    if (windows.isEmpty) return
+    val union = windows.map { case (ts, df) =>
+      df.withColumn("timestamp_captura", lit(ts))
+    }.reduce(_ unionByName _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      lake.append(
+        union.withColumn("data", date_format(col(cfg.tsCol), "yyyy-MM-dd")),
+        TableRef("raw", cfg.dataset, cfg.table), partitionBy = Seq("data"))
+
+      val treated = Nest.toContent(
+        Clean.trimStrings(union), pk = cfg.pk :+ "timestamp_captura")
+        .withColumn("data", date_format(col("timestamp_captura"), "yyyy-MM-dd"))
+        .withColumn("hora", date_format(col("timestamp_captura"), "HH"))
+      lake.append(treated, TableRef("staging", cfg.dataset, cfg.table),
+        partitionBy = Seq("data", "hora"))
+
+      windows.foreach { case (ts, _) =>
+        log.append(cfg.dataset, cfg.table, ts, success = true,
+          recaptured = true)
+      }
+    } catch {
+      case e: Exception =>
+        windows.foreach { case (ts, _) =>
+          log.append(cfg.dataset, cfg.table, ts, success = false,
+            error = Some(e.getMessage), recaptured = true)
+        }
+        throw e
+    } finally union.unpersist(blocking = false)
+  }
+
   /** T1: continuous capture from any streaming source. */
   def start(source: DataFrame, checkpoint: String,
             trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery =

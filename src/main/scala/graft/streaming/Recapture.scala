@@ -36,4 +36,17 @@ object Recapture {
       .collect().map(_.getTimestamp(0)).toIndexedSeq
     Plan(missed.take(maxRecaptures), overflowed = missed.size > maxRecaptures)
   }
+
+  /** Plan + execute in one call: the missed minutes are fetched through
+    * `fetch` (the source's bounded window read) and land through
+    * [[Capture.processBackfill]] as a single job. Returns the executed
+    * plan so the caller can alert on overflow. */
+  def backfill(spark: SparkSession, cap: Capture, logs: DataFrame,
+               now: Timestamp, fetch: Timestamp => DataFrame,
+               intervalMinutes: Int = 1, lookbackDays: Int = 1,
+               maxRecaptures: Int = 90): Plan = {
+    val p = plan(spark, logs, now, intervalMinutes, lookbackDays, maxRecaptures)
+    cap.processBackfill(p.timestamps.map(ts => ts -> fetch(ts)))
+    p
+  }
 }

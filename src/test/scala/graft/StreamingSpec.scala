@@ -92,4 +92,56 @@ class StreamingSpec extends SparkSpec {
     assert(capped.timestamps.size === 90 && capped.overflowed)
     assert(capped.timestamps === capped.timestamps.sorted)
   }
+
+  test("recapture backfill runs as ONE job and closes the gaps (T4/T5)") {
+    val tmp = tmpDir("lake")
+    val lake = new graft.lake.Lake(spark, tmp)
+    val log = new graft.lake.CaptureLog(spark, lake)
+    val cap = new Capture(spark, lake, log,
+      CaptureConfig("ds", "gps", pk = Seq("id"), tsCol = "ts"))
+    val base = Timestamp.valueOf("2024-01-05 00:00:00")
+    def minute(m: Int) = new Timestamp(base.getTime + m * 60000L)
+
+    // live capture succeeded for minutes 0-9 except 3 and 7
+    (0 to 9).filterNot(m => m == 3 || m == 7).foreach { m =>
+      cap.processBatch(
+        Seq((m.toLong, minute(m), s"v$m")).toDF("id", "ts", "v"), minute(m))
+    }
+    val now = minute(9)
+    // the lookback day BEFORE the test window was fully successful (one
+    // bulk log append, so the planner sees only the 3/7 holes)
+    val startSec = (now.getTime / 1000 - 86400) / 60 * 60
+    val pre = spark.range(1).select(explode(sequence(
+        timestamp_seconds(lit(startSec)),
+        lit(new Timestamp(base.getTime - 60000L)),
+        expr("INTERVAL 1 MINUTES"))).as("timestamp_captura"))
+      .withColumn("sucesso", lit(true))
+      .withColumn("erro", lit(null).cast("string"))
+      .withColumn("data", date_format($"timestamp_captura", "yyyy-MM-dd"))
+    lake.append(pre, log.ref("ds", "gps"), partitionBy = Seq("data"))
+
+    var fetched = List[Int]()
+    val plan = Recapture.backfill(spark, cap, log.read("ds", "gps"), now,
+      fetch = { ts =>
+        val m = ((ts.getTime - base.getTime) / 60000L).toInt
+        fetched ::= m
+        Seq((m.toLong, ts, s"v$m")).toDF("id", "ts", "v")
+      }, lookbackDays = 1, maxRecaptures = 90)
+
+    // exactly the two holes were fetched, in one processBackfill pass
+    assert(fetched.toSet === Set(3, 7), fetched.toString)
+    assert(!plan.overflowed)
+    // the staging table now has every captured minute exactly once
+    val staged = lake.read(graft.lake.TableRef("staging", "ds", "gps"))
+    assert(staged.filter($"id" === 3 || $"id" === 7).count() === 2)
+    // recovered minutes are [recapturado]-marked successes in the log
+    val marked = log.read("ds", "gps")
+      .filter($"sucesso" === true && $"erro".startsWith("[recapturado]"))
+    assert(marked.count() >= 2)
+    // and a re-plan over the same window finds nothing left in 0-9
+    val replan = Recapture.plan(spark, log.read("ds", "gps"), now,
+      maxRecaptures = 2000)
+    assert(replan.timestamps.map(_.toString)
+      .intersect((0 to 9).map(minute(_).toString)).isEmpty)
+  }
 }
