@@ -124,10 +124,11 @@ object DedupOps {
     bands.groupBy(col("band_idx"), col("band_key"))
       .agg(sort_array(collect_set(col(idCol))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(expr(
-        "flatten(transform(ids, (x, i) -> " +
-          "transform(slice(ids, i + 2, size(ids)), y -> " +
-          "struct(x AS id_a, y AS id_b))))")).as("p"))
+      // native codegen pair expansion — the HOF encoding
+      // (flatten∘transform∘slice) is interpreted and allocates a slice
+      // per element; see expressions.SortedPairs
+      .select(explode(
+        graft.expressions.SortedPairs.sorted_pairs(col("ids"))).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
   }

@@ -45,6 +45,25 @@ object MicroBench {
         (0 until 8).map(i => min(hex_prefix_to_long(md5(concat_ws("|", lit(i), col("shingle"))), 15)).as(s"h$i")).tail: _*))
     }
 
+    // in-bucket pair expansion: interpreted HOF vs native SortedPairs
+    val buckets = DedupOps.lshBands(
+        DedupOps.minhashSignature(docs, "doc_id", "text"), "doc_id")
+      .groupBy(col("band_idx"), col("band_key"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    time("pairs HOF") {
+      noop(buckets.select(explode(expr(
+        "flatten(transform(ids, (x, i) -> " +
+          "transform(slice(ids, i + 2, size(ids)), y -> " +
+          "struct(x AS id_a, y AS id_b))))")).as("p"))
+        .select(col("p.id_a"), col("p.id_b")).distinct())
+    }
+    time("pairs native") {
+      noop(buckets.select(explode(
+          graft.expressions.SortedPairs.sorted_pairs(col("ids"))).as("p"))
+        .select(col("p.id_a"), col("p.id_b")).distinct())
+    }
+
     // q59 verify stage: corpus-wide token distinct vs candidate-pruned
     def dedup(pruned: Boolean): org.apache.spark.sql.DataFrame = {
       val sig = DedupOps.minhashSignature(docs, "doc_id", "text")

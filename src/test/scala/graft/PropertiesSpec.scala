@@ -36,6 +36,26 @@ class PropertiesSpec extends SparkSpec {
     })
   }
 
+  test("prop: SortedPairs == the HOF pair-expansion encoding") {
+    import graft.expressions.SortedPairs.sorted_pairs
+    val ids = Gen.choose(0, 6).flatMap(n => Gen.listOfN(n, Gen.choose(0L, 50L)))
+    val r = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(15),
+      Prop.forAll(Gen.listOfN(12, ids)) { lists =>
+      val df = lists.zipWithIndex
+        .map { case (l, i) => (i, l.distinct.sorted) }.toDF("g", "ids")
+      val native = df.select($"g", explode(sorted_pairs($"ids")).as("p"))
+        .select($"g", $"p.id_a", $"p.id_b")
+      val hof = df.select($"g", explode(expr(
+        "flatten(transform(ids, (x, i) -> " +
+          "transform(slice(ids, i + 2, size(ids)), y -> " +
+          "struct(x AS id_a, y AS id_b))))")).as("p"))
+        .select($"g", $"p.id_a", $"p.id_b")
+      native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty
+    })
+    assert(r.passed, r.status.toString)
+  }
+
   test("connected components: chains, triangles and isolated nodes (dedup clusters)") {
     import graft.functions.DedupOps
     // component A: chain 1-2-3-4 (diameter 3, exercises pointer jumping)
