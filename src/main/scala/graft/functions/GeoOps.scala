@@ -52,28 +52,12 @@ object GeoOps {
     }
   }
 
-  /** U3/J6: even-odd ray-casting point-in-polygon. The polygon closes
-    * over the serialized task (broadcast-by-closure); per-row cost is
-    * O(vertices). For very hot paths promote to a codegen Expression. */
+  /** U3/J6: even-odd ray-casting point-in-polygon — a native codegen
+    * expression ([[graft.expressions.PointInPolygon]]): the polygon is a
+    * plan-time constant referenced by the generated class, so the filter
+    * stays inside whole-stage codegen instead of a boxing UDF call per
+    * row. Null coordinates yield null (dropped by filters, as before). */
   def pointInPolygon(spark: SparkSession, polygon: Array[(Double, Double)])
-                    (lon: Column, lat: Column): Column = {
-    val pip = udf { (x: java.lang.Double, y: java.lang.Double) =>
-      if (x == null || y == null) false
-      else {
-        var inside = false
-        var i = 0
-        var j = polygon.length - 1
-        while (i < polygon.length) {
-          val (xi, yi) = polygon(i)
-          val (xj, yj) = polygon(j)
-          if ((yi > y) != (yj > y) &&
-            x < (xj - xi) * (y - yi) / (yj - yi) + xi) inside = !inside
-          j = i
-          i += 1
-        }
-        inside
-      }
-    }
-    pip(lon, lat)
-  }
+                    (lon: Column, lat: Column): Column =
+    graft.expressions.PointInPolygon.point_in_polygon(lon, lat, polygon)
 }
