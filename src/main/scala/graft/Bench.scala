@@ -68,7 +68,9 @@ object Bench {
     val results2 = runHeadline()
 
     // Capture micro-batch: one tick of the streaming pipeline at this SF.
-    val mb = {
+    // Timed twice (fresh lake each) like the headline queries, so a
+    // variance spike is distinguishable from a real regression.
+    def microBatch(): Double = {
       val tmp = java.nio.file.Files.createTempDirectory("bench_lake").toString
       val lake = new graft.lake.Lake(spark, tmp)
       val log = new graft.lake.CaptureLog(spark, lake)
@@ -80,13 +82,16 @@ object Bench {
       cap.processBatch(raw, Timestamp.valueOf("2024-02-01 00:00:00"))
       (System.nanoTime() - t0) / 1e9
     }
+    val mb = microBatch()
+    val mb2 = microBatch()
 
     val all = results :+ ("micro_batch" -> mb)
+    val all2 = results2 :+ ("micro_batch" -> mb2)
     def toJson(pairs: Seq[(String, Double)]): String =
       pairs.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
         .mkString("{", ",", "}")
     val total = all.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${toJson(all)},"queries_run2":${toJson(results2)},"total_run2":${results2.map(_._2).sum}%.3f,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${toJson(all)},"queries_run2":${toJson(all2)},"total_run2":${all2.map(_._2).sum}%.3f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
