@@ -79,6 +79,54 @@ class EndToEndSpec extends SparkSpec {
       .agg(sum($"n")).head().getLong(0) === staged.count())
   }
 
+  test("ops lifecycle: ticks → compact → sketch state → incremental read") {
+    val root = tmpDir("e2e2")
+    val lake = new Lake(spark, root)
+    val log = new CaptureLog(spark, lake)
+    val state = new StateStore(spark, s"$root/_state")
+    val cap = new Capture(spark, lake, log,
+      CaptureConfig("smtr", "gps", pk = Seq("event_id"), tsCol = "ts"))
+    val ev = Tables.load(spark, sf001, "events").filter($"ts" < "2024-01-08")
+
+    // five small ticks accrete small files; each tick also merges a
+    // user-cardinality sketch into cross-run state
+    val days = (3 to 7).map(d => Timestamp.valueOf(f"2024-01-0$d%d 00:00:00"))
+    days.foreach { ts =>
+      val tick = ev.filter(date_format($"ts", "yyyy-MM-dd") ===
+        ts.toString.take(10))
+      // two sub-batches per tick → two small files in the same
+      // (data, hora) partition dir, the shape compaction exists for
+      cap.processBatch(tick.filter($"event_id" % 2 === 0), ts)
+      cap.processBatch(tick.filter($"event_id" % 2 === 1), ts)
+      val sk = tick.agg(graft.expressions.HllSketch.hll_sketch($"user_id").as("sk"))
+        .head().getAs[Array[Byte]]("sk")
+      state.mergeSketch("gps.users", sk)
+    }
+    val ref = TableRef("staging", "smtr", "gps")
+    val before = lake.read(ref).count()
+
+    // compaction keeps the data identical while collapsing tick files
+    def files(dir: java.io.File): Int =
+      dir.listFiles.map(f => if (f.isDirectory) files(f) else
+        if (f.getName.endsWith(".parquet")) 1 else 0).sum
+    val nBefore = files(new java.io.File(lake.path(ref)))
+    lake.compact(ref, partitionBy = Seq("data", "hora"))
+    assert(files(new java.io.File(lake.path(ref))) < nBefore)
+    assert(lake.read(ref).count() === before)
+
+    // the accumulated sketch estimates the true cross-tick cardinality
+    val est = graft.expressions.Hll.estimate(state.sketch("gps.users").get)
+    val truth = ev.select($"user_id").distinct().count()
+    assert(math.abs(est - truth) <= math.max(3, truth / 20),
+      s"estimate $est vs $truth")
+
+    // incremental re-read: partition-pruned scan of only the new days
+    val inc = graft.connectors.IncrementalPlanner.incrementalFilter(
+      lake.read(ref), "data", "2024-01-06")
+    assert(inc.select($"data").distinct().as[String].collect().toSet ===
+      Set("2024-01-06", "2024-01-07"))
+  }
+
   test("salted join spreads hot keys and preserves results (§4 skew)") {
     val big = (1 to 2000).map(i => (if (i % 10 == 0) "cold" + i else "HOT", i))
       .toDF("k", "v")
