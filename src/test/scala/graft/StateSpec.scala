@@ -62,6 +62,30 @@ class StateSpec extends SparkSpec {
     assert(st.processedFiles("k").count() === 2)
   }
 
+  test("run lock: skip-if-running, release, crash takeover by TTL (§4 guard)") {
+    import graft.state.RunLock
+    val lock = new RunLock(spark, tmpDir("locks"))
+    assert(lock.tryAcquire("smtr.gps", owner = "run-1"))
+    assert(!lock.tryAcquire("smtr.gps", owner = "run-2")) // second run skips
+    assert(lock.tryAcquire("other.flow"))                 // unrelated key fine
+    lock.release("smtr.gps")
+    assert(lock.tryAcquire("smtr.gps", owner = "run-3"))  // released → free
+    lock.release("smtr.gps")
+
+    // withLock: body runs under the lock; concurrent body is skipped;
+    // a throwing body still releases
+    var ran = 0
+    val r = lock.withLock("w") { ran += 1; lock.withLock("w") { ran += 1 } }
+    assert(r === Some(None) && ran === 1) // inner skipped, outer ran
+    intercept[RuntimeException](lock.withLock("w") { throw new RuntimeException("x") })
+    assert(lock.withLock("w") { 42 } === Some(42)) // released despite throw
+
+    // crash takeover: an expired lock is replaced, a fresh one is not
+    assert(lock.tryAcquire("dead", ttlMinutes = 60))
+    assert(!lock.tryAcquire("dead", ttlMinutes = 60))
+    assert(lock.tryAcquire("dead", ttlMinutes = 0)) // everything is stale at 0
+  }
+
   test("hll sketch: merge(sk(A), sk(B)) == sk(A∪B), estimate in bound, cross-run (A4)") {
     import graft.expressions.{Hll, HllSketch}
     import HllSketch._
