@@ -145,8 +145,11 @@ object DedupOps {
     val p = pairs.localCheckpoint()
     val ids = p.select(col("id_a").as(idCol))
       .unionByName(p.select(col("id_b").as(idCol))).distinct()
-    val toks = explodedWords(docs, idCol, textCol)
-      .join(broadcast(ids), idCol)
+    // semi-join BEFORE the explode: only candidate docs pay the word
+    // fan-out, so both the generate and the distinct shuffle scale with
+    // near-dup density instead of corpus size
+    val toks = explodedWords(
+        docs.join(broadcast(ids), Seq(idCol), "left_semi"), idCol, textCol)
       .select(col(idCol), col("__w").as("token")).distinct()
     (p, toks)
   }
