@@ -83,6 +83,7 @@ object GSuite {
     * line-split would shear into malformed rows. */
   def csvWithPromotedHeader(spark: SparkSession, csvBody: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempFile("gsheet", ".csv")
+    tmp.toFile.deleteOnExit() // landing file is per-read scratch
     java.nio.file.Files.writeString(tmp, csvBody)
     val df = spark.read
       .option("header", "true")

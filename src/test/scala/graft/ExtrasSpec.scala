@@ -189,6 +189,30 @@ class ExtrasSpec extends SparkSpec {
     vox.unpersist()
   }
 
+  test("radar gap-fill is total: any present-subset yields a full, null-free grid") {
+    import graft.multimodal.RadarPpi
+    // 12 random-ish presence patterns, including the 1-present-slot and
+    // the seam-wrapping cases; every fill must produce nRays×bins rows
+    // per elevation with no nulls and all values inside [min, max] of
+    // the present values (linear interpolation cannot overshoot)
+    val patterns = Seq(
+      Seq(0), Seq(7), Seq(0, 7), Seq(1, 2, 3), Seq(5, 6, 7), Seq(0, 4),
+      Seq(2, 5), Seq(0, 1, 6, 7), Seq(3), Seq(1, 4, 6), (0 to 7), Seq(2, 3, 4))
+    patterns.zipWithIndex.foreach { case (present, pi) =>
+      val rays = present.map(s =>
+        (s"p$pi", 0.5, s * 45.0 + 5, s * 45.0 + 5, 1.0, 0.0,
+          Seq(10.0 + s, 20.0 + s)))
+        .toDF("source", "elangle", "start_az", "stop_az", "gain", "offset", "bins")
+      val vox = RadarPpi.voxels(rays, nRays = 8)
+      assert(vox.count() === 8 * 2, s"pattern $present")
+      assert(vox.filter($"value".isNull).count() === 0, s"pattern $present")
+      val b = vox.agg(min($"value"), max($"value")).head()
+      val lo = 10.0 + present.min
+      val hi = 20.0 + present.max
+      assert(b.getDouble(0) >= lo && b.getDouble(1) <= hi, s"pattern $present")
+    }
+  }
+
   test("netCDF classic decode: header, CF unpack, grid flatten (S18 real)") {
     import graft.multimodal.NetCdf
     val bytes = cdf1Fixture
