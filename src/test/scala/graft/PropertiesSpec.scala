@@ -77,11 +77,43 @@ class PropertiesSpec extends SparkSpec {
     assert(chainComps.length === 50 && chainComps.forall(_._2 == 0L))
   }
 
+  test("prop: connected components == driver union-find on random graphs") {
+    import graft.functions.DedupOps
+    // ground truth: path-compressing union-find over the same edges
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    val edgeGen = for {
+      n <- Gen.choose(1, 40)
+      es <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 25L), Gen.choose(0L, 25L)))
+    } yield es.filter { case (a, b) => a != b }
+    val r = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12),
+      Prop.forAll(edgeGen) { es =>
+        es.isEmpty || {
+          val pairs = es.toDF("id_a", "id_b")
+          val spark_ = DedupOps.connectedComponents(pairs)
+            .as[(Long, Long)].collect().toMap
+          spark_ == unionFind(es)
+        }
+      })
+    assert(r.passed, r.status.toString)
+  }
+
   test("prop: native Shingles expression == window-lead shingle encoding") {
     import graft.functions.DedupOps
     // texts over a tiny alphabet with repeated words, empty words
-    // (consecutive spaces) and sub-shingle lengths
-    val word = Gen.oneOf("a", "bb", "ccc", "a", "")
+    // (consecutive spaces), multi-byte UTF-8 and sub-shingle lengths
+    val word = Gen.oneOf("a", "bb", "ccc", "a", "", "café", "ação")
     val text = Gen.choose(0, 9).flatMap(n =>
       Gen.listOfN(n, word).map(_.mkString(" ")))
     // each sample runs two Spark jobs — 15 diverse corpora is plenty
