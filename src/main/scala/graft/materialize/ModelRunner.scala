@@ -44,8 +44,10 @@ class ModelRunner(spark: SparkSession, lake: Lake, state: StateStore,
     out
   }
 
-  /** Model-DAG run in dependency order (replaces dbt graph selectors). */
-  def runDag(models: Seq[Model], now: Timestamp): Unit = {
+  /** Model-DAG run in dependency order; returns the execution order
+    * (deps within the given set only — a selection runs standalone,
+    * like `dbt run --select`). */
+  def runDag(models: Seq[Model], now: Timestamp): Seq[String] = {
     val byName = models.map(m => m.name -> m).toMap
     val done = scala.collection.mutable.LinkedHashSet[String]()
     def visit(m: Model, stack: Set[String]): Unit = {
@@ -56,7 +58,46 @@ class ModelRunner(spark: SparkSession, lake: Lake, state: StateStore,
     }
     models.foreach(visit(_, Set.empty))
     done.foreach(n => run(byName(n), now))
+    done.toSeq
   }
+
+  /** dbt-style graph selector (the reference's materialization flow
+    * passes `dbt run --select <selector>` through,
+    * rj_smtr/tasks.py:143-252): `"m"` = just m, `"+m"` = m plus its
+    * transitive upstream deps, `"m+"` = m plus its transitive downstream
+    * dependents, `"+m+"` = both. Returns the selection; feed it to
+    * [[runDag]], which orders by the intra-selection dependencies. */
+  def select(models: Seq[Model], selector: String): Seq[Model] = {
+    val upstream = selector.startsWith("+")
+    val downstream = selector.endsWith("+")
+    val name = selector.stripPrefix("+").stripSuffix("+")
+    val byName = models.map(m => m.name -> m).toMap
+    require(byName.contains(name), s"unknown model '$name' in selector '$selector'")
+    val chosen = scala.collection.mutable.Set(name)
+    if (upstream) {
+      def ancestors(n: String): Unit =
+        byName.get(n).toSeq.flatMap(_.deps).foreach { d =>
+          if (chosen.add(d)) ancestors(d)
+        }
+      ancestors(name)
+    }
+    if (downstream) {
+      val dependents = models.flatMap(m => m.deps.map(_ -> m.name))
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      def descend(n: String): Unit =
+        dependents.getOrElse(n, Nil).foreach { d =>
+          if (chosen.add(d)) descend(d)
+        }
+      descend(name)
+    }
+    models.filter(m => chosen(m.name)) // keep declaration order; runDag sorts
+  }
+
+  /** Select + run in one call; returns the executed model names in
+    * dependency order (for logs/assertions). */
+  def runSelected(models: Seq[Model], selector: String,
+                  now: Timestamp): Seq[String] =
+    runDag(select(models, selector), now)
 
   /** Backfill stepper (build_incremental_model analog,
     * rj_smtr/tasks.py:71-140): advance the window in fixed steps until

@@ -70,6 +70,42 @@ class MaterializeSpec extends SparkSpec {
     }
   }
 
+  test("dbt-style graph selectors: m, +m, m+, +m+ over a diamond DAG") {
+    val order = scala.collection.mutable.ArrayBuffer[String]()
+    val lake = new Lake(spark, tmpDir("lake")) {
+      override def overwritePartitions(df: org.apache.spark.sql.DataFrame,
+          ref: TableRef, partitionBy: Seq[String]): Unit =
+        order += ref.table
+    }
+    val state = new StateStore(spark, tmpDir("state"))
+    val runner = new ModelRunner(spark, lake, state, "ds")
+    spark.sql("SELECT to_timestamp('2024-01-01') AS ts, 'x' AS data")
+      .createOrReplaceTempView("one")
+    def m(n: String, deps: Seq[String]) =
+      Model(n, "SELECT ts, data FROM one", deps = deps)
+    // diamond: a → (b, c) → d, plus unrelated e
+    val dag = Seq(m("a", Nil), m("b", Seq("a")), m("c", Seq("a")),
+      m("d", Seq("b", "c")), m("e", Nil))
+    val now = Timestamp.valueOf("2024-01-02 00:00:00")
+
+    assert(runner.select(dag, "b").map(_.name) === Seq("b"))
+    assert(runner.select(dag, "+d").map(_.name) === Seq("a", "b", "c", "d"))
+    assert(runner.select(dag, "a+").map(_.name) === Seq("a", "b", "c", "d"))
+    assert(runner.select(dag, "+b+").map(_.name) === Seq("a", "b", "d"))
+    assert(runner.select(dag, "e").map(_.name) === Seq("e"))
+    intercept[IllegalArgumentException](runner.select(dag, "+nope"))
+
+    // execution respects intra-selection dependency order
+    order.clear()
+    val ran = runner.runSelected(dag, "+d", now)
+    assert(ran === order.toSeq)
+    assert(ran.indexOf("a") < ran.indexOf("b") &&
+      ran.indexOf("a") < ran.indexOf("c") &&
+      ran.indexOf("b") < ran.indexOf("d") &&
+      ran.indexOf("c") < ran.indexOf("d"))
+    assert(!ran.contains("e"))
+  }
+
   test("backfill stepper advances in fixed windows until caught up") {
     val lake = new Lake(spark, tmpDir("lake"))
     val state = new StateStore(spark, tmpDir("state"))
