@@ -78,8 +78,13 @@ class Lake(spark: SparkSession, root: String) {
     if (partitionBy.nonEmpty) spark.sql(s"MSCK REPAIR TABLE ${qualified(ref)}")
   }
 
-  /** Schema-on-read scan of a lake table (partition discovery included). */
-  def read(ref: TableRef): DataFrame = spark.read.parquet(path(ref))
+  /** Schema-on-read scan of a lake table (partition discovery included).
+    * `mergeSchema` unions the schemas of all files, so a capture that
+    * started emitting a new column mid-history reads as one table with
+    * nulls for the older files — the reference gets this for free from
+    * BigQuery schema updates; parquet needs the footer merge. */
+  def read(ref: TableRef, mergeSchema: Boolean = false): DataFrame =
+    spark.read.option("mergeSchema", mergeSchema).parquet(path(ref))
 
   /** Small-file compaction: rewrite the table into ~`targetFileBytes`
     * files. Minute-cadence captures append one small file per tick per

@@ -34,6 +34,44 @@ object Quality {
              vars: Map[String, String] = Map.empty): Seq[CheckResult] =
     checks.map(run(spark, _, vars))
 
+  /** dbt's four canonical schema tests (the generic tests the
+    * reference's dbt models declare in schema.yml: unique, not_null,
+    * accepted_values, relationships), as offending-row frames —
+    * empty = pass, same contract as [[Check]]. All are single
+    * aggregations/anti-joins: partial-agg + one shuffle at any scale. */
+  object SchemaTests {
+    import org.apache.spark.sql.functions._
+
+    /** Rows whose key occurs more than once. */
+    def unique(df: DataFrame, cols: Seq[String]): DataFrame =
+      df.groupBy(cols.map(col): _*).count().filter(col("count") > 1)
+
+    /** Rows with a NULL in the column. */
+    def notNull(df: DataFrame, column: String): DataFrame =
+      df.filter(col(column).isNull)
+
+    /** Rows whose value is outside the accepted set (NULL not accepted —
+      * pair with [[notNull]], as dbt does). */
+    def acceptedValues(df: DataFrame, column: String,
+                       values: Seq[String]): DataFrame =
+      df.filter(col(column).isNull ||
+        !col(column).cast("string").isin(values: _*))
+
+    /** Referential integrity: child keys with no matching parent key. */
+    def relationships(child: DataFrame, childCol: String,
+                      parent: DataFrame, parentCol: String): DataFrame =
+      child.filter(col(childCol).isNotNull)
+        .join(parent.select(col(parentCol).as(childCol)).distinct(),
+          Seq(childCol), "left_anti")
+
+    /** Run one offending-rows frame as a [[CheckResult]]. */
+    def asResult(name: String, offending: DataFrame): CheckResult = {
+      val sample = offending.limit(5).collect().map(_.toString).toIndexedSeq
+      val n = if (sample.isEmpty) 0L else offending.count()
+      CheckResult(name, passed = n == 0, nOffending = n, sample = sample)
+    }
+  }
+
   /** The reference's three subsidy-pipeline checks, re-shaped onto our
     * lake/testdata tables (rj_smtr/constants.py:170-330; see FIXTURES §10).
     * Views `events_v` / `logs_v` are expected registered by the caller. */

@@ -25,6 +25,13 @@ class LakeSpec extends SparkSpec {
     lake.append(Seq((1, "a")).toDF("id", "v"), ref)
     lake.append(Seq((2, "b")).toDF("id", "v"), ref)
     assert(lake.read(ref).count() === 2)
+
+    // schema evolution: a later capture adds a column; merged read sees
+    // the union schema with nulls for the older files
+    lake.append(Seq((3, "c", 9.5)).toDF("id", "v", "score"), ref)
+    val merged = lake.read(ref, mergeSchema = true)
+    assert(merged.columns.toSet === Set("id", "v", "score"))
+    assert(merged.filter($"score".isNull).count() === 2)
   }
 
   test("dynamic partition overwrite touches only present partitions (K6)") {

@@ -134,6 +134,43 @@ class MaterializeSpec extends SparkSpec {
     assert(!fail.passed && fail.nOffending > 0 && fail.sample.nonEmpty)
   }
 
+  test("dbt schema tests: unique, not_null, accepted_values, relationships") {
+    import graft.quality.Quality.SchemaTests
+    import spark.implicits._
+    val orders = Tables.load(spark, sf001, "orders")
+    val customer = Tables.load(spark, sf001, "customer")
+
+    // pk uniqueness holds; a duplicated frame fails with the dup key
+    assert(SchemaTests.asResult("pk",
+      SchemaTests.unique(orders, Seq("o_orderkey"))).passed)
+    val dup = SchemaTests.asResult("pk_dup",
+      SchemaTests.unique(orders.unionAll(orders.limit(3)), Seq("o_orderkey")))
+    assert(!dup.passed && dup.nOffending === 3)
+
+    // not_null + accepted_values
+    assert(SchemaTests.asResult("nn",
+      SchemaTests.notNull(orders, "o_orderstatus")).passed)
+    assert(SchemaTests.asResult("av",
+      SchemaTests.acceptedValues(orders, "o_orderstatus",
+        Seq("F", "O", "P"))).passed)
+    val badAv = SchemaTests.asResult("av_bad",
+      SchemaTests.acceptedValues(orders, "o_orderstatus", Seq("F", "O")))
+    assert(!badAv.passed)
+    // NULL is not an accepted value (dbt semantics)
+    assert(!SchemaTests.asResult("av_null",
+      SchemaTests.acceptedValues(Seq[Option[String]](Some("F"), None)
+        .toDF("o_orderstatus"), "o_orderstatus", Seq("F"))).passed)
+
+    // referential integrity orders→customer holds; a ghost key fails
+    assert(SchemaTests.asResult("fk",
+      SchemaTests.relationships(orders, "o_custkey", customer, "c_custkey"))
+      .passed)
+    val ghost = orders.limit(1).withColumn("o_custkey", lit(-999L))
+    assert(!SchemaTests.asResult("fk_bad",
+      SchemaTests.relationships(orders.unionAll(ghost), "o_custkey",
+        customer, "c_custkey")).passed)
+  }
+
   test("reference check suite shapes run against lake views (FIXTURES §10)") {
     val ev = Tables.load(spark, sf001, "events")
     ev.createOrReplaceTempView("events_v")
