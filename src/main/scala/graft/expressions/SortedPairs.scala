@@ -25,10 +25,16 @@ case class SortedPairs(child: Expression) extends UnaryExpression {
   private def elementType: DataType =
     child.dataType.asInstanceOf[ArrayType].elementType
 
+  // pair fields inherit the input array's element nullability — an
+  // array that may hold nulls (collect_list, literals) must not declare
+  // non-null fields or downstream codegen reads garbage instead of null
+  private def elemNullable: Boolean =
+    child.dataType.asInstanceOf[ArrayType].containsNull
+
   override def dataType: DataType = ArrayType(
     StructType(Seq(
-      StructField("id_a", elementType, nullable = false),
-      StructField("id_b", elementType, nullable = false))),
+      StructField("id_a", elementType, nullable = elemNullable),
+      StructField("id_b", elementType, nullable = elemNullable))),
     containsNull = false)
 
   override def prettyName: String = "sorted_pairs"

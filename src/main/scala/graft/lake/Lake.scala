@@ -79,12 +79,14 @@ class Lake(spark: SparkSession, root: String) {
   }
 
   /** Schema-on-read scan of a lake table (partition discovery included).
-    * `mergeSchema` unions the schemas of all files, so a capture that
-    * started emitting a new column mid-history reads as one table with
-    * nulls for the older files — the reference gets this for free from
-    * BigQuery schema updates; parquet needs the footer merge. */
-  def read(ref: TableRef, mergeSchema: Boolean = false): DataFrame =
-    spark.read.option("mergeSchema", mergeSchema).parquet(path(ref))
+    * `mergeSchema = true` unions the schemas of all files, so a capture
+    * that started emitting a new column mid-history reads as one table
+    * with nulls for the older files; when false the option is NOT set,
+    * so a session-wide spark.sql.parquet.mergeSchema still applies. */
+  def read(ref: TableRef, mergeSchema: Boolean = false): DataFrame = {
+    val r = spark.read
+    (if (mergeSchema) r.option("mergeSchema", true) else r).parquet(path(ref))
+  }
 
   /** Small-file compaction: rewrite the table into ~`targetFileBytes`
     * files. Minute-cadence captures append one small file per tick per
@@ -92,27 +94,46 @@ class Lake(spark: SparkSession, root: String) {
     * planning starts to cost more than scanning. File count is sized
     * from the optimizer's own byte statistics (no extra pass over the
     * data). A table cannot be overwritten from its own live scan, so the
-    * compacted copy lands in a sibling dir and is swapped in with two
-    * renames (the [[graft.state.StateStore]] discipline: rename results
-    * checked, never a window where both copies are gone). */
+    * compacted copy lands in a sibling dir and is swapped in with
+    * checked renames; a writer that crashed between the renames is
+    * healed on the next call (the intact `.old` copy is restored before
+    * anything else happens).
+    *
+    * MUST run under the table's [[graft.state.RunLock]]: the scan
+    * snapshots the file listing, so a concurrent append between listing
+    * and swap would be silently dropped — compaction and capture share
+    * the same single-writer key. Partition VALUES are preserved
+    * verbatim (type inference is disabled for the rewrite, so
+    * `hora=00` does not come back as `hora=0`), and the path's cached
+    * file index is refreshed after the swap. */
   def compact(ref: TableRef, partitionBy: Seq[String] = Nil,
               targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
-    val scan = read(ref)
-    val bytes = scan.queryExecution.optimizedPlan.stats.sizeInBytes
-    val nFiles = (BigInt(1).max(
-      (bytes + targetFileBytes - 1) / targetFileBytes)).toInt
-    val compacted =
-      if (partitionBy.isEmpty) scan.coalesce(nFiles)
-      else aligned(scan, partitionBy) // one writer task (= file) per dir
     import org.apache.hadoop.fs.Path
     val p = new Path(path(ref))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(path(ref) + ".compact")
     val old = new Path(path(ref) + ".old")
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-    val w = compacted.write.format("parquet").mode(SaveMode.Overwrite)
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-      .save(tmp.toString)
+    // heal a predecessor that died between its two renames
+    if (!fs.exists(p) && fs.exists(old)) {
+      if (!fs.rename(old, p))
+        throw new java.io.IOException(s"compaction recovery $old -> $p failed")
+    }
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val inferWas = spark.conf.get(inferKey, "true")
+    spark.conf.set(inferKey, "false") // keep dir names byte-identical
+    try {
+      val scan = read(ref)
+      val bytes = scan.queryExecution.optimizedPlan.stats.sizeInBytes
+      val nFiles = (BigInt(1).max(
+        (bytes + targetFileBytes - 1) / targetFileBytes)).toInt
+      val compacted =
+        if (partitionBy.isEmpty) scan.coalesce(nFiles)
+        else aligned(scan, partitionBy) // one writer task (= file) per dir
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      val w = compacted.write.format("parquet").mode(SaveMode.Overwrite)
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+        .save(tmp.toString)
+    } finally spark.conf.set(inferKey, inferWas)
     if (fs.exists(old)) fs.delete(old, true)
     if (!fs.rename(p, old))
       throw new java.io.IOException(s"compaction swap $p -> $old failed")
@@ -121,6 +142,7 @@ class Lake(spark: SparkSession, root: String) {
       throw new java.io.IOException(s"compaction swap $tmp -> $p failed")
     }
     fs.delete(old, true)
+    spark.catalog.refreshByPath(path(ref)) // drop stale cached file index
   }
 
   /** Bucketed catalog table write: rows are hash-clustered (and sorted)

@@ -21,14 +21,18 @@ object Quality {
   def render(sql: String, vars: Map[String, String]): String =
     vars.foldLeft(sql) { case (acc, (k, v)) => acc.replace(s"{{$k}}", v) }
 
-  def run(spark: SparkSession, check: Check,
-          vars: Map[String, String] = Map.empty): CheckResult = {
-    val df = spark.sql(render(check.sql, vars))
-    // limit(k).collect keeps the failure report driver-safe at any scale.
+  /** Offending-rows frame → result; limit(k).collect keeps the failure
+    * report driver-safe at any scale. Single-sourced for SQL checks and
+    * [[SchemaTests]] alike. */
+  private[quality] def offendingResult(name: String, df: DataFrame): CheckResult = {
     val sample = df.limit(5).collect().map(_.toString).toIndexedSeq
     val n = if (sample.isEmpty) 0L else df.count()
-    CheckResult(check.name, passed = n == 0, nOffending = n, sample = sample)
+    CheckResult(name, passed = n == 0, nOffending = n, sample = sample)
   }
+
+  def run(spark: SparkSession, check: Check,
+          vars: Map[String, String] = Map.empty): CheckResult =
+    offendingResult(check.name, spark.sql(render(check.sql, vars)))
 
   def runAll(spark: SparkSession, checks: Seq[Check],
              vars: Map[String, String] = Map.empty): Seq[CheckResult] =
@@ -65,11 +69,8 @@ object Quality {
           Seq(childCol), "left_anti")
 
     /** Run one offending-rows frame as a [[CheckResult]]. */
-    def asResult(name: String, offending: DataFrame): CheckResult = {
-      val sample = offending.limit(5).collect().map(_.toString).toIndexedSeq
-      val n = if (sample.isEmpty) 0L else offending.count()
-      CheckResult(name, passed = n == 0, nOffending = n, sample = sample)
-    }
+    def asResult(name: String, offending: DataFrame): CheckResult =
+      offendingResult(name, offending)
   }
 
   /** The reference's three subsidy-pipeline checks, re-shaped onto our

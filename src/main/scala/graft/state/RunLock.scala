@@ -7,15 +7,23 @@ import org.apache.spark.sql.SparkSession
   * SKIPPED, not queued, when another run of the same flow is active).
   *
   * The lock is a file created with `overwrite = false` — an atomic
-  * create-if-absent on HDFS and local filesystems — holding the owner
-  * tag. A crashed holder is healed by TTL: a lock older than
-  * `ttlMinutes` is presumed dead and taken over. This is the guard the
-  * [[StateStore]]/[[graft.lake.Lake]] read-modify-write discipline
+  * create-if-absent on HDFS and local filesystems — holding this
+  * holder's unique token. A crashed holder is healed by TTL, and the
+  * takeover path is race-safe: contenders RENAME the stale file to a
+  * private name first (rename is atomic — exactly one contender wins)
+  * instead of check-then-delete, so two takeovers can never both
+  * acquire. Release verifies the stored token, so a holder that
+  * outlived its TTL cannot delete its successor's lock.
+  *
+  * This is the guard the [[StateStore]]/[[graft.lake.Lake]]
+  * read-modify-write discipline (including [[graft.lake.Lake.compact]])
   * assumes; every scheduled pipeline body should run inside
   * [[withLock]].
   */
 class RunLock(spark: SparkSession, root: String) {
   import org.apache.hadoop.fs.Path
+
+  private val tokens = scala.collection.mutable.Map[String, String]()
 
   private def lockPath(key: String) = new Path(s"$root/_locks/$key.lock")
   private def fs(p: Path) =
@@ -24,32 +32,60 @@ class RunLock(spark: SparkSession, root: String) {
   /** True = this caller now holds the lock. False = another run is
     * active (the caller should SKIP, mirroring the reference). */
   def tryAcquire(key: String, owner: String = "run",
-                 ttlMinutes: Int = 60): Boolean = {
+                 ttlMinutes: Int = 60): Boolean = synchronized {
     val p = lockPath(key)
     val f = fs(p)
     f.mkdirs(p.getParent)
+    val token = s"$owner:${java.util.UUID.randomUUID()}"
     def create(): Boolean =
       try {
         val out = f.create(p, false) // atomic create-if-absent
-        out.write(owner.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        out.close()
-        true
-      } catch { case _: java.io.IOException => false }
+        try {
+          out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          out.close()
+          tokens(key) = token
+          true
+        } catch { case _: java.io.IOException =>
+          // the file EXISTS but its content never landed — remove the
+          // orphan or every later acquire fails until the TTL
+          try f.delete(p, false) catch { case _: java.io.IOException => () }
+          false
+        }
+      } catch { case _: java.io.IOException => false } // already held
     if (create()) true
     else {
-      // stale takeover: a holder that died leaves its lock behind
       val stale = try {
         f.getFileStatus(p).getModificationTime <
           System.currentTimeMillis() - ttlMinutes * 60000L
-      } catch { case _: java.io.IOException => false } // vanished = retry fresh
-      if (stale) f.delete(p, false)
-      stale && create()
+      } catch { case _: java.io.IOException => false } // vanished: not ours to claim
+      // atomic takeover: exactly one contender's rename of the stale
+      // file succeeds; the losers see false and skip
+      stale && {
+        val claimed = new Path(s"$root/_locks/$key.takeover-${java.util.UUID.randomUUID()}")
+        f.rename(p, claimed) && { f.delete(claimed, false); create() }
+      }
     }
   }
 
-  def release(key: String): Unit = {
+  /** Release only a lock THIS instance holds (token-checked): a holder
+    * past its TTL whose lock was taken over must not delete the
+    * successor's lock. */
+  def release(key: String): Unit = synchronized {
     val p = lockPath(key)
-    fs(p).delete(p, false)
+    val f = fs(p)
+    tokens.remove(key).foreach { token =>
+      val current = try {
+        val in = f.open(p)
+        try {
+          val bos = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](256)
+          var n = in.read(buf)
+          while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
+          new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+        } finally in.close()
+      } catch { case _: java.io.IOException => "" }
+      if (current == token) f.delete(p, false)
+    }
   }
 
   /** Run `body` under the lock; None = skipped because a run is active.

@@ -29,6 +29,19 @@ final case class CaptureConfig(dataset: String, table: String,
 class Capture(spark: SparkSession, lake: Lake, log: CaptureLog,
               cfg: CaptureConfig) {
 
+  /** Raw-zone write, idempotent per capture tick: the reference replaces
+    * same-named raw files on re-upload (utils/dump_db/tasks.py:400-435),
+    * and the Spark equivalent is a per-tick partition dynamically
+    * overwritten — a retried tick (after a downstream failure marked its
+    * log row failed) lands exactly once instead of appending duplicates. */
+  private def writeRaw(stamped: DataFrame): Unit =
+    lake.overwritePartitions(
+      stamped
+        .withColumn("data", date_format(col(cfg.tsCol), "yyyy-MM-dd"))
+        .withColumn("tick",
+          date_format(col("timestamp_captura"), "yyyyMMddHHmmss")),
+      TableRef("raw", cfg.dataset, cfg.table), partitionBy = Seq("data", "tick"))
+
   /** The per-micro-batch body — usable directly for batch captures and
     * from foreachBatch for streaming ones. */
   def processBatch(raw: DataFrame, captureTs: Timestamp): Unit = {
@@ -37,9 +50,7 @@ class Capture(spark: SparkSession, lake: Lake, log: CaptureLog,
     val stamped = raw.withColumn("timestamp_captura", lit(captureTs))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      lake.append(
-        stamped.withColumn("data", date_format(col(cfg.tsCol), "yyyy-MM-dd")),
-        TableRef("raw", cfg.dataset, cfg.table), partitionBy = Seq("data"))
+      writeRaw(stamped)
 
       val treated = Nest.toContent(
         Clean.trimStrings(stamped), pk = cfg.pk :+ "timestamp_captura")
@@ -71,9 +82,10 @@ class Capture(spark: SparkSession, lake: Lake, log: CaptureLog,
     }.reduce(_ unionByName _)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      lake.append(
-        union.withColumn("data", date_format(col(cfg.tsCol), "yyyy-MM-dd")),
-        TableRef("raw", cfg.dataset, cfg.table), partitionBy = Seq("data"))
+      // per-tick overwrite: if this backfill is itself a retry (its
+      // predecessor committed raw then failed on staging), the windows
+      // replace their previous raw partitions instead of duplicating
+      writeRaw(union)
 
       val treated = Nest.toContent(
         Clean.trimStrings(union), pk = cfg.pk :+ "timestamp_captura")
