@@ -32,7 +32,7 @@ class RunLock(spark: SparkSession, root: String) {
   /** True = this caller now holds the lock. False = another run is
     * active (the caller should SKIP, mirroring the reference). */
   def tryAcquire(key: String, owner: String = "run",
-                 ttlMinutes: Int = 60): Boolean = synchronized {
+                 ttlMinutes: Int = 60): Boolean = RunLock.gate.synchronized {
     val p = lockPath(key)
     val f = fs(p)
     f.mkdirs(p.getParent)
@@ -54,15 +54,26 @@ class RunLock(spark: SparkSession, root: String) {
       } catch { case _: java.io.IOException => false } // already held
     if (create()) true
     else {
-      val stale = try {
-        f.getFileStatus(p).getModificationTime <
-          System.currentTimeMillis() - ttlMinutes * 60000L
-      } catch { case _: java.io.IOException => false } // vanished: not ours to claim
-      // atomic takeover: exactly one contender's rename of the stale
-      // file succeeds; the losers see false and skip
-      stale && {
+      val staleMtime = try {
+        Some(f.getFileStatus(p).getModificationTime)
+          .filter(_ < System.currentTimeMillis() - ttlMinutes * 60000L)
+      } catch { case _: java.io.IOException => None } // vanished: not ours to claim
+      // takeover: rename the stale file to a private name (atomic —
+      // exactly one rename of a given file succeeds), then VERIFY the
+      // claimed file is the one whose staleness we observed: a loser
+      // whose rename landed on the winner's fresh lock instead puts it
+      // back and skips. (A restore that itself races a third fresh
+      // acquire is a ms-scale triple race we accept, as the reference's
+      // Redis guard does.)
+      staleMtime.exists { mt =>
         val claimed = new Path(s"$root/_locks/$key.takeover-${java.util.UUID.randomUUID()}")
-        f.rename(p, claimed) && { f.delete(claimed, false); create() }
+        f.rename(p, claimed) && {
+          val isOurs = try
+            f.getFileStatus(claimed).getModificationTime == mt
+          catch { case _: java.io.IOException => false }
+          if (isOurs) { f.delete(claimed, false); create() }
+          else { f.rename(claimed, p); false } // stole a fresh lock — restore
+        }
       }
     }
   }
@@ -70,7 +81,7 @@ class RunLock(spark: SparkSession, root: String) {
   /** Release only a lock THIS instance holds (token-checked): a holder
     * past its TTL whose lock was taken over must not delete the
     * successor's lock. */
-  def release(key: String): Unit = synchronized {
+  def release(key: String): Unit = RunLock.gate.synchronized {
     val p = lockPath(key)
     val f = fs(p)
     tokens.remove(key).foreach { token =>
@@ -95,4 +106,13 @@ class RunLock(spark: SparkSession, root: String) {
                   ttlMinutes: Int = 60)(body: => T): Option[T] =
     if (!tryAcquire(key, owner, ttlMinutes)) None
     else try Some(body) finally release(key)
+}
+
+object RunLock {
+  /** JVM-wide gate for the acquire/release critical sections.
+    * Cross-PROCESS exclusion comes from HDFS's server-side atomic
+    * create-if-absent; local filesystems implement create(overwrite =
+    * false) as check-then-act, so same-JVM contenders (local[*], tests)
+    * must serialize here for the primitive to hold everywhere. */
+  private[state] val gate = new Object
 }

@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
-import graft.state.StateStore
+import graft.state.{RunLock, StateStore}
 import org.apache.spark.sql.functions._
 
 class StateSpec extends SparkSpec {
@@ -63,8 +63,13 @@ class StateSpec extends SparkSpec {
   }
 
   test("run lock: skip-if-running, release, crash takeover by TTL (§4 guard)") {
-    import graft.state.RunLock
-    val lock = new RunLock(spark, tmpDir("locks"))
+    val dir = tmpDir("locks")
+    def age(key: String): Unit = { // make a held lock look TTL-expired
+      val p = new org.apache.hadoop.fs.Path(s"$dir/_locks/$key.lock")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .setTimes(p, System.currentTimeMillis() - 10 * 60000L, -1)
+    }
+    val lock = new RunLock(spark, dir)
     assert(lock.tryAcquire("smtr.gps", owner = "run-1"))
     assert(!lock.tryAcquire("smtr.gps", owner = "run-2")) // second run skips
     assert(lock.tryAcquire("other.flow"))                 // unrelated key fine
@@ -83,7 +88,40 @@ class StateSpec extends SparkSpec {
     // crash takeover: an expired lock is replaced, a fresh one is not
     assert(lock.tryAcquire("dead", ttlMinutes = 60))
     assert(!lock.tryAcquire("dead", ttlMinutes = 60))
-    assert(lock.tryAcquire("dead", ttlMinutes = 0)) // everything is stale at 0
+    age("dead")
+    assert(lock.tryAcquire("dead", ttlMinutes = 5)) // expired → taken over
+
+    // an overrun holder must not delete its successor's lock: holder A's
+    // lock expires and is taken over; A's late release is a no-op
+    val lockA = new RunLock(spark, dir)
+    val lockB = new RunLock(spark, dir)
+    assert(lockA.tryAcquire("k", owner = "A"))
+    age("k")
+    assert(lockB.tryAcquire("k", owner = "B", ttlMinutes = 5)) // takeover
+    lockA.release("k") // late release: token mismatch, no-op
+    val lockC = new RunLock(spark, dir)
+    assert(!lockC.tryAcquire("k", owner = "C")) // B's lock survived
+  }
+
+  test("run lock: stale takeover under 8-way contention admits exactly one") {
+    val dir = tmpDir("locks3")
+    val stale = new RunLock(spark, dir)
+    assert(stale.tryAcquire("hot", owner = "dead-holder"))
+    // age the lock past the contenders' TTL (the winner's fresh lock
+    // stays young, so it cannot be taken over in the same race)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_locks/hot.lock")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .setTimes(p, System.currentTimeMillis() - 10 * 60000L, -1)
+    import java.util.concurrent.Executors
+    val pool = Executors.newFixedThreadPool(8)
+    val wins = (1 to 8).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Boolean] {
+        def call(): Boolean =
+          new RunLock(spark, dir).tryAcquire("hot", owner = s"c$i", ttlMinutes = 1)
+      })
+    }
+    pool.shutdown()
+    assert(wins.count(_.get()) === 1) // rename-then-claim admits one winner
   }
 
   test("hll sketch: merge(sk(A), sk(B)) == sk(A∪B), estimate in bound, cross-run (A4)") {

@@ -93,6 +93,24 @@ class StreamingSpec extends SparkSpec {
     assert(capped.timestamps === capped.timestamps.sorted)
   }
 
+  test("raw zone is replay-idempotent per tick (same-name replace semantics)") {
+    val lake = new graft.lake.Lake(spark, tmpDir("lake"))
+    val log = new graft.lake.CaptureLog(spark, lake)
+    val cap = new Capture(spark, lake, log,
+      CaptureConfig("ds", "gps", pk = Seq("id"), tsCol = "ts"))
+    val tick = Timestamp.valueOf("2024-01-05 00:03:00")
+    val batch = Seq((1L, Timestamp.valueOf("2024-01-05 00:02:10"), "a"),
+      (2L, Timestamp.valueOf("2024-01-05 00:02:40"), "b")).toDF("id", "ts", "v")
+    cap.processBatch(batch, tick)
+    cap.processBatch(batch, tick) // retried tick (e.g. after log failure)
+    val raw = lake.read(graft.lake.TableRef("raw", "ds", "gps"))
+    assert(raw.count() === 2) // replaced, not appended
+    // a DIFFERENT tick coexists — the overwrite is per tick, not per day
+    cap.processBatch(batch.withColumn("id", $"id" + 10),
+      Timestamp.valueOf("2024-01-05 00:04:00"))
+    assert(lake.read(graft.lake.TableRef("raw", "ds", "gps")).count() === 4)
+  }
+
   test("recapture backfill runs as ONE job and closes the gaps (T4/T5)") {
     val tmp = tmpDir("lake")
     val lake = new graft.lake.Lake(spark, tmp)
