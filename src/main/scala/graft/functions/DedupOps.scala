@@ -185,6 +185,43 @@ object DedupOps {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** SimHash near-dup pairs: Hamming-LSH banding over `bits`-wide
+    * fingerprints (4 bands — two fingerprints within Hamming distance 3
+    * MUST agree on at least one whole band by pigeonhole, so banding is
+    * exact at maxHamming ≤ 3), then the exact Hamming distance filters
+    * the candidates. Bucket math is why the width matters: a band has
+    * 2^(bits/4) possible values, so 64-bit fingerprints (16-bit bands,
+    * 65k values) keep buckets collision-bounded where a 16-bit
+    * fingerprint's 4-bit bands (16 values) grow linearly with the
+    * corpus and go quadratic. Same plan family as MinHash-LSH: a
+    * groupBy per band bucket and in-bucket
+    * [[graft.expressions.SortedPairs]] expansion. */
+  def simhashPairs(sim: DataFrame, idCol: String, bits: Int = 64,
+                   maxHamming: Int = 3): DataFrame = {
+    val w = bits / 4
+    val bands = sim.select(col(idCol), explode(array((0 until 4).map(b =>
+      struct(lit(b).as("band_idx"),
+        substring(col("simhash"), b * w + 1, w).as("band_key"))): _*)).as("band"))
+      .select(col(idCol), col("band.band_idx").as("band_idx"),
+        col("band.band_key").as("band_key"))
+    val cand = bands.groupBy(col("band_idx"), col("band_key"))
+      .agg(sort_array(collect_set(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(
+        graft.expressions.SortedPairs.sorted_pairs(col("ids"))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
+    val a = sim.select(col(idCol).as("id_a"), col("simhash").as("__sa"))
+    val b = sim.select(col(idCol).as("id_b"), col("simhash").as("__sb"))
+    val hamming = (1 to bits).map(i =>
+      when(substring(col("__sa"), i, 1) =!= substring(col("__sb"), i, 1), 1)
+        .otherwise(0)).reduce(_ + _)
+    cand.join(a, "id_a").join(b, "id_b")
+      .withColumn("hamming", hamming.cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Distributed connected components over an undirected pair list:
     * (node, component = min node id reachable). Min-label propagation
     * with POINTER JUMPING each round (comp := comp's comp), so chains
@@ -226,17 +263,32 @@ object DedupOps {
   /** 16-bit SimHash over unigram tokens: per hex digit of md5(token), the
     * high bit votes +1/−1; fingerprint bit j is the sign of the vote sum.
     * Portable across engines (pure string/integer ops). */
-  def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashBits(df, idCol, textCol, 16)
+
+  /** Width-parameterized SimHash: bits ≤ 32 vote from one md5's hex
+    * digits; wider fingerprints chain seed-prefixed md5s (32 bits each).
+    * 64 bits is the banding width that keeps Hamming-LSH buckets
+    * collision-bounded at corpus scale (16-bit bands ⇒ 65k values per
+    * band, vs 16 values for a 4-bit band of a 16-bit fingerprint). */
+  def simhashBits(df: DataFrame, idCol: String, textCol: String,
+                  bits: Int): DataFrame = {
     val tok = df.select(col(idCol),
       explode(TextOps.tokens(col(textCol))).as("w"))
-      .withColumn("h", md5(col("w")))
-    val votes = (1 to 16).map { j =>
-      sum(when(substring(col("h"), j, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+    // seed 0 is plain md5(w) — q58's 16-bit fingerprint semantics are a
+    // strict prefix of every wider fingerprint
+    val withHashes = (0 until (bits + 31) / 32).foldLeft(tok) { (acc, s) =>
+      acc.withColumn(s"__h$s",
+        if (s == 0) md5(col("w")) else md5(concat_ws("|", lit(s), col("w"))))
+    }
+    val votes = (0 until bits).map { j =>
+      val digit = substring(col(s"__h${j / 32}"), j % 32 + 1, 1)
+      sum(when(digit.isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
         .otherwise(-1)).as(s"v$j")
     }
-    tok.groupBy(col(idCol))
+    withHashes.groupBy(col(idCol))
       .agg(votes.head, votes.tail: _*)
-      .select(col(idCol), concat((1 to 16).map(j =>
+      .select(col(idCol), concat((0 until bits).map(j =>
         when(col(s"v$j") > 0, lit("1")).otherwise(lit("0"))): _*).as("simhash"))
   }
 }

@@ -31,6 +31,19 @@ object TrainingData {
        |  FROM sh GROUP BY doc_id)""".stripMargin
   }
 
+  /** Shared oracle CTE: 16-bit SimHash fingerprints (mirrors
+    * DedupOps.simhash16 — per-hex-digit ±1 votes over md5(token)). */
+  private val simhashCte = {
+    val votes = (1 to 16).map(j =>
+      s"CASE WHEN sum(CASE WHEN substr(md5(w), $j, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END")
+      .mkString(" || ")
+    s"""stok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |sim AS (
+       |  SELECT doc_id, $votes AS simhash
+       |  FROM stok GROUP BY doc_id)""".stripMargin
+  }
+
   private val bandsCte =
     """bands AS (
       |  SELECT doc_id, 0 AS band_idx, md5(h0 || '|' || h1) AS band_key FROM sig
@@ -154,6 +167,15 @@ object TrainingData {
     "q58_simhash" -> ((s, dir) => {
       DedupOps.simhash16(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
+    }),
+    // SimHash near-dup pairs: 64-bit fingerprints, Hamming-LSH bands
+    // (pigeonhole-exact at distance ≤ 3) + exact Hamming verify — the
+    // pair-derivation half of q58, at the width whose 16-bit bands keep
+    // buckets collision-bounded at corpus scale.
+    "q71_simhash_pairs" -> ((s, dir) => {
+      val sim = DedupOps.simhashBits(t(s, dir, "documents"), "doc_id", "text", 64)
+      DedupOps.simhashPairs(sim, "doc_id", bits = 64)
+        .orderBy(col("id_a"), col("id_b"))
     }),
     // Brute-force cosine top-10 vs query vector (vec_id=0).
     "q60_knn_bruteforce" -> ((s, dir) => {
@@ -353,13 +375,36 @@ object TrainingData {
         |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
         |    AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "q58_simhash" -> {
-      val votes = (1 to 16).map(j =>
-        s"CASE WHEN sum(CASE WHEN substr(md5(w), $j, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END").mkString(" || ")
-      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
-         |  FROM documents)
-         |SELECT doc_id, $votes AS simhash
-         |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    "q58_simhash" ->
+      s"""WITH $simhashCte
+         |SELECT doc_id, simhash FROM sim ORDER BY doc_id""".stripMargin,
+    "q71_simhash_pairs" -> {
+      // 64-bit twin of simhashCte: digits 1-32 from md5(w), 33-64 from
+      // the seed-1 hash — mirrors DedupOps.simhashBits(_, 64)
+      val votes64 = (0 until 64).map { j =>
+        val src = if (j < 32) "md5(w)" else "md5(1 || '|' || w)"
+        s"CASE WHEN sum(CASE WHEN substr($src, ${j % 32 + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END"
+      }.mkString(" || ")
+      val hamming = (1 to 64).map(i =>
+        s"CASE WHEN substr(sa.simhash, $i, 1) <> substr(sb.simhash, $i, 1) THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH stok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |  FROM documents),
+         |sim AS (SELECT doc_id, $votes64 AS simhash FROM stok GROUP BY doc_id),
+         |sbands AS (
+         |  SELECT doc_id, b.b AS band_idx,
+         |    substr(simhash, b.b * 16 + 1, 16) AS band_key
+         |  FROM sim, (SELECT unnest([0, 1, 2, 3]) AS b) b),
+         |spairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sbands a JOIN sbands b USING (band_idx, band_key)
+         |  WHERE a.doc_id < b.doc_id)
+         |SELECT p.id_a, p.id_b, CAST($hamming AS BIGINT) AS hamming
+         |FROM spairs p
+         |JOIN sim sa ON sa.doc_id = p.id_a
+         |JOIN sim sb ON sb.doc_id = p.id_b
+         |WHERE $hamming <= 3
+         |ORDER BY id_a, id_b""".stripMargin
     },
     "q60_knn_bruteforce" ->
       s"""SELECT a.vec_id, ${duckCos("a", "q")} AS score
