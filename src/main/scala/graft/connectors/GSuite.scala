@@ -15,9 +15,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * ([[Http.downloadToLanding]]).
   *
   * Spark-first shape: the worksheet grid is fetched ONCE on the driver
-  * (a sheet is product-capped at ~10M cells — never cluster-scale) and
-  * parsing/typing happens distributed via `spark.read.csv` over a
-  * Dataset[String]. Transports are injected functions so worksheet
+  * (a sheet is product-capped at ~10M cells — never cluster-scale),
+  * landed on the default (shared) filesystem, and parsed distributed
+  * via `spark.read.csv`. Transports are injected functions so worksheet
   * selection, header promotion and id extraction are all testable
   * offline; the production transports live here too.
   */
@@ -78,18 +78,34 @@ object GSuite {
   }
 
   /** Header promotion + name normalization over a raw CSV payload. The
-    * body lands in a temp file and goes through spark.read with
+    * body lands in a scratch file and goes through spark.read with
     * `multiLine` — a quoted cell may contain literal newlines, which a
-    * line-split would shear into malformed rows. */
-  def csvWithPromotedHeader(spark: SparkSession, csvBody: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempFile("gsheet", ".csv")
-    tmp.toFile.deleteOnExit() // landing file is per-read scratch
-    java.nio.file.Files.writeString(tmp, csvBody)
+    * line-split (Dataset[String]) would shear into malformed rows.
+    *
+    * The landing file is written through the Hadoop FileSystem and
+    * qualified against the DEFAULT FS, not the driver's java.io.tmpdir:
+    * executors must be able to open the path, and on a cluster they
+    * cannot see the driver's local /tmp. Locally the default FS is
+    * file:// so behavior is unchanged; with an HDFS/GCS default FS the
+    * scratch file lands shared automatically. Pass `landingDir` to
+    * override the scratch root (e.g. the lake's landing zone). */
+  def csvWithPromotedHeader(spark: SparkSession, csvBody: String,
+                            landingDir: Option[String] = None): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(landingDir.getOrElse(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp")))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = fs.makeQualified(
+      new Path(root, s"gsheet-${java.util.UUID.randomUUID()}.csv"))
+    val out = fs.create(p, true)
+    try out.write(csvBody.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.deleteOnExit(p) // scratch: spark.read is lazy, so delete at FS close
     val df = spark.read
       .option("header", "true")
       .option("multiLine", "true")
       .option("quote", "\"").option("escape", "\"")
-      .csv(tmp.toString)
+      .csv(p.toString)
     SchemaNormalizer.normalizeSchema(df)
   }
 

@@ -42,8 +42,11 @@ object RadarPpi {
   /** Rays → per-(elevation, slot, bin) values with slot conflicts
     * resolved: when several rays land in one slot, all-zero rays are
     * ignored (unless every ray is all-zero) and the survivors'
-    * per-bin MEDIAN wins; physical units applied as gain·raw + offset
-    * (affine, so it commutes with median/avg/max — gain > 0). */
+    * per-bin MEDIAN wins. Physical units (gain·raw + offset) are applied
+    * PER RAY, before the median: rays sharing a slot may carry different
+    * gain/offset (per-scan calibration), so medianing raw counts and
+    * applying one ray's affine afterwards would be wrong — and which
+    * ray's was picked (`first`) was nondeterministic. */
   def slotValues(rays: DataFrame, nRays: Int = NRaysDefault): DataFrame = {
     val slotW = Window.partitionBy(col("source"), col("elangle"), col("slot"))
     rays
@@ -55,8 +58,7 @@ object RadarPpi {
         col("gain"), col("offset"),
         posexplode(col("bins")).as(Seq("bin_idx", "raw")))
       .groupBy(col("source"), col("elangle"), col("slot"), col("bin_idx"))
-      .agg((median(col("raw")) * first(col("gain")) + first(col("offset")))
-        .as("value"))
+      .agg(median(col("gain") * col("raw") + col("offset")).as("value"))
   }
 
   /** Fill empty azimuth slots by linear interpolation between the nearest

@@ -54,11 +54,12 @@ object Quality {
     def notNull(df: DataFrame, column: String): DataFrame =
       df.filter(col(column).isNull)
 
-    /** Rows whose value is outside the accepted set (NULL not accepted —
-      * pair with [[notNull]], as dbt does). */
+    /** Rows whose value is outside the accepted set. NULLs pass — dbt's
+      * accepted_values is a NOT IN whose three-valued logic drops NULL
+      * rows; declare [[notNull]] separately to reject them, as dbt does. */
     def acceptedValues(df: DataFrame, column: String,
                        values: Seq[String]): DataFrame =
-      df.filter(col(column).isNull ||
+      df.filter(col(column).isNotNull &&
         !col(column).cast("string").isin(values: _*))
 
     /** Referential integrity: child keys with no matching parent key. */

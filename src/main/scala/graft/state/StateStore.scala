@@ -21,16 +21,35 @@ class StateStore(spark: SparkSession, root: String) {
 
   val SeedWatermark: Timestamp = Timestamp.valueOf("1900-01-01 00:00:00")
 
-  private def runPath = s"$root/last_run"
+  private def runPath(key: String) = s"$root/last_run/$key"
   private def entityPath(key: String) = s"$root/entity_watermarks/$key"
   private def filesPath(key: String) = s"$root/processed_files/$key"
 
-  private def readOrEmpty(path: String, schemaDdl: String): DataFrame =
+  /** Restore a crashed writer's intact `.old` copy BEFORE anything plans
+    * a read of `path`. This must run in [[readOrEmpty]] — not only in
+    * [[writeAtomic]] — because callers bind their merge frame to the read
+    * first (spark.read.parquet resolves the missing path eagerly into the
+    * empty fallback); a heal that runs later restores the file after the
+    * plan has already decided the state is empty. */
+  private def heal(path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new Path(path + ".old")
+    if (!fs.exists(p) && fs.exists(old)) {
+      if (!fs.rename(old, p))
+        throw new java.io.IOException(s"state recovery rename $old -> $p failed")
+    }
+  }
+
+  private def readOrEmpty(path: String, schemaDdl: String): DataFrame = {
+    heal(path)
     try spark.read.parquet(path)
     catch { case _: Exception => // first run: table does not exist yet
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
     }
+  }
 
   /** Distributed read-modify-write: the merged frame (which lazily READS
     * `path`) is executed into `path.tmp`, then swapped in with filesystem
@@ -46,17 +65,18 @@ class StateStore(spark: SparkSession, root: String) {
     import org.apache.hadoop.fs.Path
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(path + ".tmp")
+    // Unique tmp suffix per write: a fixed name would let a second writer
+    // on the same path delete this one's in-progress output mid-write.
+    // Orphans from crashed writers are swept here — safe because writers
+    // on one path are serialized by the per-key RunLock discipline.
+    val tmp = new Path(path + ".tmp-" + java.util.UUID.randomUUID())
     val old = new Path(path + ".old")
-    // Crash recovery BEFORE the lazy merge executes: a previous writer
-    // that died between the two renames leaves no `path` but a complete
-    // `.old` — restore it so this call's read-merge sees the prior state
-    // instead of silently treating it as a first run.
-    if (!fs.exists(p) && fs.exists(old)) {
-      if (!fs.rename(old, p))
-        throw new java.io.IOException(s"state recovery rename $old -> $p failed")
-    }
-    if (fs.exists(tmp)) fs.delete(tmp, true)
+    // Belt-and-braces heal (the load-bearing one runs in readOrEmpty,
+    // before callers plan their merge read).
+    heal(path)
+    try Option(fs.globStatus(new Path(path + ".tmp-*"))) // null when parent absent
+      .getOrElse(Array.empty).foreach(st => fs.delete(st.getPath, true))
+    catch { case _: java.io.IOException => () }
     // State rows are tiny (entity + timestamp); 4 output files keeps the
     // table compact up to ~10^8 entities without a count-then-choose pass.
     df.coalesce(4).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
@@ -73,18 +93,18 @@ class StateStore(spark: SparkSession, root: String) {
   }
 
   // ---- T6: last-run timestamp per table --------------------------------
+  // Stored per key (like entity_watermarks/processed_files): pipelines
+  // hold per-pipeline RunLocks, so a single shared file would let two
+  // pipelines race a read-modify-write and lose one's update. One path
+  // per key makes setLastRun a plain overwrite — no merge, no race.
 
   def lastRun(key: String): Option[Timestamp] =
-    readOrEmpty(runPath, "key STRING, last_run TIMESTAMP")
+    readOrEmpty(runPath(key), "key STRING, last_run TIMESTAMP")
       .filter($"key" === key).select($"last_run")
       .collect().headOption.map(_.getTimestamp(0))
 
-  def setLastRun(key: String, ts: Timestamp): Unit = {
-    val cur = readOrEmpty(runPath, "key STRING, last_run TIMESTAMP")
-      .filter($"key" =!= key)
-    val updated = cur.unionByName(Seq((key, ts)).toDF("key", "last_run"))
-    writeAtomic(updated, runPath)
-  }
+  def setLastRun(key: String, ts: Timestamp): Unit =
+    writeAtomic(Seq((key, ts)).toDF("key", "last_run"), runPath(key))
 
   /** T6 fallback chain: explicit state, else MAX(ts) of the target table,
     * else the seed (rj_smtr/tasks.py:1216-1251). */

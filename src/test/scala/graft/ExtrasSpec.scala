@@ -145,6 +145,16 @@ class ExtrasSpec extends SparkSpec {
       .toDF("source", "elangle", "start_az", "stop_az", "gain", "offset", "bins")
     assert(RadarPpi.slotValues(wrap, nRays = 8).select($"slot").head().getInt(0) === 0)
 
+    // rays sharing a slot with DIFFERENT calibration: the affine applies
+    // per ray before the median, so median(1*10+0, 10*2+5) = 17.5 —
+    // never median-of-raw times whichever ray's gain `first` picked
+    val mixed = Seq(
+      ("m", 0.5, 10.0, 10.0, 1.0, 0.0, Seq(10.0)),
+      ("m", 0.5, 12.0, 12.0, 10.0, 5.0, Seq(2.0))
+    ).toDF("source", "elangle", "start_az", "stop_az", "gain", "offset", "bins")
+    assert(RadarPpi.slotValues(mixed, nRays = 8).select($"value").head()
+      .getDouble(0) === 17.5)
+
     val vox = RadarPpi.voxels(rays, nRays = 8).cache()
     assert(vox.count() === 2 * 8 * 4) // both elevations fully gap-filled
 

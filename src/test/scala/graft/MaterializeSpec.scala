@@ -156,9 +156,13 @@ class MaterializeSpec extends SparkSpec {
     val badAv = SchemaTests.asResult("av_bad",
       SchemaTests.acceptedValues(orders, "o_orderstatus", Seq("F", "O")))
     assert(!badAv.passed)
-    // NULL is not an accepted value (dbt semantics)
-    assert(!SchemaTests.asResult("av_null",
+    // NULLs pass accepted_values (dbt's NOT IN three-valued logic drops
+    // them) — rejecting NULLs is not_null's job, declared separately
+    assert(SchemaTests.asResult("av_null",
       SchemaTests.acceptedValues(Seq[Option[String]](Some("F"), None)
+        .toDF("o_orderstatus"), "o_orderstatus", Seq("F"))).passed)
+    assert(!SchemaTests.asResult("av_null_bad",
+      SchemaTests.acceptedValues(Seq[Option[String]](Some("X"), None)
         .toDF("o_orderstatus"), "o_orderstatus", Seq("F"))).passed)
 
     // referential integrity orders→customer holds; a ghost key fails

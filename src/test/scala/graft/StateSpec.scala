@@ -24,6 +24,53 @@ class StateSpec extends SparkSpec {
     assert(st.lastRun("ds.t") === Some(now))
   }
 
+  test("crash between swap renames: next reader heals .old BEFORE its merge reads") {
+    val dir = tmpDir("state")
+    val st = new StateStore(spark, dir)
+    val batch = Seq(
+      ("s1", Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+      ("s2", Timestamp.valueOf("2024-01-02 11:00:00"), 2.0)).toDF("entity", "ts", "v")
+    st.advanceEntityWatermarks("k", batch, "entity", "ts")
+
+    // simulate a writer that died between `path -> path.old` and
+    // `tmp -> path`: the live copy is gone, only .old survives
+    val p = new org.apache.hadoop.fs.Path(s"$dir/entity_watermarks/k")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(p, new org.apache.hadoop.fs.Path(s"$dir/entity_watermarks/k.old")))
+
+    // a plain read heals and sees the prior state (not first-run empty)
+    assert(st.entityWatermarks("k").count() === 2)
+
+    // and crucially an UPDATE after the crash merges against the healed
+    // state — s2's watermark must survive a batch that only touches s1
+    assert(fs.rename(p, new org.apache.hadoop.fs.Path(s"$dir/entity_watermarks/k.old")))
+    st.advanceEntityWatermarks("k",
+      Seq(("s1", Timestamp.valueOf("2024-02-01 00:00:00"), 0.0))
+        .toDF("entity", "ts", "v"), "entity", "ts")
+    val wm = st.entityWatermarks("k").as[(String, Timestamp)].collect().toMap
+    assert(wm("s2") === Timestamp.valueOf("2024-01-02 11:00:00")) // not wiped
+    assert(wm("s1") === Timestamp.valueOf("2024-02-01 00:00:00"))
+  }
+
+  test("concurrent setLastRun on different keys: no lost update (per-key storage)") {
+    val st = new StateStore(spark, tmpDir("state"))
+    val keys = (1 to 8).map(i => s"pipe.$i")
+    import java.util.concurrent.Executors
+    val pool = Executors.newFixedThreadPool(8)
+    val futs = keys.zipWithIndex.map { case (k, i) =>
+      pool.submit(new Runnable {
+        def run(): Unit =
+          st.setLastRun(k, Timestamp.valueOf(f"2024-01-${i + 1}%02d 00:00:00"))
+      })
+    }
+    pool.shutdown()
+    futs.foreach(_.get())
+    keys.zipWithIndex.foreach { case (k, i) =>
+      assert(st.lastRun(k) === Some(Timestamp.valueOf(f"2024-01-${i + 1}%02d 00:00:00")),
+        s"update for $k lost")
+    }
+  }
+
   test("per-entity watermarks: filter newer + advance keeps max (T7/J1/A3)") {
     val st = new StateStore(spark, tmpDir("state"))
     val batch1 = Seq(
