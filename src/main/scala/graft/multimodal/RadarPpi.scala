@@ -51,7 +51,10 @@ object RadarPpi {
     val slotW = Window.partitionBy(col("source"), col("elangle"), col("slot"))
     rays
       .withColumn("slot", azimuthSlot(col("start_az"), col("stop_az"), nRays))
-      .withColumn("all_zero", !exists(col("bins"), b => b =!= 0.0))
+      // null bins are nodata-masked measurements ([[OdimH5.rays]]): a ray
+      // with only zeros and nulls carries no echo. The isNotNull guard
+      // keeps the predicate two-valued so `exists` can't return null.
+      .withColumn("all_zero", !exists(col("bins"), b => b.isNotNull && b =!= 0.0))
       .withColumn("live_rays", sum(when(!col("all_zero"), 1).otherwise(0)).over(slotW))
       .filter(!col("all_zero") || col("live_rays") === 0)
       .select(col("source"), col("elangle"), col("slot"),

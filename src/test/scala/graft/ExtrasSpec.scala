@@ -223,6 +223,82 @@ class ExtrasSpec extends SparkSpec {
     }
   }
 
+  test("hdf5 subset reader: groups, attrs, contiguous + chunked/deflate (S19 real)") {
+    import graft.multimodal.Hdf5
+    val f = Hdf5.open(Hdf5Fixture.odimVolume())
+
+    // group traversal + string/double/long/array attributes
+    assert(f.resolve("/what").attrs("source").text === Some("RAD:TEST1"))
+    assert(f.resolve("/where").attrs("lat").num === -22.96)
+    assert(f.resolve("/dataset1/where").attrs("elangle").num === 0.5)
+    assert(f.resolve("/dataset1/where").attrs("nbins").num === 3.0)
+    assert(f.resolve("/dataset1/how").attrs("startazA").nums.toSeq ===
+      Seq(350.0, 80.0, 170.0, 260.0))
+    assert(f.resolve("/dataset1/data1/what").attrs("quantity").text === Some("DBZH"))
+
+    // chunked + deflate u16, partial edge chunks (4×3 data, 2×2 chunks)
+    val d1 = f.resolve("/dataset1/data1/data")
+    assert(d1.dims === Seq(4, 3) && d1.deflate)
+    assert(f.readData(d1).toSeq === Seq(
+      10, 11, 12, 20, 21, 999, 30, 31, 32, 40, 41, 42).map(_.toDouble))
+
+    // contiguous float64
+    val d2 = f.resolve("/dataset2/data1/data")
+    assert(d2.dims === Seq(4, 3) && !d2.deflate)
+    assert(f.readData(d2).toSeq === Seq(
+      100.0, 101.0, 102.0, 110.0, 111.0, 112.0,
+      120.0, 121.0, 122.0, 130.0, 131.0, 132.0))
+
+    // unsupported features fail loudly, not silently
+    val bad = Hdf5Fixture.odimVolume(); bad(8) = 2 // superblock version 2
+    val e = intercept[IllegalArgumentException](Hdf5.open(bad))
+    assert(e.getMessage.contains("superblock version"))
+  }
+
+  test("odim volume → rays → PPI composites end-to-end (S19/U6)") {
+    import graft.multimodal.{Multimodal, OdimH5, RadarPpi}
+    val bytes = Hdf5Fixture.odimVolume()
+
+    // meta for the geo steps
+    val m = OdimH5.meta(bytes)
+    assert(m.source === "RAD:TEST1" && m.lat === -22.96)
+    assert(m.rscaleByElangle(0.5) === 1000.0)
+
+    // executor-local decode: 2 elevations × 4 rays
+    val rays = OdimH5.rays(bytes, "fallback").toSeq
+    assert(rays.size === 8)
+    val r1 = rays(1) // dataset1 ray 1: explicit azimuths, nodata bin
+    assert(r1.getString(0) === "RAD:TEST1" && r1.getDouble(1) === 0.5)
+    assert(r1.getDouble(2) === 80.0 && r1.getDouble(3) === 100.0)
+    assert(r1.getDouble(4) === 0.5 && r1.getDouble(5) === -32.0)
+    assert(r1.getSeq[Any](6) === Seq(20.0, 21.0, null)) // 999 → nodata → null
+    val r4 = rays(4) // dataset2 ray 0: uniform azimuths
+    assert(r4.getDouble(1) === 1.5 && r4.getDouble(2) === 0.0 && r4.getDouble(3) === 90.0)
+
+    // distributed: media frame → ray frame → voxels → CMAX
+    val media = Multimodal.asMedia(
+      Seq((1L, bytes, "vol1.h5")).toDF("id", "bytes", "src"),
+      "id", "bytes", "hdf5", "src")
+    val rayDf = OdimH5.raysFrame(media)
+    assert(rayDf.count() === 8)
+    val vox = RadarPpi.voxels(rayDf, nRays = 4).cache()
+    assert(vox.count() === 2 * 4 * 3) // full grid, both elevations
+    def v(el: Double, slot: Int, bin: Int): Double =
+      vox.filter($"elangle" === el && $"slot" === slot && $"bin_idx" === bin)
+        .head().getAs[Double]("value")
+    // el 0.5: wraparound ray (350→20) lands slot 0; physical = 0.5*raw - 32
+    assert(v(0.5, 0, 0) === 0.5 * 10 - 32)
+    // nodata bin: slot 1 bin 2 is null after slotValues, gap-filled from
+    // circular neighbors slot 0 (0.5*12-32) and slot 2 (0.5*32-32)
+    assert(v(0.5, 1, 2) === ((0.5 * 12 - 32) + (0.5 * 32 - 32)) / 2)
+    // el 1.5 contiguous path: gain 1, offset 0
+    assert(v(1.5, 2, 1) === 121.0)
+    // CMAX: el 1.5 dominates everywhere
+    assert(RadarPpi.cmax(vox).filter($"slot" === 0 && $"bin_idx" === 0)
+      .head().getAs[Double]("value") === 100.0)
+    vox.unpersist()
+  }
+
   test("netCDF classic decode: header, CF unpack, grid flatten (S18 real)") {
     import graft.multimodal.NetCdf
     val bytes = cdf1Fixture
