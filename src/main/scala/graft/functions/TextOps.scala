@@ -80,4 +80,46 @@ object TextOps {
     * (OpenRefine-style key-collision fingerprinting). */
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(text))), " "))
+
+  // ---- Gopher-style repetition signals ---------------------------------
+  // The duplicate-n-gram family of quality filters (Rae et al. 2021 §A1.1,
+  // carried into RefinedWeb/FineWeb pipelines): high repetition marks
+  // boilerplate and degenerate text. All per-row array arithmetic —
+  // no explode, no shuffle; a corpus scan stays one codegen stage.
+
+  /** Fraction of tokens that repeat an earlier token. */
+  def dupWordFrac(text: Column): Column = {
+    val w = tokens(text)
+    when(size(w) > 0,
+      (size(w) - size(array_distinct(w))).cast("double") / size(w))
+      .otherwise(lit(0.0))
+  }
+
+  /** Fraction of word n-grams that are repeats. */
+  def dupNgramFrac(text: Column, n: Int = 2): Column = {
+    val g = shingles(text, n)
+    when(size(g) > 0,
+      (size(g) - size(array_distinct(g))).cast("double") / size(g))
+      .otherwise(lit(0.0))
+  }
+
+  /** Share of all word n-grams taken by the single most frequent one.
+    * O(distinct × total) per row — documents are short relative to the
+    * corpus, so this stays cheaper than an explode + groupBy would be. */
+  def topNgramFrac(text: Column, n: Int = 2): Column = {
+    val g = shingles(text, n)
+    when(size(g) > 0,
+      array_max(transform(array_distinct(g),
+        x => size(filter(g, _ === x)))).cast("double") / size(g))
+      .otherwise(lit(0.0))
+  }
+
+  /** Deterministic [0,100) bucket from a salted md5 of the id — the
+    * stable sample/split primitive: the same document lands in the same
+    * bucket on any engine, cluster size, or run (the reproducibility
+    * property `rand()`-based sampling lacks). 60-bit prefix keeps the
+    * value inside a signed long on every engine. */
+  def hashBucket(id: Column, salt: String = "split"): Column =
+    pmod(graft.expressions.HexPrefixToLong.hex_prefix_to_long(
+      md5(concat(lit(salt + "|"), id.cast("string"))), 15), lit(100L))
 }

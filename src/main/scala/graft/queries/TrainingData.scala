@@ -163,6 +163,33 @@ object TrainingData {
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))
     }),
+    // Deterministic corpus sampling + train/valid/test splitting: the
+    // salted-md5 bucket is engine- and run-stable, so the same document
+    // lands in the same split on any cluster — the reproducibility
+    // property rand()-based sampling lacks. Pure per-row arithmetic:
+    // sampling 100 TB is one codegen'd scan, no shuffle.
+    "q72_hash_sample" -> ((s, dir) => {
+      val pct = TextOps.hashBucket(col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), pct.as("pct"),
+          when(pct < 80, "train").when(pct < 90, "valid")
+            .otherwise("test").as("split"),
+          when(pct < 10, 1L).otherwise(0L).as("in_sample"))
+        .orderBy(col("doc_id"))
+    }),
+    // Gopher-style repetition quality signals (duplicate-word /
+    // duplicate-2-gram / top-2-gram fractions) — per-row array
+    // arithmetic, no explode: the filter pass over a corpus is a single
+    // whole-stage-codegen scan.
+    "q73_repetition" -> ((s, dir) => {
+      val text = col("text")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.dupWordFrac(text).as("dup_word_frac"),
+          TextOps.dupNgramFrac(text, 2).as("dup_2gram_frac"),
+          TextOps.topNgramFrac(text, 2).as("top_2gram_frac"))
+        .orderBy(col("doc_id"))
+    }),
     // 16-bit SimHash fingerprints.
     "q58_simhash" -> ((s, dir) => {
       DedupOps.simhash16(t(s, dir, "documents"), "doc_id", "text")
@@ -378,6 +405,36 @@ object TrainingData {
     "q58_simhash" ->
       s"""WITH $simhashCte
          |SELECT doc_id, simhash FROM sim ORDER BY doc_id""".stripMargin,
+    "q72_hash_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 100 AS pct
+        |  FROM documents)
+        |SELECT doc_id, pct,
+        |  CASE WHEN pct < 80 THEN 'train'
+        |       WHEN pct < 90 THEN 'valid' ELSE 'test' END AS split,
+        |  CAST(CASE WHEN pct < 10 THEN 1 ELSE 0 END AS BIGINT) AS in_sample
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "q73_repetition" ->
+      """WITH g AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w,
+        |    list_transform(range(1, greatest(len(string_split(text, ' ')), 1)),
+        |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])
+        |      AS g2
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN len(w) > 0 THEN
+        |    CAST(len(w) - len(list_distinct(w)) AS DOUBLE) / len(w)
+        |    ELSE 0.0 END AS dup_word_frac,
+        |  CASE WHEN len(g2) > 0 THEN
+        |    CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2)
+        |    ELSE 0.0 END AS dup_2gram_frac,
+        |  CASE WHEN len(g2) > 0 THEN
+        |    CAST(list_max(list_transform(list_distinct(g2),
+        |      x -> len(list_filter(g2, y -> y = x)))) AS DOUBLE) / len(g2)
+        |    ELSE 0.0 END AS top_2gram_frac
+        |FROM g ORDER BY doc_id""".stripMargin,
     "q71_simhash_pairs" -> {
       // 64-bit twin of simhashCte: digits 1-32 from md5(w), 33-64 from
       // the seed-1 hash — mirrors DedupOps.simhashBits(_, 64)
