@@ -1,0 +1,119 @@
+package graft.lake
+
+import graft.functions.DedupOps
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental cross-run deduplication against a historical corpus
+  * (SURVEY §2.9 T6-T8 composed with the LLM-pipeline dedup family).
+  *
+  * The 100 TB problem: each day's batch must be deduplicated against
+  * everything ever ingested, and re-scanning the corpus per batch is
+  * O(corpus) — unaffordable. The corpus is therefore represented by
+  * compact SEEN-SETS kept as bucketed lake tables:
+  *
+  *  - `seen_hashes(content_hash)` — exact dedup: one md5 per historical
+  *    document (~32 bytes/doc ⇒ a 10¹⁰-doc corpus is ~300 GB of state,
+  *    not 100 TB of text);
+  *  - `seen_bands(band_idx, band_key)` — near-dup dedup at MinHash-LSH
+  *    candidate level: a new document sharing ANY band with history is
+  *    dropped as a near-dup candidate. This is the standard incremental
+  *    approximation: the historical tokens needed for an exact Jaccard
+  *    verify are exactly what we refuse to keep, so the LSH candidate
+  *    test IS the cross-run policy (within-batch pairs still get the
+  *    full verify via [[DedupOps.jaccardForPairs]]).
+  *
+  * Both tables are hash-bucketed on their join key at write time, so the
+  * per-batch anti-join never reshuffles the (large) state side — only
+  * the day's batch moves. Appends go through `insertInto`, which
+  * preserves the bucket spec per added file; [[Lake.compact]] folds the
+  * per-run files back down under the table's RunLock.
+  *
+  * Single-writer discipline: commits assume the caller holds the
+  * dataset's [[graft.state.RunLock]] (same contract as [[Lake]] writes).
+  */
+class CorpusDedup(spark: SparkSession, lake: Lake, dataset: String,
+                  numBuckets: Int = 64) {
+
+  val hashesRef: TableRef = TableRef("state", dataset, "seen_hashes")
+  val bandsRef: TableRef = TableRef("state", dataset, "seen_bands")
+
+  private def qualified(ref: TableRef) =
+    s"${ref.zone}_${ref.dataset}.${ref.table}"
+
+  private def tableExists(ref: TableRef): Boolean =
+    spark.catalog.tableExists(qualified(ref))
+
+  private def hashed(docs: DataFrame, textCol: String): DataFrame =
+    docs.withColumn("content_hash", md5(col(textCol)))
+
+  // ---- exact -----------------------------------------------------------
+
+  /** Rows of `docs` that are novel against BOTH the historical corpus
+    * and this batch (within-batch exact dups keep the min id). The
+    * state side of the anti-join reads pre-bucketed — no shuffle of
+    * history, ever. */
+  def novelExact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val h = hashed(docs, textCol)
+    val batchSurvivors = h.withColumn("_rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("content_hash")).orderBy(col(idCol))))
+      .filter(col("_rn") === 1).drop("_rn")
+    val vsHistory =
+      if (!tableExists(hashesRef)) batchSurvivors
+      else batchSurvivors.join(spark.table(qualified(hashesRef)),
+        Seq("content_hash"), "left_anti")
+    vsHistory.drop("content_hash")
+  }
+
+  /** Fold this batch's hashes into the seen-set (idempotent: hashes
+    * already present are not re-added). */
+  def commitExact(docs: DataFrame, textCol: String): Unit = {
+    val fresh = hashed(docs, textCol).select(col("content_hash")).distinct()
+    if (!tableExists(hashesRef))
+      lake.writeBucketed(fresh, hashesRef, "content_hash", numBuckets)
+    else {
+      val novel = fresh.join(spark.table(qualified(hashesRef)),
+        Seq("content_hash"), "left_anti")
+      novel.write.mode(SaveMode.Append).insertInto(qualified(hashesRef))
+    }
+  }
+
+  // ---- near-dup (MinHash-LSH candidate level) --------------------------
+
+  private def bandsOf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    DedupOps.lshBands(
+      DedupOps.minhashSignature(docs, idCol, textCol), idCol)
+
+  /** Rows of `docs` sharing NO LSH band with the historical corpus —
+    * definitely not a near-dup of anything ingested before (at the
+    * bands' candidate sensitivity). Within-batch near-dups are the
+    * batch pipeline's job ([[DedupOps.dropNearDuplicates]]); this is
+    * the cross-run gate. */
+  def novelNearDup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    if (!tableExists(bandsRef)) docs
+    else {
+      val collided = bandsOf(docs, idCol, textCol)
+        .join(spark.table(qualified(bandsRef)), Seq("band_idx", "band_key"),
+          "left_semi")
+        .select(col(idCol)).distinct()
+      docs.join(collided, Seq(idCol), "left_anti")
+    }
+  }
+
+  /** Fold this batch's band keys into the seen-set (idempotent). */
+  def commitNearDup(docs: DataFrame, idCol: String, textCol: String): Unit = {
+    val fresh = bandsOf(docs, idCol, textCol)
+      .select(col("band_idx"), col("band_key")).distinct()
+    if (!tableExists(bandsRef))
+      lake.writeBucketed(fresh, bandsRef, "band_key", numBuckets)
+    else {
+      val novel = fresh.join(spark.table(qualified(bandsRef)),
+        Seq("band_idx", "band_key"), "left_anti")
+      // insertInto is positional — align to the stored column order
+      val cols = spark.table(qualified(bandsRef)).columns
+      novel.select(cols.map(col).toIndexedSeq: _*)
+        .write.mode(SaveMode.Append).insertInto(qualified(bandsRef))
+    }
+  }
+}
