@@ -68,6 +68,32 @@ class StreamingSpec extends SparkSpec {
     assert(emitted > 0 && emitted <= batchTotal)
   }
 
+  test("streaming dedup within watermark drops re-delivered content") {
+    import graft.streaming.StreamDedup
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(hm: String) = Timestamp.valueOf(s"2024-01-01 $hm:00")
+
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val stream = mem.toDF.toDF("id", "text", "ts")
+    val out = StreamDedup.exactWithinWatermark(stream, "text", "ts", "10 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sd_out").start()
+    try {
+      // batch 1: two distinct docs + an in-batch duplicate (first wins)
+      mem.addData((1L, "doc a", t("10:00")), (2L, "doc b", t("10:01")),
+        (3L, "doc a", t("10:02")))
+      q.processAllAvailable()
+      // batch 2: re-delivery of doc a within the horizon + a novel doc
+      mem.addData((4L, "doc a", t("10:03")), (5L, "doc c", t("10:04")))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT id FROM sd_out").as[Long].collect().toSet
+      assert(ids === Set(1L, 2L, 5L))
+      // the dedup column is internal plumbing but present on the output
+      assert(spark.table("sd_out").columns.contains("content_hash"))
+    } finally q.stop()
+  }
+
   test("recapture planner finds missed minutes, caps at max (T4)") {
     val now = Timestamp.valueOf("2024-01-05 01:00:00")
     // logs: success every minute of the last hour EXCEPT 00:10 and 00:20;
