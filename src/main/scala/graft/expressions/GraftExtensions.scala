@@ -69,7 +69,17 @@ object GraftExtensions {
       (cs: Seq[Expression]) => HllMergeAgg(cs.head)),
     (FunctionIdentifier("hll_estimate"),
       new ExpressionInfo(classOf[HllEstimate].getName, "hll_estimate"),
-      (cs: Seq[Expression]) => HllEstimate(cs.head)))
+      (cs: Seq[Expression]) => HllEstimate(cs.head)),
+    (FunctionIdentifier("qsk_sketch"),
+      new ExpressionInfo(classOf[QskSketchAgg].getName, "qsk_sketch"),
+      (cs: Seq[Expression]) => QskSketchAgg(cs.head,
+        if (cs.size > 1) intArg(cs(1), "compactor capacity") else Qsk.DefaultK)),
+    (FunctionIdentifier("qsk_merge"),
+      new ExpressionInfo(classOf[QskMergeAgg].getName, "qsk_merge"),
+      (cs: Seq[Expression]) => QskMergeAgg(cs.head)),
+    (FunctionIdentifier("qsk_quantile"),
+      new ExpressionInfo(classOf[QskQuantile].getName, "qsk_quantile"),
+      (cs: Seq[Expression]) => QskQuantile(cs(0), cs(1))))
 
   /** Register on an already-built session (tests, driver-owned builders). */
   def install(spark: SparkSession): Unit =

@@ -190,6 +190,27 @@ object TrainingData {
           TextOps.topNgramFrac(text, 2).as("top_2gram_frac"))
         .orderBy(col("doc_id"))
     }),
+    // Exact corpus token-count percentiles, lower-quantile semantics
+    // (smallest value whose cumulative count reaches ⌈q·N⌉) — the
+    // integer-rank definition expressions.Qsk estimates at scale. The
+    // plan aggregates to a VALUE HISTOGRAM first (distinct token counts,
+    // not documents), so the window runs over a tiny frame: the corpus
+    // contributes one partial-agg shuffle, nothing sorts at corpus size.
+    "q74_token_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      val hist = t(s, dir, "documents")
+        .select(TextOps.nTokens(col("text")).as("n_tok"))
+        .groupBy(col("n_tok")).agg(count(lit(1)).as("cnt"))
+      val cum = hist.withColumn("cum",
+        sum(col("cnt")).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_tok"))
+          .rowsBetween(Long.MinValue, 0)))
+        .crossJoin(hist.agg(sum(col("cnt")).as("total")))
+      cum.crossJoin(Seq(0.25, 0.5, 0.75, 0.9).toDF("q"))
+        .filter(col("cum") >= ceil(col("q") * col("total")))
+        .groupBy(col("q")).agg(min(col("n_tok")).as("value"))
+        .orderBy(col("q"))
+    }),
     // 16-bit SimHash fingerprints.
     "q58_simhash" -> ((s, dir) => {
       DedupOps.simhash16(t(s, dir, "documents"), "doc_id", "text")
@@ -405,6 +426,16 @@ object TrainingData {
     "q58_simhash" ->
       s"""WITH $simhashCte
          |SELECT doc_id, simhash FROM sim ORDER BY doc_id""".stripMargin,
+    "q74_token_quantiles" ->
+      """WITH c AS (
+        |  SELECT len(string_split(text, ' ')) AS n_tok, count(*) AS cnt
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT sum(cnt) AS total FROM c),
+        |cum AS (SELECT n_tok, sum(cnt) OVER (ORDER BY n_tok) AS cum FROM c),
+        |qs AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9]) AS DOUBLE) AS q)
+        |SELECT q, min(n_tok) AS value
+        |FROM qs, cum, t WHERE cum >= ceil(q * total)
+        |GROUP BY q ORDER BY q""".stripMargin,
     "q72_hash_sample" ->
       """WITH b AS (
         |  SELECT doc_id,

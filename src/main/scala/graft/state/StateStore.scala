@@ -160,6 +160,23 @@ class StateStore(spark: SparkSession, root: String) {
     writeAtomic(Seq(merged).toDF("sketch"), sketchPath(key))
   }
 
+  private def qsketchPath(key: String) = s"$root/quantile_sketches/$key"
+
+  /** Stored quantile sketch for this key, if any. */
+  def quantileSketch(key: String): Option[Array[Byte]] =
+    readOrEmpty(qsketchPath(key), "sketch BINARY")
+      .collect().headOption.map(_.getAs[Array[Byte]](0))
+
+  /** Merge this run's quantile sketch into the stored one — cross-run
+    * percentiles (length/token-count distributions for quality cutoffs)
+    * without ever re-scanning history. */
+  def mergeQuantiles(key: String, sk: Array[Byte]): Unit = {
+    val merged = quantileSketch(key)
+      .map(old => graft.expressions.Qsk.mergeBytes(old, sk))
+      .getOrElse(sk)
+    writeAtomic(Seq(merged).toDF("sketch"), qsketchPath(key))
+  }
+
   // ---- T8: processed-file sets -----------------------------------------
 
   def processedFiles(key: String): DataFrame =

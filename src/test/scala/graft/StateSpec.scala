@@ -213,6 +213,54 @@ class StateSpec extends SparkSpec {
     assert(Hll.estimate(st.sketch("orders.custkey").get) === est)
   }
 
+  test("quantile sketch: rank bound, merge ≈ serial, SQL, cross-run (A4 quantiles)") {
+    import graft.expressions.{GraftExtensions, Qsk}
+    import graft.expressions.QuantileSketch._
+
+    // kernel over a deterministic permutation of 0..99999: lower-quantile
+    // estimates stay within 3% rank error (k=200 ⇒ typically well under 1%)
+    val vals = (0 until 100000).map(i => ((i * 2654435761L) % 100000).toDouble)
+    val s = Qsk.empty()
+    vals.foreach(s.update)
+    for (q <- Seq(0.1, 0.25, 0.5, 0.9, 0.99)) {
+      val est = s.quantile(q)
+      assert(math.abs(est - q * 100000) < 3000, s"q=$q est=$est")
+    }
+
+    // merge of disjoint halves obeys the same bound; serde round-trips
+    val a = Qsk.empty(); vals.take(50000).foreach(a.update)
+    val b = Qsk.empty(); vals.drop(50000).foreach(b.update)
+    val halfA = a.serialize() // keep pre-merge copy for the state test
+    val m = a.merge(b)
+    for (q <- Seq(0.25, 0.5, 0.9))
+      assert(math.abs(m.quantile(q) - q * 100000) < 3000)
+    assert(Qsk.deserialize(m.serialize()).quantile(0.5) === m.quantile(0.5))
+
+    // aggregate path: distributed sketch, per-group merge, SQL surface
+    val df = spark.range(100000).select(($"id" % 1000).as("v"))
+    val med = df.repartition(8).agg(qsk_quantile(qsk_sketch($"v"), lit(0.5)))
+      .head().getDouble(0)
+    assert(math.abs(med - 500) < 40, s"agg median $med")
+    val grouped = spark.range(100000)
+      .select(($"id" % 1000).as("v"), ($"id" % 4).as("g"))
+      .groupBy($"g").agg(qsk_sketch($"v").as("sk"))
+      .agg(qsk_quantile(qsk_merge($"sk"), lit(0.5))).head().getDouble(0)
+    assert(math.abs(grouped - 500) < 40, s"merged median $grouped")
+    GraftExtensions.install(spark)
+    df.createOrReplaceTempView("qsk_v")
+    val sqlMed = spark.sql(
+      "SELECT qsk_quantile(qsk_sketch(CAST(v AS DOUBLE)), 0.5D) FROM qsk_v")
+      .head().getDouble(0)
+    assert(math.abs(sqlMed - 500) < 40, s"sql median $sqlMed")
+
+    // cross-run accumulation through _state: two runs, no history re-scan
+    val st = new StateStore(spark, tmpDir("state"))
+    st.mergeQuantiles("tok", halfA)
+    st.mergeQuantiles("tok", b.serialize())
+    val got = Qsk.deserialize(st.quantileSketch("tok").get)
+    assert(math.abs(got.quantile(0.5) - 50000) < 3000)
+  }
+
   test("state upserts stay distributed at 1e5 entities (no driver collect)") {
     val st = new StateStore(spark, tmpDir("state"))
     val n = 100000
