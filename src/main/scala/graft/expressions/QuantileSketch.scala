@@ -2,10 +2,11 @@ package graft.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.graftbridge.Bridge.AbstractDataType
 import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType}
 
 import scala.collection.mutable.ArrayBuffer
@@ -157,13 +158,15 @@ object Qsk {
     deserialize(a).merge(deserialize(b)).serialize()
 }
 
-/** Aggregate: DOUBLE values → sketch bytes. */
+/** Aggregate: numeric values → sketch bytes (inputs implicit-cast to
+  * DOUBLE, so the SQL surface takes any numeric column directly). */
 case class QskSketchAgg(child: Expression, k: Int = Qsk.DefaultK,
                         mutableAggBufferOffset: Int = 0,
                         inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Qsk.Sketch] {
+    extends TypedImperativeAggregate[Qsk.Sketch] with ImplicitCastInputTypes {
 
   override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType)
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
   override def prettyName: String = "qsk_sketch"
@@ -225,10 +228,13 @@ case class QskMergeAgg(child: Expression,
 
   override def eval(buf: Option[Qsk.Sketch]): Any =
     buf.getOrElse(Qsk.empty()).serialize()
+  // None must survive a serde round-trip as None: a zero-row partial
+  // buffer serialized as a default-k sketch would merge-crash against
+  // sketches built with a non-default k.
   override def serialize(buf: Option[Qsk.Sketch]): Array[Byte] =
-    buf.getOrElse(Qsk.empty()).serialize()
+    buf.map(_.serialize()).getOrElse(Array.emptyByteArray)
   override def deserialize(bytes: Array[Byte]): Option[Qsk.Sketch] =
-    Some(Qsk.deserialize(bytes))
+    if (bytes.isEmpty) None else Some(Qsk.deserialize(bytes))
 
   override def withNewMutableAggBufferOffset(o: Int): QskMergeAgg =
     copy(mutableAggBufferOffset = o)
@@ -238,15 +244,21 @@ case class QskMergeAgg(child: Expression,
     copy(child = c.head)
 }
 
-/** Scalar: (sketch bytes, q) → lower-quantile estimate. Interpreted —
-  * evaluated per group of sketches, not per data row. */
+/** Scalar: (sketch bytes, q) → lower-quantile estimate; NULL for an
+  * empty sketch (an empty/all-NULL aggregation), matching
+  * approx_percentile. Interpreted — evaluated per group of sketches,
+  * not per data row. */
 case class QskQuantile(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with CodegenFallback with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, DoubleType)
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "qsk_quantile"
-  override protected def nullSafeEval(sk: Any, q: Any): Any =
-    Qsk.deserialize(sk.asInstanceOf[Array[Byte]])
-      .quantile(q.asInstanceOf[Double])
+  override protected def nullSafeEval(sk: Any, q: Any): Any = {
+    val sketch = Qsk.deserialize(sk.asInstanceOf[Array[Byte]])
+    if (sketch.levels.forall(_.isEmpty)) null
+    else sketch.quantile(q.asInstanceOf[Double])
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): QskQuantile =
     copy(left = l, right = r)
 }

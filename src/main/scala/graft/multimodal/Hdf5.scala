@@ -222,7 +222,10 @@ object Hdf5 {
     private def parseAttribute(b: ByteBuffer): (String, AttrVal) = {
       val ver = b.get().toInt
       require(ver >= 1 && ver <= 3, s"attribute message version $ver unsupported")
-      b.get() // v1: reserved; v2/v3: flags (shared dt/ds unsupported but rare)
+      val flags = b.get().toInt // v1: reserved; v2/v3: shared-message flags
+      require(ver == 1 || (flags & 0x03) == 0,
+        "shared datatype/dataspace attribute messages unsupported — " +
+          "parsing the reference as an inline type would yield garbage")
       val nameSize = b.getShort().toInt & 0xffff
       val dtSize = b.getShort().toInt & 0xffff
       val dsSize = b.getShort().toInt & 0xffff
@@ -415,17 +418,23 @@ object Hdf5 {
 
     private def inflate(data: Array[Byte]): Array[Byte] = {
       val inf = new java.util.zip.Inflater()
-      inf.setInput(data)
-      val bos = new java.io.ByteArrayOutputStream(data.length * 4)
-      val chunk = new Array[Byte](8192)
-      while (!inf.finished()) {
-        val n = inf.inflate(chunk)
-        if (n == 0 && inf.needsInput())
-          throw new java.io.IOException("truncated deflate stream in chunk")
-        bos.write(chunk, 0, n)
-      }
-      inf.end()
-      bos.toByteArray
+      try {
+        inf.setInput(data)
+        val bos = new java.io.ByteArrayOutputStream(data.length * 4)
+        val chunk = new Array[Byte](8192)
+        while (!inf.finished()) {
+          val n = inf.inflate(chunk)
+          // all input was provided up front, so ANY zero-progress state
+          // (needs input = truncated, needs dictionary, trailing garbage)
+          // is fatal — throwing beats spinning forever in an executor
+          if (n == 0 && !inf.finished())
+            throw new java.io.IOException(
+              if (inf.needsDictionary()) "deflate chunk needs a preset dictionary — unsupported"
+              else "truncated or stalled deflate stream in chunk")
+          bos.write(chunk, 0, n)
+        }
+        bos.toByteArray
+      } finally inf.end()
     }
   }
 

@@ -37,12 +37,18 @@ object OdimH5 {
     StructField("offset", DoubleType),
     StructField("bins", ArrayType(DoubleType, containsNull = true))))
 
-  /** Site + scan geometry for the geo steps downstream of the ray frame
-    * ([[RadarPpi.cappi]]/[[RadarPpi.toGeo]] take these as parameters). */
+  /** Geometry of one scan (dataset group). Keyed by DATASET, not by
+    * elangle: operational split-cut volumes repeat an elevation angle
+    * across scans with different gate spacings, and an elangle-keyed map
+    * would silently keep whichever parsed last. */
+  final case class ScanMeta(dataset: String, elangle: Double,
+                            rscaleM: Double, rstartKm: Double)
+
+  /** Site + per-scan geometry for the geo steps downstream of the ray
+    * frame ([[RadarPpi.cappi]]/[[RadarPpi.toGeo]] take these as
+    * parameters). */
   final case class OdimMeta(source: String, lat: Double, lon: Double,
-                            heightM: Double,
-                            rscaleByElangle: Map[Double, Double],
-                            rstartKmByElangle: Map[Double, Double])
+                            heightM: Double, scans: Seq[ScanMeta])
 
   private def datasetGroups(f: Hdf5.H5File): Seq[(String, Hdf5.H5Object)] = {
     val root = f.objectAt(f.rootAddr)
@@ -75,12 +81,13 @@ object OdimH5 {
   def meta(bytes: Array[Byte], fallbackSource: String = "radar"): OdimMeta = {
     val f = Hdf5.open(bytes)
     val where = f.resolve("/where").attrs
-    val byEl = datasetGroups(f).flatMap { case (name, _) =>
+    val scans = datasetGroups(f).flatMap { case (name, _) =>
       if (!f.exists(s"/$name/where")) Nil
       else {
         val w = f.resolve(s"/$name/where").attrs
         for (el <- w.get("elangle").map(_.num).toSeq)
-          yield (el, w.get("rscale").map(_.num).getOrElse(Double.NaN),
+          yield ScanMeta(name, el,
+            w.get("rscale").map(_.num).getOrElse(Double.NaN),
             w.get("rstart").map(_.num).getOrElse(0.0))
       }
     }
@@ -88,8 +95,7 @@ object OdimH5 {
       where.get("lat").map(_.num).getOrElse(Double.NaN),
       where.get("lon").map(_.num).getOrElse(Double.NaN),
       where.get("height").map(_.num).getOrElse(Double.NaN),
-      byEl.map(t => t._1 -> t._2).toMap,
-      byEl.map(t => t._1 -> t._3).toMap)
+      scans)
   }
 
   /** One volume's bytes → per-ray rows matching [[raySchema]] (the

@@ -16,9 +16,10 @@ import org.apache.spark.sql.functions._
   * functions → groupBy composites, so a year of volumes distributes and
   * the cube never materializes anywhere.
   *
-  * The HDF5 *container* read is out of scope (no codec lib here — the
-  * adapter is injectable; see [[NetCdf]] for the container we do parse);
-  * everything from rays onward is real and spec'd on synthetic volumes.
+  * The HDF5 *container* read is [[Hdf5]] + [[OdimH5]] (pure-JVM subset
+  * reader + ODIM polar-volume adapter — no external codec lib);
+  * [[OdimH5.raysFrame]] fans volume files out to exactly the ray frame
+  * below, and everything from rays onward is spec'd on synthetic volumes.
   *
   * Input ray frame (one row per ray per elevation per volume):
   * `source STRING, elangle DOUBLE, start_az DOUBLE, stop_az DOUBLE,

@@ -37,7 +37,10 @@ class StateStore(spark: SparkSession, root: String) {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val old = new Path(path + ".old")
     if (!fs.exists(p) && fs.exists(old)) {
-      if (!fs.rename(old, p))
+      // Two lock-free readers may race this rename; losing is fine as
+      // long as SOMEONE restored the live copy. (A reader racing a live
+      // writer's swap is handled by writeAtomic's bounded retry.)
+      if (!fs.rename(old, p) && !fs.exists(p))
         throw new java.io.IOException(s"state recovery rename $old -> $p failed")
     }
   }
@@ -81,13 +84,27 @@ class StateStore(spark: SparkSession, root: String) {
     // table compact up to ~10^8 entities without a count-then-choose pass.
     df.coalesce(4).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     if (fs.exists(old)) fs.delete(old, true)
-    // HDFS-style rename returns false instead of throwing — a false here
-    // must never be followed by deleting the surviving copy.
-    if (fs.exists(p) && !fs.rename(p, old))
-      throw new java.io.IOException(s"state swap rename $p -> $old failed")
-    if (!fs.rename(tmp, p)) {
-      if (fs.exists(old)) fs.rename(old, p) // best-effort restore
-      throw new java.io.IOException(s"state swap rename $tmp -> $p failed")
+    // Swap with bounded retry: a lock-free READER that catches us between
+    // the two renames can heal `.old` back into `path` (readOrEmpty's
+    // crash recovery) — the tmp->path rename then fails with path
+    // re-occupied by the pre-update copy. Re-swapping it away and
+    // retrying converges: each iteration leaves `old` holding the same
+    // pre-update state. HDFS-style rename returns false instead of
+    // throwing — a false must never be followed by deleting the
+    // surviving copy.
+    var attempts = 0
+    var swapped = false
+    while (!swapped) {
+      if (fs.exists(p) && !fs.rename(p, old))
+        throw new java.io.IOException(s"state swap rename $p -> $old failed")
+      if (fs.rename(tmp, p)) swapped = true
+      else {
+        attempts += 1
+        if (attempts >= 3 || !fs.exists(p)) {
+          if (fs.exists(old)) fs.rename(old, p) // best-effort restore
+          throw new java.io.IOException(s"state swap rename $tmp -> $p failed")
+        }
+      }
     }
     fs.delete(old, true)
   }
@@ -102,6 +119,26 @@ class StateStore(spark: SparkSession, root: String) {
     readOrEmpty(runPath(key), "key STRING, last_run TIMESTAMP")
       .filter($"key" === key).select($"last_run")
       .collect().headOption.map(_.getTimestamp(0))
+      .orElse(legacyLastRun(key))
+
+  /** Migration read: the pre-per-key layout kept ALL keys in one parquet
+    * table at `$root/last_run` — the same path that now holds the
+    * per-key subdirs, so surviving legacy part-files sit directly in it.
+    * A key missing from the new layout falls back here (and moves to a
+    * per-key path on its next setLastRun), so an upgrade never silently
+    * re-processes history from the seed. */
+  private def legacyLastRun(key: String): Option[Timestamp] = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(s"$root/last_run")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = try fs.listStatus(dir)
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+    catch { case _: java.io.IOException => Array.empty[org.apache.hadoop.fs.FileStatus] }
+    if (parts.isEmpty) None
+    else spark.read.parquet(parts.map(_.getPath.toString).toIndexedSeq: _*)
+      .filter($"key" === key).select($"last_run")
+      .collect().headOption.map(_.getTimestamp(0))
+  }
 
   def setLastRun(key: String, ts: Timestamp): Unit =
     writeAtomic(Seq((key, ts)).toDF("key", "last_run"), runPath(key))

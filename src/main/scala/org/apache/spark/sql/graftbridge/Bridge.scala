@@ -13,6 +13,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
   * org.apache.spark.sql, which is what we do here.
   */
 object Bridge {
+  /** `types.AbstractDataType` is private[sql] in Spark 4; expressions
+    * outside org.apache.spark.sql need it to declare `inputTypes` for
+    * ImplicitCastInputTypes. A transparent alias from this subpackage
+    * keeps the override signature intact. */
+  type AbstractDataType = org.apache.spark.sql.types.AbstractDataType
+
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 

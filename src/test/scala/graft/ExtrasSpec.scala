@@ -262,7 +262,8 @@ class ExtrasSpec extends SparkSpec {
     // meta for the geo steps
     val m = OdimH5.meta(bytes)
     assert(m.source === "RAD:TEST1" && m.lat === -22.96)
-    assert(m.rscaleByElangle(0.5) === 1000.0)
+    assert(m.scans.map(s => (s.dataset, s.elangle, s.rscaleM)) ===
+      Seq(("dataset1", 0.5, 1000.0), ("dataset2", 1.5, 1000.0)))
 
     // executor-local decode: 2 elevations × 4 rays
     val rays = OdimH5.rays(bytes, "fallback").toSeq

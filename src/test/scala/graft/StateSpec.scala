@@ -248,10 +248,24 @@ class StateSpec extends SparkSpec {
     assert(math.abs(grouped - 500) < 40, s"merged median $grouped")
     GraftExtensions.install(spark)
     df.createOrReplaceTempView("qsk_v")
+    // no explicit casts: BIGINT column and DECIMAL literal implicit-cast
     val sqlMed = spark.sql(
-      "SELECT qsk_quantile(qsk_sketch(CAST(v AS DOUBLE)), 0.5D) FROM qsk_v")
+      "SELECT qsk_quantile(qsk_sketch(v), 0.5) FROM qsk_v")
       .head().getDouble(0)
     assert(math.abs(sqlMed - 500) < 40, s"sql median $sqlMed")
+
+    // non-default k survives partial-agg serde: empty partials must stay
+    // None (a default-k empty sketch would merge-crash against k=400)
+    val k400 = spark.range(10000).select(($"id" % 100).as("v"), ($"id" % 4).as("g"))
+      .groupBy($"g").agg(qsk_sketch($"v", 400).as("sk"))
+      .repartition(8) // most partials hold no sketch rows
+      .agg(qsk_quantile(qsk_merge($"sk"), lit(0.5))).head().getDouble(0)
+    assert(math.abs(k400 - 50) < 10, s"k=400 merged median $k400")
+
+    // empty aggregation → NULL estimate, not a crash
+    val empty = spark.range(10).filter($"id" < 0)
+      .agg(qsk_quantile(qsk_sketch($"id"), lit(0.5))).head()
+    assert(empty.isNullAt(0))
 
     // cross-run accumulation through _state: two runs, no history re-scan
     val st = new StateStore(spark, tmpDir("state"))
