@@ -114,6 +114,21 @@ object TextOps {
       .otherwise(lit(0.0))
   }
 
+  /** Fixed-size token chunks with overlap — the context-window splitter
+    * every training pipeline runs before tokenization: chunk i covers
+    * tokens [i·(chunk−overlap), i·(chunk−overlap)+chunk). Pure per-row
+    * array arithmetic (no explode here — callers posexplode the result),
+    * so chunking 100 TB stays inside the scan. */
+  def chunkTexts(text: Column, chunkTokens: Int, overlap: Int): Column = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap $overlap must be in [0, $chunkTokens)")
+    val step = chunkTokens - overlap
+    val w = tokens(text)
+    val nChunks = greatest(((size(w) + step - 1) / step).cast("int"), lit(1))
+    transform(sequence(lit(0), nChunks - 1),
+      i => array_join(slice(w, i * step + 1, lit(chunkTokens)), " "))
+  }
+
   /** Deterministic [0,100) bucket from a salted md5 of the id — the
     * stable sample/split primitive: the same document lands in the same
     * bucket on any engine, cluster size, or run (the reproducibility

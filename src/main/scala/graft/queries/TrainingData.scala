@@ -211,6 +211,20 @@ object TrainingData {
         .groupBy(col("q")).agg(min(col("n_tok")).as("value"))
         .orderBy(col("q"))
     }),
+    // Context-window chunking (50-token chunks, 10-token overlap): one
+    // scan + generate; chunk hashes keep the output compact. The
+    // operator every pretraining pipeline runs between cleaning and
+    // tokenization.
+    "q75_chunking" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(TextOps.chunkTexts(col("text"), 50, 10))
+            .as(Seq("chunk_idx", "chunk")))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          size(split(col("chunk"), " ")).cast("long").as("n_tok"),
+          md5(col("chunk")).as("chunk_hash"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
     // 16-bit SimHash fingerprints.
     "q58_simhash" -> ((s, dir) => {
       DedupOps.simhash16(t(s, dir, "documents"), "doc_id", "text")
@@ -426,6 +440,17 @@ object TrainingData {
     "q58_simhash" ->
       s"""WITH $simhashCte
          |SELECT doc_id, simhash FROM sim ORDER BY doc_id""".stripMargin,
+    "q75_chunking" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |c AS (SELECT doc_id, words,
+        |  unnest(range(0, greatest((len(words) + 39) // 40, 1))) AS chunk_idx
+        |  FROM w)
+        |SELECT doc_id, chunk_idx,
+        |  len(list_slice(words, chunk_idx*40 + 1,
+        |    least(chunk_idx*40 + 50, len(words)))) AS n_tok,
+        |  md5(array_to_string(list_slice(words, chunk_idx*40 + 1,
+        |    least(chunk_idx*40 + 50, len(words))), ' ')) AS chunk_hash
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "q74_token_quantiles" ->
       """WITH c AS (
         |  SELECT len(string_split(text, ' ')) AS n_tok, count(*) AS cnt
