@@ -45,9 +45,26 @@ object Hll {
     if (rho > sketch(1 + idx)) sketch(1 + idx) = rho.toByte
   }
 
-  /** Register-wise max, in place into `a`. */
+  /** True iff no value was ever folded in (all registers zero). */
+  def isZero(sketch: Array[Byte]): Boolean = {
+    var i = 1
+    while (i < sketch.length) {
+      if (sketch(i) != 0) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Register-wise max, in place into `a` (use the return value). A
+    * ZERO sketch is identity regardless of precision: an empty batch's
+    * hll_merge output carries the default p, and folding it into
+    * non-default-p state must be a no-op, not a crash. */
   def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
-    require(a(0) == b(0), s"precision mismatch: ${a(0)} vs ${b(0)}")
+    if (a(0) != b(0)) {
+      if (isZero(b)) return a
+      if (isZero(a)) return b.clone()
+      require(a(0) == b(0), s"precision mismatch: ${a(0)} vs ${b(0)}")
+    }
     var i = 1
     while (i < a.length) {
       if (b(i) > a(i)) a(i) = b(i)

@@ -70,17 +70,26 @@ object Qsk {
       levels(i).clear()
     }
 
+    /** Merge, returning the combined sketch. An EMPTY side is identity
+      * regardless of k — an empty batch's qsk_merge output (or an eval'd
+      * None buffer) is a default-k empty sketch, and it must never crash
+      * a fold into non-default-k state. Use the RETURN value: when this
+      * side is empty the other sketch is returned (its k wins). */
     def merge(o: Sketch): Sketch = {
-      require(o.k == k, s"sketch k mismatch: $k vs ${o.k}")
-      n += o.n
-      var i = 0
-      while (i < o.levels.length) {
-        if (i == levels.length) levels += ArrayBuffer.empty
-        levels(i) ++= o.levels(i)
-        i += 1
+      if (o.n == 0) this
+      else if (n == 0) o
+      else {
+        require(o.k == k, s"sketch k mismatch: $k vs ${o.k}")
+        n += o.n
+        var i = 0
+        while (i < o.levels.length) {
+          if (i == levels.length) levels += ArrayBuffer.empty
+          levels(i) ++= o.levels(i)
+          i += 1
+        }
+        compress()
+        this
       }
-      compress()
-      this
     }
 
     /** Total retained weight (= n up to the ±1-item parity of odd

@@ -116,15 +116,19 @@ object TextOps {
 
   /** Fixed-size token chunks with overlap — the context-window splitter
     * every training pipeline runs before tokenization: chunk i covers
-    * tokens [i·(chunk−overlap), i·(chunk−overlap)+chunk). Pure per-row
-    * array arithmetic (no explode here — callers posexplode the result),
-    * so chunking 100 TB stays inside the scan. */
+    * tokens [i·(chunk−overlap), i·(chunk−overlap)+chunk). Chunk count is
+    * ⌈(n−overlap)/step⌉ (≥1), NOT ⌈n/step⌉: a trailing start inside the
+    * previous chunk's overlap region would emit a chunk that is a strict
+    * SUBSET of its predecessor — silently duplicated training data.
+    * Pure per-row array arithmetic (no explode here — callers posexplode
+    * the result), so chunking 100 TB stays inside the scan. */
   def chunkTexts(text: Column, chunkTokens: Int, overlap: Int): Column = {
     require(overlap >= 0 && overlap < chunkTokens,
       s"overlap $overlap must be in [0, $chunkTokens)")
     val step = chunkTokens - overlap
     val w = tokens(text)
-    val nChunks = greatest(((size(w) + step - 1) / step).cast("int"), lit(1))
+    val nChunks = greatest(
+      (((size(w) - overlap) + step - 1) / step).cast("int"), lit(1))
     transform(sequence(lit(0), nChunks - 1),
       i => array_join(slice(w, i * step + 1, lit(chunkTokens)), " "))
   }

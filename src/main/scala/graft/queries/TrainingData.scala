@@ -217,11 +217,13 @@ object TrainingData {
     // tokenization.
     "q75_chunking" -> ((s, dir) => {
       t(s, dir, "documents")
-        .select(col("doc_id"),
+        .select(col("doc_id"), TextOps.nTokens(col("text")).as("n"),
           posexplode(TextOps.chunkTexts(col("text"), 50, 10))
             .as(Seq("chunk_idx", "chunk")))
         .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
-          size(split(col("chunk"), " ")).cast("long").as("n_tok"),
+          // arithmetic, not a re-split of the joined string: the chunk's
+          // token count is fully determined by (n, chunk_idx)
+          least(lit(50L), col("n") - col("chunk_idx") * 40L).as("n_tok"),
           md5(col("chunk")).as("chunk_hash"))
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
@@ -443,7 +445,7 @@ object TrainingData {
     "q75_chunking" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
         |c AS (SELECT doc_id, words,
-        |  unnest(range(0, greatest((len(words) + 39) // 40, 1))) AS chunk_idx
+        |  unnest(range(0, greatest((len(words) - 10 + 39) // 40, 1))) AS chunk_idx
         |  FROM w)
         |SELECT doc_id, chunk_idx,
         |  len(list_slice(words, chunk_idx*40 + 1,

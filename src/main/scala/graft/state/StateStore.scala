@@ -126,19 +126,28 @@ class StateStore(spark: SparkSession, root: String) {
     * per-key subdirs, so surviving legacy part-files sit directly in it.
     * A key missing from the new layout falls back here (and moves to a
     * per-key path on its next setLastRun), so an upgrade never silently
-    * re-processes history from the seed. */
-  private def legacyLastRun(key: String): Option[Timestamp] = {
+    * re-processes history from the seed.
+    *
+    * Loaded ONCE per StateStore instance (the legacy table is one row
+    * per key — driver-safe): without memoization every miss would launch
+    * a Spark read, including every genuinely new key forever. Note the
+    * fallback also means deleting a per-key dir alone does NOT reset a
+    * key that predates the migration — remove the legacy part-files once
+    * all pipelines have written the new layout. */
+  private lazy val legacyRuns: Map[String, Timestamp] = {
     import org.apache.hadoop.fs.Path
     val dir = new Path(s"$root/last_run")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val parts = try fs.listStatus(dir)
       .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
     catch { case _: java.io.IOException => Array.empty[org.apache.hadoop.fs.FileStatus] }
-    if (parts.isEmpty) None
+    if (parts.isEmpty) Map.empty
     else spark.read.parquet(parts.map(_.getPath.toString).toIndexedSeq: _*)
-      .filter($"key" === key).select($"last_run")
-      .collect().headOption.map(_.getTimestamp(0))
+      .select($"key", $"last_run").collect()
+      .map(r => r.getString(0) -> r.getTimestamp(1)).toMap
   }
+
+  private def legacyLastRun(key: String): Option[Timestamp] = legacyRuns.get(key)
 
   def setLastRun(key: String, ts: Timestamp): Unit =
     writeAtomic(Seq((key, ts)).toDF("key", "last_run"), runPath(key))

@@ -187,6 +187,10 @@ class StateSpec extends SparkSpec {
     val b = sk(4000 until 10000) // overlaps A on [4000, 6000)
     val union = sk(0 until 10000)
     assert(Hll.merge(a.clone(), b).toSeq === union.toSeq) // EXACT, not approx
+    // zero sketches are merge-identity even across precisions (an empty
+    // batch's hll_merge output carries the default p)
+    assert(Hll.merge(Hll.empty(10), a.clone()).toSeq === a.toSeq)
+    assert(Hll.merge(a.clone(), Hll.empty(10)).toSeq === a.toSeq)
     val est = Hll.estimate(union)
     assert(math.abs(est - 10000) < 500, s"estimate $est off >5%")
 
@@ -273,6 +277,31 @@ class StateSpec extends SparkSpec {
     st.mergeQuantiles("tok", b.serialize())
     val got = Qsk.deserialize(st.quantileSketch("tok").get)
     assert(math.abs(got.quantile(0.5) - 50000) < 3000)
+
+    // an EMPTY sketch (e.g. an empty batch's qsk_merge output, default k)
+    // is merge-identity regardless of k — never a k-mismatch crash
+    val k400sk = Qsk.empty(400); (1 to 100).foreach(i => k400sk.update(i))
+    assert(Qsk.empty(200).merge(k400sk).quantile(0.5) === 50.0)
+    assert(k400sk.merge(Qsk.empty(200)).quantile(0.5) === 50.0)
+    st.mergeQuantiles("tok400", k400sk.serialize())
+    st.mergeQuantiles("tok400", Qsk.empty(200).serialize()) // empty-batch run
+    assert(Qsk.deserialize(st.quantileSketch("tok400").get).quantile(0.5) === 50.0)
+  }
+
+  test("legacy single-file last_run layout is still readable (migration)") {
+    val dir = tmpDir("state")
+    // simulate the pre-per-key layout: one parquet table AT $root/last_run
+    Seq(("old.pipeline", Timestamp.valueOf("2024-05-01 00:00:00")))
+      .toDF("key", "last_run").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/last_run")
+    val st = new StateStore(spark, dir)
+    assert(st.lastRun("old.pipeline") ===
+      Some(Timestamp.valueOf("2024-05-01 00:00:00")))
+    assert(st.lastRun("never.seen").isEmpty)
+    // the per-key layout wins once written
+    st.setLastRun("old.pipeline", Timestamp.valueOf("2024-06-01 00:00:00"))
+    assert(st.lastRun("old.pipeline") ===
+      Some(Timestamp.valueOf("2024-06-01 00:00:00")))
   }
 
   test("state upserts stay distributed at 1e5 entities (no driver collect)") {
