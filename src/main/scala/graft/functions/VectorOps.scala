@@ -74,6 +74,87 @@ object VectorOps {
       .limit(k)
   }
 
+  /** Lloyd's k-means training for the IVF coarse quantizer — the trained
+    * upgrade of [[centroids]]' per-label means. Deterministic: seeds are
+    * the k vectors with the smallest md5 of their rendered text (stable
+    * across runs and partitionings — no rand()). Per iteration the
+    * ASSIGNMENT is k codegen'd [[graft.expressions.VecDot]] scorings
+    * against literal broadcast centroids (zero joins, zero shuffles of
+    * the corpus) and the RECOMPUTE is one (cluster, dim) groupBy whose
+    * shuffle carries k·dim partial sums; centroids collect per round —
+    * k·dim doubles, driver-bounded, the same shape MLlib uses. Returns
+    * (cluster, pos, centroid) rows, [[ivfTopKPrebuilt]]'s cents shape. */
+  def kmeansLloyd(corpus: DataFrame, vecCol: String, k: Int,
+                  iters: Int = 5): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def vecOf(r: org.apache.spark.sql.Row): Array[Double] =
+      r.getSeq[Any](0).map(_.asInstanceOf[Number].doubleValue).toArray
+    // Deterministic farthest-first seeding (k-means++ flavor without
+    // rand()): first seed = smallest md5 of the rendered vector; each
+    // next seed maximizes its min distance to the chosen seeds, md5 as
+    // the tie-break. Smallest-hash-only seeding can draw every seed from
+    // one dense cluster and Lloyd cannot recover from that.
+    val hashed = corpus.select(col(vecCol))
+      .withColumn("h", md5(concat_ws(",", col(vecCol))))
+    var cents: IndexedSeq[Array[Double]] = IndexedSeq(
+      vecOf(hashed.orderBy(col("h")).select(col(vecCol)).head()))
+    while (cents.size < k) {
+      cents = cents :+ vecOf(hashed
+        .withColumn("d2", sqDistToNearest(cents, col(vecCol)))
+        .orderBy(desc("d2"), col("h"))
+        .select(col(vecCol)).head())
+    }
+
+    var it = 0
+    while (it < iters) {
+      val next = assignClusters(corpus, cents, vecCol)
+        .select(col("cluster"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(avg(col("x").cast("double")).as("centroid"))
+        .collect()
+      val byCluster = next.groupBy(_.getInt(0))
+      // a cluster that lost every member keeps its old centroid
+      cents = cents.indices.map { c =>
+        byCluster.get(c).map { rows =>
+          val arr = new Array[Double](cents(c).length)
+          rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+          arr
+        }.getOrElse(cents(c))
+      }
+      it += 1
+    }
+    cents.zipWithIndex.flatMap { case (cvec, c) =>
+      cvec.zipWithIndex.map { case (v, p) => (c, p, v) }
+    }.toDF("cluster", "pos", "centroid")
+  }
+
+  /** |v−c|² minus the per-row |v|² constant, for one literal centroid —
+    * |c|² − 2·v·c via one codegen'd dot product. */
+  private def sqDistRel(cvec: Array[Double], vec: Column): Column =
+    lit(cvec.map(x => x * x).sum) -
+      lit(2.0) * graft.expressions.VecDot.vec_dot(vec, lit(cvec))
+
+  /** True squared distance to the nearest of `cents` (includes |v|²). */
+  private def sqDistToNearest(cents: Seq[Array[Double]], vec: Column): Column = {
+    val rel = cents.map(sqDistRel(_, vec))
+    graft.expressions.VecDot.vec_dot(vec, vec) +
+      (if (rel.size == 1) rel.head else least(rel: _*))
+  }
+
+  /** Nearest trained centroid per row (adds `cluster`). Ranking is by
+    * squared L2 minus the per-row |v|² constant (|c|² − 2·v·c), k
+    * codegen'd dot products per row — stays inside whole-stage codegen,
+    * no join. Ties break to the smaller cluster id (deterministic). */
+  def assignClusters(corpus: DataFrame, cents: Seq[Array[Double]],
+                     vecCol: String): DataFrame = {
+    val scored = cents.zipWithIndex.map { case (cvec, i) =>
+      struct(sqDistRel(cvec, col(vecCol)).as("d"), lit(i).as("c"))
+    }
+    corpus.withColumn("cluster",
+      (if (scored.size == 1) scored.head else least(scored: _*)).getField("c"))
+  }
+
   /** IVF coarse quantizer build: per-partition (label) centroid, one row
     * per (partition, dimension). posexplode keeps it fully distributed.
     * Centroids are rounded to 4 dp so downstream distances are computed
