@@ -77,6 +77,12 @@ class CorpusDedup(spark: SparkSession, lake: Lake, dataset: String,
         Seq("content_hash"), "left_anti")
       novel.write.mode(SaveMode.Append).insertInto(qualified(hashesRef))
     }
+    // The write may run on a DIFFERENT session than this instance reads
+    // from (foreachBatch hands frames bound to a cloned micro-batch
+    // session, and insertInto invalidates only the WRITER's relation
+    // cache) — refresh our session or the next novelExact/count reads a
+    // stale file index and re-admits committed content.
+    spark.catalog.refreshTable(qualified(hashesRef))
   }
 
   // ---- near-dup (MinHash-LSH candidate level) --------------------------
@@ -115,5 +121,6 @@ class CorpusDedup(spark: SparkSession, lake: Lake, dataset: String,
       novel.select(cols.map(col).toIndexedSeq: _*)
         .write.mode(SaveMode.Append).insertInto(qualified(bandsRef))
     }
+    spark.catalog.refreshTable(qualified(bandsRef)) // see commitExact
   }
 }
