@@ -312,6 +312,63 @@ object TrainingData {
         .filter(col("score") >= 0.35)
         .select(col("id_a"), col("id_b"), col("score"))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+    // Corpus TF-IDF: term counts from one explode + partial-agg
+    // shuffle; document frequency derives from the tf frame (one row
+    // per distinct doc×token ⇒ count per token == distinct-doc count).
+    // Catalyst plans the two as independent scan subtrees — re-scanning
+    // columnar parquet beats materializing a shared exploded frame —
+    // but the raw token stream never crosses an exchange (partial aggs
+    // absorb it map-side; spec-asserted in PlansSpec). The vocabulary
+    // frame is Zipf-bounded (≪ corpus) so AQE broadcasts it at small SF
+    // and sort-merge-joins at 100 TB — both reshuffle per-doc term
+    // counts, never documents. Ranking runs on the ROUNDED score
+    // (ties → token order) so it is engine-stable.
+    "q77_tfidf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tf = docs.select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("token"))
+        .agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("token"))
+      tf.join(dfreq, Seq("token"))
+        .crossJoin(broadcast(nDocs))
+        .withColumn("tfidf", round(col("tf") *
+          log(col("n_docs").cast("double") / col("df")), 4))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("token"), col("tf"),
+          col("df"), col("tfidf"))
+        .orderBy(col("doc_id"), col("rnk"))
+    }),
+    // Scalar int8-style embedding quantization: per-dimension min/max
+    // over the corpus (a dims-sized frame — broadcast), then codes =
+    // round(255·(x−min)/(max−min)) per element, re-aggregated per
+    // vector so the output stays scalar-columned. The compression pass
+    // that shrinks a float corpus 4× is a stats agg plus one codegen'd
+    // scan — no corpus-sized shuffle beyond the per-vector regroup.
+    // Scale-0 round() is engine-safe (x.5 is exactly representable,
+    // both engines round it away from zero); the operands are identical
+    // expression trees over identical doubles.
+    "q78_quantize" -> ((s, dir) => {
+      val elems = t(s, dir, "embeddings").select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "xr")))
+        .select(col("vec_id"), col("dim"), col("xr").cast("double").as("x"))
+      val stats = elems.groupBy(col("dim"))
+        .agg(min(col("x")).as("minv"), max(col("x")).as("maxv"))
+      elems.join(broadcast(stats), Seq("dim"))
+        .withColumn("code",
+          round(lit(255.0) * (col("x") - col("minv")) /
+            (col("maxv") - col("minv"))).cast("long"))
+        .groupBy(col("vec_id"))
+        .agg(sum(col("code")).as("code_sum"),
+          min(col("code")).as("code_min"),
+          max(col("code")).as("code_max"))
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -575,6 +632,40 @@ object TrainingData {
          |FROM embeddings a JOIN embeddings b
          |  ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${duckCos("a", "b")} >= 0.35
-         |ORDER BY id_a, id_b""".stripMargin
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q77_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf
+        |  FROM tok GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS df
+        |  FROM tok GROUP BY token),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, token, tf, df,
+        |    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+        |  FROM tf JOIN dfreq USING (token), n),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, rnk, token, tf, df, tfidf
+        |FROM ranked WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
+    "q78_quantize" ->
+      """WITH elems AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |stats AS (
+        |  SELECT dim, MIN(x) AS minv, MAX(x) AS maxv
+        |  FROM elems GROUP BY dim)
+        |SELECT vec_id, CAST(SUM(code) AS BIGINT) AS code_sum,
+        |  MIN(code) AS code_min, MAX(code) AS code_max
+        |FROM (SELECT vec_id,
+        |        CAST(round(255.0 * (x - minv) / (maxv - minv)) AS BIGINT)
+        |          AS code
+        |      FROM elems JOIN stats USING (dim))
+        |GROUP BY vec_id ORDER BY vec_id""".stripMargin
   )
 }

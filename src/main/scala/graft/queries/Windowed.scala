@@ -165,6 +165,21 @@ object Windowed {
           first(col("ok_id"), ignoreNulls = true).over(w).as("latest_success_id"))
         .distinct()
         .orderBy(col("user_id"))
+    }),
+    // T2 variant: event-time SESSION windows via session_window — the
+    // streaming-native gap sessionizer, batch-executed. One row per
+    // (user, session) with bounds and totals; window end = last event
+    // + gap. q28 derives per-event session indexes with lag+running-sum;
+    // this is the whole-session aggregate Spark would maintain under a
+    // watermarked streaming query with the exact same expression.
+    "q76_session_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start"))
     })
   )
 
@@ -266,6 +281,30 @@ object Windowed {
         |   WHERE e2.user_id = u.user_id AND e2.event_type <> 'error'
         |   ORDER BY e2.ts DESC, e2.event_id DESC LIMIT 1) AS latest_success_id
         |FROM (SELECT DISTINCT user_id FROM events) u
-        |ORDER BY user_id""".stripMargin
+        |ORDER BY user_id""".stripMargin,
+    // Gaps-and-islands formulation of session_window: sessions coalesce
+    // while an event lands within (or exactly on) 30 minutes of the
+    // previous one — Spark merges the boundary-inclusive case (spec'd in
+    // TransformsSpec) — so a session breaks only when the gap STRICTLY
+    // exceeds the window; the session's end is last event + gap.
+    "q76_session_window" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin
   )
 }

@@ -81,4 +81,27 @@ class PlansSpec extends SparkSpec {
     assert(native.exceptAll(viaWindow).isEmpty &&
       viaWindow.exceptAll(native).isEmpty)
   }
+
+  test("q76 plan merges sessions natively; q77 shuffles only bounded frames") {
+    val sess = graft.queries.Windowed.defs("q76_session_window")(spark, sf001)
+    val sessPlan = sess.queryExecution.executedPlan.toString
+    // the streaming-native session operator, not a window-function scan
+    assert(sessPlan.contains("MergingSessions"), sessPlan)
+
+    val tfidf = graft.queries.TrainingData.defs("q77_tfidf")(spark, sf001)
+    val tfidfPlan = tfidf.queryExecution.executedPlan.toString
+    // Catalyst plans tf and df as independent scan subtrees (cheaper
+    // than materializing a shared exploded frame — the round-2 persist
+    // lesson); what must hold at scale is that the raw token stream
+    // never crosses an exchange: each shuffle input is bounded first,
+    // by a partial HashAggregate (token → term counts) or by the
+    // rank-pushdown WindowGroupLimit (≤ 3 rows per doc).
+    val lines = tfidfPlan.linesIterator.toIndexedSeq
+    lines.zipWithIndex.filter(_._1.contains("Exchange hashpartitioning"))
+      .foreach { case (_, i) =>
+        assert(lines(i + 1).contains("HashAggregate") ||
+          lines(i + 1).contains("WindowGroupLimit"),
+          s"shuffle not fed by a bounded frame:\n$tfidfPlan")
+      }
+  }
 }
