@@ -79,7 +79,17 @@ object GraftExtensions {
       (cs: Seq[Expression]) => QskMergeAgg(cs.head)),
     (FunctionIdentifier("qsk_quantile"),
       new ExpressionInfo(classOf[QskQuantile].getName, "qsk_quantile"),
-      (cs: Seq[Expression]) => QskQuantile(cs(0), cs(1))))
+      (cs: Seq[Expression]) => QskQuantile(cs(0), cs(1))),
+    (FunctionIdentifier("mg_sketch"),
+      new ExpressionInfo(classOf[MgSketchAgg].getName, "mg_sketch"),
+      (cs: Seq[Expression]) => MgSketchAgg(cs.head,
+        if (cs.size > 1) intArg(cs(1), "counter capacity") else Mg.DefaultK)),
+    (FunctionIdentifier("mg_merge"),
+      new ExpressionInfo(classOf[MgMergeAgg].getName, "mg_merge"),
+      (cs: Seq[Expression]) => MgMergeAgg(cs.head)),
+    (FunctionIdentifier("mg_topk"),
+      new ExpressionInfo(classOf[MgTopK].getName, "mg_topk"),
+      (cs: Seq[Expression]) => MgTopK(cs(0), cs(1))))
 
   /** Register on an already-built session (tests, driver-owned builders). */
   def install(spark: SparkSession): Unit =

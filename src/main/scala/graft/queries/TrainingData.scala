@@ -345,6 +345,17 @@ object TrainingData {
           col("df"), col("tfidf"))
         .orderBy(col("doc_id"), col("rnk"))
     }),
+    // Exact corpus top-k tokens — the ground truth the Misra–Gries
+    // sketch (expressions.Mg, mg_sketch/mg_merge/mg_topk,
+    // StateStore.mergeTopK) approximates in O(k) mergeable state. Same
+    // single explode + partial-agg shuffle as q77's df branch; the
+    // TakeOrdered cut replaces a full vocabulary sort.
+    "q79_top_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(20)
+    }),
     // Scalar int8-style embedding quantization: per-dimension min/max
     // over the corpus (a dims-sized frame — broadcast), then codes =
     // round(255·(x−min)/(max−min)) per element, re-aggregated per
@@ -633,6 +644,11 @@ object TrainingData {
          |  ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${duckCos("a", "b")} >= 0.35
          |ORDER BY id_a, id_b""".stripMargin,
+    "q79_top_tokens" ->
+      """SELECT token, COUNT(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token
+        |      FROM documents)
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
     "q77_tfidf" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token

@@ -223,6 +223,23 @@ class StateStore(spark: SparkSession, root: String) {
     writeAtomic(Seq(merged).toDF("sketch"), qsketchPath(key))
   }
 
+  private def topkPath(key: String) = s"$root/topk_sketches/$key"
+
+  /** Stored heavy-hitters sketch for this key, if any. */
+  def topKSketch(key: String): Option[Array[Byte]] =
+    readOrEmpty(topkPath(key), "sketch BINARY")
+      .collect().headOption.map(_.getAs[Array[Byte]](0))
+
+  /** Merge this run's Misra–Gries sketch into the stored one — cross-run
+    * dominant-token tracking (stopword drift, boilerplate detection) in
+    * O(k) state without re-scanning history. */
+  def mergeTopK(key: String, sk: Array[Byte]): Unit = {
+    val merged = topKSketch(key)
+      .map(old => graft.expressions.Mg.mergeBytes(old, sk))
+      .getOrElse(sk)
+    writeAtomic(Seq(merged).toDF("sketch"), topkPath(key))
+  }
+
   // ---- T8: processed-file sets -----------------------------------------
 
   def processedFiles(key: String): DataFrame =

@@ -336,4 +336,68 @@ class StateSpec extends SparkSpec {
       spark.range(n + 500).select(concat(lit("f"), $"id").as("file")))
     assert(st.processedFiles("bigfiles").count() === n + 500)
   }
+
+  test("MG heavy hitters: undercount bound, merge, SQL, cross-run (top-k)") {
+    import graft.expressions.{GraftExtensions, Mg}
+    import graft.expressions.TopKSketch._
+
+    // Zipf-flavored stream: token t_i appears 2000/i times, i = 1..100,
+    // shuffled deterministically. n ≈ 10398; k=16 ⇒ error ≤ n/17 ≈ 612:
+    // every token with true count above that must survive with an
+    // estimate inside [true − 612, true].
+    val stream = (1 to 100).flatMap(i => Seq.fill(2000 / i)(f"t$i%03d"))
+    val shuffled = new scala.util.Random(42).shuffle(stream)
+    val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = stream.size.toLong
+    val s = Mg.empty(16)
+    shuffled.foreach(s.update)
+    val bound = n / 17 + 1
+    truth.foreach { case (t, c) =>
+      val est = s.estimate(t)
+      assert(est <= c && (c <= bound || est >= c - bound),
+        s"$t true=$c est=$est bound=$bound")
+    }
+    assert(s.topK(1).head._1 === "t001")
+
+    // merge of disjoint halves keeps the bound; serde round-trips
+    val (h1, h2) = shuffled.splitAt(shuffled.size / 2)
+    val a = Mg.empty(16); h1.foreach(a.update)
+    val b = Mg.empty(16); h2.foreach(b.update)
+    val halfA = a.serialize()
+    val m = Mg.deserialize(a.serialize()).merge(b)
+    truth.foreach { case (t, c) =>
+      val est = m.estimate(t)
+      assert(est <= c && (c <= bound || est >= c - bound),
+        s"merged $t true=$c est=$est")
+    }
+    assert(Mg.deserialize(m.serialize()).topK(3) === m.topK(3))
+
+    // aggregate path: distributed sketch, per-group merge, SQL surface
+    val df = shuffled.toDF("token").repartition(8)
+    val top = df.agg(mg_topk(mg_sketch($"token", 32), lit(1)))
+      .head().getMap[String, Long](0)
+    assert(top.keys.head === "t001")
+    GraftExtensions.install(spark)
+    df.createOrReplaceTempView("mg_toks")
+    val viaSql = spark.sql(
+      "SELECT mg_topk(mg_merge(sk), 2) FROM " +
+        "(SELECT mg_sketch(token, 32) AS sk FROM mg_toks GROUP BY length(token))")
+      .head().getMap[String, Long](0)
+    assert(viaSql.keys.toSeq.head === "t001")
+
+    // empty sketch is merge-identity across k; None partials stay None
+    val k8 = Mg.empty(8); (1 to 50).foreach(i => k8.update(s"x$i"))
+    assert(Mg.empty(16).merge(k8).n === 50L)
+    assert(k8.merge(Mg.empty(16)).n === 50L)
+    val empty = spark.range(10).filter($"id" < 0)
+      .agg(mg_topk(mg_sketch($"id".cast("string")), lit(5))).head()
+    assert(empty.getMap[String, Long](0).isEmpty)
+
+    // cross-run accumulation through _state: two runs, no history re-scan
+    val st = new StateStore(spark, tmpDir("state"))
+    st.mergeTopK("tok", halfA)
+    st.mergeTopK("tok", b.serialize())
+    val got = Mg.deserialize(st.topKSketch("tok").get)
+    assert(got.n === n && got.topK(1).head._1 === "t001")
+  }
 }
