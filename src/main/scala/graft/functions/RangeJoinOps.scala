@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Non-equi interval joins at scale.
+  *
+  * Spark plans a pure `p BETWEEN lo AND hi` join (no equi-key) as a
+  * broadcast nested-loop — every point evaluated against every interval.
+  * That is fine for a handful of intervals and fatal past that. The
+  * scale path is the classic binned range join (the strategy behind
+  * interval-join implementations in streaming engines and the
+  * bucketized spatial joins of the GeoSpark/Sedona family): overlay a
+  * fixed grid on the domain, explode each interval into the bins it
+  * covers, map each point to its single bin, and equi-join on the bin —
+  * Spark then plans a plain shuffle/broadcast HASH join keyed by bin,
+  * and the residual BETWEEN filter decides membership exactly.
+  *
+  * Correctness never depends on the grid: bins only PRUNE candidate
+  * pairs (a qualifying pair always shares the point's bin — lo ≤ p ≤ hi
+  * ⇒ floor(lo/w) ≤ floor(p/w) ≤ floor(hi/w)), and each qualifying pair
+  * meets in exactly ONE bin (the point's), so no dedup step is needed.
+  * binWidth tunes the explosion factor: ~the median interval length
+  * gives ≈2 bin rows per interval; a narrower grid trades interval-side
+  * fan-out for tighter candidate sets.
+  */
+object RangeJoinOps {
+
+  /** Join `points` to every interval of `intervals` containing the
+    * point: pointCol ∈ [loCol, hiCol], both bounds inclusive. Numeric
+    * domain (cast timestamps to epoch seconds first). Output columns =
+    * points ++ intervals. */
+  def pointInInterval(points: DataFrame, pointCol: String,
+                      intervals: DataFrame, loCol: String, hiCol: String,
+                      binWidth: Double): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val p = points.withColumn("__bin", floor(col(pointCol) / binWidth))
+    val i = intervals.withColumn("__bin", explode(sequence(
+      floor(col(loCol) / binWidth), floor(col(hiCol) / binWidth))))
+    p.join(i, Seq("__bin"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__bin")
+  }
+}

@@ -200,6 +200,24 @@ object Relational {
       val excl = o.filter(col("o_totalprice") > 250000)
         .select(col("o_custkey").as("custkey"))
       a.union(b).distinct().except(excl).orderBy(col("custkey"))
+    }),
+    // J4 without an equi-key: overlapping value bands × event values via
+    // the binned range join (RangeJoinOps) — a hash join on the bin grid
+    // instead of the nested-loop Spark would otherwise plan; the
+    // residual BETWEEN decides membership exactly, so the grid never
+    // affects results. 100 bands [5i, 5i+25] (5× overlap), binWidth 25.
+    "q80_banded_join" -> ((s, dir) => {
+      val bands = s.range(100).select(col("id").as("band_id"),
+        (col("id") * 5).cast("double").as("lo"),
+        (col("id") * 5 + 25).cast("double").as("hi"))
+      graft.functions.RangeJoinOps.pointInInterval(
+          t(s, dir, "events").select(col("event_id"), col("value")),
+          "value", bands, "lo", "hi", binWidth = 25.0)
+        .groupBy(col("band_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+            .as("sum_value"))
+        .orderBy(col("band_id"))
     })
   )
 
@@ -309,6 +327,15 @@ object Relational {
         |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F')
         |EXCEPT
         |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 250000
-        |ORDER BY custkey""".stripMargin
+        |ORDER BY custkey""".stripMargin,
+    "q80_banded_join" ->
+      """WITH bands AS (
+        |  SELECT i AS band_id, CAST(i * 5 AS DOUBLE) AS lo,
+        |    CAST(i * 5 + 25 AS DOUBLE) AS hi
+        |  FROM range(0, 100) r(i))
+        |SELECT band_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events JOIN bands ON value BETWEEN lo AND hi
+        |GROUP BY band_id ORDER BY band_id""".stripMargin
   )
 }

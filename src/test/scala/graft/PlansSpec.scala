@@ -82,6 +82,27 @@ class PlansSpec extends SparkSpec {
       viaWindow.exceptAll(native).isEmpty)
   }
 
+  test("binned range join == nested-loop reference; plans as a hash join") {
+    val rnd = new scala.util.Random(11)
+    // negative domain included; intervals longer and shorter than the bin
+    val points = (1 to 2000).map(i => (i.toLong, rnd.nextDouble() * 400 - 200))
+      .toDF("pid", "v")
+    val ivs = (1 to 150).map { i =>
+      val lo = rnd.nextDouble() * 380 - 210
+      (i.toLong, lo, lo + rnd.nextDouble() * 60)
+    }.toDF("iid", "lo", "hi")
+    val binned = graft.functions.RangeJoinOps
+      .pointInInterval(points, "v", ivs, "lo", "hi", binWidth = 20.0)
+      .select($"pid", $"iid")
+    val reference = points.join(ivs, $"v" >= $"lo" && $"v" <= $"hi")
+      .select($"pid", $"iid")
+    assert(binned.exceptAll(reference).isEmpty &&
+      reference.exceptAll(binned).isEmpty,
+      "grid must only prune, never change membership")
+    val plan = binned.queryExecution.executedPlan.toString
+    assert(plan.contains("HashJoin") && !plan.contains("NestedLoop"), plan)
+  }
+
   test("q76 plan merges sessions natively; q77 shuffles only bounded frames") {
     val sess = graft.queries.Windowed.defs("q76_session_window")(spark, sf001)
     val sessPlan = sess.queryExecution.executedPlan.toString
