@@ -94,6 +94,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session windows merge across batches, close on watermark (T2)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(hm: String) = Timestamp.valueOf(s"2024-01-01 $hm:00")
+
+    // the exact q76 expression under a watermark: state keeps sessions
+    // open across micro-batches, append mode emits a session only once
+    // the watermark passes its end
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val sess = mem.toDF.toDF("user_id", "ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n"), sum($"value").as("s"))
+      .select($"user_id", $"sw.start".as("st"), $"sw.end".as("en"), $"n", $"s")
+    val q = sess.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      mem.addData((1L, t("10:00"), 1.0), (1L, t("10:10"), 2.0))
+      q.processAllAvailable()
+      mem.addData((1L, t("10:20"), 4.0)) // merges into the open session
+      q.processAllAvailable()
+      assert(spark.table("sess_out").isEmpty,
+        "no session may emit before the watermark passes its end")
+      mem.addData((2L, t("13:00"), 8.0)) // advances event time
+      q.processAllAvailable()
+      mem.addData((2L, t("13:05"), 16.0)) // watermark 12:55 > 10:50 close
+      q.processAllAvailable()
+      val out = spark.table("sess_out")
+        .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSet
+      assert(out === Set((1L, t("10:00"), t("10:50"), 3L, 7.0)),
+        "the cross-batch-merged session emits once, closed; u2 stays open")
+    } finally q.stop()
+  }
+
   test("recapture planner finds missed minutes, caps at max (T4)") {
     val now = Timestamp.valueOf("2024-01-05 01:00:00")
     // logs: success every minute of the last hour EXCEPT 00:10 and 00:20;
