@@ -166,6 +166,17 @@ object Windowed {
         .distinct()
         .orderBy(col("user_id"))
     }),
+    // T2 variant: HOPPING (sliding) windows — 10-minute windows every
+    // 5 minutes, each event contributing to exactly ⌈len/slide⌉ = 2
+    // windows. Spark's window(ts, len, slide) expands rows scan-side
+    // (a 2× Expand, no self-join) before the one aggregation shuffle.
+    "q81_hopping_10m5m" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes")
+          .getField("start").as("win_start"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("win_start"))
+    }),
     // T2 variant: event-time SESSION windows via session_window — the
     // streaming-native gap sessionizer, batch-executed. One row per
     // (user, session) with bounds and totals; window end = last event
@@ -282,6 +293,15 @@ object Windowed {
         |   ORDER BY e2.ts DESC, e2.event_id DESC LIMIT 1) AS latest_success_id
         |FROM (SELECT DISTINCT user_id FROM events) u
         |ORDER BY user_id""".stripMargin,
+    // Each event's two covering hop starts: its 5-minute bucket and the
+    // one before (window length 10 = 2 slides).
+    "q81_hopping_10m5m" ->
+      """SELECT time_bucket(INTERVAL '5 minutes', ts) - o.off AS win_start,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events, (SELECT unnest([INTERVAL '0 minutes',
+        |  INTERVAL '5 minutes']) AS off) o
+        |GROUP BY 1 ORDER BY win_start""".stripMargin,
     // Gaps-and-islands formulation of session_window: sessions coalesce
     // while an event lands within (or exactly on) 30 minutes of the
     // previous one — Spark merges the boundary-inclusive case (spec'd in
