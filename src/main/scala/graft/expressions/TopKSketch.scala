@@ -213,13 +213,15 @@ case class MgMergeAgg(child: Expression,
 
 /** Scalar: (sketch bytes, m) → map<token, count> of the top-m counters
   * (count-descending, token tiebreak — map keys preserve insertion
-  * order in Spark). Empty sketch → empty map. Interpreted — evaluated
-  * once per sketch, not per data row. */
+  * order in Spark). Empty sketch → empty map; NULL sketch → NULL (the
+  * BinaryExpression default null-propagation — nullable must say so or
+  * NullPropagation folds `IS NOT NULL` checks to true). Interpreted —
+  * evaluated once per sketch, not per data row. */
 case class MgTopK(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback with ImplicitCastInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, IntegerType)
   override def dataType: DataType = MapType(StringType, LongType, valueContainsNull = false)
-  override def nullable: Boolean = false
+  override def nullable: Boolean = left.nullable || right.nullable
   override def prettyName: String = "mg_topk"
   override protected def nullSafeEval(sk: Any, m: Any): Any = {
     val top = Mg.deserialize(sk.asInstanceOf[Array[Byte]])

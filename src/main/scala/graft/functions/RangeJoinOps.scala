@@ -34,6 +34,16 @@ object RangeJoinOps {
                       intervals: DataFrame, loCol: String, hiCol: String,
                       binWidth: Double): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    // withColumn would silently OVERWRITE (and drop() then delete) a
+    // caller's __bin; and overlapping side names would yield ambiguous
+    // duplicate output columns that only fail on first reference.
+    val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(!points.columns.contains("__bin") &&
+      !intervals.columns.contains("__bin"),
+      "__bin is reserved by pointInInterval")
+    require(overlap.isEmpty,
+      s"points and intervals share columns ${overlap.mkString(", ")}; " +
+        "rename one side — the output carries both frames' columns")
     val p = points.withColumn("__bin", floor(col(pointCol) / binWidth))
     val i = intervals.withColumn("__bin", explode(sequence(
       floor(col(loCol) / binWidth), floor(col(hiCol) / binWidth))))

@@ -364,7 +364,10 @@ object TrainingData {
     // scan — no corpus-sized shuffle beyond the per-vector regroup.
     // Scale-0 round() is engine-safe (x.5 is exactly representable,
     // both engines round it away from zero); the operands are identical
-    // expression trees over identical doubles.
+    // expression trees over identical doubles. A CONSTANT dimension
+    // (max == min) has no scale — its code is pinned to 0 explicitly,
+    // because 0/0 = NaN is exactly where the engines diverge (Spark
+    // casts NaN→0L silently, DuckDB raises on the cast).
     "q78_quantize" -> ((s, dir) => {
       val elems = t(s, dir, "embeddings").select(col("vec_id"),
         posexplode(col("embedding")).as(Seq("dim", "xr")))
@@ -372,9 +375,9 @@ object TrainingData {
       val stats = elems.groupBy(col("dim"))
         .agg(min(col("x")).as("minv"), max(col("x")).as("maxv"))
       elems.join(broadcast(stats), Seq("dim"))
-        .withColumn("code",
-          round(lit(255.0) * (col("x") - col("minv")) /
-            (col("maxv") - col("minv"))).cast("long"))
+        .withColumn("code", when(col("maxv") === col("minv"), lit(0L))
+          .otherwise(round(lit(255.0) * (col("x") - col("minv")) /
+            (col("maxv") - col("minv"))).cast("long")))
         .groupBy(col("vec_id"))
         .agg(sum(col("code")).as("code_sum"),
           min(col("code")).as("code_min"),
@@ -679,8 +682,9 @@ object TrainingData {
         |SELECT vec_id, CAST(SUM(code) AS BIGINT) AS code_sum,
         |  MIN(code) AS code_min, MAX(code) AS code_max
         |FROM (SELECT vec_id,
-        |        CAST(round(255.0 * (x - minv) / (maxv - minv)) AS BIGINT)
-        |          AS code
+        |        CASE WHEN maxv = minv THEN 0
+        |          ELSE CAST(round(255.0 * (x - minv) / (maxv - minv))
+        |            AS BIGINT) END AS code
         |      FROM elems JOIN stats USING (dim))
         |GROUP BY vec_id ORDER BY vec_id""".stripMargin
   )

@@ -188,57 +188,53 @@ class StateStore(spark: SparkSession, root: String) {
     writeAtomic(merged, entityPath(key))
   }
 
-  // ---- A4 at scale: cross-run cardinality sketches ---------------------
+  // ---- A4 at scale: cross-run mergeable sketches -----------------------
+  // One read-merge-write discipline for the whole sketch family (HLL
+  // cardinality, Qsk quantiles, Mg heavy hitters): a fix to the
+  // atomicity/locking story lands in ONE place.
+
+  private def readSketch(path: String): Option[Array[Byte]] =
+    readOrEmpty(path, "sketch BINARY")
+      .collect().headOption.map(_.getAs[Array[Byte]](0))
+
+  private def mergeSketchFile(path: String, sk: Array[Byte],
+                              merge: (Array[Byte], Array[Byte]) => Array[Byte]): Unit = {
+    val merged = readSketch(path).map(merge(_, sk)).getOrElse(sk)
+    writeAtomic(Seq(merged).toDF("sketch"), path)
+  }
 
   private def sketchPath(key: String) = s"$root/sketches/$key"
+  private def qsketchPath(key: String) = s"$root/quantile_sketches/$key"
+  private def topkPath(key: String) = s"$root/topk_sketches/$key"
 
   /** Stored HLL sketch for this key, if any (one bounded ~4 KiB row). */
-  def sketch(key: String): Option[Array[Byte]] =
-    readOrEmpty(sketchPath(key), "sketch BINARY")
-      .collect().headOption.map(_.getAs[Array[Byte]](0))
+  def sketch(key: String): Option[Array[Byte]] = readSketch(sketchPath(key))
 
   /** Merge this run's sketch into the stored one (register-wise max —
     * lossless, so cross-run cardinality never re-scans history). */
-  def mergeSketch(key: String, sk: Array[Byte]): Unit = {
-    val merged = sketch(key)
-      .map(old => graft.expressions.Hll.merge(old.clone(), sk))
-      .getOrElse(sk)
-    writeAtomic(Seq(merged).toDF("sketch"), sketchPath(key))
-  }
-
-  private def qsketchPath(key: String) = s"$root/quantile_sketches/$key"
+  def mergeSketch(key: String, sk: Array[Byte]): Unit =
+    mergeSketchFile(sketchPath(key), sk,
+      (old, b) => graft.expressions.Hll.merge(old.clone(), b))
 
   /** Stored quantile sketch for this key, if any. */
   def quantileSketch(key: String): Option[Array[Byte]] =
-    readOrEmpty(qsketchPath(key), "sketch BINARY")
-      .collect().headOption.map(_.getAs[Array[Byte]](0))
+    readSketch(qsketchPath(key))
 
   /** Merge this run's quantile sketch into the stored one — cross-run
     * percentiles (length/token-count distributions for quality cutoffs)
     * without ever re-scanning history. */
-  def mergeQuantiles(key: String, sk: Array[Byte]): Unit = {
-    val merged = quantileSketch(key)
-      .map(old => graft.expressions.Qsk.mergeBytes(old, sk))
-      .getOrElse(sk)
-    writeAtomic(Seq(merged).toDF("sketch"), qsketchPath(key))
-  }
-
-  private def topkPath(key: String) = s"$root/topk_sketches/$key"
+  def mergeQuantiles(key: String, sk: Array[Byte]): Unit =
+    mergeSketchFile(qsketchPath(key), sk, graft.expressions.Qsk.mergeBytes)
 
   /** Stored heavy-hitters sketch for this key, if any. */
   def topKSketch(key: String): Option[Array[Byte]] =
-    readOrEmpty(topkPath(key), "sketch BINARY")
-      .collect().headOption.map(_.getAs[Array[Byte]](0))
+    readSketch(topkPath(key))
 
   /** Merge this run's Misra–Gries sketch into the stored one — cross-run
     * dominant-token tracking (stopword drift, boilerplate detection) in
     * O(k) state without re-scanning history. */
-  def mergeTopK(key: String, sk: Array[Byte]): Unit = {
-    val merged = topKSketch(key)
-      .map(old => graft.expressions.Mg.mergeBytes(old, sk))
-      .getOrElse(sk)
-    writeAtomic(Seq(merged).toDF("sketch"), topkPath(key))
-  }
+  def mergeTopK(key: String, sk: Array[Byte]): Unit =
+    mergeSketchFile(topkPath(key), sk, graft.expressions.Mg.mergeBytes)
 
   // ---- T8: processed-file sets -----------------------------------------
 

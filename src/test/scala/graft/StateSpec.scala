@@ -393,6 +393,14 @@ class StateSpec extends SparkSpec {
       .agg(mg_topk(mg_sketch($"id".cast("string")), lit(5))).head()
     assert(empty.getMap[String, Long](0).isEmpty)
 
+    // NULL sketch input propagates as NULL (nullable must be declared,
+    // or NullPropagation folds the IS NOT NULL filter away)
+    val withNull = Seq((1, halfA), (2, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "sk")
+      .select($"id", mg_topk($"sk", lit(1)).as("m"))
+    assert(withNull.filter($"m".isNotNull).select($"id").as[Int]
+      .collect().toSeq === Seq(1))
+
     // cross-run accumulation through _state: two runs, no history re-scan
     val st = new StateStore(spark, tmpDir("state"))
     st.mergeTopK("tok", halfA)
