@@ -345,6 +345,36 @@ object TrainingData {
           col("df"), col("tfidf"))
         .orderBy(col("doc_id"), col("rnk"))
     }),
+    // The composed pretraining pipeline, end to end in ONE plan:
+    // quality gate (length + Gopher repetition) → exact dedup keeping
+    // the smallest doc_id per content hash → context-window chunk count
+    // (q75's formula) → per-split rollup (q72's salted buckets). Every
+    // stage reuses an operator whose parity is independently
+    // oracle-proven; the composition shows they chain without
+    // re-materialization — one scan, one dedup shuffle, one rollup.
+    "q82_pretrain_pipeline" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("content_hash")).orderBy(col("doc_id"))
+      val kept = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          TextOps.nTokens(col("text")).as("n_tok"),
+          TextOps.dupWordFrac(col("text")).as("dwf"))
+        .filter(col("n_tok") >= 10 && col("dwf") < 0.3)
+      kept.withColumn("content_hash", md5(col("text")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("n_tok"),
+          TextOps.hashBucket(col("doc_id")).as("pct"),
+          expr("greatest((n_tok - 10 + 39) DIV 40, 1L)").as("n_chunks"))
+        .select(col("n_tok"), col("n_chunks"),
+          when(col("pct") < 80, "train").when(col("pct") < 90, "valid")
+            .otherwise("test").as("split"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tokens"),
+          sum(col("n_chunks")).as("total_chunks"))
+        .orderBy(col("split"))
+    }),
     // Exact corpus top-k tokens — the ground truth the Misra–Gries
     // sketch (expressions.Mg, mg_sketch/mg_merge/mg_topk,
     // StateStore.mergeTopK) approximates in O(k) mergeable state. Same
@@ -647,6 +677,31 @@ object TrainingData {
          |  ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${duckCos("a", "b")} >= 0.35
          |ORDER BY id_a, id_b""".stripMargin,
+    "q82_pretrain_pipeline" ->
+      """WITH scored AS (
+        |  SELECT doc_id, text, len(string_split(text, ' ')) AS n_tok,
+        |    CASE WHEN len(string_split(text, ' ')) > 0 THEN
+        |      CAST(len(string_split(text, ' ')) -
+        |        len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |        / len(string_split(text, ' '))
+        |    ELSE 0.0 END AS dwf
+        |  FROM documents),
+        |surv AS (
+        |  SELECT doc_id, n_tok,
+        |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM scored WHERE n_tok >= 10 AND dwf < 0.3),
+        |labeled AS (
+        |  SELECT n_tok,
+        |    CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)),
+        |      1, 15)) AS BIGINT) % 100 AS pct,
+        |    GREATEST((n_tok - 10 + 39) // 40, 1) AS n_chunks
+        |  FROM surv WHERE rn = 1)
+        |SELECT CASE WHEN pct < 80 THEN 'train'
+        |            WHEN pct < 90 THEN 'valid' ELSE 'test' END AS split,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(n_chunks) AS BIGINT) AS total_chunks
+        |FROM labeled GROUP BY 1 ORDER BY split""".stripMargin,
     "q79_top_tokens" ->
       """SELECT token, COUNT(*) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS token
