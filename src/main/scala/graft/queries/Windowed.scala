@@ -54,6 +54,25 @@ object Windowed {
         .select(col("event_id"), col("user_id"), col("ts_sec"), col("rolling_1h"))
         .orderBy(col("event_id"))
     }),
+    // A8 wide form: the reference's accumulated-rain table carries MANY
+    // rolling horizons as columns (5min…96h —
+    // precipitacao_alertario/tasks.py:104-120); all four range frames
+    // share one (user, ts) sort, so Catalyst plans a single
+    // Exchange+Sort+Window — adding horizons is free of extra shuffles
+    // (spec-asserted in PlansSpec).
+    "q83_multi_horizon" -> ((s, dir) => {
+      def acc(secs: Long, name: String): Column =
+        sum(col("value").cast(DecimalType(18, 2)))
+          .over(Window.partitionBy(col("user_id")).orderBy(col("ts_sec"))
+            .rangeBetween(-secs, 0))
+          .cast(DoubleType).as(name)
+      t(s, dir, "events")
+        .withColumn("ts_sec", unix_timestamp(col("ts")))
+        .select(col("event_id"), col("user_id"), col("ts_sec"),
+          acc(900, "acc_15min"), acc(3600, "acc_1h"),
+          acc(14400, "acc_4h"), acc(86400, "acc_24h"))
+        .orderBy(col("event_id"))
+    }),
     // W5/F20: date-spine generation + left join + coalesce default.
     "q24_date_spine" -> ((s, dir) => {
       val spine = s.range(1).select(explode(sequence(
@@ -293,6 +312,21 @@ object Windowed {
         |   ORDER BY e2.ts DESC, e2.event_id DESC LIMIT 1) AS latest_success_id
         |FROM (SELECT DISTINCT user_id FROM events) u
         |ORDER BY user_id""".stripMargin,
+    "q83_multi_horizon" -> {
+      def acc(secs: Long, name: String) =
+        s"""CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+           |    PARTITION BY user_id
+           |    ORDER BY CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+           |    RANGE BETWEEN $secs PRECEDING AND CURRENT ROW) AS DOUBLE)
+           |    AS $name""".stripMargin
+      s"""SELECT event_id, user_id,
+         |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec,
+         |  ${acc(900, "acc_15min")},
+         |  ${acc(3600, "acc_1h")},
+         |  ${acc(14400, "acc_4h")},
+         |  ${acc(86400, "acc_24h")}
+         |FROM events ORDER BY event_id""".stripMargin
+    },
     // Each event's two covering hop starts: its 5-minute bucket and the
     // one before (window length 10 = 2 slides).
     "q81_hopping_10m5m" ->

@@ -103,6 +103,16 @@ class PlansSpec extends SparkSpec {
     assert(plan.contains("HashJoin") && !plan.contains("NestedLoop"), plan)
   }
 
+  test("q83 multi-horizon windows share one sort: a single Exchange+Window") {
+    val df = graft.queries.Windowed.defs("q83_multi_horizon")(spark, sf001)
+    val plan = df.queryExecution.executedPlan.toString
+    // four range frames over the same (user, ts) ordering must coalesce
+    // into ONE Window operator over ONE hash exchange — adding horizons
+    // to the wide accumulation table costs no extra shuffle or sort
+    assert("\\bWindow\\b".r.findAllIn(plan).size == 1, plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("q76 plan merges sessions natively; q77 shuffles only bounded frames") {
     val sess = graft.queries.Windowed.defs("q76_session_window")(spark, sf001)
     val sessPlan = sess.queryExecution.executedPlan.toString
