@@ -71,6 +71,13 @@ object TextOps {
       least(lit(1.0), stopwordRatio(text) * 5) * lit(0.3) +
       (lit(1.0) - least(lit(1.0), nonAlnumRatio(text) * 10)) * lit(0.2)
 
+  /** Hash bucket → train/valid/test label (80/10/10). The single
+    * Spark-side definition of the split thresholds — q72 and q82 must
+    * agree on what the labels mean. */
+  def splitLabel(pct: Column): Column =
+    when(pct < 80, lit("train")).when(pct < 90, lit("valid"))
+      .otherwise(lit("test"))
+
   /** BPE-ish token count: runs of letters, runs of digits, single other
     * non-space chars — a cheap, deterministic proxy for subword count. */
   def bpeishCount(text: Column): Column =

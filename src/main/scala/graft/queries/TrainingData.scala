@@ -172,8 +172,7 @@ object TrainingData {
       val pct = TextOps.hashBucket(col("doc_id"))
       t(s, dir, "documents")
         .select(col("doc_id"), pct.as("pct"),
-          when(pct < 80, "train").when(pct < 90, "valid")
-            .otherwise("test").as("split"),
+          TextOps.splitLabel(pct).as("split"),
           when(pct < 10, 1L).otherwise(0L).as("in_sample"))
         .orderBy(col("doc_id"))
     }),
@@ -367,8 +366,7 @@ object TrainingData {
           TextOps.hashBucket(col("doc_id")).as("pct"),
           expr("greatest((n_tok - 10 + 39) DIV 40, 1L)").as("n_chunks"))
         .select(col("n_tok"), col("n_chunks"),
-          when(col("pct") < 80, "train").when(col("pct") < 90, "valid")
-            .otherwise("test").as("split"))
+          TextOps.splitLabel(col("pct")).as("split"))
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tok")).as("total_tokens"),
