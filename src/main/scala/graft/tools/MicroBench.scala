@@ -78,6 +78,24 @@ object MicroBench {
     }
     time("q59 corpus-tokens") { noop(dedup(pruned = false)) }
     time("q59 pruned-tokens") { noop(dedup(pruned = true)) }
+
+    // non-equi interval join: binned hash join vs the nested-loop plan
+    // Spark picks for a raw BETWEEN condition (2000 overlapping bands ×
+    // events — the regime where per-row band scanning dominates)
+    val events = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("value"))
+    val bands = spark.range(2000).select(col("id").as("band_id"),
+      (col("id") * 0.25).as("lo"), (col("id") * 0.25 + 25).as("hi"))
+    time("bandjoin nested-loop") {
+      noop(events.join(bands,
+          col("value") >= col("lo") && col("value") <= col("hi"))
+        .groupBy(col("band_id")).agg(count(lit(1)).as("n")))
+    }
+    time("bandjoin binned") {
+      noop(graft.functions.RangeJoinOps
+        .pointInInterval(events, "value", bands, "lo", "hi", binWidth = 25.0)
+        .groupBy(col("band_id")).agg(count(lit(1)).as("n")))
+    }
     spark.stop()
   }
 }
