@@ -373,6 +373,39 @@ object TrainingData {
           sum(col("n_chunks")).as("total_chunks"))
         .orderBy(col("split"))
     }),
+    // Boilerplate / repeated-passage detection: chunks (q75's windows)
+    // whose hash recurs across documents. One explode + one partial-agg
+    // shuffle keyed by chunk hash — headers, licenses and templated
+    // passages surface as high-n_docs rows without any pair join.
+    "q84_repeated_chunks" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextOps.chunkTexts(col("text"), 50, 10)).as("chunk"))
+        .select(col("doc_id"), md5(col("chunk")).as("chunk_hash"))
+        .groupBy(col("chunk_hash"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"))
+        .filter(col("n_docs") > 1)
+        .orderBy(col("chunk_hash"))
+    }),
+    // Benchmark decontamination: train-split documents sharing any
+    // 3-gram shingle with the test split (q72's buckets), with the hit
+    // count per document. The test shingle set is distinct-reduced then
+    // semi-joined — shuffles by shingle, never a doc×doc pair join; at
+    // 100 TB the test side is the small one and broadcasts (or seeds a
+    // bloom filter pushed into the train scan).
+    "q85_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("pct", TextOps.hashBucket(col("doc_id")))
+      val trainSh = docs.filter(col("pct") < 80)
+        .select(col("doc_id"), explode(TextOps.shingles(col("text"), 3)).as("sh"))
+      val testSh = docs.filter(col("pct") >= 90)
+        .select(explode(TextOps.shingles(col("text"), 3)).as("sh")).distinct()
+      trainSh.join(testSh, Seq("sh"), "left_semi")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("sh")).as("n_hit_shingles"))
+        .orderBy(col("doc_id"))
+    }),
     // Exact corpus top-k tokens — the ground truth the Misra–Gries
     // sketch (expressions.Mg, mg_sketch/mg_merge/mg_topk,
     // StateStore.mergeTopK) approximates in O(k) mergeable state. Same
@@ -700,6 +733,37 @@ object TrainingData {
         |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
         |  CAST(SUM(n_chunks) AS BIGINT) AS total_chunks
         |FROM labeled GROUP BY 1 ORDER BY split""".stripMargin,
+    "q84_repeated_chunks" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |  unnest(range(0, greatest((len(words) - 10 + 39) // 40, 1)))
+        |    AS chunk_idx, words
+        |  FROM w)
+        |SELECT md5(array_to_string(list_slice(words, chunk_idx*40 + 1,
+        |    least(chunk_idx*40 + 50, len(words))), ' ')) AS chunk_hash,
+        |  COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
+        |FROM c GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1
+        |ORDER BY chunk_hash""".stripMargin,
+    "q85_contamination" ->
+      """WITH b AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words,
+        |    CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)),
+        |      1, 15)) AS BIGINT) % 100 AS pct
+        |  FROM documents),
+        |tr AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(words)-1, 1)),
+        |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
+        |  FROM b WHERE pct < 80),
+        |te AS (
+        |  SELECT DISTINCT
+        |    unnest(list_transform(range(1, greatest(len(words)-1, 1)),
+        |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
+        |  FROM b WHERE pct >= 90)
+        |SELECT doc_id, COUNT(DISTINCT sh) AS n_hit_shingles
+        |FROM tr WHERE sh IN (SELECT sh FROM te)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q79_top_tokens" ->
       """SELECT token, COUNT(*) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS token
