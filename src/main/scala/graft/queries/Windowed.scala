@@ -185,6 +185,30 @@ object Windowed {
         .distinct()
         .orderBy(col("user_id"))
     }),
+    // T9/J4 inverse: SCD2 derivation — collapse an event history into
+    // validity intervals per entity, one row per RUN of equal
+    // event_type (value-change islands, vs q28's time-gap islands):
+    // valid_from = run start, valid_to = next run's start (NULL while
+    // current). Produces exactly the (start, end] ranges q13 consumes.
+    "q86_scd2" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val runs = t(s, dir, "events")
+        .withColumn("chg",
+          when(lag(col("event_type"), 1).over(byUser).isNull ||
+            lag(col("event_type"), 1).over(byUser) =!= col("event_type"), 1L)
+            .otherwise(0L))
+        .withColumn("run_id", sum(col("chg")).over(running))
+        .groupBy(col("user_id"), col("run_id"), col("event_type"))
+        .agg(min(col("ts")).as("valid_from"), count(lit(1)).as("n_events"))
+      val nextFrom = Window.partitionBy(col("user_id")).orderBy(col("run_id"))
+      runs
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(nextFrom))
+        .select(col("user_id"), col("event_type"), col("valid_from"),
+          col("valid_to"), col("n_events"))
+        .orderBy(col("user_id"), col("valid_from"))
+    }),
     // T2 variant: HOPPING (sliding) windows — 10-minute windows every
     // 5 minutes, each event contributing to exactly ⌈len/slide⌉ = 2
     // windows. Spark's window(ts, len, slide) expands rows scan-side
@@ -312,6 +336,29 @@ object Windowed {
         |   ORDER BY e2.ts DESC, e2.event_id DESC LIMIT 1) AS latest_success_id
         |FROM (SELECT DISTINCT user_id FROM events) u
         |ORDER BY user_id""".stripMargin,
+    "q86_scd2" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w <> event_type
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |runs AS (
+        |  SELECT user_id, event_type,
+        |    SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id,
+        |    ts
+        |  FROM marked),
+        |grouped AS (
+        |  SELECT user_id, run_id, event_type,
+        |    MIN(ts) AS valid_from, COUNT(*) AS n_events
+        |  FROM runs GROUP BY user_id, run_id, event_type)
+        |SELECT user_id, event_type, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+        |    AS valid_to,
+        |  n_events
+        |FROM grouped ORDER BY user_id, valid_from""".stripMargin,
     "q83_multi_horizon" -> {
       def acc(secs: Long, name: String) =
         s"""CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
