@@ -210,6 +210,28 @@ object TrainingData {
         .groupBy(col("q")).agg(min(col("n_tok")).as("value"))
         .orderBy(col("q"))
     }),
+    // q74 grouped: exact token-count percentiles PER LANGUAGE — the
+    // per-stratum form quality cutoffs actually use (a 25th-percentile
+    // floor computed over 'en' must not be polluted by short 'und'
+    // docs). Same value-histogram shape: the corpus contributes one
+    // (lang, n_tok) partial-agg shuffle; windows run per language over
+    // distinct counts only.
+    "q87_lang_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      val hist = t(s, dir, "documents")
+        .select(col("lang"), TextOps.nTokens(col("text")).as("n_tok"))
+        .groupBy(col("lang"), col("n_tok")).agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("n_tok"))
+        .rowsBetween(Long.MinValue, 0)
+      val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
+      val totals = hist.groupBy(col("lang")).agg(sum(col("cnt")).as("total"))
+      cum.join(totals, Seq("lang"))
+        .crossJoin(Seq(0.25, 0.5, 0.9).toDF("q"))
+        .filter(col("cum") >= ceil(col("q") * col("total")))
+        .groupBy(col("lang"), col("q")).agg(min(col("n_tok")).as("value"))
+        .orderBy(col("lang"), col("q"))
+    }),
     // Context-window chunking (50-token chunks, 10-token overlap): one
     // scan + generate; chunk hashes keep the output compact. The
     // operator every pretraining pipeline runs between cleaning and
@@ -595,6 +617,19 @@ object TrainingData {
         |SELECT q, min(n_tok) AS value
         |FROM qs, cum, t WHERE cum >= ceil(q * total)
         |GROUP BY q ORDER BY q""".stripMargin,
+    "q87_lang_quantiles" ->
+      """WITH c AS (
+        |  SELECT lang, len(string_split(text, ' ')) AS n_tok,
+        |    count(*) AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |t AS (SELECT lang, sum(cnt) AS total FROM c GROUP BY lang),
+        |cum AS (SELECT lang, n_tok,
+        |  sum(cnt) OVER (PARTITION BY lang ORDER BY n_tok) AS cum FROM c),
+        |qs AS (SELECT CAST(unnest([0.25, 0.5, 0.9]) AS DOUBLE) AS q)
+        |SELECT lang, q, min(n_tok) AS value
+        |FROM qs, cum JOIN t USING (lang)
+        |WHERE cum >= ceil(q * total)
+        |GROUP BY lang, q ORDER BY lang, q""".stripMargin,
     "q72_hash_sample" ->
       """WITH b AS (
         |  SELECT doc_id,
