@@ -221,12 +221,14 @@ object TrainingData {
       val hist = t(s, dir, "documents")
         .select(col("lang"), TextOps.nTokens(col("text")).as("n_tok"))
         .groupBy(col("lang"), col("n_tok")).agg(count(lit(1)).as("cnt"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("lang")).orderBy(col("n_tok"))
-        .rowsBetween(Long.MinValue, 0)
-      val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
-      val totals = hist.groupBy(col("lang")).agg(sum(col("cnt")).as("total"))
-      cum.join(totals, Seq("lang"))
+      val W = org.apache.spark.sql.expressions.Window
+      val cum = hist
+        .withColumn("cum", sum(col("cnt")).over(W.partitionBy(col("lang"))
+          .orderBy(col("n_tok")).rowsBetween(Long.MinValue, 0)))
+        // per-language total as an unbounded window over the same
+        // partitioning — no second aggregate + join
+        .withColumn("total", sum(col("cnt")).over(W.partitionBy(col("lang"))))
+      cum
         .crossJoin(Seq(0.25, 0.5, 0.9).toDF("q"))
         .filter(col("cum") >= ceil(col("q") * col("total")))
         .groupBy(col("lang"), col("q")).agg(min(col("n_tok")).as("value"))

@@ -188,8 +188,10 @@ object Windowed {
     // T9/J4 inverse: SCD2 derivation — collapse an event history into
     // validity intervals per entity, one row per RUN of equal
     // event_type (value-change islands, vs q28's time-gap islands):
-    // valid_from = run start, valid_to = next run's start (NULL while
-    // current). Produces exactly the (start, end] ranges q13 consumes.
+    // valid_from = run start (inclusive), valid_to = next run's start
+    // (EXCLUSIVE — [from, to) half-open; NULL while current). A
+    // q13-style fully-inclusive BETWEEN probe over these needs
+    // `ts < valid_to`, not `<=`, or boundary timestamps double-match.
     "q86_scd2" -> ((s, dir) => {
       val byUser = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
@@ -207,7 +209,10 @@ object Windowed {
         .withColumn("valid_to", lead(col("valid_from"), 1).over(nextFrom))
         .select(col("user_id"), col("event_type"), col("valid_from"),
           col("valid_to"), col("n_events"))
-        .orderBy(col("user_id"), col("valid_from"))
+        // event_type completes the total order: two runs of one user can
+        // share valid_from if distinct-type events land in the same
+        // microsecond, and adjacent runs differ in type by construction
+        .orderBy(col("user_id"), col("valid_from"), col("event_type"))
     }),
     // T2 variant: HOPPING (sliding) windows — 10-minute windows every
     // 5 minutes, each event contributing to exactly ⌈len/slide⌉ = 2
@@ -358,7 +363,8 @@ object Windowed {
         |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
         |    AS valid_to,
         |  n_events
-        |FROM grouped ORDER BY user_id, valid_from""".stripMargin,
+        |FROM grouped
+        |ORDER BY user_id, valid_from, event_type""".stripMargin,
     "q83_multi_horizon" -> {
       def acc(secs: Long, name: String) =
         s"""CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
