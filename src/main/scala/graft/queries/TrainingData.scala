@@ -430,6 +430,23 @@ object TrainingData {
         .agg(countDistinct(col("sh")).as("n_hit_shingles"))
         .orderBy(col("doc_id"))
     }),
+    // Count-based bigram LM statistics: top-20 bigrams with conditional
+    // probability P(w2|w1) = c(w1 w2) / c(w1 ·). One shingle explode +
+    // partial-agg shuffle builds the bigram counts; the per-w1
+    // normalizer is an unbounded window over the already-aggregated
+    // frame (vocabulary-sized, ≪ corpus). The probability is a ratio of
+    // exact longs evaluated identically in both engines.
+    "q88_bigram_lm" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      t(s, dir, "documents")
+        .select(explode(TextOps.shingles(col("text"), 2)).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
+        .withColumn("w1", substring_index(col("bigram"), " ", 1))
+        .withColumn("p_cond", round(col("cnt") /
+          sum(col("cnt")).over(W.partitionBy(col("w1"))), 4))
+        .select(col("bigram"), col("cnt"), col("p_cond"))
+        .orderBy(col("cnt").desc, col("bigram")).limit(20)
+    }),
     // Exact corpus top-k tokens — the ground truth the Misra–Gries
     // sketch (expressions.Mg, mg_sketch/mg_merge/mg_topk,
     // StateStore.mergeTopK) approximates in O(k) mergeable state. Same
@@ -801,6 +818,17 @@ object TrainingData {
         |SELECT doc_id, COUNT(DISTINCT sh) AS n_hit_shingles
         |FROM tr WHERE sh IN (SELECT sh FROM te)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q88_bigram_lm" ->
+      """WITH bg AS (
+        |  SELECT unnest(list_transform(range(1, greatest(len(words), 1)),
+        |    i -> words[i] || ' ' || words[i+1])) AS bigram
+        |  FROM (SELECT string_split(text, ' ') AS words FROM documents)),
+        |c AS (SELECT bigram, COUNT(*) AS cnt FROM bg GROUP BY bigram)
+        |SELECT bigram, cnt,
+        |  round(cnt / CAST(SUM(cnt) OVER (
+        |    PARTITION BY split_part(bigram, ' ', 1)) AS DOUBLE), 4)
+        |    AS p_cond
+        |FROM c ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin,
     "q79_top_tokens" ->
       """SELECT token, COUNT(*) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS token
