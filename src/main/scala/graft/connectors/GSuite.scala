@@ -77,35 +77,40 @@ object GSuite {
     csvWithPromotedHeader(spark, body)
   }
 
-  /** Header promotion + name normalization over a raw CSV payload. The
-    * body lands in a scratch file and goes through spark.read with
-    * `multiLine` — a quoted cell may contain literal newlines, which a
-    * line-split (Dataset[String]) would shear into malformed rows.
+  /** Header promotion + name normalization over a raw CSV payload,
+    * parsed DRIVER-SIDE with the CSV engine Spark itself bundles
+    * (univocity) — quoted cells with literal newlines survive exactly as
+    * spark.read's `multiLine` mode would keep them.
     *
-    * The landing file is written through the Hadoop FileSystem and
-    * qualified against the DEFAULT FS, not the driver's java.io.tmpdir:
-    * executors must be able to open the path, and on a cluster they
-    * cannot see the driver's local /tmp. Locally the default FS is
-    * file:// so behavior is unchanged; with an HDFS/GCS default FS the
-    * scratch file lands shared automatically. Pass `landingDir` to
-    * override the scratch root (e.g. the lake's landing zone). */
-  def csvWithPromotedHeader(spark: SparkSession, csvBody: String,
-                            landingDir: Option[String] = None): DataFrame = {
-    import org.apache.hadoop.fs.Path
-    val root = new Path(landingDir.getOrElse(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp")))
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val p = fs.makeQualified(
-      new Path(root, s"gsheet-${java.util.UUID.randomUUID()}.csv"))
-    val out = fs.create(p, true)
-    try out.write(csvBody.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    fs.deleteOnExit(p) // scratch: spark.read is lazy, so delete at FS close
-    val df = spark.read
-      .option("header", "true")
-      .option("multiLine", "true")
-      .option("quote", "\"").option("escape", "\"")
-      .csv(p.toString)
+    * No scratch file: the body is already a driver-resident String (the
+    * transport returned it), and a worksheet is bounded by the Sheets
+    * product cap (10M cells), so parsing in place and parallelizing the
+    * rows is right-sized — earlier versions landed a temp CSV per read
+    * and leaked one scratch file per sheet for the life of the driver
+    * (deleteOnExit only fires at FileSystem close). */
+  def csvWithPromotedHeader(spark: SparkSession, csvBody: String): DataFrame = {
+    import com.univocity.parsers.csv.{CsvParser, CsvParserSettings}
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val settings = new CsvParserSettings
+    settings.getFormat.setDelimiter(',')
+    settings.getFormat.setQuote('"')
+    settings.getFormat.setQuoteEscape('"') // gviz CSV doubles quotes
+    settings.setMaxCharsPerColumn(-1)
+    val grid = new CsvParser(settings)
+      .parseAll(new java.io.StringReader(csvBody))
+    if (grid.isEmpty) return spark.emptyDataFrame
+    val header = grid.get(0).toIndexedSeq
+      .map(h => Option(h).getOrElse(""))
+    val width = header.length
+    val rows = (1 until grid.size).map { r =>
+      val cells = grid.get(r)
+      Row.fromSeq(Seq.tabulate(width)(c => if (c < cells.length) cells(c) else null))
+    }
+    val schema = StructType(header.map(StructField(_, StringType, nullable = true)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, math.max(1, rows.size / 50000 + 1)),
+      schema)
     SchemaNormalizer.normalizeSchema(df)
   }
 

@@ -45,8 +45,13 @@ object RangeJoinOps {
       s"points and intervals share columns ${overlap.mkString(", ")}; " +
         "rename one side — the output carries both frames' columns")
     val p = points.withColumn("__bin", floor(col(pointCol) / binWidth))
-    val i = intervals.withColumn("__bin", explode(sequence(
-      floor(col(loCol) / binWidth), floor(col(hiCol) / binWidth))))
+    // A degenerate interval (lo > hi, or a null bound) matches no point
+    // under BETWEEN; sequence(), though, throws on descending boundaries
+    // at runtime. Filter them out so the binned plan degrades to the
+    // nested-loop plan's empty result instead of failing the job.
+    val i = intervals.filter(col(loCol) <= col(hiCol))
+      .withColumn("__bin", explode(sequence(
+        floor(col(loCol) / binWidth), floor(col(hiCol) / binWidth))))
     p.join(i, Seq("__bin"))
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__bin")

@@ -44,8 +44,14 @@ class CorpusDedup(spark: SparkSession, lake: Lake, dataset: String,
   private def tableExists(ref: TableRef): Boolean =
     spark.catalog.tableExists(qualified(ref))
 
-  private def hashed(docs: DataFrame, textCol: String): DataFrame =
+  private def hashed(docs: DataFrame, textCol: String): DataFrame = {
+    // withColumn would silently REPLACE a caller's content_hash (and the
+    // tail drop() would then delete it from the output) — same reserved-
+    // name contract as RangeJoinOps' __bin guard.
+    require(!docs.columns.contains("content_hash"),
+      "content_hash is reserved by CorpusDedup; drop or rename the input column")
     docs.withColumn("content_hash", md5(col(textCol)))
+  }
 
   // ---- exact -----------------------------------------------------------
 

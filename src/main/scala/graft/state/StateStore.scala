@@ -21,9 +21,25 @@ class StateStore(spark: SparkSession, root: String) {
 
   val SeedWatermark: Timestamp = Timestamp.valueOf("1900-01-01 00:00:00")
 
-  private def runPath(key: String) = s"$root/last_run/$key"
-  private def entityPath(key: String) = s"$root/entity_watermarks/$key"
-  private def filesPath(key: String) = s"$root/processed_files/$key"
+  /** Keys are LOGICAL names; nothing on the path side may interpret
+    * them. Both Hadoop's globStatus (the orphan-tmp sweep) and Spark's
+    * file readers glob-expand their path argument, so a key containing
+    * `* ? [ ] { }` (a dbt selector, a bracketed tag) would read/sweep the
+    * wrong siblings — or match nothing and silently report first-run.
+    * Characters outside a conservative safe set are percent-encoded
+    * ('%' itself included, so the mapping is injective and two distinct
+    * keys can never collide on one path). Safe-charset keys — every key
+    * written by earlier versions — encode to themselves, so existing
+    * state layouts read back unchanged. */
+  private def safeKey(key: String): String =
+    key.flatMap { c =>
+      if (c.isLetterOrDigit || c == '.' || c == '_' || c == '-' || c == '=') c.toString
+      else f"%%${c.toInt}%02X"
+    }
+
+  private def runPath(key: String) = s"$root/last_run/${safeKey(key)}"
+  private def entityPath(key: String) = s"$root/entity_watermarks/${safeKey(key)}"
+  private def filesPath(key: String) = s"$root/processed_files/${safeKey(key)}"
 
   /** Restore a crashed writer's intact `.old` copy BEFORE anything plans
     * a read of `path`. This must run in [[readOrEmpty]] — not only in
@@ -77,7 +93,11 @@ class StateStore(spark: SparkSession, root: String) {
     // Belt-and-braces heal (the load-bearing one runs in readOrEmpty,
     // before callers plan their merge read).
     heal(path)
-    try Option(fs.globStatus(new Path(path + ".tmp-*"))) // null when parent absent
+    // globStatus treats * ? [ ] { } in the PATH part as patterns — a state
+    // key containing one would match unrelated paths (or throw). Escape
+    // them so only the literal path's tmp suffix stays a wildcard.
+    val globSafe = path.replaceAll("([*?\\[\\]{}\\\\])", "\\\\$1")
+    try Option(fs.globStatus(new Path(globSafe + ".tmp-*"))) // null when parent absent
       .getOrElse(Array.empty).foreach(st => fs.delete(st.getPath, true))
     catch { case _: java.io.IOException => () }
     // State rows are tiny (entity + timestamp); 4 output files keeps the
@@ -203,9 +223,9 @@ class StateStore(spark: SparkSession, root: String) {
     writeAtomic(Seq(merged).toDF("sketch"), path)
   }
 
-  private def sketchPath(key: String) = s"$root/sketches/$key"
-  private def qsketchPath(key: String) = s"$root/quantile_sketches/$key"
-  private def topkPath(key: String) = s"$root/topk_sketches/$key"
+  private def sketchPath(key: String) = s"$root/sketches/${safeKey(key)}"
+  private def qsketchPath(key: String) = s"$root/quantile_sketches/${safeKey(key)}"
+  private def topkPath(key: String) = s"$root/topk_sketches/${safeKey(key)}"
 
   /** Stored HLL sketch for this key, if any (one bounded ~4 KiB row). */
   def sketch(key: String): Option[Array[Byte]] = readSketch(sketchPath(key))

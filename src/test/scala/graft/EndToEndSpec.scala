@@ -173,6 +173,11 @@ class EndToEndSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val novel = dd.novelExact(batchRun, "doc_id", "text")
     assert(novel.select($"doc_id").as[Long].collect().toSet === Set(11L))
+
+    // reserved-name contract: an input already carrying content_hash is
+    // rejected up front, not silently overwritten-then-dropped
+    val clash = batchRun.withColumn("content_hash", lit("x"))
+    intercept[IllegalArgumentException](dd.novelExact(clash, "doc_id", "text"))
   }
 
   test("salted join spreads hot keys and preserves results (§4 skew)") {

@@ -101,6 +101,13 @@ class PlansSpec extends SparkSpec {
       "grid must only prune, never change membership")
     val plan = binned.queryExecution.executedPlan.toString
     assert(plan.contains("HashJoin") && !plan.contains("NestedLoop"), plan)
+
+    // degenerate intervals (lo > hi) match nothing under BETWEEN — the
+    // binned plan must yield the same empty result, not a sequence() error
+    val degenerate = Seq((1L, 50.0, 40.0), (2L, 10.0, 10.0)).toDF("iid", "lo", "hi")
+    val degJoined = graft.functions.RangeJoinOps
+      .pointInInterval(points, "v", degenerate, "lo", "hi", binWidth = 20.0)
+    assert(degJoined.filter($"iid" === 1L).isEmpty)
   }
 
   test("q83 multi-horizon windows share one sort: a single Exchange+Window") {

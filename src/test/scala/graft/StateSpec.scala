@@ -52,6 +52,18 @@ class StateSpec extends SparkSpec {
     assert(wm("s1") === Timestamp.valueOf("2024-02-01 00:00:00"))
   }
 
+  test("state keys with glob metacharacters round-trip (orphan sweep escapes)") {
+    val st = new StateStore(spark, tmpDir("state"))
+    // a key like a dbt selector or bracketed tag must not turn the
+    // orphan-tmp glob into a pattern that matches (and deletes) siblings
+    val odd = "ds.sel[*].t{1}"
+    st.setLastRun(odd, Timestamp.valueOf("2024-04-01 00:00:00"))
+    st.setLastRun("ds.sel1.t1", Timestamp.valueOf("2024-05-01 00:00:00"))
+    st.setLastRun(odd, Timestamp.valueOf("2024-04-02 00:00:00")) // second write sweeps
+    assert(st.lastRun(odd) === Some(Timestamp.valueOf("2024-04-02 00:00:00")))
+    assert(st.lastRun("ds.sel1.t1") === Some(Timestamp.valueOf("2024-05-01 00:00:00")))
+  }
+
   test("concurrent setLastRun on different keys: no lost update (per-key storage)") {
     val st = new StateStore(spark, tmpDir("state"))
     val keys = (1 to 8).map(i => s"pipe.$i")
