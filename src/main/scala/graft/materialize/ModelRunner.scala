@@ -20,6 +20,13 @@ final case class Model(name: String, sql: String,
                        partitionBy: Seq[String] = Seq("data"),
                        deps: Seq[String] = Nil)
 
+/** One capture-log source feeding a model, for the recapture gate
+  * (the reference's `source_dataset_ids`/`source_table_ids`/
+  * `capture_intervals_minutes` materialization parameters,
+  * rj_smtr/flows.py:204-208). */
+final case class GateSource(dataset: String, table: String,
+                            intervalMinutes: Int = 1, lookbackDays: Int = 1)
+
 class ModelRunner(spark: SparkSession, lake: Lake, state: StateStore,
                   dataset: String) {
 
@@ -42,6 +49,25 @@ class ModelRunner(spark: SparkSession, lake: Lake, state: StateStore,
       model.partitionBy)
     state.setLastRun(s"$dataset.${model.name}", now)
     out
+  }
+
+  /** The recapture→materialization gate (rj_smtr/flows.py:225-236):
+    * before a tick runs, every source table's capture log is checked
+    * for minutes that are still missing in its lookback window; ANY
+    * pending recapture skips the whole tick — WITHOUT advancing the
+    * watermark — so the window re-runs intact once the backfill lands.
+    * Without this, a recapture that delivers late data into an
+    * already-materialized window would leave prod silently stale: the
+    * watermark has moved past the window, so nothing ever re-reads it.
+    * Returns None on a skipped tick (the caller's alert/retry signal),
+    * Some(written frame) on a materialized one. */
+  def runGated(model: Model, now: Timestamp, log: graft.lake.CaptureLog,
+               sources: Seq[GateSource]): Option[DataFrame] = {
+    val blocked = sources.exists { s =>
+      graft.streaming.Recapture.pending(spark, log.read(s.dataset, s.table),
+        now, s.intervalMinutes, s.lookbackDays)
+    }
+    if (blocked) None else Some(run(model, now))
   }
 
   /** Model-DAG run in dependency order; returns the execution order

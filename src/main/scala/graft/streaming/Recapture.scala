@@ -37,6 +37,19 @@ object Recapture {
     Plan(missed.take(maxRecaptures), overflowed = missed.size > maxRecaptures)
   }
 
+  /** True when ANY capture minute in the lookback window is still
+    * missing from the logs — the materialization gate's input
+    * (rj_smtr/flows.py:225-236: `query_logs` over each source table →
+    * `check_mapped_query_logs_output` → materialize only when False).
+    * Existence check only: the spine anti-join stops at the first hole
+    * (limit 1 under the hood), so gating a 1-minute tick costs one
+    * small job, not a full plan. `now` is the tick being gated — ticks
+    * are interval-aligned, so a successful capture AT `now` counts. */
+  def pending(spark: SparkSession, logs: DataFrame, now: Timestamp,
+              intervalMinutes: Int = 1, lookbackDays: Int = 1): Boolean =
+    plan(spark, logs, now, intervalMinutes, lookbackDays,
+      maxRecaptures = 1).timestamps.nonEmpty
+
   /** Plan + execute in one call: the missed minutes are fetched through
     * `fetch` (the source's bounded window read) and land through
     * [[Capture.processBackfill]] as a single job. Returns the executed

@@ -48,6 +48,84 @@ class MaterializeSpec extends SparkSpec {
     assert(lake.read(TableRef("prod", "ds", "hourly")).count() === afterSecond)
   }
 
+  test("recapture gate: pending gap skips tick + holds watermark; late data lands (T10)") {
+    import graft.lake.CaptureLog
+    import graft.materialize.GateSource
+    import graft.streaming.{Capture, CaptureConfig, Recapture}
+    val lake = new Lake(spark, tmpDir("lake"))
+    val log = new CaptureLog(spark, lake)
+    val cap = new Capture(spark, lake, log,
+      CaptureConfig("ds", "gps", pk = Seq("id"), tsCol = "ts"))
+    val state = new StateStore(spark, tmpDir("state"))
+    val runner = new ModelRunner(spark, lake, state, "ds")
+    val sources = Seq(GateSource("ds", "gps"))
+
+    val base = Timestamp.valueOf("2024-01-05 00:00:00")
+    def minute(m: Int) = new Timestamp(base.getTime + m * 60000L)
+    // the lookback day before the window was fully successful (bulk log
+    // append) so the planner sees exactly the holes this test creates
+    val startSec = (minute(2).getTime / 1000 - 86400) / 60 * 60
+    val pre = spark.range(1).select(explode(sequence(
+        timestamp_seconds(lit(startSec)),
+        lit(new Timestamp(base.getTime - 60000L)),
+        expr("INTERVAL 1 MINUTES"))).as("timestamp_captura"))
+      .withColumn("sucesso", lit(true))
+      .withColumn("erro", lit(null).cast("string"))
+      .withColumn("data", date_format($"timestamp_captura", "yyyy-MM-dd"))
+    lake.append(pre, log.ref("ds", "gps"), partitionBy = Seq("data"))
+
+    def capture(m: Int): Unit = cap.processBatch(
+      Seq((m.toLong, minute(m), s"v$m")).toDF("id", "ts", "v"), minute(m))
+    // partition grain = capture minute: a window boundary always falls on
+    // a partition boundary, so the dynamic-overwrite write of one window
+    // can never clobber an earlier window's rows (the same discipline the
+    // reference's insert_overwrite models follow with their date grain)
+    val model = Model("gps_clean",
+      """SELECT id, timestamp_captura AS ts, content,
+        |  date_format(timestamp_captura, 'yyyy-MM-dd') AS data,
+        |  date_format(timestamp_captura, 'HH-mm') AS hm
+        |FROM src_gps
+        |WHERE timestamp_captura > to_timestamp('{{date_range_start}}')
+        |  AND timestamp_captura <= to_timestamp('{{date_range_end}}')""".stripMargin,
+      partitionBy = Seq("data", "hm"))
+    def tick(now: Timestamp): Option[org.apache.spark.sql.DataFrame] = {
+      // fresh view per tick: the staging file index must include files
+      // appended since the previous tick
+      lake.read(TableRef("staging", "ds", "gps")).createOrReplaceTempView("src_gps")
+      runner.runGated(model, now, log, sources)
+    }
+
+    // minutes 0-2 captured cleanly → first tick materializes
+    (0 to 2).foreach(capture)
+    assert(tick(minute(2)).isDefined)
+    assert(state.lastRun("ds.gps_clean") === Some(minute(2)))
+    assert(lake.read(TableRef("prod", "ds", "gps_clean")).count() === 3)
+
+    // minute 3 capture MISSED; 4 and 5 land fine → tick must be a NO-OP
+    // with the watermark unmoved (else m3's late data is stale forever)
+    Seq(4, 5).foreach(capture)
+    assert(tick(minute(5)).isEmpty, "tick must skip while a gap is pending")
+    assert(state.lastRun("ds.gps_clean") === Some(minute(2)), "watermark must hold")
+    assert(lake.read(TableRef("prod", "ds", "gps_clean")).count() === 3)
+
+    // recapture closes the gap, then the next tick materializes BOTH
+    // windows — the skipped one and the new one
+    Recapture.backfill(spark, cap, log.read("ds", "gps"), minute(5),
+      fetch = ts => Seq((3L, ts, "v3")).toDF("id", "ts", "v"))
+    assert(tick(minute(5)).isDefined)
+    assert(state.lastRun("ds.gps_clean") === Some(minute(5)))
+
+    // prod now equals a from-scratch rebuild of the model over staging
+    val prod = lake.read(TableRef("prod", "ds", "gps_clean"))
+      .select($"id", $"ts", $"content")
+      .as[(Long, Timestamp, String)].collect().toSet
+    val rebuild = lake.read(TableRef("staging", "ds", "gps"))
+      .select($"id", $"timestamp_captura", $"content")
+      .as[(Long, Timestamp, String)].collect().toSet
+    assert(prod === rebuild)
+    assert(prod.map(_._1) === Set(0L, 1L, 2L, 3L, 4L, 5L))
+  }
+
   test("model DAG runs dependencies first and detects cycles") {
     val order = scala.collection.mutable.ArrayBuffer[String]()
     val lake = new Lake(spark, tmpDir("lake")) {
