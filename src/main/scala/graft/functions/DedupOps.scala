@@ -37,6 +37,35 @@ object DedupOps {
     df.select(col(idCol),
       explode(graft.expressions.Shingles.shingles(col(textCol), n)).as("shingle"))
 
+  /** LSH band keys computed entirely INSIDE one row: text → array of
+    * numBands md5 band keys, ordered by band index. Value-identical to
+    * `lshBands(minhashSignature(df, …), …)`— same seed-prefixed md5
+    * lanes, same 15-hex-prefix longs, same band md5 — so keys from this
+    * path join/dedup interchangeably with batch-built band tables
+    * ([[graft.lake.CorpusDedup]]'s seen_bands). The batch path stays the
+    * scale default (partial min-agg keeps long documents from computing
+    * k hashes per shingle twice in a wide row); this per-row form exists
+    * for STREAMING, where a groupBy signature would be a second stateful
+    * operator — here band keys come out of the scan projection itself.
+    * A document shorter than one shingle yields an EMPTY array (the
+    * batch path has no signature row for it either). */
+  def bandKeysPerRow(text: Column, numHashes: Int = 8, rowsPerBand: Int = 2,
+                     shingleSize: Int = 3): Column = {
+    val sh = graft.expressions.Shingles.shingles(text, shingleSize)
+    val lanes = (0 until numHashes).map { seed =>
+      array_min(transform(sh, s =>
+        graft.expressions.HexPrefixToLong.hex_prefix_to_long(
+          md5(concat_ws("|", lit(seed), s)), 15)))
+    }
+    val numBands = numHashes / rowsPerBand
+    val keys = (0 until numBands).map { b =>
+      md5(concat_ws("|",
+        (0 until rowsPerBand).map(r => lanes(b * rowsPerBand + r)): _*))
+    }
+    when(size(sh) > 0, array(keys: _*)).otherwise(
+      array().cast("array<string>"))
+  }
+
   /** One (id, __pos, __w) row per word occurrence. Exposed separately so a
     * pipeline needing BOTH shingles and unigram tokens (e.g. LSH candidates
     * + Jaccard verify) can compute/cache this frame once and scan the

@@ -42,4 +42,54 @@ object StreamDedup {
     stream
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** NEAR-duplicate streaming dedup: MinHash-LSH band keys computed in
+    * the scan projection ([[graft.functions.DedupOps.bandKeysPerRow]] —
+    * no signature groupBy, so banding adds NO stateful operator), then
+    * two watermark-bounded dedup stages:
+    *
+    *   1. band level — explode to one row per (band_idx, band_key) and
+    *      `dropDuplicatesWithinWatermark`: a band already seen within the
+    *      horizon is consumed by its first document;
+    *   2. document level — one surviving band row re-emits its document
+    *      (and re-deliveries of the same id are dropped exactly).
+    *
+    * A document is therefore dropped when EVERY one of its bands was
+    * already claimed — the high-precision end of the LSH trade-off
+    * (ANY-band matching is the batch candidate test; requiring all bands
+    * keeps false drops rare on a stream where there is no Jaccard-verify
+    * second chance). Two near-dups landing in the SAME micro-batch can
+    * split their band claims and both pass — within-batch near-dup is
+    * the landing pipeline's job ([[graft.functions.DedupOps
+    * .dropNearDuplicates]] / [[graft.lake.CorpusDedup.novelNearDup]] in
+    * foreachBatch), this operator bounds the cross-batch stream state.
+    * State per band row is one md5 + timestamp, numBands rows per doc —
+    * bounded by the horizon exactly like the exact variant.
+    *
+    * Documents shorter than one shingle get a per-document surrogate key
+    * (never collides, so they always pass band dedup) and fall through
+    * to the id-level stage. */
+  def nearDupWithinWatermark(stream: DataFrame, idCol: String, textCol: String,
+                             tsCol: String, horizon: String,
+                             numHashes: Int = 8, rowsPerBand: Int = 2,
+                             shingleSize: Int = 3): DataFrame = {
+    val reserved = Seq("__bands", "band_idx", "band_key")
+    val clash = stream.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"${clash.mkString(", ")} reserved by nearDupWithinWatermark")
+    stream
+      .withColumn("__bands", graft.functions.DedupOps.bandKeysPerRow(
+        col(textCol), numHashes, rowsPerBand, shingleSize))
+      .withWatermark(tsCol, horizon)
+      .select(col("*"), posexplode_outer(col("__bands"))
+        .as(Seq("band_idx", "band_key")))
+      // shingle-less docs explode to a single null band: substitute a
+      // key unique to the document so two of them never dedup each other
+      .withColumn("band_idx", coalesce(col("band_idx"), lit(-1)))
+      .withColumn("band_key", coalesce(col("band_key"),
+        concat(lit("__noband|"), col(idCol).cast("string"))))
+      .dropDuplicatesWithinWatermark("band_idx", "band_key")
+      .dropDuplicatesWithinWatermark(idCol)
+      .drop("__bands", "band_idx", "band_key")
+  }
 }

@@ -180,6 +180,53 @@ class EndToEndSpec extends SparkSpec {
     intercept[IllegalArgumentException](dd.novelExact(clash, "doc_id", "text"))
   }
 
+  test("training-data ingestion: NEAR-dup stream → corpus band state (composition)") {
+    import graft.lake.{CorpusDedup, Lake, TableRef}
+    import graft.streaming.StreamDedup
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+
+    val lake = new Lake(spark, tmpDir("lake"))
+    val dd = new CorpusDedup(spark, lake, "ingest_nd", numBuckets = 4)
+    val corpusRef = TableRef("prod", "ingest_nd", "documents")
+    // same pinned fixture as StreamingSpec: the word-5 edit shares ALL
+    // bands with the original (and therefore ≥1 — the corpus layer's
+    // ANY-band candidate test fires too)
+    val docA = "the municipal transport agency publishes vehicle gps positions " +
+      "every minute for all bus lines in the city of rio de janeiro " +
+      "during regular service hours"
+    val nearDupA = docA.replace("vehicle", "foo9")
+
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = StreamDedup.nearDupWithinWatermark(
+      mem.toDF.toDF("doc_id", "text", "ts"), "doc_id", "text", "ts", "10 minutes")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val novel = dd.novelNearDup(batch, "doc_id", "text")
+        lake.append(novel, corpusRef)
+        dd.commitNearDup(novel, "doc_id", "text")
+      }.start()
+    try {
+      mem.addData((1L, docA, t("10:00")))
+      q.processAllAvailable()
+      // push the watermark far past 10:10 so doc 1's band state is
+      // EVICTED from the stream store — the stream layer can no longer
+      // drop a re-delivered near-dup on its own
+      mem.addData((2L, "completely unrelated corpus entry about tide tables", t("12:00")))
+      q.processAllAvailable()
+      // near-dup arrives with a fresh timestamp, beyond the horizon:
+      // only the corpus seen-bands anti-join can catch it now
+      mem.addData((3L, nearDupA, t("12:05")),
+        (4L, "another genuinely novel document body", t("12:06")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val landed = lake.read(corpusRef)
+    assert(landed.select($"doc_id").as[Long].collect().toSet === Set(1L, 2L, 4L),
+      "cross-horizon near-dup must be dropped by the corpus band state")
+  }
+
   test("salted join spreads hot keys and preserves results (§4 skew)") {
     val big = (1 to 2000).map(i => (if (i % 10 == 0) "cold" + i else "HOT", i))
       .toDF("k", "v")

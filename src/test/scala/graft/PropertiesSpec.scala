@@ -136,6 +136,28 @@ class PropertiesSpec extends SparkSpec {
     assert(r.passed, r.status.toString)
   }
 
+  test("prop: bandKeysPerRow == batch lshBands(minhashSignature) keys") {
+    import graft.functions.DedupOps
+    val word = Gen.oneOf("alpha", "bb", "ccc", "dd", "café", "xyz", "alpha")
+    val text = Gen.choose(0, 12).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    val r = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10),
+      Prop.forAll(Gen.listOfN(15, text)) { texts =>
+        val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        // per-row path, exploded to (doc, band_idx, band_key)
+        val perRow = df.select($"doc_id",
+            posexplode(DedupOps.bandKeysPerRow($"text")).as(Seq("band_idx", "band_key")))
+        // batch path (groupBy signature → banding)
+        val batch = DedupOps.lshBands(
+          DedupOps.minhashSignature(df, "doc_id", "text"), "doc_id")
+        perRow.exceptAll(batch.select($"doc_id", $"band_idx", $"band_key")).isEmpty &&
+          batch.select($"doc_id", $"band_idx", $"band_key").exceptAll(perRow).isEmpty
+      })
+    assert(r.passed, r.status.toString)
+  }
+
   test("prop: keepFirstOrdered emits exactly the per-key ordering minimum") {
     val rows = Gen.listOfN(120,
       Gen.zip(Gen.choose(0, 9), Gen.choose(0, 1000), Gen.alphaStr.map(_.take(4))))

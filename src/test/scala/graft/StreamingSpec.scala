@@ -94,6 +94,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming NEAR-dup dedup drops edited re-delivery within watermark") {
+    import graft.streaming.StreamDedup
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(hm: String) = Timestamp.valueOf(s"2024-01-01 $hm:00")
+
+    // fixtures chosen so the md5 minhash outcome is pinned (hashing is
+    // deterministic): editing word 5 leaves every band's min-shingle
+    // intact → ALL 4 band keys match; editing word 1 perturbs 3 of 4
+    // bands → only 1 band is claimed and the doc must pass
+    val docA = "the municipal transport agency publishes vehicle gps positions " +
+      "every minute for all bus lines in the city of rio de janeiro " +
+      "during regular service hours"
+    val nearDupA = docA.replace("vehicle", "foo9")     // all bands match A
+    val partialA = docA.replace("municipal", "completely") // 1 of 4 bands
+
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val stream = mem.toDF.toDF("id", "text", "ts")
+    val out = StreamDedup.nearDupWithinWatermark(
+      stream, "id", "text", "ts", "10 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("ndd_out").start()
+    try {
+      // batch 1: the original + a shingle-less doc (surrogate band key)
+      mem.addData((1L, docA, t("10:00")), (2L, "short", t("10:01")))
+      q.processAllAvailable()
+      // batch 2: edited near-dup (dropped: every band claimed by doc 1),
+      // a partial-overlap edit (passes: 3 novel bands), a second
+      // shingle-less doc (passes: surrogate keys never collide), and an
+      // id re-delivery (dropped at the id stage at the latest)
+      mem.addData((3L, nearDupA, t("10:02")), (4L, partialA, t("10:03")),
+        (5L, "short", t("10:04")), (1L, docA, t("10:05")))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT id FROM ndd_out").as[Long].collect().toSet
+      assert(ids === Set(1L, 2L, 4L, 5L))
+      // helper columns must not leak into the output
+      assert(spark.table("ndd_out").columns.toSet === Set("id", "text", "ts"))
+    } finally q.stop()
+  }
+
   test("streaming session windows merge across batches, close on watermark (T2)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
