@@ -89,7 +89,16 @@ object GraftExtensions {
       (cs: Seq[Expression]) => MgMergeAgg(cs.head)),
     (FunctionIdentifier("mg_topk"),
       new ExpressionInfo(classOf[MgTopK].getName, "mg_topk"),
-      (cs: Seq[Expression]) => MgTopK(cs(0), cs(1))))
+      (cs: Seq[Expression]) => MgTopK(cs(0), cs(1))),
+    (FunctionIdentifier("utm_to_wgs84"),
+      new ExpressionInfo(classOf[UtmToWgs84].getName, "utm_to_wgs84"),
+      (cs: Seq[Expression]) => {
+        val zone = if (cs.size > 2) intArg(cs(2), "utm zone") else 23
+        UtmToWgs84(cs(0), cs(1),
+          UtmToWgs84.Grs80A, UtmToWgs84.Grs80InvF, UtmToWgs84.UtmK0,
+          UtmToWgs84.UtmFalseEasting, UtmToWgs84.UtmFalseNorthingSouth,
+          -183.0 + 6.0 * zone)
+      }))
 
   /** Register on an already-built session (tests, driver-owned builders). */
   def install(spark: SparkSession): Unit =

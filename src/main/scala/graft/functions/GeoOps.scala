@@ -60,4 +60,14 @@ object GeoOps {
   def pointInPolygon(spark: SparkSession, polygon: Array[(Double, Double)])
                     (lon: Column, lat: Column): Column =
     graft.expressions.PointInPolygon.point_in_polygon(lon, lat, polygon)
+
+  /** F17 (second half): CRS reprojection — UTM easting/northing →
+    * EPSG:4326 lon/lat, the reference's `to_crs("epsg:4326")` on every
+    * dump_datario geo table (utils/dump_datario/tasks.py:123-131).
+    * Defaults to EPSG:31983 (SIRGAS 2000 / UTM zone 23S, Rio's grid).
+    * Closed-form codegen expression — see
+    * [[graft.expressions.UtmToWgs84]]. Returns struct(lon, lat). */
+  def utmToWgs84(easting: Column, northing: Column,
+                 zone: Int = 23, southern: Boolean = true): Column =
+    graft.expressions.UtmToWgs84.utm_to_wgs84(easting, northing, zone, southern)
 }

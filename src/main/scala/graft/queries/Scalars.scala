@@ -114,6 +114,24 @@ object Scalars {
       pts.filter(graft.functions.GeoOps.pointInPolygon(s, poly)(col("lon"), col("lat")))
         .orderBy(col("c_custkey"))
     }),
+    // F17: CRS reprojection — UTM zone 23S (EPSG:31983) easting/northing
+    // back to EPSG:4326 lon/lat via the closed-form Snyder inverse, as a
+    // codegen expression. The oracle replicates the identical series in
+    // DuckDB arithmetic; both sides round to 1e-6 deg (~0.1 m), far
+    // coarser than the formulas' 1e-12 cross-engine agreement.
+    "q89_crs_reproject" -> ((s, dir) => {
+      val df = t(s, dir, "events")
+        .withColumn("easting",
+          lit(600000.0) + (col("event_id") % 100000).cast("double"))
+        .withColumn("northing",
+          lit(7430000.0) + (col("user_id") % 50000).cast("double"))
+      df.withColumn("ll",
+          graft.functions.GeoOps.utmToWgs84(col("easting"), col("northing")))
+        .select(col("event_id"), col("easting"), col("northing"),
+          round(col("ll.lon"), 6).as("lon"),
+          round(col("ll.lat"), 6).as("lat"))
+        .orderBy(col("event_id"))
+    }),
     // F18: bbox-membership filter (between on two numeric columns).
     "q49_bbox_filter" -> ((s, dir) => {
       t(s, dir, "customer")
@@ -196,6 +214,46 @@ object Scalars {
     "q49_bbox_filter" ->
       """SELECT c_custkey, c_acctbal, c_nationkey FROM customer
         |WHERE c_acctbal BETWEEN 0 AND 5000 AND c_nationkey BETWEEN 5 AND 15
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+    // Same Snyder inverse-TM series as graft.expressions.UtmToWgs84,
+    // spelled out in SQL (GRS80: a=6378137, 1/f=298.257222101; UTM:
+    // k0=0.9996, FE=500000, FN=10000000, lon0=-45 for zone 23S).
+    "q89_crs_reproject" ->
+      """WITH src AS (
+        |  SELECT event_id,
+        |    600000.0 + CAST(event_id % 100000 AS DOUBLE) AS easting,
+        |    7430000.0 + CAST(user_id % 50000 AS DOUBLE) AS northing
+        |  FROM events),
+        |c1 AS (SELECT 1.0/298.257222101 AS fl),
+        |c2 AS (SELECT fl, fl*(2.0-fl) AS e2 FROM c1),
+        |c3 AS (SELECT e2, e2/(1.0-e2) AS ep2,
+        |    (1.0-sqrt(1.0-e2))/(1.0+sqrt(1.0-e2)) AS e1 FROM c2),
+        |s1 AS (SELECT event_id, easting, northing, e2, ep2, e1,
+        |    ((northing - 10000000.0)/0.9996) /
+        |      (6378137.0*(1.0 - e2/4.0 - 3.0*e2*e2/64.0 - 5.0*e2*e2*e2/256.0)) AS mu
+        |  FROM src, c3),
+        |s2 AS (SELECT *, mu
+        |    + (3.0*e1/2.0 - 27.0*e1*e1*e1/32.0)*sin(2.0*mu)
+        |    + (21.0*e1*e1/16.0 - 55.0*e1*e1*e1*e1/32.0)*sin(4.0*mu)
+        |    + (151.0*e1*e1*e1/96.0)*sin(6.0*mu)
+        |    + (1097.0*e1*e1*e1*e1/512.0)*sin(8.0*mu) AS phi1
+        |  FROM s1),
+        |s3 AS (SELECT *, sin(phi1) AS sp, cos(phi1) AS cp,
+        |    sin(phi1)/cos(phi1) AS tp FROM s2),
+        |s4 AS (SELECT *, ep2*cp*cp AS cc1, tp*tp AS t1,
+        |    1.0 - e2*sp*sp AS om FROM s3),
+        |s5 AS (SELECT *, 6378137.0/sqrt(om) AS n1,
+        |    6378137.0*(1.0-e2)/(om*sqrt(om)) AS r1 FROM s4),
+        |s6 AS (SELECT *, (easting - 500000.0)/(n1*0.9996) AS d FROM s5),
+        |s7 AS (SELECT *, d*d AS d2 FROM s6)
+        |SELECT event_id, easting, northing,
+        |  round(degrees(radians(-45.0) + (d - (1.0+2.0*t1+cc1)*d2*d/6.0
+        |    + (5.0 - 2.0*cc1 + 28.0*t1 - 3.0*cc1*cc1 + 8.0*ep2
+        |       + 24.0*t1*t1)*d2*d2*d/120.0)/cp), 6) AS lon,
+        |  round(degrees(phi1 - (n1*tp/r1)*(d2/2.0
+        |    - (5.0 + 3.0*t1 + 10.0*cc1 - 4.0*cc1*cc1 - 9.0*ep2)*d2*d2/24.0
+        |    + (61.0 + 90.0*t1 + 298.0*cc1 + 45.0*t1*t1 - 252.0*ep2
+        |       - 3.0*cc1*cc1)*d2*d2*d2/720.0)), 6) AS lat
+        |FROM s7 ORDER BY event_id""".stripMargin
   )
 }
