@@ -124,8 +124,11 @@ object NetCdf {
     NcFile(version, numRecs, dims, gatts, vars)
   }
 
-  private def attNum(v: Variable, name: String): Option[Double] =
+  private[multimodal] def attNum(v: Variable, name: String): Option[Double] =
     v.atts.find(_.name == name).flatMap(_.nums.headOption)
+
+  private[multimodal] def attText(v: Variable, name: String): Option[String] =
+    v.atts.find(_.name == name).flatMap(_.text)
 
   /** Read a numeric variable row-major as doubles, with CF unpacking:
     * raw == _FillValue → NaN, else raw*scale_factor + add_offset.

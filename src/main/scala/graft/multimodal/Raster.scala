@@ -9,48 +9,18 @@ import org.apache.spark.sql.types._
   * sweeps into flat (lat, lon, value) tables
   * (satelite/satellite_utils.py:250-460, process_ppi.py:105-543).
   * The Spark shape: binary file rows → mapPartitions generator → one row
-  * per grid cell, with the geo transform applied per cell.
-  *
-  * The byte-level codec is STUBBED (`decodeGridStub` synthesizes a
-  * deterministic gridRows×gridCols raster from the bytes — no
-  * netCDF/HDF5 libs in this container); everything Spark-side (generator
-  * fan-out, schema, bbox projection) is real. A production decoder only
-  * replaces the `cellValue` function.
+  * per grid cell, with the geo transform applied per cell. All decoders
+  * are real pure-JVM parsers ([[NetCdf]], [[GeosProjection]], and the
+  * [[Hdf5]]/[[OdimH5]] radar path) — parsing and the rows×cols fan-out
+  * happen inside the scan partitions, never on the driver.
   */
 object Raster {
-
-  final case class GridSpec(rows: Int, cols: Int,
-                            latMin: Double, latMax: Double,
-                            lonMin: Double, lonMax: Double)
 
   val gridSchema: StructType = StructType(Seq(
     StructField("source", StringType),
     StructField("lat", DoubleType),
     StructField("lon", DoubleType),
     StructField("value", DoubleType)))
-
-  /** U6 generator: each (source, content) row expands to rows×cols grid
-    * cells. One input file can produce millions of rows — the expansion
-    * happens inside the scan partitions, never on the driver. */
-  def gridFlatten(media: DataFrame, spec: GridSpec): DataFrame = {
-    import media.sparkSession.implicits._
-    val latStep = (spec.latMax - spec.latMin) / math.max(spec.rows - 1, 1)
-    val lonStep = (spec.lonMax - spec.lonMin) / math.max(spec.cols - 1, 1)
-    media.select($"meta.source".as("source"), $"content")
-      .as[(String, Array[Byte])]
-      .mapPartitions { it =>
-        // init point: a real netCDF/HDF5 reader opens its codec here
-        it.flatMap { case (src, bytes) =>
-          for {
-            r <- Iterator.range(0, spec.rows)
-            c <- Iterator.range(0, spec.cols)
-          } yield Row(src,
-            spec.latMin + r * latStep,
-            spec.lonMin + c * lonStep,
-            cellValue(bytes, r, c))
-        }
-      }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(gridSchema))
-  }
 
   /** S18, REAL decode: netCDF-classic files → (source, lat, lon, value)
     * rows using the pure-JVM [[NetCdf]] parser (coordinate variables +
@@ -74,12 +44,24 @@ object Raster {
       }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(gridSchema))
   }
 
-  /** STUB codec: deterministic pseudo-measurement per cell. */
-  private def cellValue(bytes: Array[Byte], r: Int, c: Int): Double = {
-    if (bytes == null || bytes.isEmpty) 0.0
-    else {
-      val b = bytes((r * 31 + c * 17) % bytes.length) & 0xff
-      b / 255.0 * 100.0
-    }
+  /** S18 second half: ABI-shaped netCDF (x/y fixed-grid scan angles +
+    * `goes_imager_projection`) → (source, lat, lon, value) rows via the
+    * closed-form geostationary inverse ([[GeosProjection]]) — the
+    * reference's `remap_g16` (satellite_utils.py:452-478) without a
+    * raster lib. Off-disk cells are dropped, fill → null. */
+  def gridFlattenGoesAbi(media: DataFrame, xVar: String = "x",
+                         yVar: String = "y", dataVar: String = "CMI",
+                         projVar: String = "goes_imager_projection"): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select($"meta.source".as("source"), $"content")
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (src, bytes) =>
+          GeosProjection.flattenAbi(bytes, xVar, yVar, dataVar, projVar)
+            .map { case (lat, lon, v) =>
+              Row(src, lat, lon, if (v.isNaN) null else v)
+            }
+        }
+      }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(gridSchema))
   }
 }

@@ -55,22 +55,6 @@ class ExtrasSpec extends SparkSpec {
     assert(math.abs(hll - 5000) < 250)
   }
 
-  test("raster grid flatten: one file → rows×cols cells (S18/S19/U6)") {
-    val media = graft.multimodal.Multimodal.asMedia(
-      Tables.load(spark, sf001, "documents").limit(3)
-        .withColumn("bin", $"text".cast("binary")),
-      "doc_id", "bin", "raster/stub", "source")
-    val spec = graft.multimodal.Raster.GridSpec(4, 5, -23.1, -22.7, -43.8, -43.0)
-    val grid = graft.multimodal.Raster.gridFlatten(media, spec)
-    assert(grid.count() === 3 * 4 * 5)
-    val bounds = grid.agg(min($"lat"), max($"lat"), min($"lon"), max($"lon")).head()
-    assert(bounds.getDouble(0) === -23.1 && bounds.getDouble(1) === -22.7)
-    assert(bounds.getDouble(2) === -43.8 && bounds.getDouble(3) === -43.0)
-    // deterministic stub: re-run gives identical cells
-    assert(graft.multimodal.Raster.gridFlatten(media, spec).collect().toSet ===
-      grid.collect().toSet)
-  }
-
   // Assemble a netCDF classic (CDF-1) file byte-for-byte per the public
   // spec: dims lat=3/lon=4, float coord vars, a short Band1 grid packed
   // with scale_factor/add_offset and a _FillValue hole. Two passes: first

@@ -75,4 +75,134 @@ class GeoProjSpec extends SparkSpec {
       500000.0, 0.0, -45.0)
     assert(math.abs(r(1)) < eps)
   }
+
+  // ---- GOES-16 geostationary fixed-grid remap (S18 second half) ----
+  import graft.multimodal.GeosProjection
+
+  test("geos inverse anchors at the sub-satellite point; off-disk is null") {
+    val ll = GeosProjection.invert(0.0, 0.0, GeosProjection.Goes16)
+    assert(math.abs(ll(0)) < eps && math.abs(ll(1) - -75.0) < eps)
+    // disk edge is asin(req/(h+req)) ≈ 0.1519 rad — 0.16 misses earth
+    assert(GeosProjection.invert(0.16, 0.0, GeosProjection.Goes16) == null)
+    // far side of the planet is not visible to the satellite
+    assert(GeosProjection.forward(120.0, 0.0, GeosProjection.Goes16) == null)
+  }
+
+  test("geos forward∘inverse round-trips across the visible disk") {
+    val pts = Seq((-43.2, -22.9), (-75.0, 0.0), (-100.0, 40.0),
+      (-35.0, -8.0), (-60.0, -55.0))
+    pts.foreach { case (lon, lat) =>
+      val xy = GeosProjection.forward(lon, lat, GeosProjection.Goes16)
+      assert(xy != null, s"($lon,$lat) should be visible")
+      val ll = GeosProjection.invert(xy(0), xy(1), GeosProjection.Goes16)
+      assert(math.abs(ll(0) - lat) < 1e-9, s"lat $lat → ${ll(0)}")
+      assert(math.abs(ll(1) - lon) < 1e-9, s"lon $lon → ${ll(1)}")
+    }
+  }
+
+  test("ABI-shaped CDF fixture: params, remap, fill and off-disk cells") {
+    val bytes = abiFixture
+    val nc = graft.multimodal.NetCdf.parseHeader(bytes)
+    val p = GeosProjection.fromNc(nc)
+    assert(p.lon0Deg === -75.0 && p.hM === 35786023.0 && p.sweepX)
+    assert(p.reqM === 6378137.0 && p.rpolM === 6356752.31414)
+
+    val cells = GeosProjection.flattenAbi(bytes).toSeq
+    // 2×3 grid, x=0.16 column off-disk → 4 cells survive
+    assert(cells.size === 4)
+    // anchor cell (y=0, x=0): sub-satellite point, raw 8 → 100.08
+    val anchor = cells.find(c =>
+      math.abs(c._1) < eps && math.abs(c._2 - -75.0) < eps).get
+    assert(anchor._3 === 0.01 * 8 + 100.0)
+    // fill cell (y=0, x=-0.05): on the equator west of nadir, NaN value
+    val fillCell = cells.find(_._3.isNaN).get
+    assert(math.abs(fillCell._1) < eps && fillCell._2 < -91.0 && fillCell._2 > -92.0)
+    assert(cells.count(_._3.isNaN) === 1)
+    // every surviving cell round-trips through the independent forward
+    cells.foreach { case (lat, lon, _) =>
+      val xy = GeosProjection.forward(lon, lat, GeosProjection.Goes16)
+      assert(xy != null && math.abs(xy(0)) < 0.07 && math.abs(xy(1)) < 0.07)
+      val ll = GeosProjection.invert(xy(0), xy(1), GeosProjection.Goes16)
+      assert(math.abs(ll(0) - lat) < 1e-9 && math.abs(ll(1) - lon) < 1e-9)
+    }
+  }
+
+  test("distributed ABI remap: media frame → (source, lat, lon, value) rows") {
+    val dir = tmpDir("abi")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a1.nc"), abiFixture)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a2.nc"), abiFixture)
+    val media = graft.multimodal.Multimodal.readBinaryFiles(spark, s"$dir/*.nc")
+    val df = graft.multimodal.Raster.gridFlattenGoesAbi(media)
+    assert(df.count() === 8) // 4 on-disk cells × 2 files
+    assert(df.filter(col("value").isNull).count() === 2) // fill → null per file
+    assert(df.filter(abs(col("lat")) < eps && abs(col("lon") + 75.0) < eps &&
+      col("value") === 100.08).count() === 2)
+  }
+
+  /** ABI-shaped netCDF classic (CDF-1) fixture, assembled byte-for-byte
+    * per the public spec: dims y=2/x=3, int16 scan angles with CF
+    * scale/offset, a scalar goes_imager_projection variable carrying the
+    * projection attrs, and an int16 CMI(y,x) grid with a _FillValue
+    * hole. Two passes: zero begins to measure the header, then real
+    * offsets. */
+  private def abiFixture: Array[Byte] = {
+    import java.io.{ByteArrayOutputStream, DataOutputStream}
+    // raw int16 scan angles, scale 1e-4: y = [-0.06, 0], x = [-0.05, 0, 0.16]
+    val rawY = Array[Short](-600, 0)
+    val rawX = Array[Short](-500, 0, 1600)
+    // CMI raw shorts, scale 0.01 offset 100, fill -1 at (y=0, x=-0.05)
+    val rawCmi = Array[Short](0, 2, 4, -1, 8, 10)
+
+    def header(beginY: Int, beginX: Int, beginProj: Int, beginCmi: Int): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val o = new DataOutputStream(bos)
+      def name(s: String): Unit = {
+        o.writeInt(s.length); o.writeBytes(s)
+        (0 until (4 - s.length % 4) % 4).foreach(_ => o.writeByte(0))
+      }
+      def dAtt(n: String, v: Double): Unit = {
+        name(n); o.writeInt(6); o.writeInt(1); o.writeDouble(v)
+      }
+      o.writeBytes("CDF"); o.writeByte(1)  // magic, CDF-1
+      o.writeInt(0)                        // numrecs
+      o.writeInt(0x0A); o.writeInt(2)      // NC_DIMENSION ×2
+      name("y"); o.writeInt(2)
+      name("x"); o.writeInt(3)
+      o.writeInt(0); o.writeInt(0)         // global atts ABSENT
+      o.writeInt(0x0B); o.writeInt(4)      // NC_VARIABLE ×4
+      name("y"); o.writeInt(1); o.writeInt(0)
+      o.writeInt(0x0C); o.writeInt(2)      // y atts
+      dAtt("scale_factor", 1e-4); dAtt("add_offset", 0.0)
+      o.writeInt(3); o.writeInt(4); o.writeInt(beginY)  // NC_SHORT, vsize 4
+      name("x"); o.writeInt(1); o.writeInt(1)
+      o.writeInt(0x0C); o.writeInt(2)      // x atts
+      dAtt("scale_factor", 1e-4); dAtt("add_offset", 0.0)
+      o.writeInt(3); o.writeInt(8); o.writeInt(beginX)  // NC_SHORT, vsize 6→8
+      name("goes_imager_projection"); o.writeInt(0)     // scalar
+      o.writeInt(0x0C); o.writeInt(5)      // projection atts
+      dAtt("longitude_of_projection_origin", -75.0)
+      dAtt("perspective_point_height", 35786023.0)
+      dAtt("semi_major_axis", 6378137.0)
+      dAtt("semi_minor_axis", 6356752.31414)
+      name("sweep_angle_axis"); o.writeInt(2); o.writeInt(1) // NC_CHAR "x"
+      o.writeByte('x'); o.writeByte(0); o.writeByte(0); o.writeByte(0)
+      o.writeInt(4); o.writeInt(4); o.writeInt(beginProj) // NC_INT scalar
+      name("CMI"); o.writeInt(2); o.writeInt(0); o.writeInt(1) // dims (y, x)
+      o.writeInt(0x0C); o.writeInt(3)      // CMI atts
+      dAtt("scale_factor", 0.01); dAtt("add_offset", 100.0)
+      name("_FillValue"); o.writeInt(3); o.writeInt(1)
+      o.writeShort(-1); o.writeShort(0)    // short fill + pad
+      o.writeInt(3); o.writeInt(12); o.writeInt(beginCmi) // NC_SHORT 6 vals
+      o.flush(); bos.toByteArray
+    }
+    val h = header(0, 0, 0, 0).length
+    val bos = new ByteArrayOutputStream()
+    val o = new DataOutputStream(bos)
+    o.write(header(h, h + 4, h + 12, h + 16))
+    rawY.foreach(v => o.writeShort(v))
+    rawX.foreach(v => o.writeShort(v)); o.writeShort(0) // pad 6→8
+    o.writeInt(-2147483647)                             // proj scalar payload
+    rawCmi.foreach(v => o.writeShort(v))
+    o.flush(); bos.toByteArray
+  }
 }
