@@ -162,6 +162,21 @@ object DedupOps {
       .distinct()
   }
 
+  /** Truncate iterative/reused lineage. Default is `localCheckpoint`
+    * (executor block storage — fast, but NON-reliable: losing an
+    * executor mid-job forces a full job retry). For 1000-executor runs
+    * where executor loss is routine, pass `reliableCheckpointDir` to
+    * write checkpoints to shared storage (HDFS/object store) instead —
+    * same results, executor-loss-tolerant. */
+  private def materialize(df: DataFrame, reliableCheckpointDir: Option[String]): DataFrame =
+    reliableCheckpointDir match {
+      case Some(dir) =>
+        val sc = df.sparkSession.sparkContext
+        if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    }
+
   /** Candidate-pruned verify inputs: materialize the (small) pair frame
     * once with localCheckpoint, then build the (id, token) frame ONLY for
     * docs that appear in a pair. The corpus-wide token distinct is the
@@ -170,8 +185,9 @@ object DedupOps {
     * Returns (pairs, tokens) with `pairs` safe to reuse without
     * recomputing the signature subtree. */
   def verifyInputs(docs: DataFrame, idCol: String, textCol: String,
-                   pairs: DataFrame): (DataFrame, DataFrame) = {
-    val p = pairs.localCheckpoint()
+                   pairs: DataFrame,
+                   reliableCheckpointDir: Option[String] = None): (DataFrame, DataFrame) = {
+    val p = materialize(pairs, reliableCheckpointDir)
     val ids = p.select(col("id_a").as(idCol))
       .unionByName(p.select(col("id_b").as(idCol))).distinct()
     // semi-join BEFORE the explode: only candidate docs pay the word
@@ -255,18 +271,23 @@ object DedupOps {
     * (node, component = min node id reachable). Min-label propagation
     * with POINTER JUMPING each round (comp := comp's comp), so chains
     * collapse in O(log n) rounds rather than graph-diameter rounds; each
-    * round is two shuffles on bounded frames and `localCheckpoint`
-    * truncates the iterative lineage (no exponential plan growth).
+    * round is two shuffles on bounded frames and a checkpoint truncates
+    * the iterative lineage (no exponential plan growth). Default
+    * `localCheckpoint` (fast, executor-block storage); pass
+    * `reliableCheckpointDir` for executor-loss-tolerant checkpoints on
+    * shared storage — the 1000-executor posture.
     * Converges when no label moves — checked with a cheap limit-1 probe.
     * This is the transitive closure q59's min-id survivor policy skips:
     * use it when near-dup CLUSTERS (not just survivors) are the output. */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
-                          idB: String = "id_b", maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .distinct().localCheckpoint()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("comp", col("node")).localCheckpoint()
+                          idB: String = "id_b", maxIter: Int = 25,
+                          reliableCheckpointDir: Option[String] = None): DataFrame = {
+    val edges = materialize(
+      pairs.select(col(idA).as("src"), col(idB).as("dst"))
+        .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+        .distinct(), reliableCheckpointDir)
+    var labels = materialize(edges.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node")), reliableCheckpointDir)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -276,11 +297,11 @@ object DedupOps {
       val propagated = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-      val jumped = propagated
+      val jumped = materialize(propagated
         .join(propagated.select(col("node").as("comp"), col("comp").as("cc")),
           Seq("comp"), "left")
-        .select(col("node"), coalesce(col("cc"), col("comp")).as("comp"))
-        .localCheckpoint()
+        .select(col("node"), coalesce(col("cc"), col("comp")).as("comp")),
+        reliableCheckpointDir)
       converged = jumped.join(labels.withColumnRenamed("comp", "old"), "node")
         .filter(col("comp") =!= col("old")).limit(1).isEmpty
       labels = jumped

@@ -77,6 +77,37 @@ class PropertiesSpec extends SparkSpec {
     assert(chainComps.length === 50 && chainComps.forall(_._2 == 0L))
   }
 
+  test("reliable-checkpoint knob: identical clusters, files land in the dir") {
+    import graft.functions.DedupOps
+    // same graph through reliable (shared-storage) checkpoints — the
+    // executor-loss-tolerant 1000-executor posture — must be a pure
+    // performance/durability knob, never a semantic one
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (12L, 13L), (20L, 21L)).toDF("id_a", "id_b")
+    val dir = tmpDir("ckpt")
+    val reliable = DedupOps.connectedComponents(pairs,
+        reliableCheckpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    val default = DedupOps.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(reliable === default)
+    // checkpoints actually went to shared storage, not executor blocks
+    def rddDirs(f: java.io.File): Int =
+      (if (f.getName.startsWith("rdd-")) 1 else 0) +
+        Option(f.listFiles()).toSeq.flatten.map(rddDirs).sum
+    assert(rddDirs(new java.io.File(dir)) > 0)
+
+    // verifyInputs honors the same knob
+    val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val cand = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val (p1, t1) = DedupOps.verifyInputs(docs, "doc_id", "text", cand,
+      reliableCheckpointDir = Some(dir))
+    val (p2, t2) = DedupOps.verifyInputs(docs, "doc_id", "text", cand)
+    assert(p1.collect().toSet === p2.collect().toSet)
+    assert(t1.collect().toSet === t2.collect().toSet)
+  }
+
   test("prop: connected components == driver union-find on random graphs") {
     import graft.functions.DedupOps
     // ground truth: path-compressing union-find over the same edges
