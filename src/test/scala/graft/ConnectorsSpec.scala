@@ -160,6 +160,34 @@ class ConnectorsSpec extends SparkSpec {
     assert(sizes.asScala.forall(_ <= 3) && sizes.asScala.sum === 10)
   }
 
+  test("linear/logistic scorer from weights file (U7 real model)") {
+    import graft.multimodal.LinearModel
+    // hand-computed logistic fixture: w=(0.5, -1.0, 2.0), b=-0.5
+    //   x=(1,0,0): z=0.0    → sigmoid = 0.5
+    //   x=(0,1,0): z=-1.5   → 1/(1+e^1.5)
+    //   x=(2,1,1): z=1.5    → 1/(1+e^-1.5)
+    val dir = tmpDir("model")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/m.txt"),
+      """# logistic head over 3 features
+        |type=logistic
+        |bias=-0.5
+        |weights=0.5,-1.0,2.0
+        |""".stripMargin)
+    val df = Seq((1L, Seq(1.0, 0.0, 0.0)), (2L, Seq(0.0, 1.0, 0.0)),
+      (3L, Seq(2.0, 1.0, 1.0))).toDF("media_id", "features")
+    val scored = LinearModel.inferFromFile(df.repartition(2),
+        "features", "score", batchSize = 2, s"$dir/m.txt")
+      .select($"media_id", $"score").as[(Long, Double)].collect().toMap
+    assert(math.abs(scored(1L) - 0.5) < 1e-12)
+    assert(math.abs(scored(2L) - 1.0 / (1.0 + math.exp(1.5))) < 1e-12)
+    assert(math.abs(scored(3L) - 1.0 / (1.0 + math.exp(-1.5))) < 1e-12)
+    // linear type: raw dot product + bias
+    val lin = LinearModel.parse("type=linear\nbias=1.0\nweights=2.0,3.0")
+    assert(lin.score(Seq(2.0, -1.0)) === 1.0 + 4.0 - 3.0)
+    // dim mismatch is an error, not a silent wrong score
+    intercept[IllegalArgumentException] { lin.score(Seq(1.0)) }
+  }
+
   test("export cost gate refuses oversized scans (K8)") {
     val li = Tables.load(spark, sf001, "lineitem")
     val out = tmpDir("exp") + "/x"
