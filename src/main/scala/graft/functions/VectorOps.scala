@@ -176,6 +176,23 @@ object VectorOps {
     ivfTopKPrebuilt(corpus, centroids(corpus, partCol, vecCol), queryVec,
       idCol, partCol, vecCol, k, nprobe)
 
+  /** Inverted-list ranking: cosine of the query against every list
+    * centroid. `cents` is (partCol, dim|pos, centroid) rows — tiny
+    * (nlists × dims); the query explodes and broadcasts. Shared by
+    * [[ivfTopKPrebuilt]] and the persisted index's probe selection. */
+  def ivfListScores(cents: DataFrame, queryVec: DataFrame, partCol: String,
+                    vecCol: String, dimCol: String = "dim"): DataFrame = {
+    val q = queryVec.select(posexplode(col(vecCol)).as(Seq(dimCol, "qx")))
+      .select(col(dimCol), col("qx").cast("double").as("qx"))
+    cents.join(broadcast(q), Seq(dimCol))
+      .groupBy(col(partCol))
+      .agg(sum(col("centroid") * col("qx")).as("cdot"),
+        sum(col("centroid") * col("centroid")).as("cn2"),
+        sum(col("qx") * col("qx")).as("qn2"))
+      .select(col(partCol),
+        round(col("cdot") / sqrt(col("cn2") * col("qn2")), 4).as("csim"))
+  }
+
   /** Search against a PREBUILT centroid table — how a real IVF index
     * separates build from search: the quantizer is built (and persisted)
     * once, each query pays only list scoring + the pruned scan, never a
@@ -183,16 +200,8 @@ object VectorOps {
   def ivfTopKPrebuilt(corpus: DataFrame, cents: DataFrame, queryVec: DataFrame,
                       idCol: String, partCol: String, vecCol: String, k: Int,
                       nprobe: Int = 2): DataFrame = {
-    val q = queryVec.select(posexplode(col(vecCol)).as(Seq("dim", "qx")))
-      .select(col("dim"), col("qx").cast("double").as("qx"))
-    val listScores = cents.join(broadcast(q), Seq("dim"))
-      .groupBy(col(partCol))
-      .agg(sum(col("centroid") * col("qx")).as("cdot"),
-        sum(col("centroid") * col("centroid")).as("cn2"),
-        sum(col("qx") * col("qx")).as("qn2"))
-      .select(col(partCol),
-        round(col("cdot") / sqrt(col("cn2") * col("qn2")), 4).as("csim"))
-    val probes = listScores.orderBy(col("csim").desc, col(partCol))
+    val probes = ivfListScores(cents, queryVec, partCol, vecCol)
+      .orderBy(col("csim").desc, col(partCol))
       .limit(nprobe).select(col(partCol))
     bruteForceTopK(corpus.join(broadcast(probes), Seq(partCol)),
       queryVec, idCol, vecCol, k)

@@ -1,0 +1,122 @@
+package graft.lake
+
+import graft.functions.VectorOps
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted, incrementally-appendable IVF ANN index over an embedding
+  * column (SURVEY §2 LLM-pipeline family: similarity search at scale).
+  *
+  * [[VectorOps.ivfTopK]] recomputes the coarse quantizer per query —
+  * fine for a one-shot job, wrong for a served index over a growing
+  * corpus. This is the lake-table version, `CorpusDedup`-style:
+  *
+  *  - `ivf_centroids(cluster, dim, centroid)` — the trained coarse
+  *    quantizer (k×dims rows, config-sized), written once at [[build]];
+  *  - `ivf_lists(cluster, id, vec)` — the inverted lists: every corpus
+  *    vector tagged with its nearest centroid, hash-BUCKETED on
+  *    `cluster` at write time.
+  *
+  * [[append]] assigns only the new batch against the persisted
+  * centroids (k codegen'd dot products per row, zero shuffles of
+  * history) and `insertInto`s the bucketed table — O(batch) per
+  * ingest, the index never rebuilds. [[topK]] ranks lists by
+  * query↔centroid cosine, then reads ONLY the probed clusters: the
+  * `cluster IN (probes)` filter hits the bucket spec, so the scan
+  * prunes to nprobe/numBuckets of the files (`SelectedBucketsCount`
+  * in the plan) — at 100 TB the search touches the probed lists'
+  * files and nothing else, with no Exchange on the state side.
+  *
+  * Centroid drift: appends reuse the trained quantizer (standard IVF
+  * practice — FAISS's add-after-train contract). If the data
+  * distribution shifts, [[build]] again under the dataset's RunLock.
+  * Single-writer discipline as with [[CorpusDedup]].
+  */
+class AnnIndex(spark: SparkSession, lake: Lake, dataset: String,
+               numBuckets: Int = 16) {
+
+  val centroidsRef: TableRef = TableRef("state", dataset, "ivf_centroids")
+  val listsRef: TableRef = TableRef("state", dataset, "ivf_lists")
+
+  private def qualified(ref: TableRef) =
+    s"${ref.zone}_${ref.dataset}.${ref.table}"
+
+  def exists: Boolean = spark.catalog.tableExists(qualified(listsRef))
+
+  /** Train the quantizer on `corpus` and (re)write both tables. */
+  def build(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+            iters: Int = 5): Unit = {
+    val cents = VectorOps.kmeansLloyd(corpus, vecCol, k, iters)
+      .withColumnRenamed("pos", "dim")
+    lake.writeBucketed(cents, centroidsRef, "cluster", 1)
+    val assigned = VectorOps
+      .assignClusters(corpus, loadCentroidArrays(cents), vecCol)
+      .select(col("cluster"), col(idCol).as("id"), col(vecCol).as("vec"))
+    lake.writeBucketed(assigned, listsRef, "cluster", numBuckets)
+  }
+
+  /** Assign a new batch against the persisted centroids and append to
+    * the bucketed lists — history never moves, only the batch shuffles
+    * (into its bucket files). Idempotence is the caller's business (ids
+    * are not deduplicated here; compose with [[CorpusDedup]] /
+    * processed-file state for exactly-once ingest). */
+  def append(batch: DataFrame, idCol: String, vecCol: String): Unit = {
+    val cents = loadCentroidArrays(spark.table(qualified(centroidsRef)))
+    val assigned = VectorOps.assignClusters(batch, cents, vecCol)
+      .select(col("cluster"), col(idCol).as("id"), col(vecCol).as("vec"))
+    // insertInto is positional — align to the stored column order
+    val cols = spark.table(qualified(listsRef)).columns
+    assigned.select(cols.map(col).toIndexedSeq: _*)
+      .write.mode(SaveMode.Append).insertInto(qualified(listsRef))
+    spark.catalog.refreshTable(qualified(listsRef)) // cross-session reads
+  }
+
+  /** Spark 4.1's DisableUnnecessaryBucketedScan rule drops ANY bucketed
+    * scan without an "interesting partition" (join/agg on the bucket
+    * column) — it never checks `optionalBucketSet`, so a bucket-PRUNED
+    * probe read (`cluster IN (...)`, exactly what [[topK]] issues)
+    * degrades to a full-index file scan. For an index-serving session,
+    * pruning nprobe/numBuckets of the files beats the rule's one-task-
+    * per-bucket concern, so probe reads pin the scan form here. */
+  private def pinBucketedScan(): Unit =
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+
+  /** IVF search against the persisted index. Probe ids collect to the
+    * driver (≤ nprobe ints) so the list scan is an `IN`-literal filter —
+    * the form bucket pruning recognizes. `vecCol` names the query
+    * frame's vector column. */
+  def topK(queryVec: DataFrame, vecCol: String, k: Int,
+           nprobe: Int = 2): DataFrame = {
+    pinBucketedScan()
+    val q = queryVec.select(col(vecCol).as("vec"))
+    val cents = spark.table(qualified(centroidsRef))
+    val probes = VectorOps.ivfListScores(cents, q, "cluster", "vec")
+      .orderBy(col("csim").desc, col("cluster"))
+      .limit(nprobe).select(col("cluster"))
+      .collect().map(_.getInt(0)).toSeq
+    val pruned = spark.table(qualified(listsRef))
+      .filter(col("cluster").isin(probes: _*))
+    VectorOps.bruteForceTopK(pruned, q, "id", "vec", k)
+  }
+
+  /** The probed-list scan [[topK]] runs, for plan inspection/tests. */
+  def prunedScan(probes: Seq[Int]): DataFrame = {
+    pinBucketedScan()
+    spark.table(qualified(listsRef)).filter(col("cluster").isin(probes: _*))
+  }
+
+  /** (cluster, dim, centroid) rows → dense arrays indexed by cluster —
+    * k×dims doubles, the bounded collect every IVF search/build does. */
+  private def loadCentroidArrays(cents: DataFrame): IndexedSeq[Array[Double]] = {
+    val rows = cents.select(col("cluster"), col("dim"), col("centroid")).collect()
+    val byCluster = rows.groupBy(_.getInt(0))
+    require(byCluster.nonEmpty, "empty centroid table")
+    (0 until byCluster.keys.max + 1).map { c =>
+      val cr = byCluster.getOrElse(c,
+        throw new IllegalStateException(s"centroid table missing cluster $c"))
+      val arr = new Array[Double](cr.length)
+      cr.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+      arr
+    }
+  }
+}

@@ -116,6 +116,56 @@ class LakeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("persisted IVF index: build + append, bucket-pruned probe scan") {
+    import graft.lake.AnnIndex
+    val lake = new Lake(spark, tmpDir("lake"))
+    val idx = new AnnIndex(spark, lake, "ann_test", numBuckets = 8)
+    val emb = Tables.load(spark, sf001, "embeddings")
+      .select($"vec_id", $"embedding")
+
+    // two ingest runs: build on evens, append odds — history never rebuilt
+    idx.build(emb.filter($"vec_id" % 2 === 0), "vec_id", "embedding",
+      k = 4, iters = 3)
+    idx.append(emb.filter($"vec_id" % 2 === 1), "vec_id", "embedding")
+    val lists = spark.table("state_ann_test.ivf_lists")
+    assert(lists.count() === emb.count())
+    assert(lists.select($"id").as[Long].collect().toSet ===
+      emb.select($"vec_id").as[Long].collect().toSet)
+
+    // index search == recompute path with the same persisted quantizer
+    val query = emb.filter($"vec_id" === 0)
+    val got = idx.topK(query, "embedding", k = 10, nprobe = 2)
+      .as[(Long, Double)].collect().toSeq
+    val cents = spark.table("state_ann_test.ivf_centroids")
+    val recompute = graft.functions.VectorOps.ivfTopKPrebuilt(
+        lists.select($"cluster", $"id", $"vec"), cents,
+        query.select($"embedding".as("vec")), "id", "cluster", "vec",
+        k = 10, nprobe = 2)
+      .as[(Long, Double)].collect().toSeq
+    assert(got === recompute)
+    assert(got.nonEmpty && got.head._1 === 0L) // the query vector itself
+
+    // the probe scan bucket-prunes: only the probed clusters' buckets are
+    // read (no full-index scan, no Exchange on the state side)
+    val probes = Seq(0, 1)
+    val scanPlan = idx.prunedScan(probes).queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+    val m = sel.findFirstMatchIn(scanPlan)
+    assert(m.isDefined, s"no bucket pruning in:\n$scanPlan")
+    assert(m.get.group(1).toInt < m.get.group(2).toInt, scanPlan)
+    val topPlan = idx.topK(query, "embedding", 10, 2)
+      .queryExecution.executedPlan.toString
+    assert(!topPlan.contains("Exchange hashpartitioning(cluster"),
+      s"index side reshuffles:\n$topPlan")
+
+    // append is O(batch): inserting again only adds the batch's files
+    val before = lists.inputFiles.length
+    idx.append(emb.filter($"vec_id" === 1), "vec_id", "embedding")
+    val after = spark.table("state_ann_test.ivf_lists").inputFiles.length
+    assert(after > before && after <= before + 8)
+    spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+  }
+
   test("bucketed tables join without a shuffle (co-located join)") {
     val lake = new Lake(spark, tmpDir("lake"))
     val li = Tables.load(spark, sf001, "lineitem")
