@@ -98,7 +98,11 @@ object GraftExtensions {
           UtmToWgs84.Grs80A, UtmToWgs84.Grs80InvF, UtmToWgs84.UtmK0,
           UtmToWgs84.UtmFalseEasting, UtmToWgs84.UtmFalseNorthingSouth,
           -183.0 + 6.0 * zone)
-      }))
+      }),
+    (FunctionIdentifier("geos_to_wgs84"),
+      new ExpressionInfo(classOf[GeosToWgs84].getName, "geos_to_wgs84"),
+      (cs: Seq[Expression]) => GeosToWgs84(cs(0), cs(1),
+        -75.0, 35786023.0, 6378137.0, 6356752.31414)))
 
   /** Register on an already-built session (tests, driver-owned builders). */
   def install(spark: SparkSession): Unit =

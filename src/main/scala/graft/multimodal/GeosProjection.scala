@@ -50,27 +50,16 @@ object GeosProjection {
   }
 
   /** Inverse: fixed-grid scan angles (radians) → {latDeg, lonDeg}, or
-    * null when the cell is off the earth disk. PUG vol.3 §5.1.2.8.1. */
+    * null when the cell is off the earth disk. PUG vol.3 §5.1.2.8.1.
+    * Kernel shared with the column-level expression
+    * ([[graft.expressions.GeosToWgs84]], which returns {lon, lat}). */
   def invert(x: Double, y: Double, p: Params): Array[Double] = {
     // Sweep-y instruments define the first rotation about the other
     // axis; the geometry is the same with the angle roles swapped.
     val (xa, ya) = if (p.sweepX) (x, y) else (y, x)
-    val sinX = math.sin(xa); val cosX = math.cos(xa)
-    val sinY = math.sin(ya); val cosY = math.cos(ya)
-    val h = p.hFromCenter
-    val rr = (p.reqM * p.reqM) / (p.rpolM * p.rpolM)
-    val a = sinX * sinX + cosX * cosX * (cosY * cosY + rr * sinY * sinY)
-    val b = -2.0 * h * cosX * cosY
-    val c = h * h - p.reqM * p.reqM
-    val disc = b * b - 4.0 * a * c
-    if (disc < 0.0) return null // scan ray misses the ellipsoid
-    val rs = (-b - math.sqrt(disc)) / (2.0 * a)
-    val sx = rs * cosX * cosY
-    val sy = -rs * sinX
-    val sz = rs * cosX * sinY
-    val lat = math.atan(rr * sz / math.sqrt((h - sx) * (h - sx) + sy * sy))
-    val lon = math.toRadians(p.lon0Deg) - math.atan(sy / (h - sx))
-    Array(math.toDegrees(lat), math.toDegrees(lon))
+    val r = graft.expressions.GeosToWgs84.invert(
+      xa, ya, p.lon0Deg, p.hM, p.reqM, p.rpolM)
+    if (r == null) null else Array(r(1), r(0))
   }
 
   /** Forward: geographic (degrees) → fixed-grid scan angles (radians),

@@ -132,6 +132,20 @@ object Scalars {
           round(col("ll.lat"), 6).as("lat"))
         .orderBy(col("event_id"))
     }),
+    // S18: geostationary fixed-grid → lon/lat as a column expression
+    // (GOES-R PUG 5.1.2.8.1), off-disk scan angles → NULL. Oracle
+    // replicates the quadratic + atan chain in DuckDB arithmetic.
+    "q90_geos_remap" -> ((s, dir) => {
+      val df = t(s, dir, "events")
+        .withColumn("x", (col("event_id") % 400 - 200).cast("double") / 1000.0)
+        .withColumn("y", (col("user_id") % 300 - 150).cast("double") / 1000.0)
+      df.withColumn("ll",
+          graft.expressions.GeosToWgs84.geos_to_wgs84(col("x"), col("y")))
+        .select(col("event_id"), col("x"), col("y"),
+          round(col("ll.lon"), 6).as("lon"),
+          round(col("ll.lat"), 6).as("lat"))
+        .orderBy(col("event_id"))
+    }),
     // F18: bbox-membership filter (between on two numeric columns).
     "q49_bbox_filter" -> ((s, dir) => {
       t(s, dir, "customer")
@@ -254,6 +268,37 @@ object Scalars {
         |    - (5.0 + 3.0*t1 + 10.0*cc1 - 4.0*cc1*cc1 - 9.0*ep2)*d2*d2/24.0
         |    + (61.0 + 90.0*t1 + 298.0*cc1 + 45.0*t1*t1 - 252.0*ep2
         |       - 3.0*cc1*cc1)*d2*d2*d2/720.0)), 6) AS lat
-        |FROM s7 ORDER BY event_id""".stripMargin
+        |FROM s7 ORDER BY event_id""".stripMargin,
+    // GOES-R PUG 5.1.2.8.1 inverse, spelled out (GOES-16: lon0=-75,
+    // h=35786023 above surface so H=42164160 from center, GRS80 axes).
+    "q90_geos_remap" ->
+      """WITH src AS (
+        |  SELECT event_id,
+        |    CAST(event_id % 400 - 200 AS DOUBLE)/1000.0 AS x,
+        |    CAST(user_id % 300 - 150 AS DOUBLE)/1000.0 AS y
+        |  FROM events),
+        |t0 AS (SELECT CAST(6378137.0 AS DOUBLE) AS req,
+        |    CAST(6356752.31414 AS DOUBLE) AS rpol,
+        |    CAST(35786023.0 AS DOUBLE) AS hm),
+        |t1 AS (SELECT event_id, x, y, req,
+        |    sin(x) AS sinx, cos(x) AS cosx, sin(y) AS siny, cos(y) AS cosy,
+        |    hm + req AS h,
+        |    (req*req)/(rpol*rpol) AS rr
+        |  FROM src, t0),
+        |t2 AS (SELECT *,
+        |    sinx*sinx + cosx*cosx*(cosy*cosy + rr*siny*siny) AS a,
+        |    -2.0*h*cosx*cosy AS b,
+        |    h*h - req*req AS c
+        |  FROM t1),
+        |t3 AS (SELECT *, b*b - 4.0*a*c AS disc FROM t2),
+        |t4 AS (SELECT *,
+        |    CASE WHEN disc >= 0.0 THEN (-b - sqrt(disc))/(2.0*a) END AS rs
+        |  FROM t3),
+        |t5 AS (SELECT *, rs*cosx*cosy AS sx, -rs*sinx AS sy, rs*cosx*siny AS sz
+        |  FROM t4)
+        |SELECT event_id, x, y,
+        |  round(degrees(radians(-75.0) - atan(sy/(h - sx))), 6) AS lon,
+        |  round(degrees(atan(rr*sz/sqrt((h - sx)*(h - sx) + sy*sy))), 6) AS lat
+        |FROM t5 ORDER BY event_id""".stripMargin
   )
 }

@@ -227,6 +227,46 @@ class EndToEndSpec extends SparkSpec {
       "cross-horizon near-dup must be dropped by the corpus band state")
   }
 
+  test("streaming ANN ingest: build → streamed appends → index search") {
+    import graft.lake.{AnnIndex, Lake}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val lake = new Lake(spark, tmpDir("lake"))
+    val idx = new AnnIndex(spark, lake, "ann_e2e", numBuckets = 4)
+    val emb = Tables.load(spark, sf001, "embeddings")
+      .select($"vec_id", $"embedding")
+
+    // day 0: train + build on the existing corpus
+    val initial = emb.filter($"vec_id" < 100)
+    idx.build(initial, "vec_id", "embedding", k = 3, iters = 2)
+
+    // live ingest: micro-batches append into the bucketed lists —
+    // O(batch) per tick, the trained quantizer and history untouched
+    val rest = emb.filter($"vec_id" >= 100 && $"vec_id" < 140)
+      .as[(Long, Seq[Float])].collect().toSeq
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = mem.toDF.toDF("vec_id", "embedding")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        idx.append(batch, "vec_id", "embedding")
+      }.start()
+    try {
+      mem.addData(rest.take(20): _*); q.processAllAvailable()
+      mem.addData(rest.drop(20): _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val lists = spark.table("state_ann_e2e.ivf_lists")
+    assert(lists.count() === initial.count() + rest.size)
+    // a vector that arrived via the stream is immediately searchable:
+    // querying with its own embedding returns it first (cosine 1)
+    val queryId = rest.head._1
+    val got = idx.topK(emb.filter($"vec_id" === queryId), "embedding",
+      k = 5, nprobe = 3).as[(Long, Double)].collect()
+    assert(got.head._1 === queryId && got.head._2 === 1.0)
+    spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+  }
+
   test("salted join spreads hot keys and preserves results (§4 skew)") {
     val big = (1 to 2000).map(i => (if (i % 10 == 0) "cold" + i else "HOT", i))
       .toDF("k", "v")

@@ -127,6 +127,28 @@ class GeoProjSpec extends SparkSpec {
     }
   }
 
+  test("geos_to_wgs84 column expression: codegen, off-disk and null inputs") {
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (0.0, 0.0), (-0.05, -0.06), (0.16, 0.0), (null, 0.0))
+      .toDF("x", "y")
+      .select(col("x"), col("y"),
+        graft.expressions.GeosToWgs84.geos_to_wgs84(col("x"), col("y")).as("ll"))
+      .select(col("x"), col("y"), col("ll.lon"), col("ll.lat"))
+    val rows = df.collect()
+    assert(math.abs(rows(0).getDouble(2) - -75.0) < eps &&
+      math.abs(rows(0).getDouble(3)) < eps)
+    // equals the file-flatten kernel ({lat, lon} order there)
+    val k = GeosProjection.invert(-0.05, -0.06, GeosProjection.Goes16)
+    assert(rows(1).getDouble(2) === k(1) && rows(1).getDouble(3) === k(0))
+    assert(rows(2).isNullAt(2) && rows(2).isNullAt(3)) // off-disk → null
+    assert(rows(3).isNullAt(2) && rows(3).isNullAt(3)) // null propagates
+    graft.expressions.GraftExtensions.install(spark)
+    val Row(lon: Double, lat: Double) = spark.sql(
+      "SELECT geos_to_wgs84(CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)) AS ll")
+      .select("ll.lon", "ll.lat").head()
+    assert(math.abs(lon - -75.0) < eps && math.abs(lat) < eps)
+  }
+
   test("distributed ABI remap: media frame → (source, lat, lon, value) rows") {
     val dir = tmpDir("abi")
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a1.nc"), abiFixture)
