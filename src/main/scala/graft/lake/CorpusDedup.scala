@@ -26,8 +26,10 @@ import org.apache.spark.sql.functions._
   * Both tables are hash-bucketed on their join key at write time, so the
   * per-batch anti-join never reshuffles the (large) state side — only
   * the day's batch moves. Appends go through `insertInto`, which
-  * preserves the bucket spec per added file; [[Lake.compact]] folds the
-  * per-run files back down under the table's RunLock.
+  * preserves the bucket spec per added file; [[Lake.compactBucketed]]
+  * folds the per-run files back down under the table's RunLock
+  * (NOT the path-level [[Lake.compact]], which would drop the bucket
+  * layout).
   *
   * Single-writer discipline: commits assume the caller holds the
   * dataset's [[graft.state.RunLock]] (same contract as [[Lake]] writes).

@@ -161,4 +161,44 @@ class Lake(spark: SparkSession, root: String) {
       .option("path", path(ref))
       .saveAsTable(s"$db.${ref.table}")
   }
+
+  /** Small-files compaction for BUCKETED catalog tables (the seen-set /
+    * IVF-list state tables after many `insertInto` appends).
+    *
+    * [[compact]] must NOT be used here: its path-level rewrite drops the
+    * bucket file layout while the catalog still declares a bucket spec,
+    * and every later bucketed read fails on the un-bucketed file names.
+    * This variant snapshots the rows to a side path, then rewrites the
+    * table through the same bucketBy writer as [[writeBucketed]] —
+    * repartitioned ON the bucket column first, so each bucket lands in
+    * ~one file instead of one per historical append.
+    *
+    * Same [[graft.state.RunLock]] single-writer contract as [[compact]].
+    * Crash safety: the snapshot is written BEFORE the table is touched;
+    * if a previous run died mid-rewrite, the surviving snapshot is
+    * replayed (heal-on-entry) before anything else happens. */
+  def compactBucketed(ref: TableRef, bucketCol: String,
+                      numBuckets: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    val db = s"${ref.zone}_${ref.dataset}"
+    val name = s"$db.${ref.table}"
+    val snapPath = new Path(path(ref) + ".compactsrc")
+    val fs = snapPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    def rewriteFrom(src: DataFrame): Unit = {
+      val clustered = src.repartition(numBuckets, col(bucketCol))
+      writeBucketed(clustered, ref, bucketCol, numBuckets)
+      spark.catalog.refreshTable(name)
+      fs.delete(snapPath, true)
+    }
+
+    if (fs.exists(snapPath)) {
+      // predecessor died between snapshot and rewrite — replay it
+      rewriteFrom(spark.read.parquet(snapPath.toString))
+    } else {
+      spark.table(name).write.mode(SaveMode.Overwrite)
+        .parquet(snapPath.toString)
+      rewriteFrom(spark.read.parquet(snapPath.toString))
+    }
+  }
 }

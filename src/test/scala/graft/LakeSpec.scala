@@ -166,6 +166,47 @@ class LakeSpec extends SparkSpec {
     spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
   }
 
+  test("bucketed compaction folds append files, preserves bucket layout") {
+    val lake = new Lake(spark, tmpDir("lake"))
+    val ref = TableRef("state", "bkc", "t")
+    def batch(lo: Long, n: Long) =
+      spark.range(lo, lo + n).select($"id", ($"id" % 7).cast("int").as("k"))
+    lake.writeBucketed(batch(0, 100), ref, "k", 4)
+    (1 to 5).foreach { i =>
+      batch(100L * i, 50).write.mode(org.apache.spark.sql.SaveMode.Append)
+        .insertInto("state_bkc.t")
+    }
+    val filesBefore = spark.table("state_bkc.t").inputFiles.length
+    val rowsBefore = spark.table("state_bkc.t")
+      .as[(Long, Int)].collect().toSet
+
+    lake.compactBucketed(ref, "k", 4)
+    val after = spark.table("state_bkc.t")
+    assert(after.as[(Long, Int)].collect().toSet === rowsBefore)
+    // repartition-on-bucket-column aligns tasks with buckets: ~1 file each
+    assert(after.inputFiles.length <= 4 && after.inputFiles.length < filesBefore)
+    // the table still bucket-prunes — the layout survived the rewrite
+    // (path-level Lake.compact would have destroyed it: un-bucketed file
+    // names under a catalog entry that still declares a bucket spec)
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val plan = after.filter($"k" === 3).queryExecution.executedPlan.toString
+      assert("SelectedBucketsCount: (\\d+) out of 4".r
+        .findFirstMatchIn(plan).exists(_.group(1).toInt < 4), plan)
+    } finally
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+
+    // heal-on-entry: a leftover snapshot (predecessor died mid-rewrite)
+    // is replayed, not leaked
+    val snap = new org.apache.hadoop.fs.Path(lake.path(ref) + ".compactsrc")
+    val fs = snap.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.table("state_bkc.t").write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(snap.toString)
+    lake.compactBucketed(ref, "k", 4)
+    assert(!fs.exists(snap))
+    assert(spark.table("state_bkc.t").as[(Long, Int)].collect().toSet === rowsBefore)
+  }
+
   test("bucketed tables join without a shuffle (co-located join)") {
     val lake = new Lake(spark, tmpDir("lake"))
     val li = Tables.load(spark, sf001, "lineitem")
