@@ -97,6 +97,15 @@ object GSuite {
     settings.getFormat.setQuote('"')
     settings.getFormat.setQuoteEscape('"') // gviz CSV doubles quotes
     settings.setMaxCharsPerColumn(-1)
+    // match what the previous spark.read path accepted, not univocity's
+    // defaults: Sheets sheets can exceed 512 columns (Spark's own CSV
+    // reader allows 20480); cell whitespace is DATA (spark.read does not
+    // trim unquoted cells by default); gviz emits \r\n, so detect the
+    // separator instead of trusting the platform default + trim
+    settings.setMaxColumns(20480)
+    settings.setIgnoreLeadingWhitespaces(false)
+    settings.setIgnoreTrailingWhitespaces(false)
+    settings.setLineSeparatorDetectionEnabled(true)
     val grid = new CsvParser(settings)
       .parseAll(new java.io.StringReader(csvBody))
     if (grid.isEmpty) return spark.emptyDataFrame

@@ -74,7 +74,9 @@ object GeosToWgs84 {
     val b = -2.0 * h * cosX * cosY
     val c = h * h - reqM * reqM
     val disc = b * b - 4.0 * a * c
-    if (disc < 0.0) return null
+    // !(>= 0) not (< 0): NaN scan angles (e.g. _FillValue coordinate
+    // cells) must take the null path too, not leak NaN lat/lon rows
+    if (!(disc >= 0.0)) return null
     val rs = (-b - math.sqrt(disc)) / (2.0 * a)
     val sx = rs * cosX * cosY
     val sy = -rs * sinX

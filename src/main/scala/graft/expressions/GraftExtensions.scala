@@ -93,10 +93,19 @@ object GraftExtensions {
     (FunctionIdentifier("utm_to_wgs84"),
       new ExpressionInfo(classOf[UtmToWgs84].getName, "utm_to_wgs84"),
       (cs: Seq[Expression]) => {
+        // same validation surface as the Column API: zone range checked,
+        // hemisphere selectable (4th arg, default southern — Rio's grid)
         val zone = if (cs.size > 2) intArg(cs(2), "utm zone") else 23
+        require(zone >= 1 && zone <= 60, s"UTM zone out of range: $zone")
+        val southern = cs.size <= 3 || (cs(3) match {
+          case Literal(b: Boolean, _) => b
+          case other => throw new IllegalArgumentException(
+            s"southern flag must be a boolean literal, got $other")
+        })
         UtmToWgs84(cs(0), cs(1),
           UtmToWgs84.Grs80A, UtmToWgs84.Grs80InvF, UtmToWgs84.UtmK0,
-          UtmToWgs84.UtmFalseEasting, UtmToWgs84.UtmFalseNorthingSouth,
+          UtmToWgs84.UtmFalseEasting,
+          if (southern) UtmToWgs84.UtmFalseNorthingSouth else 0.0,
           -183.0 + 6.0 * zone)
       }),
     (FunctionIdentifier("geos_to_wgs84"),

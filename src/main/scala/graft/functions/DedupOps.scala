@@ -172,7 +172,10 @@ object DedupOps {
     reliableCheckpointDir match {
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext
-        if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+        // setCheckpointDir stores dir/<uuid>, so compare by prefix —
+        // equality would re-point (and orphan) a fresh uuid dir per call
+        if (!sc.getCheckpointDir.exists(_.startsWith(dir)))
+          sc.setCheckpointDir(dir)
         df.checkpoint()
       case None => df.localCheckpoint()
     }

@@ -192,13 +192,21 @@ class Lake(spark: SparkSession, root: String) {
       fs.delete(snapPath, true)
     }
 
-    if (fs.exists(snapPath)) {
-      // predecessor died between snapshot and rewrite — replay it
-      rewriteFrom(spark.read.parquet(snapPath.toString))
-    } else {
+    def freshSnapshot(): Unit = {
       spark.table(name).write.mode(SaveMode.Overwrite)
         .parquet(snapPath.toString)
       rewriteFrom(spark.read.parquet(snapPath.toString))
     }
+
+    if (fs.exists(snapPath)) {
+      // Replay ONLY a committed snapshot (_SUCCESS marker): a predecessor
+      // that died between snapshot and rewrite left the marker and maybe a
+      // broken table — replay heals it. One that died WRITING the snapshot
+      // left no marker and an untouched table — trusting the partial dir
+      // would truncate the table to whichever tasks committed.
+      if (fs.exists(new Path(snapPath, "_SUCCESS")))
+        rewriteFrom(spark.read.parquet(snapPath.toString))
+      else { fs.delete(snapPath, true); freshSnapshot() }
+    } else freshSnapshot()
   }
 }

@@ -64,8 +64,16 @@ class ModelRunner(spark: SparkSession, lake: Lake, state: StateStore,
   def runGated(model: Model, now: Timestamp, log: graft.lake.CaptureLog,
                sources: Seq[GateSource]): Option[DataFrame] = {
     val blocked = sources.exists { s =>
-      graft.streaming.Recapture.pending(spark, log.read(s.dataset, s.table),
-        now, s.intervalMinutes, s.lookbackDays)
+      val p = new org.apache.hadoop.fs.Path(lake.path(log.ref(s.dataset, s.table)))
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // a log table that does not exist yet gates as pending (skip, hold
+      // the watermark, retry): the source's first capture hasn't landed,
+      // which is exactly an all-minutes-missing window — crashing the
+      // tick (the read would throw on the missing path) takes down the
+      // scheduler loop instead of waiting the source out
+      !fs.exists(p) ||
+        graft.streaming.Recapture.pending(spark, log.read(s.dataset, s.table),
+          now, s.intervalMinutes, s.lookbackDays)
     }
     if (blocked) None else Some(run(model, now))
   }

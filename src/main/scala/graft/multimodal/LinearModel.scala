@@ -55,9 +55,16 @@ object LinearModel {
     val weights = kv.getOrElse("weights",
         throw new IllegalArgumentException("weights= line missing"))
       .split(",").map(_.trim.toDouble)
-    Model(weights,
-      kv.get("bias").map(_.toDouble).getOrElse(0.0),
-      kv.get("type").forall(_ == "logistic"))
+    // explicit whitelist: a typo ("Logistic", "sigmoid") must not
+    // silently score with the WRONG link function; absent type = linear
+    // (raw dot product — the unsurprising default)
+    val logistic = kv.get("type") match {
+      case None | Some("linear") => false
+      case Some("logistic") => true
+      case Some(other) => throw new IllegalArgumentException(
+        s"unknown model type '$other' (expected linear|logistic)")
+    }
+    Model(weights, kv.get("bias").map(_.toDouble).getOrElse(0.0), logistic)
   }
 
   /** Load from a local or Hadoop-visible path (driver-side: the model

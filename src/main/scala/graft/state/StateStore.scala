@@ -34,7 +34,11 @@ class StateStore(spark: SparkSession, root: String) {
   private def safeKey(key: String): String =
     key.flatMap { c =>
       if (c.isLetterOrDigit || c == '.' || c == '_' || c == '-' || c == '=') c.toString
-      else f"%%${c.toInt}%02X"
+      // UTF-8 byte-wise %XX: FIXED-width hex per byte. (A code-point-wide
+      // %X encoding is not injective: "‹" → "%2039" collides with
+      // " 39" → "%20" + "39".)
+      else c.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .map(b => f"%%${b & 0xff}%02X").mkString
     }
 
   private def runPath(key: String) = s"$root/last_run/${safeKey(key)}"

@@ -181,9 +181,14 @@ class ConnectorsSpec extends SparkSpec {
     assert(math.abs(scored(1L) - 0.5) < 1e-12)
     assert(math.abs(scored(2L) - 1.0 / (1.0 + math.exp(1.5))) < 1e-12)
     assert(math.abs(scored(3L) - 1.0 / (1.0 + math.exp(-1.5))) < 1e-12)
-    // linear type: raw dot product + bias
+    // linear type: raw dot product + bias; absent type defaults to linear
     val lin = LinearModel.parse("type=linear\nbias=1.0\nweights=2.0,3.0")
     assert(lin.score(Seq(2.0, -1.0)) === 1.0 + 4.0 - 3.0)
+    assert(!LinearModel.parse("bias=1.0\nweights=2.0").logistic)
+    // a typo'd type must not silently pick a link function
+    intercept[IllegalArgumentException] {
+      LinearModel.parse("type=Logistic\nweights=1.0")
+    }
     // dim mismatch is an error, not a silent wrong score
     intercept[IllegalArgumentException] { lin.score(Seq(1.0)) }
   }
@@ -300,6 +305,14 @@ class ConnectorsSpec extends SparkSpec {
     val mdf = GSuite.readSheet(spark, tml, url, GSuite.ByGid(0))
     assert(mdf.count() === 2)
     assert(mdf.filter($"id" === "1").head().getAs[String]("note") === "line1\nline2")
+
+    // cell whitespace is DATA (spark.read parity — univocity's default
+    // trimming is off) and \r\n line endings are detected, not leaked
+    // into the last cell
+    val tws: Http.Transport = _ => "id,v\r\n1, a \r\n2,b\r\n"
+    val wdf = GSuite.readSheet(spark, tws, url, GSuite.ByGid(0))
+    assert(wdf.filter($"id" === "1").head().getAs[String]("v") === " a ")
+    assert(wdf.filter($"id" === "2").head().getAs[String]("v") === "b")
   }
 
   test("drive download: file-id extraction + chunked ranged fetch (S13)") {

@@ -67,6 +67,18 @@ class GeoProjSpec extends SparkSpec {
       spark.sql("SELECT utm_to_wgs84(CAST(500000.0 AS DOUBLE), CAST(10000000.0 AS DOUBLE)) AS ll")
         .select("ll.lon", "ll.lat").head()
     assert(math.abs(lon - -45.0) < eps && math.abs(lat) < eps)
+    // zone + hemisphere args: zone 33 NORTH origin → lon0=15, equator
+    val Row(lonN: Double, latN: Double) = spark.sql(
+      "SELECT utm_to_wgs84(CAST(500000.0 AS DOUBLE), CAST(0.0 AS DOUBLE), 33, false) AS ll")
+      .select("ll.lon", "ll.lat").head()
+    assert(math.abs(lonN - 15.0) < eps && math.abs(latN) < eps)
+    // out-of-range zone is rejected at function build, not silently used
+    val err = intercept[Exception] {
+      spark.sql("SELECT utm_to_wgs84(CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE), 99) AS ll")
+        .collect()
+    }
+    assert(err.getMessage.contains("zone") ||
+      Option(err.getCause).exists(_.getMessage.contains("zone")), err.toString)
   }
 
   test("northern-hemisphere variant: FN=0 at the equator") {
@@ -86,6 +98,10 @@ class GeoProjSpec extends SparkSpec {
     assert(GeosProjection.invert(0.16, 0.0, GeosProjection.Goes16) == null)
     // far side of the planet is not visible to the satellite
     assert(GeosProjection.forward(120.0, 0.0, GeosProjection.Goes16) == null)
+    // NaN scan angles (fill-valued coordinate cells) take the null path
+    // too — they must never leak NaN lat/lon rows
+    assert(GeosProjection.invert(Double.NaN, 0.0, GeosProjection.Goes16) == null)
+    assert(GeosProjection.invert(0.0, Double.NaN, GeosProjection.Goes16) == null)
   }
 
   test("geos forward∘inverse round-trips across the visible disk") {

@@ -205,6 +205,15 @@ class LakeSpec extends SparkSpec {
     lake.compactBucketed(ref, "k", 4)
     assert(!fs.exists(snap))
     assert(spark.table("state_bkc.t").as[(Long, Int)].collect().toSet === rowsBefore)
+
+    // a PARTIAL snapshot (no _SUCCESS — writer died mid-snapshot) is
+    // discarded and re-taken, never replayed over the intact table
+    fs.mkdirs(snap)
+    val junk = fs.create(new org.apache.hadoop.fs.Path(snap, "part-junk.parquet"))
+    junk.write(Array[Byte](1, 2, 3)); junk.close()
+    lake.compactBucketed(ref, "k", 4)
+    assert(!fs.exists(snap))
+    assert(spark.table("state_bkc.t").as[(Long, Int)].collect().toSet === rowsBefore)
   }
 
   test("bucketed tables join without a shuffle (co-located join)") {

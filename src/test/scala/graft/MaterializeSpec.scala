@@ -126,6 +126,20 @@ class MaterializeSpec extends SparkSpec {
     assert(prod.map(_._1) === Set(0L, 1L, 2L, 3L, 4L, 5L))
   }
 
+  test("recapture gate treats a missing log table as pending, not a crash") {
+    import graft.lake.CaptureLog
+    import graft.materialize.GateSource
+    val lake = new Lake(spark, tmpDir("lake"))
+    val log = new CaptureLog(spark, lake)
+    val runner = new ModelRunner(spark, lake, new StateStore(spark, tmpDir("state")), "ds")
+    val model = Model("never_runs", "SELECT 1 AS x")
+    // the source's first capture hasn't landed: the tick must skip (and a
+    // scheduler loop keeps retrying), not die on the missing parquet path
+    val out = runner.runGated(model, Timestamp.valueOf("2024-01-05 00:10:00"),
+      log, Seq(GateSource("ds", "not_captured_yet")))
+    assert(out.isEmpty)
+  }
+
   test("model DAG runs dependencies first and detects cycles") {
     val order = scala.collection.mutable.ArrayBuffer[String]()
     val lake = new Lake(spark, tmpDir("lake")) {

@@ -62,6 +62,13 @@ class StateSpec extends SparkSpec {
     st.setLastRun(odd, Timestamp.valueOf("2024-04-02 00:00:00")) // second write sweeps
     assert(st.lastRun(odd) === Some(Timestamp.valueOf("2024-04-02 00:00:00")))
     assert(st.lastRun("ds.sel1.t1") === Some(Timestamp.valueOf("2024-05-01 00:00:00")))
+
+    // injectivity across the BMP: "‹" (U+2039) must not collide with
+    // " 39" (a code-point-wide %X encoding maps both to "%2039")
+    st.setLastRun("ds.‹", Timestamp.valueOf("2024-06-01 00:00:00"))
+    st.setLastRun("ds. 39", Timestamp.valueOf("2024-07-01 00:00:00"))
+    assert(st.lastRun("ds.‹") === Some(Timestamp.valueOf("2024-06-01 00:00:00")))
+    assert(st.lastRun("ds. 39") === Some(Timestamp.valueOf("2024-07-01 00:00:00")))
   }
 
   test("concurrent setLastRun on different keys: no lost update (per-key storage)") {
