@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.BinaryType
+
+/** Bloom-prefiltered semi-joins — the 100 TB form of "keep only rows
+  * whose key appears in a (much smaller) reference set".
+  *
+  * A plain left-semi join shuffles BOTH sides by the key (or broadcasts
+  * the whole distinct key set). With a Bloom filter built over the small
+  * side, the big side is cut SCAN-SIDE to `might contain` survivors —
+  * a codegen predicate over a broadcast bitset literal, no shuffle, no
+  * exchange — and only that sliver pays the exact semi-join that removes
+  * the false positives. This is the design PLANS.md names for
+  * decontamination (q85): one pass over the training corpus, the test
+  * set's shingles riding along as ~n·log(1/fpp)/ln2 bits.
+  *
+  * Built on Spark's own sketch expressions (`BloomFilterAggregate` /
+  * `BloomFilterMightContain` — the machinery behind AQE's runtime bloom
+  * join, here applied deliberately where WE know the small side in
+  * advance instead of hoping the optimizer injects it).
+  */
+object BloomOps {
+
+  /** One serialized Bloom filter over the (xxhash64 of the) key column.
+    * The blob is bounded by `numBits` regardless of row count — safe to
+    * return to the driver and embed as a plan literal. */
+  def buildFilter(small: DataFrame, key: Column,
+                  expectedItems: Long, fpp: Double): Array[Byte] = {
+    val numBits = optimalNumBits(expectedItems, fpp)
+    val agg = new BloomFilterAggregate(
+      Bridge.expression(xxhash64(key)),
+      Bridge.expression(lit(expectedItems)),
+      Bridge.expression(lit(numBits))).toAggregateExpression()
+    val bytes = small.select(Bridge.column(agg).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    require(bytes != null, "bloom build side is empty")
+    bytes
+  }
+
+  /** `might contain` predicate against a prebuilt filter blob — a pure
+    * codegen expression over a plan literal: stays inside the scan's
+    * WholeStageCodegen span and pushes NOTHING to a shuffle. */
+  def mightContain(filter: Array[Byte], key: Column): Column =
+    Bridge.column(new BloomFilterMightContain(
+      Literal(filter, BinaryType),
+      Bridge.expression(xxhash64(key))))
+
+  /** Standard optimal-bits formula, clamped to Spark's sketch minimum. */
+  def optimalNumBits(expectedItems: Long, fpp: Double): Long = {
+    require(fpp > 0.0 && fpp < 1.0, s"fpp out of range: $fpp")
+    math.max(64L,
+      math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+  }
+
+  /** Exact left-semi join with a Bloom pre-filter: result rows are
+    * IDENTICAL to `big.join(smallKeys, key, "left_semi")` (the exact
+    * join removes the bloom's false positives); the plan differs — the
+    * big side shrinks at the scan, so the semi-join's shuffle carries
+    * the match-density sliver, not the corpus. */
+  def bloomSemiJoin(big: DataFrame, bigKey: String,
+                    small: DataFrame, smallKey: String,
+                    expectedItems: Long = 1000000L,
+                    fpp: Double = 0.01): DataFrame = {
+    val blob = buildFilter(small, col(smallKey), expectedItems, fpp)
+    val rhs = small.select(col(smallKey).as(bigKey)).distinct()
+    big.filter(mightContain(blob, col(bigKey)))
+      .join(rhs, Seq(bigKey), "left_semi")
+  }
+}

@@ -430,6 +430,24 @@ object TrainingData {
         .agg(countDistinct(col("sh")).as("n_hit_shingles"))
         .orderBy(col("doc_id"))
     }),
+    // q85's decontamination through the Bloom prefilter — IDENTICAL
+    // results (the exact semi-join strips bloom false positives), but
+    // the train-side shingle stream is cut scan-side by a codegen
+    // might_contain over the broadcast filter blob BEFORE any shuffle:
+    // the one-pass-over-the-corpus form PLANS.md names for 100 TB.
+    "q91_bloom_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("pct", TextOps.hashBucket(col("doc_id")))
+      val trainSh = docs.filter(col("pct") < 80)
+        .select(col("doc_id"), explode(TextOps.shingles(col("text"), 3)).as("sh"))
+      val testSh = docs.filter(col("pct") >= 90)
+        .select(explode(TextOps.shingles(col("text"), 3)).as("sh")).distinct()
+      graft.functions.BloomOps.bloomSemiJoin(trainSh, "sh", testSh, "sh",
+          expectedItems = 200000L, fpp = 0.01)
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("sh")).as("n_hit_shingles"))
+        .orderBy(col("doc_id"))
+    }),
     // Count-based bigram LM statistics: top-20 bigrams with conditional
     // probability P(w2|w1) = c(w1 w2) / c(w1 ·). One shingle explode +
     // partial-agg shuffle builds the bigram counts; the per-w1
@@ -800,6 +818,26 @@ object TrainingData {
         |FROM c GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1
         |ORDER BY chunk_hash""".stripMargin,
     "q85_contamination" ->
+      """WITH b AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words,
+        |    CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)),
+        |      1, 15)) AS BIGINT) % 100 AS pct
+        |  FROM documents),
+        |tr AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(words)-1, 1)),
+        |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
+        |  FROM b WHERE pct < 80),
+        |te AS (
+        |  SELECT DISTINCT
+        |    unnest(list_transform(range(1, greatest(len(words)-1, 1)),
+        |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
+        |  FROM b WHERE pct >= 90)
+        |SELECT doc_id, COUNT(DISTINCT sh) AS n_hit_shingles
+        |FROM tr WHERE sh IN (SELECT sh FROM te)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // bloom prefilter changes the PLAN, not the answer — same oracle
+    "q91_bloom_contamination" ->
       """WITH b AS (
         |  SELECT doc_id, string_split(text, ' ') AS words,
         |    CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)),

@@ -77,6 +77,56 @@ class PropertiesSpec extends SparkSpec {
     assert(chainComps.length === 50 && chainComps.forall(_._2 == 0L))
   }
 
+  test("prop: bloom semi-join == exact semi-join; prefilter sits scan-side") {
+    import graft.functions.BloomOps
+    val keyGen = for {
+      n <- Gen.choose(1, 200)
+      ks <- Gen.listOfN(n, Gen.choose(0L, 300L))
+      m <- Gen.choose(0, 30)
+      ss <- Gen.listOfN(m, Gen.choose(0L, 300L))
+    } yield (ks, ss)
+    val r = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8),
+      Prop.forAll(keyGen) { case (ks, ss) =>
+        ss.isEmpty || {
+          val big = ks.zipWithIndex.map { case (k, i) => (i.toLong, k) }
+            .toDF("row_id", "k")
+          val small = ss.toDF("k")
+          val viaBloom = BloomOps.bloomSemiJoin(big, "k", small, "k",
+            expectedItems = 64, fpp = 0.05).as[(Long, Long)].collect().toSet
+          val exact = big.join(small.distinct(), Seq("k"), "left_semi")
+            .as[(Long, Long)].collect().toSet
+          viaBloom == exact
+        }
+      })
+    assert(r.passed, r.status.toString)
+    // the might_contain predicate is a FILTER above the big-side scan,
+    // upstream of the join — the corpus is cut before any exchange
+    val big = spark.range(1000).select($"id".as("row_id"), ($"id" % 97).as("k"))
+    val small = Seq(3L, 5L).toDF("k")
+    val plan = graft.functions.BloomOps.bloomSemiJoin(big, "k", small, "k", 64, 0.05)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan)
+  }
+
+  test("prop: UTM forward∘inverse round-trips across zone 23S") {
+    import graft.expressions.UtmToWgs84
+    val ptGen = for {
+      lon <- Gen.choose(-48.0, -42.0) // zone 23 span ± a zone-edge excursion
+      lat <- Gen.choose(-33.0, -14.0)
+    } yield (lon, lat)
+    val r = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(50),
+      Prop.forAll(ptGen) { case (lon, lat) =>
+        val (e, n) = UtmToWgs84.forward(lon, lat)
+        val inv = UtmToWgs84.invert(e, n,
+          UtmToWgs84.Grs80A, UtmToWgs84.Grs80InvF, UtmToWgs84.UtmK0,
+          UtmToWgs84.UtmFalseEasting, UtmToWgs84.UtmFalseNorthingSouth, -45.0)
+        math.abs(inv(0) - lon) < 1e-6 && math.abs(inv(1) - lat) < 1e-6
+      })
+    assert(r.passed, r.status.toString)
+  }
+
   test("reliable-checkpoint knob: identical clusters, files land in the dir") {
     import graft.functions.DedupOps
     // same graph through reliable (shared-storage) checkpoints — the
