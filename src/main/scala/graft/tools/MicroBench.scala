@@ -96,6 +96,86 @@ object MicroBench {
         .pointInInterval(events, "value", bands, "lo", "hi", binWidth = 25.0)
         .groupBy(col("band_id")).agg(count(lit(1)).as("n")))
     }
+
+    // q85 decontamination: plain semi-join vs bloom prefilter. With the
+    // test side under the broadcast threshold (true at sf0.1) the plain
+    // join already broadcasts and never shuffles the corpus — bloom is
+    // pure overhead there. The regime bloom exists for is RHS > broadcast
+    // threshold (the 100 TB shape: a benchmark suite's distinct shingle
+    // set is GBs): then the plain plan shuffles BOTH shingle streams,
+    // while the bloom blob (bounded bits) still broadcasts and cuts the
+    // corpus scan-side. Simulate it by disabling auto-broadcast.
+    val pct = graft.functions.TextOps.hashBucket(col("doc_id"))
+    val withPct = docs.withColumn("pct", pct)
+    val trainSh = withPct.filter(col("pct") < 80)
+      .select(col("doc_id"), explode(graft.functions.TextOps.shingles(col("text"), 3)).as("sh"))
+    val testSh = withPct.filter(col("pct") >= 90)
+      .select(explode(graft.functions.TextOps.shingles(col("text"), 3)).as("sh")).distinct()
+    def hits(tr: org.apache.spark.sql.DataFrame) = tr
+      .groupBy(col("doc_id")).agg(countDistinct(col("sh")).as("n"))
+    time("decontam semi-join (broadcastable)") {
+      noop(hits(trainSh.join(testSh, Seq("sh"), "left_semi")))
+    }
+    time("decontam bloom (broadcastable)") {
+      noop(hits(graft.functions.BloomOps.bloomSemiJoin(
+        trainSh, "sh", testSh, "sh", expectedItems = 500000L, fpp = 0.01)))
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    time("decontam semi-join (RHS>bcast)") {
+      noop(hits(trainSh.join(testSh, Seq("sh"), "left_semi")))
+    }
+    time("decontam bloom (RHS>bcast)") {
+      noop(hits(graft.functions.BloomOps.bloomSemiJoin(
+        trainSh, "sh", testSh, "sh", expectedItems = 500000L, fpp = 0.01)))
+    }
+    // Second condition for the bloom win: LOW match density. The
+    // synthetic docs share a tiny vocabulary, so nearly every train
+    // shingle hits the test set and the prefilter removes ~nothing
+    // (measured above: bloom only adds its build cost). A selective
+    // membership join — 0.1% of orderkeys over full-width rows — is the
+    // shape real decontamination has (a benchmark hits a sliver of the
+    // corpus). Local wall-time is dominated by the bloom build's fixed
+    // job at sub-second scale, so ALSO report what the prefilter is FOR:
+    // shuffle bytes — the quantity that costs at 100 TB.
+    val shuffled = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          shuffled.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+    def timeAndShuffle(name: String)(f: => Unit): Unit = {
+      (1 to 3).foreach { i =>
+        shuffled.set(0L)
+        val t0 = System.nanoTime()
+        f
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300) // listener bus drain
+        println(f"$name run$i: $sec%.3f s, shuffle ${shuffled.get / 1048576.0}%.1f MiB")
+      }
+    }
+    val li = Tables.load(spark, sfDir, "lineitem")
+    // materialize the rare keys as an INDEPENDENT table: derived from the
+    // same scan by a predicate, Catalyst would infer that predicate onto
+    // the big side through the semi-join and cut the scan exactly — real
+    // reference sets (a benchmark's shingles) have no such predicate
+    val rareDir = java.nio.file.Files.createTempDirectory("rare").toString
+    li.select(col("l_orderkey")).distinct()
+      .filter(pmod(col("l_orderkey"), lit(1000)) === 7)
+      .write.mode("overwrite").parquet(rareDir)
+    val rareKeys = spark.read.parquet(rareDir)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    timeAndShuffle("selective semi-join (RHS>bcast)") {
+      noop(li.join(rareKeys, Seq("l_orderkey"), "left_semi"))
+    }
+    timeAndShuffle("selective bloom (RHS>bcast)") {
+      noop(graft.functions.BloomOps.bloomSemiJoin(
+        li, "l_orderkey", rareKeys, "l_orderkey",
+        expectedItems = 200000L, fpp = 0.01))
+    }
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
     spark.stop()
   }
 }
