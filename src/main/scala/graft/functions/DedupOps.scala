@@ -146,18 +146,42 @@ object DedupOps {
     * then pairs are generated inside the bucket — the signature subtree
     * is computed ONCE (a band self-join would recompute it per side) and
     * the pair expansion is bounded by bucket size, never corpus size.
-    * DISTINCT collapses pairs found by several bands. */
+    * DISTINCT collapses pairs found by several bands.
+    *
+    * `starBucketThreshold` is the viral-duplicate guard for 100 TB: a
+    * boilerplate page repeated 1M times lands in ONE bucket and the
+    * quadratic expansion would emit 5·10¹¹ pairs from a single group
+    * task. Buckets above the threshold switch to a STAR expansion —
+    * (min id, member) pairs only, linear in bucket size. For the
+    * keep-min dedup policy this is lossless whenever the over-cap bucket
+    * is a true duplicate cluster (every member verifies against the
+    * min); member↔member pairs not involving the min are only dropped
+    * for buckets past the cap, and other bands can still surface them.
+    * Default Int.MaxValue = exact behavior everywhere. */
   def lshCandidatePairs(sig: DataFrame, idCol: String, numHashes: Int = 8,
-                        rowsPerBand: Int = 2): DataFrame = {
+                        rowsPerBand: Int = 2,
+                        starBucketThreshold: Int = Int.MaxValue): DataFrame = {
+    require(starBucketThreshold >= 2, "starBucketThreshold must be >= 2")
     val bands = lshBands(sig, idCol, numHashes, rowsPerBand)
+    // ids are sorted ascending, so ids[0] is the bucket's min id. The
+    // star branch is an interpreted HOF — fine, it runs only on the rare
+    // over-cap buckets; the codegen SortedPairs handles the bulk.
+    val star = expr(
+      "transform(slice(ids, 2, size(ids) - 1), x -> struct(ids[0] AS id_a, x AS id_b))")
+    val pairsCol =
+      if (starBucketThreshold == Int.MaxValue)
+        graft.expressions.SortedPairs.sorted_pairs(col("ids"))
+      else
+        when(size(col("ids")) <= starBucketThreshold,
+          graft.expressions.SortedPairs.sorted_pairs(col("ids")))
+          .otherwise(star)
     bands.groupBy(col("band_idx"), col("band_key"))
       .agg(sort_array(collect_set(col(idCol))).as("ids"))
       .filter(size(col("ids")) > 1)
       // native codegen pair expansion — the HOF encoding
       // (flatten∘transform∘slice) is interpreted and allocates a slice
       // per element; see expressions.SortedPairs
-      .select(explode(
-        graft.expressions.SortedPairs.sorted_pairs(col("ids"))).as("p"))
+      .select(explode(pairsCol).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
   }

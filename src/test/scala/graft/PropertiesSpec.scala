@@ -77,6 +77,33 @@ class PropertiesSpec extends SparkSpec {
     assert(chainComps.length === 50 && chainComps.forall(_._2 == 0L))
   }
 
+  test("star-capped LSH buckets: linear pair count, same dedup survivors") {
+    import graft.functions.DedupOps
+    // 60 identical docs (one viral bucket) + 5 distinct docs
+    val docs = ((0 until 60).map(i =>
+        (i.toLong, "the same viral boilerplate page text repeated everywhere")) ++
+      (100 until 105).map(i =>
+        (i.toLong, s"unique document number $i with its own words $i")))
+      .toDF("doc_id", "text")
+    val sig = DedupOps.minhashSignature(docs, "doc_id", "text")
+    val full = DedupOps.lshCandidatePairs(sig, "doc_id")
+    val capped = DedupOps.lshCandidatePairs(sig, "doc_id",
+      starBucketThreshold = 10)
+    // quadratic: C(60,2) = 1770 pairs; star: 59 (min id 0 × each other)
+    assert(full.count() === 1770)
+    assert(capped.count() === 59)
+    assert(capped.filter($"id_a" =!= 0L).count() === 0)
+    // the keep-min survivor set is IDENTICAL either way
+    def survivors(pairs: org.apache.spark.sql.DataFrame) = {
+      val (p, toks) = DedupOps.verifyInputs(docs, "doc_id", "text", pairs)
+      DedupOps.dropNearDuplicates(docs, "doc_id",
+          DedupOps.jaccardForPairs(p, toks, "doc_id"), 0.8)
+        .select($"doc_id").as[Long].collect().toSet
+    }
+    assert(survivors(capped) === survivors(full))
+    assert(survivors(capped) === (Set(0L) ++ (100L until 105L).toSet))
+  }
+
   test("prop: bloom semi-join == exact semi-join; prefilter sits scan-side") {
     import graft.functions.BloomOps
     val keyGen = for {
