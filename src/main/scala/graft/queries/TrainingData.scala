@@ -448,6 +448,28 @@ object TrainingData {
         .agg(countDistinct(col("sh")).as("n_hit_shingles"))
         .orderBy(col("doc_id"))
     }),
+    // Corpus-LM document scoring (the CCNet-style LM quality filter):
+    // score every document by its average bigram log-probability under
+    // the corpus's own count LM — low scorers are the unnatural/
+    // boilerplate text a quality gate drops. Bigram stats are the q88
+    // machinery: one explode, counts vocab-bounded, normalizer a window
+    // over the count frame; the per-doc score is one join keyed by
+    // bigram + avg(ln p). Self-scoring ⇒ every bigram is in the table,
+    // so no smoothing branch diverges between engines. Docs with <2
+    // words have no bigrams and drop out (both engines).
+    "q92_doc_logprob" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val bg = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.shingles(col("text"), 2)).as("bigram"))
+      val counts = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
+        .withColumn("c1", sum(col("c12")).over(
+          W.partitionBy(substring_index(col("bigram"), " ", 1))))
+      bg.join(counts, Seq("bigram"))
+        .groupBy(col("doc_id"))
+        .agg(round(avg(log(col("c12") / col("c1"))), 4).as("avg_logprob"),
+          count(lit(1)).as("n_bigrams"))
+        .orderBy(col("doc_id"))
+    }),
     // Count-based bigram LM statistics: top-20 bigrams with conditional
     // probability P(w2|w1) = c(w1 w2) / c(w1 ·). One shingle explode +
     // partial-agg shuffle builds the bigram counts; the per-w1
@@ -855,6 +877,22 @@ object TrainingData {
         |  FROM b WHERE pct >= 90)
         |SELECT doc_id, COUNT(DISTINCT sh) AS n_hit_shingles
         |FROM tr WHERE sh IN (SELECT sh FROM te)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q92_doc_logprob" ->
+      """WITH bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(words), 1)),
+        |      i -> words[i] || ' ' || words[i+1])) AS bigram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS words
+        |        FROM documents)),
+        |c AS (SELECT bigram, COUNT(*) AS c12 FROM bg GROUP BY bigram),
+        |c2 AS (SELECT bigram, c12,
+        |    SUM(c12) OVER (PARTITION BY split_part(bigram, ' ', 1)) AS c1
+        |  FROM c)
+        |SELECT doc_id,
+        |  round(avg(ln(c12 / CAST(c1 AS DOUBLE))), 4) AS avg_logprob,
+        |  COUNT(*) AS n_bigrams
+        |FROM bg JOIN c2 USING (bigram)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q88_bigram_lm" ->
       """WITH bg AS (
