@@ -318,6 +318,92 @@ class ExtrasSpec extends SparkSpec {
       .count() === 2)
   }
 
+  test("netCDF CDF-2: 64-bit offsets + interleaved record variables") {
+    import graft.multimodal.NetCdf
+    import java.io.{ByteArrayOutputStream, DataOutputStream}
+    // dims: time (record), x=2. Vars: x(float, fixed), a(short, time×x),
+    // b(int, time). Record block stride = vsize(a)+vsize(b) = 8, records
+    // interleaved [a_r | b_r] — the branch the CDF-1 fixture never hits.
+    def name(o: DataOutputStream, s: String): Unit = {
+      o.writeInt(s.length); o.writeBytes(s)
+      (0 until (4 - s.length % 4) % 4).foreach(_ => o.writeByte(0))
+    }
+    def header(beginX: Long, beginA: Long, beginB: Long): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val o = new DataOutputStream(bos)
+      o.writeBytes("CDF"); o.writeByte(2)  // CDF-2: 64-bit begins
+      o.writeInt(3)                        // numrecs
+      o.writeInt(0x0A); o.writeInt(2)
+      name(o, "time"); o.writeInt(0)       // record dim
+      name(o, "x"); o.writeInt(2)
+      o.writeInt(0); o.writeInt(0)         // no global atts
+      o.writeInt(0x0B); o.writeInt(3)
+      name(o, "x"); o.writeInt(1); o.writeInt(1)
+      o.writeInt(0); o.writeInt(0)
+      o.writeInt(5); o.writeInt(8); o.writeLong(beginX)   // NC_FLOAT
+      name(o, "a"); o.writeInt(2); o.writeInt(0); o.writeInt(1)
+      o.writeInt(0); o.writeInt(0)
+      o.writeInt(3); o.writeInt(4); o.writeLong(beginA)   // NC_SHORT rec
+      name(o, "b"); o.writeInt(1); o.writeInt(0)
+      o.writeInt(0); o.writeInt(0)
+      o.writeInt(4); o.writeInt(4); o.writeLong(beginB)   // NC_INT rec
+      o.flush(); bos.toByteArray
+    }
+    val h = header(0, 0, 0).length
+    val bos = new ByteArrayOutputStream()
+    val o = new DataOutputStream(bos)
+    o.write(header(h, h + 8, h + 12))
+    Seq(7.5f, 8.5f).foreach(o.writeFloat)          // x
+    // records: [a0 b0][a1 b1][a2 b2]
+    o.writeShort(1); o.writeShort(2); o.writeInt(10)
+    o.writeShort(3); o.writeShort(4); o.writeInt(20)
+    o.writeShort(5); o.writeShort(6); o.writeInt(30)
+    o.flush()
+    val bytes = bos.toByteArray
+
+    val nc = NetCdf.parseHeader(bytes)
+    assert(nc.version === 2 && nc.numRecs === 3)
+    assert(nc.shape(nc.variable("a")) === Seq(3, 2))
+    assert(NetCdf.readNumeric(bytes, nc, "x").toSeq === Seq(7.5, 8.5))
+    assert(NetCdf.readNumeric(bytes, nc, "a").toSeq ===
+      Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0))
+    assert(NetCdf.readNumeric(bytes, nc, "b").toSeq === Seq(10.0, 20.0, 30.0))
+  }
+
+  test("netCDF single record variable: unpadded stride (spec exception)") {
+    import graft.multimodal.NetCdf
+    import java.io.{ByteArrayOutputStream, DataOutputStream}
+    // ONE record var of 1 short/record: the spec says record data is NOT
+    // padded in this case — stride is 2 bytes, not the padded vsize 4.
+    def name(o: DataOutputStream, s: String): Unit = {
+      o.writeInt(s.length); o.writeBytes(s)
+      (0 until (4 - s.length % 4) % 4).foreach(_ => o.writeByte(0))
+    }
+    def header(beginC: Long): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val o = new DataOutputStream(bos)
+      o.writeBytes("CDF"); o.writeByte(2)
+      o.writeInt(3)
+      o.writeInt(0x0A); o.writeInt(1)
+      name(o, "time"); o.writeInt(0)
+      o.writeInt(0); o.writeInt(0)
+      o.writeInt(0x0B); o.writeInt(1)
+      name(o, "c"); o.writeInt(1); o.writeInt(0)
+      o.writeInt(0); o.writeInt(0)
+      o.writeInt(3); o.writeInt(4); o.writeLong(beginC)
+      o.flush(); bos.toByteArray
+    }
+    val h = header(0).length
+    val bos = new ByteArrayOutputStream()
+    val o = new DataOutputStream(bos)
+    o.write(header(h))
+    Seq(1, 2, 3).foreach(v => o.writeShort(v))  // packed, 2-byte stride
+    o.flush()
+    val bytes = bos.toByteArray
+    val nc = NetCdf.parseHeader(bytes)
+    assert(NetCdf.readNumeric(bytes, nc, "c").toSeq === Seq(1.0, 2.0, 3.0))
+  }
+
   test("hex_prefix_to_long matches DuckDB CAST('0x'||substr(md5,1,15)) (codegen + interp)") {
     import graft.expressions.HexPrefixToLong.hex_prefix_to_long
     // DuckDB ground truth: CAST('0x'||substr(md5('abc'),1,15) AS BIGINT)
