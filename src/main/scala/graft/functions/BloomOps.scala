@@ -26,20 +26,36 @@ import org.apache.spark.sql.types.BinaryType
   */
 object BloomOps {
 
-  /** One serialized Bloom filter over the (xxhash64 of the) key column.
+  /** One serialized Bloom filter over the (xxhash64 of the) key column,
+    * or None when the build side is empty (the aggregate evals to null).
     * The blob is bounded by `numBits` regardless of row count — safe to
-    * return to the driver and embed as a plan literal. */
+    * return to the driver and embed as a plan literal.
+    *
+    * Spark SILENTLY Math.min-caps items/bits against
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems`/`maxNumBits`
+    * (4M / 64Mbit by default) — a 500M-key reference set would saturate
+    * to fpp ≈ 1 and the "prefilter" would pass everything while looking
+    * healthy. Refuse loudly instead: size the confs to the reference
+    * set, don't let the filter degrade in silence. */
   def buildFilter(small: DataFrame, key: Column,
-                  expectedItems: Long, fpp: Double): Array[Byte] = {
+                  expectedItems: Long, fpp: Double): Option[Array[Byte]] = {
+    val conf = small.sparkSession.conf
+    val maxItems = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
     val numBits = optimalNumBits(expectedItems, fpp)
+    require(expectedItems <= maxItems && numBits <= maxBits,
+      s"bloom build ($expectedItems items / $numBits bits) exceeds " +
+        s"spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits " +
+        s"($maxItems / $maxBits) — Spark would silently cap and saturate " +
+        "the filter; raise the confs to the reference-set size")
     val agg = new BloomFilterAggregate(
       Bridge.expression(xxhash64(key)),
       Bridge.expression(lit(expectedItems)),
       Bridge.expression(lit(numBits))).toAggregateExpression()
-    val bytes = small.select(Bridge.column(agg).as("bf"))
-      .head().getAs[Array[Byte]]("bf")
-    require(bytes != null, "bloom build side is empty")
-    bytes
+    Option(small.select(Bridge.column(agg).as("bf"))
+      .head().getAs[Array[Byte]]("bf"))
   }
 
   /** `might contain` predicate against a prebuilt filter blob — a pure
@@ -65,10 +81,14 @@ object BloomOps {
   def bloomSemiJoin(big: DataFrame, bigKey: String,
                     small: DataFrame, smallKey: String,
                     expectedItems: Long = 1000000L,
-                    fpp: Double = 0.01): DataFrame = {
-    val blob = buildFilter(small, col(smallKey), expectedItems, fpp)
-    val rhs = small.select(col(smallKey).as(bigKey)).distinct()
-    big.filter(mightContain(blob, col(bigKey)))
-      .join(rhs, Seq(bigKey), "left_semi")
-  }
+                    fpp: Double = 0.01): DataFrame =
+    buildFilter(small, col(smallKey), expectedItems, fpp) match {
+      // empty build side: a semi-join against an empty RHS is empty —
+      // match that, don't throw (schema preserved)
+      case None => big.filter(lit(false))
+      case Some(blob) =>
+        val rhs = small.select(col(smallKey).as(bigKey)).distinct()
+        big.filter(mightContain(blob, col(bigKey)))
+          .join(rhs, Seq(bigKey), "left_semi")
+    }
 }

@@ -57,6 +57,45 @@ object TrainingData {
 
   /** DuckDB double dot product over 64-dim float lists (widened per
     * element, like the Spark side). */
+  /** Shared q85/q91 inputs: (train (doc_id, sh) stream, distinct test
+    * shingle set) over q72's hash-bucket split — ONE definition so the
+    * plain and bloom-prefiltered decontamination paths can never drift. */
+  private def contaminationInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val docs = t(s, dir, "documents")
+      .withColumn("pct", TextOps.hashBucket(col("doc_id")))
+    val trainSh = docs.filter(col("pct") < 80)
+      .select(col("doc_id"), explode(TextOps.shingles(col("text"), 3)).as("sh"))
+    val testSh = docs.filter(col("pct") >= 90)
+      .select(explode(TextOps.shingles(col("text"), 3)).as("sh")).distinct()
+    (trainSh, testSh)
+  }
+
+  private def hitCounts(hits: DataFrame): DataFrame =
+    hits.groupBy(col("doc_id"))
+      .agg(countDistinct(col("sh")).as("n_hit_shingles"))
+      .orderBy(col("doc_id"))
+
+  /** One oracle for q85 AND q91 (results must be identical by design). */
+  private val contaminationOracle: String =
+    """WITH b AS (
+      |  SELECT doc_id, string_split(text, ' ') AS words,
+      |    CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)),
+      |      1, 15)) AS BIGINT) % 100 AS pct
+      |  FROM documents),
+      |tr AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, greatest(len(words)-1, 1)),
+      |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
+      |  FROM b WHERE pct < 80),
+      |te AS (
+      |  SELECT DISTINCT
+      |    unnest(list_transform(range(1, greatest(len(words)-1, 1)),
+      |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
+      |  FROM b WHERE pct >= 90)
+      |SELECT doc_id, COUNT(DISTINCT sh) AS n_hit_shingles
+      |FROM tr WHERE sh IN (SELECT sh FROM te)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   private def duckDot(a: String, b: String): String =
     s"list_sum(list_transform(range(1,65), i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)))"
 
@@ -419,16 +458,8 @@ object TrainingData {
     // 100 TB the test side is the small one and broadcasts (or seeds a
     // bloom filter pushed into the train scan).
     "q85_contamination" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-        .withColumn("pct", TextOps.hashBucket(col("doc_id")))
-      val trainSh = docs.filter(col("pct") < 80)
-        .select(col("doc_id"), explode(TextOps.shingles(col("text"), 3)).as("sh"))
-      val testSh = docs.filter(col("pct") >= 90)
-        .select(explode(TextOps.shingles(col("text"), 3)).as("sh")).distinct()
-      trainSh.join(testSh, Seq("sh"), "left_semi")
-        .groupBy(col("doc_id"))
-        .agg(countDistinct(col("sh")).as("n_hit_shingles"))
-        .orderBy(col("doc_id"))
+      val (trainSh, testSh) = contaminationInputs(s, dir)
+      hitCounts(trainSh.join(testSh, Seq("sh"), "left_semi"))
     }),
     // q85's decontamination through the Bloom prefilter — IDENTICAL
     // results (the exact semi-join strips bloom false positives), but
@@ -436,17 +467,9 @@ object TrainingData {
     // might_contain over the broadcast filter blob BEFORE any shuffle:
     // the one-pass-over-the-corpus form PLANS.md names for 100 TB.
     "q91_bloom_contamination" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-        .withColumn("pct", TextOps.hashBucket(col("doc_id")))
-      val trainSh = docs.filter(col("pct") < 80)
-        .select(col("doc_id"), explode(TextOps.shingles(col("text"), 3)).as("sh"))
-      val testSh = docs.filter(col("pct") >= 90)
-        .select(explode(TextOps.shingles(col("text"), 3)).as("sh")).distinct()
-      graft.functions.BloomOps.bloomSemiJoin(trainSh, "sh", testSh, "sh",
-          expectedItems = 200000L, fpp = 0.01)
-        .groupBy(col("doc_id"))
-        .agg(countDistinct(col("sh")).as("n_hit_shingles"))
-        .orderBy(col("doc_id"))
+      val (trainSh, testSh) = contaminationInputs(s, dir)
+      hitCounts(graft.functions.BloomOps.bloomSemiJoin(trainSh, "sh",
+        testSh, "sh", expectedItems = 200000L, fpp = 0.01))
     }),
     // Corpus-LM document scoring (the CCNet-style LM quality filter):
     // score every document by its average bigram log-probability under
@@ -839,45 +862,9 @@ object TrainingData {
         |  COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
         |FROM c GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1
         |ORDER BY chunk_hash""".stripMargin,
-    "q85_contamination" ->
-      """WITH b AS (
-        |  SELECT doc_id, string_split(text, ' ') AS words,
-        |    CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)),
-        |      1, 15)) AS BIGINT) % 100 AS pct
-        |  FROM documents),
-        |tr AS (
-        |  SELECT doc_id,
-        |    unnest(list_transform(range(1, greatest(len(words)-1, 1)),
-        |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
-        |  FROM b WHERE pct < 80),
-        |te AS (
-        |  SELECT DISTINCT
-        |    unnest(list_transform(range(1, greatest(len(words)-1, 1)),
-        |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
-        |  FROM b WHERE pct >= 90)
-        |SELECT doc_id, COUNT(DISTINCT sh) AS n_hit_shingles
-        |FROM tr WHERE sh IN (SELECT sh FROM te)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q85_contamination" -> contaminationOracle,
     // bloom prefilter changes the PLAN, not the answer — same oracle
-    "q91_bloom_contamination" ->
-      """WITH b AS (
-        |  SELECT doc_id, string_split(text, ' ') AS words,
-        |    CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)),
-        |      1, 15)) AS BIGINT) % 100 AS pct
-        |  FROM documents),
-        |tr AS (
-        |  SELECT doc_id,
-        |    unnest(list_transform(range(1, greatest(len(words)-1, 1)),
-        |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
-        |  FROM b WHERE pct < 80),
-        |te AS (
-        |  SELECT DISTINCT
-        |    unnest(list_transform(range(1, greatest(len(words)-1, 1)),
-        |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
-        |  FROM b WHERE pct >= 90)
-        |SELECT doc_id, COUNT(DISTINCT sh) AS n_hit_shingles
-        |FROM tr WHERE sh IN (SELECT sh FROM te)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q91_bloom_contamination" -> contaminationOracle,
     "q92_doc_logprob" ->
       """WITH bg AS (
         |  SELECT doc_id,

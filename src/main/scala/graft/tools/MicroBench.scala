@@ -145,13 +145,25 @@ object MicroBench {
           shuffled.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
     })
     def timeAndShuffle(name: String)(f: => Unit): Unit = {
+      // the listener bus is async: wait for the counter to go stable
+      // before reading/resetting, or a straggler task from run N lands
+      // in run N+1's window and corrupts both numbers
+      def drain(): Long = {
+        var prev = -1L
+        var cur = shuffled.get
+        var waited = 0
+        while (cur != prev && waited < 5000) {
+          Thread.sleep(100); waited += 100
+          prev = cur; cur = shuffled.get
+        }
+        cur
+      }
       (1 to 3).foreach { i =>
-        shuffled.set(0L)
+        drain(); shuffled.set(0L)
         val t0 = System.nanoTime()
         f
         val sec = (System.nanoTime() - t0) / 1e9
-        Thread.sleep(300) // listener bus drain
-        println(f"$name run$i: $sec%.3f s, shuffle ${shuffled.get / 1048576.0}%.1f MiB")
+        println(f"$name run$i: $sec%.3f s, shuffle ${drain() / 1048576.0}%.1f MiB")
       }
     }
     val li = Tables.load(spark, sfDir, "lineitem")
@@ -176,6 +188,8 @@ object MicroBench {
     }
     spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    // scratch parquet cleanup (createTempDirectory does not self-delete)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(rareDir))
     spark.stop()
   }
 }

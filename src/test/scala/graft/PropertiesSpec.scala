@@ -115,18 +115,22 @@ class PropertiesSpec extends SparkSpec {
     val r = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(8),
       Prop.forAll(keyGen) { case (ks, ss) =>
-        ss.isEmpty || {
-          val big = ks.zipWithIndex.map { case (k, i) => (i.toLong, k) }
-            .toDF("row_id", "k")
-          val small = ss.toDF("k")
-          val viaBloom = BloomOps.bloomSemiJoin(big, "k", small, "k",
-            expectedItems = 64, fpp = 0.05).as[(Long, Long)].collect().toSet
-          val exact = big.join(small.distinct(), Seq("k"), "left_semi")
-            .as[(Long, Long)].collect().toSet
-          viaBloom == exact
-        }
+        val big = ks.zipWithIndex.map { case (k, i) => (i.toLong, k) }
+          .toDF("row_id", "k")
+        val small = ss.toDF("k")
+        val viaBloom = BloomOps.bloomSemiJoin(big, "k", small, "k",
+          expectedItems = 64, fpp = 0.05).as[(Long, Long)].collect().toSet
+        val exact = big.join(small.distinct(), Seq("k"), "left_semi")
+          .as[(Long, Long)].collect().toSet
+        viaBloom == exact // incl. empty small side → empty result
       })
     assert(r.passed, r.status.toString)
+    // oversizing beyond Spark's silent bloom caps refuses loudly instead
+    // of building a saturated filter that passes everything
+    intercept[IllegalArgumentException] {
+      BloomOps.bloomSemiJoin(spark.range(2).toDF("k"), "k",
+        spark.range(2).toDF("k"), "k", expectedItems = 500000000L)
+    }
     // the might_contain predicate is a FILTER above the big-side scan,
     // upstream of the join — the corpus is cut before any exchange
     val big = spark.range(1000).select($"id".as("row_id"), ($"id" % 97).as("k"))
