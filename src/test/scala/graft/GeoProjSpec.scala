@@ -177,6 +177,96 @@ class GeoProjSpec extends SparkSpec {
       col("value") === 100.08).count() === 2)
   }
 
+  // ---- ESRI shapefile reader (boundary polygons → WKT rows) ----
+
+  test("shapefile: synthetic polygon with hole + second outer, points") {
+    import graft.multimodal.Shapefile
+    val poly = shpFixture(5, polygonContent())
+    val shapes = Shapefile.parse(poly).toSeq
+    assert(shapes.map(_.recordNumber) === Seq(1))
+    assert(shapes.head.wkt ===
+      "MULTIPOLYGON (((0.0 0.0, 0.0 10.0, 10.0 10.0, 10.0 0.0, 0.0 0.0), " +
+        "(2.0 2.0, 4.0 2.0, 4.0 4.0, 2.0 4.0, 2.0 2.0)), " +
+        "((20.0 0.0, 20.0 5.0, 25.0 5.0, 25.0 0.0, 20.0 0.0)))")
+    // single-ring polygon renders as plain POLYGON
+    val single = shpFixture(5, polygonContent(secondOuter = false, hole = false))
+    assert(Shapefile.parse(single).next().wkt ===
+      "POLYGON ((0.0 0.0, 0.0 10.0, 10.0 10.0, 10.0 0.0, 0.0 0.0))")
+    // point records
+    val pts = shpFixture(1, pointContent(3.5, -2.25), pointContent(0.0, 1.0))
+    assert(Shapefile.parse(pts).toSeq.map(_.wkt) ===
+      Seq("POINT (3.5 -2.25)", "POINT (0.0 1.0)"))
+  }
+
+  test("shapefile: decodes the reference's real Rio bairro boundaries") {
+    import graft.multimodal.Shapefile
+    val path = "/root/reference/pipelines/utils/shapefiles/Limite_Bairros_RJ.shp"
+    assume(new java.io.File(path).exists())
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val shapes = Shapefile.parse(bytes).toSeq
+    assert(shapes.size === 164) // Rio's 164 bairros
+    assert(shapes.forall(s => s.wkt.startsWith("POLYGON") ||
+      s.wkt.startsWith("MULTIPOLYGON")))
+    // every coordinate falls inside the file's own Rio bbox
+    val coord = """(-?\d+\.\d+) (-?\d+\.\d+)""".r
+    val pairs = coord.findAllMatchIn(shapes.head.wkt).map(m =>
+      (m.group(1).toDouble, m.group(2).toDouble)).toSeq
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (lon, lat) =>
+      lon > -43.8 && lon < -43.09 && lat > -23.09 && lat < -22.74 })
+
+    // distributed scan: one file → 164 (source, record_id, wkt) rows
+    val df = Shapefile.readShp(spark, path)
+    assert(df.count() === 164)
+    assert(df.select(countDistinct(col("record_id"))).head().getLong(0) === 164)
+  }
+
+  /** Minimal .shp writer for fixtures: header + given record contents. */
+  private def shpFixture(shapeType: Int, contents: Array[Byte]*): Array[Byte] = {
+    import java.io.{ByteArrayOutputStream, DataOutputStream}
+    val bos = new ByteArrayOutputStream()
+    val o = new DataOutputStream(bos) // big-endian writes
+    val totalLen = 100 + contents.map(8 + _.length).sum
+    o.writeInt(9994); (1 to 5).foreach(_ => o.writeInt(0))
+    o.writeInt(totalLen / 2) // file length in 16-bit words (BE)
+    def le(i: Int): Unit = o.writeInt(Integer.reverseBytes(i))
+    le(1000); le(shapeType)
+    (1 to 8).foreach(_ => o.writeLong(0L)) // bbox + zm ranges (unused)
+    contents.zipWithIndex.foreach { case (c, i) =>
+      o.writeInt(i + 1); o.writeInt(c.length / 2)
+      o.write(c)
+    }
+    o.flush(); bos.toByteArray
+  }
+
+  private def leBuf(n: Int): java.nio.ByteBuffer =
+    java.nio.ByteBuffer.allocate(n).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+
+  private def pointContent(x: Double, y: Double): Array[Byte] = {
+    val b = leBuf(4 + 16)
+    b.putInt(1).putDouble(x).putDouble(y)
+    b.array()
+  }
+
+  /** Type-5 content: outer CW ring (+ optional CCW hole + second CW
+    * outer), per the spec's ring-orientation convention. */
+  private def polygonContent(hole: Boolean = true,
+                             secondOuter: Boolean = true): Array[Byte] = {
+    val outer = Seq((0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0), (0.0, 0.0))
+    val holeR = Seq((2.0, 2.0), (4.0, 2.0), (4.0, 4.0), (2.0, 4.0), (2.0, 2.0))
+    val outer2 = Seq((20.0, 0.0), (20.0, 5.0), (25.0, 5.0), (25.0, 0.0), (20.0, 0.0))
+    val rings = Seq(outer) ++ (if (hole) Seq(holeR) else Nil) ++
+      (if (secondOuter) Seq(outer2) else Nil)
+    val npts = rings.map(_.size).sum
+    val b = leBuf(4 + 32 + 8 + 4 * rings.size + 16 * npts)
+    b.putInt(5)
+    (1 to 4).foreach(_ => b.putDouble(0.0)) // bbox (unused by reader)
+    b.putInt(rings.size).putInt(npts)
+    rings.scanLeft(0)(_ + _.size).dropRight(1).foreach(b.putInt)
+    rings.flatten.foreach { case (x, y) => b.putDouble(x).putDouble(y) }
+    b.array()
+  }
+
   /** ABI-shaped netCDF classic (CDF-1) fixture, assembled byte-for-byte
     * per the public spec: dims y=2/x=3, int16 scan angles with CF
     * scale/offset, a scalar goes_imager_projection variable carrying the
