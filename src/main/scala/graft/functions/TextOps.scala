@@ -145,6 +145,30 @@ object TextOps {
     * bucket on any engine, cluster size, or run (the reproducibility
     * property `rand()`-based sampling lacks). 60-bit prefix keeps the
     * value inside a signed long on every engine. */
+  /** PII patterns for training-data scrubbing. Deliberately RE2-safe
+    * (char classes + bounded repeats only) so the identical pattern
+    * runs in Spark (java.util.regex) and the DuckDB oracle (RE2). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhonePattern = "\\+\\d{2}[ -]?\\d{2}[ -]?\\d{4,5}[ -]?\\d{4}\\b"
+
+  /** Redact emails/IPv4s/phone numbers to typed placeholders — the
+    * standard pretraining PII scrub, one codegen regexp chain per row
+    * (phones first: an intl phone contains digit runs an IP rule could
+    * otherwise bite into). */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, PhonePattern, "<PHONE>"),
+        EmailPattern, "<EMAIL>"),
+      Ipv4Pattern, "<IP>")
+
+  /** Count of PII hits per kind, for scrub audits. */
+  def piiCounts(text: Column): (Column, Column, Column) =
+    (size(regexp_extract_all(text, lit(EmailPattern), lit(0))),
+      size(regexp_extract_all(text, lit(Ipv4Pattern), lit(0))),
+      size(regexp_extract_all(text, lit(PhonePattern), lit(0))))
+
   def hashBucket(id: Column, salt: String = "split"): Column =
     pmod(graft.expressions.HexPrefixToLong.hex_prefix_to_long(
       md5(concat(lit(salt + "|"), id.cast("string"))), 15), lit(100L))

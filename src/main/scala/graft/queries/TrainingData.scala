@@ -471,6 +471,28 @@ object TrainingData {
       hitCounts(graft.functions.BloomOps.bloomSemiJoin(trainSh, "sh",
         testSh, "sh", expectedItems = 200000L, fpp = 0.01))
     }),
+    // PII scrub (the standard pretraining redaction pass): emails,
+    // IPv4s and intl phone numbers → typed placeholders, with per-kind
+    // hit counts for the scrub audit. Deterministic PII is injected
+    // from doc_id so the scrub has real work on every row; patterns are
+    // RE2-safe so the identical regex runs in both engines. One codegen
+    // regexp chain per row — no explode, no shuffle but the output sort.
+    "q93_pii_scrub" -> ((s, dir) => {
+      val injected = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.org from 10.0."),
+        (col("doc_id") % 256).cast("string"),
+        lit(".77 call +55 21 9"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" 1234"))
+      val (ne, ni, np) = TextOps.piiCounts(injected)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.redactPii(injected).as("clean"),
+          ne.cast("long").as("n_emails"),
+          ni.cast("long").as("n_ips"),
+          np.cast("long").as("n_phones"))
+        .orderBy(col("doc_id"))
+    }),
     // Corpus-LM document scoring (the CCNet-style LM quality filter):
     // score every document by its average bigram log-probability under
     // the corpus's own count LM — low scorers are the unnatural/
@@ -865,6 +887,30 @@ object TrainingData {
     "q85_contamination" -> contaminationOracle,
     // bloom prefilter changes the PLAN, not the answer — same oracle
     "q91_bloom_contamination" -> contaminationOracle,
+    // same RE2-safe patterns as TextOps.{Email,Ipv4,Phone}Pattern, same
+    // phone→email→ip replacement order as redactPii
+    "q93_pii_scrub" ->
+      """WITH inj AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |    '@mail.example.org from 10.0.' ||
+        |    CAST(doc_id % 256 AS VARCHAR) || '.77 call +55 21 9' ||
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' 1234' AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '\+\d{2}[ -]?\d{2}[ -]?\d{4,5}[ -]?\d{4}\b', '<PHONE>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(t,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(t,
+        |    '\+\d{2}[ -]?\d{2}[ -]?\d{4,5}[ -]?\d{4}\b')) AS BIGINT)
+        |    AS n_phones
+        |FROM inj ORDER BY doc_id""".stripMargin,
     "q92_doc_logprob" ->
       """WITH bg AS (
         |  SELECT doc_id,
