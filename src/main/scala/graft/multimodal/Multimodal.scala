@@ -97,6 +97,52 @@ object Multimodal {
     }(enc)
   }
 
+  /** REAL nearest-neighbor resample of RAW row-major single-channel
+    * frames — the resize member of the decode/extract/resize/sample
+    * family. Raw buffers need no codec, so the resample itself is real;
+    * an encoded format would decode first at the per-partition init
+    * point (same contract as [[batchInfer]]). Emits the input row +
+    * `resized` bytes; dimensions come from the given columns, output is
+    * targetW×targetH. Frames whose buffer doesn't match width×height
+    * are rejected loudly (silent pixel misalignment corrupts every
+    * downstream feature). */
+  def resizeRaw(df: DataFrame, widthCol: String, heightCol: String,
+                targetW: Int, targetH: Int): DataFrame = {
+    require(targetW > 0 && targetH > 0, "target dims must be positive")
+    val outSchema = StructType(df.schema.fields :+
+      StructField("resized", BinaryType))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]]("content")
+        val w = r.getAs[Number](widthCol).intValue()
+        val h = r.getAs[Number](heightCol).intValue()
+        Row.fromSeq(r.toSeq :+ nearestNeighbor(bytes, w, h, targetW, targetH))
+      }
+    }(enc)
+  }
+
+  /** Static resample kernel: out(x, y) = src(x·w/tw, y·h/th). */
+  private[multimodal] def nearestNeighbor(src: Array[Byte], w: Int, h: Int,
+                                          tw: Int, th: Int): Array[Byte] = {
+    require(src != null && src.length == w * h,
+      s"raw frame is ${if (src == null) "null" else src.length + " bytes"}, " +
+        s"expected $w x $h = ${w * h}")
+    val out = new Array[Byte](tw * th)
+    var y = 0
+    while (y < th) {
+      val sy = (y.toLong * h / th).toInt
+      var x = 0
+      while (x < tw) {
+        out(y * tw + x) = src(sy * w + (x.toLong * w / tw).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** Frame-sampling plumbing (video shape): emit every `stride`-th chunk
     * of `chunkBytes` as a frame row — the real version would seek to
     * keyframes; the partition/batch mechanics are identical. */

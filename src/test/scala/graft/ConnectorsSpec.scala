@@ -160,6 +160,29 @@ class ConnectorsSpec extends SparkSpec {
     assert(sizes.asScala.forall(_ <= 3) && sizes.asScala.sum === 10)
   }
 
+  test("raw-frame nearest-neighbor resize: down, up, bad dims (multimodal)") {
+    import graft.multimodal.Multimodal
+    // 4×4 gradient frame, values = row*4+col
+    val frame = Array.tabulate[Byte](16)(i => i.toByte)
+    val df = Seq((1L, frame, 4, 4)).toDF("media_id", "content", "w", "h")
+    val down = Multimodal.resizeRaw(df, "w", "h", 2, 2)
+      .select($"resized").as[Array[Byte]].head()
+    // out(x,y) = src(x*4/2, y*4/2) → src cols/rows {0,2}
+    assert(down.toSeq === Seq[Byte](0, 2, 8, 10))
+    val up = Multimodal.resizeRaw(
+        Seq((1L, Array[Byte](1, 2, 3, 4), 2, 2)).toDF("media_id", "content", "w", "h"),
+        "w", "h", 4, 4)
+      .select($"resized").as[Array[Byte]].head()
+    assert(up.toSeq === Seq[Byte](1, 1, 2, 2, 1, 1, 2, 2, 3, 3, 4, 4, 3, 3, 4, 4))
+    // buffer/dims mismatch fails loudly, not with shifted pixels
+    val bad = Seq((1L, frame, 5, 4)).toDF("media_id", "content", "w", "h")
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.resizeRaw(bad, "w", "h", 2, 2).collect()
+    }
+    assert(e.getMessage.contains("expected") ||
+      Option(e.getCause).exists(_.getMessage.contains("expected")))
+  }
+
   test("linear/logistic scorer from weights file (U7 real model)") {
     import graft.multimodal.LinearModel
     // hand-computed logistic fixture: w=(0.5, -1.0, 2.0), b=-0.5
