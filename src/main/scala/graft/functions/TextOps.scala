@@ -145,11 +145,20 @@ object TextOps {
     * bucket on any engine, cluster size, or run (the reproducibility
     * property `rand()`-based sampling lacks). 60-bit prefix keeps the
     * value inside a signed long on every engine. */
+  def hashBucket(id: Column, salt: String = "split"): Column =
+    pmod(graft.expressions.HexPrefixToLong.hex_prefix_to_long(
+      md5(concat(lit(salt + "|"), id.cast("string"))), 15), lit(100L))
+
   /** PII patterns for training-data scrubbing. Deliberately RE2-safe
-    * (char classes + bounded repeats only) so the identical pattern
-    * runs in Spark (java.util.regex) and the DuckDB oracle (RE2). */
+    * (char classes + bounded alternation only — NO lookarounds, which
+    * RE2 lacks) so the identical pattern runs in Spark (java.util.regex)
+    * and the DuckDB oracle (RE2). Octets are range-checked; known
+    * limitation shared with lookaround-free scrubbers: a valid 4-octet
+    * PREFIX of a longer dotted run ("1.2.3.4.5") still matches, since
+    * excluding it needs lookahead. */
+  private val Octet = "(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])"
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val Ipv4Pattern = s"\\b$Octet(\\.$Octet){3}\\b"
   val PhonePattern = "\\+\\d{2}[ -]?\\d{2}[ -]?\\d{4,5}[ -]?\\d{4}\\b"
 
   /** Redact emails/IPv4s/phone numbers to typed placeholders — the
@@ -163,13 +172,17 @@ object TextOps {
         EmailPattern, "<EMAIL>"),
       Ipv4Pattern, "<IP>")
 
-  /** Count of PII hits per kind, for scrub audits. */
-  def piiCounts(text: Column): (Column, Column, Column) =
-    (size(regexp_extract_all(text, lit(EmailPattern), lit(0))),
-      size(regexp_extract_all(text, lit(Ipv4Pattern), lit(0))),
+  /** Count of PII hits per kind, for scrub audits. Counts follow the
+    * SAME sequential semantics as [[redactPii]] (phones on raw text,
+    * emails on the phone-redacted text, IPs after both), so the audit
+    * always equals the number of replacements actually made — counting
+    * every pattern on the raw text would over-report when matches
+    * overlap (e.g. "1.2.3.4@x.co" is one email, zero IP redactions). */
+  def piiCounts(text: Column): (Column, Column, Column) = {
+    val afterPhone = regexp_replace(text, PhonePattern, "<PHONE>")
+    val afterEmail = regexp_replace(afterPhone, EmailPattern, "<EMAIL>")
+    (size(regexp_extract_all(afterPhone, lit(EmailPattern), lit(0))),
+      size(regexp_extract_all(afterEmail, lit(Ipv4Pattern), lit(0))),
       size(regexp_extract_all(text, lit(PhonePattern), lit(0))))
-
-  def hashBucket(id: Column, salt: String = "split"): Column =
-    pmod(graft.expressions.HexPrefixToLong.hex_prefix_to_long(
-      md5(concat(lit(salt + "|"), id.cast("string"))), 15), lit(100L))
+  }
 }

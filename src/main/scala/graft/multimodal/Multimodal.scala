@@ -107,7 +107,8 @@ object Multimodal {
     * are rejected loudly (silent pixel misalignment corrupts every
     * downstream feature). */
   def resizeRaw(df: DataFrame, widthCol: String, heightCol: String,
-                targetW: Int, targetH: Int): DataFrame = {
+                targetW: Int, targetH: Int,
+                contentCol: String = "content"): DataFrame = {
     require(targetW > 0 && targetH > 0, "target dims must be positive")
     val outSchema = StructType(df.schema.fields :+
       StructField("resized", BinaryType))
@@ -115,7 +116,7 @@ object Multimodal {
       .encoderFor(outSchema)
     df.mapPartitions { rows =>
       rows.map { r =>
-        val bytes = r.getAs[Array[Byte]]("content")
+        val bytes = r.getAs[Array[Byte]](contentCol)
         val w = r.getAs[Number](widthCol).intValue()
         val h = r.getAs[Number](heightCol).intValue()
         Row.fromSeq(r.toSeq :+ nearestNeighbor(bytes, w, h, targetW, targetH))
@@ -126,16 +127,21 @@ object Multimodal {
   /** Static resample kernel: out(x, y) = src(x·w/tw, y·h/th). */
   private[multimodal] def nearestNeighbor(src: Array[Byte], w: Int, h: Int,
                                           tw: Int, th: Int): Array[Byte] = {
-    require(src != null && src.length == w * h,
+    // positive dims checked FIRST: negative pairs multiply to a "valid"
+    // product (and 65536² overflows to 0), which would pass a bare
+    // length check and scramble pixels silently
+    require(w > 0 && h > 0, s"frame dims must be positive, got $w x $h")
+    require(src != null && src.length == w.toLong * h,
       s"raw frame is ${if (src == null) "null" else src.length + " bytes"}, " +
-        s"expected $w x $h = ${w * h}")
+        s"expected $w x $h = ${w.toLong * h}")
     val out = new Array[Byte](tw * th)
+    val sxs = Array.tabulate(tw)(x => (x.toLong * w / tw).toInt)
     var y = 0
     while (y < th) {
-      val sy = (y.toLong * h / th).toInt
+      val rowBase = (y.toLong * h / th).toInt * w
       var x = 0
       while (x < tw) {
-        out(y * tw + x) = src(sy * w + (x.toLong * w / tw).toInt)
+        out(y * tw + x) = src(rowBase + sxs(x))
         x += 1
       }
       y += 1

@@ -32,6 +32,8 @@ object Shapefile {
   final case class Shape(recordNumber: Int, wkt: String)
 
   def parse(bytes: Array[Byte]): Iterator[Shape] = {
+    require(bytes != null && bytes.length >= 100,
+      s"not a shapefile (${if (bytes == null) "null" else bytes.length + " bytes"}, header is 100)")
     val header = ByteBuffer.wrap(bytes, 0, 100).order(ByteOrder.BIG_ENDIAN)
     require(header.getInt(0) == 9994, "not a shapefile (bad file code)")
     val fileLenBytes = header.getInt(24).toLong * 2
@@ -45,6 +47,9 @@ object Shapefile {
           val rh = ByteBuffer.wrap(bytes, off.toInt, 8).order(ByteOrder.BIG_ENDIAN)
           val recNo = rh.getInt
           val contentLen = rh.getInt.toLong * 2
+          require(off + 8 + contentLen <= bytes.length,
+            s"truncated shapefile: record $recNo claims $contentLen content bytes " +
+              s"at offset ${off + 8} but the file has ${bytes.length}")
           val content = ByteBuffer.wrap(bytes, (off + 8).toInt, contentLen.toInt)
             .order(ByteOrder.LITTLE_ENDIAN)
           off += 8 + contentLen
@@ -71,13 +76,26 @@ object Shapefile {
       else parts.map(ringText).mkString("MULTILINESTRING (", ", ", ")")
     case 5 =>
       val rings = readParts(b)
-      // spec: outer = clockwise (negative shoelace area), holes CCW
-      val polys = scala.collection.mutable.ArrayBuffer[
-        scala.collection.mutable.ArrayBuffer[Array[(Double, Double)]]]()
-      rings.foreach { ring =>
-        if (signedArea(ring) <= 0 || polys.isEmpty)
-          polys += scala.collection.mutable.ArrayBuffer(ring)
-        else polys.last += ring
+      // spec: outer = clockwise (negative shoelace area), holes CCW.
+      // Ring ORDER within a record is NOT significant per the ESRI
+      // whitepaper, so holes are assigned to the outer that CONTAINS
+      // them (first-vertex ray cast) — attaching to the preceding outer
+      // would misplace holes in [outerA, outerB, holeOfA] files. A hole
+      // no outer contains degrades to its own outer (pyshp behavior).
+      val (outerRings, holeRings) = rings.partition(r =>
+        signedArea(r) <= 0 || rings.length == 1)
+      val polys = outerRings.map(r =>
+        scala.collection.mutable.ArrayBuffer(r)).toBuffer
+      holeRings.foreach { hole =>
+        val (hx, hy) = hole.head
+        polys.find { p =>
+          val outer = p.head
+          graft.expressions.PointInPolygon.contains(
+            hx, hy, outer.map(_._1), outer.map(_._2))
+        } match {
+          case Some(p) => p += hole
+          case None => polys += scala.collection.mutable.ArrayBuffer(hole)
+        }
       }
       def polyText(rs: Seq[Array[(Double, Double)]]): String =
         rs.map(ringText).mkString("(", ", ", ")")

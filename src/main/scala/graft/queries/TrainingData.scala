@@ -888,7 +888,9 @@ object TrainingData {
     // bloom prefilter changes the PLAN, not the answer — same oracle
     "q91_bloom_contamination" -> contaminationOracle,
     // same RE2-safe patterns as TextOps.{Email,Ipv4,Phone}Pattern, same
-    // phone→email→ip replacement order as redactPii
+    // phone→email→ip replacement order as redactPii, and the same
+    // SEQUENTIAL audit counting as piiCounts (each count taken on the
+    // text after the prior kinds' redactions)
     "q93_pii_scrub" ->
       """WITH inj AS (
         |  SELECT doc_id,
@@ -896,21 +898,29 @@ object TrainingData {
         |    '@mail.example.org from 10.0.' ||
         |    CAST(doc_id % 256 AS VARCHAR) || '.77 call +55 21 9' ||
         |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' 1234' AS t
-        |  FROM documents)
+        |  FROM documents),
+        |p1 AS (SELECT doc_id, t,
+        |    regexp_replace(t, '\+\d{2}[ -]?\d{2}[ -]?\d{4,5}[ -]?\d{4}\b',
+        |      '<PHONE>', 'g') AS t_ph
+        |  FROM inj),
+        |p2 AS (SELECT *, regexp_replace(t_ph,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |    '<EMAIL>', 'g') AS t_em
+        |  FROM p1)
         |SELECT doc_id,
-        |  regexp_replace(regexp_replace(regexp_replace(t,
-        |    '\+\d{2}[ -]?\d{2}[ -]?\d{4,5}[ -]?\d{4}\b', '<PHONE>', 'g'),
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean,
-        |  CAST(len(regexp_extract_all(t,
+        |  regexp_replace(t_em,
+        |    '\b(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])){3}\b',
+        |    '<IP>', 'g') AS clean,
+        |  CAST(len(regexp_extract_all(t_ph,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
         |    AS n_emails,
-        |  CAST(len(regexp_extract_all(t,
-        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(t_em,
+        |    '\b(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])){3}\b'))
+        |    AS BIGINT) AS n_ips,
         |  CAST(len(regexp_extract_all(t,
         |    '\+\d{2}[ -]?\d{2}[ -]?\d{4,5}[ -]?\d{4}\b')) AS BIGINT)
         |    AS n_phones
-        |FROM inj ORDER BY doc_id""".stripMargin,
+        |FROM p2 ORDER BY doc_id""".stripMargin,
     "q92_doc_logprob" ->
       """WITH bg AS (
         |  SELECT doc_id,

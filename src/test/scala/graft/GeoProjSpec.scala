@@ -181,21 +181,31 @@ class GeoProjSpec extends SparkSpec {
 
   test("shapefile: synthetic polygon with hole + second outer, points") {
     import graft.multimodal.Shapefile
-    val poly = shpFixture(5, polygonContent())
-    val shapes = Shapefile.parse(poly).toSeq
-    assert(shapes.map(_.recordNumber) === Seq(1))
-    assert(shapes.head.wkt ===
+    val expected =
       "MULTIPOLYGON (((0.0 0.0, 0.0 10.0, 10.0 10.0, 10.0 0.0, 0.0 0.0), " +
         "(2.0 2.0, 4.0 2.0, 4.0 4.0, 2.0 4.0, 2.0 2.0)), " +
-        "((20.0 0.0, 20.0 5.0, 25.0 5.0, 25.0 0.0, 20.0 0.0)))")
+        "((20.0 0.0, 20.0 5.0, 25.0 5.0, 25.0 0.0, 20.0 0.0)))"
+    val poly = shpFixture(5, polygonRings(Seq(OuterA, HoleOfA, OuterB)))
+    val shapes = Shapefile.parse(poly).toSeq
+    assert(shapes.map(_.recordNumber) === Seq(1))
+    assert(shapes.head.wkt === expected)
+    // ring ORDER is not significant per the ESRI spec: the hole arriving
+    // AFTER both outers must still attach to the outer containing it
+    val reordered = shpFixture(5, polygonRings(Seq(OuterA, OuterB, HoleOfA)))
+    assert(Shapefile.parse(reordered).next().wkt === expected)
     // single-ring polygon renders as plain POLYGON
-    val single = shpFixture(5, polygonContent(secondOuter = false, hole = false))
+    val single = shpFixture(5, polygonRings(Seq(OuterA)))
     assert(Shapefile.parse(single).next().wkt ===
       "POLYGON ((0.0 0.0, 0.0 10.0, 10.0 10.0, 10.0 0.0, 0.0 0.0))")
     // point records
     val pts = shpFixture(1, pointContent(3.5, -2.25), pointContent(0.0, 1.0))
     assert(Shapefile.parse(pts).toSeq.map(_.wkt) ===
       Seq("POINT (3.5 -2.25)", "POINT (0.0 1.0)"))
+    // truncated input fails with the parser's own diagnostic
+    val cut = poly.take(poly.length - 10)
+    val err = intercept[IllegalArgumentException](Shapefile.parse(cut).toSeq)
+    assert(err.getMessage.contains("truncated"))
+    intercept[IllegalArgumentException](Shapefile.parse(Array[Byte](1, 2, 3)))
   }
 
   test("shapefile: decodes the reference's real Rio bairro boundaries") {
@@ -248,15 +258,15 @@ class GeoProjSpec extends SparkSpec {
     b.array()
   }
 
-  /** Type-5 content: outer CW ring (+ optional CCW hole + second CW
-    * outer), per the spec's ring-orientation convention. */
-  private def polygonContent(hole: Boolean = true,
-                             secondOuter: Boolean = true): Array[Byte] = {
-    val outer = Seq((0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0), (0.0, 0.0))
-    val holeR = Seq((2.0, 2.0), (4.0, 2.0), (4.0, 4.0), (2.0, 4.0), (2.0, 2.0))
-    val outer2 = Seq((20.0, 0.0), (20.0, 5.0), (25.0, 5.0), (25.0, 0.0), (20.0, 0.0))
-    val rings = Seq(outer) ++ (if (hole) Seq(holeR) else Nil) ++
-      (if (secondOuter) Seq(outer2) else Nil)
+  private val OuterA =
+    Seq((0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0), (0.0, 0.0))
+  private val HoleOfA =
+    Seq((2.0, 2.0), (4.0, 2.0), (4.0, 4.0), (2.0, 4.0), (2.0, 2.0))
+  private val OuterB =
+    Seq((20.0, 0.0), (20.0, 5.0), (25.0, 5.0), (25.0, 0.0), (20.0, 0.0))
+
+  /** Type-5 content from explicit rings (CW outers, CCW holes). */
+  private def polygonRings(rings: Seq[Seq[(Double, Double)]]): Array[Byte] = {
     val npts = rings.map(_.size).sum
     val b = leBuf(4 + 32 + 8 + 4 * rings.size + 16 * npts)
     b.putInt(5)
