@@ -97,8 +97,10 @@ object VectorOps {
     // one dense cluster and Lloyd cannot recover from that.
     val hashed = corpus.select(col(vecCol))
       .withColumn("h", md5(concat_ws(",", col(vecCol))))
-    var cents: IndexedSeq[Array[Double]] = IndexedSeq(
-      vecOf(hashed.orderBy(col("h")).select(col(vecCol)).head()))
+    val firstSeed = hashed.orderBy(col("h")).select(col(vecCol)).take(1)
+    require(firstSeed.nonEmpty,
+      "k-means training corpus is empty — nothing to seed the quantizer from")
+    var cents: IndexedSeq[Array[Double]] = IndexedSeq(vecOf(firstSeed.head))
     while (cents.size < k) {
       cents = cents :+ vecOf(hashed
         .withColumn("d2", sqDistToNearest(cents, col(vecCol)))

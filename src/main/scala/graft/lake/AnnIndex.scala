@@ -99,6 +99,12 @@ class AnnIndex(spark: SparkSession, lake: Lake, dataset: String,
     VectorOps.bruteForceTopK(pruned, q, "id", "vec", k)
   }
 
+  /** Fold per-append list files back down, preserving the bucket
+    * layout (maintenance tick, under the dataset's RunLock — same
+    * contract as [[CorpusDedup]]'s seen-set compaction). */
+  def compact(): Unit =
+    lake.compactBucketed(listsRef, "cluster", numBuckets)
+
   /** The probed-list scan [[topK]] runs, for plan inspection/tests. */
   def prunedScan(probes: Seq[Int]): DataFrame = {
     pinBucketedScan()

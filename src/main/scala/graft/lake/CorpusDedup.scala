@@ -131,4 +131,13 @@ class CorpusDedup(spark: SparkSession, lake: Lake, dataset: String,
     }
     spark.catalog.refreshTable(qualified(bandsRef)) // see commitExact
   }
+
+  /** Fold per-run seen-set files back down, preserving the bucket
+    * layout (maintenance tick, under the dataset's RunLock). */
+  def compact(): Unit = {
+    if (tableExists(hashesRef))
+      lake.compactBucketed(hashesRef, "content_hash", numBuckets)
+    if (tableExists(bandsRef))
+      lake.compactBucketed(bandsRef, "band_key", numBuckets)
+  }
 }

@@ -163,6 +163,15 @@ class LakeSpec extends SparkSpec {
     idx.append(emb.filter($"vec_id" === 1), "vec_id", "embedding")
     val after = spark.table("state_ann_test.ivf_lists").inputFiles.length
     assert(after > before && after <= before + 8)
+
+    // maintenance compaction folds the append files, search unchanged
+    val preCompact = idx.topK(query, "embedding", k = 10, nprobe = 2)
+      .as[(Long, Double)].collect().toSeq
+    idx.compact()
+    val folded = spark.table("state_ann_test.ivf_lists")
+    assert(folded.inputFiles.length <= 8 && folded.inputFiles.length < after)
+    assert(idx.topK(query, "embedding", k = 10, nprobe = 2)
+      .as[(Long, Double)].collect().toSeq === preCompact)
     spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
   }
 
