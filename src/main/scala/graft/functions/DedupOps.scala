@@ -226,9 +226,10 @@ object DedupOps {
     (p, toks)
   }
 
-  /** Exact token-set Jaccard for a set of candidate pairs (the LSH verify
-    * stage). `tokens` must be (id, token) distinct rows. */
-  def jaccardForPairs(pairs: DataFrame, tokens: DataFrame, idCol: String): DataFrame = {
+  /** Shared verify-stage overlap frame: (id_a, id_b, n_inter, sz_a,
+    * sz_b) for candidate pairs over (id, token) distinct rows. */
+  private def pairOverlaps(pairs: DataFrame, tokens: DataFrame,
+                           idCol: String): DataFrame = {
     val sizes = tokens.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val ta = tokens.select(col(idCol).as("id_a"), col("token"))
     val tb = tokens.select(col(idCol).as("id_b"), col("token"))
@@ -238,11 +239,27 @@ object DedupOps {
       .join(inter, Seq("id_a", "id_b"), "left")
       .join(sizes.withColumnRenamed("sz", "sz_a").withColumnRenamed(idCol, "id_a"), "id_a")
       .join(sizes.withColumnRenamed("sz", "sz_b").withColumnRenamed(idCol, "id_b"), "id_b")
-      .select(col("id_a"), col("id_b"),
-        (coalesce(col("n_inter"), lit(0L)).cast("double") /
-          (col("sz_a") + col("sz_b") - coalesce(col("n_inter"), lit(0L))))
-          .as("jaccard"))
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
   }
+
+  /** Exact token-set Jaccard for a set of candidate pairs (the LSH verify
+    * stage). `tokens` must be (id, token) distinct rows. */
+  def jaccardForPairs(pairs: DataFrame, tokens: DataFrame, idCol: String): DataFrame =
+    pairOverlaps(pairs, tokens, idCol)
+      .select(col("id_a"), col("id_b"),
+        (col("n_inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("n_inter"))).as("jaccard"))
+
+  /** Exact token-set CONTAINMENT |A∩B| / min(|A|,|B|) for candidate
+    * pairs — the asymmetric twin of Jaccard: a short document wholly
+    * embedded in a long one scores ~1 here while its Jaccard stays low
+    * (sub-document duplication, the case near-dup thresholds on Jaccard
+    * systematically miss). Same joins/shuffles as [[jaccardForPairs]]. */
+  def containmentForPairs(pairs: DataFrame, tokens: DataFrame, idCol: String): DataFrame =
+    pairOverlaps(pairs, tokens, idCol)
+      .select(col("id_a"), col("id_b"),
+        (col("n_inter").cast("double") /
+          least(col("sz_a"), col("sz_b"))).as("containment"))
 
   /** Survivor selection: drop every doc that appears as the GREATER id of
     * a verified near-dup pair (pairs are emitted id_a < id_b, so min-id

@@ -138,6 +138,18 @@ object TrainingData {
       DedupOps.jaccardForPairs(pairs, tokens, "doc_id")
         .orderBy(col("id_a"), col("id_b"))
     }),
+    // Containment |A∩B|/min(|A|,|B|) over the same LSH candidates — the
+    // asymmetric verify that catches sub-document duplication (short doc
+    // embedded in a long one: containment ~1, Jaccard low). Same plan
+    // family as q53.
+    "q94_containment_verify" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sig = DedupOps.minhashSignature(docs, "doc_id", "text")
+      val (pairs, tokens) = DedupOps.verifyInputs(docs, "doc_id", "text",
+        DedupOps.lshCandidatePairs(sig, "doc_id"))
+      DedupOps.containmentForPairs(pairs, tokens, "doc_id")
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     // Full near-dup dedup: LSH candidates → Jaccard verify → drop the
     // greater id of every pair over threshold (min-id survivor policy).
     // Scan-local shingles + uncached token subtree (see q53 note); the
@@ -606,6 +618,26 @@ object TrainingData {
          |SELECT p.id_a, p.id_b,
          |  CAST(COALESCE(i.n_inter, 0) AS DOUBLE) /
          |    (sa.sz + sb.sz - COALESCE(i.n_inter, 0)) AS jaccard
+         |FROM pairs p
+         |LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+         |JOIN sizes sa ON sa.doc_id = p.id_a
+         |JOIN sizes sb ON sb.doc_id = p.id_b
+         |ORDER BY p.id_a, p.id_b""".stripMargin,
+    "q94_containment_verify" ->
+      s"""WITH $sigCte,
+         |$bandsCte,
+         |tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+         |  FROM documents),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+         |inter AS (
+         |  SELECT p.id_a, p.id_b, COUNT(*) AS n_inter
+         |  FROM pairs p
+         |  JOIN tok ta ON ta.doc_id = p.id_a
+         |  JOIN tok tb ON tb.doc_id = p.id_b AND tb.token = ta.token
+         |  GROUP BY p.id_a, p.id_b)
+         |SELECT p.id_a, p.id_b,
+         |  CAST(COALESCE(i.n_inter, 0) AS DOUBLE) /
+         |    least(sa.sz, sb.sz) AS containment
          |FROM pairs p
          |LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
          |JOIN sizes sa ON sa.doc_id = p.id_a
