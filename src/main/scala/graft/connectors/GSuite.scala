@@ -106,6 +106,11 @@ object GSuite {
     settings.setIgnoreLeadingWhitespaces(false)
     settings.setIgnoreTrailingWhitespaces(false)
     settings.setLineSeparatorDetectionEnabled(true)
+    // spark.read parity continued: univocity defaults would silently
+    // DROP rows whose first cell starts with '#' (comment processing)
+    // and turn quoted-empty cells ("") into null
+    settings.setCommentProcessingEnabled(false)
+    settings.setEmptyValue("")
     val grid = new CsvParser(settings)
       .parseAll(new java.io.StringReader(csvBody))
     if (grid.isEmpty) return spark.emptyDataFrame

@@ -102,7 +102,10 @@ object GraftExtensions {
           case other => throw new IllegalArgumentException(
             s"southern flag must be a boolean literal, got $other")
         })
-        UtmToWgs84(cs(0), cs(1),
+        // SQL callers pass whatever numeric type they have (int literals,
+        // DECIMAL columns) — coerce like the Column API does, or
+        // nullSafeEval's Double cast throws at fold/eval time
+        UtmToWgs84(dbl(cs(0)), dbl(cs(1)),
           UtmToWgs84.Grs80A, UtmToWgs84.Grs80InvF, UtmToWgs84.UtmK0,
           UtmToWgs84.UtmFalseEasting,
           if (southern) UtmToWgs84.UtmFalseNorthingSouth else 0.0,
@@ -110,8 +113,12 @@ object GraftExtensions {
       }),
     (FunctionIdentifier("geos_to_wgs84"),
       new ExpressionInfo(classOf[GeosToWgs84].getName, "geos_to_wgs84"),
-      (cs: Seq[Expression]) => GeosToWgs84(cs(0), cs(1),
+      (cs: Seq[Expression]) => GeosToWgs84(dbl(cs(0)), dbl(cs(1)),
         -75.0, 35786023.0, 6378137.0, 6356752.31414)))
+
+  private def dbl(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.expressions.Cast(
+      e, org.apache.spark.sql.types.DoubleType)
 
   /** Register on an already-built session (tests, driver-owned builders). */
   def install(spark: SparkSession): Unit =

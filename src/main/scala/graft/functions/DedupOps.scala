@@ -52,16 +52,14 @@ object DedupOps {
   def bandKeysPerRow(text: Column, numHashes: Int = 8, rowsPerBand: Int = 2,
                      shingleSize: Int = 3): Column = {
     val sh = graft.expressions.Shingles.shingles(text, shingleSize)
-    val lanes = (0 until numHashes).map { seed =>
-      array_min(transform(sh, s =>
-        graft.expressions.HexPrefixToLong.hex_prefix_to_long(
-          md5(concat_ws("|", lit(seed), s)), 15)))
-    }
+    // the SAME h64 lane and band-key helpers as the batch path: the
+    // streaming↔batch band-key equality CorpusDedup interop depends on
+    // is maintained by shared code, not hand-synchronized copies
+    val lanes = (0 until numHashes).map(seed =>
+      array_min(transform(sh, s => h64(s, seed))))
     val numBands = numHashes / rowsPerBand
-    val keys = (0 until numBands).map { b =>
-      md5(concat_ws("|",
-        (0 until rowsPerBand).map(r => lanes(b * rowsPerBand + r)): _*))
-    }
+    val keys = (0 until numBands).map(b =>
+      bandKeyOf((0 until rowsPerBand).map(r => lanes(b * rowsPerBand + r))))
     when(size(sh) > 0, array(keys: _*)).otherwise(
       array().cast("array<string>"))
   }
@@ -128,12 +126,18 @@ object DedupOps {
     * Returns idCol, band_idx, band_key. Single pass over the signature
     * (explode of a band array) — a unionAll of per-band selects would
     * recompute the signature subtree once per band. */
+  /** Band key from a band's lane columns — shared by the batch
+    * ([[lshBands]]) and per-row/streaming ([[bandKeysPerRow]]) paths so
+    * their keys can never drift apart. */
+  private def bandKeyOf(lanes: Seq[Column]): Column =
+    md5(concat_ws("|", lanes: _*))
+
   def lshBands(sig: DataFrame, idCol: String, numHashes: Int = 8,
                rowsPerBand: Int = 2): DataFrame = {
     val numBands = numHashes / rowsPerBand
     val bandStructs = (0 until numBands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-      struct(lit(b).as("band_idx"), md5(concat_ws("|", cols: _*)).as("band_key"))
+      struct(lit(b).as("band_idx"), bandKeyOf(cols).as("band_key"))
     }
     sig.select(col(idCol), explode(array(bandStructs: _*)).as("band"))
       .select(col(idCol), col("band.band_idx").as("band_idx"),
@@ -191,14 +195,24 @@ object DedupOps {
     * executor mid-job forces a full job retry). For 1000-executor runs
     * where executor loss is routine, pass `reliableCheckpointDir` to
     * write checkpoints to shared storage (HDFS/object store) instead —
-    * same results, executor-loss-tolerant. */
+    * same results, executor-loss-tolerant.
+    *
+    * Checkpoint lifecycle is the CALLER's: files must outlive every
+    * downstream consumption of the returned frame, so nothing here can
+    * know when deletion is safe (Spark's own cleaner is off by default
+    * for the same reason). Point reliableCheckpointDir at a run-scoped
+    * directory and delete it after results are materialized. */
   private def materialize(df: DataFrame, reliableCheckpointDir: Option[String]): DataFrame =
     reliableCheckpointDir match {
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext
-        // setCheckpointDir stores dir/<uuid>, so compare by prefix —
-        // equality would re-point (and orphan) a fresh uuid dir per call
-        if (!sc.getCheckpointDir.exists(_.startsWith(dir)))
+        // setCheckpointDir stores dir/<uuid>: compare by path-boundary
+        // prefix (bare startsWith would accept sibling "/data/ckpt-old"
+        // for dir "/data/ckpt"); equality would re-point (and orphan) a
+        // fresh uuid dir per call
+        val boundary = dir.stripSuffix("/") + "/"
+        if (!sc.getCheckpointDir.exists(d =>
+            d == dir || d.startsWith(boundary)))
           sc.setCheckpointDir(dir)
         df.checkpoint()
       case None => df.localCheckpoint()

@@ -77,9 +77,21 @@ class AnnIndex(spark: SparkSession, lake: Lake, dataset: String,
     * probe read (`cluster IN (...)`, exactly what [[topK]] issues)
     * degrades to a full-index file scan. For an index-serving session,
     * pruning nprobe/numBuckets of the files beats the rule's one-task-
-    * per-bucket concern, so probe reads pin the scan form here. */
+    * per-bucket concern, so probe reads pin the scan form.
+    *
+    * This is a SESSION-level setting, pinned at each probe call and
+    * deliberately not restored: the returned frame plans lazily, so a
+    * save/restore around the call would un-pin before the caller
+    * executes it. Mixed workloads that also run large non-pruned
+    * bucketed aggregations in the same session can re-enable
+    * autoBucketedScan between index queries ([[unpinBucketedScan]]). */
   private def pinBucketedScan(): Unit =
     spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+
+  /** Re-enable the planner's bucketed-scan auto-disable for non-index
+    * workloads; call after the last probe frame has been EXECUTED. */
+  def unpinBucketedScan(): Unit =
+    spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
 
   /** IVF search against the persisted index. Probe ids collect to the
     * driver (≤ nprobe ints) so the list scan is an `IN`-literal filter —

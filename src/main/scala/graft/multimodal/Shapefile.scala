@@ -88,14 +88,17 @@ object Shapefile {
         scala.collection.mutable.ArrayBuffer(r)).toBuffer
       holeRings.foreach { hole =>
         val (hx, hy) = hole.head
-        polys.find { p =>
+        // innermost containing outer (smallest |area|): with NESTED
+        // outers (island-in-lake-in-island) the first match in ring
+        // order could be the enclosing grandparent
+        val containing = polys.filter { p =>
           val outer = p.head
           graft.expressions.PointInPolygon.contains(
             hx, hy, outer.map(_._1), outer.map(_._2))
-        } match {
-          case Some(p) => p += hole
-          case None => polys += scala.collection.mutable.ArrayBuffer(hole)
         }
+        if (containing.isEmpty)
+          polys += scala.collection.mutable.ArrayBuffer(hole)
+        else containing.minBy(p => math.abs(signedArea(p.head))) += hole
       }
       def polyText(rs: Seq[Array[(Double, Double)]]): String =
         rs.map(ringText).mkString("(", ", ", ")")

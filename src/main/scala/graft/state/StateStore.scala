@@ -28,9 +28,11 @@ class StateStore(spark: SparkSession, root: String) {
     * wrong siblings — or match nothing and silently report first-run.
     * Characters outside a conservative safe set are percent-encoded
     * ('%' itself included, so the mapping is injective and two distinct
-    * keys can never collide on one path). Safe-charset keys — every key
-    * written by earlier versions — encode to themselves, so existing
-    * state layouts read back unchanged. */
+    * keys can never collide on one path). Safe-charset keys encode to
+    * themselves; keys that DID work un-encoded before this scheme
+    * existed (spaces, '/', …: legal paths, just glob-unsafe) are
+    * migrated on first touch — without that, their watermarks would
+    * silently read as first-run and re-ingest entire sources. */
   private def safeKey(key: String): String =
     key.flatMap { c =>
       if (c.isLetterOrDigit || c == '.' || c == '_' || c == '-' || c == '=') c.toString
@@ -41,9 +43,36 @@ class StateStore(spark: SparkSession, root: String) {
         .map(b => f"%%${b & 0xff}%02X").mkString
     }
 
-  private def runPath(key: String) = s"$root/last_run/${safeKey(key)}"
-  private def entityPath(key: String) = s"$root/entity_watermarks/${safeKey(key)}"
-  private def filesPath(key: String) = s"$root/processed_files/${safeKey(key)}"
+  /** One-time-per-key legacy-layout migration: state written before
+    * percent-encoding lived at the RAW key name. Rename it to the
+    * encoded path the first time the key is touched this session. */
+  private val migrationChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def keyedPath(dir: String, key: String): String = {
+    val path = s"$root/$dir/${safeKey(key)}"
+    if (safeKey(key) != key && migrationChecked.add(path)) {
+      import org.apache.hadoop.fs.Path
+      // keys whose raw form is not even a constructible Path (':' etc.)
+      // can have no legacy state — they never worked un-encoded
+      val legacyOpt =
+        try Some(new Path(s"$root/$dir/$key"))
+        catch { case _: IllegalArgumentException => None }
+      legacyOpt.foreach { legacy =>
+        val p = new Path(path)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(p) && fs.exists(legacy) && !fs.rename(legacy, p) &&
+            !fs.exists(p))
+          throw new java.io.IOException(
+            s"legacy state migration $legacy -> $p failed")
+      }
+    }
+    path
+  }
+
+  private def runPath(key: String) = keyedPath("last_run", key)
+  private def entityPath(key: String) = keyedPath("entity_watermarks", key)
+  private def filesPath(key: String) = keyedPath("processed_files", key)
 
   /** Restore a crashed writer's intact `.old` copy BEFORE anything plans
     * a read of `path`. This must run in [[readOrEmpty]] — not only in

@@ -43,8 +43,16 @@ object Recapture {
     * `check_mapped_query_logs_output` → materialize only when False).
     * Existence check only: the spine anti-join stops at the first hole
     * (limit 1 under the hood), so gating a 1-minute tick costs one
-    * small job, not a full plan. `now` is the tick being gated — ticks
-    * are interval-aligned, so a successful capture AT `now` counts. */
+    * small job, not a full plan.
+    *
+    * ORDERING CONTRACT (correctness, not convenience): within a tick the
+    * scheduler must run capture for minute `now` BEFORE this gate, as the
+    * reference's orchestration does — the spine deliberately includes
+    * `now` because the materialization window ends at `now`. Gating only
+    * on older minutes would NOT fix an out-of-order scheduler: a capture
+    * for `now` landing after materialization writes rows the already-
+    * advanced watermark never re-reads, and by the next tick the log
+    * shows the minute present, so nothing would ever re-gate it. */
   def pending(spark: SparkSession, logs: DataFrame, now: Timestamp,
               intervalMinutes: Int = 1, lookbackDays: Int = 1): Boolean =
     plan(spark, logs, now, intervalMinutes, lookbackDays,

@@ -336,6 +336,14 @@ class ConnectorsSpec extends SparkSpec {
     val wdf = GSuite.readSheet(spark, tws, url, GSuite.ByGid(0))
     assert(wdf.filter($"id" === "1").head().getAs[String]("v") === " a ")
     assert(wdf.filter($"id" === "2").head().getAs[String]("v") === "b")
+
+    // '#'-leading cells are DATA, not comments (univocity default would
+    // drop the whole row); quoted-empty cells stay "" not null
+    val tpd: Http.Transport = _ => "id,v\n#REF!,x\n2,\"\"\n"
+    val pdf = GSuite.readSheet(spark, tpd, url, GSuite.ByGid(0))
+    assert(pdf.count() === 2)
+    assert(pdf.filter($"v" === "x").head().getAs[String]("id") === "#REF!")
+    assert(pdf.filter($"id" === "2").head().getAs[String]("v") === "")
   }
 
   test("drive download: file-id extraction + chunked ranged fetch (S13)") {

@@ -79,6 +79,15 @@ class GeoProjSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("zone") ||
       Option(err.getCause).exists(_.getMessage.contains("zone")), err.toString)
+    // SQL callers pass whatever numeric type they have — int literals
+    // and decimals coerce like the Column API instead of crashing
+    val Row(lonI: Double, latI: Double) =
+      spark.sql("SELECT utm_to_wgs84(500000, 10000000) AS ll")
+        .select("ll.lon", "ll.lat").head()
+    assert(math.abs(lonI - -45.0) < eps && math.abs(latI) < eps)
+    val Row(lonG: Double, _) =
+      spark.sql("SELECT geos_to_wgs84(0, 0) AS ll").select("ll.lon", "ll.lat").head()
+    assert(math.abs(lonG - -75.0) < eps)
   }
 
   test("northern-hemisphere variant: FN=0 at the equator") {
@@ -193,6 +202,15 @@ class GeoProjSpec extends SparkSpec {
     // AFTER both outers must still attach to the outer containing it
     val reordered = shpFixture(5, polygonRings(Seq(OuterA, OuterB, HoleOfA)))
     assert(Shapefile.parse(reordered).next().wkt === expected)
+    // NESTED outers: the hole of the inner island attaches to the
+    // INNERMOST containing outer, not the enclosing grandparent
+    val bigOuter = Seq((-10.0, -10.0), (-10.0, 30.0), (30.0, 30.0),
+      (30.0, -10.0), (-10.0, -10.0)) // CW, contains OuterA entirely
+    val nested = shpFixture(5, polygonRings(Seq(bigOuter, OuterA, HoleOfA)))
+    assert(Shapefile.parse(nested).next().wkt ===
+      "MULTIPOLYGON (((-10.0 -10.0, -10.0 30.0, 30.0 30.0, 30.0 -10.0, -10.0 -10.0)), " +
+        "((0.0 0.0, 0.0 10.0, 10.0 10.0, 10.0 0.0, 0.0 0.0), " +
+        "(2.0 2.0, 4.0 2.0, 4.0 4.0, 2.0 4.0, 2.0 2.0)))")
     // single-ring polygon renders as plain POLYGON
     val single = shpFixture(5, polygonRings(Seq(OuterA)))
     assert(Shapefile.parse(single).next().wkt ===

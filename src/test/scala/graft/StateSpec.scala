@@ -71,6 +71,29 @@ class StateSpec extends SparkSpec {
     assert(st.lastRun("ds. 39") === Some(Timestamp.valueOf("2024-07-01 00:00:00")))
   }
 
+  test("legacy un-encoded state paths migrate on first touch") {
+    // a key with a space worked fine BEFORE percent-encoding existed
+    // (legal path, no glob chars) — its watermark must not silently
+    // reset to first-run after the layout change
+    val root = tmpDir("state")
+    // simulate the pre-encoding layout: the key's state written at its
+    // RAW path name, exactly as versions before percent-encoding did
+    Seq(("my pipeline", Timestamp.valueOf("2024-03-01 00:00:00")))
+      .toDF("key", "last_run")
+      .write.parquet(s"$root/last_run/my pipeline")
+    val st = new StateStore(spark, root)
+    assert(st.lastRun("my pipeline") ===
+      Some(Timestamp.valueOf("2024-03-01 00:00:00")))
+    // and the state now lives at the encoded path
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/last_run/my%20pipeline")))
+    // advancing writes through the encoded path; the value survives
+    st.setLastRun("my pipeline", Timestamp.valueOf("2024-03-02 00:00:00"))
+    assert(st.lastRun("my pipeline") ===
+      Some(Timestamp.valueOf("2024-03-02 00:00:00")))
+  }
+
   test("concurrent setLastRun on different keys: no lost update (per-key storage)") {
     val st = new StateStore(spark, tmpDir("state"))
     val keys = (1 to 8).map(i => s"pipe.$i")
