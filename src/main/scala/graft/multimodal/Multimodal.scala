@@ -12,10 +12,11 @@ import org.apache.spark.sql.types._
   * Media travels as an opaque `binary` column plus a typed metadata
   * struct. Decoders run batched per partition (`mapPartitions`) so a real
   * implementation amortizes codec/model setup per batch — exactly the
-  * mapInPandas shape, minus pandas. The actual byte decoding is STUBBED
-  * (no image/audio libs in this container): `decodeStub` derives
-  * deterministic pseudo-features from the bytes so the distributed
-  * plumbing (schema, batching, partitioning) is real and testable.
+  * mapInPandas shape, minus pandas. IMAGE decode is REAL
+  * ([[decodeImage]]: JDK `javax.imageio` — JPEG/PNG/GIF/BMP ship with
+  * every JVM, no extra dependency); audio/video decode stays stubbed
+  * ([[decodeStub]] — those codecs genuinely aren't in the JDK), with the
+  * distributed plumbing (schema, batching, partitioning) identical.
   */
 object Multimodal {
 
@@ -46,10 +47,101 @@ object Multimodal {
           col("length").cast("long").as("n_bytes"),
           col("path").as("source")).as("meta"))
 
-  /** STUB decoder: where a real pipeline would decode pixels/samples,
-    * we emit deterministic per-byte statistics. Runs batched per
-    * partition; codec initialization would happen once per partition
-    * here (the `// init` point). */
+  /** REAL image decode (S22): encoded JPEG/PNG/GIF/BMP bytes → 8-bit
+    * grayscale pixel grid, via the JDK's own `javax.imageio` — zero
+    * extra dependencies. Emits the input row + `pixels` (row-major
+    * grayscale bytes, [[resizeRaw]]'s input format), `img_width`,
+    * `img_height`. Grayscale uses the ITU-R BT.601 luma weights
+    * (0.299 R + 0.587 G + 0.114 B) — the same Y' the reference's
+    * cv2.cvtColor GRAY conversion computes
+    * (rj_escritorio/flooding_detection/tasks.py:177-230 captures JPEG
+    * frames; this is their decode step, executor-side).
+    *
+    * Corrupt or unrecognized payloads yield NULL pixels/dims instead of
+    * failing the task: at 100 TB there WILL be truncated frames, and one
+    * must not kill the job — filter `pixels IS NOT NULL` downstream
+    * (the decode-failure count is then a plain agg). ImageIO's disk
+    * cache is disabled per partition: scratch-file-per-image would
+    * thrash executor /tmp at scale. */
+  def decodeImage(df: DataFrame, contentCol: String = "content"): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("pixels", BinaryType),
+      StructField("img_width", IntegerType),
+      StructField("img_height", IntegerType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    // field index resolved at PLAN time: chained typed operators hand
+    // over schema-less GenericRows (EliminateSerialization fuses the
+    // serialize/deserialize pair away), so by-name getAs would throw
+    val contentIdx = df.schema.fieldIndex(contentCol)
+    df.mapPartitions { rows =>
+      // init: per-partition codec setup — memory-only decode streams
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val bytes = r.get(contentIdx).asInstanceOf[Array[Byte]]
+        val decoded: Option[(Array[Byte], Int, Int)] =
+          if (bytes == null || bytes.isEmpty) None
+          else try {
+            Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))).map(grayPixels)
+          } catch { case _: java.io.IOException => None }
+        decoded match {
+          case Some((px, w, h)) => Row.fromSeq(r.toSeq ++ Seq(px, w, h))
+          case None => Row.fromSeq(r.toSeq ++ Seq(null, null, null))
+        }
+      }
+    }(enc)
+  }
+
+  /** BufferedImage → (row-major 8-bit grayscale, width, height).
+    * BT.601 integer luma: (77 R + 150 G + 29 B) >> 8 — the classic
+    * fixed-point form, exact enough that pure-gray inputs (R=G=B=v)
+    * round-trip to v. */
+  private[multimodal] def grayPixels(
+      img: java.awt.image.BufferedImage): (Array[Byte], Int, Int) = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Byte](w * h)
+    val argb = img.getRGB(0, 0, w, h, null, 0, w)
+    var i = 0
+    while (i < argb.length) {
+      val p = argb(i)
+      val y = (77 * ((p >> 16) & 0xff) + 150 * ((p >> 8) & 0xff) +
+        29 * (p & 0xff)) >> 8
+      out(i) = y.toByte
+      i += 1
+    }
+    (out, w, h)
+  }
+
+  /** Pixel grid → model-ready feature vector: intensities scaled to
+    * [0, 1], row-major — [[batchInfer]]/[[LinearModel]]'s input. Run
+    * AFTER [[resizeRaw]] so the dimension is the fixed target grid, not
+    * the source resolution. NULL pixel rows (decode failures passed
+    * through) yield NULL features. */
+  def pixelFeatures(df: DataFrame, pixelsCol: String = "resized",
+                    outCol: String = "features"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField(outCol, ArrayType(DoubleType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val pixelsIdx = df.schema.fieldIndex(pixelsCol) // see decodeImage
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val px = r.get(pixelsIdx).asInstanceOf[Array[Byte]]
+        val feats =
+          if (px == null) null
+          else px.map(b => (b & 0xff) / 255.0)
+        Row.fromSeq(r.toSeq :+ feats)
+      }
+    }(enc)
+  }
+
+  /** STUB decoder for AUDIO/VIDEO payloads — those codecs are not in
+    * the JDK (images ARE: use [[decodeImage]]); emits deterministic
+    * per-byte statistics so the distributed plumbing stays real and
+    * testable. Runs batched per partition; codec initialization would
+    * happen once per partition here (the `// init` point). */
   def decodeStub(df: DataFrame, featureDim: Int = 4): DataFrame = {
     val outSchema = StructType(df.schema.fields :+
       StructField("features", ArrayType(DoubleType)))
@@ -85,10 +177,16 @@ object Multimodal {
       StructField(outCol, DoubleType))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(outSchema)
+    val featuresIdx = df.schema.fieldIndex(featuresCol) // see decodeImage
     df.mapPartitions { rows =>
       // init point: model session / codec opens ONCE per partition here
       rows.grouped(batchSize).flatMap { batch =>
-        val feats = batch.map(_.getAs[scala.collection.Seq[Double]](featuresCol).toSeq)
+        // a fused upstream typed operator hands the raw Array[Double]
+        // it built; a deserialized row hands a Seq — accept both
+        val feats = batch.map(_.get(featuresIdx) match {
+          case a: Array[Double] => a.toSeq
+          case s => s.asInstanceOf[scala.collection.Seq[Double]].toSeq
+        })
         val scores = model(feats)
         require(scores.length == batch.length,
           s"model returned ${scores.length} scores for ${batch.length} rows")
@@ -114,11 +212,14 @@ object Multimodal {
       StructField("resized", BinaryType))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(outSchema)
+    val contentIdx = df.schema.fieldIndex(contentCol) // see decodeImage
+    val wIdx = df.schema.fieldIndex(widthCol)
+    val hIdx = df.schema.fieldIndex(heightCol)
     df.mapPartitions { rows =>
       rows.map { r =>
-        val bytes = r.getAs[Array[Byte]](contentCol)
-        val w = r.getAs[Number](widthCol).intValue()
-        val h = r.getAs[Number](heightCol).intValue()
+        val bytes = r.get(contentIdx).asInstanceOf[Array[Byte]]
+        val w = r.get(wIdx).asInstanceOf[Number].intValue()
+        val h = r.get(hIdx).asInstanceOf[Number].intValue()
         Row.fromSeq(r.toSeq :+ nearestNeighbor(bytes, w, h, targetW, targetH))
       }
     }(enc)

@@ -183,6 +183,116 @@ class ConnectorsSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("expected")))
   }
 
+  // In-memory PNG fixture: TYPE_INT_RGB grid from a row-major byte fn.
+  private def pngBytes(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", out))
+    out.toByteArray
+  }
+
+  test("real image decode: PNG bytes → exact gray pixels; corrupt → null (S22)") {
+    // pure-gray values round-trip EXACTLY through the BT.601 integer
+    // luma ((77+150+29)v >> 8 = v) — byte-exact oracle, no tolerance
+    val vals = Array(0, 32, 64, 96, 128, 160, 192, 224)
+    val grayPng = pngBytes(4, 2) { (x, y) =>
+      val v = vals(y * 4 + x); (v << 16) | (v << 8) | v
+    }
+    val redPng = pngBytes(1, 1)((_, _) => 0xff0000) // luma (77*255)>>8 = 76
+    val df = Seq(
+      (1L, grayPng), (2L, redPng), (3L, "not an image".getBytes),
+      (4L, null.asInstanceOf[Array[Byte]])).toDF("media_id", "content")
+    val dec = Multimodal.decodeImage(df)
+      .select($"media_id", $"pixels", $"img_width", $"img_height")
+      .as[(Long, Array[Byte], Option[Int], Option[Int])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(dec(1L)._2.toSeq === vals.map(_.toByte).toSeq)
+    assert(dec(1L)._3.contains(4) && dec(1L)._4.contains(2))
+    assert(dec(2L)._2.toSeq === Seq(76.toByte))
+    // corrupt/null payloads survive as null rows, not task failures
+    assert(dec(3L)._2 == null && dec(3L)._3.isEmpty)
+    assert(dec(4L)._2 == null)
+
+    // full vision path: decode → resize → features → logistic scorer
+    val good = Multimodal.decodeImage(Seq((1L, grayPng)).toDF("media_id", "content"))
+      .filter($"pixels".isNotNull)
+    val feats = Multimodal.pixelFeatures(
+      Multimodal.resizeRaw(good, "img_width", "img_height", 2, 1,
+        contentCol = "pixels"))
+    // resize 4×2→2×1: src(0,0)=0, src(2,0)=64; features = v/255
+    val f = feats.select($"features").as[Seq[Double]].head()
+    assert(f === Seq(0.0, 64.0 / 255.0))
+    val model = graft.multimodal.LinearModel.parse(
+      "type=logistic\nbias=0.0\nweights=1.0,1.0")
+    val score = Multimodal.batchInfer(feats, "features", "score", 8,
+      model.scoreBatch).select($"score").as[Double].head()
+    assert(math.abs(score - 1.0 / (1.0 + math.exp(-64.0 / 255.0))) < 1e-12)
+  }
+
+  test("vision client: request shape, fenced-label parse, per-partition client") {
+    import graft.connectors.VisionClient
+    val cfg = VisionClient.Config(model = "test-vision-1",
+      prompt = "Is there flooding? Reply {\"flooding_detected\": bool}")
+    val img = Array[Byte](1, 2, 3, 4)
+    // request shape: the reference's chat-completions payload
+    val body = VisionClient.requestBody(cfg, img)
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = m.readTree(body)
+    assert(root.path("model").asText === "test-vision-1")
+    assert(root.path("max_tokens").asInt === 300)
+    val content = root.path("messages").path(0).path("content")
+    assert(root.path("messages").path(0).path("role").asText === "user")
+    assert(content.path(0).path("type").asText === "text")
+    assert(content.path(0).path("text").asText === cfg.prompt)
+    val dataUrl = content.path(1).path("image_url").path("url").asText
+    assert(dataUrl.startsWith("data:image/jpeg;base64,"))
+    assert(java.util.Base64.getDecoder.decode(
+      dataUrl.stripPrefix("data:image/jpeg;base64,")).toSeq === img.toSeq)
+
+    // label parse: fenced JSON content, bare JSON, error payload, junk
+    def resp(content: String) =
+      s"""{"choices":[{"message":{"content":${m.writeValueAsString(
+        m.getNodeFactory.textNode(content))}}}]}"""
+    assert(VisionClient.parseLabel(cfg,
+      resp("```json\n{\"flooding_detected\": true}\n```")).contains(true))
+    assert(VisionClient.parseLabel(cfg,
+      resp("{\"flooding_detected\": false}")).contains(false))
+    assert(VisionClient.parseLabel(cfg,
+      """{"error":{"message":"rate limit"}}""").isEmpty)
+    assert(VisionClient.parseLabel(cfg, resp("no json here")).isEmpty)
+    assert(VisionClient.parseLabel(cfg,
+      resp("{\"flooding_detected\": \"yes\"}")).isEmpty)
+
+    // classify: attempt gate short-circuits (no call), null image → null,
+    // canned transport answers by inspecting the request's image payload
+    val calls = spark.sparkContext.collectionAccumulator[String]("vision_calls")
+    val floodImg = "FLOOD".getBytes
+    val dryImg = "DRY".getBytes
+    val frames = Seq(
+      (1L, floodImg, true), (2L, dryImg, true),
+      (3L, floodImg, false), // gated: label false, NO api call
+      (4L, null.asInstanceOf[Array[Byte]], true)) // no image: label null
+      .toDF("media_id", "content", "attempt")
+    val canned: () => VisionClient.PostTransport = () => { body =>
+      calls.add(body)
+      val b64 = m.readTree(body).path("messages").path(0).path("content")
+        .path(1).path("image_url").path("url").asText
+        .stripPrefix("data:image/jpeg;base64,")
+      val flooded = java.util.Arrays.equals(
+        java.util.Base64.getDecoder.decode(b64), floodImg)
+      resp(s"""```json\n{"flooding_detected": $flooded}\n```""")
+    }
+    val out = VisionClient.classify(frames.repartition(2), cfg, canned,
+        attemptCol = Some("attempt"))
+      .select($"media_id", $"label").as[(Long, Option[Boolean])]
+      .collect().toMap
+    assert(out(1L).contains(true) && out(2L).contains(false))
+    assert(out(3L).contains(false) && out(4L).isEmpty)
+    assert(calls.value.size === 2) // gated + null rows never hit the API
+  }
+
   test("linear/logistic scorer from weights file (U7 real model)") {
     import graft.multimodal.LinearModel
     // hand-computed logistic fixture: w=(0.5, -1.0, 2.0), b=-0.5

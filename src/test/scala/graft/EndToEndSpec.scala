@@ -267,6 +267,52 @@ class EndToEndSpec extends SparkSpec {
     spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
   }
 
+  test("vision pipeline: binary files → real decode → resize → scorer (S22/U7)") {
+    import graft.multimodal.{LinearModel, Multimodal}
+    // camera snapshots on disk: two 4×4 PNGs — one bright, one dark —
+    // plus a corrupt frame, like a real capture directory would hold
+    val dir = tmpDir("frames")
+    def png(v: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 4; x <- 0 until 4)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/bright.png"), png(200))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/dark.png"), png(10))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/corrupt.png"), "junk".getBytes)
+    val wdir = tmpDir("vision_model")
+    // mean-intensity head: 4 equal weights over the 2×2 resized grid
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$wdir/m.txt"),
+      "type=logistic\nbias=-2.0\nweights=1.0,1.0,1.0,1.0\n")
+
+    val frames = Multimodal.readBinaryFiles(spark, s"$dir/*.png")
+    val decoded = Multimodal.decodeImage(frames)
+    // the corrupt frame survives decode as a NULL row, then is filtered
+    assert(decoded.count() === 3)
+    val usable = decoded.filter(col("pixels").isNotNull)
+    val scored = LinearModel.inferFromFile(
+      Multimodal.pixelFeatures(
+        Multimodal.resizeRaw(usable, "img_width", "img_height", 2, 2,
+          contentCol = "pixels")),
+      "features", "score", batchSize = 8, s"$wdir/m.txt")
+      .select(col("meta.source"), col("score"))
+      .as[(String, Double)].collect()
+      .map { case (src, s) => src.split('/').last -> s }.toMap
+    assert(scored.keySet === Set("bright.png", "dark.png"))
+    // pure-gray v round-trips exactly: score = sigmoid(4·v/255 − 2)
+    def expect(v: Int) = 1.0 / (1.0 + math.exp(-(4.0 * v / 255.0 - 2.0)))
+    assert(math.abs(scored("bright.png") - expect(200)) < 1e-12)
+    assert(math.abs(scored("dark.png") - expect(10)) < 1e-12)
+    assert(scored("bright.png") > 0.5 && scored("dark.png") < 0.5)
+  }
+
   test("salted join spreads hot keys and preserves results (§4 skew)") {
     val big = (1 to 2000).map(i => (if (i % 10 == 0) "cold" + i else "HOT", i))
       .toDF("k", "v")
