@@ -62,14 +62,16 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // Two back-to-back runs so a per-query move is distinguishable from
-    // ambient machine variance (a real regression shows up in both).
-    val results = runHeadline()
-    val results2 = runHeadline()
+    // THREE timed runs after the warmup: a single run1/run2 sample cannot
+    // tell a real 10% regression from ambient machine-load variance
+    // (±30% observed on identical code). The per-query MEDIAN is the
+    // comparison number; the per-query stddev says how much to trust it.
+    val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    require(iterations >= 2, "bench needs >=2 iterations (run2 field)")
+    val runs: Seq[Seq[(String, Double)]] = Seq.fill(iterations)(runHeadline())
 
-    // Capture micro-batch: one tick of the streaming pipeline at this SF.
-    // Timed twice (fresh lake each) like the headline queries, so a
-    // variance spike is distinguishable from a real regression.
+    // Capture micro-batch: one tick of the streaming pipeline at this SF
+    // (fresh lake each iteration, same median/stddev protocol).
     def microBatch(): Double = {
       val tmp = java.nio.file.Files.createTempDirectory("bench_lake").toString
       val lake = new graft.lake.Lake(spark, tmp)
@@ -82,16 +84,36 @@ object Bench {
       cap.processBatch(raw, Timestamp.valueOf("2024-02-01 00:00:00"))
       (System.nanoTime() - t0) / 1e9
     }
-    val mb = microBatch()
-    val mb2 = microBatch()
+    val mbs = Seq.fill(iterations)(microBatch())
 
-    val all = results :+ ("micro_batch" -> mb)
-    val all2 = results2 :+ ("micro_batch" -> mb2)
+    val allRuns: Seq[Seq[(String, Double)]] =
+      runs.zip(mbs).map { case (r, mb) => r :+ ("micro_batch" -> mb) }
+    val names = allRuns.head.map(_._1)
+    val samples: Map[String, Seq[Double]] =
+      names.map(n => n -> allRuns.map(_.toMap.apply(n))).toMap
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    // sample stddev (n-1): small n, honest spread estimate
+    def stddev(xs: Seq[Double]): Double =
+      if (xs.size < 2) 0.0
+      else {
+        val m = xs.sum / xs.size
+        math.sqrt(xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1))
+      }
+    val medians = names.map(n => n -> median(samples(n)))
+    val stddevs = names.map(n => n -> stddev(samples(n)))
+
     def toJson(pairs: Seq[(String, Double)]): String =
       pairs.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
         .mkString("{", ",", "}")
-    val total = all.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${toJson(all)},"queries_run2":${toJson(all2)},"total_run2":${all2.map(_._2).sum}%.3f,"sf":"$sfDir"}""")
+    // "queries"/"value" stay run1 (comparable with earlier rounds);
+    // "median"/"stddev" are the decision numbers from here on.
+    val total = allRuns.head.map(_._2).sum
+    val totalMedian = medians.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${toJson(allRuns.head)},"queries_run2":${toJson(allRuns(1))},"total_run2":${allRuns(1).map(_._2).sum}%.3f,"median":${toJson(medians)},"stddev":${toJson(stddevs)},"total_median":$totalMedian%.3f,"iterations":$iterations,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
