@@ -43,29 +43,47 @@ class StateStore(spark: SparkSession, root: String) {
         .map(b => f"%%${b & 0xff}%02X").mkString
     }
 
+  /** The encoding BEFORE the UTF-8 byte-wise scheme: one %XX per CODE
+    * POINT (width grows past U+FF). Identical to [[safeKey]] for pure-
+    * ASCII keys; differs exactly on non-ASCII symbols ('—', '€', …).
+    * Kept only to locate state written under that scheme for
+    * migration — never used for new paths (it is not injective). */
+  private def codePointSafeKey(key: String): String =
+    key.flatMap { c =>
+      if (c.isLetterOrDigit || c == '.' || c == '_' || c == '-' || c == '=') c.toString
+      else f"%%${c.toInt}%02X"
+    }
+
   /** One-time-per-key legacy-layout migration: state written before
-    * percent-encoding lived at the RAW key name. Rename it to the
-    * encoded path the first time the key is touched this session. */
+    * percent-encoding lived at the RAW key name, and state written under
+    * the interim code-point %XX scheme lives at THAT encoding for
+    * non-ASCII keys. Rename whichever exists to the current encoded path
+    * the first time the key is touched this session — without this, such
+    * keys silently read as first-run and re-ingest their sources. */
   private val migrationChecked =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   private def keyedPath(dir: String, key: String): String = {
-    val path = s"$root/$dir/${safeKey(key)}"
-    if (safeKey(key) != key && migrationChecked.add(path)) {
+    val enc = safeKey(key)
+    val path = s"$root/$dir/$enc"
+    if (enc != key && migrationChecked.add(path)) {
       import org.apache.hadoop.fs.Path
-      // keys whose raw form is not even a constructible Path (':' etc.)
-      // can have no legacy state — they never worked un-encoded
-      val legacyOpt =
-        try Some(new Path(s"$root/$dir/$key"))
-        catch { case _: IllegalArgumentException => None }
-      legacyOpt.foreach { legacy =>
-        val p = new Path(path)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(p) && fs.exists(legacy) && !fs.rename(legacy, p) &&
-            !fs.exists(p))
-          throw new java.io.IOException(
-            s"legacy state migration $legacy -> $p failed")
-      }
+      // Newer scheme probed first: a key touched during the code-point
+      // era had its raw-era state already renamed onto that layout.
+      // Keys whose raw form is not even a constructible Path (':' etc.)
+      // can have no raw-era state — they never worked un-encoded.
+      val candidates =
+        Some(codePointSafeKey(key)).filter(_ != enc).map(e => new Path(s"$root/$dir/$e")) ++
+          (try Some(new Path(s"$root/$dir/$key"))
+           catch { case _: IllegalArgumentException => None })
+      val p = new Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      candidates.find(legacy => !fs.exists(p) && fs.exists(legacy))
+        .foreach { legacy =>
+          if (!fs.rename(legacy, p) && !fs.exists(p))
+            throw new java.io.IOException(
+              s"legacy state migration $legacy -> $p failed")
+        }
     }
     path
   }
@@ -256,9 +274,11 @@ class StateStore(spark: SparkSession, root: String) {
     writeAtomic(Seq(merged).toDF("sketch"), path)
   }
 
-  private def sketchPath(key: String) = s"$root/sketches/${safeKey(key)}"
-  private def qsketchPath(key: String) = s"$root/quantile_sketches/${safeKey(key)}"
-  private def topkPath(key: String) = s"$root/topk_sketches/${safeKey(key)}"
+  // keyedPath, not bare safeKey: sketch state predates both encoding
+  // schemes too, so it gets the same legacy-layout migration probe
+  private def sketchPath(key: String) = keyedPath("sketches", key)
+  private def qsketchPath(key: String) = keyedPath("quantile_sketches", key)
+  private def topkPath(key: String) = keyedPath("topk_sketches", key)
 
   /** Stored HLL sketch for this key, if any (one bounded ~4 KiB row). */
   def sketch(key: String): Option[Array[Byte]] = readSketch(sketchPath(key))

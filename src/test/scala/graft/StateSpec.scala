@@ -94,6 +94,38 @@ class StateSpec extends SparkSpec {
       Some(Timestamp.valueOf("2024-03-02 00:00:00")))
   }
 
+  test("interim code-point-encoded state paths migrate on first touch") {
+    // '—' (U+2014) encoded as "%2014" under the interim code-point
+    // scheme; the UTF-8 byte-wise scheme puts it at "%E2%80%94". A key
+    // written during the interim era must migrate, not read as first-run
+    val root = tmpDir("state")
+    Seq(("relatorio—diario", Timestamp.valueOf("2024-03-01 00:00:00")))
+      .toDF("key", "last_run")
+      .write.parquet(s"$root/last_run/relatorio%2014diario")
+    val st = new StateStore(spark, root)
+    assert(st.lastRun("relatorio—diario") ===
+      Some(Timestamp.valueOf("2024-03-01 00:00:00")))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$root/last_run/relatorio%E2%80%94diario")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$root/last_run/relatorio%2014diario")))
+    st.setLastRun("relatorio—diario", Timestamp.valueOf("2024-03-02 00:00:00"))
+    assert(st.lastRun("relatorio—diario") ===
+      Some(Timestamp.valueOf("2024-03-02 00:00:00")))
+
+    // sketch state written during the interim era migrates too (raw
+    // non-ASCII paths were never even writable on common filesystems —
+    // the code-point layout is the one that existed)
+    val sk = graft.expressions.Hll.empty()
+    Seq(sk).toDF("sketch").write.parquet(s"$root/sketches/tok%2014count")
+    val st2 = new StateStore(spark, root)
+    assert(st2.sketch("tok—count").isDefined)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$root/sketches/tok%E2%80%94count")))
+  }
+
   test("concurrent setLastRun on different keys: no lost update (per-key storage)") {
     val st = new StateStore(spark, tmpDir("state"))
     val keys = (1 to 8).map(i => s"pipe.$i")
