@@ -94,7 +94,11 @@ object GraftExtensions {
       new ExpressionInfo(classOf[UtmToWgs84].getName, "utm_to_wgs84"),
       (cs: Seq[Expression]) => {
         // same validation surface as the Column API: zone range checked,
-        // hemisphere selectable (4th arg, default southern — Rio's grid)
+        // hemisphere selectable (4th arg, default southern — Rio's grid).
+        // Extra args REJECTED, not ignored: a caller passing projection
+        // constants must hear about it, not silently get the defaults
+        require(cs.size >= 2 && cs.size <= 4,
+          s"utm_to_wgs84 takes (easting, northing[, zone[, southern]]), got ${cs.size} args")
         val zone = if (cs.size > 2) intArg(cs(2), "utm zone") else 23
         require(zone >= 1 && zone <= 60, s"UTM zone out of range: $zone")
         val southern = cs.size <= 3 || (cs(3) match {
@@ -113,8 +117,15 @@ object GraftExtensions {
       }),
     (FunctionIdentifier("geos_to_wgs84"),
       new ExpressionInfo(classOf[GeosToWgs84].getName, "geos_to_wgs84"),
-      (cs: Seq[Expression]) => GeosToWgs84(dbl(cs(0)), dbl(cs(1)),
-        -75.0, 35786023.0, 6378137.0, 6356752.31414)))
+      (cs: Seq[Expression]) => {
+        // exactly (x, y): the projection constants are GOES-16's; a
+        // caller trying to pass lon0/h for another satellite must get an
+        // error, not silently-wrong GOES-16 coordinates
+        require(cs.size == 2,
+          s"geos_to_wgs84 takes exactly (x, y) — GOES-16 constants are fixed; got ${cs.size} args")
+        GeosToWgs84(dbl(cs(0)), dbl(cs(1)),
+          -75.0, 35786023.0, 6378137.0, 6356752.31414)
+      }))
 
   private def dbl(e: Expression): Expression =
     org.apache.spark.sql.catalyst.expressions.Cast(

@@ -202,18 +202,51 @@ object DedupOps {
     * know when deletion is safe (Spark's own cleaner is off by default
     * for the same reason). Point reliableCheckpointDir at a run-scoped
     * directory and delete it after results are materialized. */
+  // Checkpoint dirs THIS module pointed the context at (setCheckpointDir
+  // appends a /<uuid>, so membership is a boundary-prefix test).
+  private val ownCheckpointDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def ownedCheckpointDir(d: String): Boolean = {
+    val it = ownCheckpointDirs.iterator()
+    var owned = false
+    while (!owned && it.hasNext) {
+      val o = it.next()
+      owned = d == o || d.startsWith(o + "/")
+    }
+    owned
+  }
+
   private def materialize(df: DataFrame, reliableCheckpointDir: Option[String]): DataFrame =
     reliableCheckpointDir match {
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext
-        // setCheckpointDir stores dir/<uuid>: compare by path-boundary
-        // prefix (bare startsWith would accept sibling "/data/ckpt-old"
-        // for dir "/data/ckpt"); equality would re-point (and orphan) a
-        // fresh uuid dir per call
-        val boundary = dir.stripSuffix("/") + "/"
-        if (!sc.getCheckpointDir.exists(d =>
-            d == dir || d.startsWith(boundary)))
-          sc.setCheckpointDir(dir)
+        // setCheckpointDir stores dir/<uuid> FS-QUALIFIED ("file:/x" for
+        // a bare "/x"): qualify our side the same way or no compare ever
+        // matches and every call re-points onto a fresh orphaned uuid
+        // dir. Then compare by path-boundary prefix (bare startsWith
+        // would accept sibling "/data/ckpt-old" for dir "/data/ckpt";
+        // equality alone never holds past the uuid).
+        val hp = new org.apache.hadoop.fs.Path(dir)
+        val qualified = hp.getFileSystem(sc.hadoopConfiguration)
+          .makeQualified(hp).toString.stripSuffix("/")
+        val boundary = qualified + "/"
+        sc.getCheckpointDir match {
+          case Some(d) if d == qualified || d.startsWith(boundary) => ()
+          case Some(d) if !ownedCheckpointDir(d) =>
+            // the checkpoint dir is SparkContext-GLOBAL: silently
+            // re-pointing a dir the CALLER set would land their other
+            // jobs' checkpoints in this run's directory — deleted with
+            // it after the run. Moving between OUR OWN run-scoped dirs
+            // (the documented lifecycle) stays legal.
+            throw new IllegalStateException(
+              s"SparkContext checkpoint dir already set to $d by the " +
+                s"caller; refusing to re-point it to $dir — pass that " +
+                "dir as reliableCheckpointDir or unset the context's value")
+          case _ =>
+            sc.setCheckpointDir(dir)
+            ownCheckpointDirs.add(qualified)
+        }
         df.checkpoint()
       case None => df.localCheckpoint()
     }

@@ -155,7 +155,15 @@ object TextOps {
     * and the DuckDB oracle (RE2). Octets are range-checked; known
     * limitation shared with lookaround-free scrubbers: a valid 4-octet
     * PREFIX of a longer dotted run ("1.2.3.4.5") still matches, since
-    * excluding it needs lookahead. */
+    * excluding it needs lookahead.
+    *
+    * One residual engine divergence, accepted knowingly: `\b` is
+    * Unicode-aware in java.util.regex but ASCII-only in RE2, so an
+    * IP/phone abutting a non-ASCII letter ("é1.2.3.4") is a boundary
+    * match only in Spark. Redacting MORE adjacent to non-ASCII text is
+    * the right side to err on for a scrubber; the alternative (explicit
+    * [^0-9.] anchors) would instead silently eat one neighboring
+    * character into the placeholder on both engines. */
   private val Octet = "(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])"
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Ipv4Pattern = s"\\b$Octet(\\.$Octet){3}\\b"

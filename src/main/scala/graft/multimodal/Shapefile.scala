@@ -113,6 +113,15 @@ object Shapefile {
     b.position(b.position() + 32) // skip bbox
     val numParts = b.getInt()
     val numPoints = b.getInt()
+    // counts come from RECORD CONTENT (unlike record headers, which are
+    // length-validated in parse()): a corrupt/hostile 4-byte count would
+    // drive Array.fill into a multi-GB allocation and OOM the executor
+    // before any BufferUnderflowException fired. Bound them against the
+    // bytes actually present: 4 per part index, 16 per point.
+    require(numParts >= 0 && numPoints >= 0 &&
+      4L * numParts + 16L * numPoints <= b.remaining(),
+      s"corrupt shapefile record: $numParts parts / $numPoints points " +
+        s"exceed ${b.remaining()} remaining content bytes")
     val partStarts = Array.fill(numParts)(b.getInt())
     val pts = Array.fill(numPoints)((b.getDouble(), b.getDouble()))
     Array.tabulate(numParts) { i =>

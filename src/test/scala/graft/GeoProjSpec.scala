@@ -88,6 +88,18 @@ class GeoProjSpec extends SparkSpec {
     val Row(lonG: Double, _) =
       spark.sql("SELECT geos_to_wgs84(0, 0) AS ll").select("ll.lon", "ll.lat").head()
     assert(math.abs(lonG - -75.0) < eps)
+    // EXTRA args are rejected, not silently dropped: a caller passing
+    // projection constants must not get the fixed defaults
+    val extraU = intercept[Exception] {
+      spark.sql("SELECT utm_to_wgs84(1.0, 2.0, 23, true, 99.0) AS ll").collect()
+    }
+    assert(extraU.getMessage.contains("args") ||
+      Option(extraU.getCause).exists(_.getMessage.contains("args")), extraU.toString)
+    val extraG = intercept[Exception] {
+      spark.sql("SELECT geos_to_wgs84(1.0, 2.0, -137.0) AS ll").collect()
+    }
+    assert(extraG.getMessage.contains("args") ||
+      Option(extraG.getCause).exists(_.getMessage.contains("args")), extraG.toString)
   }
 
   test("northern-hemisphere variant: FN=0 at the equator") {
@@ -224,6 +236,19 @@ class GeoProjSpec extends SparkSpec {
     val err = intercept[IllegalArgumentException](Shapefile.parse(cut).toSeq)
     assert(err.getMessage.contains("truncated"))
     intercept[IllegalArgumentException](Shapefile.parse(Array[Byte](1, 2, 3)))
+    // hostile part/point counts in record CONTENT (which header
+    // validation can't see) must refuse BEFORE allocating, not OOM
+    val hostile = {
+      val b = leBuf(4 + 32 + 8 + 4)
+      b.putInt(5)
+      (1 to 4).foreach(_ => b.putDouble(0.0))
+      b.putInt(1).putInt(1 << 28) // claims 4 GiB of points
+      b.putInt(0)
+      b.array()
+    }
+    val herr = intercept[IllegalArgumentException](
+      Shapefile.parse(shpFixture(5, hostile)).toSeq)
+    assert(herr.getMessage.contains("exceed"), herr.getMessage)
   }
 
   test("shapefile: decodes the reference's real Rio bairro boundaries") {

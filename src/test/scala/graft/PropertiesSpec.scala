@@ -187,6 +187,26 @@ class PropertiesSpec extends SparkSpec {
     val (p2, t2) = DedupOps.verifyInputs(docs, "doc_id", "text", cand)
     assert(p1.collect().toSet === p2.collect().toSet)
     assert(t1.collect().toSet === t2.collect().toSet)
+
+    // the documented run-scoped lifecycle: a SECOND run with a fresh dir
+    // re-points the (module-owned) global and still works
+    val dir2 = tmpDir("ckpt2")
+    val second = DedupOps.connectedComponents(pairs,
+      reliableCheckpointDir = Some(dir2)).as[(Long, Long)].collect().toMap
+    assert(second === default)
+    assert(rddDirs(new java.io.File(dir2)) > 0)
+
+    // but a dir the CALLER set is never silently hijacked: checkpoints
+    // landing in a run-scoped dir would be deleted with it
+    val callerDir = tmpDir("caller_ckpt")
+    spark.sparkContext.setCheckpointDir(callerDir)
+    val e = intercept[IllegalStateException] {
+      DedupOps.connectedComponents(pairs,
+        reliableCheckpointDir = Some(tmpDir("ckpt3"))).collect()
+    }
+    assert(e.getMessage.contains("refusing"))
+    // restore a module-owned dir so later suites aren't poisoned
+    spark.sparkContext.setCheckpointDir(dir2)
   }
 
   test("prop: connected components == driver union-find on random graphs") {
