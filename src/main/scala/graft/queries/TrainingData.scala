@@ -338,6 +338,44 @@ object TrainingData {
       VectorOps.ivfTopK(e, e.filter(col("vec_id") === 0), "vec_id",
         "label", "embedding", 10, nprobe = 2)
     }),
+    // MEASURED recall of the persisted IVF index (lake.AnnIndex) against
+    // brute-force ground truth, per nprobe — the q63/q67 principle
+    // applied to the served-index path: the approximation's quality is a
+    // NUMBER in the correctness dump, not an assertion. Build once, then
+    // sweep nprobe over a fixed query set; each search exercises the
+    // real serving path (centroid ranking → bucket-pruned list scan).
+    // The driver collects are the serving pattern's own bounded
+    // round-trips (≤k ids per search, 3 summary rows out) — not a
+    // data-plane collect. No DuckDB oracle: the quantizer is iterative
+    // kmeans (rows-only check by design, like q9/q68).
+    "q95_ann_recall" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val tmp = java.nio.file.Files.createTempDirectory("ann_recall").toString
+      val lake = new graft.lake.Lake(s, tmp)
+      val idx = new graft.lake.AnnIndex(s, lake, "annrecall", numBuckets = 8)
+      idx.build(e, "vec_id", "embedding", k = 16, iters = 3)
+      val k = 10
+      val queryIds = (0L until 8L).toSeq
+      val truth: Map[Long, Seq[Long]] = queryIds.map { qid =>
+        qid -> VectorOps.bruteForceTopK(e,
+            e.filter(col("vec_id") === qid), "vec_id", "embedding", k)
+          .select(col("vec_id")).as[Long].collect().toSeq
+      }.toMap
+      val rows = Seq(1, 2, 4, 8).map { np =>
+        val hits = queryIds.map { qid =>
+          val got = idx.topK(e.filter(col("vec_id") === qid)
+              .select(col("embedding")), "embedding", k, nprobe = np)
+            .select(col("id")).as[Long].collect().toSet
+          truth(qid).count(got.contains)
+        }.sum
+        (np, k, queryIds.size, hits,
+          hits.toDouble / (k * queryIds.size))
+      }
+      idx.unpinBucketedScan()
+      rows.toDF("nprobe", "k", "n_queries", "hits", "recall")
+        .orderBy(col("nprobe"))
+    }),
     // Embedding-cosine near-dup pairs within (label × sign-bucket)
     // buckets. The 4-bit sign bucket rides on the join key so a hot label
     // splits into ≤16 sub-buckets: pair cost is Σ bucket² over the finer

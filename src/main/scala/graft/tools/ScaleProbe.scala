@@ -1,0 +1,107 @@
+package graft.tools
+
+import graft.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Empirical scaling probe (not part of the driver contract): runs the
+  * dedup-family headliners and a persisted-ANN search at TWO scale
+  * factors and reports total SHUFFLE BYTES per query, plus the fitted
+  * exponent  b = log(bytes_hi/bytes_lo) / log(rows_hi/rows_lo).
+  *
+  * The point: the Σ bucket² and bucket-prune claims in PLANS.md are
+  * plan-audited; this measures them. Sub-quadratic growth (b well under
+  * 2, ideally ≈1) is the pass condition for "survives 100×". Wall-time
+  * is reported but secondary — at local scale it is mostly fixed job
+  * overhead, while shuffle bytes are the quantity that costs at 100 TB.
+  *
+  * Usage: runMain graft.tools.ScaleProbe [loDir hiDir]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val lo = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val hi = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val shuffled = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          shuffled.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+    // async listener bus: wait for the counter to go stable before
+    // reading/resetting (same drain as MicroBench)
+    def drain(): Long = {
+      var prev = -1L
+      var cur = shuffled.get
+      var waited = 0
+      while (cur != prev && waited < 5000) {
+        Thread.sleep(100); waited += 100
+        prev = cur; cur = shuffled.get
+      }
+      cur
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+    def measure(f: => Unit): (Double, Long) = {
+      drain(); shuffled.set(0L)
+      val t0 = System.nanoTime()
+      f
+      ((System.nanoTime() - t0) / 1e9, drain())
+    }
+
+    val probes = Seq("q59_neardup_dedup", "q52_lsh_pairs",
+      "q91_bloom_contamination")
+    case class Obs(docRows: Long, bytes: Map[String, Long])
+
+    def observe(dir: String): Obs = {
+      val docRows = Tables.load(spark, dir, "documents").count()
+      val perQuery = probes.map { name =>
+        val (sec, bytes) =
+          measure(noop(graft.SparkEntry.queries(name)(spark, dir)))
+        println(f"[probe] $dir $name: $sec%.2f s, shuffle ${bytes / 1048576.0}%.2f MiB")
+        name -> bytes
+      }.toMap
+      // persisted ANN search: build is ingest cost (not probed); the
+      // SEARCH is the serving path whose state side must not shuffle
+      val e = Tables.load(spark, dir, "embeddings")
+      val tmp = java.nio.file.Files.createTempDirectory("scaleprobe").toString
+      val lake = new graft.lake.Lake(spark, tmp)
+      val idx = new graft.lake.AnnIndex(spark, lake, "scaleprobe", numBuckets = 8)
+      idx.build(e, "vec_id", "embedding", k = 16, iters = 3)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding"))
+      val (sec, bytes) = measure {
+        idx.topK(q, "embedding", 10, nprobe = 2).collect()
+      }
+      idx.unpinBucketedScan()
+      println(f"[probe] $dir ann_search: $sec%.2f s, shuffle ${bytes / 1048576.0}%.2f MiB")
+      Obs(docRows, perQuery + ("ann_search" -> bytes))
+    }
+
+    println(s"[probe] lo=$lo")
+    val oLo = observe(lo)
+    println(s"[probe] hi=$hi")
+    val oHi = observe(hi)
+
+    val rowRatio = oHi.docRows.toDouble / oLo.docRows
+    println(f"[probe] documents rows: ${oLo.docRows} -> ${oHi.docRows} (x$rowRatio%.1f)")
+    (probes :+ "ann_search").foreach { name =>
+      val (bLo, bHi) = (oLo.bytes(name), oHi.bytes(name))
+      val exp =
+        if (bLo <= 0 || bHi <= 0) Double.NaN
+        else math.log(bHi.toDouble / bLo) / math.log(rowRatio)
+      println(f"[probe] $name: ${bLo / 1048576.0}%.2f -> ${bHi / 1048576.0}%.2f MiB, exponent $exp%.2f")
+    }
+
+    // recall of the persisted index at the HI scale factor, for the
+    // record (q95's number at the bench SF)
+    graft.SparkEntry.queries("q95_ann_recall")(spark, hi).collect()
+      .foreach(r => println(s"[probe] q95@hi recall: $r"))
+    spark.stop()
+  }
+}

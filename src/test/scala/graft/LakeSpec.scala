@@ -116,6 +116,24 @@ class LakeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q95: measured ANN recall sweeps nprobe against brute-force truth") {
+    val df = graft.queries.TrainingData.defs("q95_ann_recall")(spark, sf001)
+    val rows = df.as[(Int, Int, Int, Int, Double)].collect().toSeq
+    assert(rows.map(_._1) === Seq(1, 2, 4, 8))
+    assert(rows.forall { case (_, k, nq, hits, r) =>
+      k === 10 && nq === 8 && hits >= 0 && hits <= k * nq &&
+        math.abs(r - hits.toDouble / (k * nq)) < 1e-12
+    })
+    // widening the probe set only ADDS candidates, and any candidate
+    // displacing a true neighbor from the pooled top-k outranks it and
+    // is a true neighbor itself — recall is monotone in nprobe
+    val recalls = rows.map(_._5)
+    assert(recalls.sliding(2).forall(w => w.last >= w.head), recalls.toString)
+    // probing half the lists must recover most true neighbors, or the
+    // index isn't serving its purpose
+    assert(recalls.last >= 0.8, recalls.toString)
+  }
+
   test("persisted IVF index: build + append, bucket-pruned probe scan") {
     import graft.lake.AnnIndex
     val lake = new Lake(spark, tmpDir("lake"))
