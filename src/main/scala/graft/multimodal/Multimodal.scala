@@ -137,11 +137,132 @@ object Multimodal {
     }(enc)
   }
 
-  /** STUB decoder for AUDIO/VIDEO payloads — those codecs are not in
-    * the JDK (images ARE: use [[decodeImage]]); emits deterministic
-    * per-byte statistics so the distributed plumbing stays real and
-    * testable. Runs batched per partition; codec initialization would
-    * happen once per partition here (the `// init` point). */
+  /** REAL audio decode: WAV/AIFF/AU PCM bytes → normalized samples, via
+    * the JDK's own `javax.sound.sampled` — the audio twin of
+    * [[decodeImage]], zero extra dependencies. Emits the input row +
+    * `samples` (doubles in [-1, 1], channels averaged to mono — the
+    * standard feature-extraction mixdown), `sample_rate`, `n_channels`.
+    * Same failure policy as images: corrupt/unsupported payloads (or
+    * compressed codecs the JDK lacks — MP3/AAC) yield NULL, never a
+    * task failure; filter `samples IS NOT NULL` downstream. */
+  def decodeAudio(df: DataFrame, contentCol: String = "content"): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("samples", ArrayType(DoubleType)),
+      StructField("sample_rate", IntegerType),
+      StructField("n_channels", IntegerType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val contentIdx = df.schema.fieldIndex(contentCol) // see decodeImage
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.get(contentIdx).asInstanceOf[Array[Byte]]
+        val decoded: Option[(Array[Double], Int, Int)] =
+          if (bytes == null || bytes.isEmpty) None
+          else try pcmSamples(bytes)
+          catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException => None
+            case _: java.io.IOException => None
+          }
+        decoded match {
+          case Some((s, rate, ch)) => Row.fromSeq(r.toSeq ++ Seq(s, rate, ch))
+          case None => Row.fromSeq(r.toSeq ++ Seq(null, null, null))
+        }
+      }
+    }(enc)
+  }
+
+  /** Container bytes → (mono samples in [-1, 1], rate, channels). PCM
+    * signed 16-bit and unsigned 8-bit cover canonical WAV; anything else
+    * the JDK can't hand us as PCM returns None (same NULL-row policy). */
+  private[multimodal] def pcmSamples(
+      bytes: Array[Byte]): Option[(Array[Double], Int, Int)] = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val f = in.getFormat
+      val pcmSigned =
+        f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+      val pcmUnsigned =
+        f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+      val bits = f.getSampleSizeInBits
+      if (!((pcmSigned && bits == 16) || (pcmUnsigned && bits == 8))) None
+      else {
+        val raw = in.readAllBytes()
+        val ch = f.getChannels
+        val bytesPerFrame = ch * (bits / 8)
+        val nFrames = raw.length / bytesPerFrame
+        val out = new Array[Double](nFrames)
+        var i = 0
+        while (i < nFrames) {
+          var acc = 0.0
+          var c = 0
+          while (c < ch) {
+            val base = i * bytesPerFrame + c * (bits / 8)
+            acc +=
+              (if (bits == 8) ((raw(base) & 0xff) - 128) / 128.0
+               else {
+                 // sign lives in the HIGH byte: shift it unmasked, mask
+                 // only the low byte
+                 val s =
+                   if (f.isBigEndian) (raw(base).toInt << 8) | (raw(base + 1) & 0xff)
+                   else (raw(base + 1).toInt << 8) | (raw(base) & 0xff)
+                 s / 32768.0
+               })
+            c += 1
+          }
+          out(i) = acc / ch
+          i += 1
+        }
+        Some((out, f.getSampleRate.toInt, ch))
+      }
+    } finally in.close()
+  }
+
+  /** Mono samples → fixed 4-dim feature vector for [[batchInfer]]:
+    * RMS energy, zero-crossing rate, peak amplitude, DC mean — the
+    * classic cheap audio descriptors. NULL samples (decode failures
+    * passed through) yield NULL features, like [[pixelFeatures]]. */
+  def audioFeatures(df: DataFrame, samplesCol: String = "samples",
+                    outCol: String = "features"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField(outCol, ArrayType(DoubleType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val samplesIdx = df.schema.fieldIndex(samplesCol) // see decodeImage
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val feats = (r.get(samplesIdx) match {
+          case null => null
+          case a: Array[Double] => a
+          case s => s.asInstanceOf[scala.collection.Seq[Double]].toArray
+        }) match {
+          case null => null
+          case s if s.isEmpty => Array(0.0, 0.0, 0.0, 0.0)
+          case s =>
+            var sumSq = 0.0; var sum = 0.0; var peak = 0.0; var zc = 0
+            var i = 0
+            while (i < s.length) {
+              val v = s(i)
+              sumSq += v * v; sum += v
+              if (math.abs(v) > peak) peak = math.abs(v)
+              if (i > 0 && (s(i - 1) >= 0) != (v >= 0)) zc += 1
+              i += 1
+            }
+            Array(math.sqrt(sumSq / s.length),
+              if (s.length > 1) zc.toDouble / (s.length - 1) else 0.0,
+              peak, sum / s.length)
+        }
+        Row.fromSeq(r.toSeq :+ feats)
+      }
+    }(enc)
+  }
+
+  /** STUB decoder for VIDEO payloads — those codecs really are not in
+    * the JDK (images: [[decodeImage]]; PCM audio: [[decodeAudio]]);
+    * emits deterministic per-byte statistics so the distributed
+    * plumbing stays real and testable. Runs batched per partition;
+    * codec initialization would happen once per partition here (the
+    * `// init` point). */
   def decodeStub(df: DataFrame, featureDim: Int = 4): DataFrame = {
     val outSchema = StructType(df.schema.fields :+
       StructField("features", ArrayType(DoubleType)))

@@ -73,6 +73,25 @@ object Windowed {
           acc(14400, "acc_4h"), acc(86400, "acc_24h"))
         .orderBy(col("event_id"))
     }),
+    // Prediction-buffer smoothing (the reference's per-camera Redis
+    // buffer as a window op): majority of each user's last 3 non-null
+    // labels; 'error' events are failed predictions — invisible to the
+    // buffer, served as NULL. Ordered by event_id (unique) so the
+    // window frame is engine-deterministic.
+    "q96_prediction_smooth" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(
+        col("user_id"), col("event_id"),
+        when(col("event_type") =!= "error", col("value") > 10.0).as("label"))
+      graft.multimodal.PredictionBuffer
+        .smoothWindow(e, "user_id", "event_id", "label")
+        // harness parity: nullable BOOLEAN columns render their nulls
+        // differently across the pandas bridge (None vs nan) — ship
+        // INTs, whose nulls normalize identically on both engines
+        .select(col("user_id"), col("event_id"),
+          col("label").cast("int").as("label"),
+          col("label_smoothed").cast("int").as("label_smoothed"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
     // W5/F20: date-spine generation + left join + coalesce default.
     "q24_date_spine" -> ((s, dir) => {
       val spine = s.range(1).select(explode(sequence(
@@ -267,6 +286,25 @@ object Windowed {
         |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE)
         |    AS rolling_1h
         |FROM events ORDER BY event_id""".stripMargin,
+    "q96_prediction_smooth" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    CASE WHEN event_type <> 'error' THEN value > 10.0 END AS label
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, event_id, label,
+        |    (SUM(CAST(label AS INT)) OVER (
+        |      PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) * 2 > 3
+        |      AS label_smoothed
+        |  FROM e WHERE label IS NOT NULL)
+        |SELECT user_id, event_id, CAST(label AS INT) AS label,
+        |  CAST(label_smoothed AS INT) AS label_smoothed FROM p
+        |UNION ALL
+        |SELECT user_id, event_id, CAST(label AS INT) AS label,
+        |  CAST(NULL AS INT) AS label_smoothed
+        |FROM e WHERE label IS NULL
+        |ORDER BY user_id, event_id""".stripMargin,
     "q24_date_spine" ->
       """WITH spine AS (
         |  SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-31',

@@ -231,6 +231,57 @@ class ConnectorsSpec extends SparkSpec {
     assert(math.abs(score - 1.0 / (1.0 + math.exp(-64.0 / 255.0))) < 1e-12)
   }
 
+  // In-memory WAV fixture via the JDK's own encoder: 16-bit PCM frames.
+  private def wavBytes(samples: Seq[Short], channels: Int = 1,
+                       rate: Float = 8000f): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(rate, 16, channels, true, false)
+    val raw = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      raw(2 * i) = (s & 0xff).toByte
+      raw(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(raw),
+      fmt, samples.length / channels)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("real audio decode: WAV bytes → exact samples; mixdown; corrupt → null") {
+    // 16-bit quantization is exact at these values: s / 32768.0
+    val mono = wavBytes(Seq[Short](0, 16384, -16384, 32767, -32768))
+    // stereo frames (L, R): mixdown = (L + R) / 2
+    val stereo = wavBytes(Seq[Short](16384, -16384, 32767, 32767), channels = 2)
+    val df = Seq((1L, mono), (2L, stereo), (3L, "not audio".getBytes),
+      (4L, null.asInstanceOf[Array[Byte]])).toDF("media_id", "content")
+    val dec = Multimodal.decodeAudio(df)
+      .select($"media_id", $"samples", $"sample_rate", $"n_channels")
+      .as[(Long, Seq[Double], Option[Int], Option[Int])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(dec(1L)._2 === Seq(0.0, 0.5, -0.5, 32767 / 32768.0, -1.0))
+    assert(dec(1L)._3.contains(8000) && dec(1L)._4.contains(1))
+    assert(dec(2L)._2 === Seq(0.0, 32767 / 32768.0))
+    assert(dec(2L)._4.contains(2))
+    assert(dec(3L)._2 == null && dec(3L)._3.isEmpty)
+    assert(dec(4L)._2 == null)
+
+    // features: RMS / zero-crossing rate / peak / mean, then the scorer
+    val feats = Multimodal.audioFeatures(
+      Multimodal.decodeAudio(Seq((1L, mono)).toDF("media_id", "content"))
+        .filter($"samples".isNotNull))
+    val f = feats.select($"features").as[Seq[Double]].head()
+    val s = Seq(0.0, 0.5, -0.5, 32767 / 32768.0, -1.0)
+    assert(math.abs(f(0) - math.sqrt(s.map(x => x * x).sum / 5)) < 1e-12)
+    assert(f(1) === 3.0 / 4.0) // sign flips at 0.5→-0.5, -0.5→~1, ~1→-1
+    assert(f(2) === 1.0)
+    assert(math.abs(f(3) - s.sum / 5) < 1e-12)
+    val scored = Multimodal.batchInfer(feats, "features", "score", 4,
+      batch => batch.map(_.sum))
+      .select($"score").as[Double].head()
+    assert(math.abs(scored - f.sum) < 1e-12)
+  }
+
   test("vision client: request shape, fenced-label parse, per-partition client") {
     import graft.connectors.VisionClient
     val cfg = VisionClient.Config(model = "test-vision-1",
@@ -291,6 +342,60 @@ class ConnectorsSpec extends SparkSpec {
     assert(out(1L).contains(true) && out(2L).contains(false))
     assert(out(3L).contains(false) && out(4L).isEmpty)
     assert(calls.value.size === 2) // gated + null rows never hit the API
+  }
+
+  test("prediction buffer: tick majority smoothing == reference semantics") {
+    import graft.multimodal.PredictionBuffer
+    val empty = Seq.empty[(String, Seq[Boolean])].toDF("entity", "buffer")
+    def tick(state: org.apache.spark.sql.DataFrame,
+             labels: Seq[(String, Option[Boolean])]) = {
+      val b = labels.map { case (c, l) => (c, 1L, l) }.toDF("cam", "ts", "label")
+      PredictionBuffer.advance(state, b, "cam", "ts", "label")
+    }
+    // tick 1: one true is NOT an alert (majority of [F,F,true] is false)
+    val (s1, o1) = tick(empty, Seq(("cam1", Some(true)), ("cam2", Some(false)),
+      ("cam3", None)))
+    val r1 = o1.as[(String, Option[Boolean], Option[Boolean])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(r1("cam1") === ((Some(true), Some(false))))
+    assert(r1("cam2") === ((Some(false), Some(false))))
+    assert(r1("cam3") === ((None, None))) // failed prediction serves null
+    // tick 2: second consecutive true fires the alert (2 of [F,T,T])
+    val (s2, o2) = tick(s1, Seq(("cam1", Some(true))))
+    assert(o2.as[(String, Option[Boolean], Option[Boolean])].collect()
+      .head === (("cam1", Some(true), Some(true))))
+    // cam2 absent from the batch: buffer untouched
+    assert(s2.filter($"entity" === "cam2").select($"buffer")
+      .as[Seq[Boolean]].head() === Seq(false, false, false))
+    // tick 3: a false does not clear the alert yet (2 of [T,T,F])
+    val (s3, o3) = tick(s2, Seq(("cam1", Some(false))))
+    assert(o3.as[(String, Option[Boolean], Option[Boolean])].collect()
+      .head === (("cam1", Some(false), Some(true))))
+    // tick 4: second false clears it (1 of [T,F,F])
+    val (_, o4) = tick(s3, Seq(("cam1", Some(false))))
+    assert(o4.as[(String, Option[Boolean], Option[Boolean])].collect()
+      .head === (("cam1", Some(false), Some(false))))
+
+    // equivalence: folding ticks one-by-one == the batch window form
+    val history = Seq(
+      ("c", 1L, Some(true)), ("c", 2L, None), ("c", 3L, Some(true)),
+      ("c", 4L, Some(false)), ("c", 5L, Some(true)), ("d", 1L, Some(false)),
+      ("d", 2L, Some(true)), ("d", 3L, Some(true)))
+    val windowed = PredictionBuffer.smoothWindow(
+        history.toDF("cam", "ts", "label"), "cam", "ts", "label")
+      .select($"cam", $"ts", $"label_smoothed")
+      .as[(String, Long, Option[Boolean])].collect().toSet
+    val folded = history.groupBy(_._2).toSeq.sortBy(_._1)
+      .foldLeft((empty, Set.empty[(String, Long, Option[Boolean])])) {
+        case ((st, acc), (ts, rows)) =>
+          val b = rows.toDF("cam", "ts", "label")
+          val (next, served) = PredictionBuffer.advance(st, b, "cam", "ts", "label")
+          val nextMat = next.cache()
+          nextMat.count() // pin state before the lazy lineage is replayed
+          (nextMat, acc ++ served.as[(String, Option[Boolean], Option[Boolean])]
+            .collect().map(r => (r._1, ts, r._3)))
+      }._2
+    assert(folded === windowed)
   }
 
   test("linear/logistic scorer from weights file (U7 real model)") {
