@@ -54,10 +54,10 @@ object VisionClient {
         java.net.http.HttpResponse.BodyHandlers.ofString()).body()
   }
 
-  private def mapper = {
-    val m = new com.fasterxml.jackson.databind.ObjectMapper()
-    m
-  }
+  // ObjectMapper is expensive to build and thread-safe after config:
+  // one per JVM, shared by every partition's rows (Scala objects are
+  // re-instantiated per executor JVM, so nothing here is serialized)
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   /** Chat-completions request payload (tasks.py:127-156): model +
     * one user message carrying [text prompt, data-URL image] +
@@ -136,8 +136,16 @@ object VisionClient {
         val label: Any =
           if (!attempt) java.lang.Boolean.FALSE
           else if (bytes == null || bytes.isEmpty) null
-          else parseLabel(cfg, transport(requestBody(cfg, bytes)))
-            .map(java.lang.Boolean.valueOf).orNull
+          else {
+            // a transport failure (timeout, reset) serves NULL like any
+            // other unknown — letting it escape would retry the WHOLE
+            // partition, re-billing the endpoint for every image in it
+            val resp =
+              try Some(transport(requestBody(cfg, bytes)))
+              catch { case scala.util.control.NonFatal(_) => None }
+            resp.flatMap(parseLabel(cfg, _))
+              .map(java.lang.Boolean.valueOf).orNull
+          }
         Row.fromSeq(r.toSeq :+ label)
       }
     }(enc)

@@ -60,10 +60,17 @@ object Multimodal {
     * Corrupt or unrecognized payloads yield NULL pixels/dims instead of
     * failing the task: at 100 TB there WILL be truncated frames, and one
     * must not kill the job — filter `pixels IS NOT NULL` downstream
-    * (the decode-failure count is then a plain agg). ImageIO's disk
-    * cache is disabled per partition: scratch-file-per-image would
-    * thrash executor /tmp at scale. */
-  def decodeImage(df: DataFrame, contentCol: String = "content"): DataFrame = {
+    * (the decode-failure count is then a plain agg). NonFatal is the
+    * catch: the JDK plugin readers throw RuntimeExceptions (bad ICC
+    * profiles, mismatched band counts), not just IOException. Declared
+    * dimensions are bounded BEFORE pixel allocation (`maxPixels`) — a
+    * 1 KB decompression bomb claiming 40000×40000 would otherwise
+    * allocate gigabytes and OOM the executor (the Shapefile
+    * hostile-count guard, applied to images). ImageIO's disk cache is
+    * disabled per partition: scratch-file-per-image would thrash
+    * executor /tmp at scale. */
+  def decodeImage(df: DataFrame, contentCol: String = "content",
+                  maxPixels: Long = 64L * 1024 * 1024): DataFrame = {
     val outSchema = StructType(df.schema.fields ++ Seq(
       StructField("pixels", BinaryType),
       StructField("img_width", IntegerType),
@@ -81,16 +88,37 @@ object Multimodal {
         val bytes = r.get(contentIdx).asInstanceOf[Array[Byte]]
         val decoded: Option[(Array[Byte], Int, Int)] =
           if (bytes == null || bytes.isEmpty) None
-          else try {
-            Option(javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(bytes))).map(grayPixels)
-          } catch { case _: java.io.IOException => None }
+          else try decodeBounded(bytes, maxPixels)
+          catch { case scala.util.control.NonFatal(_) => None }
         decoded match {
           case Some((px, w, h)) => Row.fromSeq(r.toSeq ++ Seq(px, w, h))
           case None => Row.fromSeq(r.toSeq ++ Seq(null, null, null))
         }
       }
     }(enc)
+  }
+
+  /** Decode with the declared dimensions checked BEFORE pixel
+    * allocation: the header-level getWidth/getHeight read only the
+    * image header, so a hostile header is rejected at ~zero cost. */
+  private def decodeBounded(bytes: Array[Byte],
+                            maxPixels: Long): Option[(Array[Byte], Int, Int)] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val w = reader.getWidth(0)
+          val h = reader.getHeight(0)
+          if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) None
+          else Option(reader.read(0)).map(grayPixels)
+        } finally reader.dispose()
+      }
+    } finally iis.close()
   }
 
   /** BufferedImage → (row-major 8-bit grayscale, width, height).
@@ -159,10 +187,10 @@ object Multimodal {
         val decoded: Option[(Array[Double], Int, Int)] =
           if (bytes == null || bytes.isEmpty) None
           else try pcmSamples(bytes)
-          catch {
-            case _: javax.sound.sampled.UnsupportedAudioFileException => None
-            case _: java.io.IOException => None
-          }
+          // NonFatal, not just Unsupported/IO: a corrupted fmt chunk
+          // (zero channels, bogus frame size) surfaces as arithmetic /
+          // array errors from the JDK parsers — same NULL-row policy
+          catch { case scala.util.control.NonFatal(_) => None }
         decoded match {
           case Some((s, rate, ch)) => Row.fromSeq(r.toSeq ++ Seq(s, rate, ch))
           case None => Row.fromSeq(r.toSeq ++ Seq(null, null, null))
@@ -303,15 +331,22 @@ object Multimodal {
       // init point: model session / codec opens ONCE per partition here
       rows.grouped(batchSize).flatMap { batch =>
         // a fused upstream typed operator hands the raw Array[Double]
-        // it built; a deserialized row hands a Seq — accept both
+        // it built; a deserialized row hands a Seq; NULL features (a
+        // decode failure passed through unfiltered) serve a NULL score
+        // instead of an opaque NPE — the model never sees those rows
         val feats = batch.map(_.get(featuresIdx) match {
+          case null => null
           case a: Array[Double] => a.toSeq
           case s => s.asInstanceOf[scala.collection.Seq[Double]].toSeq
         })
-        val scores = model(feats)
-        require(scores.length == batch.length,
-          s"model returned ${scores.length} scores for ${batch.length} rows")
-        batch.lazyZip(scores).map((r, s) => Row.fromSeq(r.toSeq :+ s))
+        val present = feats.filter(_ != null)
+        val scores = if (present.isEmpty) Seq.empty else model(present)
+        require(scores.length == present.length,
+          s"model returned ${scores.length} scores for ${present.length} rows")
+        val it = scores.iterator
+        batch.lazyZip(feats).map { (r, f) =>
+          Row.fromSeq(r.toSeq :+ (if (f == null) null else it.next()))
+        }
       }
     }(enc)
   }

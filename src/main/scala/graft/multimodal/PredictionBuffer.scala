@@ -83,10 +83,15 @@ object PredictionBuffer {
       array_repeat(lit(false), n),
       coalesce(col("buffer"), array()),
       array(col("__label"))), -n, n)
-    val nextState = joined.select(col("entity"),
-      when(col("__label").isNull, // no (or null) prediction: untouched
-        coalesce(col("buffer"), array_repeat(lit(false), n)))
-        .otherwise(newBuffer).as("buffer"))
+    // entities with no prior buffer AND no (non-null) prediction this
+    // tick get NO state row — the reference creates no Redis key for
+    // them, and materializing seeded rows would grow state unboundedly
+    // with failed-only entities (absent reads as seeded anyway)
+    val nextState = joined
+      .filter(col("__label").isNotNull || col("buffer").isNotNull)
+      .select(col("entity"),
+        when(col("__label").isNull, col("buffer")) // untouched
+          .otherwise(newBuffer).as("buffer"))
     val served = joined.filter(col("__in_batch"))
       .select(col("entity"), col("__label").as("label"),
         when(col("__label").isNull, lit(null).cast("boolean")) // null serves null

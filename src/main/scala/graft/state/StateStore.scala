@@ -43,23 +43,26 @@ class StateStore(spark: SparkSession, root: String) {
         .map(b => f"%%${b & 0xff}%02X").mkString
     }
 
-  /** The encoding BEFORE the UTF-8 byte-wise scheme: one %XX per CODE
-    * POINT (width grows past U+FF). Identical to [[safeKey]] for pure-
-    * ASCII keys; differs exactly on non-ASCII symbols ('—', '€', …).
-    * Kept only to locate state written under that scheme for
-    * migration — never used for new paths (it is not injective). */
-  private def codePointSafeKey(key: String): String =
-    key.flatMap { c =>
-      if (c.isLetterOrDigit || c == '.' || c == '_' || c == '-' || c == '=') c.toString
-      else f"%%${c.toInt}%02X"
-    }
-
   /** One-time-per-key legacy-layout migration: state written before
-    * percent-encoding lived at the RAW key name, and state written under
-    * the interim code-point %XX scheme lives at THAT encoding for
-    * non-ASCII keys. Rename whichever exists to the current encoded path
-    * the first time the key is touched this session — without this, such
-    * keys silently read as first-run and re-ingest their sources. */
+    * percent-encoding lived at the RAW key name; rename it to the
+    * encoded path the first time the key is touched this session —
+    * without this, such keys silently read as first-run and re-ingest
+    * their sources. The raw probe cannot steal another key's state:
+    * a raw path that needed migrating contains a glob-unsafe character
+    * (space, '/', …), and [[safeKey]] output never does, so no
+    * current-scheme path can collide with it.
+    *
+    * Deliberately NOT probed: the interim code-point %XX encoding
+    * (one %XX per code point, pre-UTF-8-byte). Its output alphabet
+    * sits INSIDE the current scheme's — codePoint("‹"=U+2039) =
+    * "%2039" = safeKey(" 39") — so an automatic probe could rename a
+    * DIFFERENT live key's state (silently resetting its watermark),
+    * and every non-ASCII case is ambiguous this way (the extra hex
+    * digits fold into safe characters). Non-ASCII keys written under
+    * that one-version scheme require a manual rename to the
+    * [[safeKey]] path; the failure mode of NOT renaming is a loud
+    * re-ingest, the failure mode of auto-probing would be silent
+    * cross-key state theft. */
   private val migrationChecked =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
@@ -68,22 +71,19 @@ class StateStore(spark: SparkSession, root: String) {
     val path = s"$root/$dir/$enc"
     if (enc != key && migrationChecked.add(path)) {
       import org.apache.hadoop.fs.Path
-      // Newer scheme probed first: a key touched during the code-point
-      // era had its raw-era state already renamed onto that layout.
-      // Keys whose raw form is not even a constructible Path (':' etc.)
-      // can have no raw-era state — they never worked un-encoded.
-      val candidates =
-        Some(codePointSafeKey(key)).filter(_ != enc).map(e => new Path(s"$root/$dir/$e")) ++
-          (try Some(new Path(s"$root/$dir/$key"))
-           catch { case _: IllegalArgumentException => None })
-      val p = new Path(path)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      candidates.find(legacy => !fs.exists(p) && fs.exists(legacy))
-        .foreach { legacy =>
-          if (!fs.rename(legacy, p) && !fs.exists(p))
-            throw new java.io.IOException(
-              s"legacy state migration $legacy -> $p failed")
-        }
+      // keys whose raw form is not even a constructible Path (':' etc.)
+      // can have no legacy state — they never worked un-encoded
+      val legacyOpt =
+        try Some(new Path(s"$root/$dir/$key"))
+        catch { case _: IllegalArgumentException => None }
+      legacyOpt.foreach { legacy =>
+        val p = new Path(path)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(p) && fs.exists(legacy) && !fs.rename(legacy, p) &&
+            !fs.exists(p))
+          throw new java.io.IOException(
+            s"legacy state migration $legacy -> $p failed")
+      }
     }
     path
   }

@@ -137,35 +137,12 @@ object MicroBench {
     // corpus). Local wall-time is dominated by the bloom build's fixed
     // job at sub-second scale, so ALSO report what the prefilter is FOR:
     // shuffle bytes — the quantity that costs at 100 TB.
-    val shuffled = new java.util.concurrent.atomic.AtomicLong
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(
-          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        if (t.taskMetrics != null)
-          shuffled.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
-    })
-    def timeAndShuffle(name: String)(f: => Unit): Unit = {
-      // the listener bus is async: wait for the counter to go stable
-      // before reading/resetting, or a straggler task from run N lands
-      // in run N+1's window and corrupts both numbers
-      def drain(): Long = {
-        var prev = -1L
-        var cur = shuffled.get
-        var waited = 0
-        while (cur != prev && waited < 5000) {
-          Thread.sleep(100); waited += 100
-          prev = cur; cur = shuffled.get
-        }
-        cur
-      }
+    val meter = new ShuffleMeter(spark.sparkContext)
+    def timeAndShuffle(name: String)(f: => Unit): Unit =
       (1 to 3).foreach { i =>
-        drain(); shuffled.set(0L)
-        val t0 = System.nanoTime()
-        f
-        val sec = (System.nanoTime() - t0) / 1e9
-        println(f"$name run$i: $sec%.3f s, shuffle ${drain() / 1048576.0}%.1f MiB")
+        val (sec, bytes) = meter.measure(f)
+        println(f"$name run$i: $sec%.3f s, shuffle ${bytes / 1048576.0}%.1f MiB")
       }
-    }
     val li = Tables.load(spark, sfDir, "lineitem")
     // materialize the rare keys as an INDEPENDENT table: derived from the
     // same scan by a predicate, Catalyst would infer that predicate onto

@@ -27,33 +27,10 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val shuffled = new java.util.concurrent.atomic.AtomicLong
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(
-          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        if (t.taskMetrics != null)
-          shuffled.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
-    })
-    // async listener bus: wait for the counter to go stable before
-    // reading/resetting (same drain as MicroBench)
-    def drain(): Long = {
-      var prev = -1L
-      var cur = shuffled.get
-      var waited = 0
-      while (cur != prev && waited < 5000) {
-        Thread.sleep(100); waited += 100
-        prev = cur; cur = shuffled.get
-      }
-      cur
-    }
+    val meter = new ShuffleMeter(spark.sparkContext)
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
-    def measure(f: => Unit): (Double, Long) = {
-      drain(); shuffled.set(0L)
-      val t0 = System.nanoTime()
-      f
-      ((System.nanoTime() - t0) / 1e9, drain())
-    }
+    def measure(f: => Unit): (Double, Long) = meter.measure(f)
 
     val probes = Seq("q59_neardup_dedup", "q52_lsh_pairs",
       "q91_bloom_contamination")

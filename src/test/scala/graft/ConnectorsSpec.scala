@@ -214,6 +214,21 @@ class ConnectorsSpec extends SparkSpec {
     // corrupt/null payloads survive as null rows, not task failures
     assert(dec(3L)._2 == null && dec(3L)._3.isEmpty)
     assert(dec(4L)._2 == null)
+    // the decompression-bomb bound rejects oversized DECLARED dims
+    // before any pixel allocation — null row, not an OOM
+    val bombed = Multimodal.decodeImage(
+        Seq((1L, grayPng)).toDF("media_id", "content"), maxPixels = 4L)
+      .select($"pixels").collect()
+    assert(bombed.head.isNullAt(0))
+    // an unfiltered corrupt row flows through features → NULL score
+    // (not an opaque NPE inside the model batch)
+    val nullScored = Multimodal.batchInfer(
+      Multimodal.pixelFeatures(
+        Multimodal.decodeImage(Seq((9L, "junk".getBytes))
+          .toDF("media_id", "content"))
+          .withColumn("resized", $"pixels")),
+      "features", "score", 4, batch => batch.map(_.sum))
+    assert(nullScored.select($"score").collect().head.isNullAt(0))
 
     // full vision path: decode → resize → features → logistic scorer
     val good = Multimodal.decodeImage(Seq((1L, grayPng)).toDF("media_id", "content"))
@@ -342,6 +357,24 @@ class ConnectorsSpec extends SparkSpec {
     assert(out(1L).contains(true) && out(2L).contains(false))
     assert(out(3L).contains(false) && out(4L).isEmpty)
     assert(calls.value.size === 2) // gated + null rows never hit the API
+
+    // a transport failure serves NULL for that row — it must not kill
+    // the task (re-POSTing the whole partition against a paid endpoint)
+    val flaky: () => VisionClient.PostTransport = () => { body =>
+      val b64 = m.readTree(body).path("messages").path(0).path("content")
+        .path(1).path("image_url").path("url").asText
+        .stripPrefix("data:image/jpeg;base64,")
+      if (java.util.Arrays.equals(
+          java.util.Base64.getDecoder.decode(b64), dryImg))
+        throw new java.io.IOException("connection reset")
+      resp("""{"flooding_detected": true}""")
+    }
+    val flakyOut = VisionClient.classify(
+        Seq((1L, floodImg), (2L, dryImg)).toDF("media_id", "content"),
+        cfg, flaky)
+      .select($"media_id", $"label").as[(Long, Option[Boolean])]
+      .collect().toMap
+    assert(flakyOut(1L).contains(true) && flakyOut(2L).isEmpty)
   }
 
   test("prediction buffer: tick majority smoothing == reference semantics") {
@@ -360,6 +393,9 @@ class ConnectorsSpec extends SparkSpec {
     assert(r1("cam1") === ((Some(true), Some(false))))
     assert(r1("cam2") === ((Some(false), Some(false))))
     assert(r1("cam3") === ((None, None))) // failed prediction serves null
+    // failed-only entities get NO state row (the reference creates no
+    // Redis key; seeded rows would grow state with every flaky camera)
+    assert(s1.filter($"entity" === "cam3").isEmpty)
     // tick 2: second consecutive true fires the alert (2 of [F,T,T])
     val (s2, o2) = tick(s1, Seq(("cam1", Some(true))))
     assert(o2.as[(String, Option[Boolean], Option[Boolean])].collect()

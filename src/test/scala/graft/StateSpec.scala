@@ -94,36 +94,35 @@ class StateSpec extends SparkSpec {
       Some(Timestamp.valueOf("2024-03-02 00:00:00")))
   }
 
-  test("interim code-point-encoded state paths migrate on first touch") {
-    // '—' (U+2014) encoded as "%2014" under the interim code-point
-    // scheme; the UTF-8 byte-wise scheme puts it at "%E2%80%94". A key
-    // written during the interim era must migrate, not read as first-run
+  test("migration probe never steals a colliding key's live state") {
+    // the interim code-point scheme encodes '‹' (U+2039) as "%2039" —
+    // EXACTLY the current encoding of the distinct key " 39". A naive
+    // auto-probe of the interim layout would rename " 39"'s live state
+    // onto '‹' on first touch (silent watermark theft + reset). The
+    // probe is therefore raw-layout-only; interim-era non-ASCII keys
+    // migrate by documented manual rename, and their absence reads as
+    // a LOUD first-run instead.
     val root = tmpDir("state")
-    Seq(("relatorio—diario", Timestamp.valueOf("2024-03-01 00:00:00")))
-      .toDF("key", "last_run")
-      .write.parquet(s"$root/last_run/relatorio%2014diario")
     val st = new StateStore(spark, root)
-    assert(st.lastRun("relatorio—diario") ===
-      Some(Timestamp.valueOf("2024-03-01 00:00:00")))
+    st.setLastRun(" 39", Timestamp.valueOf("2024-03-01 00:00:00")) // → %2039
+    assert(st.lastRun("‹").isEmpty) // does NOT read/steal %2039
+    assert(st.lastRun(" 39") ===
+      Some(Timestamp.valueOf("2024-03-01 00:00:00"))) // untouched
+    // and writing '‹' lands on its own UTF-8 path, colliding with no one
+    st.setLastRun("‹", Timestamp.valueOf("2024-04-01 00:00:00"))
+    assert(st.lastRun("‹") === Some(Timestamp.valueOf("2024-04-01 00:00:00")))
+    assert(st.lastRun(" 39") === Some(Timestamp.valueOf("2024-03-01 00:00:00")))
+
+    // sketch paths share keyedPath's raw-layout migration (they predate
+    // the encoding schemes too)
+    val sk = graft.expressions.Hll.empty()
+    Seq(sk).toDF("sketch").write.parquet(s"$root/sketches/tok count")
+    val st2 = new StateStore(spark, root)
+    assert(st2.sketch("tok count").isDefined) // raw-era path migrated
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(fs.exists(new org.apache.hadoop.fs.Path(
-      s"$root/last_run/relatorio%E2%80%94diario")))
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(
-      s"$root/last_run/relatorio%2014diario")))
-    st.setLastRun("relatorio—diario", Timestamp.valueOf("2024-03-02 00:00:00"))
-    assert(st.lastRun("relatorio—diario") ===
-      Some(Timestamp.valueOf("2024-03-02 00:00:00")))
-
-    // sketch state written during the interim era migrates too (raw
-    // non-ASCII paths were never even writable on common filesystems —
-    // the code-point layout is the one that existed)
-    val sk = graft.expressions.Hll.empty()
-    Seq(sk).toDF("sketch").write.parquet(s"$root/sketches/tok%2014count")
-    val st2 = new StateStore(spark, root)
-    assert(st2.sketch("tok—count").isDefined)
-    assert(fs.exists(new org.apache.hadoop.fs.Path(
-      s"$root/sketches/tok%E2%80%94count")))
+      s"$root/sketches/tok%20count")))
   }
 
   test("concurrent setLastRun on different keys: no lost update (per-key storage)") {
