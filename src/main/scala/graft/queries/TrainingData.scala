@@ -425,6 +425,42 @@ object TrainingData {
         .select(col("id_a"), col("id_b"), col("score"))
         .orderBy(col("id_a"), col("id_b"))
     }),
+    // Semantic (embedding-level) dedup CLUSTERS: exact cosine pairs at
+    // the q67 threshold → transitive closure → one cluster id per
+    // vector (singletons keep their own id). The full-corpus version
+    // of "keep one per meaning": q63/q67 find the pairs, q69 clusters
+    // text near-dups — this is the embedding-space composition, and
+    // its oracle closes the pairs with a recursive CTE, so the
+    // distributed min-label/pointer-jumping loop is checked against an
+    // independent fixpoint implementation.
+    "q97_semantic_dedup" -> ((s, dir) => {
+      val pairs = defs("q67_vector_neardup_exact")(s, dir)
+        .select(col("id_a"), col("id_b"))
+      val cc = DedupOps.connectedComponents(pairs)
+      t(s, dir, "embeddings").select(col("vec_id"))
+        .join(cc.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("comp"), col("vec_id")).as("cluster"))
+        .orderBy(col("vec_id"))
+    }),
+    // Context-window sequence packing: per language, documents stream
+    // in doc_id order into fixed token-budget packs — a doc opens in
+    // the pack where its PRECEDING cumulative tokens land, so every
+    // pack except the last starts full-or-overflowing by less than one
+    // document (the standard greedy packing for pretraining batches).
+    // One window over (lang, doc_id): a scan plus one shuffle on the
+    // partition key, nothing quadratic.
+    "q99_sequence_pack" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      t(s, dir, "documents")
+        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+        .select(col("lang"), col("doc_id"), col("n_tok"),
+          floor(coalesce(sum(col("n_tok")).over(w), lit(0L)) / lit(2048L))
+            .as("pack_id"))
+        .orderBy(col("lang"), col("doc_id"))
+    }),
     // Corpus TF-IDF: term counts from one explode + partial-agg
     // shuffle; document frequency derives from the tf frame (one row
     // per distinct doc×token ⇒ count per token == distinct-doc count).
@@ -917,6 +953,33 @@ object TrainingData {
          |  ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${duckCos("a", "b")} >= 0.35
          |ORDER BY id_a, id_b""".stripMargin,
+    "q97_semantic_dedup" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE ${duckCos("a", "b")} >= 0.35),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT src AS id, dst AS r FROM edges
+         |  UNION
+         |  SELECT reach.id, edges.dst FROM reach
+         |  JOIN edges ON reach.r = edges.src),
+         |comp AS (
+         |  SELECT id, LEAST(MIN(r), id) AS cluster FROM reach GROUP BY id)
+         |SELECT e.vec_id, COALESCE(c.cluster, e.vec_id) AS cluster
+         |FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.id
+         |ORDER BY e.vec_id""".stripMargin,
+    "q99_sequence_pack" ->
+      """SELECT lang, doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |  CAST(FLOOR(COALESCE(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+        |    OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    / 2048.0) AS BIGINT) AS pack_id
+        |FROM documents ORDER BY lang, doc_id""".stripMargin,
     "q82_pretrain_pipeline" ->
       """WITH scored AS (
         |  SELECT doc_id, text, len(string_split(text, ' ')) AS n_tok,
