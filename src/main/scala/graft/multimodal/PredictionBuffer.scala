@@ -1,8 +1,11 @@
 package graft.multimodal
 
-import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Per-entity prediction smoothing — the reference's Redis prediction
   * buffer (rj_escritorio/flooding_detection/utils.py:275-312,
@@ -24,7 +27,10 @@ import org.apache.spark.sql.functions._
   *  - [[advance]] — tick-at-a-time over a persisted buffer state table
   *    (the Redis replacement, persisted via [[graft.state.StateStore]]/
   *    [[graft.lake.Lake]] like every other cross-run state here): one
-  *    outer join per tick, O(batch ∪ state), no history rescan.
+  *    outer join per tick, O(batch ∪ state), no history rescan;
+  *  - [[smoothStream]] — the same semantics as engine-managed
+  *    Structured Streaming state (`flatMapGroupsWithState`,
+  *    checkpointed buffers), for a live camera label stream.
   */
 object PredictionBuffer {
 
@@ -98,5 +104,44 @@ object PredictionBuffer {
           .otherwise(size(filter(newBuffer, x => x)) * 2 > n)
           .as("label_smoothed"))
     (nextState, served)
+  }
+
+  final case class Prediction(entity: String, ts: Timestamp,
+                              label: Option[Boolean])
+  final case class Smoothed(entity: String, ts: Timestamp,
+                            label: Option[Boolean],
+                            label_smoothed: Option[Boolean])
+
+  /** Structured-Streaming variant: every prediction event is folded
+    * into the entity's engine-checkpointed buffer (in event-time order
+    * within each micro-batch) and served with its smoothed label —
+    * [[advance]]'s semantics with the engine, not a lake table, owning
+    * the state. Null labels serve null and leave the buffer untouched;
+    * an entity that has only ever failed gets no state at all. Bounded
+    * state: n booleans per entity, no timeout needed. */
+  def smoothStream(ds: Dataset[Prediction], n: Int = 3): Dataset[Smoothed] = {
+    require(n >= 1, s"buffer length must be positive, got $n")
+    implicit val smoothedEnc = Encoders.product[Smoothed]
+    implicit val bufEnc = Encoders.product[Tuple1[Seq[Boolean]]]
+    ds.groupByKey(_.entity)(Encoders.STRING)
+      .flatMapGroupsWithState[Tuple1[Seq[Boolean]], Smoothed](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (entity: String, rows: Iterator[Prediction],
+         state: GroupState[Tuple1[Seq[Boolean]]]) =>
+          var buf = state.getOption.map(_._1).getOrElse(Seq.fill(n)(false))
+          var touched = false
+          val out = rows.toIndexedSeq.sortBy(_.ts.getTime).map { p =>
+            p.label match {
+              case Some(l) =>
+                touched = true
+                buf = (buf :+ l).takeRight(n)
+                Smoothed(entity, p.ts, p.label,
+                  Some(buf.count(identity) * 2 > n))
+              case None => Smoothed(entity, p.ts, None, None)
+            }
+          }
+          if (touched) state.update(Tuple1(buf))
+          out.iterator
+      }
   }
 }

@@ -120,6 +120,19 @@ class PlansSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
   }
 
+  test("q96/q99 window plans: one hash exchange each, no extra shuffles") {
+    // prediction smoothing: the non-null subframe windows once on the
+    // entity key; the null branch re-scans without shuffling
+    val q96 = graft.queries.Windowed.defs("q96_prediction_smooth")(spark, sf001)
+    val p96 = q96.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p96).size == 1, p96)
+    // sequence packing: one cumulative-sum window over (lang, doc_id)
+    val q99 = graft.queries.TrainingData.defs("q99_sequence_pack")(spark, sf001)
+    val p99 = q99.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p99).size == 1, p99)
+    assert("\\bWindow\\b".r.findAllIn(p99).size == 1, p99)
+  }
+
   test("q76 plan merges sessions natively; q77 shuffles only bounded frames") {
     val sess = graft.queries.Windowed.defs("q76_session_window")(spark, sf001)
     val sessPlan = sess.queryExecution.executedPlan.toString

@@ -94,6 +94,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming prediction smoothing: buffers persist across micro-batches") {
+    import graft.multimodal.PredictionBuffer
+    import graft.multimodal.PredictionBuffer.{Prediction, Smoothed}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(hm: String) = Timestamp.valueOf(s"2024-01-01 $hm:00")
+
+    val mem = MemoryStream[Prediction]
+    val out = PredictionBuffer.smoothStream(mem.toDS())
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("pb_out").start()
+    try {
+      // batch 1: first true is NOT an alert; a failed prediction is null
+      mem.addData(Prediction("cam1", t("10:00"), Some(true)),
+        Prediction("cam2", t("10:00"), None))
+      q.processAllAvailable()
+      // batch 2: second consecutive true fires — state crossed batches
+      mem.addData(Prediction("cam1", t("10:01"), Some(true)))
+      q.processAllAvailable()
+      // batch 3: one false does not clear; two do
+      mem.addData(Prediction("cam1", t("10:02"), Some(false)))
+      mem.addData(Prediction("cam1", t("10:03"), Some(false)))
+      q.processAllAvailable()
+      val served = spark.table("pb_out").as[Smoothed].collect()
+        .map(s => (s.entity, s.ts) -> s.label_smoothed).toMap
+      assert(served(("cam1", t("10:00"))) === Some(false))
+      assert(served(("cam2", t("10:00"))).isEmpty)
+      assert(served(("cam1", t("10:01"))) === Some(true))
+      assert(served(("cam1", t("10:02"))) === Some(true))
+      assert(served(("cam1", t("10:03"))) === Some(false))
+    } finally q.stop()
+  }
+
   test("streaming NEAR-dup dedup drops edited re-delivery within watermark") {
     import graft.streaming.StreamDedup
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
