@@ -14,9 +14,11 @@ import org.apache.spark.sql.types._
   * implementation amortizes codec/model setup per batch — exactly the
   * mapInPandas shape, minus pandas. IMAGE decode is REAL
   * ([[decodeImage]]: JDK `javax.imageio` — JPEG/PNG/GIF/BMP ship with
-  * every JVM, no extra dependency); audio/video decode stays stubbed
-  * ([[decodeStub]] — those codecs genuinely aren't in the JDK), with the
-  * distributed plumbing (schema, batching, partitioning) identical.
+  * every JVM) and so is PCM AUDIO ([[decodeAudio]]: JDK
+  * `javax.sound.sampled` — WAV/AIFF/AU), both zero extra dependencies;
+  * only VIDEO decode stays stubbed ([[decodeStub]] — those codecs
+  * genuinely aren't in the JDK), with the distributed plumbing
+  * (schema, batching, partitioning) identical.
   */
 object Multimodal {
 

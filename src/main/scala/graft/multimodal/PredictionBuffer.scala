@@ -75,8 +75,12 @@ object PredictionBuffer {
               n: Int = 3): (DataFrame, DataFrame) = {
     require(n >= 1, s"buffer length must be positive, got $n")
     val latest = batch
+      // label as the tiebreaker: two frames stamped in the same second
+      // must pick the SAME winner on every run/replan, or the buffer
+      // (and whether the alert fires) becomes nondeterministic
       .withColumn("__rn", row_number().over(
-        Window.partitionBy(col(entityCol)).orderBy(col(tsCol).desc)))
+        Window.partitionBy(col(entityCol))
+          .orderBy(col(tsCol).desc, col(labelCol))))
       .filter(col("__rn") === 1)
       .select(col(entityCol).cast("string").as("entity"),
         col(labelCol).cast("boolean").as("__label"),

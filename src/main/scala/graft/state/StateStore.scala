@@ -47,10 +47,13 @@ class StateStore(spark: SparkSession, root: String) {
     * percent-encoding lived at the RAW key name; rename it to the
     * encoded path the first time the key is touched this session —
     * without this, such keys silently read as first-run and re-ingest
-    * their sources. The raw probe cannot steal another key's state:
-    * a raw path that needed migrating contains a glob-unsafe character
-    * (space, '/', …), and [[safeKey]] output never does, so no
-    * current-scheme path can collide with it.
+    * their sources. The probe only runs when the raw key could not
+    * itself BE another key's current encoding (no %XX hex sequence in
+    * it): a raw key like "a%20b" is also safeKey("a b"), and probing
+    * it would rename the LIVE state of " "-keyed pipelines — the same
+    * cross-key-theft class as the interim scheme below. Ambiguous raw
+    * keys (any with literal %-hex) follow the same manual-rename
+    * contract; unambiguous ones (spaces, '/', …) migrate automatically.
     *
     * Deliberately NOT probed: the interim code-point %XX encoding
     * (one %XX per code point, pre-UTF-8-byte). Its output alphabet
@@ -69,7 +72,7 @@ class StateStore(spark: SparkSession, root: String) {
   private def keyedPath(dir: String, key: String): String = {
     val enc = safeKey(key)
     val path = s"$root/$dir/$enc"
-    if (enc != key && migrationChecked.add(path)) {
+    if (enc != key && !ambiguousRawKey(key) && migrationChecked.add(path)) {
       import org.apache.hadoop.fs.Path
       // keys whose raw form is not even a constructible Path (':' etc.)
       // can have no legacy state — they never worked un-encoded
@@ -87,6 +90,12 @@ class StateStore(spark: SparkSession, root: String) {
     }
     path
   }
+
+  /** A raw key containing a literal %-hex sequence is indistinguishable
+    * from another key's [[safeKey]] encoding — its raw path may be live
+    * foreign state, so the migration probe must not touch it. */
+  private def ambiguousRawKey(key: String): Boolean =
+    "%[0-9A-F]{2}".r.findFirstIn(key).isDefined
 
   private def runPath(key: String) = keyedPath("last_run", key)
   private def entityPath(key: String) = keyedPath("entity_watermarks", key)

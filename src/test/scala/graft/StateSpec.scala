@@ -123,6 +123,15 @@ class StateSpec extends SparkSpec {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(fs.exists(new org.apache.hadoop.fs.Path(
       s"$root/sketches/tok%20count")))
+
+    // the RAW probe has the same collision class: raw key "a%20b" IS
+    // safeKey("a b"), so first-touching key "a%20b" must not rename
+    // "a b"'s live state — ambiguous (%-hex) raw keys are never probed
+    val st3 = new StateStore(spark, tmpDir("state"))
+    st3.setLastRun("a b", Timestamp.valueOf("2024-05-01 00:00:00"))
+    assert(st3.lastRun("a%20b").isEmpty) // no theft, loud first-run
+    assert(st3.lastRun("a b") ===
+      Some(Timestamp.valueOf("2024-05-01 00:00:00"))) // untouched
   }
 
   test("concurrent setLastRun on different keys: no lost update (per-key storage)") {
