@@ -461,6 +461,28 @@ object TrainingData {
             .as("pack_id"))
         .orderBy(col("lang"), col("doc_id"))
     }),
+    // Source-level quality gating — the domain-blocklist shape of the
+    // C4/RefinedWeb pipelines: score each SOURCE on aggregate signals
+    // (mean document length, exact-dup rate) and drop failing sources
+    // wholesale. Scale shape: the per-source stats are one partial-agg
+    // shuffle keyed by source (the frame is vocabulary-sized), and the
+    // verdict joins back as a broadcast semi-join — the corpus itself
+    // is scanned twice, shuffled once. Gates use EXACT arithmetic only
+    // (integer sums/counts → one division): a float-mean gate could
+    // flip on summation order between engines at 100 TB.
+    "q100_source_filter" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val stats = d.groupBy(col("source")).agg(
+        avg(col("n_chars")).as("mean_chars"),
+        (lit(1.0) - countDistinct(md5(col("text"))).cast("double") /
+          count(lit(1))).as("dup_rate"))
+      val good = stats
+        .filter(col("mean_chars") >= 290.0 && col("dup_rate") <= 0.2)
+        .select(col("source"))
+      d.join(broadcast(good), Seq("source"), "left_semi")
+        .select(col("source"), col("doc_id"))
+        .orderBy(col("source"), col("doc_id"))
+    }),
     // Corpus TF-IDF: term counts from one explode + partial-agg
     // shuffle; document frequency derives from the tf frame (one row
     // per distinct doc×token ⇒ count per token == distinct-doc count).
@@ -953,6 +975,18 @@ object TrainingData {
          |  ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${duckCos("a", "b")} >= 0.35
          |ORDER BY id_a, id_b""".stripMargin,
+    "q100_source_filter" ->
+      """WITH stats AS (
+        |  SELECT source, avg(n_chars) AS mean_chars,
+        |    1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*)
+        |      AS dup_rate
+        |  FROM documents GROUP BY source),
+        |good AS (
+        |  SELECT source FROM stats
+        |  WHERE mean_chars >= 290.0 AND dup_rate <= 0.2)
+        |SELECT d.source, d.doc_id FROM documents d
+        |JOIN good g ON d.source = g.source
+        |ORDER BY d.source, d.doc_id""".stripMargin,
     "q97_semantic_dedup" ->
       s"""WITH RECURSIVE pairs AS (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
