@@ -33,7 +33,8 @@ object ScaleProbe {
     def measure(f: => Unit): (Double, Long) = meter.measure(f)
 
     val probes = Seq("q59_neardup_dedup", "q52_lsh_pairs",
-      "q91_bloom_contamination")
+      "q91_bloom_contamination", "q97_semantic_dedup", "q99_sequence_pack",
+      "q100_source_filter")
     case class Obs(docRows: Long, bytes: Map[String, Long])
 
     def observe(dir: String): Obs = {
