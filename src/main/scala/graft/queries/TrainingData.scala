@@ -461,6 +461,25 @@ object TrainingData {
             .as("pack_id"))
         .orderBy(col("lang"), col("doc_id"))
     }),
+    // Cross-source duplication matrix — provenance analytics (mirror /
+    // scraper detection): for every pair of sources, how many exact
+    // contents they share. Shape: one hash-shuffle to the distinct
+    // (content_hash, source) frame, then pair expansion WITHIN each
+    // hash's source set — bounded by (#sources choose 2) per hash, and
+    // #sources is vocabulary-sized at any corpus scale, so the
+    // quadratic term never touches document counts.
+    "q98_cross_source_dups" -> ((s, dir) => {
+      val hs = t(s, dir, "documents")
+        .select(md5(col("text")).as("content_hash"), col("source"))
+        .distinct()
+      val a = hs.select(col("content_hash"), col("source").as("source_a"))
+      val b = hs.select(col("content_hash"), col("source").as("source_b"))
+      a.join(b, Seq("content_hash"))
+        .filter(col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("shared_contents"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
     // Source-level quality gating — the domain-blocklist shape of the
     // C4/RefinedWeb pipelines: score each SOURCE on aggregate signals
     // (mean document length, exact-dup rate) and drop failing sources
@@ -975,6 +994,16 @@ object TrainingData {
          |  ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${duckCos("a", "b")} >= 0.35
          |ORDER BY id_a, id_b""".stripMargin,
+    "q98_cross_source_dups" ->
+      """WITH hs AS (
+        |  SELECT DISTINCT md5(text) AS content_hash, source
+        |  FROM documents)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  count(*) AS shared_contents
+        |FROM hs a JOIN hs b
+        |  ON a.content_hash = b.content_hash AND a.source < b.source
+        |GROUP BY a.source, b.source
+        |ORDER BY source_a, source_b""".stripMargin,
     "q100_source_filter" ->
       """WITH stats AS (
         |  SELECT source, avg(n_chars) AS mean_chars,

@@ -209,6 +209,53 @@ class PropertiesSpec extends SparkSpec {
     spark.sparkContext.setCheckpointDir(dir2)
   }
 
+  test("prop: prediction smoothing == driver reference fold on random histories") {
+    import graft.multimodal.PredictionBuffer
+    // driver-side reference: the Python semantics verbatim — pad-left
+    // seeded buffer, append non-null labels, majority of n
+    def reference(labels: Seq[Option[Boolean]], n: Int): Seq[Option[Boolean]] = {
+      var buf = Seq.fill(n)(false)
+      labels.map {
+        case Some(l) => buf = (buf :+ l).takeRight(n); Some(buf.count(identity) * 2 > n)
+        case None => None
+      }
+    }
+    val rnd = new scala.util.Random(20240813)
+    (1 to 5).foreach { _ =>
+      val n = 1 + rnd.nextInt(4) // buffer lengths 1..4 (even n ties → false)
+      val history = for {
+        ent <- Seq("a", "b", "c")
+        ts <- 1L to (4 + rnd.nextInt(6))
+      } yield (ent, ts, rnd.nextInt(4) match {
+        case 0 => None
+        case k => Some(k % 2 == 0)
+      })
+      val expected = history.groupBy(_._1).flatMap { case (ent, rows) =>
+        val sorted = rows.sortBy(_._2)
+        sorted.map(_._2).zip(reference(sorted.map(_._3), n))
+          .map { case (ts, sm) => (ent, ts, sm) }
+      }.toSet
+      // window form
+      val windowed = PredictionBuffer.smoothWindow(
+          history.toDF("cam", "ts", "label"), "cam", "ts", "label", n = n)
+        .select($"cam", $"ts", $"label_smoothed")
+        .as[(String, Long, Option[Boolean])].collect().toSet
+      assert(windowed === expected, s"window form diverged at n=$n")
+      // tick-fold form (one tick per distinct ts)
+      val empty = Seq.empty[(String, Seq[Boolean])].toDF("entity", "buffer")
+      val folded = history.groupBy(_._2).toSeq.sortBy(_._1)
+        .foldLeft((empty, Set.empty[(String, Long, Option[Boolean])])) {
+          case ((st, acc), (ts, rows)) =>
+            val (next, served) = PredictionBuffer.advance(
+              st, rows.toDF("cam", "ts", "label"), "cam", "ts", "label", n = n)
+            val mat = next.cache(); mat.count()
+            (mat, acc ++ served.as[(String, Option[Boolean], Option[Boolean])]
+              .collect().map(r => (r._1, ts, r._3)))
+        }._2
+      assert(folded === expected, s"tick fold diverged at n=$n")
+    }
+  }
+
   test("prop: connected components == driver union-find on random graphs") {
     import graft.functions.DedupOps
     // ground truth: path-compressing union-find over the same edges
