@@ -313,6 +313,72 @@ class EndToEndSpec extends SparkSpec {
     assert(scored("bright.png") > 0.5 && scored("dark.png") < 0.5)
   }
 
+  test("flooding pipeline composed: snapshots → classify → smooth → serve") {
+    // the reference's flagship ML pipeline end-to-end, offline:
+    // camera frames land as files, decode proves them readable, the
+    // vision client labels them, the prediction buffer debounces, and
+    // the served frame is what the API tick would publish
+    import graft.connectors.VisionClient
+    import graft.multimodal.{Multimodal, PredictionBuffer}
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    def png(v: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 2; x <- 0 until 2)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val dir = tmpDir("cams")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/cam1.png"), png(250))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/cam2.png"), png(5))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/cam3.png"), "junk".getBytes)
+
+    val cfg = VisionClient.Config(model = "vision-test",
+      prompt = "flooded? reply {\"flooding_detected\": bool}")
+    // canned model: "flooded" iff the frame's mean intensity is high —
+    // decided by actually decoding the request's image payload
+    val canned: () => VisionClient.PostTransport = () => { body =>
+      val b64 = m.readTree(body).path("messages").path(0).path("content")
+        .path(1).path("image_url").path("url").asText
+        .stripPrefix("data:image/jpeg;base64,")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+        java.util.Base64.getDecoder.decode(b64)))
+      val bright = (img.getRGB(0, 0) & 0xff) > 128 // NPEs on junk → client serves NULL
+      s"""{"choices":[{"message":{"content":"{\\"flooding_detected\\": $bright}"}}]}"""
+    }
+
+    def tick(state: org.apache.spark.sql.DataFrame) = {
+      val frames = Multimodal.readBinaryFiles(spark, s"$dir/*.png")
+        .select(regexp_extract(col("meta.source"), "(cam\\d+)", 1).as("cam"),
+          col("content"))
+      val labeled = VisionClient.classify(frames, cfg, canned,
+        contentCol = "content")
+        .withColumn("ts", lit(1L))
+      PredictionBuffer.advance(state, labeled, "cam", "ts", "label")
+    }
+
+    val empty = Seq.empty[(String, Seq[Boolean])].toDF("entity", "buffer")
+    // tick 1: cam1 sees bright(=flood) but a single hit must NOT alert;
+    // cam3's corrupt frame classifies as... ImageIO fails inside the
+    // canned model — a real endpoint would return an error; here the
+    // transport throws and the client serves NULL (unknown)
+    val (s1, o1) = tick(empty)
+    val r1 = o1.as[(String, Option[Boolean], Option[Boolean])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(r1("cam1") === ((Some(true), Some(false))))
+    assert(r1("cam2") === ((Some(false), Some(false))))
+    assert(r1("cam3") === ((None, None)))
+    val s1m = s1.cache(); s1m.count()
+    // tick 2: cam1 floods again → the debounced alert fires
+    val (_, o2) = tick(s1m)
+    val r2 = o2.as[(String, Option[Boolean], Option[Boolean])].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(r2("cam1") === Some(true))
+    assert(r2("cam2") === Some(false))
+  }
+
   test("salted join spreads hot keys and preserves results (§4 skew)") {
     val big = (1 to 2000).map(i => (if (i % 10 == 0) "cold" + i else "HOT", i))
       .toDF("k", "v")
