@@ -48,7 +48,11 @@ object PredictionBuffer {
     // NON-NULL subframe — a row-count frame over all rows would let a
     // failed prediction occupy a buffer slot ("last n ticks" instead of
     // the reference's "last n predictions")
-    val w = Window.partitionBy(col(entityCol)).orderBy(col(tsCol))
+    // secondary sort on the label: (entity, ts) SHOULD be unique (q96
+    // orders by a unique event id), but if a caller feeds tied
+    // timestamps the frame membership must still be run-deterministic
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(col(tsCol), col(labelCol))
       .rowsBetween(-(n - 1), 0)
     val predicted = df.filter(col(labelCol).isNotNull)
       // absent slots (entity younger than n predictions) are False
@@ -77,10 +81,12 @@ object PredictionBuffer {
     val latest = batch
       // label as the tiebreaker: two frames stamped in the same second
       // must pick the SAME winner on every run/replan, or the buffer
-      // (and whether the alert fires) becomes nondeterministic
+      // (and whether the alert fires) becomes nondeterministic. NULLS
+      // LAST and true-first: a real observation always beats a failed
+      // attempt at the same instant, and ties err toward alerting
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col(entityCol))
-          .orderBy(col(tsCol).desc, col(labelCol))))
+          .orderBy(col(tsCol).desc, col(labelCol).desc_nulls_last)))
       .filter(col("__rn") === 1)
       .select(col(entityCol).cast("string").as("entity"),
         col(labelCol).cast("boolean").as("__label"),
@@ -134,16 +140,21 @@ object PredictionBuffer {
          state: GroupState[Tuple1[Seq[Boolean]]]) =>
           var buf = state.getOption.map(_._1).getOrElse(Seq.fill(n)(false))
           var touched = false
-          val out = rows.toIndexedSeq.sortBy(_.ts.getTime).map { p =>
-            p.label match {
-              case Some(l) =>
-                touched = true
-                buf = (buf :+ l).takeRight(n)
-                Smoothed(entity, p.ts, p.label,
-                  Some(buf.count(identity) * 2 > n))
-              case None => Smoothed(entity, p.ts, None, None)
+          // label as tie-break (false < true after None): fold order of
+          // same-instant events must not depend on shuffle arrival order
+          val out = rows.toIndexedSeq
+            .sortBy(p => (p.ts.getTime,
+              p.label.map(l => if (l) 2 else 1).getOrElse(0)))
+            .map { p =>
+              p.label match {
+                case Some(l) =>
+                  touched = true
+                  buf = (buf :+ l).takeRight(n)
+                  Smoothed(entity, p.ts, p.label,
+                    Some(buf.count(identity) * 2 > n))
+                case None => Smoothed(entity, p.ts, None, None)
+              }
             }
-          }
           if (touched) state.update(Tuple1(buf))
           out.iterator
       }

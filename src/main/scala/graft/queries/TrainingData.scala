@@ -492,7 +492,11 @@ object TrainingData {
     "q100_source_filter" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val stats = d.groupBy(col("source")).agg(
-        avg(col("n_chars")).as("mean_chars"),
+        // sum(long)/count, NOT avg(): Average accumulates in DOUBLE, so
+        // its exactness would silently depend on Σ n_chars < 2^53 —
+        // an exact long sum divided once keeps the gate order-free
+        (sum(col("n_chars")).cast("double") / count(lit(1)))
+          .as("mean_chars"),
         (lit(1.0) - countDistinct(md5(col("text"))).cast("double") /
           count(lit(1))).as("dup_rate"))
       val good = stats
@@ -1006,7 +1010,8 @@ object TrainingData {
         |ORDER BY source_a, source_b""".stripMargin,
     "q100_source_filter" ->
       """WITH stats AS (
-        |  SELECT source, avg(n_chars) AS mean_chars,
+        |  SELECT source,
+        |    CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_chars,
         |    1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*)
         |      AS dup_rate
         |  FROM documents GROUP BY source),

@@ -72,7 +72,10 @@ class StateStore(spark: SparkSession, root: String) {
   private def keyedPath(dir: String, key: String): String = {
     val enc = safeKey(key)
     val path = s"$root/$dir/$enc"
-    if (enc != key && !ambiguousRawKey(key) && migrationChecked.add(path)) {
+    // add(path) first: ambiguous paths get marked checked too (their
+    // probe is skipped forever), so the regex runs once per path, not
+    // on every state read/write
+    if (enc != key && migrationChecked.add(path) && !ambiguousRawKey(key)) {
       import org.apache.hadoop.fs.Path
       // keys whose raw form is not even a constructible Path (':' etc.)
       // can have no legacy state — they never worked un-encoded
@@ -94,8 +97,9 @@ class StateStore(spark: SparkSession, root: String) {
   /** A raw key containing a literal %-hex sequence is indistinguishable
     * from another key's [[safeKey]] encoding — its raw path may be live
     * foreign state, so the migration probe must not touch it. */
+  private val PercentHex = java.util.regex.Pattern.compile("%[0-9A-F]{2}")
   private def ambiguousRawKey(key: String): Boolean =
-    "%[0-9A-F]{2}".r.findFirstIn(key).isDefined
+    PercentHex.matcher(key).find()
 
   private def runPath(key: String) = keyedPath("last_run", key)
   private def entityPath(key: String) = keyedPath("entity_watermarks", key)

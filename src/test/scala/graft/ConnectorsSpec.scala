@@ -183,16 +183,6 @@ class ConnectorsSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("expected")))
   }
 
-  // In-memory PNG fixture: TYPE_INT_RGB grid from a row-major byte fn.
-  private def pngBytes(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
-    val img = new java.awt.image.BufferedImage(
-      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
-    val out = new java.io.ByteArrayOutputStream()
-    assert(javax.imageio.ImageIO.write(img, "png", out))
-    out.toByteArray
-  }
-
   test("real image decode: PNG bytes → exact gray pixels; corrupt → null (S22)") {
     // pure-gray values round-trip EXACTLY through the BT.601 integer
     // luma ((77+150+29)v >> 8 = v) — byte-exact oracle, no tolerance

@@ -272,19 +272,10 @@ class EndToEndSpec extends SparkSpec {
     // camera snapshots on disk: two 4×4 PNGs — one bright, one dark —
     // plus a corrupt frame, like a real capture directory would hold
     val dir = tmpDir("frames")
-    def png(v: Int): Array[Byte] = {
-      val img = new java.awt.image.BufferedImage(
-        4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      for (y <- 0 until 4; x <- 0 until 4)
-        img.setRGB(x, y, (v << 16) | (v << 8) | v)
-      val out = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", out)
-      out.toByteArray
-    }
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$dir/bright.png"), png(200))
+      java.nio.file.Paths.get(s"$dir/bright.png"), grayPng(4, 200))
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$dir/dark.png"), png(10))
+      java.nio.file.Paths.get(s"$dir/dark.png"), grayPng(4, 10))
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$dir/corrupt.png"), "junk".getBytes)
     val wdir = tmpDir("vision_model")
@@ -321,18 +312,9 @@ class EndToEndSpec extends SparkSpec {
     import graft.connectors.VisionClient
     import graft.multimodal.{Multimodal, PredictionBuffer}
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
-    def png(v: Int): Array[Byte] = {
-      val img = new java.awt.image.BufferedImage(
-        2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      for (y <- 0 until 2; x <- 0 until 2)
-        img.setRGB(x, y, (v << 16) | (v << 8) | v)
-      val out = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", out)
-      out.toByteArray
-    }
     val dir = tmpDir("cams")
-    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/cam1.png"), png(250))
-    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/cam2.png"), png(5))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/cam1.png"), grayPng(2, 250))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/cam2.png"), grayPng(2, 5))
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/cam3.png"), "junk".getBytes)
 
     val cfg = VisionClient.Config(model = "vision-test",

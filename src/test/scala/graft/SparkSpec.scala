@@ -10,6 +10,20 @@ trait SparkSpec extends AnyFunSuite {
 
   def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** In-memory PNG fixture: TYPE_INT_RGB grid from an (x, y) → rgb fn. */
+  def pngBytes(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", out))
+    out.toByteArray
+  }
+
+  /** Solid-gray square PNG (the camera-frame fixture). */
+  def grayPng(size: Int, v: Int): Array[Byte] =
+    pngBytes(size, size)((_, _) => (v << 16) | (v << 8) | v)
 }
 
 object SparkSpec {
