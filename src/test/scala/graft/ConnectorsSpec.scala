@@ -271,6 +271,21 @@ class ConnectorsSpec extends SparkSpec {
     assert(dec(3L)._2 == null && dec(3L)._3.isEmpty)
     assert(dec(4L)._2 == null)
 
+    // AIFF (big-endian PCM container): same samples, same decode — the
+    // endianness branch of pcmSamples is exercised by a real container
+    val aiffFmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+    val aiffRaw = Seq[Short](0, 16384, -16384).flatMap(s =>
+      Seq(((s >> 8) & 0xff).toByte, (s & 0xff).toByte)).toArray
+    val aiffOut = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(aiffRaw), aiffFmt, 3),
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, aiffOut)
+    val aiffDec = Multimodal.decodeAudio(
+        Seq((1L, aiffOut.toByteArray)).toDF("media_id", "content"))
+      .select($"samples").as[Seq[Double]].head()
+    assert(aiffDec === Seq(0.0, 0.5, -0.5))
+
     // features: RMS / zero-crossing rate / peak / mean, then the scorer
     val feats = Multimodal.audioFeatures(
       Multimodal.decodeAudio(Seq((1L, mono)).toDF("media_id", "content"))
