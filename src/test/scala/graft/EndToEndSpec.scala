@@ -361,6 +361,47 @@ class EndToEndSpec extends SparkSpec {
     assert(r2("cam2") === Some(false))
   }
 
+  test("AQE splits a skewed join partition at runtime (§4 skew, engine path)") {
+    // the OTHER half of the skew story: Skew.salted is the manual
+    // pre-planned path; this proves the engine's runtime re-plan
+    // (OptimizeSkewedJoin) engages on the plans we emit, with
+    // thresholds scaled down to local data sizes
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "100KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "50KB",
+      // both static AND adaptive broadcast thresholds off, or AQE
+      // re-broadcasts at runtime and there is no shuffle to split
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val pad = "x" * 64
+      val big = spark.range(200000).select(
+        when($"id" % 20 === 0, concat(lit("cold"), ($"id" % 7).cast("string")))
+          .otherwise(lit("HOT")).as("k"),
+        concat($"id".cast("string"), lit(pad)).as("payload"))
+      val dim = Seq.tabulate(8)(i => (if (i == 0) "HOT" else s"cold$i", i))
+        .toDF("k", "v")
+      val joined = big.join(dim, Seq("k"))
+      // collect() (not count()) so the inspected queryExecution is the
+      // one that actually ran — count() spawns its own execution and
+      // leaves this plan un-finalized. 190,000 HOT matches + cold ids
+      // (id%20==0, id%7 in 1..6): 10,000 − |{id ≡ 0 mod 140}| = 8,571
+      assert(joined.collect().length === 190000 + 10000 - 1429)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), plan.take(500))
+      // the hot partition was detected and split at runtime
+      assert(plan.contains("skewed"), s"no runtime skew split in:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted join spreads hot keys and preserves results (§4 skew)") {
     val big = (1 to 2000).map(i => (if (i % 10 == 0) "cold" + i else "HOT", i))
       .toDF("k", "v")
