@@ -66,7 +66,12 @@ object Bench {
     // tell a real 10% regression from ambient machine-load variance
     // (±30% observed on identical code). The per-query MEDIAN is the
     // comparison number; the per-query stddev says how much to trust it.
-    val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    val itersStr = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").trim
+    val iterations = try itersStr.toInt
+    catch { case _: NumberFormatException =>
+      throw new IllegalArgumentException(
+        s"SPARK_GRAFT_BENCH_ITERS must be an integer, got '$itersStr'")
+    }
     require(iterations >= 2, "bench needs >=2 iterations (run2 field)")
     val runs: Seq[Seq[(String, Double)]] = Seq.fill(iterations)(runHeadline())
 

@@ -89,17 +89,24 @@ object VisionClient {
 
   /** Parse `choices[0].message.content` — a JSON object the model was
     * prompted to emit, possibly wrapped in a ```json fence (the
-    * reference strips exactly that, tasks.py:160-164) — and read the
-    * boolean at `labelKey`. None = unknown: an `error` payload, a
-    * malformed reply, a missing/non-boolean key. */
+    * reference strips "```json\n"/"\n```", tasks.py:160-164; this strip
+    * also survives CRLF and single-line fences, which would otherwise
+    * turn EVERY reply of such an endpoint into silent NULLs while
+    * still paying for the calls) — and read the boolean at `labelKey`.
+    * None = unknown: an `error` payload, a malformed reply, a
+    * missing/non-boolean key. */
   def parseLabel(cfg: Config, responseJson: String): Option[Boolean] =
     try {
       val root = mapper.readTree(responseJson)
       if (root.has("error")) None
       else {
         val content = root.path("choices").path(0).path("message")
-          .path("content").asText("")
-        val stripped = content.replace("```json\n", "").replace("\n```", "").trim
+          .path("content").asText("").trim
+        val stripped =
+          if (content.startsWith("```"))
+            content.stripPrefix("```json").stripPrefix("```")
+              .stripSuffix("```").trim
+          else content
         val label = mapper.readTree(stripped).path(cfg.labelKey)
         if (label.isBoolean) Some(label.asBoolean) else None
       }
@@ -130,11 +137,17 @@ object VisionClient {
       // init: ONE client per partition (batchInfer's init contract)
       lazy val transport = mkTransport()
       rows.map { r =>
+        // three-way gate: NULL attempt is UNKNOWN (serve null, no
+        // call) — folding it into false would push a confident
+        // "no flood" into the smoothing buffer for a camera the
+        // caller's join simply missed
+        val attemptUnknown = attemptIdx.exists(r.isNullAt)
         val attempt = attemptIdx.forall(i =>
           !r.isNullAt(i) && r.getBoolean(i))
         val bytes = r.get(contentIdx).asInstanceOf[Array[Byte]]
         val label: Any =
-          if (!attempt) java.lang.Boolean.FALSE
+          if (attemptUnknown) null
+          else if (!attempt) java.lang.Boolean.FALSE
           else if (bytes == null || bytes.isEmpty) null
           else {
             // a transport failure (timeout, reset) serves NULL like any

@@ -138,3 +138,30 @@ class AnnIndex(spark: SparkSession, lake: Lake, dataset: String,
     }
   }
 }
+
+object AnnIndex {
+
+  /** Build a THROWAWAY index over `corpus` in a temp lake, run `f`
+    * against it, and tear everything down — the bucketed-scan pin is
+    * unpinned, the catalog database dropped, and the temp dir deleted
+    * even when `f` throws (a leaked pin would silently re-plan every
+    * later query in the session). The scaffold for measurement
+    * harnesses (recall sweeps, scale probes); a SERVED index wants the
+    * durable constructor above instead. */
+  def withScratchIndex[T](spark: SparkSession, corpus: DataFrame,
+                          idCol: String, vecCol: String, k: Int,
+                          numBuckets: Int, iters: Int = 3)
+                         (f: AnnIndex => T): T = {
+    val tmp = java.nio.file.Files.createTempDirectory("ann_scratch").toString
+    val dataset = s"annscratch_${java.lang.Long.toHexString(System.nanoTime())}"
+    val idx = new AnnIndex(spark, new Lake(spark, tmp), dataset, numBuckets)
+    try {
+      idx.build(corpus, idCol, vecCol, k, iters)
+      f(idx)
+    } finally {
+      idx.unpinBucketedScan()
+      spark.sql(s"DROP DATABASE IF EXISTS state_$dataset CASCADE")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+}

@@ -351,10 +351,6 @@ object TrainingData {
     "q95_ann_recall" -> ((s, dir) => {
       import s.implicits._
       val e = t(s, dir, "embeddings")
-      val tmp = java.nio.file.Files.createTempDirectory("ann_recall").toString
-      val lake = new graft.lake.Lake(s, tmp)
-      val idx = new graft.lake.AnnIndex(s, lake, "annrecall", numBuckets = 8)
-      idx.build(e, "vec_id", "embedding", k = 16, iters = 3)
       val k = 10
       val queryIds = (0L until 8L).toSeq
       val truth: Map[Long, Seq[Long]] = queryIds.map { qid =>
@@ -362,17 +358,22 @@ object TrainingData {
             e.filter(col("vec_id") === qid), "vec_id", "embedding", k)
           .select(col("vec_id")).as[Long].collect().toSeq
       }.toMap
-      val rows = Seq(1, 2, 4, 8).map { np =>
-        val hits = queryIds.map { qid =>
-          val got = idx.topK(e.filter(col("vec_id") === qid)
-              .select(col("embedding")), "embedding", k, nprobe = np)
-            .select(col("id")).as[Long].collect().toSet
-          truth(qid).count(got.contains)
-        }.sum
-        (np, k, queryIds.size, hits,
-          hits.toDouble / (k * queryIds.size))
+      // scratch index: the scaffold unpins the bucketed-scan conf,
+      // drops the catalog tables and deletes the temp lake even if a
+      // search throws — a leaked pin would re-plan the rest of the run
+      val rows = graft.lake.AnnIndex.withScratchIndex(
+          s, e, "vec_id", "embedding", k = 16, numBuckets = 8) { idx =>
+        Seq(1, 2, 4, 8).map { np =>
+          val hits = queryIds.map { qid =>
+            val got = idx.topK(e.filter(col("vec_id") === qid)
+                .select(col("embedding")), "embedding", k, nprobe = np)
+              .select(col("id")).as[Long].collect().toSet
+            truth(qid).count(got.contains)
+          }.sum
+          (np, k, queryIds.size, hits,
+            hits.toDouble / (k * queryIds.size))
+        }
       }
-      idx.unpinBucketedScan()
       rows.toDF("nprobe", "k", "n_queries", "hits", "recall")
         .orderBy(col("nprobe"))
     }),

@@ -48,15 +48,11 @@ object ScaleProbe {
       // persisted ANN search: build is ingest cost (not probed); the
       // SEARCH is the serving path whose state side must not shuffle
       val e = Tables.load(spark, dir, "embeddings")
-      val tmp = java.nio.file.Files.createTempDirectory("scaleprobe").toString
-      val lake = new graft.lake.Lake(spark, tmp)
-      val idx = new graft.lake.AnnIndex(spark, lake, "scaleprobe", numBuckets = 8)
-      idx.build(e, "vec_id", "embedding", k = 16, iters = 3)
       val q = e.filter(col("vec_id") === 0).select(col("embedding"))
-      val (sec, bytes) = measure {
-        idx.topK(q, "embedding", 10, nprobe = 2).collect()
+      val (sec, bytes) = graft.lake.AnnIndex.withScratchIndex(
+          spark, e, "vec_id", "embedding", k = 16, numBuckets = 8) { idx =>
+        measure { idx.topK(q, "embedding", 10, nprobe = 2).collect() }
       }
-      idx.unpinBucketedScan()
       println(f"[probe] $dir ann_search: $sec%.2f s, shuffle ${bytes / 1048576.0}%.2f MiB")
       Obs(docRows, perQuery + ("ann_search" -> bytes))
     }

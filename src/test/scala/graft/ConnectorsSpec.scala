@@ -335,6 +335,12 @@ class ConnectorsSpec extends SparkSpec {
     assert(VisionClient.parseLabel(cfg, resp("no json here")).isEmpty)
     assert(VisionClient.parseLabel(cfg,
       resp("{\"flooding_detected\": \"yes\"}")).isEmpty)
+    // fence variants real endpoints emit: CRLF and single-line — both
+    // must parse, not silently serve NULL for every reply
+    assert(VisionClient.parseLabel(cfg,
+      resp("```json\r\n{\"flooding_detected\": true}\r\n```")).contains(true))
+    assert(VisionClient.parseLabel(cfg,
+      resp("``` {\"flooding_detected\": false} ```")).contains(false))
 
     // classify: attempt gate short-circuits (no call), null image → null,
     // canned transport answers by inspecting the request's image payload
@@ -342,9 +348,10 @@ class ConnectorsSpec extends SparkSpec {
     val floodImg = "FLOOD".getBytes
     val dryImg = "DRY".getBytes
     val frames = Seq(
-      (1L, floodImg, true), (2L, dryImg, true),
-      (3L, floodImg, false), // gated: label false, NO api call
-      (4L, null.asInstanceOf[Array[Byte]], true)) // no image: label null
+      (1L, floodImg, Some(true)), (2L, dryImg, Some(true)),
+      (3L, floodImg, Some(false)), // gated: label false, NO api call
+      (4L, null.asInstanceOf[Array[Byte]], Some(true)), // no image: null
+      (5L, floodImg, None: Option[Boolean])) // UNKNOWN gate: null, no call
       .toDF("media_id", "content", "attempt")
     val canned: () => VisionClient.PostTransport = () => { body =>
       calls.add(body)
@@ -361,7 +368,8 @@ class ConnectorsSpec extends SparkSpec {
       .collect().toMap
     assert(out(1L).contains(true) && out(2L).contains(false))
     assert(out(3L).contains(false) && out(4L).isEmpty)
-    assert(calls.value.size === 2) // gated + null rows never hit the API
+    assert(out(5L).isEmpty) // null gate is unknown, NOT a confident false
+    assert(calls.value.size === 2) // gated/null/unknown rows never hit the API
 
     // a transport failure serves NULL for that row — it must not kill
     // the task (re-POSTing the whole partition against a paid endpoint)
