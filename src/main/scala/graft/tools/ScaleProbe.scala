@@ -64,10 +64,13 @@ object ScaleProbe {
 
     val rowRatio = oHi.docRows.toDouble / oLo.docRows
     println(f"[probe] documents rows: ${oLo.docRows} -> ${oHi.docRows} (x$rowRatio%.1f)")
+    if (rowRatio <= 1.0)
+      println("[probe] WARNING: row counts do not grow between the two dirs — " +
+        "exponents are undefined (pick SF dirs a real factor apart)")
     (probes :+ "ann_search").foreach { name =>
       val (bLo, bHi) = (oLo.bytes(name), oHi.bytes(name))
       val exp =
-        if (bLo <= 0 || bHi <= 0) Double.NaN
+        if (bLo <= 0 || bHi <= 0 || rowRatio <= 1.0) Double.NaN
         else math.log(bHi.toDouble / bLo) / math.log(rowRatio)
       println(f"[probe] $name: ${bLo / 1048576.0}%.2f -> ${bHi / 1048576.0}%.2f MiB, exponent $exp%.2f")
     }
