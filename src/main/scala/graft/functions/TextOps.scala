@@ -149,6 +149,17 @@ object TextOps {
     pmod(graft.expressions.HexPrefixToLong.hex_prefix_to_long(
       md5(concat(lit(salt + "|"), id.cast("string"))), 15), lit(100L))
 
+  /** [[hashBucket]] at fine granularity, as a uniform double in [0,1) —
+    * the acceptance-test primitive for fractional sampling rates. The
+    * modulus stays < 2^53 so the long→double conversion is exact and
+    * every engine computes the identical fraction. */
+  def hashFrac(id: Column, salt: String, buckets: Long = 1000000L): Column = {
+    require(buckets > 0 && buckets < (1L << 53), s"buckets $buckets not exact in double")
+    pmod(graft.expressions.HexPrefixToLong.hex_prefix_to_long(
+      md5(concat(lit(salt + "|"), id.cast("string"))), 15), lit(buckets))
+      .cast("double") / lit(buckets.toDouble)
+  }
+
   /** PII patterns for training-data scrubbing. Deliberately RE2-safe
     * (char classes + bounded alternation only — NO lookarounds, which
     * RE2 lacks) so the identical pattern runs in Spark (java.util.regex)

@@ -507,6 +507,86 @@ object TrainingData {
         .select(col("source"), col("doc_id"))
         .orderBy(col("source"), col("doc_id"))
     }),
+    // Mixture resampling to target language shares — the data-mixing
+    // step of LLaMA/DoReMi-style pretraining recipes: each stratum's
+    // rate is target_share·N/n_stratum; rate>1 UPSAMPLES (docs emitted
+    // ⌊rate⌋ or ⌈rate⌉ times, the fractional epoch decided per-doc by a
+    // salted-hash acceptance test) and rate<1 downsamples — so the
+    // expected achieved mixture IS the target, deterministically: the
+    // same doc gets the same copy count on any engine, cluster, or run,
+    // unlike rand()-based resampling. Scale shape: strata counts are
+    // one partial-agg shuffle collapsing to a ~|langs|-row frame; rates
+    // broadcast back; the copy expansion is per-row codegen (hash +
+    // bounded sequence) inside the scan — the corpus itself never
+    // shuffles. floor(rate) keeps copies exact: both engines floor the
+    // identical IEEE double, and the fractional-part comparison uses a
+    // hash fraction whose long→double conversion is exact (<2^20).
+    "q101_mixture_resample" -> ((s, dir) => {
+      val weights = typedLit(Map(
+        "en" -> 0.30, "de" -> 0.20, "es" -> 0.20, "fr" -> 0.15, "zh" -> 0.15))
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val strata = d.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+      val total = d.agg(count(lit(1)).as("total"))
+      val rates = strata.crossJoin(broadcast(total))
+        .select(col("lang"),
+          (element_at(weights, col("lang")) * col("total") / col("n_l"))
+            .as("rate"))
+      d.join(broadcast(rates), Seq("lang"))
+        .withColumn("copies", floor(col("rate")) +
+          when(TextOps.hashFrac(col("doc_id"), "mix") <
+            col("rate") - floor(col("rate")), 1L).otherwise(0L))
+        // sequence(1, 0) would DESCEND ([1,0]) rather than come up
+        // empty — zero-copy docs must be filtered out before explode
+        .filter(col("copies") >= 1L)
+        .select(col("doc_id"), col("lang"),
+          explode(sequence(lit(1L), col("copies"))).as("copy"))
+        .orderBy(col("doc_id"), col("copy"))
+    }),
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): score
+    // every document against the corpus bigram LM (q92's scorer), then
+    // split each language into head/middle/tail at the per-lang score
+    // tertiles. Unlike ntile() — which would SORT every document within
+    // its language — the cutoffs come from a (lang, rounded-score)
+    // VALUE HISTOGRAM (q74's trick): the window runs over a frame
+    // bounded by distinct 4-decimal scores (≈ value-range·10⁴, corpus-
+    // size-independent), the cutoff frame broadcasts back, and bucket
+    // assignment is a per-row comparison inside the scan. Lower-
+    // quantile semantics (smallest score whose cumulative count reaches
+    // ⌈q·N⌉) keep ties engine-stable: equal scores always land in the
+    // same bucket. Corpus cost is exactly q92's two shuffles plus one
+    // histogram agg.
+    "q102_ccnet_buckets" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val bg = docs.select(col("doc_id"),
+        explode(TextOps.shingles(col("text"), 2)).as("bigram"))
+      val counts = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
+        .withColumn("c1", sum(col("c12")).over(
+          W.partitionBy(substring_index(col("bigram"), " ", 1))))
+      val scored = bg.join(counts, Seq("bigram"))
+        .groupBy(col("doc_id"))
+        .agg(round(avg(log(col("c12") / col("c1"))), 4).as("score"))
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      val hist = scored.groupBy(col("lang"), col("score"))
+        .agg(count(lit(1)).as("cnt"))
+      val cum = hist
+        .withColumn("cum", sum(col("cnt")).over(
+          W.partitionBy(col("lang")).orderBy(col("score"))
+            .rowsBetween(Long.MinValue, 0)))
+        .join(hist.groupBy(col("lang")).agg(sum(col("cnt")).as("total")),
+          Seq("lang"))
+      val cuts = cum.groupBy(col("lang")).agg(
+        min(when(col("cum") >= ceil(lit(1.0 / 3) * col("total")),
+          col("score"))).as("c13"),
+        min(when(col("cum") >= ceil(lit(2.0 / 3) * col("total")),
+          col("score"))).as("c23"))
+      scored.join(broadcast(cuts), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("score"),
+          when(col("score") <= col("c13"), "tail")
+            .when(col("score") <= col("c23"), "middle")
+            .otherwise("head").as("bucket"))
+        .orderBy(col("doc_id"))
+    }),
     // Corpus TF-IDF: term counts from one explode + partial-agg
     // shuffle; document frequency derives from the tf frame (one row
     // per distinct doc×token ⇒ count per token == distinct-doc count).
@@ -1022,6 +1102,61 @@ object TrainingData {
         |SELECT d.source, d.doc_id FROM documents d
         |JOIN good g ON d.source = g.source
         |ORDER BY d.source, d.doc_id""".stripMargin,
+    // Weights CAST from strings, not written as bare literals: a bare
+    // 0.30 is DECIMAL in DuckDB and decimal·BIGINT/BIGINT arithmetic
+    // would diverge from Spark's double path.
+    "q101_mixture_resample" ->
+      """WITH n AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
+        |tt AS (SELECT COUNT(*) AS total FROM documents),
+        |r AS (SELECT lang,
+        |    CAST(CASE lang WHEN 'en' THEN '0.30' WHEN 'de' THEN '0.20'
+        |      WHEN 'es' THEN '0.20' WHEN 'fr' THEN '0.15'
+        |      ELSE '0.15' END AS DOUBLE) * total / n_l AS rate
+        |  FROM n, tt),
+        |c AS (SELECT d.doc_id, d.lang,
+        |    CAST(FLOOR(r.rate) AS BIGINT) +
+        |    CASE WHEN CAST(CAST(('0x' || substr(md5('mix|' ||
+        |        CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000
+        |        AS DOUBLE) / CAST(1000000 AS DOUBLE)
+        |      < r.rate - FLOOR(r.rate) THEN 1 ELSE 0 END AS copies
+        |  FROM documents d JOIN r USING (lang))
+        |SELECT doc_id, lang,
+        |  CAST(unnest(range(1, copies + 1)) AS BIGINT) AS copy
+        |FROM c ORDER BY doc_id, copy""".stripMargin,
+    "q102_ccnet_buckets" ->
+      """WITH bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(words), 1)),
+        |      i -> words[i] || ' ' || words[i+1])) AS bigram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS words
+        |        FROM documents)),
+        |c AS (SELECT bigram, COUNT(*) AS c12 FROM bg GROUP BY bigram),
+        |c2 AS (SELECT bigram, c12,
+        |    SUM(c12) OVER (PARTITION BY split_part(bigram, ' ', 1)) AS c1
+        |  FROM c),
+        |scored AS (
+        |  SELECT doc_id, round(avg(ln(c12 / CAST(c1 AS DOUBLE))), 4) AS score
+        |  FROM bg JOIN c2 USING (bigram) GROUP BY doc_id),
+        |sl AS (SELECT s.doc_id, s.score, d.lang
+        |  FROM scored s JOIN documents d USING (doc_id)),
+        |hist AS (SELECT lang, score, COUNT(*) AS cnt FROM sl GROUP BY 1, 2),
+        |tot AS (SELECT lang, SUM(cnt) AS total FROM hist GROUP BY lang),
+        |cum AS (SELECT lang, score,
+        |    SUM(cnt) OVER (PARTITION BY lang ORDER BY score) AS cum
+        |  FROM hist),
+        |cuts AS (
+        |  SELECT lang,
+        |    MIN(CASE WHEN cum >= ceil(CAST(1 AS DOUBLE)/3 * total)
+        |      THEN score END) AS c13,
+        |    MIN(CASE WHEN cum >= ceil(CAST(2 AS DOUBLE)/3 * total)
+        |      THEN score END) AS c23
+        |  FROM cum JOIN tot USING (lang) GROUP BY lang)
+        |SELECT sl.doc_id, sl.lang, sl.score,
+        |  CASE WHEN sl.score <= c.c13 THEN 'tail'
+        |       WHEN sl.score <= c.c23 THEN 'middle'
+        |       ELSE 'head' END AS bucket
+        |FROM sl JOIN cuts c USING (lang)
+        |ORDER BY sl.doc_id""".stripMargin,
     "q97_semantic_dedup" ->
       s"""WITH RECURSIVE pairs AS (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b

@@ -133,6 +133,78 @@ class PlansSpec extends SparkSpec {
     assert("\\bWindow\\b".r.findAllIn(p99).size == 1, p99)
   }
 
+  test("q101 mixture resample: corpus never shuffles; copy counts well-formed") {
+    val df = graft.queries.TrainingData.defs("q101_mixture_resample")(spark, sf001)
+    val plan = df.queryExecution.executedPlan.toString
+    // strata counts collapse map-side before their shuffle; the rates
+    // frame comes back as a broadcast — the document stream itself only
+    // ever flows scan → broadcast-join → explode
+    val lines = plan.linesIterator.toIndexedSeq
+    lines.zipWithIndex.filter(_._1.contains("Exchange hashpartitioning"))
+      .foreach { case (_, i) =>
+        assert(lines(i + 1).contains("HashAggregate"),
+          s"raw corpus crossed an exchange:\n$plan")
+      }
+    assert(plan.contains("BroadcastHashJoin"), plan)
+
+    // data-independent invariants: copies per doc are contiguous 1..k,
+    // and each stratum's achieved count is within n_l of target·N
+    // (each doc's copy count deviates < 1 from its rate)
+    val rows = df.collect()
+    val perDoc = rows.groupBy(_.getLong(0)).values
+    assert(perDoc.forall(c => c.map(_.getLong(2)).sorted.sameElements(1L to c.length)))
+    val w = Map("en" -> 0.30, "de" -> 0.20, "es" -> 0.20, "fr" -> 0.15, "zh" -> 0.15)
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val n = docs.count()
+    val nl = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val achieved = rows.groupBy(_.getString(1)).view.mapValues(_.length.toLong)
+    achieved.foreach { case (lang, a) =>
+      assert(math.abs(a - w(lang) * n) <= nl(lang) + 1,
+        s"$lang achieved $a vs target ${w(lang) * n} (n_l=${nl(lang)})")
+    }
+  }
+
+  test("q102 ccnet buckets: histogram cutoffs partition each lang by score") {
+    val df = graft.queries.TrainingData.defs("q102_ccnet_buckets")(spark, sf001)
+    // no ntile over the corpus: every hash shuffle carries an
+    // aggregated frame (bigram counts, per-doc scores, the
+    // (lang, score) histogram) — raw document rows never cross an
+    // exchange, and the tertile cutoffs come back as a broadcast.
+    // Asserted on the pre-AQE plan (same as the q77 test): the final
+    // adaptive string interleaves QueryStage wrappers between an
+    // Exchange and its child, breaking the next-line check.
+    val plan = df.queryExecution.executedPlan.toString
+    val lines = plan.linesIterator.toIndexedSeq
+    lines.zipWithIndex.filter(_._1.contains("Exchange hashpartitioning"))
+      .foreach { case (_, i) =>
+        assert(lines(i + 1).contains("HashAggregate"),
+          s"shuffle not fed by a bounded frame:\n$plan")
+      }
+    assert(!plan.contains("ntile"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+
+    val rows = df.collect().map(r =>
+      (r.getString(1), r.getDouble(2), r.getString(3)))
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val by = rs.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+      def maxOf(b: String) = by.get(b).map(_.max)
+      def minOf(b: String) = by.get(b).map(_.min)
+      for (t <- maxOf("tail"); m <- minOf("middle"))
+        assert(t <= m, s"$lang: tail max $t > middle min $m")
+      for (m <- maxOf("middle"); h <- minOf("head"))
+        assert(m <= h, s"$lang: middle max $m > head min $h")
+      // lower-quantile semantics: at least ⌈N/3⌉ docs at or below c13,
+      // ⌈2N/3⌉ at or below c23
+      val nl = rs.length
+      val tail = by.get("tail").map(_.size).getOrElse(0)
+      val mid = by.get("middle").map(_.size).getOrElse(0)
+      assert(tail >= math.ceil(nl / 3.0).toInt - 0, s"$lang tail=$tail of $nl")
+      assert(tail + mid >= math.ceil(2 * nl / 3.0).toInt, s"$lang t+m of $nl")
+    }
+  }
+
   test("q76 plan merges sessions natively; q77 shuffles only bounded frames") {
     val sess = graft.queries.Windowed.defs("q76_session_window")(spark, sf001)
     val sessPlan = sess.queryExecution.executedPlan.toString
