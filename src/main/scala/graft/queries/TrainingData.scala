@@ -105,6 +105,42 @@ object TrainingData {
   private def duckCos(a: String, b: String): String =
     s"round(${duckDot(a, b)} / (${duckNorm(a)} * ${duckNorm(b)}), 4)"
 
+  /** Shared q97/q103 cluster frame: exact cosine pairs at the q67
+    * threshold → transitive closure → (vec_id, cluster), singletons
+    * keeping their own id. ONE definition so the cluster ids q103
+    * selects keepers from can never drift from the ones q97 reports. */
+  private def semanticClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = defs("q67_vector_neardup_exact")(s, dir)
+      .select(col("id_a"), col("id_b"))
+    val cc = DedupOps.connectedComponents(pairs)
+    t(s, dir, "embeddings").select(col("vec_id"))
+      .join(cc.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("comp"), col("vec_id")).as("cluster"))
+  }
+
+  /** Shared q97/q103 oracle CTE body: pairs → edges → recursive reach
+    * → per-node min label. Yields relation `cl(vec_id, cluster)`. */
+  private def clusterCte: String =
+    s"""pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM embeddings a JOIN embeddings b
+       |    ON a.label = b.label AND a.vec_id < b.vec_id
+       |  WHERE ${duckCos("a", "b")} >= 0.35),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach AS (
+       |  SELECT src AS id, dst AS r FROM edges
+       |  UNION
+       |  SELECT reach.id, edges.dst FROM reach
+       |  JOIN edges ON reach.r = edges.src),
+       |comp AS (
+       |  SELECT id, LEAST(MIN(r), id) AS cluster FROM reach GROUP BY id),
+       |cl AS (
+       |  SELECT e.vec_id, COALESCE(c.cluster, e.vec_id) AS cluster
+       |  FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.id)""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: survivor + multiplicity per content hash.
     "q50_exact_dedup" -> ((s, dir) => {
@@ -434,14 +470,24 @@ object TrainingData {
     // its oracle closes the pairs with a recursive CTE, so the
     // distributed min-label/pointer-jumping loop is checked against an
     // independent fixpoint implementation.
-    "q97_semantic_dedup" -> ((s, dir) => {
-      val pairs = defs("q67_vector_neardup_exact")(s, dir)
-        .select(col("id_a"), col("id_b"))
-      val cc = DedupOps.connectedComponents(pairs)
-      t(s, dir, "embeddings").select(col("vec_id"))
-        .join(cc.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
-        .select(col("vec_id"),
-          coalesce(col("comp"), col("vec_id")).as("cluster"))
+    "q97_semantic_dedup" -> ((s, dir) =>
+      semanticClusters(s, dir).orderBy(col("vec_id"))),
+    // SemDeDup (Abbas et al. 2023): within each semantic cluster keep
+    // at most K representatives and drop the rest — the selection step
+    // the q97 clusters exist for. Keeper policy is deterministic
+    // (lowest vec_id ranks first), so the kept set is identical on any
+    // engine or run — the property a multi-epoch training run needs.
+    // Scale shape: ranking windows over CLUSTER keys, and clusters are
+    // pair-bounded (a viral cluster is capped upstream by q52's star
+    // guard before it ever reaches the closure) — the window shuffle
+    // carries one row per vector, nothing quadratic.
+    "q103_semdedup" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      semanticClusters(s, dir)
+        .withColumn("rk", row_number().over(
+          W.partitionBy(col("cluster")).orderBy(col("vec_id"))))
+        .select(col("vec_id"), col("cluster"),
+          (col("rk") <= 2).cast("int").as("keep"))
         .orderBy(col("vec_id"))
     }),
     // Context-window sequence packing: per language, documents stream
@@ -585,6 +631,59 @@ object TrainingData {
           when(col("score") <= col("c13"), "tail")
             .when(col("score") <= col("c23"), "middle")
             .otherwise("head").as("bucket"))
+        .orderBy(col("doc_id"))
+    }),
+    // DSIR importance resampling (Xie et al. 2023): weight every raw
+    // document by how target-like its hashed-n-gram profile is —
+    // log p_target(doc) − log p_raw(doc) under two add-1-smoothed
+    // bag-of-hashed-bigrams models — then keep the top quarter at a
+    // histogram-derived cutoff. The models are M-bucket frames (M=1024:
+    // feature hashing caps model size regardless of corpus vocabulary —
+    // that is DSIR's own scale trick) so both broadcast; per-doc
+    // scoring is one (doc, bucket) partial-agg shuffle + one doc-keyed
+    // agg — the TF-IDF shuffle class. Selection reuses q102's value-
+    // histogram machinery (the cutoff window runs over distinct rounded
+    // weights, never over documents), so no corpus sort anywhere.
+    "q104_dsir_importance" -> ((s, dir) => {
+      val m = 1024L
+      val docs = t(s, dir, "documents")
+      val isTarget = col("source").isin("src0", "src1")
+      val feats = docs.select(col("doc_id"), col("source"),
+          explode(TextOps.shingles(col("text"), 2)).as("bigram"))
+        .select(col("doc_id"), col("source"),
+          pmod(graft.expressions.HexPrefixToLong.hex_prefix_to_long(
+            md5(col("bigram")), 15), lit(m)).as("b"))
+      val model = feats.groupBy(col("b")).agg(
+        sum(when(isTarget, 1L).otherwise(0L)).as("ct"),
+        sum(when(isTarget, 0L).otherwise(1L)).as("cr"))
+      val totals = feats.agg(
+        sum(when(isTarget, 1L).otherwise(0L)).as("nt"),
+        sum(when(isTarget, 0L).otherwise(1L)).as("nr"))
+      val llr = model.crossJoin(broadcast(totals)).select(col("b"),
+        (log((col("ct") + lit(1L)).cast("double") /
+             (col("nt") + lit(m)).cast("double")) -
+         log((col("cr") + lit(1L)).cast("double") /
+             (col("nr") + lit(m)).cast("double"))).as("llr"))
+      val scored = feats.filter(!isTarget)
+        .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+        .join(broadcast(llr), Seq("b"))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(col("c") * col("llr")), 4).as("weight"))
+      // q102's lower-quantile cutoff at q=0.75 on the weight histogram;
+      // keep strictly above it (≤ 25% kept, ties engine-stable). The
+      // partition-less window is over DISTINCT ROUNDED WEIGHTS — a
+      // value-range-bounded frame, not the corpus.
+      val W = org.apache.spark.sql.expressions.Window
+      val hist = scored.groupBy(col("weight")).agg(count(lit(1)).as("cnt"))
+      val cut = hist
+        .withColumn("cum", sum(col("cnt")).over(
+          W.orderBy(col("weight")).rowsBetween(Long.MinValue, 0)))
+        .crossJoin(broadcast(scored.agg(count(lit(1)).as("n"))))
+        .agg(min(when(col("cum") >= ceil(lit(3.0 / 4) * col("n")),
+          col("weight"))).as("c75"))
+      scored.crossJoin(broadcast(cut))
+        .select(col("doc_id"), col("weight"),
+          (col("weight") > col("c75")).cast("int").as("keep"))
         .orderBy(col("doc_id"))
     }),
     // Corpus TF-IDF: term counts from one explode + partial-agg
@@ -1157,25 +1256,51 @@ object TrainingData {
         |       ELSE 'head' END AS bucket
         |FROM sl JOIN cuts c USING (lang)
         |ORDER BY sl.doc_id""".stripMargin,
+    "q104_dsir_importance" ->
+      """WITH f AS (
+        |  SELECT doc_id, source,
+        |    CAST(('0x' || substr(md5(bg), 1, 15)) AS BIGINT) % 1024 AS b
+        |  FROM (
+        |    SELECT doc_id, source,
+        |      unnest(list_transform(range(1, greatest(len(w), 1)),
+        |        i -> w[i] || ' ' || w[i+1])) AS bg
+        |    FROM (SELECT doc_id, source, string_split(text, ' ') AS w
+        |          FROM documents))),
+        |m AS (SELECT b,
+        |    SUM(CASE WHEN source IN ('src0','src1') THEN 1 ELSE 0 END) AS ct,
+        |    SUM(CASE WHEN source IN ('src0','src1') THEN 0 ELSE 1 END) AS cr
+        |  FROM f GROUP BY b),
+        |t AS (SELECT
+        |    SUM(CASE WHEN source IN ('src0','src1') THEN 1 ELSE 0 END) AS nt,
+        |    SUM(CASE WHEN source IN ('src0','src1') THEN 0 ELSE 1 END) AS nr
+        |  FROM f),
+        |w AS (SELECT b,
+        |    ln((ct + 1) / CAST(nt + 1024 AS DOUBLE)) -
+        |    ln((cr + 1) / CAST(nr + 1024 AS DOUBLE)) AS llr
+        |  FROM m, t),
+        |df AS (SELECT doc_id, b, COUNT(*) AS c FROM f
+        |  WHERE source NOT IN ('src0','src1') GROUP BY 1, 2),
+        |scored AS (SELECT doc_id, round(SUM(c * llr), 4) AS weight
+        |  FROM df JOIN w USING (b) GROUP BY doc_id),
+        |hist AS (SELECT weight, COUNT(*) AS cnt FROM scored GROUP BY weight),
+        |n AS (SELECT COUNT(*) AS n FROM scored),
+        |cum AS (SELECT weight, SUM(cnt) OVER (ORDER BY weight) AS cum
+        |  FROM hist),
+        |cut AS (SELECT MIN(CASE WHEN cum >= ceil(CAST(3 AS DOUBLE)/4 * n)
+        |    THEN weight END) AS c75 FROM cum, n)
+        |SELECT s.doc_id, s.weight,
+        |  CASE WHEN s.weight > c.c75 THEN 1 ELSE 0 END AS keep
+        |FROM scored s, cut c ORDER BY s.doc_id""".stripMargin,
     "q97_semantic_dedup" ->
-      s"""WITH RECURSIVE pairs AS (
-         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-         |  FROM embeddings a JOIN embeddings b
-         |    ON a.label = b.label AND a.vec_id < b.vec_id
-         |  WHERE ${duckCos("a", "b")} >= 0.35),
-         |edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM pairs
-         |  UNION SELECT id_b, id_a FROM pairs),
-         |reach AS (
-         |  SELECT src AS id, dst AS r FROM edges
-         |  UNION
-         |  SELECT reach.id, edges.dst FROM reach
-         |  JOIN edges ON reach.r = edges.src),
-         |comp AS (
-         |  SELECT id, LEAST(MIN(r), id) AS cluster FROM reach GROUP BY id)
-         |SELECT e.vec_id, COALESCE(c.cluster, e.vec_id) AS cluster
-         |FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.id
-         |ORDER BY e.vec_id""".stripMargin,
+      s"""WITH RECURSIVE $clusterCte
+         |SELECT vec_id, cluster FROM cl ORDER BY vec_id""".stripMargin,
+    "q103_semdedup" ->
+      s"""WITH RECURSIVE $clusterCte
+         |SELECT vec_id, cluster,
+         |  CASE WHEN ROW_NUMBER() OVER (
+         |      PARTITION BY cluster ORDER BY vec_id) <= 2
+         |    THEN 1 ELSE 0 END AS keep
+         |FROM cl ORDER BY vec_id""".stripMargin,
     "q99_sequence_pack" ->
       """SELECT lang, doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,

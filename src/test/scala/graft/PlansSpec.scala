@@ -205,6 +205,58 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("q103 semdedup: at most 2 kept per cluster, all singletons kept") {
+    val df = graft.queries.TrainingData.defs("q103_semdedup")(spark, sf001)
+    val rows = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.nonEmpty)
+    // keeper policy invariants, independent of the data: ≤2 kept per
+    // cluster, the kept ones are the cluster's smallest vec_ids, and a
+    // singleton is always kept
+    rows.groupBy(_._2).foreach { case (cl, members) =>
+      val kept = members.filter(_._3 == 1).map(_._1).sorted
+      assert(kept.length <= 2, s"cluster $cl keeps ${kept.length}")
+      assert(kept.sameElements(
+        members.map(_._1).sorted.take(kept.length)), s"cluster $cl")
+      if (members.length == 1) assert(kept.length == 1, s"singleton $cl")
+      if (members.length >= 2) assert(kept.length == 2, s"cluster $cl")
+    }
+    // the window shuffle is keyed on cluster — never a pair join over
+    // the corpus
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q104 dsir: models stay M-bounded and broadcast; cutoff keeps ≤ 25%") {
+    val df = graft.queries.TrainingData.defs("q104_dsir_importance")(spark, sf001)
+    val plan = df.queryExecution.executedPlan.toString
+    // the per-bucket LLR model and the histogram cutoff both come back
+    // as broadcasts; every hash shuffle carries a partially-aggregated
+    // frame (bucket counts, (doc,bucket) counts, doc weights, the
+    // weight histogram) — raw exploded bigrams never cross an exchange
+    // un-aggregated
+    val lines = plan.linesIterator.toIndexedSeq
+    lines.zipWithIndex.filter(_._1.contains("Exchange hashpartitioning"))
+      .foreach { case (_, i) =>
+        assert(lines(i + 1).contains("HashAggregate"),
+          s"shuffle not fed by a bounded frame:\n$plan")
+      }
+    assert(plan.contains("BroadcastHashJoin"), plan)
+
+    val rows = df.collect().map(r => (r.getLong(0), r.getInt(2)))
+    val n = rows.length
+    val kept = rows.count(_._2 == 1)
+    assert(n > 0)
+    // strictly-above-quantile selection: ≤ 25% kept, and at least one
+    // doc kept unless every weight ties at the cutoff
+    assert(kept <= math.ceil(n / 4.0).toInt, s"kept $kept of $n")
+    // target docs (src0/src1) are the reference distribution, never
+    // scored output
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val rawN = docs.filter("source NOT IN ('src0','src1')").count()
+    assert(n == rawN, s"scored $n raw docs, expected $rawN")
+  }
+
   test("q76 plan merges sessions natively; q77 shuffles only bounded frames") {
     val sess = graft.queries.Windowed.defs("q76_session_window")(spark, sf001)
     val sessPlan = sess.queryExecution.executedPlan.toString
