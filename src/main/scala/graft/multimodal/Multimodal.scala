@@ -15,10 +15,12 @@ import org.apache.spark.sql.types._
   * mapInPandas shape, minus pandas. IMAGE decode is REAL
   * ([[decodeImage]]: JDK `javax.imageio` — JPEG/PNG/GIF/BMP ship with
   * every JVM) and so is PCM AUDIO ([[decodeAudio]]: JDK
-  * `javax.sound.sampled` — WAV/AIFF/AU), both zero extra dependencies;
-  * only VIDEO decode stays stubbed ([[decodeStub]] — those codecs
-  * genuinely aren't in the JDK), with the distributed plumbing
-  * (schema, batching, partitioning) identical.
+  * `javax.sound.sampled` — WAV/AIFF/AU), both zero extra dependencies.
+  * VIDEO is real for Motion-JPEG ([[AviMjpeg]]: pure-JVM RIFF walk →
+  * per-frame JPEGs → [[decodeImage]]); only inter-frame codecs
+  * (H.264/VP9/…) stay stubbed ([[decodeStub]] — those genuinely
+  * aren't in the JDK), with the distributed plumbing (schema,
+  * batching, partitioning) identical.
   */
 object Multimodal {
 
@@ -287,8 +289,9 @@ object Multimodal {
     }(enc)
   }
 
-  /** STUB decoder for VIDEO payloads — those codecs really are not in
-    * the JDK (images: [[decodeImage]]; PCM audio: [[decodeAudio]]);
+  /** STUB decoder for INTER-FRAME video codecs (H.264/VP9/…) — those
+    * really are not in the JDK (images: [[decodeImage]]; PCM audio:
+    * [[decodeAudio]]; Motion-JPEG video: [[AviMjpeg.extractFrames]]);
     * emits deterministic per-byte statistics so the distributed
     * plumbing stays real and testable. Runs batched per partition;
     * codec initialization would happen once per partition here (the

@@ -677,6 +677,95 @@ class ConnectorsSpec extends SparkSpec {
     assert(Twitter.newLastId(edf) === None)
   }
 
+  test("AVI/MJPEG: frames extract, sample, and decode through ImageIO (S22)") {
+    import graft.multimodal.AviMjpeg
+    val vals = Seq(30, 120, 210)
+    val jpegs = vals.map(jpegGray(8, _))
+    val avi = aviBytes(jpegs, 8, 8)
+
+    // container facts + every frame payload byte-identical to input
+    val Some((info, fs)) = AviMjpeg.parse(avi)
+    assert(info.width === 8 && info.height === 8)
+    assert(info.handler === "MJPG" && info.streamIndex === 0)
+    assert(info.declaredFrames === 3 && fs.size === 3)
+    assert(fs.zip(jpegs).forall { case (a, b) => a.sameElements(b) })
+
+    // DataFrame path: sample → decode → per-frame gray means near the
+    // encoded values (solid-gray JPEG is near-lossless)
+    val df = Seq((7L, avi)).toDF("media_id", "content")
+    val frames = AviMjpeg.extractFrames(df)
+    val dec = Multimodal.decodeImage(frames, contentCol = "frame")
+      .select($"frame_idx", $"pixels", $"img_width", $"img_height")
+      .as[(Long, Array[Byte], Int, Int)].collect().sortBy(_._1)
+    assert(dec.map(_._1).toSeq === Seq(0L, 1L, 2L))
+    assert(dec.forall(r => r._3 == 8 && r._4 == 8))
+    dec.zip(vals).foreach { case ((_, px, _, _), v) =>
+      val mean = px.map(_ & 0xff).sum.toDouble / px.length
+      assert(math.abs(mean - v) < 3.0, s"frame mean $mean vs $v")
+    }
+
+    // stride/maxFrames sampling happens BEFORE any decode
+    val sampled = AviMjpeg.extractFrames(df, stride = 2)
+      .select($"frame_idx").as[Long].collect().sorted
+    assert(sampled.toSeq === Seq(0L, 2L))
+    val capped = AviMjpeg.extractFrames(df, maxFrames = 1)
+      .select($"frame_idx").as[Long].collect()
+    assert(capped.toSeq === Seq(0L))
+  }
+
+  test("AVI/MJPEG: real-muxer layouts, torn files, hostile sizes") {
+    import graft.multimodal.AviMjpeg
+    val jpegs = Seq(40, 160).map(jpegGray(4, _))
+
+    // audio-first + interleaved '00wb' audio + 'rec ' wrapping: the
+    // video stream is index 1, audio chunks must not surface as frames
+    val muxed = aviBytes(jpegs, 4, 4, audioFirst = true, recWrap = true)
+    val Some((mInfo, mFrames)) = AviMjpeg.parse(muxed)
+    assert(mInfo.streamIndex === 1 && mFrames.size === 2)
+    assert(mFrames.zip(jpegs).forall { case (a, b) => a.sameElements(b) })
+
+    // torn upload: cut mid-way through the LAST frame chunk — the
+    // frames before the cut are salvaged, nothing throws
+    val torn = aviBytes(jpegs, 4, 4).dropRight(jpegs.last.length / 2 + 4)
+    val Some((_, salvaged)) = AviMjpeg.parse(torn)
+    assert(salvaged.size === 1)
+    assert(salvaged.head.sameElements(jpegs.head))
+
+    // hostile chunk size: patch the LAST '00dc' size field in place to
+    // Int.MaxValue — the walk must stop cleanly (no multi-GB slice, no
+    // Long wrap), keeping the frames before it
+    val hostile = {
+      val evil = aviBytes(jpegs, 4, 4).clone()
+      // the file ends with the last frame chunk: header is at
+      // end − (8 + payload + pad)
+      val len2 = jpegs.last.length
+      val at = evil.length - (8 + len2 + (len2 & 1))
+      assert(new String(evil, at, 4, "US-ASCII") === "00dc")
+      java.nio.ByteBuffer.wrap(evil, at + 4, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(Int.MaxValue)
+      evil
+    }
+    assert(AviMjpeg.parse(hostile).map(_._2.size) === Some(1))
+
+    // non-MJPEG video (H.264-style fourcc) is REFUSED, not fake-decoded;
+    // garbage bytes and null refuse too — all as countable null rows
+    val h264 = aviBytes(jpegs, 4, 4, handler = "H264")
+    assert(AviMjpeg.parse(h264).isEmpty)
+    val rows = AviMjpeg.extractFrames(Seq(
+        (1L, h264), (2L, "not an avi".getBytes),
+        (3L, null.asInstanceOf[Array[Byte]])).toDF("media_id", "content"))
+      .select($"media_id", $"frame_idx", $"frame").collect()
+    assert(rows.length === 3)
+    assert(rows.forall(r => r.isNullAt(1) && r.isNullAt(2)))
+
+    // and the null rows flow through the standard vision chain as NULL
+    // features/scores (the unified decode-failure policy)
+    val chained = Multimodal.decodeImage(
+      AviMjpeg.extractFrames(Seq((9L, "junk".getBytes))
+        .toDF("media_id", "content")), contentCol = "frame")
+    assert(chained.select($"pixels").collect().head.isNullAt(0))
+  }
+
   test("stage metrics listener captures query stages (K13)") {
     val l = new StageMetricsListener
     spark.sparkContext.addSparkListener(l)

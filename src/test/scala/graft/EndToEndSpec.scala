@@ -304,6 +304,43 @@ class EndToEndSpec extends SparkSpec {
     assert(scored("bright.png") > 0.5 && scored("dark.png") < 0.5)
   }
 
+  test("vision pipeline over VIDEO: AVI clip → frames → decode → scorer (S22)") {
+    import graft.multimodal.{AviMjpeg, LinearModel, Multimodal}
+    // an archived camera clip: bright frame, dark frame, bright frame —
+    // plus a torn clip and a non-video file in the same directory
+    val dir = tmpDir("clips")
+    val clip = aviBytes(Seq(200, 10, 200).map(jpegGray(4, _)), 4, 4)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/cam.avi"), clip)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/torn.avi"),
+      clip.dropRight(clip.length / 2))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/readme.avi"), "not a clip".getBytes)
+    val wdir = tmpDir("clip_model")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$wdir/m.txt"),
+      "type=logistic\nbias=-2.0\nweights=1.0,1.0,1.0,1.0\n")
+
+    val clips = Multimodal.readBinaryFiles(spark, s"$dir/*.avi")
+    val frames = AviMjpeg.extractFrames(clips, stride = 2) // frames 0, 2
+    val decoded = Multimodal.decodeImage(frames, contentCol = "frame")
+    // the unreadable clip survives as a null row; the torn clip yields
+    // whatever frames landed before the cut — both countable, no crash
+    val failed = decoded.filter(col("frame").isNull).count()
+    assert(failed === 1)
+    val scored = LinearModel.inferFromFile(
+      Multimodal.pixelFeatures(
+        Multimodal.resizeRaw(decoded.filter(col("pixels").isNotNull),
+          "img_width", "img_height", 2, 2, contentCol = "pixels")),
+      "features", "score", batchSize = 8, s"$wdir/m.txt")
+      .select(col("meta.source"), col("frame_idx"), col("score"))
+      .as[(String, Long, Double)].collect()
+    // the intact clip contributes exactly frames 0 and 2, both bright
+    val intact = scored.filter(_._1.endsWith("cam.avi"))
+    assert(intact.map(_._2).sorted.toSeq === Seq(0L, 2L))
+    // JPEG is lossy: solid-gray 200 decodes within ±3 of 200, so the
+    // sigmoid stays decisively on the bright side
+    intact.foreach { case (_, _, s) => assert(s > 0.7, s"score $s") }
+  }
+
   test("flooding pipeline composed: snapshots → classify → smooth → serve") {
     // the reference's flagship ML pipeline end-to-end, offline:
     // camera frames land as files, decode proves them readable, the
