@@ -604,14 +604,20 @@ object TrainingData {
     "q102_ccnet_buckets" -> ((s, dir) => {
       val W = org.apache.spark.sql.expressions.Window
       val docs = t(s, dir, "documents")
-      val bg = docs.select(col("doc_id"),
+      // q92's one-pass shape: collapse to (doc, bigram, k) first so the
+      // LM counts and the scoring join share one materialized Exchange
+      // (exchange reuse) instead of exploding the corpus twice
+      val dbc = docs.select(col("doc_id"),
         explode(TextOps.shingles(col("text"), 2)).as("bigram"))
-      val counts = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
+        .filter(col("bigram").isNotNull) // q92's stage-reuse precondition
+        .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("k"))
+      val counts = dbc.groupBy(col("bigram")).agg(sum(col("k")).as("c12"))
         .withColumn("c1", sum(col("c12")).over(
           W.partitionBy(substring_index(col("bigram"), " ", 1))))
-      val scored = bg.join(counts, Seq("bigram"))
+      val scored = dbc.join(counts, Seq("bigram"))
         .groupBy(col("doc_id"))
-        .agg(round(avg(log(col("c12") / col("c1"))), 4).as("score"))
+        .agg(round(sum(col("k") * log(col("c12") / col("c1"))) /
+          sum(col("k")), 4).as("score"))
         .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
       val hist = scored.groupBy(col("lang"), col("score"))
         .agg(count(lit(1)).as("cnt"))
@@ -647,28 +653,43 @@ object TrainingData {
     "q104_dsir_importance" -> ((s, dir) => {
       val m = 1024L
       val docs = t(s, dir, "documents")
-      val isTarget = col("source").isin("src0", "src1")
-      val feats = docs.select(col("doc_id"), col("source"),
+      // ONE corpus pass (q92's shape): collapse straight to the
+      // (doc, tgt, bucket, count) frame; the M-bucket models, their
+      // totals AND the per-doc scoring all derive from that one
+      // materialized Exchange — the naive form re-explodes the corpus
+      // for each. Counts are exact longs, so the derived models are
+      // bit-identical to corpus-pass recomputation.
+      val grouped = docs.select(col("doc_id"),
+          col("source").isin("src0", "src1").as("tgt"),
           explode(TextOps.shingles(col("text"), 2)).as("bigram"))
-        .select(col("doc_id"), col("source"),
+        .select(col("doc_id"), col("tgt"),
           pmod(graft.expressions.HexPrefixToLong.hex_prefix_to_long(
             md5(col("bigram")), 15), lit(m)).as("b"))
-      val model = feats.groupBy(col("b")).agg(
-        sum(when(isTarget, 1L).otherwise(0L)).as("ct"),
-        sum(when(isTarget, 0L).otherwise(1L)).as("cr"))
-      val totals = feats.agg(
-        sum(when(isTarget, 1L).otherwise(0L)).as("nt"),
-        sum(when(isTarget, 0L).otherwise(1L)).as("nr"))
+        .filter(col("b").isNotNull) // q92's stage-reuse precondition
+        .groupBy(col("doc_id"), col("tgt"), col("b"))
+        .agg(count(lit(1)).as("c"))
+      val model = grouped.groupBy(col("b")).agg(
+        sum(when(col("tgt"), col("c")).otherwise(0L)).as("ct"),
+        sum(when(col("tgt"), 0L).otherwise(col("c"))).as("cr"))
+      val totals = model.agg(
+        sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
       val llr = model.crossJoin(broadcast(totals)).select(col("b"),
         (log((col("ct") + lit(1L)).cast("double") /
              (col("nt") + lit(m)).cast("double")) -
          log((col("cr") + lit(1L)).cast("double") /
              (col("nr") + lit(m)).cast("double"))).as("llr"))
-      val scored = feats.filter(!isTarget)
-        .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      // target docs ride through the scoring join and are dropped only
+      // AFTER the doc-level agg: filtering `!tgt` any earlier pushes a
+      // filter below `grouped`'s Exchange in this branch only, which
+      // breaks the stage sharing with the model branch (the target set
+      // is the small curated corpus, so the extra scored rows are
+      // cheap; tgt is doc-functional, so max() is exact)
+      val scored = grouped
         .join(broadcast(llr), Seq("b"))
         .groupBy(col("doc_id"))
-        .agg(round(sum(col("c") * col("llr")), 4).as("weight"))
+        .agg(round(sum(col("c") * col("llr")), 4).as("weight"),
+          max(col("tgt")).as("tgt"))
+        .filter(!col("tgt")).select(col("doc_id"), col("weight"))
       // q102's lower-quantile cutoff at q=0.75 on the weight histogram;
       // keep strictly above it (≤ 25% kept, ties engine-stable). The
       // partition-less window is over DISTINCT ROUNDED WEIGHTS — a
@@ -815,15 +836,31 @@ object TrainingData {
     // words have no bigrams and drop out (both engines).
     "q92_doc_logprob" -> ((s, dir) => {
       val W = org.apache.spark.sql.expressions.Window
-      val bg = t(s, dir, "documents")
+      // ONE corpus pass: the raw explode collapses to the (doc, bigram,
+      // multiplicity) frame first, and because BOTH downstream uses (the
+      // vocab counts and the per-doc scoring join) aggregate over the
+      // identical Exchange, Spark's exchange reuse materializes the
+      // shuffle once — the earlier avg-over-instances form scanned and
+      // exploded the whole corpus twice. The weighted mean
+      // Σk·ln(c12/c1) / Σk is the same statistic; per-(doc,bigram)
+      // terms are value-identical in both engines, with round-4
+      // absorbing summation order as everywhere else.
+      // the explicit isNotNull matches the filter the inner join infers
+      // on its streamed side — without it the join branch's pushed-down
+      // filter makes the two Exchange subtrees canonicalize differently
+      // and AQE cannot reuse the stage (verified on the final plan)
+      val dbc = t(s, dir, "documents")
         .select(col("doc_id"), explode(TextOps.shingles(col("text"), 2)).as("bigram"))
-      val counts = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
+        .filter(col("bigram").isNotNull)
+        .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("k"))
+      val counts = dbc.groupBy(col("bigram")).agg(sum(col("k")).as("c12"))
         .withColumn("c1", sum(col("c12")).over(
           W.partitionBy(substring_index(col("bigram"), " ", 1))))
-      bg.join(counts, Seq("bigram"))
+      dbc.join(counts, Seq("bigram"))
         .groupBy(col("doc_id"))
-        .agg(round(avg(log(col("c12") / col("c1"))), 4).as("avg_logprob"),
-          count(lit(1)).as("n_bigrams"))
+        .agg(round(sum(col("k") * log(col("c12") / col("c1"))) /
+          sum(col("k")), 4).as("avg_logprob"),
+          sum(col("k")).as("n_bigrams"))
         .orderBy(col("doc_id"))
     }),
     // Count-based bigram LM statistics: top-20 bigrams with conditional
@@ -1229,13 +1266,18 @@ object TrainingData {
         |      i -> words[i] || ' ' || words[i+1])) AS bigram
         |  FROM (SELECT doc_id, string_split(text, ' ') AS words
         |        FROM documents)),
-        |c AS (SELECT bigram, COUNT(*) AS c12 FROM bg GROUP BY bigram),
+        |dbc AS (SELECT doc_id, bigram, COUNT(*) AS k
+        |  FROM bg GROUP BY 1, 2),
+        |c AS (SELECT bigram, CAST(SUM(k) AS BIGINT) AS c12
+        |  FROM dbc GROUP BY bigram),
         |c2 AS (SELECT bigram, c12,
         |    SUM(c12) OVER (PARTITION BY split_part(bigram, ' ', 1)) AS c1
         |  FROM c),
         |scored AS (
-        |  SELECT doc_id, round(avg(ln(c12 / CAST(c1 AS DOUBLE))), 4) AS score
-        |  FROM bg JOIN c2 USING (bigram) GROUP BY doc_id),
+        |  SELECT doc_id,
+        |    round(SUM(k * ln(c12 / CAST(c1 AS DOUBLE))) /
+        |      CAST(SUM(k) AS DOUBLE), 4) AS score
+        |  FROM dbc JOIN c2 USING (bigram) GROUP BY doc_id),
         |sl AS (SELECT s.doc_id, s.score, d.lang
         |  FROM scored s JOIN documents d USING (doc_id)),
         |hist AS (SELECT lang, score, COUNT(*) AS cnt FROM sl GROUP BY 1, 2),
@@ -1390,14 +1432,18 @@ object TrainingData {
         |      i -> words[i] || ' ' || words[i+1])) AS bigram
         |  FROM (SELECT doc_id, string_split(text, ' ') AS words
         |        FROM documents)),
-        |c AS (SELECT bigram, COUNT(*) AS c12 FROM bg GROUP BY bigram),
+        |dbc AS (SELECT doc_id, bigram, COUNT(*) AS k
+        |  FROM bg GROUP BY 1, 2),
+        |c AS (SELECT bigram, CAST(SUM(k) AS BIGINT) AS c12
+        |  FROM dbc GROUP BY bigram),
         |c2 AS (SELECT bigram, c12,
         |    SUM(c12) OVER (PARTITION BY split_part(bigram, ' ', 1)) AS c1
         |  FROM c)
         |SELECT doc_id,
-        |  round(avg(ln(c12 / CAST(c1 AS DOUBLE))), 4) AS avg_logprob,
-        |  COUNT(*) AS n_bigrams
-        |FROM bg JOIN c2 USING (bigram)
+        |  round(SUM(k * ln(c12 / CAST(c1 AS DOUBLE))) /
+        |    CAST(SUM(k) AS DOUBLE), 4) AS avg_logprob,
+        |  CAST(SUM(k) AS BIGINT) AS n_bigrams
+        |FROM dbc JOIN c2 USING (bigram)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q88_bigram_lm" ->
       """WITH bg AS (
