@@ -387,4 +387,37 @@ class PropertiesSpec extends SparkSpec {
       seen = wm
     }
   }
+
+  test("prop: AVI parser never throws or over-allocates on hostile bytes") {
+    import graft.multimodal.AviMjpeg
+    // pure garbage: any byte soup must yield None/Some cleanly, and the
+    // salvaged frame bytes can never exceed the input (no hostile-size
+    // allocation), because every size is validated against bytes present
+    val soup = Gen.chooseNum(0, 2048).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray))
+    check(Prop.forAll(soup) { bytes =>
+      AviMjpeg.parse(bytes) match {
+        case None => true
+        case Some((_, fs)) => fs.map(_.length.toLong).sum <= bytes.length
+      }
+    })
+    // structured fuzz: a VALID clip with random byte flips — the torn /
+    // corrupt branches must stay total (no exception), and whatever
+    // frames survive must still fit in the container
+    val valid = aviBytes(Seq(60, 180).map(jpegGray(4, _)), 4, 4)
+    val flips = for {
+      n <- Gen.chooseNum(1, 8)
+      ps <- Gen.listOfN(n, Gen.chooseNum(0, valid.length - 1))
+      vs <- Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte))
+    } yield ps.zip(vs)
+    check(Prop.forAll(flips) { muts =>
+      val b = valid.clone()
+      muts.foreach { case (i, v) => b(i) = v }
+      AviMjpeg.parse(b) match {
+        case None => true
+        case Some((_, fs)) => fs.map(_.length.toLong).sum <= b.length
+      }
+    })
+  }
+
 }

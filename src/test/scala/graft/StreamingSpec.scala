@@ -295,4 +295,42 @@ class StreamingSpec extends SparkSpec {
     assert(replan.timestamps.map(_.toString)
       .intersect((0 to 9).map(minute(_).toString)).isEmpty)
   }
+
+  test("streaming camera clips: binaryFile stream → frames → scores (S22/T1)") {
+    import graft.multimodal.{AviMjpeg, Multimodal}
+    // the reference's camera flow as an actual stream over clip files:
+    // new AVI uploads land in a directory, each tick extracts sampled
+    // frames, decodes, and scores them — all inside one streaming plan
+    // (extractFrames/decodeImage are mapPartitions ops, so they compose
+    // into the streaming DataFrame like any other transform)
+    val landing = tmpDir("clips_landing")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$landing/c1.avi"),
+      aviBytes(Seq(220, 220).map(jpegGray(4, _)), 4, 4))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$landing/bad.avi"), "torn upload".getBytes)
+    val stream = spark.readStream.format("binaryFile")
+      .schema(spark.read.format("binaryFile").load(landing).schema)
+      .load(landing)
+      .select(col("path"), col("content"))
+    val scoredStream = Multimodal.pixelFeatures(
+      Multimodal.decodeImage(
+        AviMjpeg.extractFrames(stream, stride = 1, maxFrames = 8),
+        contentCol = "frame"),
+      pixelsCol = "pixels")
+    val q = scoredStream.writeStream.outputMode("append")
+      .format("memory").queryName("clip_frames")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val rows = spark.sql(
+      "SELECT path, frame_idx, features FROM clip_frames").collect()
+    // two decoded frames from the good clip + one NULL row for the bad
+    val good = rows.filter(_.getString(0).endsWith("c1.avi"))
+    assert(good.map(_.getLong(1)).sorted.toSeq === Seq(0L, 1L))
+    assert(good.forall(!_.isNullAt(2)))
+    val bad = rows.filter(_.getString(0).endsWith("bad.avi"))
+    assert(bad.length === 1 && bad.head.isNullAt(1) && bad.head.isNullAt(2))
+  }
+
 }
