@@ -572,7 +572,9 @@ object TrainingData {
         "en" -> 0.30, "de" -> 0.20, "es" -> 0.20, "fr" -> 0.15, "zh" -> 0.15))
       val d = t(s, dir, "documents").select(col("doc_id"), col("lang"))
       val strata = d.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
-      val total = d.agg(count(lit(1)).as("total"))
+      // total derives from the |langs|-row strata frame — scanning the
+      // corpus again for one number would be a third full pass
+      val total = strata.agg(sum(col("n_l")).as("total"))
       val rates = strata.crossJoin(broadcast(total))
         .select(col("lang"),
           (element_at(weights, col("lang")) * col("total") / col("n_l"))
