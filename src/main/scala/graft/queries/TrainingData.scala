@@ -119,6 +119,49 @@ object TrainingData {
         coalesce(col("comp"), col("vec_id")).as("cluster"))
   }
 
+  /** Shared q69/q105 oracle CTE body (follows `$sigCte, $bandsCte`):
+    * exact Jaccard over the LSH pairs → edges → recursive closure.
+    * Yields relation `comp(doc_id, cluster)` for verified text
+    * near-dup clusters. */
+  private def textClusterCte: String =
+    """tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+      |inter AS (
+      |  SELECT p.id_a, p.id_b, COUNT(*) AS n_inter
+      |  FROM pairs p
+      |  JOIN tok ta ON ta.doc_id = p.id_a
+      |  JOIN tok tb ON tb.doc_id = p.id_b AND tb.token = ta.token
+      |  GROUP BY p.id_a, p.id_b),
+      |jac AS (
+      |  SELECT p.id_a, p.id_b,
+      |    CAST(COALESCE(i.n_inter, 0) AS DOUBLE) /
+      |      (sa.sz + sb.sz - COALESCE(i.n_inter, 0)) AS jaccard
+      |  FROM pairs p
+      |  LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+      |  JOIN sizes sa ON sa.doc_id = p.id_a
+      |  JOIN sizes sb ON sb.doc_id = p.id_b),
+      |edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM jac WHERE jaccard >= 0.8
+      |  UNION SELECT id_b, id_a FROM jac WHERE jaccard >= 0.8),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |comp AS (
+      |  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster FROM reach GROUP BY a)""".stripMargin
+
+  /** Shared q55/q105 oracle expression for the composite quality
+    * score — ONE definition so the survivor ranking can never drift
+    * from the reported signal. */
+  private def qualitySql: String =
+    s"least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100) * 0.5 + " +
+      s"least(1.0, (CAST(${occ("the")} + ${occ("a")} + ${occ("of")} + ${occ("and")} AS DOUBLE) " +
+      s"/ len(string_split(text, ' '))) * 5) * 0.3 + " +
+      "(1.0 - least(1.0, (CAST(length(text) - " +
+      "length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) " +
+      "/ length(text)) * 10)) * 0.2"
+
   /** Shared q97/q103 oracle CTE body: pairs → edges → recursive reach
     * → per-node min label. Yields relation `cl(vec_id, cluster)`. */
   private def clusterCte: String =
@@ -216,6 +259,34 @@ object TrainingData {
       docs.select(col("doc_id")).join(comps, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+        .orderBy(col("doc_id"))
+    }),
+    // Quality-aware near-dup survivor selection — q69's text near-dup
+    // clusters composed with q55's quality signal: keep the HIGHEST-
+    // QUALITY member of each cluster rather than q59's arbitrary
+    // min-id, which is what a production dedup actually wants (drop
+    // the mirror with the boilerplate, keep the clean original).
+    // Deterministic: quality is a per-row scalar (bit-exact across
+    // engines), ties break on doc_id. Same scale shape as q69 plus a
+    // cluster-keyed ranking window (one row per doc).
+    "q105_best_survivor" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val sig = DedupOps.minhashSignature(docs, "doc_id", "text")
+      val (pairs, tokens) = DedupOps.verifyInputs(docs, "doc_id", "text",
+        DedupOps.lshCandidatePairs(sig, "doc_id"))
+      val verified = DedupOps.jaccardForPairs(pairs, tokens, "doc_id")
+        .filter(col("jaccard") >= 0.8)
+      val comps = DedupOps.connectedComponents(verified)
+        .withColumnRenamed("node", "doc_id")
+      docs.select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
+        .join(comps, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("cluster_id"),
+          col("quality"))
+        .withColumn("keep", (row_number().over(
+          W.partitionBy(col("cluster_id"))
+            .orderBy(col("quality").desc, col("doc_id"))) === 1).cast("int"))
         .orderBy(col("doc_id"))
     }),
     // Language-ID heuristic (integer-ratio stopword votes).
@@ -1007,34 +1078,23 @@ object TrainingData {
     "q69_dedup_clusters" ->
       s"""WITH RECURSIVE $sigCte,
          |$bandsCte,
-         |tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
-         |  FROM documents),
-         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
-         |inter AS (
-         |  SELECT p.id_a, p.id_b, COUNT(*) AS n_inter
-         |  FROM pairs p
-         |  JOIN tok ta ON ta.doc_id = p.id_a
-         |  JOIN tok tb ON tb.doc_id = p.id_b AND tb.token = ta.token
-         |  GROUP BY p.id_a, p.id_b),
-         |jac AS (
-         |  SELECT p.id_a, p.id_b,
-         |    CAST(COALESCE(i.n_inter, 0) AS DOUBLE) /
-         |      (sa.sz + sb.sz - COALESCE(i.n_inter, 0)) AS jaccard
-         |  FROM pairs p
-         |  LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
-         |  JOIN sizes sa ON sa.doc_id = p.id_a
-         |  JOIN sizes sb ON sb.doc_id = p.id_b),
-         |edges AS (
-         |  SELECT id_a AS a, id_b AS b FROM jac WHERE jaccard >= 0.8
-         |  UNION SELECT id_b, id_a FROM jac WHERE jaccard >= 0.8),
-         |reach(a, b) AS (
-         |  SELECT a, b FROM edges
-         |  UNION
-         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-         |comp AS (
-         |  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster FROM reach GROUP BY a)
+         |$textClusterCte
          |SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster_id
          |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "q105_best_survivor" ->
+      s"""WITH RECURSIVE $sigCte,
+         |$bandsCte,
+         |$textClusterCte,
+         |q AS (SELECT doc_id, $qualitySql AS quality FROM documents)
+         |SELECT d.doc_id,
+         |  COALESCE(c.cluster, d.doc_id) AS cluster_id, q.quality,
+         |  CASE WHEN ROW_NUMBER() OVER (
+         |      PARTITION BY COALESCE(c.cluster, d.doc_id)
+         |      ORDER BY q.quality DESC, d.doc_id) = 1
+         |    THEN 1 ELSE 0 END AS keep
+         |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+         |JOIN q ON q.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
     "q54_langid" ->
       s"""SELECT doc_id,
@@ -1050,12 +1110,7 @@ object TrainingData {
          |    / len(string_split(text, ' ')) AS mean_tok_len,
          |  CAST(${occ("the")} + ${occ("a")} + ${occ("of")} + ${occ("and")} AS DOUBLE)
          |    / len(string_split(text, ' ')) AS stop_ratio,
-         |  least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100) * 0.5 +
-         |    least(1.0, (CAST(${occ("the")} + ${occ("a")} + ${occ("of")} + ${occ("and")} AS DOUBLE)
-         |      / len(string_split(text, ' '))) * 5) * 0.3 +
-         |    (1.0 - least(1.0, (CAST(length(text) -
-         |      length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
-         |      / length(text)) * 10)) * 0.2 AS quality
+         |  $qualitySql AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q56_token_counts" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tok,
