@@ -43,7 +43,12 @@ object ScaleProbe {
       val perQuery = probes.map { name =>
         val (sec, bytes) =
           measure(noop(graft.SparkEntry.queries(name)(spark, dir)))
-        println(f"[probe] $dir $name: $sec%.2f s, shuffle ${bytes / 1048576.0}%.2f MiB")
+        // scan amplification: source records read / documents rows.
+        // ~1 ⇒ single pass; k ⇒ the plan re-materializes shared
+        // subtrees k times (see PLANS.md one-pass notes) — the number
+        // that matters at 100 TB alongside shuffle bytes
+        val amp = meter.lastInputRecords.toDouble / docRows
+        println(f"[probe] $dir $name: $sec%.2f s, shuffle ${bytes / 1048576.0}%.2f MiB, scan x$amp%.1f")
         name -> bytes
       }.toMap
       // persisted ANN search: build is ingest cost (not probed); the
