@@ -289,6 +289,27 @@ object TrainingData {
             .orderBy(col("quality").desc, col("doc_id"))) === 1).cast("int"))
         .orderBy(col("doc_id"))
     }),
+    // Per-source document cap — the C4/RefinedWeb anti-domination
+    // guard: no single domain may contribute more than N docs. Ranking
+    // inside each source uses a SALTED HASH, not doc_id: id order
+    // correlates with crawl position (recency/depth bias), while the
+    // hash is a uniform draw that is still deterministic across
+    // engines and runs. One window keyed by source — at 100 TB the
+    // skewed giant sources are exactly the ones being capped, and a
+    // rank-only window needs no full sort buffer per partition beyond
+    // the spill-safe Exchange+Sort Spark already plans.
+    "q106_source_cap" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val rk = graft.expressions.HexPrefixToLong.hex_prefix_to_long(
+        md5(concat(lit("cap|"), col("doc_id").cast("string"))), 15)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), rk.as("draw"))
+        .withColumn("rk", row_number().over(
+          W.partitionBy(col("source")).orderBy(col("draw"), col("doc_id"))))
+        .select(col("doc_id"), col("source"),
+          (col("rk") <= 15).cast("int").as("keep"))
+        .orderBy(col("doc_id"))
+    }),
     // Language-ID heuristic (integer-ratio stopword votes).
     "q54_langid" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1082,6 +1103,17 @@ object TrainingData {
          |SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster_id
          |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    "q106_source_cap" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    CAST(('0x' || substr(md5('cap|' || CAST(doc_id AS VARCHAR)),
+        |      1, 15)) AS BIGINT) AS draw
+        |  FROM documents)
+        |SELECT doc_id, source,
+        |  CASE WHEN ROW_NUMBER() OVER (
+        |      PARTITION BY source ORDER BY draw, doc_id) <= 15
+        |    THEN 1 ELSE 0 END AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
     "q105_best_survivor" ->
       s"""WITH RECURSIVE $sigCte,
          |$bandsCte,
