@@ -310,6 +310,59 @@ object TrainingData {
           (col("rk") <= 15).cast("int").as("keep"))
         .orderBy(col("doc_id"))
     }),
+    // The composed MODERN pretraining recipe in ONE declarative plan —
+    // q82's principle extended to the full round-6 mixing family:
+    // quality gate (q82) → exact-dedup keep-first (q50/q82) →
+    // per-source anti-domination cap (q106) → mixture resample to
+    // language targets (q101) → greedy sequence packing (q99) + split
+    // labels (q72). Every stage is the audited operator, chained
+    // without materialization barriers, so Catalyst plans the whole
+    // recipe end-to-end: the gate prunes before the dedup shuffle, the
+    // cap and resample windows share the survivor frame, and the copy
+    // expansion is scan-side codegen. Determinism is inherited from
+    // the components (salted hashes, doc_id tiebreaks) — rerunning the
+    // recipe on any engine reproduces the identical packed corpus.
+    "q107_pretrain_mix" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val kept = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("text"),
+          TextOps.nTokens(col("text")).as("n_tok"),
+          TextOps.dupWordFrac(col("text")).as("dwf"))
+        .filter(col("n_tok") >= 10 && col("dwf") < 0.3)
+        .withColumn("rn", row_number().over(
+          W.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+        .filter(col("rn") === 1)
+      val capped = kept
+        .withColumn("crk", row_number().over(
+          W.partitionBy(col("source")).orderBy(
+            graft.expressions.HexPrefixToLong.hex_prefix_to_long(
+              md5(concat(lit("cap|"), col("doc_id").cast("string"))), 15),
+            col("doc_id"))))
+        .filter(col("crk") <= 20)
+        .select(col("doc_id"), col("lang"), col("n_tok"))
+      val weights = typedLit(Map(
+        "en" -> 0.30, "de" -> 0.20, "es" -> 0.20, "fr" -> 0.15, "zh" -> 0.15))
+      val strata = capped.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+      val total = strata.agg(sum(col("n_l")).as("total"))
+      val rates = strata.crossJoin(broadcast(total)).select(col("lang"),
+        (element_at(weights, col("lang")) * col("total") / col("n_l"))
+          .as("rate"))
+      val copies = capped.join(broadcast(rates), Seq("lang"))
+        .withColumn("copies", floor(col("rate")) +
+          when(TextOps.hashFrac(col("doc_id"), "mix") <
+            col("rate") - floor(col("rate")), 1L).otherwise(0L))
+        .filter(col("copies") >= 1L)
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          explode(sequence(lit(1L), col("copies"))).as("copy"))
+      val wp = W.partitionBy(col("lang")).orderBy(col("doc_id"), col("copy"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      copies
+        .select(col("doc_id"), col("copy"), col("lang"), col("n_tok"),
+          floor(coalesce(sum(col("n_tok")).over(wp), lit(0L)) / lit(2048L))
+            .as("pack_id"),
+          TextOps.splitLabel(TextOps.hashBucket(col("doc_id"))).as("split"))
+        .orderBy(col("lang"), col("doc_id"), col("copy"))
+    }),
     // Language-ID heuristic (integer-ratio stopword votes).
     "q54_langid" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1103,6 +1156,57 @@ object TrainingData {
          |SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster_id
          |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    "q107_pretrain_mix" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang, source, text,
+        |    len(string_split(text, ' ')) AS n_tok,
+        |    CASE WHEN len(string_split(text, ' ')) > 0 THEN
+        |      CAST(len(string_split(text, ' ')) -
+        |        len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |        / len(string_split(text, ' '))
+        |    ELSE 0.0 END AS dwf
+        |  FROM documents),
+        |surv AS (
+        |  SELECT doc_id, lang, source, n_tok,
+        |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM scored WHERE n_tok >= 10 AND dwf < 0.3),
+        |capped AS (
+        |  SELECT doc_id, lang, n_tok FROM (
+        |    SELECT doc_id, lang, n_tok,
+        |      ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+        |        CAST(('0x' || substr(md5('cap|' || CAST(doc_id AS VARCHAR)),
+        |          1, 15)) AS BIGINT), doc_id) AS crk
+        |    FROM surv WHERE rn = 1)
+        |  WHERE crk <= 20),
+        |n AS (SELECT lang, COUNT(*) AS n_l FROM capped GROUP BY lang),
+        |tt AS (SELECT SUM(n_l) AS total FROM n),
+        |r AS (SELECT lang,
+        |    CAST(CASE lang WHEN 'en' THEN '0.30' WHEN 'de' THEN '0.20'
+        |      WHEN 'es' THEN '0.20' WHEN 'fr' THEN '0.15'
+        |      ELSE '0.15' END AS DOUBLE) * total / n_l AS rate
+        |  FROM n, tt),
+        |c AS (SELECT capped.doc_id, capped.lang, capped.n_tok,
+        |    CAST(FLOOR(r.rate) AS BIGINT) +
+        |    CASE WHEN CAST(CAST(('0x' || substr(md5('mix|' ||
+        |        CAST(capped.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000
+        |        AS DOUBLE) / CAST(1000000 AS DOUBLE)
+        |      < r.rate - FLOOR(r.rate) THEN 1 ELSE 0 END AS copies
+        |  FROM capped JOIN r USING (lang)),
+        |e AS (SELECT doc_id, lang, n_tok,
+        |    CAST(unnest(range(1, copies + 1)) AS BIGINT) AS copy
+        |  FROM c)
+        |SELECT doc_id, copy, lang, n_tok,
+        |  CAST(FLOOR(COALESCE(SUM(n_tok) OVER (
+        |      PARTITION BY lang ORDER BY doc_id, copy
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    / 2048.0) AS BIGINT) AS pack_id,
+        |  CASE WHEN CAST(('0x' || substr(md5('split|' ||
+        |      CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80
+        |      THEN 'train'
+        |    WHEN CAST(('0x' || substr(md5('split|' ||
+        |      CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90
+        |      THEN 'valid' ELSE 'test' END AS split
+        |FROM e ORDER BY lang, doc_id, copy""".stripMargin,
     "q106_source_cap" ->
       """WITH r AS (
         |  SELECT doc_id, source,

@@ -284,6 +284,40 @@ class PlansSpec extends SparkSpec {
     assert(n == rawN, s"scored $n raw docs, expected $rawN")
   }
 
+  test("q107 composed recipe: one plan, gate before dedup shuffle, mixture invariant") {
+    val df = graft.queries.TrainingData.defs("q107_pretrain_mix")(spark, sf001)
+    val plan = df.queryExecution.executedPlan.toString
+    // the whole recipe is ONE Catalyst plan: no cartesian blowup, and
+    // the quality gate prunes BEFORE the dedup window's exchange (the
+    // filter must sit under the first hashpartitioning on md5(text))
+    assert(!plan.contains("CartesianProduct"), plan)
+    val lines = plan.linesIterator.toIndexedSeq
+    val exIdx = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    assert(exIdx >= 0, plan)
+    assert(lines.drop(exIdx).exists(_.matches(".*Filter.*(n_tok|size\\().*")),
+      s"quality gate not pushed below the dedup exchange:\n$plan")
+
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // copies per (doc) are contiguous and packs are dense per lang:
+    // every pack id in 0..max occurs (greedy packing leaves no holes)
+    rows.groupBy(_.getString(2)).foreach { case (lang, rs) =>
+      val packs = rs.map(_.getLong(4)).distinct.sorted
+      assert(packs.sameElements(0L to packs.max), s"$lang packs: ${packs.toSeq}")
+    }
+    // the per-source cap held upstream: ≤ 20 distinct docs per source
+    // can survive, so no source contributes more docs than that
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.map(r => docs(r.getLong(0))).groupBy(identity).foreach {
+      case (src, hits) =>
+        val distinctDocs = rows.filter(r => docs(r.getLong(0)) == src)
+          .map(_.getLong(0)).distinct.length
+        assert(distinctDocs <= 20, s"$src: $distinctDocs docs survived the cap")
+    }
+  }
+
   test("q76 plan merges sessions natively; q77 shuffles only bounded frames") {
     val sess = graft.queries.Windowed.defs("q76_session_window")(spark, sf001)
     val sessPlan = sess.queryExecution.executedPlan.toString
