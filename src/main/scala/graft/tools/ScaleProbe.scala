@@ -35,7 +35,7 @@ object ScaleProbe {
     val probes = Seq("q59_neardup_dedup", "q52_lsh_pairs",
       "q91_bloom_contamination", "q97_semantic_dedup", "q99_sequence_pack",
       "q100_source_filter", "q101_mixture_resample", "q102_ccnet_buckets",
-      "q103_semdedup", "q104_dsir_importance")
+      "q103_semdedup", "q104_dsir_importance", "q107_pretrain_mix")
     case class Obs(docRows: Long, bytes: Map[String, Long])
 
     def observe(dir: String): Obs = {

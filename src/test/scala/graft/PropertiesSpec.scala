@@ -388,6 +388,24 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("hashFrac: uniform deciles and exact determinism (mixture primitive)") {
+    import spark.implicits._
+    // the q101/q107 mixture guarantee rests on the acceptance draw
+    // being uniform: over 10k sequential ids every decile should hold
+    // ~10%, and the same id must always draw the same fraction
+    def draw() = spark.range(10000)
+      .select(graft.functions.TextOps.hashFrac(col("id"), "mix").as("f"))
+      .as[Double].collect()
+    val fracs = draw()
+    assert(fracs.forall(f => f >= 0.0 && f < 1.0))
+    val byDecile = fracs.groupBy(f => (f * 10).toInt)
+    (0 until 10).foreach { d =>
+      val n = byDecile.get(d).map(_.length).getOrElse(0)
+      assert(n > 800 && n < 1200, s"decile $d holds $n of 10000")
+    }
+    assert(fracs.toSeq === draw().toSeq)
+  }
+
   test("prop: AVI parser never throws or over-allocates on hostile bytes") {
     import graft.multimodal.AviMjpeg
     // pure garbage: any byte soup must yield None/Some cleanly, and the
