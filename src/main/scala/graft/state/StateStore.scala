@@ -104,6 +104,19 @@ class StateStore(spark: SparkSession, root: String) {
   private def runPath(key: String) = keyedPath("last_run", key)
   private def entityPath(key: String) = keyedPath("entity_watermarks", key)
   private def filesPath(key: String) = keyedPath("processed_files", key)
+  private def tablePath(key: String) = keyedPath("tables", key)
+
+  /** Generic small-state table under this store (crash-healed read —
+    * a writer that died mid-swap is restored before the plan binds).
+    * For cursor/config-sized frames that need the same atomic-swap
+    * durability as the built-in watermark kinds. */
+  def readTable(name: String, schemaDdl: String): DataFrame =
+    readOrEmpty(tablePath(name), schemaDdl)
+
+  /** Atomically replace a generic small-state table (tmp → .old swap,
+    * same writer discipline as every state kind: one writer per key). */
+  def writeTable(name: String, df: DataFrame): Unit =
+    writeAtomic(df, tablePath(name))
 
   /** Restore a crashed writer's intact `.old` copy BEFORE anything plans
     * a read of `path`. This must run in [[readOrEmpty]] — not only in

@@ -313,4 +313,48 @@ class LakeSpec extends SparkSpec {
     assert(rows.filter($"erro".startsWith("[recapturado]")).count() === 1)
     assert(rows.filter($"sucesso" === true).count() === 1)
   }
+
+  test("incremental packing: batches == one-shot; pure assign; durable cursor") {
+    import graft.lake.CorpusPack
+    import graft.state.StateStore
+    import org.apache.spark.sql.expressions.Window
+    val stateRoot = tmpDir("pack_state")
+    val all = Seq(
+      (1L, "en", 40L), (2L, "en", 40L), (3L, "en", 40L), (4L, "de", 90L),
+      (5L, "en", 35L), (6L, "de", 20L), (7L, "en", 100L), (8L, "de", 95L)
+    ).toDF("doc_id", "lang", "n_tok")
+    val b1 = all.filter($"doc_id" <= 4)
+    val b2 = all.filter($"doc_id" > 4)
+
+    val cp1 = new CorpusPack(spark, new StateStore(spark, stateRoot),
+      "docs", budgetTokens = 100L)
+    val a1 = cp1.assign(b1, "lang", "doc_id", "n_tok")
+      .select($"doc_id", $"pack_id").as[(Long, Long)].collect().toMap
+    // assign is PURE: a crashed run re-assigns the identical ids
+    val a1again = cp1.assign(b1, "lang", "doc_id", "n_tok")
+      .select($"doc_id", $"pack_id").as[(Long, Long)].collect().toMap
+    assert(a1 === a1again)
+    cp1.commit(b1, "lang", "n_tok")
+
+    // a FRESH instance over the same state dir continues the cursors
+    val cp2 = new CorpusPack(spark, new StateStore(spark, stateRoot),
+      "docs", budgetTokens = 100L)
+    val a2 = cp2.assign(b2, "lang", "doc_id", "n_tok")
+      .select($"doc_id", $"pack_id").as[(Long, Long)].collect().toMap
+    cp2.commit(b2, "lang", "n_tok")
+
+    // equivalence with the one-shot q99 window over the union
+    val w = Window.partitionBy($"lang").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val oneShot = all.select($"doc_id",
+      floor((coalesce(sum($"n_tok").over(w), lit(0L))) / lit(100L))
+        .as("pack_id")).as[(Long, Long)].collect().toMap
+    assert(a1 ++ a2 === oneShot)
+
+    // reserved output columns are refused loudly, not silently replaced
+    intercept[IllegalArgumentException] {
+      cp2.assign(b1.withColumn("pack_id", lit(0L)), "lang", "doc_id", "n_tok")
+    }
+  }
+
 }
