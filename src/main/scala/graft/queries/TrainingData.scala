@@ -363,6 +363,26 @@ object TrainingData {
           TextOps.splitLabel(TextOps.hashBucket(col("doc_id"))).as("split"))
         .orderBy(col("lang"), col("doc_id"), col("copy"))
     }),
+    // Token-entropy quality signal — the information-theoretic
+    // repetitiveness measure the Gopher-family heuristics approximate:
+    // H = ln(n) − Σ c·ln(c) / n over the doc's token counts (0 for a
+    // single repeated token, ln(n_distinct) for all-distinct). The
+    // exact-integer form keeps parity trivial: c and n are longs, the
+    // per-term c·ln(c) values are bit-identical in both engines, and
+    // round-4 absorbs summation order. One corpus pass by
+    // construction: the (doc, token, count) frame has a single
+    // consumer, so there is nothing to re-materialize.
+    "q108_token_entropy" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tok"),
+          round(log(sum(col("c"))) -
+            sum(col("c") * log(col("c"))) / sum(col("c")), 4)
+            .as("entropy"))
+        .orderBy(col("doc_id"))
+    }),
     // Language-ID heuristic (integer-ratio stopword votes).
     "q54_langid" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1207,6 +1227,18 @@ object TrainingData {
         |      CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90
         |      THEN 'valid' ELSE 'test' END AS split
         |FROM e ORDER BY lang, doc_id, copy""".stripMargin,
+    "q108_token_entropy" ->
+      """WITH tc AS (
+        |  SELECT doc_id, tok, COUNT(*) AS c FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)
+        |  GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(SUM(c) AS BIGINT) AS n_tok,
+        |  round(ln(CAST(SUM(c) AS DOUBLE)) -
+        |    SUM(c * ln(CAST(c AS DOUBLE))) / CAST(SUM(c) AS DOUBLE), 4)
+        |    AS entropy
+        |FROM tc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q106_source_cap" ->
       """WITH r AS (
         |  SELECT doc_id, source,
