@@ -146,8 +146,14 @@ object TextOps {
     * property `rand()`-based sampling lacks). 60-bit prefix keeps the
     * value inside a signed long on every engine. */
   def hashBucket(id: Column, salt: String = "split"): Column =
-    pmod(graft.expressions.HexPrefixToLong.hex_prefix_to_long(
-      md5(concat(lit(salt + "|"), id.cast("string"))), 15), lit(100L))
+    pmod(hashDraw(id, salt), lit(100L))
+
+  /** The raw salted 60-bit draw behind [[hashBucket]]/[[hashFrac]] and
+    * the per-source cap ranking (q106/q107) — ONE definition so every
+    * consumer ranks/buckets by the identical value. */
+  def hashDraw(id: Column, salt: String): Column =
+    graft.expressions.HexPrefixToLong.hex_prefix_to_long(
+      md5(concat(lit(salt + "|"), id.cast("string"))), 15)
 
   /** [[hashBucket]] at fine granularity, as a uniform double in [0,1) —
     * the acceptance-test primitive for fractional sampling rates. The
@@ -155,8 +161,7 @@ object TextOps {
     * every engine computes the identical fraction. */
   def hashFrac(id: Column, salt: String, buckets: Long = 1000000L): Column = {
     require(buckets > 0 && buckets < (1L << 53), s"buckets $buckets not exact in double")
-    pmod(graft.expressions.HexPrefixToLong.hex_prefix_to_long(
-      md5(concat(lit(salt + "|"), id.cast("string"))), 15), lit(buckets))
+    pmod(hashDraw(id, salt), lit(buckets))
       .cast("double") / lit(buckets.toDouble)
   }
 

@@ -21,57 +21,111 @@ import org.apache.spark.sql.functions._
   * only the batch (one window on the language key) and broadcasts the
   * cursor; the corpus never moves.
   *
-  * Replay contract (Capture's write-then-advance, applied here):
-  * [[assign]] is PURE — it reads the cursor but never advances it. The
-  * caller lands the assigned batch, then calls [[commit]] with the
-  * same frame. A run that dies between the two replays identically:
-  * same cursor ⇒ same pack ids ⇒ idempotent overwrite of the landed
-  * batch. Single-writer discipline per dataset (RunLock), as for all
-  * state kinds.
+  * Replay contract: every batch carries a caller-chosen `batchId` (the
+  * capture run id). [[assign]] is PURE, and [[commit]] records the
+  * batchId IN the cursor row alongside the advanced totals — one
+  * atomic swap, so the marker and the totals can never disagree. That
+  * closes BOTH crash windows of a land→commit cycle:
+  *  - crash after land, before commit: cursor unchanged ⇒ replayed
+  *    assign produces identical ids;
+  *  - crash after commit, before the orchestrator records the batch
+  *    as done: the cursor also keeps the PREVIOUS totals, so a
+  *    replayed assign that presents the just-committed batchId packs
+  *    against those — again identical ids — and the replayed commit
+  *    is a no-op.
+  * Single-writer discipline per dataset (RunLock), sequential batches,
+  * as for all state kinds.
   *
-  * Equivalence guarantee (spec-proved): if batches arrive in document
-  * order (ids monotone across batches — the capture case), then
-  * assign∘commit per batch produces EXACTLY the pack ids q99's
-  * one-shot window gives over the union.
+  * The one-shot-equivalence guarantee (batch-wise == q99 over the
+  * union) requires document ids to be MONOTONE across batches — the
+  * capture case. That precondition is ENFORCED, not assumed: the
+  * cursor tracks each language's max packed id and [[assign]] plants a
+  * `raise_error` on any row at or below it, so an out-of-order
+  * backfill fails loudly instead of silently producing divergent
+  * sequences.
   */
 class CorpusPack(spark: SparkSession, state: StateStore, dataset: String,
                  budgetTokens: Long = 2048L) {
   require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
 
   private val tableName = s"pack_cursor_$dataset"
+  private val Schema =
+    "lang STRING, cum_tok BIGINT, prev_tok BIGINT, " +
+      "max_id BIGINT, prev_max_id BIGINT, batch STRING"
 
-  private def cursor(langCol: String): DataFrame =
-    state.readTable(tableName, s"$langCol STRING, cum_tok BIGINT")
+  private def cursor(): DataFrame = state.readTable(tableName, Schema)
+
+  private def lastBatch(cur: DataFrame): Option[String] =
+    cur.select(col("batch")).limit(1).collect().headOption.map(_.getString(0))
+
+  /** The effective (lang, offset_tok, guard_id) frame for a batch:
+    * normally the committed totals; for the batchId that was JUST
+    * committed (crash-replay), the totals from before it. */
+  private def offsets(batchId: String): DataFrame = {
+    val cur = cursor()
+    val replay = lastBatch(cur).contains(batchId)
+    if (replay)
+      cur.select(col("lang"), col("prev_tok").as("offset_tok"),
+        col("prev_max_id").as("guard_id"))
+    else
+      cur.select(col("lang"), col("cum_tok").as("offset_tok"),
+        col("max_id").as("guard_id"))
+  }
 
   /** Assign pack ids to a batch, continuing from the persisted
     * cursors. Output = batch columns + `pack_id`. Pure: state is read,
-    * never written — see the replay contract above. */
+    * never written — see the replay contract above. A batch row whose
+    * id is ≤ the language's already-packed max fails the job loudly
+    * (monotone-id precondition). */
   def assign(batch: DataFrame, langCol: String, idCol: String,
-             nTokCol: String): DataFrame = {
-    require(!batch.columns.contains("pack_id"),
-      "pack_id is reserved by CorpusPack; drop or rename the input column")
-    require(!batch.columns.contains("cum_tok"),
-      "cum_tok is reserved by CorpusPack; drop or rename the input column")
+             nTokCol: String, batchId: String): DataFrame = {
+    Seq("pack_id", "offset_tok", "guard_id").foreach { reserved =>
+      require(!batch.columns.contains(reserved),
+        s"$reserved is reserved by CorpusPack; drop or rename the input column")
+    }
     val w = Window.partitionBy(col(langCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     batch
-      .join(broadcast(cursor(langCol)), Seq(langCol), "left")
+      .join(broadcast(offsets(batchId).withColumnRenamed("lang", langCol)),
+        Seq(langCol), "left")
       .withColumn("pack_id",
-        floor((coalesce(col("cum_tok"), lit(0L)) +
+        floor((coalesce(col("offset_tok"), lit(0L)) +
           coalesce(sum(col(nTokCol)).over(w), lit(0L))) /
-          lit(budgetTokens)))
-      .drop("cum_tok")
+          lit(budgetTokens)) +
+          // the guard rides the pack_id expression so column pruning
+          // can never drop it: violation ⇒ raise_error at execution
+          when(col(idCol) <= coalesce(col("guard_id"),
+              lit(Long.MinValue)),
+            raise_error(concat(
+              lit("CorpusPack: non-monotone id for incremental " +
+                "packing (already packed past) -> "),
+              col(idCol).cast("string"))).cast("long"))
+            .otherwise(lit(0L)))
+      .drop("offset_tok", "guard_id")
   }
 
-  /** Advance the per-language cursors by this batch's token totals.
-    * Call AFTER the assigned batch has landed (write-then-advance). */
-  def commit(batch: DataFrame, langCol: String, nTokCol: String): Unit = {
-    val advanced = cursor(langCol).withColumnRenamed("cum_tok", "prev")
-      .join(batch.groupBy(col(langCol))
-        .agg(sum(col(nTokCol)).as("batch_tok")), Seq(langCol), "full")
-      .select(col(langCol),
+  /** Advance the per-language cursors by this batch's token totals and
+    * record `batchId` in the same atomic swap. Call AFTER the assigned
+    * batch has landed (write-then-advance). Re-committing the recorded
+    * batchId is a no-op — replay-idempotent. */
+  def commit(batch: DataFrame, langCol: String, idCol: String,
+             nTokCol: String, batchId: String): Unit = {
+    val cur = cursor()
+    if (lastBatch(cur).contains(batchId)) return // already committed
+    val advanced = cur
+      .select(col("lang"), col("cum_tok").as("prev"),
+        col("max_id").as("prev_max"))
+      .join(batch.groupBy(col(langCol).as("lang"))
+        .agg(sum(col(nTokCol)).as("batch_tok"),
+          max(col(idCol)).as("batch_max")), Seq("lang"), "full")
+      .select(col("lang"),
         (coalesce(col("prev"), lit(0L)) +
-          coalesce(col("batch_tok"), lit(0L))).as("cum_tok"))
+          coalesce(col("batch_tok"), lit(0L))).as("cum_tok"),
+        coalesce(col("prev"), lit(0L)).as("prev_tok"),
+        greatest(coalesce(col("prev_max"), lit(Long.MinValue)),
+          coalesce(col("batch_max"), lit(Long.MinValue))).as("max_id"),
+        coalesce(col("prev_max"), lit(Long.MinValue)).as("prev_max_id"),
+        lit(batchId).as("batch"))
     state.writeTable(tableName, advanced)
   }
 }

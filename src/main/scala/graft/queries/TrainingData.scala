@@ -119,6 +119,13 @@ object TrainingData {
         coalesce(col("comp"), col("vec_id")).as("cluster"))
   }
 
+  /** q101/q107 language-share targets — ONE definition so the composed
+    * recipe can never drift from the standalone resampler. The oracles
+    * enumerate the same five langs explicitly with NO ELSE branch: an
+    * unknown lang draws NULL weight and drops in BOTH engines. */
+  private val mixWeights = typedLit(Map(
+    "en" -> 0.30, "de" -> 0.20, "es" -> 0.20, "fr" -> 0.15, "zh" -> 0.15))
+
   /** Shared q69/q105 oracle CTE body (follows `$sigCte, $bandsCte`):
     * exact Jaccard over the LSH pairs → edges → recursive closure.
     * Yields relation `comp(doc_id, cluster)` for verified text
@@ -300,8 +307,7 @@ object TrainingData {
     // the spill-safe Exchange+Sort Spark already plans.
     "q106_source_cap" -> ((s, dir) => {
       val W = org.apache.spark.sql.expressions.Window
-      val rk = graft.expressions.HexPrefixToLong.hex_prefix_to_long(
-        md5(concat(lit("cap|"), col("doc_id").cast("string"))), 15)
+      val rk = TextOps.hashDraw(col("doc_id"), "cap")
       t(s, dir, "documents")
         .select(col("doc_id"), col("source"), rk.as("draw"))
         .withColumn("rk", row_number().over(
@@ -335,13 +341,10 @@ object TrainingData {
       val capped = kept
         .withColumn("crk", row_number().over(
           W.partitionBy(col("source")).orderBy(
-            graft.expressions.HexPrefixToLong.hex_prefix_to_long(
-              md5(concat(lit("cap|"), col("doc_id").cast("string"))), 15),
-            col("doc_id"))))
+            TextOps.hashDraw(col("doc_id"), "cap"), col("doc_id"))))
         .filter(col("crk") <= 20)
         .select(col("doc_id"), col("lang"), col("n_tok"))
-      val weights = typedLit(Map(
-        "en" -> 0.30, "de" -> 0.20, "es" -> 0.20, "fr" -> 0.15, "zh" -> 0.15))
+      val weights = mixWeights
       val strata = capped.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
       val total = strata.agg(sum(col("n_l")).as("total"))
       val rates = strata.crossJoin(broadcast(total)).select(col("lang"),
@@ -733,8 +736,7 @@ object TrainingData {
     // identical IEEE double, and the fractional-part comparison uses a
     // hash fraction whose long→double conversion is exact (<2^20).
     "q101_mixture_resample" -> ((s, dir) => {
-      val weights = typedLit(Map(
-        "en" -> 0.30, "de" -> 0.20, "es" -> 0.20, "fr" -> 0.15, "zh" -> 0.15))
+      val weights = mixWeights
       val d = t(s, dir, "documents").select(col("doc_id"), col("lang"))
       val strata = d.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
       // total derives from the |langs|-row strata frame — scanning the
@@ -1203,7 +1205,7 @@ object TrainingData {
         |r AS (SELECT lang,
         |    CAST(CASE lang WHEN 'en' THEN '0.30' WHEN 'de' THEN '0.20'
         |      WHEN 'es' THEN '0.20' WHEN 'fr' THEN '0.15'
-        |      ELSE '0.15' END AS DOUBLE) * total / n_l AS rate
+        |      WHEN 'zh' THEN '0.15' END AS DOUBLE) * total / n_l AS rate
         |  FROM n, tt),
         |c AS (SELECT capped.doc_id, capped.lang, capped.n_tok,
         |    CAST(FLOOR(r.rate) AS BIGINT) +
@@ -1465,14 +1467,18 @@ object TrainingData {
         |ORDER BY d.source, d.doc_id""".stripMargin,
     // Weights CAST from strings, not written as bare literals: a bare
     // 0.30 is DECIMAL in DuckDB and decimal·BIGINT/BIGINT arithmetic
-    // would diverge from Spark's double path.
+    // would diverge from Spark's double path. The CASE enumerates all
+    // five langs with NO ELSE: an unknown/NULL lang draws NULL weight
+    // and its copies stay NULL → dropped — matching element_at's NULL
+    // on the Spark side (an ELSE would silently resample foreign-lang
+    // docs the Spark plan excludes).
     "q101_mixture_resample" ->
       """WITH n AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
         |tt AS (SELECT COUNT(*) AS total FROM documents),
         |r AS (SELECT lang,
         |    CAST(CASE lang WHEN 'en' THEN '0.30' WHEN 'de' THEN '0.20'
         |      WHEN 'es' THEN '0.20' WHEN 'fr' THEN '0.15'
-        |      ELSE '0.15' END AS DOUBLE) * total / n_l AS rate
+        |      WHEN 'zh' THEN '0.15' END AS DOUBLE) * total / n_l AS rate
         |  FROM n, tt),
         |c AS (SELECT d.doc_id, d.lang,
         |    CAST(FLOOR(r.rate) AS BIGINT) +

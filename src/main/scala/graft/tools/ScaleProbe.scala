@@ -38,16 +38,27 @@ object ScaleProbe {
       "q103_semdedup", "q104_dsir_importance", "q107_pretrain_mix")
     case class Obs(docRows: Long, bytes: Map[String, Long])
 
+    // which base table a probe query scans — the honest denominator
+    // for scan amplification (q97/q103 read embeddings, not documents)
+    val probeTable = Map(
+      "q97_semantic_dedup" -> "embeddings",
+      "q103_semdedup" -> "embeddings").withDefaultValue("documents")
+
     def observe(dir: String): Obs = {
       val docRows = Tables.load(spark, dir, "documents").count()
+      val baseRows = Map(
+        "documents" -> docRows,
+        "embeddings" -> Tables.load(spark, dir, "embeddings").count())
       val perQuery = probes.map { name =>
         val (sec, bytes) =
           measure(noop(graft.SparkEntry.queries(name)(spark, dir)))
-        // scan amplification: source records read / documents rows.
+        // scan amplification: source records read / scanned-table rows.
         // ~1 ⇒ single pass; k ⇒ the plan re-materializes shared
         // subtrees k times (see PLANS.md one-pass notes) — the number
-        // that matters at 100 TB alongside shuffle bytes
-        val amp = meter.lastInputRecords.toDouble / docRows
+        // that matters at 100 TB alongside shuffle bytes. Caveat:
+        // recordsRead also counts CHECKPOINT re-reads, so iterative
+        // closure queries (q97/q103) report closure rounds here too.
+        val amp = meter.lastInputRecords.toDouble / baseRows(probeTable(name))
         println(f"[probe] $dir $name: $sec%.2f s, shuffle ${bytes / 1048576.0}%.2f MiB, scan x$amp%.1f")
         name -> bytes
       }.toMap

@@ -314,7 +314,7 @@ class LakeSpec extends SparkSpec {
     assert(rows.filter($"sucesso" === true).count() === 1)
   }
 
-  test("incremental packing: batches == one-shot; pure assign; durable cursor") {
+  test("incremental packing: batches == one-shot; replay-safe; monotone-guarded") {
     import graft.lake.CorpusPack
     import graft.state.StateStore
     import org.apache.spark.sql.expressions.Window
@@ -325,23 +325,27 @@ class LakeSpec extends SparkSpec {
     ).toDF("doc_id", "lang", "n_tok")
     val b1 = all.filter($"doc_id" <= 4)
     val b2 = all.filter($"doc_id" > 4)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"pack_id").as[(Long, Long)].collect().toMap
 
     val cp1 = new CorpusPack(spark, new StateStore(spark, stateRoot),
       "docs", budgetTokens = 100L)
-    val a1 = cp1.assign(b1, "lang", "doc_id", "n_tok")
-      .select($"doc_id", $"pack_id").as[(Long, Long)].collect().toMap
-    // assign is PURE: a crashed run re-assigns the identical ids
-    val a1again = cp1.assign(b1, "lang", "doc_id", "n_tok")
-      .select($"doc_id", $"pack_id").as[(Long, Long)].collect().toMap
-    assert(a1 === a1again)
-    cp1.commit(b1, "lang", "n_tok")
+    val a1 = ids(cp1.assign(b1, "lang", "doc_id", "n_tok", "run1"))
+    // crash BEFORE commit: re-assign gives identical ids
+    assert(a1 === ids(cp1.assign(b1, "lang", "doc_id", "n_tok", "run1")))
+    cp1.commit(b1, "lang", "doc_id", "n_tok", "run1")
+    // crash AFTER commit: replaying the same batchId still gives the
+    // identical ids (the cursor keeps the pre-batch totals), and the
+    // replayed commit is a no-op
+    assert(a1 === ids(cp1.assign(b1, "lang", "doc_id", "n_tok", "run1")))
+    cp1.commit(b1, "lang", "doc_id", "n_tok", "run1")
+    assert(a1 === ids(cp1.assign(b1, "lang", "doc_id", "n_tok", "run1")))
 
     // a FRESH instance over the same state dir continues the cursors
     val cp2 = new CorpusPack(spark, new StateStore(spark, stateRoot),
       "docs", budgetTokens = 100L)
-    val a2 = cp2.assign(b2, "lang", "doc_id", "n_tok")
-      .select($"doc_id", $"pack_id").as[(Long, Long)].collect().toMap
-    cp2.commit(b2, "lang", "n_tok")
+    val a2 = ids(cp2.assign(b2, "lang", "doc_id", "n_tok", "run2"))
+    cp2.commit(b2, "lang", "doc_id", "n_tok", "run2")
 
     // equivalence with the one-shot q99 window over the union
     val w = Window.partitionBy($"lang").orderBy($"doc_id")
@@ -351,9 +355,17 @@ class LakeSpec extends SparkSpec {
         .as("pack_id")).as[(Long, Long)].collect().toMap
     assert(a1 ++ a2 === oneShot)
 
+    // the monotone-id precondition is ENFORCED: a backfill presenting
+    // an already-packed id fails loudly at execution, not silently
+    val err = intercept[Exception] {
+      cp2.assign(b1, "lang", "doc_id", "n_tok", "run3").collect()
+    }
+    assert(err.getMessage != null)
+
     // reserved output columns are refused loudly, not silently replaced
     intercept[IllegalArgumentException] {
-      cp2.assign(b1.withColumn("pack_id", lit(0L)), "lang", "doc_id", "n_tok")
+      cp2.assign(b1.withColumn("pack_id", lit(0L)),
+        "lang", "doc_id", "n_tok", "run4")
     }
   }
 
