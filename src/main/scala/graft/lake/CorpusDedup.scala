@@ -61,17 +61,94 @@ class CorpusDedup(spark: SparkSession, lake: Lake, dataset: String,
     * and this batch (within-batch exact dups keep the min id). The
     * state side of the anti-join reads pre-bucketed — no shuffle of
     * history, ever. */
-  def novelExact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val h = hashed(docs, textCol)
-    val batchSurvivors = h.withColumn("_rn",
+  private def batchSurvivors(docs: DataFrame, idCol: String,
+                             textCol: String): DataFrame =
+    hashed(docs, textCol).withColumn("_rn",
       row_number().over(org.apache.spark.sql.expressions.Window
         .partitionBy(col("content_hash")).orderBy(col(idCol))))
       .filter(col("_rn") === 1).drop("_rn")
+
+  def novelExact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val s = batchSurvivors(docs, idCol, textCol)
     val vsHistory =
-      if (!tableExists(hashesRef)) batchSurvivors
-      else batchSurvivors.join(spark.table(qualified(hashesRef)),
+      if (!tableExists(hashesRef)) s
+      else s.join(spark.table(qualified(hashesRef)),
         Seq("content_hash"), "left_anti")
     vsHistory.drop("content_hash")
+  }
+
+  // ---- exact, TTL-bounded (crawl-recency dedup) ------------------------
+
+  val hashesDatedRef: TableRef = TableRef("state", dataset, "seen_hashes_dated")
+
+  /** TTL variant of [[novelExact]] — novelty is judged against only the
+    * seen-set entries recorded on or after `minDate` (the crawl-dedup
+    * policy: content re-admitted once its last sighting ages out).
+    * `seen_date` is a PARTITION column of the dated seen-set, so the
+    * expired history never reaches the anti-join's scan at all
+    * (PartitionFilters prune the directories — spec-asserted); within
+    * each surviving partition the table is still bucketed on
+    * content_hash, so the state side joins without an Exchange. At
+    * 100 TB the anti-join touches K days of hashes no matter how old
+    * the corpus grows. */
+  def novelExactSince(docs: DataFrame, idCol: String, textCol: String,
+                      minDate: java.sql.Date): DataFrame = {
+    val s = batchSurvivors(docs, idCol, textCol)
+    val vsRecent =
+      if (!tableExists(hashesDatedRef)) s
+      else s.join(
+        spark.table(qualified(hashesDatedRef))
+          .filter(col("seen_date") >= lit(minDate)),
+        Seq("content_hash"), "left_anti")
+    vsRecent.drop("content_hash")
+  }
+
+  /** Record this batch's hashes under `date`. A hash already present
+    * in the RETAINED window (≥ `minDate`) is not re-added (idempotent
+    * within the window); one whose sightings have all aged out IS
+    * re-recorded under the new date — that is what restarts its TTL. */
+  def commitExactDated(docs: DataFrame, textCol: String,
+                       date: java.sql.Date,
+                       minDate: java.sql.Date): Unit = {
+    val fresh = hashed(docs, textCol).select(col("content_hash")).distinct()
+      .withColumn("seen_date", lit(date))
+    if (!tableExists(hashesDatedRef))
+      lake.writeBucketed(fresh, hashesDatedRef, "content_hash", numBuckets,
+        partitionBy = Seq("seen_date"))
+    else {
+      val novel = fresh.join(
+        spark.table(qualified(hashesDatedRef))
+          .filter(col("seen_date") >= lit(minDate)),
+        Seq("content_hash"), "left_anti")
+      val cols = spark.table(qualified(hashesDatedRef)).columns
+      novel.select(cols.map(col).toIndexedSeq: _*)
+        .write.mode(SaveMode.Append).insertInto(qualified(hashesDatedRef))
+    }
+    spark.catalog.refreshTable(qualified(hashesDatedRef)) // see commitExact
+  }
+
+  /** Drop seen-set partitions older than `minDate` — metastore and
+    * files together, so no phantom partitions survive. Maintenance
+    * tick under the dataset's RunLock, like [[compact]]. */
+  def expireExact(minDate: java.sql.Date): Unit = {
+    if (!tableExists(hashesDatedRef)) return
+    val name = qualified(hashesDatedRef)
+    val expired = spark.sql(s"SHOW PARTITIONS $name").collect()
+      .map(_.getString(0)) // "seen_date=YYYY-MM-DD"
+      .map(_.stripPrefix("seen_date="))
+      .filter(d => java.sql.Date.valueOf(d).before(minDate))
+    expired.foreach { d =>
+      spark.sql(s"ALTER TABLE $name DROP IF EXISTS PARTITION (seen_date='$d')")
+      // the seen-set is an EXTERNAL table (path-based): DROP PARTITION
+      // detaches the metastore entry but leaves the files — delete the
+      // directory too or the "expired" history accumulates forever
+      val dir = new org.apache.hadoop.fs.Path(
+        lake.path(hashesDatedRef) + s"/seen_date=$d")
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(dir) && !fs.delete(dir, true))
+        throw new java.io.IOException(s"failed to delete expired $dir")
+    }
+    spark.catalog.refreshTable(name)
   }
 
   /** Fold this batch's hashes into the seen-set (idempotent: hashes

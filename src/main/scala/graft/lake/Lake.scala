@@ -151,12 +151,15 @@ class Lake(spark: SparkSession, root: String) {
     * the co-location strategy for the lake's biggest recurring joins
     * (fact↔fact on orderkey-like keys at 100 TB). */
   def writeBucketed(df: DataFrame, ref: TableRef, bucketCol: String,
-                    numBuckets: Int): Unit = {
+                    numBuckets: Int, partitionBy: Seq[String] = Nil): Unit = {
     val db = s"${ref.zone}_${ref.dataset}"
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
-    df.write.format("parquet")
+    val w = df.write.format("parquet")
       .mode(SaveMode.Overwrite)
-      .bucketBy(numBuckets, bucketCol)
+    // partition dirs ABOVE the bucket files: scans prune partitions
+    // first, and each surviving partition still joins bucket-colocated
+    val p = if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w
+    p.bucketBy(numBuckets, bucketCol)
       .sortBy(bucketCol)
       .option("path", path(ref))
       .saveAsTable(s"$db.${ref.table}")

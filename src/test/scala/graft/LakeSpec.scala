@@ -314,6 +314,56 @@ class LakeSpec extends SparkSpec {
     assert(rows.filter($"sucesso" === true).count() === 1)
   }
 
+  test("TTL dedup: recency window, partition-pruned scan, real expiry") {
+    import graft.lake.CorpusDedup
+    val lake = new Lake(spark, tmpDir("ttl_lake"))
+    val dd = new CorpusDedup(spark, lake, "ttl_test", numBuckets = 4)
+    def day(d: String) = java.sql.Date.valueOf(d)
+    val mon = day("2024-01-01"); val tue = day("2024-01-02")
+    val thu = day("2024-01-04")
+    val text = "the quick brown fox jumps over the lazy dog"
+    val other = "entirely different content with no overlap at all"
+    val b1 = Seq((1L, text)).toDF("doc_id", "text")
+    val b2 = Seq((2L, text), (3L, other)).toDF("doc_id", "text")
+
+    // Monday: first sighting of `text`
+    dd.commitExactDated(b1, "text", mon, minDate = mon)
+    // Tuesday, 3-day TTL (window start Monday): the duplicate is caught
+    val tueNovel = dd.novelExactSince(b2, "doc_id", "text", minDate = mon)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(tueNovel === Set(3L))
+    dd.commitExactDated(b2, "text", tue, minDate = mon)
+
+    // the anti-join's state side is PARTITION-PRUNED: the scan carries
+    // a seen_date filter in PartitionFilters, not a post-read filter
+    val plan = dd.novelExactSince(b2, "doc_id", "text", minDate = tue)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(seen_date"), plan)
+
+    // Thursday, window start Wednesday: every Monday/Tuesday sighting
+    // has aged out — the same content is admitted (and re-recorded,
+    // restarting its TTL)
+    val wed = day("2024-01-03")
+    val thuNovel = dd.novelExactSince(b1, "doc_id", "text", minDate = wed)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(thuNovel === Set(1L))
+    dd.commitExactDated(b1, "text", thu, minDate = wed)
+
+    // expiry drops metastore partitions AND their files
+    dd.expireExact(wed)
+    val parts = spark.sql(
+      s"SHOW PARTITIONS state_ttl_test.seen_hashes_dated").collect()
+      .map(_.getString(0)).toSet
+    assert(parts === Set("seen_date=2024-01-04"), parts.toString)
+    val root = new java.io.File(lake.path(dd.hashesDatedRef))
+    val dirs = root.listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(!dirs.contains("seen_date=2024-01-01"), dirs.toString)
+    assert(!dirs.contains("seen_date=2024-01-02"), dirs.toString)
+    assert(dirs.contains("seen_date=2024-01-04"), dirs.toString)
+    // and the expired sighting really is gone from the state
+    assert(spark.table("state_ttl_test.seen_hashes_dated").count() === 1)
+  }
+
   test("incremental packing: batches == one-shot; replay-safe; monotone-guarded") {
     import graft.lake.CorpusPack
     import graft.state.StateStore
