@@ -35,7 +35,8 @@ object ScaleProbe {
     val probes = Seq("q59_neardup_dedup", "q52_lsh_pairs",
       "q91_bloom_contamination", "q97_semantic_dedup", "q99_sequence_pack",
       "q100_source_filter", "q101_mixture_resample", "q102_ccnet_buckets",
-      "q103_semdedup", "q104_dsir_importance", "q107_pretrain_mix")
+      "q103_semdedup", "q104_dsir_importance", "q106_source_cap",
+      "q107_pretrain_mix", "q108_token_entropy")
     case class Obs(docRows: Long, bytes: Map[String, Long])
 
     // which base table a probe query scans — the honest denominator
