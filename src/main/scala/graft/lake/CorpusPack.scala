@@ -34,7 +34,11 @@ import org.apache.spark.sql.functions._
   *    against those — again identical ids — and the replayed commit
   *    is a no-op.
   * Single-writer discipline per dataset (RunLock), sequential batches,
-  * as for all state kinds.
+  * as for all state kinds. One consumer contract follows from the
+  * swap: an assigned frame binds LAZILY to the cursor files, so land
+  * and fully materialize it BEFORE calling [[commit]] — executing it
+  * afterwards reads swapped-out state files (a loud
+  * FAILED_READ_FILE, never silent wrong ids).
   *
   * The one-shot-equivalence guarantee (batch-wise == q99 over the
   * union) requires document ids to be MONOTONE across batches — the

@@ -450,4 +450,57 @@ class EndToEndSpec extends SparkSpec {
     assert(skew.getAs[String]("key") === "HOT")
     assert(skew.getAs[Double]("share") > 0.8)
   }
+
+  test("daily crawl ingest composed: TTL dedup → incremental pack → land") {
+    import graft.lake.{CorpusDedup, CorpusPack}
+    // the rolling training-data ingest, end to end: each day's crawl is
+    // deduplicated against the recency window, packed CONTINUING the
+    // prior day's cursors, and landed — with day 2's replay proving the
+    // whole chain is crash-idempotent
+    val lake = new Lake(spark, tmpDir("crawl_lake"))
+    val dd = new CorpusDedup(spark, lake, "crawl", numBuckets = 4)
+    val cp = new CorpusPack(spark, new StateStore(spark, tmpDir("crawl_state")),
+      "crawl", budgetTokens = 8L)
+    val out = TableRef("prod", "crawl", "packed")
+    def day(d: String) = java.sql.Date.valueOf(d)
+    def ingest(docs: org.apache.spark.sql.DataFrame, d: String): Long = {
+      val novel = dd.novelExactSince(docs, "doc_id", "text",
+          minDate = day("2024-03-01"))
+        .withColumn("lang", lit("en"))
+        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      val packed = cp.assign(novel, "lang", "doc_id", "n_tok", batchId = d)
+      lake.append(packed.select(col("doc_id"), col("pack_id")), out)
+      // materialize BEFORE the commits: the assigned frame binds
+      // lazily to the cursor files the commit swaps out (CorpusPack's
+      // materialize-then-commit contract)
+      val n = packed.count()
+      dd.commitExactDated(docs, "text", day(d), minDate = day("2024-03-01"))
+      cp.commit(novel, "lang", "doc_id", "n_tok", batchId = d)
+      n
+    }
+
+    val day1 = Seq(
+      (1L, "aa bb cc dd"), (2L, "ee ff gg hh"), (3L, "aa bb cc dd")
+    ).toDF("doc_id", "text") // 3 dups 1
+    val day2 = Seq(
+      (4L, "ee ff gg hh"),   // dup of day 1 — inside the TTL window
+      (5L, "ii jj kk ll"), (6L, "mm nn oo pp")
+    ).toDF("doc_id", "text")
+
+    assert(ingest(day1, "2024-03-01") === 2) // 1, 2 survive
+    assert(ingest(day2, "2024-03-02") === 2) // 5, 6 survive
+
+    val landed = lake.read(out).select($"doc_id", $"pack_id")
+      .as[(Long, Long)].collect().toMap
+    // 4 docs × 4 tokens at budget 8 ⇒ two docs per pack, ids CONTINUE
+    // across the day boundary instead of restarting
+    assert(landed === Map(1L -> 0L, 2L -> 0L, 5L -> 1L, 6L -> 1L))
+
+    // day-2 replay (crash after commits, orchestrator retries): the
+    // dedup window now swallows 5/6 as already-seen, so the chain
+    // re-lands NOTHING — the composed pipeline is idempotent
+    assert(ingest(day2, "2024-03-02") === 0)
+    assert(lake.read(out).count() === 4)
+  }
+
 }
