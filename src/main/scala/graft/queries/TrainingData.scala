@@ -386,6 +386,34 @@ object TrainingData {
             .as("entropy"))
         .orderBy(col("doc_id"))
     }),
+    // Dataset-card rollup — the per-language statistics a corpus
+    // release publishes (docs, tokens, exact-dup rate, length spread,
+    // split sizes), computed in ONE pass: every signal is a per-row
+    // scalar or a distinct-count over the same grouped scan, so the
+    // whole card is a partial-agg shuffle of |langs| groups. The
+    // dup rate uses countDistinct(md5) — exact, and the only reason
+    // this query has a second aggregate phase (Spark plans distinct
+    // aggs as a two-step expand — still lang-keyed, never corpus-wide).
+    "q109_dataset_card" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("lang"),
+          md5(col("text")).as("h"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          TextOps.hashBucket(col("doc_id")).as("pct"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("h")).as("n_unique"),
+          round(lit(1.0) - countDistinct(col("h")).cast("double") /
+            count(lit(1)), 4).as("dup_rate"),
+          sum(col("n_tok")).as("total_tokens"),
+          min(col("n_tok")).as("min_tok"),
+          max(col("n_tok")).as("max_tok"),
+          sum(when(col("pct") < 80, 1L).otherwise(0L)).as("n_train"),
+          sum(when(col("pct") >= 80 && col("pct") < 90, 1L)
+            .otherwise(0L)).as("n_valid"),
+          sum(when(col("pct") >= 90, 1L).otherwise(0L)).as("n_test"))
+        .orderBy(col("lang"))
+    }),
     // Language-ID heuristic (integer-ratio stopword votes).
     "q54_langid" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1229,6 +1257,28 @@ object TrainingData {
         |      CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90
         |      THEN 'valid' ELSE 'test' END AS split
         |FROM e ORDER BY lang, doc_id, copy""".stripMargin,
+    "q109_dataset_card" ->
+      """WITH b AS (
+        |  SELECT lang, md5(text) AS h,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)),
+        |      1, 15)) AS BIGINT) % 100 AS pct
+        |  FROM documents)
+        |SELECT lang,
+        |  COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT h) AS n_unique,
+        |  round(1.0 - COUNT(DISTINCT h) / CAST(COUNT(*) AS DOUBLE), 4)
+        |    AS dup_rate,
+        |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+        |  MIN(n_tok) AS min_tok,
+        |  MAX(n_tok) AS max_tok,
+        |  CAST(SUM(CASE WHEN pct < 80 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_train,
+        |  CAST(SUM(CASE WHEN pct >= 80 AND pct < 90 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_valid,
+        |  CAST(SUM(CASE WHEN pct >= 90 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_test
+        |FROM b GROUP BY lang ORDER BY lang""".stripMargin,
     "q108_token_entropy" ->
       """WITH tc AS (
         |  SELECT doc_id, tok, COUNT(*) AS c FROM (
