@@ -167,46 +167,62 @@ object TextOps {
 
   /** PII patterns for training-data scrubbing. Deliberately RE2-safe
     * (char classes + bounded alternation only — NO lookarounds, which
-    * RE2 lacks) so the identical pattern runs in Spark (java.util.regex)
-    * and the DuckDB oracle (RE2). Octets are range-checked; known
-    * limitation shared with lookaround-free scrubbers: a valid 4-octet
-    * PREFIX of a longer dotted run ("1.2.3.4.5") still matches, since
-    * excluding it needs lookahead.
+    * RE2 lacks, and NO `\b`, whose word set is Unicode in java.util.regex
+    * but ASCII in RE2 — a latent engine divergence) so the identical
+    * pattern runs in Spark (java.util.regex) and the DuckDB oracle (RE2).
     *
-    * One residual engine divergence, accepted knowingly: `\b` is
-    * Unicode-aware in java.util.regex but ASCII-only in RE2, so an
-    * IP/phone abutting a non-ASCII letter ("é1.2.3.4") is a boundary
-    * match only in Spark. Redacting MORE adjacent to non-ASCII text is
-    * the right side to err on for a scrubber; the alternative (explicit
-    * [^0-9.] anchors) would instead silently eat one neighboring
-    * character into the placeholder on both engines. */
+    * Boundaries are explicit ASCII character classes, CAPTURED and
+    * REINSERTED by the replacement (`$1<IP>$6`), so no neighbor character
+    * is eaten. The IP anchors additionally exclude '.', which rejects a
+    * 4-octet PREFIX of a longer dotted run ("1.2.3.4.5") outright — the
+    * limitation the old `\b` form documented is gone.
+    *
+    * Because an anchor CONSUMES one neighbor character during matching, a
+    * single pass can miss the second of two PII items separated by exactly
+    * one character ("1.2.3.4 5.6.7.8": the first match consumes the
+    * separating space). Every consumer therefore applies anchored patterns
+    * TWICE — pass one reinserts the anchor character, so pass two sees it.
+    * Two passes always suffice: after pass one, every missed item borders
+    * reinserted text rather than a consumed match. */
   private val Octet = "(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])"
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val Ipv4Pattern = s"\\b$Octet(\\.$Octet){3}\\b"
-  val PhonePattern = "\\+\\d{2}[ -]?\\d{2}[ -]?\\d{4,5}[ -]?\\d{4}\\b"
+  // Groups: 1 = left anchor, 2 = the IP, 3/4/5 = octet internals, 6 = right anchor.
+  val Ipv4Pattern =
+    s"(^|[^0-9A-Za-z_.])($Octet(\\.$Octet){3})([^0-9A-Za-z_.]|$$)"
+  val Ipv4Replacement = "$1<IP>$6"
+  // Groups: 1 = the phone, 2 = right anchor ('+' needs no left anchor).
+  val PhonePattern = "(\\+\\d{2}[ -]?\\d{2}[ -]?\\d{4,5}[ -]?\\d{4})([^0-9A-Za-z_]|$)"
+  val PhoneReplacement = "<PHONE>$2"
+
+  private def replaceTwice(c: Column, pattern: String, repl: String): Column =
+    regexp_replace(regexp_replace(c, pattern, repl), pattern, repl)
 
   /** Redact emails/IPv4s/phone numbers to typed placeholders — the
     * standard pretraining PII scrub, one codegen regexp chain per row
     * (phones first: an intl phone contains digit runs an IP rule could
-    * otherwise bite into). */
+    * otherwise bite into; anchored kinds run two passes, see above). */
   def redactPii(text: Column): Column =
-    regexp_replace(
+    replaceTwice(
       regexp_replace(
-        regexp_replace(text, PhonePattern, "<PHONE>"),
+        replaceTwice(text, PhonePattern, PhoneReplacement),
         EmailPattern, "<EMAIL>"),
-      Ipv4Pattern, "<IP>")
+      Ipv4Pattern, Ipv4Replacement)
 
   /** Count of PII hits per kind, for scrub audits. Counts follow the
     * SAME sequential semantics as [[redactPii]] (phones on raw text,
-    * emails on the phone-redacted text, IPs after both), so the audit
-    * always equals the number of replacements actually made — counting
-    * every pattern on the raw text would over-report when matches
-    * overlap (e.g. "1.2.3.4@x.co" is one email, zero IP redactions). */
+    * emails on the phone-redacted text, IPs after both; anchored kinds
+    * sum their two passes), so the audit always equals the number of
+    * replacements actually made — counting every pattern on the raw text
+    * would over-report when matches overlap (e.g. "1.2.3.4@x.co" is one
+    * email, zero IP redactions). */
   def piiCounts(text: Column): (Column, Column, Column) = {
-    val afterPhone = regexp_replace(text, PhonePattern, "<PHONE>")
+    def hits(c: Column, p: String) = size(regexp_extract_all(c, lit(p), lit(0)))
+    val phone1 = regexp_replace(text, PhonePattern, PhoneReplacement)
+    val afterPhone = regexp_replace(phone1, PhonePattern, PhoneReplacement)
     val afterEmail = regexp_replace(afterPhone, EmailPattern, "<EMAIL>")
-    (size(regexp_extract_all(afterPhone, lit(EmailPattern), lit(0))),
-      size(regexp_extract_all(afterEmail, lit(Ipv4Pattern), lit(0))),
-      size(regexp_extract_all(text, lit(PhonePattern), lit(0))))
+    val ip1 = regexp_replace(afterEmail, Ipv4Pattern, Ipv4Replacement)
+    (hits(afterPhone, EmailPattern),
+      hits(afterEmail, Ipv4Pattern) + hits(ip1, Ipv4Pattern),
+      hits(text, PhonePattern) + hits(phone1, PhonePattern))
   }
 }

@@ -1672,10 +1672,13 @@ object TrainingData {
     "q85_contamination" -> contaminationOracle,
     // bloom prefilter changes the PLAN, not the answer — same oracle
     "q91_bloom_contamination" -> contaminationOracle,
-    // same RE2-safe patterns as TextOps.{Email,Ipv4,Phone}Pattern, same
-    // phone→email→ip replacement order as redactPii, and the same
-    // SEQUENTIAL audit counting as piiCounts (each count taken on the
-    // text after the prior kinds' redactions)
+    // same RE2-safe patterns as TextOps.{Email,Ipv4,Phone}Pattern (explicit
+    // captured-and-reinserted ASCII anchor classes — no \b, whose word set
+    // diverges between java.util.regex and RE2), same phone→email→ip order
+    // as redactPii, same TWO passes per anchored kind (an anchor consumes a
+    // neighbor char, so a single pass misses items one char apart), and the
+    // same SEQUENTIAL audit counting as piiCounts (each kind counted on the
+    // text after the prior kinds' redactions, summing its two passes)
     "q93_pii_scrub" ->
       """WITH inj AS (
         |  SELECT doc_id,
@@ -1684,28 +1687,42 @@ object TrainingData {
         |    CAST(doc_id % 256 AS VARCHAR) || '.77 call +55 21 9' ||
         |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' 1234' AS t
         |  FROM documents),
-        |p1 AS (SELECT doc_id, t,
-        |    regexp_replace(t, '\+\d{2}[ -]?\d{2}[ -]?\d{4,5}[ -]?\d{4}\b',
-        |      '<PHONE>', 'g') AS t_ph
+        |ph1 AS (SELECT doc_id, t,
+        |    regexp_replace(t,
+        |      '(\+\d{2}[ -]?\d{2}[ -]?\d{4,5}[ -]?\d{4})([^0-9A-Za-z_]|$)',
+        |      '<PHONE>\2', 'g') AS t_p1
         |  FROM inj),
+        |p1 AS (SELECT doc_id, t, t_p1,
+        |    regexp_replace(t_p1,
+        |      '(\+\d{2}[ -]?\d{2}[ -]?\d{4,5}[ -]?\d{4})([^0-9A-Za-z_]|$)',
+        |      '<PHONE>\2', 'g') AS t_ph
+        |  FROM ph1),
         |p2 AS (SELECT *, regexp_replace(t_ph,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
         |    '<EMAIL>', 'g') AS t_em
-        |  FROM p1)
+        |  FROM p1),
+        |ip1 AS (SELECT *, regexp_replace(t_em,
+        |    '(^|[^0-9A-Za-z_.])((25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])){3})([^0-9A-Za-z_.]|$)',
+        |    '\1<IP>\6', 'g') AS t_i1
+        |  FROM p2)
         |SELECT doc_id,
-        |  regexp_replace(t_em,
-        |    '\b(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])){3}\b',
-        |    '<IP>', 'g') AS clean,
+        |  regexp_replace(t_i1,
+        |    '(^|[^0-9A-Za-z_.])((25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])){3})([^0-9A-Za-z_.]|$)',
+        |    '\1<IP>\6', 'g') AS clean,
         |  CAST(len(regexp_extract_all(t_ph,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
         |    AS n_emails,
         |  CAST(len(regexp_extract_all(t_em,
-        |    '\b(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])){3}\b'))
+        |    '(^|[^0-9A-Za-z_.])((25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])){3})([^0-9A-Za-z_.]|$)'))
+        |    + len(regexp_extract_all(t_i1,
+        |    '(^|[^0-9A-Za-z_.])((25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])){3})([^0-9A-Za-z_.]|$)'))
         |    AS BIGINT) AS n_ips,
         |  CAST(len(regexp_extract_all(t,
-        |    '\+\d{2}[ -]?\d{2}[ -]?\d{4,5}[ -]?\d{4}\b')) AS BIGINT)
-        |    AS n_phones
-        |FROM p2 ORDER BY doc_id""".stripMargin,
+        |    '(\+\d{2}[ -]?\d{2}[ -]?\d{4,5}[ -]?\d{4})([^0-9A-Za-z_]|$)'))
+        |    + len(regexp_extract_all(t_p1,
+        |    '(\+\d{2}[ -]?\d{2}[ -]?\d{4,5}[ -]?\d{4})([^0-9A-Za-z_]|$)'))
+        |    AS BIGINT) AS n_phones
+        |FROM ip1 ORDER BY doc_id""".stripMargin,
     "q92_doc_logprob" ->
       """WITH bg AS (
         |  SELECT doc_id,
