@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.{DedupOps, TextOps, VectorOps}
+import graft.functions.{Bpe, BpeVocab, DedupOps, TextOps, VectorOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -13,6 +13,13 @@ object TrainingData {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
+
+  /** The BPE vocabulary the token-denominated queries (q110–q112) use: a
+    * 48-merge PREFIX of the committed default — the fixture corpus has a
+    * 31-word vocabulary, so the full merge list memorizes every word
+    * into one token and the queries would degenerate to word counting.
+    * A prefix is itself a valid BPE vocabulary (training is sequential). */
+  private lazy val bpeVocab48 = BpeVocab.default.take(48)
 
   /** Shared oracle CTE: 8-hash MinHash signature over 3-word shingles.
     * Each lane is the top 60 bits of md5(seed|shingle) as BIGINT —
@@ -29,6 +36,45 @@ object TrainingData {
        |sig AS (
        |  SELECT doc_id, $lanes
        |  FROM sh GROUP BY doc_id)""".stripMargin
+  }
+
+  /** Shared oracle CTE set for the BPE queries (q110–q112): an
+    * INDEPENDENT from-scratch BPE in SQL, checked against the Scala
+    * encoder token-for-token. `san` = ASCII-sanitized docs, `docw` =
+    * doc→word stream, `enc` = each distinct word as a 0x1F-separator-
+    * encoded symbol string, `bpe` = the recursive greedy merge loop,
+    * `term` = terminal states with token counts (= half the separator
+    * count). The ordered merge-list literal is built from the SAME
+    * committed merges resource the Spark expression loads, so there is
+    * one source of truth for the vocabulary. Words whose best applicable
+    * merge is NULL leave the recursion; `term` re-identifies them by the
+    * same emptiness test. */
+  private lazy val bpeCte: String = {
+    val sep = "\u001f"
+    def sq(s: String) = "'" + s.replace("'", "''") + "'"
+    val ml = bpeVocab48.merges.map { case (a, b) =>
+      s"{'p': ${sq(sep + a + sep + sep + b + sep)}, 'm': ${sq(sep + a + b + sep)}}"
+    }.mkString("[", ", ", "]")
+    s"""ml(l) AS (SELECT $ml),
+       |san AS (SELECT doc_id, lang,
+       |        regexp_replace(text, '[^ -~]', '', 'g') AS t FROM documents),
+       |docw AS (SELECT doc_id,
+       |  unnest(regexp_extract_all(t, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS w
+       |  FROM san),
+       |words AS (SELECT DISTINCT w FROM docw),
+       |enc AS (SELECT w, chr(31) || array_to_string(
+       |    list_transform(range(1, length(w)+1), i -> w[i]), chr(31)||chr(31)) ||
+       |    chr(31) AS s FROM words),
+       |bpe AS (
+       |  SELECT w, s FROM enc
+       |  UNION ALL
+       |  SELECT w, replace(s, best.p, best.m) AS s
+       |  FROM (SELECT w, s, list_filter(ml.l, x -> contains(s, x.p))[1] AS best
+       |        FROM bpe, ml)
+       |  WHERE best IS NOT NULL),
+       |term AS (
+       |  SELECT w, (length(s) - length(replace(s, chr(31), ''))) // 2 AS n
+       |  FROM bpe, ml WHERE len(list_filter(ml.l, x -> contains(s, x.p))) = 0)""".stripMargin
   }
 
   /** Shared oracle CTE: 16-bit SimHash fingerprints (mirrors
@@ -413,6 +459,62 @@ object TrainingData {
             .otherwise(0L)).as("n_valid"),
           sum(when(col("pct") >= 90, 1L).otherwise(0L)).as("n_test"))
         .orderBy(col("lang"))
+    }),
+    // Real subword tokenization (pure-JVM BPE, functions/Bpe.scala): the
+    // token DENOMINATION every packing/quantile/entropy operator should
+    // be using instead of whitespace words. The 48-merge prefix of the
+    // committed vocabulary keeps per-word tokenizations non-trivial on
+    // the fixture corpus (the full vocabulary memorizes its 31-word
+    // vocabulary into single tokens). One codegen'd scan — the encode
+    // kernel runs inside whole-stage codegen with a per-task word cache,
+    // so a 100 TB corpus tokenizes at scan speed, no shuffle but the
+    // output sort. Oracle: an independent recursive-CTE BPE in DuckDB
+    // (greedy lowest-rank merge via separator-encoded string replace)
+    // over the same merges — two from-scratch implementations of the
+    // merge loop agreeing token-for-token.
+    "q110_bpe_tokens" -> ((s, dir) => {
+      val san = Bpe.sanitizeAscii(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(Bpe.pieces(san)).cast("long").as("n_pieces"),
+          Bpe.bpeTokenCount(san, bpeVocab48).as("n_bpe"))
+        .orderBy(col("doc_id"))
+    }),
+    // q74's corpus quantiles re-denominated in BPE tokens — the form a
+    // context-window budget decision actually needs (whitespace quantiles
+    // under-count code/CJK 2–5×). Same value-histogram plan: the corpus
+    // contributes one partial-agg shuffle of distinct counts.
+    "q111_bpe_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      val hist = t(s, dir, "documents")
+        .select(Bpe.bpeTokenCount(Bpe.sanitizeAscii(col("text")), bpeVocab48)
+          .as("n_bpe"))
+        .groupBy(col("n_bpe")).agg(count(lit(1)).as("cnt"))
+      val cum = hist.withColumn("cum",
+        sum(col("cnt")).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_bpe"))
+          .rowsBetween(Long.MinValue, 0)))
+        .crossJoin(hist.agg(sum(col("cnt")).as("total")))
+      cum.crossJoin(Seq(0.25, 0.5, 0.75, 0.9).toDF("q"))
+        .filter(col("cum") >= ceil(col("q") * col("total")))
+        .groupBy(col("q")).agg(min(col("n_bpe")).as("value"))
+        .orderBy(col("q"))
+    }),
+    // q99's greedy sequence packing re-denominated in BPE tokens — the
+    // operator this tokenizer exists for: context windows are budgeted
+    // in subword tokens, and a whitespace-budgeted pack overfills real
+    // windows. Same one-window plan over (lang, doc_id).
+    "q112_bpe_pack" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      t(s, dir, "documents")
+        .withColumn("n_bpe",
+          Bpe.bpeTokenCount(Bpe.sanitizeAscii(col("text")), bpeVocab48))
+        .select(col("lang"), col("doc_id"), col("n_bpe"),
+          floor(coalesce(sum(col("n_bpe")).over(w), lit(0L)) / lit(2048L))
+            .as("pack_id"))
+        .orderBy(col("lang"), col("doc_id"))
     }),
     // Language-ID heuristic (integer-ratio stopword votes).
     "q54_langid" -> ((s, dir) => {
@@ -1279,6 +1381,53 @@ object TrainingData {
         |  CAST(SUM(CASE WHEN pct >= 90 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_test
         |FROM b GROUP BY lang ORDER BY lang""".stripMargin,
+    // Independent BPE in SQL: greedy lowest-rank merge as a recursive
+    // CTE over the corpus's DISTINCT words. Token sequences are encoded
+    // as separator-wrapped strings (every token is 0x1F-delimited on
+    // BOTH sides, so merging pair (a,b) is literally
+    // replace(s, '␟a␟␟b␟', '␟ab␟') — leftmost non-overlapping, exactly
+    // the BPE merge step, with no false interior matches possible); the
+    // merge list is an ORDERED inline literal, so
+    // list_filter(present)[1] IS the lowest-rank applicable merge. Words
+    // drop out of the recursion when no merge applies; terminal rows are
+    // re-identified by the same emptiness test. Token count = half the
+    // separator count. Shares the committed merges resource with the
+    // Spark side (single source of truth), 48-merge prefix.
+    "q110_bpe_tokens" ->
+      s"""WITH RECURSIVE $bpeCte,
+         |cnt AS (SELECT dw.doc_id, SUM(t.n) AS n_bpe
+         |        FROM docw dw JOIN term t ON dw.w = t.w GROUP BY dw.doc_id)
+         |SELECT s.doc_id,
+         |  CAST(len(regexp_extract_all(s.t, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+         |    AS BIGINT) AS n_pieces,
+         |  CAST(COALESCE(c.n_bpe, 0) AS BIGINT) AS n_bpe
+         |FROM san s LEFT JOIN cnt c ON s.doc_id = c.doc_id
+         |ORDER BY s.doc_id""".stripMargin,
+    "q111_bpe_quantiles" ->
+      s"""WITH RECURSIVE $bpeCte,
+         |cnt AS (SELECT dw.doc_id, SUM(t.n) AS n_bpe
+         |        FROM docw dw JOIN term t ON dw.w = t.w GROUP BY dw.doc_id),
+         |doc AS (SELECT CAST(COALESCE(c.n_bpe, 0) AS BIGINT) AS n_bpe
+         |        FROM san s LEFT JOIN cnt c ON s.doc_id = c.doc_id),
+         |h AS (SELECT n_bpe, count(*) AS cnt FROM doc GROUP BY 1),
+         |tt AS (SELECT sum(cnt) AS total FROM h),
+         |cum AS (SELECT n_bpe, sum(cnt) OVER (ORDER BY n_bpe) AS cum FROM h),
+         |qs AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9]) AS DOUBLE) AS q)
+         |SELECT q, min(n_bpe) AS value
+         |FROM qs, cum, tt WHERE cum >= ceil(q * total)
+         |GROUP BY q ORDER BY q""".stripMargin,
+    "q112_bpe_pack" ->
+      s"""WITH RECURSIVE $bpeCte,
+         |cnt AS (SELECT dw.doc_id, SUM(t.n) AS n_bpe
+         |        FROM docw dw JOIN term t ON dw.w = t.w GROUP BY dw.doc_id),
+         |doc AS (SELECT s.doc_id, s.lang,
+         |          CAST(COALESCE(c.n_bpe, 0) AS BIGINT) AS n_bpe
+         |        FROM san s LEFT JOIN cnt c ON s.doc_id = c.doc_id)
+         |SELECT lang, doc_id, n_bpe,
+         |  CAST(FLOOR(COALESCE(SUM(n_bpe) OVER (PARTITION BY lang
+         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |    0) / 2048.0) AS BIGINT) AS pack_id
+         |FROM doc ORDER BY lang, doc_id""".stripMargin,
     "q108_token_entropy" ->
       """WITH tc AS (
         |  SELECT doc_id, tok, COUNT(*) AS c FROM (

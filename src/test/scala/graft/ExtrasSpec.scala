@@ -53,6 +53,9 @@ class ExtrasSpec extends SparkSpec {
         |  (SELECT hll_sketch(id) AS sk FROM range(5000) GROUP BY id % 4)
         |""".stripMargin).head().getLong(0)
     assert(math.abs(hll - 5000) < 250)
+    // BPE surface (default committed vocabulary)
+    assert(spark.sql("SELECT bpe_count('batch join')").head().getLong(0) ===
+      spark.sql("SELECT size(bpe_tokens('batch join'))").head().getInt(0).toLong)
   }
 
   // Assemble a netCDF classic (CDF-1) file byte-for-byte per the public
