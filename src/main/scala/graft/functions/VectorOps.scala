@@ -110,10 +110,16 @@ object VectorOps {
 
     var it = 0
     while (it < iters) {
+      // round(…, 4) on the aggregation output, per the engine's
+      // determinism convention: an unrounded avg depends on partial-sum
+      // ORDER, so the same corpus trained on 4 vs 32 threads produced
+      // slightly different quantizers — and every downstream recall
+      // number drifted with the environment. Rounded centroids make
+      // index builds reproducible across cluster sizes.
       val next = assignClusters(corpus, cents, vecCol)
         .select(col("cluster"), posexplode(col(vecCol)).as(Seq("pos", "x")))
         .groupBy(col("cluster"), col("pos"))
-        .agg(avg(col("x").cast("double")).as("centroid"))
+        .agg(round(avg(col("x").cast("double")), 4).as("centroid"))
         .collect()
       val byCluster = next.groupBy(_.getInt(0))
       // a cluster that lost every member keeps its old centroid

@@ -1,7 +1,7 @@
 package graft.lake
 
 import graft.functions.VectorOps
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persisted, incrementally-appendable IVF ANN index over an embedding
@@ -109,6 +109,70 @@ class AnnIndex(spark: SparkSession, lake: Lake, dataset: String,
     val pruned = spark.table(qualified(listsRef))
       .filter(col("cluster").isin(probes: _*))
     VectorOps.bruteForceTopK(pruned, q, "id", "vec", k)
+  }
+
+  /** Batch ANN search: top-k neighbors for EVERY row of a query FRAME in
+    * one plan — the set-at-a-time twin of [[topK]], and the documented
+    * default for bulk use (SemDeDup, retrieval dedup, "neighbors of a
+    * million documents"). [[topK]]'s per-query probe collect makes it a
+    * point-lookup API; here NO driver round-trip scales with query count:
+    *
+    *  1. Probe selection is MAP-SIDE. The centroid table collects once
+    *     (k×dim doubles — config-sized, the bounded collect every IVF
+    *     search already does); each query row scores every centroid as a
+    *     codegen'd dot-product struct, sorts the array, and explodes its
+    *     top nprobe. No window, no shuffle of the query frame. Ranking
+    *     matches [[topK]] exactly — round(cos, 4) desc, cluster asc — so
+    *     both paths probe the same lists.
+    *  2. The list scan still bucket-prunes: the DISTINCT probed cluster
+    *     set collects once (≤ nlists ints — bounded by index config, not
+    *     by query count; with many diverse queries it saturates to "all
+    *     clusters", exactly when pruning stops mattering) and becomes the
+    *     IN-literal filter bucket pruning recognizes. The probe frame
+    *     then equi-joins the pruned lists on cluster — broadcast when
+    *     small, bucket-aligned shuffle join when not; the lists side
+    *     never exchanges either way. Computing the probe frame twice
+    *     (once for the distinct set, once for the join) re-scans the
+    *     query frame, which is shuffle-free by construction.
+    *  3. Per-query top-k is one rank window over qid carrying only
+    *     (qid, id, score) — vectors are projected away before the
+    *     shuffle, so the sort moves ids, not embeddings.
+    */
+  def topKJoin(queries: DataFrame, qidCol: String, vecCol: String, k: Int,
+               nprobe: Int = 2): DataFrame = {
+    require(!Seq("id", "vec", "cluster").contains(qidCol),
+      s"query id column '$qidCol' collides with an index column; alias it")
+    pinBucketedScan()
+    val cents = loadCentroidArrays(spark.table(qualified(centroidsRef)))
+    val vd = graft.expressions.VecDot.vec_dot(_: Column, _: Column)
+    val qn2 = vd(col(vecCol), col(vecCol))
+    // ascending sort of (-round(cos,4), cluster) == csim desc, cluster asc
+    val scored = cents.zipWithIndex.map { case (cvec, c) =>
+      val cn2 = cvec.map(x => x * x).sum
+      struct(
+        (-round(vd(col(vecCol), lit(cvec)) / sqrt(lit(cn2) * qn2), 4))
+          .as("neg"),
+        lit(c).as("cluster"))
+    }
+    val probes = queries.select(
+      col(qidCol).as("qid"), col(vecCol).as("__qv"),
+      VectorOps.norm(col(vecCol)).as("__qn"),
+      explode(slice(sort_array(array(scored: _*)), 1, nprobe)
+        .getField("cluster")).as("cluster"))
+    val probedClusters = probes.select(col("cluster")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val lists = spark.table(qualified(listsRef))
+      .filter(col("cluster").isin(probedClusters: _*))
+      .withColumn("__n", VectorOps.norm(col("vec")))
+    val W = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score").desc, col("id"))
+    lists.join(probes, Seq("cluster"))
+      .select(col("qid"), col("id"),
+        VectorOps.cosinePrenormed(col("vec"), col("__qv"),
+          col("__n"), col("__qn")).as("score"))
+      .withColumn("rk", row_number().over(W))
+      .filter(col("rk") <= k)
+      .select(col("qid").as(qidCol), col("id"), col("score"), col("rk"))
   }
 
   /** Fold per-append list files back down, preserving the bucket

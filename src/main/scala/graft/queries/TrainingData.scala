@@ -676,36 +676,45 @@ object TrainingData {
     // brute-force ground truth, per nprobe — the q63/q67 principle
     // applied to the served-index path: the approximation's quality is a
     // NUMBER in the correctness dump, not an assertion. Build once, then
-    // sweep nprobe over a fixed query set; each search exercises the
-    // real serving path (centroid ranking → bucket-pruned list scan).
-    // The driver collects are the serving pattern's own bounded
-    // round-trips (≤k ids per search, 3 summary rows out) — not a
-    // data-plane collect. No DuckDB oracle: the quantizer is iterative
-    // kmeans (rows-only check by design, like q9/q68).
+    // sweep nprobe over a fixed query set. Both the truth and the index
+    // search run SET-AT-A-TIME (one crossJoin+rank plan for truth, one
+    // AnnIndex.topKJoin plan per nprobe) — the batch shape bulk ANN
+    // should copy; the only collects are the measurement rollups (k×8
+    // id pairs, 4 summary rows), bounded by the sweep, never by query
+    // count. No DuckDB oracle: the quantizer is iterative kmeans
+    // (rows-only check by design, like q9/q68).
     "q95_ann_recall" -> ((s, dir) => {
       import s.implicits._
       val e = t(s, dir, "embeddings")
       val k = 10
-      val queryIds = (0L until 8L).toSeq
-      val truth: Map[Long, Seq[Long]] = queryIds.map { qid =>
-        qid -> VectorOps.bruteForceTopK(e,
-            e.filter(col("vec_id") === qid), "vec_id", "embedding", k)
-          .select(col("vec_id")).as[Long].collect().toSeq
-      }.toMap
+      val nQ = 8
+      val queries = e.filter(col("vec_id") < nQ)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      // batch brute-force truth: per-query rank window over one
+      // broadcast crossJoin — same (score desc, id) tie-break as
+      // bruteForceTopK, all queries in one plan
+      val W = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+      val q = queries.select(col("qid"), col("embedding").as("__qv"),
+        VectorOps.norm(col("embedding")).as("__qn"))
+      val truth: Set[(Long, Long)] = e
+        .withColumn("__n", VectorOps.norm(col("embedding")))
+        .crossJoin(broadcast(q))
+        .select(col("qid"), col("vec_id"),
+          VectorOps.cosinePrenormed(col("embedding"), col("__qv"),
+            col("__n"), col("__qn")).as("score"))
+        .withColumn("rk", row_number().over(W)).filter(col("rk") <= k)
+        .select(col("qid"), col("vec_id")).as[(Long, Long)].collect().toSet
       // scratch index: the scaffold unpins the bucketed-scan conf,
       // drops the catalog tables and deletes the temp lake even if a
       // search throws — a leaked pin would re-plan the rest of the run
       val rows = graft.lake.AnnIndex.withScratchIndex(
           s, e, "vec_id", "embedding", k = 16, numBuckets = 8) { idx =>
         Seq(1, 2, 4, 8).map { np =>
-          val hits = queryIds.map { qid =>
-            val got = idx.topK(e.filter(col("vec_id") === qid)
-                .select(col("embedding")), "embedding", k, nprobe = np)
-              .select(col("id")).as[Long].collect().toSet
-            truth(qid).count(got.contains)
-          }.sum
-          (np, k, queryIds.size, hits,
-            hits.toDouble / (k * queryIds.size))
+          val got = idx.topKJoin(queries, "qid", "embedding", k, nprobe = np)
+            .select(col("qid"), col("id")).as[(Long, Long)].collect().toSet
+          val hits = truth.count(got.contains)
+          (np, k, nQ, hits, hits.toDouble / (k * nQ))
         }
       }
       rows.toDF("nprobe", "k", "n_queries", "hits", "recall")

@@ -193,6 +193,47 @@ class LakeSpec extends SparkSpec {
     spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
   }
 
+  test("batch ANN join: one plan per sweep point, matches per-query topK") {
+    import graft.lake.AnnIndex
+    val emb = Tables.load(spark, sf001, "embeddings")
+      .select($"vec_id", $"embedding")
+    AnnIndex.withScratchIndex(spark, emb, "vec_id", "embedding",
+        k = 8, numBuckets = 8) { idx =>
+      val nQ = 6
+      val queries = emb.filter($"vec_id" < nQ)
+        .select($"vec_id".as("qid"), $"embedding")
+      val joined = idx.topKJoin(queries, "qid", "embedding", k = 5, nprobe = 2)
+      assert(joined.columns.toSeq === Seq("qid", "id", "score", "rk"))
+      val got = joined.select($"qid", $"id", $"score", $"rk")
+        .as[(Long, Long, Double, Int)].collect()
+        .groupBy(_._1).view
+        .mapValues(_.sortBy(_._4).map(r => (r._2, r._3)).toSeq).toMap
+      assert(got.keySet === (0L until nQ).toSet)
+      // the batch result is row-identical to the per-query serving path
+      // (same probe ranking, same tie-breaks) — the join is a faster
+      // shape for the same answer, not a different approximation
+      (0L until nQ).foreach { qid =>
+        val single = idx.topK(
+            emb.filter($"vec_id" === qid).select($"embedding"),
+            "embedding", k = 5, nprobe = 2)
+          .as[(Long, Double)].collect().toSeq
+        assert(got(qid) === single, s"qid $qid diverged from topK")
+      }
+      // scale shape: the lists side never exchanges on cluster (bucket
+      // join/broadcast), and a narrow probe set still bucket-prunes
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning(cluster"),
+        s"index side reshuffles:\n$plan")
+      val narrow = idx.topKJoin(queries.limit(1), "qid", "embedding",
+        k = 5, nprobe = 1)
+      val narrowPlan = narrow.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      val m = sel.findFirstMatchIn(narrowPlan)
+      assert(m.isDefined, s"no bucket pruning in:\n$narrowPlan")
+      assert(m.get.group(1).toInt < m.get.group(2).toInt, narrowPlan)
+    }
+  }
+
   test("bucketed compaction folds append files, preserves bucket layout") {
     val lake = new Lake(spark, tmpDir("lake"))
     val ref = TableRef("state", "bkc", "t")
