@@ -130,9 +130,14 @@ class CorpusDedup(spark: SparkSession, lake: Lake, dataset: String,
   /** Drop seen-set partitions older than `minDate` — metastore and
     * files together, so no phantom partitions survive. Maintenance
     * tick under the dataset's RunLock, like [[compact]]. */
-  def expireExact(minDate: java.sql.Date): Unit = {
-    if (!tableExists(hashesDatedRef)) return
-    val name = qualified(hashesDatedRef)
+  def expireExact(minDate: java.sql.Date): Unit =
+    expireDated(hashesDatedRef, minDate)
+
+  /** Shared expiry for the dated seen-sets (exact hashes and near-dup
+    * bands share the seen_date-above-buckets layout). */
+  private def expireDated(ref: TableRef, minDate: java.sql.Date): Unit = {
+    if (!tableExists(ref)) return
+    val name = qualified(ref)
     val expired = spark.sql(s"SHOW PARTITIONS $name").collect()
       .map(_.getString(0)) // "seen_date=YYYY-MM-DD"
       .map(_.stripPrefix("seen_date="))
@@ -143,7 +148,7 @@ class CorpusDedup(spark: SparkSession, lake: Lake, dataset: String,
       // detaches the metastore entry but leaves the files — delete the
       // directory too or the "expired" history accumulates forever
       val dir = new org.apache.hadoop.fs.Path(
-        lake.path(hashesDatedRef) + s"/seen_date=$d")
+        lake.path(ref) + s"/seen_date=$d")
       val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(dir) && !fs.delete(dir, true))
         throw new java.io.IOException(s"failed to delete expired $dir")
@@ -208,6 +213,62 @@ class CorpusDedup(spark: SparkSession, lake: Lake, dataset: String,
     }
     spark.catalog.refreshTable(qualified(bandsRef)) // see commitExact
   }
+
+  // ---- near-dup, TTL-bounded (crawl-recency near-dedup) ----------------
+
+  val bandsDatedRef: TableRef = TableRef("state", dataset, "seen_bands_dated")
+
+  /** TTL variant of [[novelNearDup]] — a document is a near-dup
+    * candidate only against band keys recorded on or after `minDate`
+    * (the crawl policy [[novelExactSince]] applies at exact level, here
+    * at LSH-candidate level: boilerplate re-admitted once every sighting
+    * ages out). Same seen_date-above-buckets layout: PartitionFilters
+    * prune the expired directories before the scan, and within the
+    * retained partitions the table is bucketed on band_key, so the
+    * state side of the semi-join never exchanges. The retained window —
+    * not corpus age — bounds the scan at 100 TB. */
+  def novelNearDupSince(docs: DataFrame, idCol: String, textCol: String,
+                        minDate: java.sql.Date): DataFrame = {
+    if (!tableExists(bandsDatedRef)) docs
+    else {
+      val collided = bandsOf(docs, idCol, textCol)
+        .join(spark.table(qualified(bandsDatedRef))
+            .filter(col("seen_date") >= lit(minDate)),
+          Seq("band_idx", "band_key"), "left_semi")
+        .select(col(idCol)).distinct()
+      docs.join(collided, Seq(idCol), "left_anti")
+    }
+  }
+
+  /** Record this batch's band keys under `date`. Bands already present
+    * in the retained window are not re-added (idempotent within the
+    * window); bands whose sightings all aged out are re-recorded under
+    * the new date, restarting their TTL — mirrors [[commitExactDated]]. */
+  def commitNearDupDated(docs: DataFrame, idCol: String, textCol: String,
+                         date: java.sql.Date,
+                         minDate: java.sql.Date): Unit = {
+    val fresh = bandsOf(docs, idCol, textCol)
+      .select(col("band_idx"), col("band_key")).distinct()
+      .withColumn("seen_date", lit(date))
+    if (!tableExists(bandsDatedRef))
+      lake.writeBucketed(fresh, bandsDatedRef, "band_key", numBuckets,
+        partitionBy = Seq("seen_date"))
+    else {
+      val novel = fresh.join(
+        spark.table(qualified(bandsDatedRef))
+          .filter(col("seen_date") >= lit(minDate)),
+        Seq("band_idx", "band_key"), "left_anti")
+      val cols = spark.table(qualified(bandsDatedRef)).columns
+      novel.select(cols.map(col).toIndexedSeq: _*)
+        .write.mode(SaveMode.Append).insertInto(qualified(bandsDatedRef))
+    }
+    spark.catalog.refreshTable(qualified(bandsDatedRef)) // see commitExact
+  }
+
+  /** Drop near-dup seen-set partitions older than `minDate` (metastore
+    * and files — see [[expireExact]]). */
+  def expireNearDup(minDate: java.sql.Date): Unit =
+    expireDated(bandsDatedRef, minDate)
 
   /** Fold per-run seen-set files back down, preserving the bucket
     * layout (maintenance tick, under the dataset's RunLock). */

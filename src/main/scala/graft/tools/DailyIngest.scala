@@ -1,0 +1,122 @@
+package graft.tools
+
+import java.sql.Date
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Bpe
+import graft.lake.{CorpusDedup, CorpusPack, Lake, TableRef}
+import graft.state.{RunLock, StateStore}
+
+/** The rolling training-data ingest, composed end to end as a driver
+  * entry point: each day's crawl batch is deduplicated against the TTL
+  * recency window (exact hashes AND near-dup LSH bands), token-counted
+  * with the real BPE denomination, packed into context windows
+  * CONTINUING the prior day's cursors, and landed idempotently.
+  *
+  * Crash-idempotence by construction — the step ORDER is the invariant:
+  *
+  *   land (overwritePartitions by ingest_day) → pack-commit →
+  *   exact-dedup-commit → near-dup-commit
+  *
+  *  - crash after land, before pack-commit: the retry recomputes the
+  *    same novel set (dedup state unchanged) and the same pack ids
+  *    (cursors unchanged), and the dynamic partition overwrite replaces
+  *    the day's partition with identical rows — no duplication (a blind
+  *    append here would re-append: the round-6 advisor finding);
+  *  - crash after pack-commit: the retry's `assign` sees the recorded
+  *    batchId and uses the REPLAY cursors (CorpusPack's contract), so it
+  *    re-derives the identical pack ids; its `commit` is a no-op;
+  *  - crash between the dedup commits: the retry's novel set is empty
+  *    (exact state already has the day), the empty overwrite touches no
+  *    partition, `commitExactDated` is idempotent within the window, and
+  *    the missing near-dup commit completes.
+  *
+  * Committing the PACK cursor before the dedup state matters: in the
+  * reverse order a crash between them would make the retry's novel set
+  * empty while the cursors still pointed before the landed rows — the
+  * next day would then reuse the same pack ids for different documents.
+  *
+  * All state mutations assume the dataset's [[RunLock]] (taken by
+  * [[main]]; library callers compose their own locking).
+  */
+object DailyIngest {
+
+  /** One day's ingest. Returns the number of rows present in the day's
+    * partition after the ingest — STABLE under replay (a clean rerun
+    * returns the same count it landed the first time, having re-landed
+    * nothing). `docs` must carry `idCol` (monotone across days — the
+    * CorpusPack precondition), `textCol` and `langCol`. */
+  def run(lake: Lake, dd: CorpusDedup, cp: CorpusPack, out: TableRef,
+          docs: DataFrame, idCol: String, textCol: String, langCol: String,
+          day: Date, ttlDays: Int): Long = {
+    val minDate = Date.valueOf(day.toLocalDate.minusDays(ttlDays.toLong))
+    val exactNovel = dd.novelExactSince(docs, idCol, textCol, minDate)
+    val novel = dd.novelNearDupSince(exactNovel, idCol, textCol, minDate)
+      .withColumn("n_tok", Bpe.bpeTokenCount(col(textCol)))
+    val batchId = day.toString
+    val packed = cp.assign(novel, langCol, idCol, "n_tok", batchId)
+      .withColumn("ingest_day", lit(day))
+    // the land MATERIALIZES the assigned frame (CorpusPack's
+    // materialize-then-commit contract) and is itself idempotent: the
+    // dynamic overwrite replaces exactly this day's partition, and an
+    // empty frame touches no partition at all
+    lake.overwritePartitions(
+      packed.select(col(idCol), col(langCol), col("n_tok"),
+        col("pack_id"), col("ingest_day")),
+      out, partitionBy = Seq("ingest_day"))
+    val landed = lake.read(out)
+      .filter(col("ingest_day") === lit(day)).count()
+    cp.commit(novel, langCol, idCol, "n_tok", batchId)
+    dd.commitExactDated(docs, textCol, day, minDate)
+    dd.commitNearDupDated(docs, idCol, textCol, day, minDate)
+    landed
+  }
+
+  /** Expire both dated seen-sets to the window start — the maintenance
+    * tick a scheduler runs after (not during) the day's ingest. */
+  def expire(dd: CorpusDedup, day: Date, ttlDays: Int): Unit = {
+    val minDate = Date.valueOf(day.toLocalDate.minusDays(ttlDays.toLong))
+    dd.expireExact(minDate)
+    dd.expireNearDup(minDate)
+  }
+
+  /** CLI: DailyIngest <lakeRoot> <stateRoot> <inputParquet> <yyyy-mm-dd>
+    * [ttlDays=30] [budgetTokens=2048]. Input schema: doc_id, text, lang. */
+  def main(args: Array[String]): Unit = {
+    val Array(lakeRoot, stateRoot, input, dayStr, rest @ _*) = args
+    val ttlDays = rest.headOption.map(_.toInt).getOrElse(30)
+    val budget = rest.lift(1).map(_.toLong).getOrElse(2048L)
+    // The dedup seen-sets and ANN lists are CATALOG tables (bucket specs
+    // live in the metastore); with Spark's default in-memory catalog a
+    // new JVM forgets them and every day-2 run re-admits the whole
+    // corpus. The entry point therefore pins a PERSISTENT metastore —
+    // derby under stateRoot locally, swapped for the shared metastore in
+    // a real deployment — so state survives across daily driver runs.
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.catalogImplementation", "hive")
+      .config("spark.sql.warehouse.dir", s"$stateRoot/warehouse")
+      .config("javax.jdo.option.ConnectionURL",
+        s"jdbc:derby:;databaseName=$stateRoot/metastore_db;create=true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val lake = new Lake(spark, lakeRoot)
+    val state = new StateStore(spark, stateRoot)
+    val dd = new CorpusDedup(spark, lake, "crawl")
+    val cp = new CorpusPack(spark, state, "crawl", budgetTokens = budget)
+    val day = Date.valueOf(dayStr)
+    val done = new RunLock(spark, stateRoot).withLock("crawl_daily_ingest") {
+      val n = run(lake, dd, cp, TableRef("prod", "crawl", "packed"),
+        spark.read.parquet(input), "doc_id", "text", "lang", day, ttlDays)
+      expire(dd, day, ttlDays)
+      println(s"[daily-ingest] day=$day landed=$n")
+    }
+    if (done.isEmpty)
+      System.err.println("[daily-ingest] skipped: another run holds the lock")
+    spark.stop()
+  }
+}

@@ -453,35 +453,29 @@ class EndToEndSpec extends SparkSpec {
 
   test("daily crawl ingest composed: TTL dedup → incremental pack → land") {
     import graft.lake.{CorpusDedup, CorpusPack}
-    // the rolling training-data ingest, end to end: each day's crawl is
-    // deduplicated against the recency window, packed CONTINUING the
-    // prior day's cursors, and landed — with day 2's replay proving the
-    // whole chain is crash-idempotent
+    import graft.tools.DailyIngest
+    // the rolling training-data ingest through the DRIVER ENTRY POINT:
+    // each day's crawl is deduplicated against the recency window (exact
+    // AND near-dup bands), BPE-token-counted, packed CONTINUING the prior
+    // day's cursors, and landed via dynamic partition overwrite — then
+    // every crash window is replayed and must converge without
+    // duplicating a row (the round-6 advisor's blind-append finding)
     val lake = new Lake(spark, tmpDir("crawl_lake"))
     val dd = new CorpusDedup(spark, lake, "crawl", numBuckets = 4)
     val cp = new CorpusPack(spark, new StateStore(spark, tmpDir("crawl_state")),
-      "crawl", budgetTokens = 8L)
+      "crawl", budgetTokens = 16L)
     val out = TableRef("prod", "crawl", "packed")
     def day(d: String) = java.sql.Date.valueOf(d)
-    def ingest(docs: org.apache.spark.sql.DataFrame, d: String): Long = {
-      val novel = dd.novelExactSince(docs, "doc_id", "text",
-          minDate = day("2024-03-01"))
-        .withColumn("lang", lit("en"))
-        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
-      val packed = cp.assign(novel, "lang", "doc_id", "n_tok", batchId = d)
-      lake.append(packed.select(col("doc_id"), col("pack_id")), out)
-      // materialize BEFORE the commits: the assigned frame binds
-      // lazily to the cursor files the commit swaps out (CorpusPack's
-      // materialize-then-commit contract)
-      val n = packed.count()
-      dd.commitExactDated(docs, "text", day(d), minDate = day("2024-03-01"))
-      cp.commit(novel, "lang", "doc_id", "n_tok", batchId = d)
-      n
-    }
+    def ingest(docs: org.apache.spark.sql.DataFrame, d: String): Long =
+      DailyIngest.run(lake, dd, cp, out, docs.withColumn("lang", lit("en")),
+        "doc_id", "text", "lang", day(d), ttlDays = 30)
 
+    // every fixture doc is 8 BPE tokens (4 letter pieces × 2 unmerged
+    // chars — the committed vocab has no doubled-letter merges), so
+    // budget 16 ⇒ two docs per pack
     val day1 = Seq(
       (1L, "aa bb cc dd"), (2L, "ee ff gg hh"), (3L, "aa bb cc dd")
-    ).toDF("doc_id", "text") // 3 dups 1
+    ).toDF("doc_id", "text") // 3 dups 1 exactly
     val day2 = Seq(
       (4L, "ee ff gg hh"),   // dup of day 1 — inside the TTL window
       (5L, "ii jj kk ll"), (6L, "mm nn oo pp")
@@ -490,17 +484,64 @@ class EndToEndSpec extends SparkSpec {
     assert(ingest(day1, "2024-03-01") === 2) // 1, 2 survive
     assert(ingest(day2, "2024-03-02") === 2) // 5, 6 survive
 
-    val landed = lake.read(out).select($"doc_id", $"pack_id")
+    def landed() = lake.read(out).select($"doc_id", $"pack_id")
       .as[(Long, Long)].collect().toMap
-    // 4 docs × 4 tokens at budget 8 ⇒ two docs per pack, ids CONTINUE
-    // across the day boundary instead of restarting
-    assert(landed === Map(1L -> 0L, 2L -> 0L, 5L -> 1L, 6L -> 1L))
+    // pack ids CONTINUE across the day boundary instead of restarting
+    assert(landed() === Map(1L -> 0L, 2L -> 0L, 5L -> 1L, 6L -> 1L))
 
-    // day-2 replay (crash after commits, orchestrator retries): the
-    // dedup window now swallows 5/6 as already-seen, so the chain
-    // re-lands NOTHING — the composed pipeline is idempotent
-    assert(ingest(day2, "2024-03-02") === 0)
+    // full day-2 replay (crash after all commits, orchestrator retries):
+    // the dedup window swallows 5/6, the empty overwrite touches no
+    // partition — the return (rows present for the day) is STABLE and
+    // nothing duplicates
+    assert(ingest(day2, "2024-03-02") === 2)
     assert(lake.read(out).count() === 4)
+    assert(landed() === Map(1L -> 0L, 2L -> 0L, 5L -> 1L, 6L -> 1L))
+
+    // crash WINDOW 1 — after land, before ANY commit: replay day 3 from
+    // scratch state-wise; the overwrite must replace, not duplicate
+    val day3 = Seq((7L, "qq rr ss tt"), (8L, "uu vv ww xx"))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val minD = day("2024-02-02")
+    val novel3 = dd.novelNearDupSince(
+        dd.novelExactSince(day3, "doc_id", "text", minD),
+        "doc_id", "text", minD)
+      .withColumn("n_tok", graft.functions.Bpe.bpeTokenCount(col("text")))
+    val packed3 = cp.assign(novel3, "lang", "doc_id", "n_tok", "2024-03-03")
+      .withColumn("ingest_day", lit(day("2024-03-03")))
+    lake.overwritePartitions(packed3.select(col("doc_id"), col("lang"),
+      col("n_tok"), col("pack_id"), col("ingest_day")), out,
+      partitionBy = Seq("ingest_day"))
+    // ...crash here (no commits); the orchestrator reruns the whole day:
+    assert(ingest(day3, "2024-03-03") === 2)
+    assert(lake.read(out).count() === 6)
+    assert(landed() === Map(1L -> 0L, 2L -> 0L, 5L -> 1L, 6L -> 1L,
+      7L -> 2L, 8L -> 2L))
+
+    // crash WINDOW 2 — after pack-commit, before the dedup commits:
+    // replay re-derives the SAME pack ids from the recorded batch's
+    // replay cursors and completes the missing commits
+    val day4 = Seq((9L, "y1 y2 y3 y4"), (10L, "z1 z2 z3 z4"))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val novel4 = dd.novelNearDupSince(
+        dd.novelExactSince(day4, "doc_id", "text", minD),
+        "doc_id", "text", minD)
+      .withColumn("n_tok", graft.functions.Bpe.bpeTokenCount(col("text")))
+    val packed4 = cp.assign(novel4, "lang", "doc_id", "n_tok", "2024-03-04")
+      .withColumn("ingest_day", lit(day("2024-03-04")))
+    lake.overwritePartitions(packed4.select(col("doc_id"), col("lang"),
+      col("n_tok"), col("pack_id"), col("ingest_day")), out,
+      partitionBy = Seq("ingest_day"))
+    cp.commit(novel4, "lang", "doc_id", "n_tok", "2024-03-04")
+    // ...crash here (dedup uncommitted); full rerun:
+    assert(ingest(day4, "2024-03-04") === 2)
+    assert(lake.read(out).count() === 8)
+    assert(landed() === Map(1L -> 0L, 2L -> 0L, 5L -> 1L, 6L -> 1L,
+      7L -> 2L, 8L -> 2L, 9L -> 3L, 10L -> 3L))
+    // and day 5 continues cleanly after all that replay churn
+    val day5 = Seq((11L, "w1 w2 w3 w4"), (12L, "w5 w6 w7 w8"))
+      .toDF("doc_id", "text")
+    assert(ingest(day5, "2024-03-05") === 2)
+    assert(landed()(11L) === 4L && landed()(12L) === 4L)
   }
 
 }

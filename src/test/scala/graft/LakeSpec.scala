@@ -405,6 +405,54 @@ class LakeSpec extends SparkSpec {
     assert(spark.table("state_ttl_test.seen_hashes_dated").count() === 1)
   }
 
+  test("TTL near-dup: band window, partition-pruned scan, expiry, re-admission") {
+    import graft.lake.CorpusDedup
+    val lake = new Lake(spark, tmpDir("ttlb_lake"))
+    val dd = new CorpusDedup(spark, lake, "ttlb_test", numBuckets = 4)
+    def day(d: String) = java.sql.Date.valueOf(d)
+    val mon = day("2024-01-01"); val tue = day("2024-01-02")
+    val wed = day("2024-01-03"); val thu = day("2024-01-04")
+    val text = "the quick brown fox jumps over the lazy dog and runs away fast"
+    val near = text.replace("away fast", "away now") // shares LSH bands
+    val other = "totally unrelated writing about catalyst planner internals today ok"
+    val b1 = Seq((1L, text)).toDF("doc_id", "text")
+    val b2 = Seq((2L, near), (3L, other)).toDF("doc_id", "text")
+
+    // no state yet: everything is novel
+    assert(dd.novelNearDupSince(b1, "doc_id", "text", minDate = mon)
+      .count() === 1)
+    // Monday: record text's bands; Tuesday the near-dup is caught at
+    // candidate level, unrelated content passes
+    dd.commitNearDupDated(b1, "doc_id", "text", mon, minDate = mon)
+    val tueNovel = dd.novelNearDupSince(b2, "doc_id", "text", minDate = mon)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(tueNovel === Set(3L))
+    dd.commitNearDupDated(b2, "doc_id", "text", tue, minDate = mon)
+
+    // the semi-join's state side is PARTITION-PRUNED (seen_date reaches
+    // PartitionFilters, not a post-read filter)
+    val plan = dd.novelNearDupSince(b2, "doc_id", "text", minDate = tue)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(seen_date"), plan)
+
+    // Thursday, window start Wednesday: all sightings aged out — the
+    // same content is re-admitted, and re-recording restarts its TTL
+    val thuNovel = dd.novelNearDupSince(b1, "doc_id", "text", minDate = wed)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(thuNovel === Set(1L))
+    dd.commitNearDupDated(b1, "doc_id", "text", thu, minDate = wed)
+
+    // expiry drops metastore partitions AND files
+    dd.expireNearDup(wed)
+    val parts = spark.sql(
+      s"SHOW PARTITIONS state_ttlb_test.seen_bands_dated").collect()
+      .map(_.getString(0)).toSet
+    assert(parts === Set("seen_date=2024-01-04"), parts.toString)
+    val root = new java.io.File(lake.path(dd.bandsDatedRef))
+    val dirs = root.listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs === Set("seen_date=2024-01-04"), dirs.toString)
+  }
+
   test("incremental packing: batches == one-shot; replay-safe; monotone-guarded") {
     import graft.lake.CorpusPack
     import graft.state.StateStore
