@@ -28,8 +28,9 @@ import org.apache.spark.sql.functions._
   * files and nothing else, with no Exchange on the state side.
   *
   * Centroid drift: appends reuse the trained quantizer (standard IVF
-  * practice — FAISS's add-after-train contract). If the data
-  * distribution shifts, [[build]] again under the dataset's RunLock.
+  * practice — FAISS's add-after-train contract). When the distribution
+  * shifts, [[retrain]] re-fits the quantizer on a sample of the lists
+  * and reassigns in place, under the dataset's RunLock.
   * Single-writer discipline as with [[CorpusDedup]].
   */
 class AnnIndex(spark: SparkSession, lake: Lake, dataset: String,
@@ -180,6 +181,73 @@ class AnnIndex(spark: SparkSession, lake: Lake, dataset: String,
     * contract as [[CorpusDedup]]'s seen-set compaction). */
   def compact(): Unit =
     lake.compactBucketed(listsRef, "cluster", numBuckets)
+
+  /** Retrain the coarse quantizer on the CURRENT corpus and reassign
+    * every list entry — the maintenance tick that completes the index
+    * lifecycle. [[append]] assigns against frozen centroids (FAISS's
+    * add-after-train contract); months of distribution drift decay
+    * recall silently, because new vectors crowd whichever old lists
+    * happen to be nearest and queries from the drifted region split
+    * their true neighbors across un-probed lists. Runs under the
+    * dataset's RunLock like [[compact]] — single writer, no serving
+    * reads mid-swap.
+    *
+    * Cost shape at 100 TB: training reads a DETERMINISTIC hash-sample
+    * of the lists (`samplePct`; Lloyd is O(sample·k·iters) and past a
+    * few million points more sample buys centroid precision the 4-dp
+    * rounding discards anyway — falls back to the full corpus when the
+    * sample cannot seed k clusters), and reassignment is one codegen'd
+    * k-dot-products pass over the full lists feeding the same bucketed
+    * writer as [[build]] — one corpus rewrite, the unavoidable floor
+    * for a quantizer swap, and strictly cheaper than build-from-raw
+    * because the vectors are already in list form.
+    *
+    * Crash safety mirrors [[Lake.compactBucketed]]: new centroids AND
+    * reassigned lists land in a side snapshot first, committed by a
+    * marker written only after both parquet dirs complete; the live
+    * tables are rewritten only from a committed snapshot (heal-on-entry
+    * finishes a predecessor that died mid-rewrite, uncommitted debris
+    * is discarded), so the centroid and list tables can never disagree
+    * about which quantizer generation they belong to. */
+  def retrain(k: Int, iters: Int = 5, samplePct: Int = 10,
+              salt: Long = 0L): Unit = {
+    import org.apache.hadoop.fs.Path
+    require(samplePct > 0 && samplePct <= 100, s"samplePct $samplePct")
+    val snapRoot = new Path(lake.path(listsRef) + ".retrain")
+    val fs = snapRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(snapRoot, "_COMMIT")
+    val centsSnap = new Path(snapRoot, "centroids").toString
+    val listsSnap = new Path(snapRoot, "lists").toString
+
+    def rewriteFromSnapshot(): Unit = {
+      lake.writeBucketed(spark.read.parquet(centsSnap), centroidsRef,
+        "cluster", 1)
+      lake.writeBucketed(
+        spark.read.parquet(listsSnap).repartition(numBuckets, col("cluster")),
+        listsRef, "cluster", numBuckets)
+      spark.catalog.refreshTable(qualified(centroidsRef))
+      spark.catalog.refreshTable(qualified(listsRef))
+      fs.delete(snapRoot, true)
+    }
+
+    if (fs.exists(marker)) { rewriteFromSnapshot(); return } // heal
+    fs.delete(snapRoot, true)
+
+    val corpus = spark.table(qualified(listsRef)).select(col("id"), col("vec"))
+    val sampled = corpus
+      .filter(pmod(xxhash64(col("id"), lit(salt)), lit(100L)) < samplePct)
+    // the sample must be able to seed k distinct clusters
+    val train = if (sampled.limit(k).count() < k) corpus else sampled
+    val cents = VectorOps.kmeansLloyd(train, "vec", k, iters)
+      .withColumnRenamed("pos", "dim")
+    cents.write.mode(SaveMode.Overwrite).parquet(centsSnap)
+    val newCents = loadCentroidArrays(spark.read.parquet(centsSnap))
+    VectorOps.assignClusters(corpus, newCents, "vec")
+      .select(col("cluster"), col("id"), col("vec"))
+      .write.mode(SaveMode.Overwrite).parquet(listsSnap)
+    fs.create(marker).close()
+    rewriteFromSnapshot()
+  }
 
   /** The probed-list scan [[topK]] runs, for plan inspection/tests. */
   def prunedScan(probes: Seq[Int]): DataFrame = {

@@ -234,6 +234,71 @@ class LakeSpec extends SparkSpec {
     }
   }
 
+  test("ANN retrain: recall degrades under drift, recovers after reassign") {
+    import graft.lake.AnnIndex
+    val lake = new Lake(spark, tmpDir("ann_retrain"))
+    val idx = new AnnIndex(spark, lake, "ann_drift", numBuckets = 4)
+    def jit(i: Int, m: Int) = ((i * 7919) % m - m / 2) * 0.02
+    def pt(i: Int, x: Double, y: Double) =
+      Array(x + jit(i, 11), y + jit(i, 13), jit(i, 17), jit(i, 19))
+    val oldCorpus = (0 until 30).map(i => (i.toLong, pt(i, 10.0, 0.0))) ++
+      (0 until 30).map(i => (100L + i, pt(i, -10.0, 0.0)))
+    // the DRIFTED region: a new +y direction the trained quantizer has
+    // no centroid for — appends split its members across BOTH old lists
+    // (the ±x nudge decides Euclidean assignment but is symmetric to an
+    // x=0 query's cosine), so nprobe=1 sees only half the true neighbors
+    val drift = (0 until 30).map { i =>
+      (200L + i, pt(i, if (i % 2 == 0) 0.5 else -0.5, 10.0))
+    }
+    idx.build(oldCorpus.toDF("id", "vec"), "id", "vec", k = 2, iters = 5)
+    idx.append(drift.toDF("id", "vec"), "id", "vec")
+
+    val queries = (0 until 4).map(i => (500L + i, pt(i + 7, 0.0, 10.0)))
+    def cosR(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map(p => p._1 * p._2).sum
+      val c = d / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val all = oldCorpus ++ drift
+    def truth(q: Array[Double]): Set[Long] = all
+      .map { case (id, v) => (id, cosR(v, q)) }
+      .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+    def recallAt10(): Double = {
+      val got = idx
+        .topKJoin(queries.toDF("qid", "vec"), "qid", "vec", k = 10, nprobe = 1)
+        .select($"qid", $"id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      queries.map { case (qid, qv) =>
+        (got.getOrElse(qid, Set.empty[Long]) & truth(qv)).size / 10.0
+      }.sum / queries.size
+    }
+
+    val pre = recallAt10()
+    idx.retrain(k = 3, iters = 5, samplePct = 100)
+    val post = recallAt10()
+    assert(pre <= 0.8, s"drift did not hurt recall: pre=$pre")
+    assert(post >= 0.9 && post > pre, s"retrain did not recover: pre=$pre post=$post")
+
+    // the swap preserved the corpus, the serving layout, and left no
+    // snapshot debris; the centroid table reflects the new k
+    val lists = spark.table("state_ann_drift.ivf_lists")
+    assert(lists.count() === 90)
+    assert(spark.table("state_ann_drift.ivf_centroids")
+      .select($"cluster").distinct().count() === 3)
+    assert(!new java.io.File(lake.path(idx.listsRef) + ".retrain").exists())
+    val plan = idx.prunedScan(Seq(0)).queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+    val m = sel.findFirstMatchIn(plan)
+    assert(m.isDefined && m.get.group(1).toInt < m.get.group(2).toInt, plan)
+    // all drifted vectors now share one list — the recovery mechanism,
+    // not just the recovered number
+    val driftClusters = lists.filter($"id" >= 200L && $"id" < 300L)
+      .select($"cluster").distinct().count()
+    assert(driftClusters === 1, s"drift region spans $driftClusters lists")
+    spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+  }
+
   test("bucketed compaction folds append files, preserves bucket layout") {
     val lake = new Lake(spark, tmpDir("lake"))
     val ref = TableRef("state", "bkc", "t")
