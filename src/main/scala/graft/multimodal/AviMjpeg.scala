@@ -49,7 +49,19 @@ object AviMjpeg {
     * an AVI or the video stream is not MJPEG; Some(info, frames) with
     * every '##dc'/'##db' JPEG payload of the video stream otherwise
     * (truncation ⇒ the frames that fit). */
-  def parse(bytes: Array[Byte]): Option[(AviInfo, Vector[Array[Byte]])] = {
+  def parse(bytes: Array[Byte]): Option[(AviInfo, Vector[Array[Byte]])] =
+    parseSelected(bytes, 1, Int.MaxValue)
+      .map { case (info, _, fs) => (info, fs.map(_._2)) }
+
+  /** [[parse]] with the frame SELECTION pushed into the container walk:
+    * only every `stride`-th video chunk (up to `maxFrames` of them) is
+    * copied out of the buffer — skipped frames cost neither decode NOR
+    * copy (a 64-frame sample of a 10k-frame clip materializes 64
+    * payloads, not 10k). The walk still traverses every chunk header so
+    * the returned total counts all frames PRESENT. Frames carry their
+    * original clip position. */
+  def parseSelected(bytes: Array[Byte], stride: Int, maxFrames: Int)
+      : Option[(AviInfo, Int, Vector[(Long, Array[Byte])])] = {
     if (bytes == null || bytes.length < 12) return None
     val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     if (fourCC(b) != "RIFF") return None
@@ -65,7 +77,9 @@ object AviMjpeg {
     var handler: Option[String] = None
     var streamIndex = -1
     var strlSeen = 0
-    val frames = Vector.newBuilder[Array[Byte]]
+    var frameCount = 0
+    var taken = 0
+    val frames = Vector.newBuilder[(Long, Array[Byte])]
 
     // Walks [from, to). A LIST whose declared size overruns the bytes
     // present is CLAMPED and entered anyway — that is the torn-upload
@@ -128,8 +142,14 @@ object AviMjpeg {
             case _ if inMovi && cc(0).isDigit && cc(1).isDigit &&
                 (cc.endsWith("dc") || cc.endsWith("db")) =>
               val idx = (cc(0) - '0') * 10 + (cc(1) - '0')
-              if (idx == streamIndex && size > 0)
-                frames += java.util.Arrays.copyOfRange(bytes, body, body + size)
+              if (idx == streamIndex && size > 0) {
+                if (frameCount % stride == 0 && taken < maxFrames) {
+                  frames += ((frameCount.toLong,
+                    java.util.Arrays.copyOfRange(bytes, body, body + size)))
+                  taken += 1
+                }
+                frameCount += 1
+              }
             case _ => () // idx1, audio '##wb', unknown chunks — skipped
           }
           pos = (bodyEnd + (size & 1)).min(Int.MaxValue.toLong).toInt
@@ -141,50 +161,16 @@ object AviMjpeg {
     handler match {
       case Some(h) if MjpegHandlers.contains(h) =>
         Some((AviInfo(width, height, declared, usPerFrame, h, streamIndex),
-          frames.result()))
+          frameCount, frames.result()))
       case _ => None // no video stream, or a codec we must not fake
     }
   }
 
-  /** DataFrame op: one row per SAMPLED video frame — input row +
-    * `frame_idx` (position in the clip), `frame` (the JPEG bytes,
-    * [[Multimodal.decodeImage]]'s input) and `vid_frames` (frames
-    * present in the container). Sampling takes every `stride`-th frame
-    * up to `maxFrames` — the keyframe-subsample a vision model wants,
-    * decided BEFORE any pixel decode so skipped frames cost zero.
-    *
-    * Failure policy (spec-pinned, same as every decoder here): a
-    * corrupt/non-AVI/non-MJPEG payload yields ONE row with null
-    * frame_idx/frame — countable by a plain agg, never a task failure.
-    */
+  /** MJPEG-AVI frame sampling — [[VideoDecoder.extractFrames]] with the
+    * default decoder; kept here so "the AVI op" reads naturally at call
+    * sites. */
   def extractFrames(df: DataFrame, contentCol: String = "content",
-                    stride: Int = 1, maxFrames: Int = 64): DataFrame = {
-    require(stride >= 1, s"stride must be >= 1, got $stride")
-    require(maxFrames >= 1, s"maxFrames must be >= 1, got $maxFrames")
-    val outSchema = StructType(df.schema.fields ++ Seq(
-      StructField("frame_idx", LongType),
-      StructField("frame", BinaryType),
-      StructField("vid_frames", IntegerType)))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
-      .encoderFor(outSchema)
-    val contentIdx = df.schema.fieldIndex(contentCol) // see decodeImage
-    df.mapPartitions { rows =>
-      rows.flatMap { r =>
-        val bytes = r.get(contentIdx).asInstanceOf[Array[Byte]]
-        val parsed =
-          try parse(bytes)
-          catch { case scala.util.control.NonFatal(_) => None }
-        parsed match {
-          case Some((_, fs)) if fs.nonEmpty =>
-            fs.iterator.zipWithIndex
-              .filter(_._2 % stride == 0).take(maxFrames)
-              .map { case (jpeg, i) =>
-                Row.fromSeq(r.toSeq ++ Seq(i.toLong, jpeg, fs.size))
-              }
-          case _ =>
-            Iterator(Row.fromSeq(r.toSeq ++ Seq(null, null, null)))
-        }
-      }
-    }(enc)
-  }
+                    stride: Int = 1, maxFrames: Int = 64): DataFrame =
+    VideoDecoder.extractFrames(df, VideoDecoder.MjpegAvi, contentCol,
+      stride, maxFrames)
 }

@@ -784,10 +784,14 @@ object TrainingData {
     // the q97 clusters exist for. Keeper policy is deterministic
     // (lowest vec_id ranks first), so the kept set is identical on any
     // engine or run — the property a multi-epoch training run needs.
-    // Scale shape: ranking windows over CLUSTER keys, and clusters are
-    // pair-bounded (a viral cluster is capped upstream by q52's star
-    // guard before it ever reaches the closure) — the window shuffle
-    // carries one row per vector, nothing quadratic.
+    // Scale shape: ranking windows over CLUSTER keys — the window
+    // shuffle carries one row per vector, nothing quadratic. The PAIR
+    // source is q67's label-blocked exact self-join (via
+    // semanticClusters), so pair counts are bounded by the blocking
+    // key's group sizes: a viral label still grows quadratically within
+    // its block, and the scale path for that is q63's sign-bucketed
+    // variant (finer blocks), not q52's LSH star guard — that guard
+    // caps TEXT band buckets and never sees these embedding pairs.
     "q103_semdedup" -> ((s, dir) => {
       val W = org.apache.spark.sql.expressions.Window
       semanticClusters(s, dir)

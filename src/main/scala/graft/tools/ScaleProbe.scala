@@ -59,8 +59,10 @@ object ScaleProbe {
         // that matters at 100 TB alongside shuffle bytes. Caveat:
         // recordsRead also counts CHECKPOINT re-reads, so iterative
         // closure queries (q97/q103) report closure rounds here too.
-        val amp = meter.lastInputRecords.toDouble / baseRows(probeTable(name))
-        println(f"[probe] $dir $name: $sec%.2f s, shuffle ${bytes / 1048576.0}%.2f MiB, scan x$amp%.1f")
+        val base = baseRows(probeTable(name))
+        val amp = if (base == 0) "n/a"
+                  else f"x${meter.lastInputRecords.toDouble / base}%.1f"
+        println(f"[probe] $dir $name: $sec%.2f s, shuffle ${bytes / 1048576.0}%.2f MiB, scan $amp")
         name -> bytes
       }.toMap
       // persisted ANN search: build is ingest cost (not probed); the

@@ -711,6 +711,12 @@ class ConnectorsSpec extends SparkSpec {
     val capped = AviMjpeg.extractFrames(df, maxFrames = 1)
       .select($"frame_idx").as[Long].collect()
     assert(capped.toSeq === Seq(0L))
+    // ...and BEFORE any copy: the selection runs inside the container
+    // walk, which still counts every frame present
+    val Some((_, n, sel)) = AviMjpeg.parseSelected(avi, 2, Int.MaxValue)
+    assert(n === 3 && sel.map(_._1) === Vector(0L, 2L))
+    assert(sel.map(_._2).zip(Seq(jpegs(0), jpegs(2)))
+      .forall { case (a, b) => a.sameElements(b) })
   }
 
   test("AVI/MJPEG: real-muxer layouts, torn files, hostile sizes") {
@@ -766,6 +772,38 @@ class ConnectorsSpec extends SparkSpec {
     assert(chained.select($"pixels").collect().head.isNullAt(0))
   }
 
+  test("video decoder is injectable: fake inter-frame codec, same chain (S22)") {
+    import graft.multimodal.{AviMjpeg, VideoDecoder}
+    // an inter-frame codec (H.264-shaped) decodes through an injected
+    // VideoDecoder — the prod ffmpeg plug-point — and everything
+    // downstream (sampling semantics, schema, decodeImage, failure
+    // policy) is the same plumbing the MJPEG default uses
+    val clip = FakeInterFrameVideo.container(5)
+    val df = Seq((1L, clip)).toDF("media_id", "content")
+    val frames = VideoDecoder.extractFrames(df, FakeInterFrameVideo,
+      stride = 2, maxFrames = 2)
+    val dec = Multimodal.decodeImage(frames, contentCol = "frame")
+      .select($"frame_idx", $"vid_frames", $"pixels")
+      .as[(Long, Int, Array[Byte])].collect().sortBy(_._1)
+    // stride counts ORIGINAL clip positions; vid_frames counts frames
+    // PRESENT, not frames selected
+    assert(dec.map(_._1).toSeq === Seq(0L, 2L))
+    assert(dec.forall(_._2 === 5))
+    dec.foreach { case (i, _, px) =>
+      val mean = px.map(_ & 0xff).sum.toDouble / px.length
+      assert(math.abs(mean - (40 + 40 * i)) < 3.0, s"frame $i mean $mean")
+    }
+    // scope stays explicit per decoder: the MJPEG default refuses the
+    // fake container, the fake decoder refuses a real AVI — both as the
+    // countable null row, never a wrong decode
+    assert(AviMjpeg.extractFrames(df)
+      .select($"frame_idx").collect().head.isNullAt(0))
+    val avi = aviBytes(Seq(jpegGray(4, 90)), 4, 4)
+    assert(VideoDecoder.extractFrames(
+        Seq((2L, avi)).toDF("media_id", "content"), FakeInterFrameVideo)
+      .select($"frame_idx").collect().head.isNullAt(0))
+  }
+
   test("stage metrics listener captures query stages (K13)") {
     val l = new StageMetricsListener
     spark.sparkContext.addSparkListener(l)
@@ -777,5 +815,40 @@ class ConnectorsSpec extends SparkSpec {
     spark.sparkContext.removeSparkListener(l)
     assert(l.metrics.nonEmpty)
     assert(l.report(spark).columns.contains("shuffle_write"))
+  }
+}
+
+/** Stand-in for a production inter-frame decoder (ffmpeg/JavaCV behind
+  * [[graft.multimodal.VideoDecoder]]): "decodes" a container of magic
+  * "IFRV" + frame-count byte into solid-gray JPEG frames (gray level
+  * 40+40·i), honoring the trait's selection contract. Top-level so the
+  * executor closure serializes the object, not the spec instance. */
+private[graft] object FakeInterFrameVideo extends graft.multimodal.VideoDecoder {
+  val name = "fake-interframe"
+
+  def container(n: Int): Array[Byte] =
+    "IFRV".getBytes(java.nio.charset.StandardCharsets.US_ASCII) :+ n.toByte
+
+  private def grayJpeg(size: Int, v: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(size, size,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(v, v, v)); g.fillRect(0, 0, size, size)
+    g.dispose()
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  def decode(bytes: Array[Byte], stride: Int, maxFrames: Int)
+      : Option[graft.multimodal.VideoDecoder.Clip] = {
+    if (bytes == null || bytes.length != 5 ||
+        new String(bytes, 0, 4, "US-ASCII") != "IFRV") None
+    else {
+      val n = bytes(4).toInt
+      val sel = (0 until n).filter(_ % stride == 0).take(maxFrames)
+      Some(graft.multimodal.VideoDecoder.Clip(n,
+        sel.map(i => (i.toLong, grayJpeg(4, 40 + 40 * i))).toVector))
+    }
   }
 }
