@@ -95,17 +95,44 @@ object VectorOps {
     // next seed maximizes its min distance to the chosen seeds, md5 as
     // the tie-break. Smallest-hash-only seeding can draw every seed from
     // one dense cluster and Lloyd cannot recover from that.
+    //
+    // The k arg-max passes run on a DRIVER-BOUNDED deterministic sample
+    // (the smallest-md5 rows — a uniform draw, and a superset of every
+    // corpus ≤ sampleN, so small-corpus seeds are bit-identical to the
+    // unsampled algorithm). Running them as Spark jobs would cost k
+    // full-corpus scans — quadratic total scan work once k ∝ n (the
+    // round-7 probe measured q110 at ×207 scan amplification before
+    // this); the sample pins seeding at one TakeOrdered job, and the
+    // full-corpus Lloyd iterations correct any sampling noise.
+    val sampleN = math.max(2000, 50 * k)
     val hashed = corpus.select(col(vecCol))
       .withColumn("h", md5(concat_ws(",", col(vecCol))))
-    val firstSeed = hashed.orderBy(col("h")).select(col(vecCol)).take(1)
-    require(firstSeed.nonEmpty,
+    val sampled = hashed.orderBy(col("h"))
+      .select(col(vecCol), col("h")).take(sampleN)
+    require(sampled.nonEmpty,
       "k-means training corpus is empty — nothing to seed the quantizer from")
-    var cents: IndexedSeq[Array[Double]] = IndexedSeq(vecOf(firstSeed.head))
+    val sVecs = sampled.map(vecOf)
+    val sHash = sampled.map(_.getString(1))
+    def sqDistLocal(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val minD = Array.fill(sVecs.length)(Double.MaxValue)
+    var cents: IndexedSeq[Array[Double]] = IndexedSeq(sVecs.head) // min md5
     while (cents.size < k) {
-      cents = cents :+ vecOf(hashed
-        .withColumn("d2", sqDistToNearest(cents, col(vecCol)))
-        .orderBy(desc("d2"), col("h"))
-        .select(col(vecCol)).head())
+      var best = -1; var bestD = -1.0; var bestH = ""
+      var i = 0
+      while (i < sVecs.length) {
+        val d = sqDistLocal(sVecs(i), cents.last)
+        if (d < minD(i)) minD(i) = d
+        if (minD(i) > bestD ||
+            (minD(i) == bestD && (best == -1 || sHash(i) < bestH))) {
+          best = i; bestD = minD(i); bestH = sHash(i)
+        }
+        i += 1
+      }
+      cents = cents :+ sVecs(best)
     }
 
     var it = 0
@@ -143,13 +170,6 @@ object VectorOps {
     lit(cvec.map(x => x * x).sum) -
       lit(2.0) * graft.expressions.VecDot.vec_dot(vec, lit(cvec))
 
-  /** True squared distance to the nearest of `cents` (includes |v|²). */
-  private def sqDistToNearest(cents: Seq[Array[Double]], vec: Column): Column = {
-    val rel = cents.map(sqDistRel(_, vec))
-    graft.expressions.VecDot.vec_dot(vec, vec) +
-      (if (rel.size == 1) rel.head else least(rel: _*))
-  }
-
   /** Nearest trained centroid per row (adds `cluster`). Ranking is by
     * squared L2 minus the per-row |v|² constant (|c|² − 2·v·c), k
     * codegen'd dot products per row — stays inside whole-stage codegen,
@@ -161,6 +181,40 @@ object VectorOps {
     }
     corpus.withColumn("cluster",
       (if (scored.size == 1) scored.head else least(scored: _*)).getField("c"))
+  }
+
+  /** Each row's `nAssign` nearest centroids, EXPLODED to one row per
+    * (vector, cluster) — multi-probe blocking for candidate-pair
+    * generation: a near-dup pair the quantizer splits across two cells
+    * still collides in a shared second-choice cell. Blocking cost is a
+    * constant ×nAssign on rows (×nAssign² on worst-case pairs), not a
+    * growth term. Ranking ties break to the smaller cluster id, same as
+    * [[assignClusters]]. */
+  def assignClustersMulti(corpus: DataFrame, cents: Seq[Array[Double]],
+                          vecCol: String, nAssign: Int): DataFrame = {
+    val scored = cents.zipWithIndex.map { case (cvec, i) =>
+      struct(sqDistRel(cvec, col(vecCol)).as("d"), lit(i).as("c"))
+    }
+    corpus.withColumn("cluster",
+      explode(slice(sort_array(array(scored: _*)), 1, nAssign).getField("c")))
+  }
+
+  /** (cluster, pos|dim, centroid) rows → dense arrays indexed by
+    * cluster — k×dims doubles, the bounded collect every IVF consumer
+    * does before the codegen'd assignment pass. Requires a row for
+    * every cluster in 0..max (kmeansLloyd guarantees it: an emptied
+    * cluster keeps its previous centroid). */
+  def centroidArrays(cents: DataFrame, posCol: String = "pos"): IndexedSeq[Array[Double]] = {
+    val rows = cents.select(col("cluster"), col(posCol), col("centroid")).collect()
+    val byCluster = rows.groupBy(_.getInt(0))
+    require(byCluster.nonEmpty, "empty centroid table")
+    (0 to byCluster.keys.max).map { c =>
+      val cr = byCluster.getOrElse(c,
+        throw new IllegalStateException(s"centroid table missing cluster $c"))
+      val arr = new Array[Double](cr.length)
+      cr.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+      arr
+    }
   }
 
   /** IVF coarse quantizer build: per-partition (label) centroid, one row

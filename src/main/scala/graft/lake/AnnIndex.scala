@@ -257,18 +257,8 @@ class AnnIndex(spark: SparkSession, lake: Lake, dataset: String,
 
   /** (cluster, dim, centroid) rows → dense arrays indexed by cluster —
     * k×dims doubles, the bounded collect every IVF search/build does. */
-  private def loadCentroidArrays(cents: DataFrame): IndexedSeq[Array[Double]] = {
-    val rows = cents.select(col("cluster"), col("dim"), col("centroid")).collect()
-    val byCluster = rows.groupBy(_.getInt(0))
-    require(byCluster.nonEmpty, "empty centroid table")
-    (0 until byCluster.keys.max + 1).map { c =>
-      val cr = byCluster.getOrElse(c,
-        throw new IllegalStateException(s"centroid table missing cluster $c"))
-      val arr = new Array[Double](cr.length)
-      cr.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
-      arr
-    }
-  }
+  private def loadCentroidArrays(cents: DataFrame): IndexedSeq[Array[Double]] =
+    VectorOps.centroidArrays(cents, posCol = "dim")
 }
 
 object AnnIndex {

@@ -801,6 +801,57 @@ object TrainingData {
           (col("rk") <= 2).cast("int").as("keep"))
         .orderBy(col("vec_id"))
     }),
+    // SemDeDup at SCALE: q103's keep-K selection with the pair source
+    // re-blocked so pair work stays LINEAR as the corpus grows.
+    // q67/q97/q103 block the exact cosine self-join on `label` — FIXED
+    // cardinality, so ×10 corpus ⇒ ×100 within-block pairs (the round-7
+    // probe measured b≈1.8 on the sf0.1→sfx1.0 decade). Here the
+    // blocking key is a TRAINED coarse quantizer with k ∝ n/500:
+    // expected cell size stays ~constant as n grows, so Σ cell² — the
+    // candidate bound — grows linearly, the same argument as q52's LSH
+    // bands. This is Abbas et al. 2023's actual recipe (kmeans whose k
+    // scales with the corpus). The price is the q63-vs-q67 principle
+    // again: a semantic group the quantizer splits across cells loses
+    // its cross-cell pairs — boundary loss instead of sign-bucket loss,
+    // MEASURED by comparing keep decisions against q103's exhaustive
+    // blocking (the spec pins agreement ≥90% at test scale), and HALVED
+    // by multi-probe blocking: each vector joins its 2 nearest cells,
+    // so a pair split across two cells still collides in a shared
+    // second-choice cell — a constant ×2 on blocked rows, not a growth
+    // term. No DuckDB oracle: the quantizer is iterative kmeans
+    // (rows-only by design, like q9/q68/q95). The pre-plan count()
+    // sizes k — one column-pruned metadata-scale job, the price of
+    // corpus-proportional k.
+    "q110_semdedup_scaled" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val k = math.max(4, (e.count() / 500L).toInt)
+      val cents = VectorOps.centroidArrays(
+        VectorOps.kmeansLloyd(e, "embedding", k, iters = 3))
+      val assigned = VectorOps
+        .assignClustersMulti(e, cents, "embedding", nAssign = 2)
+        .withColumn("__n", VectorOps.norm(col("embedding")))
+      val a = assigned.select(col("cluster"), col("vec_id").as("id_a"),
+        col("embedding").as("va"), col("__n").as("na"))
+      val b = assigned.select(col("cluster"), col("vec_id").as("id_b"),
+        col("embedding").as("vb"), col("__n").as("nb"))
+      val pairs = a.join(b, Seq("cluster"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("score", VectorOps.cosinePrenormed(
+          col("va"), col("vb"), col("na"), col("nb")))
+        .filter(col("score") >= 0.35) // q67's threshold — same semantics
+        .select(col("id_a"), col("id_b")).distinct()
+      val cc = DedupOps.connectedComponents(pairs)
+      val W = org.apache.spark.sql.expressions.Window
+      t(s, dir, "embeddings").select(col("vec_id"))
+        .join(cc.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("comp"), col("vec_id")).as("sem_cluster"))
+        .withColumn("rk", row_number().over(
+          W.partitionBy(col("sem_cluster")).orderBy(col("vec_id"))))
+        .select(col("vec_id"), col("sem_cluster"),
+          (col("rk") <= 2).cast("int").as("keep"))
+        .orderBy(col("vec_id"))
+    }),
     // Context-window sequence packing: per language, documents stream
     // in doc_id order into fixed token-budget packs — a doc opens in
     // the pack where its PRECEDING cumulative tokens land, so every

@@ -32,18 +32,27 @@ object ScaleProbe {
       df.write.mode("overwrite").format("noop").save()
     def measure(f: => Unit): (Double, Long) = meter.measure(f)
 
-    val probes = Seq("q59_neardup_dedup", "q52_lsh_pairs",
+    val allProbes = Seq("q59_neardup_dedup", "q52_lsh_pairs",
       "q91_bloom_contamination", "q97_semantic_dedup", "q99_sequence_pack",
       "q100_source_filter", "q101_mixture_resample", "q102_ccnet_buckets",
       "q103_semdedup", "q104_dsir_importance", "q106_source_cap",
-      "q107_pretrain_mix", "q108_token_entropy")
+      "q107_pretrain_mix", "q108_token_entropy", "q110_semdedup_scaled")
+    // optional 3rd arg: comma-separated substring filter (probe a single
+    // query's decade without re-running the whole set)
+    val probes = args.lift(2) match {
+      case Some(f) =>
+        val wanted = f.split(',').toSeq
+        allProbes.filter(p => wanted.exists(p.contains))
+      case None => allProbes
+    }
     case class Obs(docRows: Long, bytes: Map[String, Long])
 
     // which base table a probe query scans — the honest denominator
     // for scan amplification (q97/q103 read embeddings, not documents)
     val probeTable = Map(
       "q97_semantic_dedup" -> "embeddings",
-      "q103_semdedup" -> "embeddings").withDefaultValue("documents")
+      "q103_semdedup" -> "embeddings",
+      "q110_semdedup_scaled" -> "embeddings").withDefaultValue("documents")
 
     def observe(dir: String): Obs = {
       val docRows = Tables.load(spark, dir, "documents").count()

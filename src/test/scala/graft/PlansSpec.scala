@@ -254,6 +254,60 @@ class PlansSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q110 scaled semdedup: linear blocking tracks all-pairs truth") {
+    val scaled = graft.queries.TrainingData
+      .defs("q110_semdedup_scaled")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(scaled.nonEmpty)
+    // same keeper-policy invariants as q103 (≤2 kept, smallest ids,
+    // singletons kept) under the IVF-cluster pair blocking
+    scaled.groupBy(_._2).foreach { case (cl, members) =>
+      val kept = members.filter(_._3 == 1).map(_._1).sorted
+      assert(kept.length === math.min(2, members.length), s"cluster $cl")
+      assert(kept.sameElements(
+        members.map(_._1).sorted.take(kept.length)), s"cluster $cl")
+    }
+    // the boundary loss the scale path trades for linear pair work is
+    // SMALL, measured against the TRUE reference: the UNBLOCKED
+    // all-pairs threshold graph (computable exactly at this scale).
+    // q103's label blocking is NOT that reference — it misses every
+    // cross-label pair, which q110's content-trained cells legitimately
+    // find — so agreement is pinned against exhaustive truth, not
+    // against a different blocking choice.
+    val vecs = Tables.load(spark, sf001, "embeddings")
+      .select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    def cosR(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val parent = scala.collection.mutable.Map(vecs.map(v => v._1 -> v._1): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    for (i <- vecs.indices; j <- (i + 1) until vecs.length
+         if cosR(vecs(i)._2, vecs(j)._2) >= 0.35) {
+      val (ri, rj) = (find(vecs(i)._1), find(vecs(j)._1))
+      if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+    }
+    val truthKeep = vecs.map(_._1).groupBy(find).values.flatMap { members =>
+      val sorted = members.sorted
+      sorted.map(id => id -> (if (sorted.indexOf(id) < 2) 1 else 0))
+    }.toMap
+    val agree = scaled.count { case (id, _, keep) => truthKeep(id) == keep }
+    assert(agree.toDouble / scaled.length >= 0.9,
+      s"keep agreement ${agree.toDouble / scaled.length}")
+    // determinism: the seeded quantizer makes the whole query replayable
+    val again = graft.queries.TrainingData
+      .defs("q110_semdedup_scaled")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(scaled.sortBy(_._1).sameElements(again.sortBy(_._1)))
+  }
+
   test("q104 dsir: models stay M-bounded and broadcast; cutoff keeps ≤ 25%") {
     val df = graft.queries.TrainingData.defs("q104_dsir_importance")(spark, sf001)
     val plan = df.queryExecution.executedPlan.toString
