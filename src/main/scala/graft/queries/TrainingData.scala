@@ -1002,6 +1002,41 @@ object TrainingData {
             .otherwise("head").as("bucket"))
         .orderBy(col("doc_id"))
     }),
+    // The LM quality filter at its 100 TB OPERATING SHAPE. Production
+    // CCNet scores against a FIXED pretrained LM (KenLM on wiki-sized
+    // reference text), not the corpus's own unbounded counts — and that
+    // changes the plan class: q92/q102 shuffle the (doc, bigram) stream
+    // (linear, but with a text-sized constant — 114 MiB at sfx1.0,
+    // the largest shuffler in the probe set), while here the model is
+    // trained on a bounded reference slice (top-M bigrams by count,
+    // deterministic tie-break), BROADCAST, and scoring is scan-local:
+    // the exploded bigram stream never crosses an exchange, and the
+    // per-doc aggregation's map-side combine reduces to one partial row
+    // per doc before the only shuffle. OOV bigrams (the smoothing
+    // branch q92 structurally avoids) score at a fixed 1e-6 floor in
+    // both engines. Fully oracle-checkable — the bounded model is
+    // deterministic SQL, unlike q110's iterative quantizer.
+    "q111_lm_quality_scaled" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      // the "wiki-like" held-out reference slice the model trains on
+      val refBg = docs
+        .filter(col("lang") === "en" && col("doc_id") % 10 === 0)
+        .select(explode(TextOps.shingles(col("text"), 2)).as("bigram"))
+        .filter(col("bigram").isNotNull)
+        .groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
+      val model = refBg.orderBy(col("c12").desc, col("bigram")).limit(2000)
+        .withColumn("c1", sum(col("c12")).over(
+          W.partitionBy(substring_index(col("bigram"), " ", 1))))
+      docs.select(col("doc_id"), col("lang"),
+          explode(TextOps.shingles(col("text"), 2)).as("bigram"))
+        .filter(col("bigram").isNotNull)
+        .join(broadcast(model), Seq("bigram"), "left")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(round(sum(log(coalesce(col("c12") / col("c1"), lit(1e-6)))) /
+          count(lit(1)), 4).as("score"))
+        .orderBy(col("doc_id"))
+    }),
     // DSIR importance resampling (Xie et al. 2023): weight every raw
     // document by how target-like its hashed-n-gram profile is —
     // log p_target(doc) − log p_raw(doc) under two add-1-smoothed
@@ -1956,6 +1991,31 @@ object TrainingData {
         |  CAST(SUM(k) AS BIGINT) AS n_bigrams
         |FROM dbc JOIN c2 USING (bigram)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q111_lm_quality_scaled" ->
+      """WITH refbg AS (
+        |  SELECT unnest(list_transform(range(1, greatest(len(words), 1)),
+        |    i -> words[i] || ' ' || words[i+1])) AS bigram
+        |  FROM (SELECT string_split(text, ' ') AS words FROM documents
+        |        WHERE lang = 'en' AND doc_id % 10 = 0)),
+        |cnt AS (SELECT bigram, COUNT(*) AS c12 FROM refbg
+        |  WHERE bigram IS NOT NULL GROUP BY bigram),
+        |model AS (SELECT bigram, c12 FROM cnt
+        |  ORDER BY c12 DESC, bigram LIMIT 2000),
+        |model2 AS (SELECT bigram, c12,
+        |    SUM(c12) OVER (PARTITION BY split_part(bigram, ' ', 1)) AS c1
+        |  FROM model),
+        |bg AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_transform(range(1, greatest(len(words), 1)),
+        |      i -> words[i] || ' ' || words[i+1])) AS bigram
+        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS words
+        |        FROM documents))
+        |SELECT bg.doc_id, bg.lang,
+        |  round(SUM(ln(coalesce(m.c12 / CAST(m.c1 AS DOUBLE), 0.000001))) /
+        |    CAST(COUNT(*) AS DOUBLE), 4) AS score
+        |FROM bg LEFT JOIN model2 m USING (bigram)
+        |WHERE bg.bigram IS NOT NULL
+        |GROUP BY bg.doc_id, bg.lang ORDER BY bg.doc_id""".stripMargin,
     "q88_bigram_lm" ->
       """WITH bg AS (
         |  SELECT unnest(list_transform(range(1, greatest(len(words), 1)),

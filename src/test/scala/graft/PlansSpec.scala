@@ -308,6 +308,33 @@ class PlansSpec extends SparkSpec {
     assert(scaled.sortBy(_._1).sameElements(again.sortBy(_._1)))
   }
 
+  test("q111 broadcast-LM scoring: bigram stream never crosses an exchange") {
+    val df = graft.queries.TrainingData
+      .defs("q111_lm_quality_scaled")(spark, sf001)
+    val plan = df.queryExecution.executedPlan.toString
+    // the bounded model comes back as a broadcast, and the CORPUS-side
+    // exploded (doc, bigram) stream is scored scan-locally and combined
+    // map-side — the only bigram-keyed exchange in the plan is the
+    // model build's own count over the bounded REFERENCE slice, inside
+    // the broadcast subtree
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    val lines = plan.linesIterator.toIndexedSeq
+    val bigramEx = lines.zipWithIndex
+      .filter(_._1.contains("Exchange hashpartitioning(bigram"))
+    assert(bigramEx.size === 1, plan)
+    val bx = lines.indexWhere(_.contains("BroadcastExchange"))
+    assert(bx >= 0 && bx < bigramEx.head._2,
+      s"bigram exchange outside the model-build broadcast subtree:\n$plan")
+    // OOV floor: a doc whose bigrams all miss the model scores exactly
+    // round(ln 1e-6, 4) — the smoothing branch is exercised, not dead
+    val rows = df.collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    val floor = BigDecimal(math.log(1e-6))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows.forall(_._2 >= floor), s"scores below the OOV floor")
+    assert(rows.exists(_._2 > floor), "every doc fully OOV — model too small")
+  }
+
   test("q104 dsir: models stay M-bounded and broadcast; cutoff keeps ≤ 25%") {
     val df = graft.queries.TrainingData.defs("q104_dsir_importance")(spark, sf001)
     val plan = df.queryExecution.executedPlan.toString
