@@ -60,7 +60,8 @@ class AnnIndex(spark: SparkSession, lake: Lake, dataset: String,
     * the bucketed lists — history never moves, only the batch shuffles
     * (into its bucket files). Idempotence is the caller's business (ids
     * are not deduplicated here; compose with [[CorpusDedup]] /
-    * processed-file state for exactly-once ingest). */
+    * processed-file state for exactly-once ingest — or use the DATED
+    * ingest below, which is replay-idempotent by construction). */
   def append(batch: DataFrame, idCol: String, vecCol: String): Unit = {
     val cents = loadCentroidArrays(spark.table(qualified(centroidsRef)))
     val assigned = VectorOps.assignClusters(batch, cents, vecCol)
@@ -71,6 +72,65 @@ class AnnIndex(spark: SparkSession, lake: Lake, dataset: String,
       .write.mode(SaveMode.Append).insertInto(qualified(listsRef))
     spark.catalog.refreshTable(qualified(listsRef)) // cross-session reads
   }
+
+  // ---- dated lists: idempotent daily ingest + recency window + TTL -----
+
+  /** Whether the lists table carries the `seen_date` partition layer. */
+  def isDated: Boolean =
+    exists && spark.table(qualified(listsRef)).columns.contains("seen_date")
+
+  /** [[build]] with `seen_date` as a partition column ABOVE the bucket
+    * files — the same layout as [[CorpusDedup]]'s dated seen-sets, and
+    * the index's operational shape for a rolling crawl:
+    *
+    *  - [[appendDated]] lands a day by DYNAMIC PARTITION OVERWRITE, so
+    *    a crashed-and-retried ingest replaces its own partition instead
+    *    of duplicating vectors (blind [[append]] is at-least-once);
+    *  - searches can take a RECENCY WINDOW (`minDate` on
+    *    [[topK]]/[[topKJoin]]) that prunes to PartitionFilters before
+    *    the bucket prune — scan cost is bounded by the window, not by
+    *    index age;
+    *  - [[expire]] drops aged partitions (metastore and files) — the
+    *    crawl-recency TTL the dedup seen-sets already have. */
+  def buildDated(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+                 day: java.sql.Date, iters: Int = 5): Unit = {
+    val cents = VectorOps.kmeansLloyd(corpus, vecCol, k, iters)
+      .withColumnRenamed("pos", "dim")
+    lake.writeBucketed(cents, centroidsRef, "cluster", 1)
+    val assigned = VectorOps
+      .assignClusters(corpus, loadCentroidArrays(cents), vecCol)
+      .select(col("cluster"), col(idCol).as("id"), col(vecCol).as("vec"),
+        lit(day).as("seen_date"))
+    lake.writeBucketed(assigned, listsRef, "cluster", numBuckets,
+      partitionBy = Seq("seen_date"))
+  }
+
+  /** Land one day's vectors idempotently: assign against the persisted
+    * centroids, then dynamic-partition-OVERWRITE `seen_date=day` — a
+    * replay recomputes the same rows and replaces exactly its own
+    * partition; an empty batch touches no partition at all (the same
+    * crash-window argument as the daily ingest's land step). */
+  def appendDated(batch: DataFrame, idCol: String, vecCol: String,
+                  day: java.sql.Date): Unit = {
+    require(isDated, "lists table has no seen_date layer — buildDated first")
+    val cents = loadCentroidArrays(spark.table(qualified(centroidsRef)))
+    val assigned = VectorOps.assignClusters(batch, cents, vecCol)
+      .select(col("cluster"), col(idCol).as("id"), col(vecCol).as("vec"),
+        lit(day).as("seen_date"))
+    val cols = spark.table(qualified(listsRef)).columns
+    val modeKey = "spark.sql.sources.partitionOverwriteMode"
+    val was = spark.conf.get(modeKey, "static")
+    spark.conf.set(modeKey, "dynamic")
+    try assigned.select(cols.map(col).toIndexedSeq: _*)
+      .write.mode(SaveMode.Overwrite).insertInto(qualified(listsRef))
+    finally spark.conf.set(modeKey, was)
+    spark.catalog.refreshTable(qualified(listsRef))
+  }
+
+  /** Drop list partitions older than `minDate` — the index's TTL tick
+    * (metastore and files; under the dataset's RunLock). */
+  def expire(minDate: java.sql.Date): Unit =
+    lake.expireDatePartitions(listsRef, "seen_date", minDate)
 
   /** Spark 4.1's DisableUnnecessaryBucketedScan rule drops ANY bucketed
     * scan without an "interesting partition" (join/agg on the bucket
@@ -97,9 +157,13 @@ class AnnIndex(spark: SparkSession, lake: Lake, dataset: String,
   /** IVF search against the persisted index. Probe ids collect to the
     * driver (≤ nprobe ints) so the list scan is an `IN`-literal filter —
     * the form bucket pruning recognizes. `vecCol` names the query
-    * frame's vector column. */
+    * frame's vector column. On a dated index, `minDate` restricts the
+    * search to the recency window: the date filter reaches
+    * PartitionFilters, so aged directories are pruned BEFORE the bucket
+    * prune and scan cost is bounded by the window, not index age. */
   def topK(queryVec: DataFrame, vecCol: String, k: Int,
-           nprobe: Int = 2): DataFrame = {
+           nprobe: Int = 2,
+           minDate: Option[java.sql.Date] = None): DataFrame = {
     pinBucketedScan()
     val q = queryVec.select(col(vecCol).as("vec"))
     val cents = spark.table(qualified(centroidsRef))
@@ -107,9 +171,21 @@ class AnnIndex(spark: SparkSession, lake: Lake, dataset: String,
       .orderBy(col("csim").desc, col("cluster"))
       .limit(nprobe).select(col("cluster"))
       .collect().map(_.getInt(0)).toSeq
-    val pruned = spark.table(qualified(listsRef))
+    val pruned = windowed(minDate)
       .filter(col("cluster").isin(probes: _*))
+      .select(col("cluster"), col("id"), col("vec"))
     VectorOps.bruteForceTopK(pruned, q, "id", "vec", k)
+  }
+
+  /** The lists scan, recency-windowed when requested. */
+  private def windowed(minDate: Option[java.sql.Date]): DataFrame = {
+    val lists = spark.table(qualified(listsRef))
+    minDate match {
+      case Some(d) =>
+        require(isDated, "recency window on an undated index — buildDated first")
+        lists.filter(col("seen_date") >= lit(d))
+      case None => lists
+    }
   }
 
   /** Batch ANN search: top-k neighbors for EVERY row of a query FRAME in
@@ -140,7 +216,8 @@ class AnnIndex(spark: SparkSession, lake: Lake, dataset: String,
     *     shuffle, so the sort moves ids, not embeddings.
     */
   def topKJoin(queries: DataFrame, qidCol: String, vecCol: String, k: Int,
-               nprobe: Int = 2): DataFrame = {
+               nprobe: Int = 2,
+               minDate: Option[java.sql.Date] = None): DataFrame = {
     require(!Seq("id", "vec", "cluster").contains(qidCol),
       s"query id column '$qidCol' collides with an index column; alias it")
     pinBucketedScan()
@@ -162,8 +239,9 @@ class AnnIndex(spark: SparkSession, lake: Lake, dataset: String,
         .getField("cluster")).as("cluster"))
     val probedClusters = probes.select(col("cluster")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val lists = spark.table(qualified(listsRef))
+    val lists = windowed(minDate)
       .filter(col("cluster").isin(probedClusters: _*))
+      .select(col("cluster"), col("id"), col("vec"))
       .withColumn("__n", VectorOps.norm(col("vec")))
     val W = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("score").desc, col("id"))
@@ -222,9 +300,13 @@ class AnnIndex(spark: SparkSession, lake: Lake, dataset: String,
     def rewriteFromSnapshot(): Unit = {
       lake.writeBucketed(spark.read.parquet(centsSnap), centroidsRef,
         "cluster", 1)
-      lake.writeBucketed(
-        spark.read.parquet(listsSnap).repartition(numBuckets, col("cluster")),
-        listsRef, "cluster", numBuckets)
+      val snap = spark.read.parquet(listsSnap)
+      // a dated index keeps its seen_date partition layer (the snapshot
+      // carried the column through the reassignment)
+      val partBy =
+        if (snap.columns.contains("seen_date")) Seq("seen_date") else Nil
+      lake.writeBucketed(snap.repartition(numBuckets, col("cluster")),
+        listsRef, "cluster", numBuckets, partitionBy = partBy)
       spark.catalog.refreshTable(qualified(centroidsRef))
       spark.catalog.refreshTable(qualified(listsRef))
       fs.delete(snapRoot, true)
@@ -233,7 +315,10 @@ class AnnIndex(spark: SparkSession, lake: Lake, dataset: String,
     if (fs.exists(marker)) { rewriteFromSnapshot(); return } // heal
     fs.delete(snapRoot, true)
 
-    val corpus = spark.table(qualified(listsRef)).select(col("id"), col("vec"))
+    val carried =
+      Seq(col("id"), col("vec")) ++
+        (if (isDated) Seq(col("seen_date")) else Nil)
+    val corpus = spark.table(qualified(listsRef)).select(carried: _*)
     val sampled = corpus
       .filter(pmod(xxhash64(col("id"), lit(salt)), lit(100L)) < samplePct)
     // the sample must be able to seed k distinct clusters
@@ -243,7 +328,7 @@ class AnnIndex(spark: SparkSession, lake: Lake, dataset: String,
     cents.write.mode(SaveMode.Overwrite).parquet(centsSnap)
     val newCents = loadCentroidArrays(spark.read.parquet(centsSnap))
     VectorOps.assignClusters(corpus, newCents, "vec")
-      .select(col("cluster"), col("id"), col("vec"))
+      .select(col("cluster") +: carried: _*)
       .write.mode(SaveMode.Overwrite).parquet(listsSnap)
     fs.create(marker).close()
     rewriteFromSnapshot()

@@ -134,27 +134,10 @@ class CorpusDedup(spark: SparkSession, lake: Lake, dataset: String,
     expireDated(hashesDatedRef, minDate)
 
   /** Shared expiry for the dated seen-sets (exact hashes and near-dup
-    * bands share the seen_date-above-buckets layout). */
-  private def expireDated(ref: TableRef, minDate: java.sql.Date): Unit = {
-    if (!tableExists(ref)) return
-    val name = qualified(ref)
-    val expired = spark.sql(s"SHOW PARTITIONS $name").collect()
-      .map(_.getString(0)) // "seen_date=YYYY-MM-DD"
-      .map(_.stripPrefix("seen_date="))
-      .filter(d => java.sql.Date.valueOf(d).before(minDate))
-    expired.foreach { d =>
-      spark.sql(s"ALTER TABLE $name DROP IF EXISTS PARTITION (seen_date='$d')")
-      // the seen-set is an EXTERNAL table (path-based): DROP PARTITION
-      // detaches the metastore entry but leaves the files — delete the
-      // directory too or the "expired" history accumulates forever
-      val dir = new org.apache.hadoop.fs.Path(
-        lake.path(ref) + s"/seen_date=$d")
-      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(dir) && !fs.delete(dir, true))
-        throw new java.io.IOException(s"failed to delete expired $dir")
-    }
-    spark.catalog.refreshTable(name)
-  }
+    * bands share the seen_date-above-buckets layout) — the generic
+    * [[Lake.expireDatePartitions]] tick. */
+  private def expireDated(ref: TableRef, minDate: java.sql.Date): Unit =
+    lake.expireDatePartitions(ref, "seen_date", minDate)
 
   /** Fold this batch's hashes into the seen-set (idempotent: hashes
     * already present are not re-added). */

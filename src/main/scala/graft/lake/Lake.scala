@@ -165,6 +165,31 @@ class Lake(spark: SparkSession, root: String) {
       .saveAsTable(s"$db.${ref.table}")
   }
 
+  /** Drop a dated table's `dateCol=…` partitions strictly older than
+    * `minDate` — metastore entries AND files together, so no phantom
+    * partitions survive (DROP PARTITION on an external table detaches
+    * the metastore entry but leaves the directory; without the delete
+    * the "expired" history accumulates forever). The TTL maintenance
+    * tick for every date-above-buckets state table (dedup seen-sets,
+    * dated IVF lists); runs under the table's [[graft.state.RunLock]]. */
+  def expireDatePartitions(ref: TableRef, dateCol: String,
+                           minDate: java.sql.Date): Unit = {
+    val name = qualified(ref)
+    if (!spark.catalog.tableExists(name)) return
+    val expired = spark.sql(s"SHOW PARTITIONS $name").collect()
+      .map(_.getString(0)) // "dateCol=YYYY-MM-DD"
+      .map(_.stripPrefix(s"$dateCol="))
+      .filter(d => java.sql.Date.valueOf(d).before(minDate))
+    expired.foreach { d =>
+      spark.sql(s"ALTER TABLE $name DROP IF EXISTS PARTITION ($dateCol='$d')")
+      val dir = new org.apache.hadoop.fs.Path(path(ref) + s"/$dateCol=$d")
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(dir) && !fs.delete(dir, true))
+        throw new java.io.IOException(s"failed to delete expired $dir")
+    }
+    spark.catalog.refreshTable(name)
+  }
+
   /** Small-files compaction for BUCKETED catalog tables (the seen-set /
     * IVF-list state tables after many `insertInto` appends).
     *

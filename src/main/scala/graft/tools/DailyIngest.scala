@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Bpe
-import graft.lake.{CorpusDedup, CorpusPack, Lake, TableRef}
+import graft.lake.{AnnIndex, CorpusDedup, CorpusPack, Lake, TableRef}
 import graft.state.{RunLock, StateStore}
 
 /** The rolling training-data ingest, composed end to end as a driver
@@ -17,8 +17,8 @@ import graft.state.{RunLock, StateStore}
   *
   * Crash-idempotence by construction — the step ORDER is the invariant:
   *
-  *   land (overwritePartitions by ingest_day) → pack-commit →
-  *   exact-dedup-commit → near-dup-commit
+  *   land (overwritePartitions by ingest_day) → [ANN dated overwrite] →
+  *   pack-commit → exact-dedup-commit → near-dup-commit
   *
   *  - crash after land, before pack-commit: the retry recomputes the
   *    same novel set (dedup state unchanged) and the same pack ids
@@ -47,10 +47,22 @@ object DailyIngest {
     * partition after the ingest — STABLE under replay (a clean rerun
     * returns the same count it landed the first time, having re-landed
     * nothing). `docs` must carry `idCol` (monotone across days — the
-    * CorpusPack precondition), `textCol` and `langCol`. */
+    * CorpusPack precondition), `textCol` and `langCol`.
+    *
+    * `ann = Some((index, embedCol))` adds the retrieval leg: the day's
+    * NOVEL embeddings land in the dated IVF index via
+    * [[AnnIndex.appendDated]] — a dynamic partition overwrite keyed by
+    * the same day, so every crash window replays to the identical index
+    * state (the pre-commit `novel` frame recomputes identically, and
+    * post-commit replays overwrite nothing because novel is empty). The
+    * step sits BEFORE the state commits for exactly that reason. The
+    * first day bootstraps the index ([[AnnIndex.buildDated]], k sized
+    * from the batch); [[expire]] ages it out on the same TTL as the
+    * dedup seen-sets. */
   def run(lake: Lake, dd: CorpusDedup, cp: CorpusPack, out: TableRef,
           docs: DataFrame, idCol: String, textCol: String, langCol: String,
-          day: Date, ttlDays: Int): Long = {
+          day: Date, ttlDays: Int,
+          ann: Option[(AnnIndex, String)] = None): Long = {
     val minDate = Date.valueOf(day.toLocalDate.minusDays(ttlDays.toLong))
     val exactNovel = dd.novelExactSince(docs, idCol, textCol, minDate)
     val novel = dd.novelNearDupSince(exactNovel, idCol, textCol, minDate)
@@ -68,18 +80,30 @@ object DailyIngest {
       out, partitionBy = Seq("ingest_day"))
     val landed = lake.read(out)
       .filter(col("ingest_day") === lit(day)).count()
+    ann.foreach { case (idx, embedCol) =>
+      val vecs = novel.select(col(idCol), col(embedCol))
+      if (!idx.exists) {
+        val n = vecs.count()
+        if (n > 0)
+          idx.buildDated(vecs, idCol, embedCol,
+            k = math.max(4, (n / 500L).toInt), day)
+      } else idx.appendDated(vecs, idCol, embedCol, day)
+    }
     cp.commit(novel, langCol, idCol, "n_tok", batchId)
     dd.commitExactDated(docs, textCol, day, minDate)
     dd.commitNearDupDated(docs, idCol, textCol, day, minDate)
     landed
   }
 
-  /** Expire both dated seen-sets to the window start — the maintenance
-    * tick a scheduler runs after (not during) the day's ingest. */
-  def expire(dd: CorpusDedup, day: Date, ttlDays: Int): Unit = {
+  /** Expire the dated seen-sets (and the dated index, when present) to
+    * the window start — the maintenance tick a scheduler runs after
+    * (not during) the day's ingest. */
+  def expire(dd: CorpusDedup, day: Date, ttlDays: Int,
+             ann: Option[AnnIndex] = None): Unit = {
     val minDate = Date.valueOf(day.toLocalDate.minusDays(ttlDays.toLong))
     dd.expireExact(minDate)
     dd.expireNearDup(minDate)
+    ann.foreach(_.expire(minDate))
   }
 
   /** CLI: DailyIngest <lakeRoot> <stateRoot> <inputParquet> <yyyy-mm-dd>

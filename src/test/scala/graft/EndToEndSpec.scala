@@ -464,11 +464,18 @@ class EndToEndSpec extends SparkSpec {
     val dd = new CorpusDedup(spark, lake, "crawl", numBuckets = 4)
     val cp = new CorpusPack(spark, new StateStore(spark, tmpDir("crawl_state")),
       "crawl", budgetTokens = 16L)
+    val idx = new graft.lake.AnnIndex(spark, lake, "crawl_ann", numBuckets = 4)
     val out = TableRef("prod", "crawl", "packed")
     def day(d: String) = java.sql.Date.valueOf(d)
+    // the retrieval leg: a deterministic embedding per doc rides along
+    def withCols(docs: org.apache.spark.sql.DataFrame) = docs
+      .withColumn("lang", lit("en"))
+      .withColumn("emb", array(($"doc_id" % 7).cast("double"),
+        ($"doc_id" % 5).cast("double"), lit(1.0)))
     def ingest(docs: org.apache.spark.sql.DataFrame, d: String): Long =
-      DailyIngest.run(lake, dd, cp, out, docs.withColumn("lang", lit("en")),
-        "doc_id", "text", "lang", day(d), ttlDays = 30)
+      DailyIngest.run(lake, dd, cp, out, withCols(docs),
+        "doc_id", "text", "lang", day(d), ttlDays = 30,
+        ann = Some((idx, "emb")))
 
     // every fixture doc is 8 BPE tokens (4 letter pieces × 2 unmerged
     // chars — the committed vocab has no doubled-letter merges), so
@@ -542,6 +549,19 @@ class EndToEndSpec extends SparkSpec {
       .toDF("doc_id", "text")
     assert(ingest(day5, "2024-03-05") === 2)
     assert(landed()(11L) === 4L && landed()(12L) === 4L)
+
+    // the retrieval leg stayed consistent through every crash replay:
+    // the dated index holds EXACTLY the landed survivors — one
+    // day-partition each, no duplicate ids from any replay window
+    val annRows = spark.table("state_crawl_ann.ivf_lists")
+      .select($"id", $"seen_date".cast("string"))
+      .as[(Long, String)].collect()
+    assert(annRows.map(_._1).toSet === landed().keySet)
+    assert(annRows.length === annRows.map(_._1).distinct.length,
+      "replayed ingest duplicated index rows")
+    val byDay = annRows.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byDay("2024-03-01") === Set(1L, 2L))
+    assert(byDay("2024-03-05") === Set(11L, 12L))
   }
 
 }

@@ -299,6 +299,60 @@ class LakeSpec extends SparkSpec {
     spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
   }
 
+  test("dated IVF index: idempotent day overwrite, windowed search, TTL") {
+    import graft.lake.AnnIndex
+    val lake = new Lake(spark, tmpDir("ann_dated"))
+    val idx = new AnnIndex(spark, lake, "ann_dated", numBuckets = 4)
+    def day(d: String) = java.sql.Date.valueOf(d)
+    def vec(id: Long) = Array((id % 7).toDouble, (id % 5).toDouble,
+      (id % 3).toDouble, 1.0)
+    val d1 = (0L until 40L).map(i => (i, vec(i))).toDF("id", "vec")
+    val d2 = (100L until 120L).map(i => (i, vec(i))).toDF("id", "vec")
+    idx.buildDated(d1, "id", "vec", k = 3, day("2024-05-01"))
+    assert(idx.isDated)
+    idx.appendDated(d2, "id", "vec", day("2024-05-02"))
+    assert(spark.table("state_ann_dated.ivf_lists").count() === 60)
+
+    // crash-retry replay of the day: the dynamic partition overwrite
+    // replaces seen_date=2024-05-02, never duplicates (blind append is
+    // at-least-once — the reason appendDated exists)
+    idx.appendDated(d2, "id", "vec", day("2024-05-02"))
+    assert(spark.table("state_ann_dated.ivf_lists").count() === 60)
+
+    // recency-windowed search: the date filter reaches PartitionFilters
+    // (aged dirs pruned BEFORE the bucket prune), and only in-window
+    // ids come back
+    val q = Seq((100L, vec(100L))).toDF("id", "vec").select($"vec")
+    val win = idx.topK(q, "vec", 5, nprobe = 3,
+      minDate = Some(day("2024-05-02")))
+    val winPlan = win.queryExecution.executedPlan.toString
+    assert(winPlan.contains("PartitionFilters: [isnotnull(seen_date"), winPlan)
+    val got = win.select($"id").as[Long].collect()
+    assert(got.nonEmpty && got.forall(_ >= 100L), got.mkString(","))
+    // the batch join honors the same window
+    val gotJoin = idx.topKJoin(
+        Seq((0L, vec(100L))).toDF("qid", "v"), "qid", "v", k = 5,
+        nprobe = 3, minDate = Some(day("2024-05-02")))
+      .select($"id").as[Long].collect()
+    assert(gotJoin.nonEmpty && gotJoin.forall(_ >= 100L), gotJoin.mkString(","))
+
+    // retrain keeps the dated layout, the rows, and the partitions
+    idx.retrain(k = 3, iters = 2, samplePct = 100)
+    assert(idx.isDated)
+    assert(spark.table("state_ann_dated.ivf_lists").count() === 60)
+
+    // TTL expiry drops the aged day — metastore and files
+    idx.expire(day("2024-05-02"))
+    val left = spark.table("state_ann_dated.ivf_lists")
+    assert(left.count() === 20)
+    assert(left.select($"id").as[Long].collect().forall(_ >= 100L))
+    val dirs = new java.io.File(lake.path(idx.listsRef)).listFiles()
+      .filter(_.isDirectory).map(_.getName)
+      .filter(_.startsWith("seen_date")).toSet
+    assert(dirs === Set("seen_date=2024-05-02"), dirs.toString)
+    spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+  }
+
   test("bucketed compaction folds append files, preserves bucket layout") {
     val lake = new Lake(spark, tmpDir("lake"))
     val ref = TableRef("state", "bkc", "t")
