@@ -524,14 +524,26 @@ object TrainingData {
     }),
     // Quality scoring: signals + composite score.
     "q55_quality" -> ((s, dir) => {
-      val text = col("text")
+      // the one-pass TextStats counters + the SAME ratio arithmetic as
+      // the composable TextOps formulation (and the oracle SQL): the
+      // ~6 regex passes per row become one byte walk — this is the
+      // quality gate every document of the corpus funnels through, so
+      // its scan constant is the one that matters
+      val st = TextOps.textStats(col("text"))
+      val nChar = st.getField("n_char")
+      val nTok = st.getField("n_tok")
+      val stopRatio = st.getField("stop_hits").cast("double") / nTok
+      val nonAlnumRatio = st.getField("non_alnum").cast("double") / nChar
       t(s, dir, "documents")
         .select(col("doc_id"),
-          TextOps.nChars(text).as("n_char"),
-          TextOps.nTokens(text).as("n_tok"),
-          TextOps.meanTokenLen(text).as("mean_tok_len"),
-          TextOps.stopwordRatio(text).as("stop_ratio"),
-          TextOps.qualityScore(text).as("quality"))
+          nChar.as("n_char"),
+          nTok.as("n_tok"),
+          ((nChar - (nTok - 1)).cast("double") / nTok).as("mean_tok_len"),
+          stopRatio.as("stop_ratio"),
+          (least(lit(1.0), nTok.cast("double") / 100) * lit(0.5) +
+            least(lit(1.0), stopRatio * 5) * lit(0.3) +
+            (lit(1.0) - least(lit(1.0), nonAlnumRatio * 10)) * lit(0.2))
+            .as("quality"))
         .orderBy(col("doc_id"))
     }),
     // Token counting: whitespace + BPE-ish regex segmentation.

@@ -315,6 +315,42 @@ class PropertiesSpec extends SparkSpec {
     assert(r.passed, r.status.toString)
   }
 
+  test("prop: TextStats one-pass counters == the regex formulation") {
+    import graft.functions.TextOps
+    // stopword-heavy, adjacency-heavy, unicode-bearing corpora — the
+    // cases where the one-pass scan could diverge from java.util.regex
+    // (adjacent "a a" counting once, multi-space empty tokens, non-ASCII
+    // chars counting one non-alnum each)
+    val word = Gen.oneOf("the", "a", "of", "and", "a", "", "café",
+      "ação", "x1", "..", "aa", "théy")
+    val text = Gen.choose(0, 12).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    val r = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(15),
+      Prop.forAll(Gen.listOfN(25, text)) { texts =>
+        val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val st = TextOps.textStats($"text")
+        df.select(
+            st.getField("n_char").as("a1"),
+            TextOps.nChars($"text").as("b1"),
+            st.getField("n_tok").as("a2"),
+            TextOps.nTokens($"text").as("b2"),
+            st.getField("stop_hits").as("a3"),
+            Seq("the", "a", "of", "and")
+              .map(TextOps.tokenOccurrences($"text", _))
+              .reduce(_ + _).as("b3"),
+            st.getField("non_alnum").as("a4"),
+            (length($"text") -
+              length(regexp_replace($"text", "[^a-zA-Z0-9 ]", "")))
+              .cast("long").as("b4"))
+          .filter($"a1" =!= $"b1" || $"a2" =!= $"b2" ||
+            $"a3" =!= $"b3" || $"a4" =!= $"b4")
+          .isEmpty
+      })
+    assert(r.passed, r.status.toString)
+  }
+
   test("prop: bandKeysPerRow == batch lshBands(minhashSignature) keys") {
     import graft.functions.DedupOps
     val word = Gen.oneOf("alpha", "bb", "ccc", "dd", "café", "xyz", "alpha")
