@@ -1193,6 +1193,53 @@ object TrainingData {
         .filter(col("n_docs") > 1)
         .orderBy(col("chunk_hash"))
     }),
+    // Exact substring dedup (the ExactSubstr policy of Lee et al. 2021,
+    // "Deduplicating Training Data Makes Language Models Better",
+    // Spark-shaped): every K-token window that occurs more than once in
+    // the corpus keeps ONE canonical occurrence (minimum (doc_id, start)
+    // corpus-wide, encoded as a single bigint priority) and every other
+    // occurrence's tokens are masked out of the text. Overlapping
+    // duplicated windows merge via position-set union, so a long shared
+    // passage is removed as one contiguous span. Plan: one shingle
+    // explode (q84's stream) → hash-keyed groupBy with MAP-SIDE partial
+    // agg (count + min priority — a viral boilerplate shingle collapses
+    // to one row per task BEFORE the shuffle, which is why this beats a
+    // window-over-hash formulation: no per-key sort, no skewed sort
+    // partition) → join the n>1 frame back by hash (at realistic dup
+    // density it is far smaller than the corpus and AQE broadcasts it)
+    // → a doc-keyed shuffle of ONLY duplicated start offsets → a
+    // scan-local higher-order mask over the token array. No pair join,
+    // and the corpus text is never shuffled — only 16-byte hashes and
+    // int offsets move.
+    "q113_substring_dedup" -> ((s, dir) => {
+      val K = 8
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      // priority = doc_id * 2^21 + start: lexicographic (doc_id, start)
+      // as one bigint (bound: docs under 2M tokens — far above any
+      // pretraining doc cap; the same encoding runs in the oracle)
+      val kg = docs
+        .select(col("doc_id"),
+          posexplode(TextOps.shingles(col("text"), K)).as(Seq("p", "sh")))
+        .select(col("doc_id"), col("p"), md5(col("sh")).as("h"),
+          (col("doc_id") * lit(1L << 21) + col("p")).as("prio"))
+      val dupHashes = kg.groupBy(col("h"))
+        .agg(count(lit(1)).as("n"), min(col("prio")).as("keep_prio"))
+        .filter(col("n") > 1)
+      val starts = kg.join(dupHashes, "h")
+        .filter(col("prio") =!= col("keep_prio"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("p"))).as("starts"))
+      val w = TextOps.tokens(col("text"))
+      val kept = filter(w, (_, i) =>
+        !exists(col("starts"), st => i >= st && i < st + lit(K)))
+      docs.join(starts, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("starts").isNull, col("text"))
+            .otherwise(concat_ws(" ", kept)).as("clean_text"),
+          when(col("starts").isNull, lit(0L))
+            .otherwise((size(w) - size(kept)).cast("long")).as("n_removed"))
+        .orderBy(col("doc_id"))
+    }),
     // Benchmark decontamination: train-split documents sharing any
     // 3-gram shingle with the test split (q72's buckets), with the hit
     // count per document. The test shingle set is distinct-reduced then
