@@ -1586,6 +1586,48 @@ object TrainingData {
          |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
          |    0) / 2048.0) AS BIGINT) AS pack_id
          |FROM doc ORDER BY lang, doc_id""".stripMargin,
+    // Same pipeline as the Spark plan: 0-based K=8 shingle windows over
+    // the space-split tokens, md5 per window, corpus-wide min
+    // (doc_id*2^21 + start) priority keeps one canonical occurrence,
+    // every other occurrence's token positions are masked out.
+    // DuckDB's list lambdas carry a 1-based index, hence the i-1.
+    "q113_substring_dedup" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, toks,
+        |    unnest(range(0, greatest(len(toks) - 7, 0))) AS p
+        |  FROM docs),
+        |sh AS (
+        |  SELECT doc_id, p,
+        |    md5(array_to_string(list_slice(toks, p + 1, p + 8), ' ')) AS h,
+        |    doc_id * 2097152 + p AS prio
+        |  FROM pos),
+        |dup AS (
+        |  SELECT h, MIN(prio) AS keep_prio
+        |  FROM sh GROUP BY h HAVING COUNT(*) > 1),
+        |starts AS (
+        |  SELECT sh.doc_id, list_sort(list(sh.p)) AS starts
+        |  FROM sh JOIN dup USING (h)
+        |  WHERE sh.prio <> dup.keep_prio
+        |  GROUP BY sh.doc_id),
+        |masked AS (
+        |  SELECT d.doc_id, d.text, d.toks, s.starts,
+        |    CASE WHEN s.starts IS NULL THEN NULL
+        |         ELSE list_filter(d.toks, (t, i) ->
+        |           len(list_filter(s.starts, st ->
+        |             i - 1 >= st AND i - 1 < st + 8)) = 0)
+        |    END AS kept
+        |  FROM docs d LEFT JOIN starts s ON d.doc_id = s.doc_id)
+        |SELECT doc_id,
+        |  -- COALESCE: duckdb's array_to_string is NULL (not '') on []
+        |  CASE WHEN starts IS NULL THEN text
+        |       ELSE COALESCE(array_to_string(kept, ' '), '') END
+        |    AS clean_text,
+        |  CAST(CASE WHEN starts IS NULL THEN 0
+        |            ELSE len(toks) - len(kept) END AS BIGINT) AS n_removed
+        |FROM masked ORDER BY doc_id""".stripMargin,
     "q108_token_entropy" ->
       """WITH tc AS (
         |  SELECT doc_id, tok, COUNT(*) AS c FROM (
