@@ -834,7 +834,7 @@ object TrainingData {
     // (rows-only by design, like q9/q68/q95). The pre-plan count()
     // sizes k — one column-pruned metadata-scale job, the price of
     // corpus-proportional k.
-    "q110_semdedup_scaled" -> ((s, dir) => {
+    "q114_semdedup_scaled" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val k = math.max(4, (e.count() / 500L).toInt)
       val cents = VectorOps.centroidArrays(
@@ -1028,7 +1028,7 @@ object TrainingData {
     // branch q92 structurally avoids) score at a fixed 1e-6 floor in
     // both engines. Fully oracle-checkable — the bounded model is
     // deterministic SQL, unlike q110's iterative quantizer.
-    "q111_lm_quality_scaled" -> ((s, dir) => {
+    "q115_lm_quality_scaled" -> ((s, dir) => {
       val W = org.apache.spark.sql.expressions.Window
       val docs = t(s, dir, "documents")
       // the "wiki-like" held-out reference slice the model trains on
@@ -2092,7 +2092,7 @@ object TrainingData {
         |  CAST(SUM(k) AS BIGINT) AS n_bigrams
         |FROM dbc JOIN c2 USING (bigram)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "q111_lm_quality_scaled" ->
+    "q115_lm_quality_scaled" ->
       """WITH refbg AS (
         |  SELECT unnest(list_transform(range(1, greatest(len(words), 1)),
         |    i -> words[i] || ' ' || words[i+1])) AS bigram

@@ -36,8 +36,8 @@ object ScaleProbe {
       "q91_bloom_contamination", "q97_semantic_dedup", "q99_sequence_pack",
       "q100_source_filter", "q101_mixture_resample", "q102_ccnet_buckets",
       "q103_semdedup", "q104_dsir_importance", "q106_source_cap",
-      "q107_pretrain_mix", "q108_token_entropy", "q110_semdedup_scaled",
-      "q111_lm_quality_scaled")
+      "q107_pretrain_mix", "q108_token_entropy", "q114_semdedup_scaled",
+      "q115_lm_quality_scaled")
     // optional 3rd arg: comma-separated substring filter (probe a single
     // query's decade without re-running the whole set)
     val probes = args.lift(2) match {
@@ -53,7 +53,7 @@ object ScaleProbe {
     val probeTable = Map(
       "q97_semantic_dedup" -> "embeddings",
       "q103_semdedup" -> "embeddings",
-      "q110_semdedup_scaled" -> "embeddings").withDefaultValue("documents")
+      "q114_semdedup_scaled" -> "embeddings").withDefaultValue("documents")
 
     def observe(dir: String): Obs = {
       val docRows = Tables.load(spark, dir, "documents").count()

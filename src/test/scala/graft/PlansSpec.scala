@@ -256,7 +256,7 @@ class PlansSpec extends SparkSpec {
 
   test("q110 scaled semdedup: linear blocking tracks all-pairs truth") {
     val scaled = graft.queries.TrainingData
-      .defs("q110_semdedup_scaled")(spark, sf001)
+      .defs("q114_semdedup_scaled")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(scaled.nonEmpty)
     // same keeper-policy invariants as q103 (≤2 kept, smallest ids,
@@ -303,14 +303,14 @@ class PlansSpec extends SparkSpec {
       s"keep agreement ${agree.toDouble / scaled.length}")
     // determinism: the seeded quantizer makes the whole query replayable
     val again = graft.queries.TrainingData
-      .defs("q110_semdedup_scaled")(spark, sf001)
+      .defs("q114_semdedup_scaled")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(scaled.sortBy(_._1).sameElements(again.sortBy(_._1)))
   }
 
   test("q111 broadcast-LM scoring: bigram stream never crosses an exchange") {
     val df = graft.queries.TrainingData
-      .defs("q111_lm_quality_scaled")(spark, sf001)
+      .defs("q115_lm_quality_scaled")(spark, sf001)
     val plan = df.queryExecution.executedPlan.toString
     // the bounded model comes back as a broadcast, and the CORPUS-side
     // exploded (doc, bigram) stream is scored scan-locally and combined
