@@ -401,6 +401,80 @@ object DedupOps {
     labels
   }
 
+  /** SemDeDup at corpus scale — embedding near-dup clustering with pair
+    * generation blocked by a TRAINED coarse quantizer whose k grows with
+    * the corpus (k = n/`perCellDivisor`, Abbas et al. 2023's recipe), so
+    * expected cell size stays ~constant and Σ cell² — the candidate
+    * bound — grows LINEARLY in n (the same argument as [[lshCandidatePairs]]'
+    * bands). Fixed-cardinality blocking keys (a label column) make
+    * within-block pairs quadratic in n and are only suitable as
+    * validation fixtures (q97/q103, measured b≈1.8 on the r7 decade).
+    *
+    * Per vector, [[VectorOps.assignClustersMulti]] emits its `nAssign`
+    * nearest cells — multi-probe blocking, so a semantic pair the
+    * quantizer splits across two cells still collides in a shared
+    * second-choice cell (a constant ×nAssign on blocked rows, not a
+    * growth term). Pairs within a cell are exact-cosine-scored and
+    * thresholded, components are collapsed by [[connectedComponents]],
+    * and the `keepPerCluster` smallest ids per component are kept —
+    * q103's keeper policy.
+    *
+    * Scale shape: one column-pruned count() to size k; seeding +
+    * training per [[VectorOps.kmeansLloyd]] (driver cost O(k·dim), never
+    * O(n)); assignment is scan-local (no join — see
+    * [[VectorOps.scoredArr]] for the k > 128 plan bound); the only
+    * corpus-sized shuffles are the cell equi-join and the component
+    * propagation. Returns (idCol, sem_cluster, keep 1|0) for EVERY input
+    * row — unclustered vectors are their own singleton cluster, keep=1.
+    *
+    * No DuckDB oracle can express the iterative quantizer, so callers
+    * wanting an offline check compare keep decisions against exhaustive
+    * truth at validation scale (the spec pins ≥90% agreement). */
+  def semanticDedupBlocked(emb: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double, perCellDivisor: Int = 500,
+                           nAssign: Int = 2, iters: Int = 3,
+                           keepPerCluster: Int = 2): DataFrame = {
+    val pairs = semanticPairsBlocked(emb, idCol, vecCol, threshold,
+      perCellDivisor, nAssign, iters)
+    val cc = connectedComponents(pairs)
+    val W = org.apache.spark.sql.expressions.Window
+    emb.select(col(idCol))
+      .join(cc.withColumnRenamed("node", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("comp"), col(idCol)).as("sem_cluster"))
+      .withColumn("rk", row_number().over(
+        W.partitionBy(col("sem_cluster")).orderBy(col(idCol))))
+      .select(col(idCol), col("sem_cluster"),
+        (col("rk") <= keepPerCluster).cast("int").as("keep"))
+  }
+
+  /** [[semanticDedupBlocked]]'s candidate stage alone: thresholded
+    * (id_a, id_b) cosine pairs, blocked by the trained quantizer's
+    * cells. The corpus self-join is an EQUI-join keyed on the trained
+    * `cluster` — the property that keeps pair work linear in n (spec'd
+    * against the physical plan). Exposed for callers that want the
+    * duplicate-pair graph without the keeper policy. */
+  def semanticPairsBlocked(emb: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double, perCellDivisor: Int = 500,
+                           nAssign: Int = 2, iters: Int = 3): DataFrame = {
+    val k = math.max(4, (emb.count() / perCellDivisor.toLong).toInt)
+    val cents = VectorOps.centroidArrays(
+      VectorOps.kmeansLloyd(emb, vecCol, k, iters))
+    val assigned = VectorOps
+      .assignClustersMulti(emb, cents, vecCol, nAssign)
+      .withColumn("__n", VectorOps.norm(col(vecCol)))
+    val a = assigned.select(col("cluster"), col(idCol).as("id_a"),
+      col(vecCol).as("va"), col("__n").as("na"))
+    val b = assigned.select(col("cluster"), col(idCol).as("id_b"),
+      col(vecCol).as("vb"), col("__n").as("nb"))
+    a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("score", VectorOps.cosinePrenormed(
+        col("va"), col("vb"), col("na"), col("nb")))
+      .filter(col("score") >= threshold)
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
   /** 16-bit SimHash over unigram tokens: per hex digit of md5(token), the
     * high bit votes +1/−1; fingerprint bit j is the sign of the vote sum.
     * Portable across engines (pure string/integer ops). */

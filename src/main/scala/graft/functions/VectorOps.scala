@@ -20,6 +20,31 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
+  /** Driver-side seeding sample rows for farthest-first — a CONSTANT,
+    * independent of both k and the corpus size. */
+  private[graft] val SeedSampleN = 2000
+
+  /** Largest k that seeds via the farthest-first spread pass; above it
+    * [[kmeansLloyd]] switches to distributed hash seeding (the k
+    * smallest-md5 vectors), because O(SeedSampleN·k) driver arg-max
+    * work must not ride k ∝ n. */
+  private[graft] val FarthestFirstMaxK = 256
+
+  /** Largest k whose assignment plan unrolls one codegen'd struct per
+    * centroid ([[assignClusters]]/[[assignClustersMulti]]); above it the
+    * centroids travel as ONE array literal scored by a higher-order
+    * `transform` — O(1) expression nodes, so plan size and codegen
+    * compile time stop growing with k. The literal's k·dim doubles ride
+    * the broadcast task binary once per executor — the same wire cost
+    * as an explicit broadcast variable. */
+  private[graft] val LiteralCentroidMaxK = 128
+
+  /** Rows the driver samples to seed k clusters — O(k) at worst, never
+    * O(n) (callers set k, e.g. q114's k = n/500; the per-k sample
+    * multiplier that made this n/10 is gone). */
+  private[graft] def seedSampleN(k: Int): Int =
+    if (k <= FarthestFirstMaxK) math.max(SeedSampleN, k) else k
+
   /** Σ aᵢ·bᵢ with double widening per element — native codegen'd
     * expression (see [[graft.expressions.VecDot]]); semantically equal to
     * aggregate(zip_with(a, b, (x, y) => x.double * y.double), 0.0, _+_)
@@ -90,21 +115,32 @@ object VectorOps {
     import spark.implicits._
     def vecOf(r: org.apache.spark.sql.Row): Array[Double] =
       r.getSeq[Any](0).map(_.asInstanceOf[Number].doubleValue).toArray
-    // Deterministic farthest-first seeding (k-means++ flavor without
+    // Deterministic seeding, CONSTANT driver cost in the corpus size.
+    //
+    // k ≤ FarthestFirstMaxK — farthest-first (k-means++ flavor without
     // rand()): first seed = smallest md5 of the rendered vector; each
     // next seed maximizes its min distance to the chosen seeds, md5 as
-    // the tie-break. Smallest-hash-only seeding can draw every seed from
-    // one dense cluster and Lloyd cannot recover from that.
+    // the tie-break, over a FIXED SeedSampleN-row smallest-md5 sample (a
+    // uniform draw, and a superset of every corpus ≤ SeedSampleN, so
+    // small-corpus seeds are bit-identical to the unsampled algorithm).
+    // Smallest-hash-only seeding can draw every seed from one dense
+    // cluster and Lloyd cannot recover from that; the sample pins
+    // seeding at one TakeOrdered job and ≤ SeedSampleN·k driver
+    // distance evaluations — both independent of n.
     //
-    // The k arg-max passes run on a DRIVER-BOUNDED deterministic sample
-    // (the smallest-md5 rows — a uniform draw, and a superset of every
-    // corpus ≤ sampleN, so small-corpus seeds are bit-identical to the
-    // unsampled algorithm). Running them as Spark jobs would cost k
-    // full-corpus scans — quadratic total scan work once k ∝ n (the
-    // round-7 probe measured q110 at ×207 scan amplification before
-    // this); the sample pins seeding at one TakeOrdered job, and the
-    // full-corpus Lloyd iterations correct any sampling noise.
-    val sampleN = math.max(2000, 50 * k)
+    // k > FarthestFirstMaxK (the k ∝ n regime, e.g. SemDeDup's
+    // k = n/500) — DISTRIBUTED hash seeding: the seeds are simply the k
+    // smallest-md5 vectors, one TakeOrdered job of k rows. The md5
+    // order is corpus-wide uniform, so with thousands of seeds the draw
+    // covers the space without the farthest-first spread pass — whose
+    // O(sample·k) driver arg-max is exactly what must NOT grow once
+    // k ∝ n (an earlier revision sampled 50·k rows = n/10 and spent
+    // ~n²/5000 driver FLOPs here). Any residual seeding noise is
+    // corrected by the full-corpus Lloyd iterations. The O(k·dim)
+    // driver memory that remains is the centroid table itself —
+    // irreducible for a k-centroid quantizer (centroidArrays collects
+    // the same k·dim doubles on every consumer).
+    val sampleN = seedSampleN(k)
     val hashed = corpus.select(col(vecCol))
       .withColumn("h", md5(concat_ws(",", col(vecCol))))
     val sampled = hashed.orderBy(col("h"))
@@ -118,22 +154,27 @@ object VectorOps {
       while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
       s
     }
-    val minD = Array.fill(sVecs.length)(Double.MaxValue)
-    var cents: IndexedSeq[Array[Double]] = IndexedSeq(sVecs.head) // min md5
-    while (cents.size < k) {
-      var best = -1; var bestD = -1.0; var bestH = ""
-      var i = 0
-      while (i < sVecs.length) {
-        val d = sqDistLocal(sVecs(i), cents.last)
-        if (d < minD(i)) minD(i) = d
-        if (minD(i) > bestD ||
-            (minD(i) == bestD && (best == -1 || sHash(i) < bestH))) {
-          best = i; bestD = minD(i); bestH = sHash(i)
+    var cents: IndexedSeq[Array[Double]] =
+      if (k > FarthestFirstMaxK) sVecs.toIndexedSeq // already md5-ordered
+      else {
+        val minD = Array.fill(sVecs.length)(Double.MaxValue)
+        var acc: IndexedSeq[Array[Double]] = IndexedSeq(sVecs.head) // min md5
+        while (acc.size < k) {
+          var best = -1; var bestD = -1.0; var bestH = ""
+          var i = 0
+          while (i < sVecs.length) {
+            val d = sqDistLocal(sVecs(i), acc.last)
+            if (d < minD(i)) minD(i) = d
+            if (minD(i) > bestD ||
+                (minD(i) == bestD && (best == -1 || sHash(i) < bestH))) {
+              best = i; bestD = minD(i); bestH = sHash(i)
+            }
+            i += 1
+          }
+          acc = acc :+ sVecs(best)
         }
-        i += 1
+        acc
       }
-      cents = cents :+ sVecs(best)
-    }
 
     var it = 0
     while (it < iters) {
@@ -170,18 +211,50 @@ object VectorOps {
     lit(cvec.map(x => x * x).sum) -
       lit(2.0) * graft.expressions.VecDot.vec_dot(vec, lit(cvec))
 
-  /** Nearest trained centroid per row (adds `cluster`). Ranking is by
-    * squared L2 minus the per-row |v|² constant (|c|² − 2·v·c), k
-    * codegen'd dot products per row — stays inside whole-stage codegen,
-    * no join. Ties break to the smaller cluster id (deterministic). */
-  def assignClusters(corpus: DataFrame, cents: Seq[Array[Double]],
-                     vecCol: String): DataFrame = {
-    val scored = cents.zipWithIndex.map { case (cvec, i) =>
-      struct(sqDistRel(cvec, col(vecCol)).as("d"), lit(i).as("c"))
+  /** array<struct<d: squared-L2-minus-|v|², c: cluster id>> — one entry
+    * per centroid, min/sort order = (distance, cluster id), shared by
+    * [[assignClusters]] and [[assignClustersMulti]].
+    *
+    * Two physical shapes with identical semantics (parity is spec'd):
+    * k ≤ [[LiteralCentroidMaxK]] unrolls k codegen'd [[sqDistRel]]
+    * structs — fastest, whole-stage-codegen'd, but plan size and
+    * compile time are O(k·dim) EXPRESSIONS. Larger k ships the
+    * centroids as ONE `typedLit` array (plus a precomputed |c|² array)
+    * scored by `transform`, whose lambda runs [[graft.expressions.VecDot]]'s
+    * interpreted eval per element: O(1) expression nodes, the k·dim
+    * doubles are task-binary DATA broadcast once per executor. The
+    * interpreted per-element overhead is the price of a plan that
+    * survives k ∝ n; it is amortized by the same dot-product FLOPs
+    * either path must do. */
+  private[graft] def scoredArr(cents: Seq[Array[Double]], vec: Column,
+                               forceArrayPath: Boolean = false): Column =
+    if (!forceArrayPath && cents.size <= LiteralCentroidMaxK)
+      array(cents.zipWithIndex.map { case (cvec, i) =>
+        struct(sqDistRel(cvec, vec).as("d"), lit(i).as("c"))
+      }: _*)
+    else {
+      val cArr = typedLit(cents.map(_.toSeq))
+      val n2Arr = typedLit(cents.map(c => c.map(x => x * x).sum))
+      transform(cArr, (cv, i) => struct(
+        (element_at(n2Arr, i + lit(1)) - lit(2.0) *
+          graft.expressions.VecDot.vec_dot(vec, cv)).as("d"),
+        i.as("c")))
     }
+
+  /** Nearest trained centroid per row (adds `cluster`). Ranking is by
+    * squared L2 minus the per-row |v|² constant (|c|² − 2·v·c), k dot
+    * products per row — no join, no shuffle; see [[scoredArr]] for the
+    * two plan shapes. Ties break to the smaller cluster id
+    * (deterministic). */
+  def assignClusters(corpus: DataFrame, cents: Seq[Array[Double]],
+                     vecCol: String): DataFrame =
+    assignClustersImpl(corpus, cents, vecCol, forceArrayPath = false)
+
+  private[graft] def assignClustersImpl(corpus: DataFrame,
+      cents: Seq[Array[Double]], vecCol: String,
+      forceArrayPath: Boolean): DataFrame =
     corpus.withColumn("cluster",
-      (if (scored.size == 1) scored.head else least(scored: _*)).getField("c"))
-  }
+      array_min(scoredArr(cents, col(vecCol), forceArrayPath)).getField("c"))
 
   /** Each row's `nAssign` nearest centroids, EXPLODED to one row per
     * (vector, cluster) — multi-probe blocking for candidate-pair
@@ -191,13 +264,16 @@ object VectorOps {
     * growth term. Ranking ties break to the smaller cluster id, same as
     * [[assignClusters]]. */
   def assignClustersMulti(corpus: DataFrame, cents: Seq[Array[Double]],
-                          vecCol: String, nAssign: Int): DataFrame = {
-    val scored = cents.zipWithIndex.map { case (cvec, i) =>
-      struct(sqDistRel(cvec, col(vecCol)).as("d"), lit(i).as("c"))
-    }
+                          vecCol: String, nAssign: Int): DataFrame =
+    assignClustersMultiImpl(corpus, cents, vecCol, nAssign,
+      forceArrayPath = false)
+
+  private[graft] def assignClustersMultiImpl(corpus: DataFrame,
+      cents: Seq[Array[Double]], vecCol: String, nAssign: Int,
+      forceArrayPath: Boolean): DataFrame =
     corpus.withColumn("cluster",
-      explode(slice(sort_array(array(scored: _*)), 1, nAssign).getField("c")))
-  }
+      explode(slice(sort_array(scoredArr(cents, col(vecCol), forceArrayPath)),
+        1, nAssign).getField("c")))
 
   /** (cluster, pos|dim, centroid) rows → dense arrays indexed by
     * cluster — k×dims doubles, the bounded collect every IVF consumer

@@ -232,11 +232,16 @@ class AnnIndex(spark: SparkSession, lake: Lake, dataset: String,
           .as("neg"),
         lit(c).as("cluster"))
     }
+    // persisted: the frame is consumed TWICE — the distinct-cluster
+    // collect below and the list join — and recomputing it would
+    // re-evaluate the query frame (expensive when it is a subquery,
+    // and k dot products per row regardless)
     val probes = queries.select(
       col(qidCol).as("qid"), col(vecCol).as("__qv"),
       VectorOps.norm(col(vecCol)).as("__qn"),
       explode(slice(sort_array(array(scored: _*)), 1, nprobe)
         .getField("cluster")).as("cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probedClusters = probes.select(col("cluster")).distinct()
       .collect().map(_.getInt(0)).toSeq
     val lists = windowed(minDate)
@@ -259,6 +264,35 @@ class AnnIndex(spark: SparkSession, lake: Lake, dataset: String,
     * contract as [[CorpusDedup]]'s seen-set compaction). */
   def compact(): Unit =
     lake.compactBucketed(listsRef, "cluster", numBuckets)
+
+  /** Rows currently stored in the lists (maintenance k-sizing). */
+  def storedCount: Long = spark.table(qualified(listsRef)).count()
+
+  /** MEASURED recall@k of the served index against brute-force truth
+    * over its own lists — q95's check packaged as an index method, the
+    * trigger for drift-driven [[retrain]]. Queries are a DETERMINISTIC
+    * xxhash64 sample of `nQueries` stored vectors (no rand(), same
+    * sample every tick ⇒ comparable across days); truth is the same
+    * [[topKJoin]] plan probing EVERY list (nprobe = nlists is exact by
+    * construction). Both sides run set-at-a-time; only the scalar
+    * rollup collects, so the check costs two bounded joins regardless
+    * of corpus size. */
+  def measuredRecall(nQueries: Int = 16, k: Int = 10,
+                     nprobe: Int = 2): Double = {
+    pinBucketedScan()
+    val queries = spark.table(qualified(listsRef))
+      .select(col("id").as("qid"), col("vec"))
+      .orderBy(xxhash64(col("id")), col("id")).limit(nQueries)
+    val nLists = spark.table(qualified(centroidsRef))
+      .select(col("cluster")).distinct().count().toInt
+    val got = topKJoin(queries, "qid", "vec", k, nprobe)
+      .select(col("qid"), col("id"))
+    val truth = topKJoin(queries, "qid", "vec", k, nprobe = nLists)
+      .select(col("qid"), col("id"))
+    val denom = truth.count()
+    if (denom == 0L) 1.0
+    else got.join(truth, Seq("qid", "id")).count().toDouble / denom
+  }
 
   /** Retrain the coarse quantizer on the CURRENT corpus and reassign
     * every list entry — the maintenance tick that completes the index

@@ -831,37 +831,15 @@ object TrainingData {
     // so a pair split across two cells still collides in a shared
     // second-choice cell — a constant ×2 on blocked rows, not a growth
     // term. No DuckDB oracle: the quantizer is iterative kmeans
-    // (rows-only by design, like q9/q68/q95). The pre-plan count()
-    // sizes k — one column-pruned metadata-scale job, the price of
-    // corpus-proportional k.
+    // (rows-only by design, like q9/q68/q95). The whole recipe is the
+    // public API [[DedupOps.semanticDedupBlocked]] — this query is a
+    // thin caller at q67's 0.35 threshold; seeding/assignment driver
+    // cost is O(k·dim) by construction (constant sample cap +
+    // distributed hash seeding + single-literal centroid plan, see
+    // VectorOps.kmeansLloyd/scoredArr).
     "q114_semdedup_scaled" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val k = math.max(4, (e.count() / 500L).toInt)
-      val cents = VectorOps.centroidArrays(
-        VectorOps.kmeansLloyd(e, "embedding", k, iters = 3))
-      val assigned = VectorOps
-        .assignClustersMulti(e, cents, "embedding", nAssign = 2)
-        .withColumn("__n", VectorOps.norm(col("embedding")))
-      val a = assigned.select(col("cluster"), col("vec_id").as("id_a"),
-        col("embedding").as("va"), col("__n").as("na"))
-      val b = assigned.select(col("cluster"), col("vec_id").as("id_b"),
-        col("embedding").as("vb"), col("__n").as("nb"))
-      val pairs = a.join(b, Seq("cluster"))
-        .filter(col("id_a") < col("id_b"))
-        .withColumn("score", VectorOps.cosinePrenormed(
-          col("va"), col("vb"), col("na"), col("nb")))
-        .filter(col("score") >= 0.35) // q67's threshold — same semantics
-        .select(col("id_a"), col("id_b")).distinct()
-      val cc = DedupOps.connectedComponents(pairs)
-      val W = org.apache.spark.sql.expressions.Window
-      t(s, dir, "embeddings").select(col("vec_id"))
-        .join(cc.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
-        .select(col("vec_id"),
-          coalesce(col("comp"), col("vec_id")).as("sem_cluster"))
-        .withColumn("rk", row_number().over(
-          W.partitionBy(col("sem_cluster")).orderBy(col("vec_id"))))
-        .select(col("vec_id"), col("sem_cluster"),
-          (col("rk") <= 2).cast("int").as("keep"))
+      DedupOps.semanticDedupBlocked(t(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.35)
         .orderBy(col("vec_id"))
     }),
     // Context-window sequence packing: per language, documents stream
@@ -1027,7 +1005,7 @@ object TrainingData {
     // per doc before the only shuffle. OOV bigrams (the smoothing
     // branch q92 structurally avoids) score at a fixed 1e-6 floor in
     // both engines. Fully oracle-checkable — the bounded model is
-    // deterministic SQL, unlike q110's iterative quantizer.
+    // deterministic SQL, unlike q114's iterative quantizer.
     "q115_lm_quality_scaled" -> ((s, dir) => {
       val W = org.apache.spark.sql.expressions.Window
       val docs = t(s, dir, "documents")
@@ -1216,12 +1194,29 @@ object TrainingData {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       // priority = doc_id * 2^21 + start: lexicographic (doc_id, start)
       // as one bigint (bound: docs under 2M tokens — far above any
-      // pretraining doc cap; the same encoding runs in the oracle)
+      // pretraining doc cap; the same encoding runs in the oracle).
+      // The bound is ENFORCED scan-side: the oracle mirrors the
+      // encoding, so an overflowing doc would corrupt ordering (and can
+      // collide across docs) in BOTH engines and hash-match anyway —
+      // raise_error is the only observer. One codegen'd comparison per
+      // shingle, the error branch never taken on conforming data.
+      // native Shingles, not the TextOps HOF: transform() is
+      // CodegenFallback and its interpreted element_at re-evaluates the
+      // text SPLIT per element — O(tokens²) per doc, seconds per row on
+      // book-length documents. The codegen'd expression splits once.
       val kg = docs
         .select(col("doc_id"),
-          posexplode(TextOps.shingles(col("text"), K)).as(Seq("p", "sh")))
-        .select(col("doc_id"), col("p"), md5(col("sh")).as("h"),
-          (col("doc_id") * lit(1L << 21) + col("p")).as("prio"))
+          posexplode(graft.expressions.Shingles.shingles(col("text"), K))
+            .as(Seq("p", "sh")))
+        .select(col("doc_id"),
+          when(col("p") < lit(1L << 21), col("p"))
+            .otherwise(raise_error(concat(lit("q113: doc_id="),
+              col("doc_id").cast("string"),
+              lit(s" has a window start ≥ 2^21 tokens — the (doc_id, start) " +
+                "priority encoding would break lexicographic order")))
+              .cast("int")).as("p"),
+          md5(col("sh")).as("h"))
+        .withColumn("prio", col("doc_id") * lit(1L << 21) + col("p"))
       val dupHashes = kg.groupBy(col("h"))
         .agg(count(lit(1)).as("n"), min(col("prio")).as("keep_prio"))
         .filter(col("n") > 1)
@@ -1229,15 +1224,17 @@ object TrainingData {
         .filter(col("prio") =!= col("keep_prio"))
         .groupBy(col("doc_id"))
         .agg(sort_array(collect_list(col("p"))).as("starts"))
-      val w = TextOps.tokens(col("text"))
-      val kept = filter(w, (_, i) =>
-        !exists(col("starts"), st => i >= st && i < st + lit(K)))
+      // fused O(tokens + starts) codegen'd mask sweep — the HOF shape
+      // (filter + exists) scanned `starts` per token, O(tokens·starts)
+      // interpreted, which a boilerplate-heavy doc turns pathological
+      val masked = graft.expressions.SubstrMask.substr_mask(
+        col("text"), col("starts"), K)
       docs.join(starts, Seq("doc_id"), "left")
         .select(col("doc_id"),
           when(col("starts").isNull, col("text"))
-            .otherwise(concat_ws(" ", kept)).as("clean_text"),
+            .otherwise(masked.getField("clean_text")).as("clean_text"),
           when(col("starts").isNull, lit(0L))
-            .otherwise((size(w) - size(kept)).cast("long")).as("n_removed"))
+            .otherwise(masked.getField("n_removed")).as("n_removed"))
         .orderBy(col("doc_id"))
     }),
     // Benchmark decontamination: train-split documents sharing any

@@ -3,6 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.lake.{Lake, TableRef}
+
 /** Streaming deduplication (SURVEY §2.9 composed with the LLM-pipeline
   * dedup family — the continuous-ingestion counterpart of
   * [[graft.lake.CorpusDedup]]).
@@ -91,5 +93,31 @@ object StreamDedup {
       .dropDuplicatesWithinWatermark("band_idx", "band_key")
       .dropDuplicatesWithinWatermark(idCol)
       .drop("__bands", "band_idx", "band_key")
+  }
+
+  /** EXACTLY-ONCE land for `foreachBatch` compositions — the streaming
+    * twin of [[graft.tools.DailyIngest]]'s land→commit invariant. The
+    * micro-batch's novel frame lands as a DYNAMIC PARTITION OVERWRITE
+    * keyed by the engine's batch id, never a blind append: foreachBatch
+    * is at-least-once, so a crash between the land and the dedup-state
+    * commit replays the whole batch — the replay recomputes the same
+    * novel set (state unchanged) and the overwrite REPLACES the same
+    * `batchCol = batchId` partition with identical rows, where an
+    * append would re-append them. Post-commit replays overwrite the
+    * partition with the recomputed (now empty-or-identical) novel set;
+    * an empty frame touches no partition under dynamic overwrite, so
+    * committed rows are never clobbered. Call order inside
+    * foreachBatch: land → state commits, exactly like the batch path.
+    *
+    * The partition column it adds is physical layout, not payload —
+    * readers that don't care simply never select it, and compaction can
+    * fold old batch partitions together once their batches are beyond
+    * every replayable checkpoint. */
+  def landBatch(lake: Lake, ref: TableRef, novel: DataFrame, batchId: Long,
+                batchCol: String = "ingest_batch"): Unit = {
+    require(!novel.columns.contains(batchCol),
+      s"column '$batchCol' reserved by landBatch; rename it or pass batchCol")
+    lake.overwritePartitions(novel.withColumn(batchCol, lit(batchId)),
+      ref, partitionBy = Seq(batchCol))
   }
 }

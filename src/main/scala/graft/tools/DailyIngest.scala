@@ -39,7 +39,10 @@ import graft.state.{RunLock, StateStore}
   * next day would then reuse the same pack ids for different documents.
   *
   * All state mutations assume the dataset's [[RunLock]] (taken by
-  * [[main]]; library callers compose their own locking).
+  * [[main]]; library callers compose their own locking). [[maintain]]
+  * is the index-maintenance branch of the same schedule — periodic
+  * list compaction plus recall-triggered quantizer retrain — and runs
+  * under the same lock, after the day's ingest and [[expire]].
   */
 object DailyIngest {
 
@@ -104,6 +107,50 @@ object DailyIngest {
     dd.expireExact(minDate)
     dd.expireNearDup(minDate)
     ann.foreach(_.expire(minDate))
+  }
+
+  /** What [[maintain]] did and what it saw — logged by orchestrators,
+    * asserted by the e2e spec. */
+  case class Maintenance(compacted: Boolean, recallBefore: Double,
+                         retrained: Boolean, recallAfter: Double)
+
+  /** ANN maintenance tick — the every-N-days branch a scheduler runs
+    * AFTER the day's ingest (and [[expire]]), under the SAME RunLock:
+    * compact and retrain rewrite the list files the ingest appends to,
+    * so they need the single-writer guarantee the lock already gives
+    * the ingest itself.
+    *
+    * Every `compactEveryDays`-th epoch day the per-append list files
+    * fold back to the bucket layout ([[AnnIndex.compact]]) — without
+    * it a daily [[AnnIndex.appendDated]] accumulates one file set per
+    * day and probe scans degrade into small-file storms. Then recall
+    * is MEASURED ([[AnnIndex.measuredRecall]], q95's check on a
+    * deterministic stored-vector sample) and a dip below `minRecall`
+    * triggers a quantizer retrain with k resized to the CURRENT corpus
+    * (the build-time n/`perCellDivisor` rule) — drift-triggered, not
+    * calendar-triggered, so a stable corpus never pays the
+    * full-rewrite cost and a drifting one pays it exactly when served
+    * recall says it must. */
+  def maintain(idx: AnnIndex, day: Date, compactEveryDays: Int = 7,
+               minRecall: Double = 0.9, nQueries: Int = 16, k: Int = 10,
+               nprobe: Int = 2, perCellDivisor: Int = 500): Maintenance = {
+    if (!idx.exists) return Maintenance(compacted = false, 1.0,
+      retrained = false, 1.0)
+    val compacted = day.toLocalDate.toEpochDay % compactEveryDays == 0
+    if (compacted) idx.compact()
+    val before = idx.measuredRecall(nQueries, k, nprobe)
+    if (before < minRecall) {
+      val n = idx.storedCount
+      // the training sample exists to bound Lloyd cost at corpus scale;
+      // under ~10k vectors the full corpus IS the bounded sample (a 10%
+      // draw of a small index can miss the drifted region entirely and
+      // retrain into the same bad quantizer)
+      val pct = if (n < 10000L) 100 else 10
+      idx.retrain(k = math.max(4, (n / perCellDivisor.toLong).toInt),
+        samplePct = pct)
+      Maintenance(compacted, before, retrained = true,
+        idx.measuredRecall(nQueries, k, nprobe))
+    } else Maintenance(compacted, before, retrained = false, before)
   }
 
   /** CLI: DailyIngest <lakeRoot> <stateRoot> <inputParquet> <yyyy-mm-dd>

@@ -36,8 +36,8 @@ object ScaleProbe {
       "q91_bloom_contamination", "q97_semantic_dedup", "q99_sequence_pack",
       "q100_source_filter", "q101_mixture_resample", "q102_ccnet_buckets",
       "q103_semdedup", "q104_dsir_importance", "q106_source_cap",
-      "q107_pretrain_mix", "q108_token_entropy", "q114_semdedup_scaled",
-      "q115_lm_quality_scaled")
+      "q107_pretrain_mix", "q108_token_entropy", "q113_substring_dedup",
+      "q114_semdedup_scaled", "q115_lm_quality_scaled")
     // optional 3rd arg: comma-separated substring filter (probe a single
     // query's decade without re-running the whole set)
     val probes = args.lift(2) match {
@@ -109,6 +109,37 @@ object ScaleProbe {
     // record (q95's number at the bench SF)
     graft.SparkEntry.queries("q95_ann_recall")(spark, hi).collect()
       .foreach(r => println(s"[probe] q95@hi recall: $r"))
+
+    // q113 under BOILERPLATE SKEW: one 8-token passage appended to 30%
+    // of documents, so a single K-window hash goes viral across the
+    // corpus. The map-side partial agg (count + min-prio) is claimed to
+    // collapse the viral key to one row per task BEFORE the shuffle —
+    // this measures that claim: bytes should track the PLAIN corpus
+    // decade, not blow up with the skewed key's occurrence count.
+    if (probes.exists(_.startsWith("q113"))) {
+      val passage =
+        "all rights reserved redistribution permitted under attribution license"
+      def skewDir(src: String): String = {
+        val out = java.nio.file.Files
+          .createTempDirectory(s"graft_skew_${new java.io.File(src).getName}_")
+          .toString
+        Tables.load(spark, src, "documents")
+          .withColumn("text", when(col("doc_id") % 10 < 3,
+            concat(col("text"), lit(" " + passage))).otherwise(col("text")))
+          .write.mode("overwrite").parquet(s"$out/documents.parquet")
+        out
+      }
+      val (skLo, skHi) = (skewDir(lo), skewDir(hi))
+      val (_, bLo) =
+        measure(noop(graft.SparkEntry.queries("q113_substring_dedup")(spark, skLo)))
+      val (_, bHi) =
+        measure(noop(graft.SparkEntry.queries("q113_substring_dedup")(spark, skHi)))
+      val exp =
+        if (bLo <= 0 || bHi <= 0 || rowRatio <= 1.0) Double.NaN
+        else math.log(bHi.toDouble / bLo) / math.log(rowRatio)
+      println(f"[probe] q113_boilerplate_skew: ${bLo / 1048576.0}%.2f -> " +
+        f"${bHi / 1048576.0}%.2f MiB, exponent $exp%.2f")
+    }
     spark.stop()
   }
 }

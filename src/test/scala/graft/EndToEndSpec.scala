@@ -144,9 +144,12 @@ class EndToEndSpec extends SparkSpec {
     val q = StreamDedup.exactWithinWatermark(
       mem.toDF.toDF("doc_id", "text", "ts"), "text", "ts", "10 minutes")
       .writeStream.outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         val novel = dd.novelExact(batch.drop("content_hash"), "doc_id", "text")
-        lake.append(novel, corpusRef)
+        // batch-id-keyed dynamic overwrite, never a blind append — a
+        // replayed batch re-lands the SAME partition (exactly-once;
+        // the crash-window spec below kills a batch mid-land)
+        StreamDedup.landBatch(lake, corpusRef, novel, batchId)
         dd.commitExact(novel, "text")
       }.start()
     try {
@@ -180,6 +183,63 @@ class EndToEndSpec extends SparkSpec {
     intercept[IllegalArgumentException](dd.novelExact(clash, "doc_id", "text"))
   }
 
+  test("streaming land is exactly-once across a crash between land and commit") {
+    import graft.lake.{CorpusDedup, Lake, TableRef}
+    import graft.streaming.StreamDedup
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(hm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hm:00")
+
+    val lake = new Lake(spark, tmpDir("lake"))
+    val dd = new CorpusDedup(spark, lake, "ingest_eo", numBuckets = 4)
+    val corpusRef = TableRef("prod", "ingest_eo", "documents")
+    val ckpt = tmpDir("eo_ckpt")
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    // the injected fault: die AFTER the land, BEFORE the dedup commit —
+    // the exact window where a blind append duplicates on replay
+    val crashOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def start() = StreamDedup.exactWithinWatermark(
+        mem.toDF.toDF("doc_id", "text", "ts"), "text", "ts", "10 minutes")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val novel = dd.novelExact(batch.drop("content_hash"), "doc_id", "text")
+        StreamDedup.landBatch(lake, corpusRef, novel, batchId)
+        // keyed on content, not batch id: the stateful dedup operator
+        // emits extra no-data batches, so batch NUMBERS are not stable
+        // checkpoints for fault injection
+        if (crashOnce.get &&
+            novel.filter(col("doc_id") === 3L).limit(1).count() > 0 &&
+            crashOnce.getAndSet(false))
+          throw new RuntimeException("injected crash between land and commit")
+        dd.commitExact(novel, "text")
+      }.start()
+
+    val q1 = start()
+    try {
+      mem.addData((1L, "first eo doc", t("10:00")),
+        (2L, "second eo doc", t("10:01")))
+      q1.processAllAvailable() // batch 0: clean
+      mem.addData((3L, "third eo doc", t("10:02")))
+      intercept[Exception](q1.processAllAvailable()) // batch 1 dies mid-window
+    } finally q1.stop()
+    // doc 3 is LANDED but UNCOMMITTED — the at-least-once crash state
+    assert(lake.read(corpusRef).select($"doc_id").as[Long].collect().toSet
+      === Set(1L, 2L, 3L))
+    assert(spark.table("state_ingest_eo.seen_hashes").count() === 2)
+
+    // restart from the checkpoint: batch 1 replays end-to-end — the
+    // novel set recomputes identically and the batch-keyed overwrite
+    // replaces the SAME partition, so the corpus converges with ZERO
+    // duplicate rows (a blind append would now hold doc 3 twice)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val landed = lake.read(corpusRef).select($"doc_id").as[Long].collect()
+    assert(landed.sorted.toSeq === Seq(1L, 2L, 3L),
+      s"duplicate rows after replay: ${landed.mkString(",")}")
+    assert(spark.table("state_ingest_eo.seen_hashes").count() === 3)
+  }
+
   test("training-data ingestion: NEAR-dup stream → corpus band state (composition)") {
     import graft.lake.{CorpusDedup, Lake, TableRef}
     import graft.streaming.StreamDedup
@@ -202,9 +262,9 @@ class EndToEndSpec extends SparkSpec {
     val q = StreamDedup.nearDupWithinWatermark(
       mem.toDF.toDF("doc_id", "text", "ts"), "doc_id", "text", "ts", "10 minutes")
       .writeStream.outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         val novel = dd.novelNearDup(batch, "doc_id", "text")
-        lake.append(novel, corpusRef)
+        StreamDedup.landBatch(lake, corpusRef, novel, batchId)
         dd.commitNearDup(novel, "doc_id", "text")
       }.start()
     try {
@@ -562,6 +622,68 @@ class EndToEndSpec extends SparkSpec {
     val byDay = annRows.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
     assert(byDay("2024-03-01") === Set(1L, 2L))
     assert(byDay("2024-03-05") === Set(11L, 12L))
+  }
+
+  test("ANN maintenance: day-N tick compacts and recall-triggered retrain recovers") {
+    import graft.lake.{CorpusDedup, CorpusPack}
+    import graft.tools.DailyIngest
+    // the lifecycle gap a real daily-ingest user hits: appends pile up
+    // one file set per day and the frozen quantizer decays under drift.
+    // DailyIngest.maintain is the scheduled branch that pays both down —
+    // compaction every N days, retrain only when MEASURED recall dips.
+    val lake = new Lake(spark, tmpDir("maint_lake"))
+    val dd = new CorpusDedup(spark, lake, "maint", numBuckets = 4)
+    val cp = new CorpusPack(spark,
+      new StateStore(spark, tmpDir("maint_state")), "maint",
+      budgetTokens = 16L)
+    val idx = new graft.lake.AnnIndex(spark, lake, "maint_ann", numBuckets = 4)
+    val out = TableRef("prod", "maint", "packed")
+    def day(d: String) = java.sql.Date.valueOf(d)
+    def jit(i: Int, m: Int) = ((i * 7919) % m - m / 2) * 0.02
+    def pt(i: Int, x: Double, y: Double) =
+      Array(x + jit(i, 11), y + jit(i, 13), jit(i, 17), jit(i, 19))
+    def ingest(docs: org.apache.spark.sql.DataFrame, d: String): Long =
+      DailyIngest.run(lake, dd, cp, out, docs.withColumn("lang", lit("en")),
+        "doc_id", "text", "lang", day(d), ttlDays = 30,
+        ann = Some((idx, "emb")))
+
+    // day 1: two stable regions — the quantizer trains on this shape
+    val day1 = ((0 until 30).map(i => (i.toLong, s"stable alpha doc $i", pt(i, 10.0, 0.0))) ++
+      (0 until 30).map(i => (100L + i, s"stable beta doc $i", pt(i, -10.0, 0.0))))
+      .toDF("doc_id", "text", "emb")
+    ingest(day1, "2024-03-01")
+    assert(idx.exists)
+
+    // day 2: the DRIFTED region (+y, unseen by the trained centroids;
+    // the ±x nudge splits its members across old lists — the retrain
+    // test's geometry, arriving through the ingest path)
+    val day2 = (0 until 30).map { i =>
+      (200L + i, s"drifted gamma doc $i",
+        pt(i, if (i % 2 == 0) 0.5 else -0.5, 10.0))
+    }.toDF("doc_id", "text", "emb")
+    ingest(day2, "2024-03-02")
+    assert(idx.storedCount === 90)
+
+    // the maintenance tick: compaction due (every day here), recall
+    // measured on the served index, dip triggers the retrain
+    val m = DailyIngest.maintain(idx, day("2024-03-02"),
+      compactEveryDays = 1, minRecall = 0.9, nQueries = 16, k = 10,
+      nprobe = 1)
+    assert(m.compacted, "day-N compaction branch did not run")
+    assert(m.recallBefore < 0.9,
+      s"drift did not dent measured recall: ${m.recallBefore}")
+    assert(m.retrained, "recall dip did not trigger the retrain")
+    assert(m.recallAfter >= 0.9 && m.recallAfter > m.recallBefore,
+      s"retrain did not recover recall: ${m.recallBefore} -> ${m.recallAfter}")
+    // the rewrite preserved the corpus and left no snapshot debris
+    assert(idx.storedCount === 90)
+    assert(!new java.io.File(lake.path(idx.listsRef) + ".retrain").exists())
+    // a stable corpus does NOT pay the rewrite: the next tick measures
+    // healthy recall and skips the retrain branch
+    val m2 = DailyIngest.maintain(idx, day("2024-03-03"),
+      compactEveryDays = 7, minRecall = 0.9, nQueries = 16, k = 10,
+      nprobe = 1)
+    assert(!m2.retrained && m2.recallBefore >= 0.9, m2.toString)
   }
 
 }

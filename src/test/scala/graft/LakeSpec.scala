@@ -224,6 +224,12 @@ class LakeSpec extends SparkSpec {
       val plan = joined.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange hashpartitioning(cluster"),
         s"index side reshuffles:\n$plan")
+      // the probe frame is persisted: its second consumer (the list
+      // join) reads the cache, so the QUERY frame is scanned once —
+      // the join side of the plan shows a cached scan, not a re-derived
+      // probe subtree
+      assert(plan.contains("InMemoryTableScan"),
+        s"probe frame recomputed instead of reused:\n$plan")
       val narrow = idx.topKJoin(queries.limit(1), "qid", "embedding",
         k = 5, nprobe = 1)
       val narrowPlan = narrow.queryExecution.executedPlan.toString

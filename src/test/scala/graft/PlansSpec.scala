@@ -254,7 +254,21 @@ class PlansSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
-  test("q110 scaled semdedup: linear blocking tracks all-pairs truth") {
+  test("q114 scaled semdedup: pair join keyed by trained cluster; linear blocking tracks all-pairs truth") {
+    // the pair stage's corpus self-join is an EQUI-join on the trained
+    // quantizer's cluster key — the plan property that keeps pair work
+    // linear in n (never a cartesian/broadcast-nested-loop over vectors)
+    val pairsPlan = graft.functions.DedupOps.semanticPairsBlocked(
+      Tables.load(spark, sf001, "embeddings"), "vec_id", "embedding", 0.35)
+      .queryExecution.executedPlan.toString
+    assert(!pairsPlan.contains("CartesianProduct"), pairsPlan)
+    assert(!pairsPlan.contains("BroadcastNestedLoopJoin"), pairsPlan)
+    assert(pairsPlan.contains("cluster"), pairsPlan)
+    assert(
+      pairsPlan.linesIterator.exists(l =>
+        (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+         l.contains("BroadcastHashJoin")) && l.contains("cluster")),
+      s"corpus self-join not keyed on the trained cluster:\n$pairsPlan")
     val scaled = graft.queries.TrainingData
       .defs("q114_semdedup_scaled")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
@@ -271,7 +285,7 @@ class PlansSpec extends SparkSpec {
     // SMALL, measured against the TRUE reference: the UNBLOCKED
     // all-pairs threshold graph (computable exactly at this scale).
     // q103's label blocking is NOT that reference — it misses every
-    // cross-label pair, which q110's content-trained cells legitimately
+    // cross-label pair, which q114's content-trained cells legitimately
     // find — so agreement is pinned against exhaustive truth, not
     // against a different blocking choice.
     val vecs = Tables.load(spark, sf001, "embeddings")
@@ -308,7 +322,7 @@ class PlansSpec extends SparkSpec {
     assert(scaled.sortBy(_._1).sameElements(again.sortBy(_._1)))
   }
 
-  test("q111 broadcast-LM scoring: bigram stream never crosses an exchange") {
+  test("q115 broadcast-LM scoring: bigram stream never crosses an exchange") {
     val df = graft.queries.TrainingData
       .defs("q115_lm_quality_scaled")(spark, sf001)
     val plan = df.queryExecution.executedPlan.toString
@@ -420,5 +434,35 @@ class PlansSpec extends SparkSpec {
           lines(i + 1).contains("WindowGroupLimit"),
           s"shuffle not fed by a bounded frame:\n$tfidfPlan")
       }
+  }
+
+  test("q113 rejects documents past the 2^21-token priority bound") {
+    // The (doc_id, start) → doc_id·2^21 + start priority encoding is
+    // mirrored by the DuckDB oracle, so an overflow would corrupt
+    // ordering identically in both engines and hash-match anyway —
+    // the scan-side raise_error guard is the only observer. Fixture:
+    // one doc whose last 8-token window STARTS at 2^21.
+    val dir = tmpDir("q113guard")
+    val nTok = (1 << 21) + 8
+    val sb = new java.lang.StringBuilder(2 * nTok)
+    var i = 0
+    while (i < nTok) { if (i > 0) sb.append(' '); sb.append('a'); i += 1 }
+    Seq((1L, sb.toString)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val ex = intercept[Exception] {
+      graft.queries.TrainingData.defs("q113_substring_dedup")(spark, dir)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("priority encoding")),
+      s"wrong failure: $ex")
+    // and a conforming doc on the same path still flows
+    Seq((1L, "a b c d e f g h i j a b c d e f g h i j"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val ok = graft.queries.TrainingData
+      .defs("q113_substring_dedup")(spark, dir).collect()
+    assert(ok.length === 1)
   }
 }
