@@ -173,12 +173,117 @@ object Bpe {
     graft.expressions.BpeEncode.count(c, vocab)
 
   /** Deterministic BPE training from a word→count table. Classic
-    * Sennrich loop: per iteration take the highest-count adjacent symbol
-    * pair (ties broken lexicographically so training is order-free),
-    * stop early when no pair repeats. O(numMerges × corpus symbols) on
-    * the DRIVER — callers bound the input via [[train]]'s maxWords. */
+    * Sennrich selection — per iteration the highest-count adjacent
+    * symbol pair, ties broken lexicographically so training is
+    * order-free; stop early when no pair repeats — but maintained
+    * INCREMENTALLY: pair counts live in a sorted structure and each
+    * merge recounts only the words that contain the merged pair, so a
+    * realistic 32k-merge vocabulary trains in seconds where the
+    * full-rescan loop ([[trainFromWordCountsNaive]], kept as the parity
+    * reference) is O(numMerges × corpus symbols) and takes minutes.
+    * Byte-identical output to the naive loop (property-spec'd): counts
+    * after every step are equal by construction and the selection rule
+    * is the same. Driver-side by design — the input is the
+    * vocabulary-sized word→count table, never the corpus. */
   def trainFromWordCounts(counts: Iterable[(String, Long)],
                           numMerges: Int): BpeVocab = {
+    val words: Array[(Array[String], Long)] =
+      counts.iterator.map { case (w, c) => (BpeVocab.codepoints(w), c) }.toArray
+    val syms: Array[Array[String]] = words.map(_._1)
+    val wc: Array[Long] = words.map(_._2)
+
+    val pairCount = new java.util.HashMap[(String, String), Long]()
+    val occur = new java.util.HashMap[(String, String),
+      java.util.HashSet[Integer]]()
+    // (count, pair) ordered: count DESC, then pair ASC — first() is the
+    // naive loop's arg-max with its lexicographic tie-break
+    val ord = new java.util.TreeSet[(Long, String, String)](
+      new java.util.Comparator[(Long, String, String)] {
+        def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(y._1, x._1)
+          if (c != 0) c
+          else {
+            val a = x._2.compareTo(y._2)
+            if (a != 0) a else x._3.compareTo(y._3)
+          }
+        }
+      })
+
+    def bump(p: (String, String), delta: Long): Unit = {
+      val old = pairCount.getOrDefault(p, 0L)
+      val now = old + delta
+      if (old != 0L) ord.remove((old, p._1, p._2))
+      if (now != 0L) { pairCount.put(p, now); ord.add((now, p._1, p._2)) }
+      else pairCount.remove(p)
+    }
+    def addWord(wi: Int, delta: Long): Unit = {
+      val s = syms(wi)
+      var i = 0
+      while (i < s.length - 1) {
+        val p = (s(i), s(i + 1))
+        bump(p, delta)
+        if (delta > 0)
+          occur.computeIfAbsent(p, _ => new java.util.HashSet[Integer]())
+            .add(wi)
+        i += 1
+      }
+      if (delta < 0) {
+        // membership is per-distinct-pair; drop after the counts pass
+        i = 0
+        while (i < s.length - 1) {
+          val p = (s(i), s(i + 1))
+          val set = occur.get(p)
+          if (set != null) { set.remove(Integer.valueOf(wi));
+            if (set.isEmpty) occur.remove(p) }
+          i += 1
+        }
+      }
+    }
+    var wi = 0
+    while (wi < syms.length) { addWord(wi, wc(wi)); wi += 1 }
+
+    val merges = Vector.newBuilder[(String, String)]
+    var step = 0
+    var exhausted = false
+    while (step < numMerges && !exhausted) {
+      if (ord.isEmpty || ord.first()._1 < 2L) exhausted = true
+      else {
+        val top = ord.first()
+        val best = (top._2, top._3)
+        merges += best
+        val (a, b) = best
+        val merged = a + b
+        val touched = occur.get(best)
+        val idxs = new Array[Integer](if (touched == null) 0 else touched.size)
+        if (touched != null) touched.toArray(idxs)
+        var t = 0
+        while (t < idxs.length) {
+          val w = idxs(t).intValue()
+          addWord(w, -wc(w)) // retract the old word's pair contributions
+          val s = syms(w)
+          val out = new Array[String](s.length)
+          var n = 0
+          var j = 0
+          while (j < s.length) {
+            if (j < s.length - 1 && s(j) == a && s(j + 1) == b) {
+              out(n) = merged; n += 1; j += 2
+            } else { out(n) = s(j); n += 1; j += 1 }
+          }
+          syms(w) = java.util.Arrays.copyOf(out, n)
+          addWord(w, wc(w)) // re-add with the merge applied
+          t += 1
+        }
+        step += 1
+      }
+    }
+    BpeVocab(merges.result())
+  }
+
+  /** The full-rescan reference trainer — O(numMerges × corpus symbols);
+    * kept (test-visible) as the byte-parity oracle for the incremental
+    * [[trainFromWordCounts]]. */
+  private[graft] def trainFromWordCountsNaive(
+      counts: Iterable[(String, Long)], numMerges: Int): BpeVocab = {
     var words: Array[(Array[String], Long)] =
       counts.iterator.map { case (w, c) => (BpeVocab.codepoints(w), c) }.toArray
     val merges = Vector.newBuilder[(String, String)]

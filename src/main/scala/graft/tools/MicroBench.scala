@@ -167,6 +167,90 @@ object MicroBench {
     spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
     // scratch parquet cleanup (createTempDirectory does not self-delete)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(rareDir))
+
+    // ---- BPE encoder at REALISTIC vocabulary scale (32k merges) ----
+    // The fixture corpus holds 31 distinct pieces, so both the
+    // vocabulary and the bench corpus are the deterministic synthetic
+    // Zipf distribution (BpeTrain.zipfWordCounts). Each Spark task
+    // deserializes its own vocab copy, so the word cache is rebuilt per
+    // task — exactly the production regime being measured.
+    {
+      import graft.functions.{Bpe, BpeVocab}
+      import spark.implicits._
+      def mix(x: Long): Long = {
+        var z = x + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z ^ (z >>> 31)
+      }
+      val tTrain = System.nanoTime()
+      val wc = BpeTrain.zipfWordCounts(1 << 16)
+      val vocab32k = Bpe.trainFromWordCounts(wc, 32768)
+      println(f"bpe train(64k words -> ${vocab32k.merges.length} merges): " +
+        f"${(System.nanoTime() - tTrain) / 1e9}%.1f s")
+      val words = wc.map(_._1).toArray
+      val nW = words.length
+      val lnW = math.log(nW.toDouble)
+      val nDocs = 100000L
+      val wordsPerDoc = 120
+      // log-uniform rank draw ≈ Zipf(1) — the cache-friendly regime
+      val zipfCorpus = spark.range(nDocs).mapPartitions { it =>
+        it.map { d =>
+          val sb = new java.lang.StringBuilder(wordsPerDoc * 8)
+          var k = 0
+          while (k < wordsPerDoc) {
+            val u = (mix(d * 131 + k) >>> 34).toDouble / (1L << 30).toDouble
+            val r = math.min(nW - 1, math.exp(u * lnW).toLong.toInt)
+            if (k > 0) sb.append(' ')
+            sb.append(words(r))
+            k += 1
+          }
+          sb.toString
+        }
+      }.toDF("text").persist()
+      val nPieces = nDocs * wordsPerDoc
+      println(f"bpe zipf corpus: $nDocs docs x $wordsPerDoc pieces, " +
+        f"~${words.length} distinct words -> cache hit rate ~" +
+        f"${1.0 - nW.toDouble / nPieces}%.4f")
+      zipfCorpus.count()
+      def rate(name: String, vocab: BpeVocab, df: org.apache.spark.sql.DataFrame,
+               docs: Long): Unit =
+        (1 to 3).foreach { i =>
+          val t0 = System.nanoTime()
+          noop(df.select(Bpe.bpeTokenCount(col("text"), vocab).as("n")))
+          val s = (System.nanoTime() - t0) / 1e9
+          println(f"$name run$i: $s%.3f s, ${docs / s / 1000}%.0f kdocs/s, " +
+            f"${docs * wordsPerDoc / s / 1e6}%.1f Mpieces/s")
+        }
+      rate("bpe count 90-merge zipf", BpeVocab.default, zipfCorpus, nDocs)
+      rate("bpe count 32k-merge zipf", vocab32k, zipfCorpus, nDocs)
+
+      // cache-hostile regime: every letter piece distinct (base-26
+      // suffix), so each word pays a full cold encode
+      val uniqueCorpus = spark.range(nDocs / 10).mapPartitions { it =>
+        it.map { d =>
+          val sb = new java.lang.StringBuilder(wordsPerDoc * 12)
+          var k = 0
+          while (k < wordsPerDoc) {
+            val u = (mix(d * 137 + k) >>> 34).toDouble / (1L << 30).toDouble
+            val r = math.min(nW - 1, math.exp(u * lnW).toLong.toInt)
+            if (k > 0) sb.append(' ')
+            sb.append(words(r))
+            // unique letter tail: base-26 of (doc, k)
+            var t = d * wordsPerDoc + k
+            var j = 0
+            while (j < 7) { sb.append(('a' + (t % 26)).toChar); t /= 26; j += 1 }
+            k += 1
+          }
+          sb.toString
+        }
+      }.toDF("text").persist()
+      uniqueCorpus.count()
+      rate("bpe count 90-merge unique", BpeVocab.default, uniqueCorpus, nDocs / 10)
+      rate("bpe count 32k-merge unique", vocab32k, uniqueCorpus, nDocs / 10)
+      zipfCorpus.unpersist()
+      uniqueCorpus.unpersist()
+    }
     spark.stop()
   }
 }

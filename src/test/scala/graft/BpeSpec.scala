@@ -57,6 +57,34 @@ class BpeSpec extends SparkSpec {
     assert(v.encodeWord("newest").length < "newest".length)
   }
 
+  test("incremental trainer is byte-identical to the full-rescan reference") {
+    // dense tie-break / overlap / exhaustion coverage: tiny alphabet,
+    // short words, many equal counts — every selection edge the
+    // incremental bookkeeping could get wrong shows up here
+    def mix(x: Long): Long = {
+      var z = x + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    for (seed <- 1L to 8L) {
+      val counts = (0 until 40).map { i =>
+        val x = mix(seed * 1000 + i)
+        val len = 1 + Math.floorMod(x, 6L).toInt
+        val w = (0 until len).map(k =>
+          "abc".charAt(Math.floorMod(mix(x ^ k.toLong), 3L).toInt)).mkString
+        (w, 1L + Math.floorMod(x >>> 13, 9L))
+      }.groupBy(_._1).map { case (w, rs) => (w, rs.map(_._2).sum) }.toSeq
+      val fast = graft.functions.Bpe.trainFromWordCounts(counts, 60).merges
+      val slow = graft.functions.Bpe.trainFromWordCountsNaive(counts, 60).merges
+      assert(fast === slow, s"seed $seed")
+    }
+    // and on the realistic synthetic Zipf distribution
+    val z = graft.tools.BpeTrain.zipfWordCounts(400)
+    assert(graft.functions.Bpe.trainFromWordCounts(z, 300).merges ===
+      graft.functions.Bpe.trainFromWordCountsNaive(z, 300).merges)
+  }
+
   test("expression: tokens/count agree, pretokenization splits classes") {
     val df = Seq(
       (1L, "low lower e42 low-er"),
