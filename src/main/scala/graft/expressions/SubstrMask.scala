@@ -64,11 +64,18 @@ object SubstrMask {
     val nStarts = starts.numElements()
     val kept = new java.util.ArrayList[UTF8String](words.length)
     var sIdx = 0
+    var prevStart = Integer.MIN_VALUE
     var coverEnd = -1 // exclusive end of the merged coverage so far
     var i = 0
     while (i < words.length) {
       while (sIdx < nStarts && starts.getInt(sIdx) <= i) {
-        val end = starts.getInt(sIdx) + k
+        val st = starts.getInt(sIdx)
+        // the sweep is only correct over ASCENDING starts — an unsorted
+        // array would silently unmask covered tokens, so fail loudly
+        if (st < prevStart) throw new IllegalArgumentException(
+          s"substr_mask requires ascending starts ($st after $prevStart)")
+        prevStart = st
+        val end = st + k
         if (end > coverEnd) coverEnd = end
         sIdx += 1
       }

@@ -433,10 +433,15 @@ object DedupOps {
   def semanticDedupBlocked(emb: DataFrame, idCol: String, vecCol: String,
                            threshold: Double, perCellDivisor: Int = 500,
                            nAssign: Int = 2, iters: Int = 3,
-                           keepPerCluster: Int = 2): DataFrame = {
+                           keepPerCluster: Int = 2,
+                           reliableCheckpointDir: Option[String] = None)
+      : DataFrame = {
     val pairs = semanticPairsBlocked(emb, idCol, vecCol, threshold,
       perCellDivisor, nAssign, iters)
-    val cc = connectedComponents(pairs)
+    // local checkpoints die with an executor; bulk callers pass a
+    // reliable dir so the component closure survives node loss
+    val cc = connectedComponents(pairs,
+      reliableCheckpointDir = reliableCheckpointDir)
     val W = org.apache.spark.sql.expressions.Window
     emb.select(col(idCol))
       .join(cc.withColumnRenamed("node", idCol), Seq(idCol), "left")

@@ -110,9 +110,10 @@ object StreamDedup {
     * foreachBatch: land → state commits, exactly like the batch path.
     *
     * The partition column it adds is physical layout, not payload —
-    * readers that don't care simply never select it, and compaction can
-    * fold old batch partitions together once their batches are beyond
-    * every replayable checkpoint. */
+    * readers that don't care simply never select it, and
+    * [[graft.lake.Lake.compact]] folds old batch partitions into plain
+    * files (the batch id becomes a data column) once those batches are
+    * beyond every replayable checkpoint. */
   def landBatch(lake: Lake, ref: TableRef, novel: DataFrame, batchId: Long,
                 batchCol: String = "ingest_batch"): Unit = {
     require(!novel.columns.contains(batchCol),

@@ -60,6 +60,16 @@ object ScaleProbe {
       val baseRows = Map(
         "documents" -> docRows,
         "embeddings" -> Tables.load(spark, dir, "embeddings").count())
+      // q114 exponent decomposition: the thresholded pair graph SIZE is
+      // data (the corpus's semantic-dup density), the blocking join is
+      // the algorithm — report both so a dup-density shift in the scaled
+      // corpus is not misread as blocking superlinearity
+      if (probes.contains("q114_semdedup_scaled")) {
+        val nPairs = graft.functions.DedupOps.semanticPairsBlocked(
+          Tables.load(spark, dir, "embeddings"), "vec_id", "embedding",
+          0.35).count()
+        println(s"[probe] $dir q114 pair graph: $nPairs thresholded pairs")
+      }
       val perQuery = probes.map { name =>
         val (sec, bytes) =
           measure(noop(graft.SparkEntry.queries(name)(spark, dir)))

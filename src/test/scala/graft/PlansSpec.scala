@@ -465,4 +465,28 @@ class PlansSpec extends SparkSpec {
       .defs("q113_substring_dedup")(spark, dir).collect()
     assert(ok.length === 1)
   }
+
+  test("substr_mask: merged windows, empty-token parity, ascending contract") {
+    import graft.expressions.SubstrMask.substr_mask
+    def mask(text: String, starts: Seq[Int], k: Int): (String, Long) = {
+      val r = Seq((text, starts)).toDF("t", "s")
+        .select(substr_mask($"t", $"s", k).as("m"))
+        .select($"m.clean_text", $"m.n_removed").head()
+      (r.getString(0), r.getLong(1))
+    }
+    // overlapping duplicated windows merge into one contiguous span
+    assert(mask("a b c d e f", Seq(1, 2), 2) === ("a e f", 3L))
+    // zero-copy when nothing masks
+    assert(mask("a b c", Seq(), 2) === ("a b c", 0L))
+    // mask to the end; window past the end covers only what exists
+    assert(mask("a b c", Seq(2), 4) === ("a b", 1L))
+    // empty tokens between doubled spaces survive like the HOF
+    // encoding: split/rejoin on single space is the identity
+    assert(mask("a  b c", Seq(0), 1) === (" b c", 1L))
+    // unsorted starts fail loudly instead of silently unmasking
+    val e = intercept[Exception](mask("a b c d", Seq(2, 0), 1))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("ascending")), e.toString)
+  }
 }
