@@ -16,14 +16,14 @@ object TextOps {
   /** Whitespace tokens (single-space separated corpora). */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Word n-gram shingles: ["a b c", "b c d", ...]. Documents shorter than
-    * n words yield an empty shingle set. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val w = tokens(text)
-    when(size(w) < n, array().cast("array<string>")).otherwise(
-      transform(sequence(lit(0), size(w) - n),
-        i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*)))
-  }
+  /** Word n-gram shingles: ["a b c", "b c d", ...]. Documents shorter
+    * than n words yield an empty shingle set. Delegates to the native
+    * codegen [[graft.expressions.Shingles]] — the earlier
+    * transform/element_at HOF encoding re-evaluated the text SPLIT per
+    * element (interpreted), O(tokens²) per document; identical
+    * semantics (split-on-single-space, L−n+1 windows). */
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.expressions.Shingles.shingles(text, n)
 
   /** Count of a literal token's occurrences, via length arithmetic —
     * O(len) with zero allocation, safe inside codegen. */
@@ -118,16 +118,14 @@ object TextOps {
       .otherwise(lit(0.0))
   }
 
-  /** Share of all word n-grams taken by the single most frequent one.
-    * O(distinct × total) per row — documents are short relative to the
-    * corpus, so this stays cheaper than an explode + groupBy would be. */
-  def topNgramFrac(text: Column, n: Int = 2): Column = {
-    val g = shingles(text, n)
-    when(size(g) > 0,
-      array_max(transform(array_distinct(g),
-        x => size(filter(g, _ === x)))).cast("double") / size(g))
-      .otherwise(lit(0.0))
-  }
+  /** Share of all word n-grams taken by the single most frequent one —
+    * native one-pass hash count ([[graft.expressions.TopNgramFrac]],
+    * O(tokens) per row; the earlier array_distinct × filter HOF was
+    * O(distinct × tokens) interpreted). coalesce preserves the HOF
+    * null-text behavior (0.0). */
+  def topNgramFrac(text: Column, n: Int = 2): Column =
+    coalesce(graft.expressions.TopNgramFrac.top_ngram_frac(text, n),
+      lit(0.0))
 
   /** Fixed-size token chunks with overlap — the context-window splitter
     * every training pipeline runs before tokenization: chunk i covers
@@ -137,16 +135,8 @@ object TextOps {
     * SUBSET of its predecessor — silently duplicated training data.
     * Pure per-row array arithmetic (no explode here — callers posexplode
     * the result), so chunking 100 TB stays inside the scan. */
-  def chunkTexts(text: Column, chunkTokens: Int, overlap: Int): Column = {
-    require(overlap >= 0 && overlap < chunkTokens,
-      s"overlap $overlap must be in [0, $chunkTokens)")
-    val step = chunkTokens - overlap
-    val w = tokens(text)
-    val nChunks = greatest(
-      (((size(w) - overlap) + step - 1) / step).cast("int"), lit(1))
-    transform(sequence(lit(0), nChunks - 1),
-      i => array_join(slice(w, i * step + 1, lit(chunkTokens)), " "))
-  }
+  def chunkTexts(text: Column, chunkTokens: Int, overlap: Int): Column =
+    graft.expressions.ChunkTexts.chunk_texts(text, chunkTokens, overlap)
 
   /** Deterministic [0,100) bucket from a salted md5 of the id — the
     * stable sample/split primitive: the same document lands in the same
