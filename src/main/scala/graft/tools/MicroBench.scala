@@ -250,6 +250,75 @@ object MicroBench {
       rate("bpe count 32k-merge unique", vocab32k, uniqueCorpus, nDocs / 10)
       zipfCorpus.unpersist()
       uniqueCorpus.unpersist()
+
+      // ---- long-document text kernels: interpreted-HOF vs native ----
+      // the HOF encodings (replaced in round 9) re-evaluate children
+      // per element — quadratic in document length. A/B on the same
+      // 100-doc × 1000-token corpus; the HOF side is inlined here
+      // because the engine no longer contains it.
+      val longDocs = spark.range(100).mapPartitions { it =>
+        it.map { d =>
+          val sb = new java.lang.StringBuilder(8000)
+          var k = 0
+          while (k < 1000) {
+            val u = (mix(d * 911 + k) >>> 34).toDouble / (1L << 30).toDouble
+            val r = math.min(nW - 1, math.exp(u * lnW).toLong.toInt)
+            if (k > 0) sb.append(' ')
+            sb.append(words(r))
+            k += 1
+          }
+          sb.toString
+        }
+      }.toDF("text").persist()
+      longDocs.count()
+      val w = split(col("text"), " ")
+      def hofShingles(n: Int) =
+        when(size(w) < n, array().cast("array<string>")).otherwise(
+          transform(sequence(lit(0), size(w) - n),
+            i => concat_ws(" ", (0 until n).map(j =>
+              element_at(w, i + j + 1)): _*)))
+      time("shingle3 HOF (100x1k tokens)") {
+        noop(longDocs.select(explode(hofShingles(3)).as("sh"))
+          .select(md5(col("sh"))))
+      }
+      time("shingle3 native (100x1k tokens)") {
+        noop(longDocs.select(explode(
+            graft.functions.TextOps.shingles(col("text"), 3)).as("sh"))
+          .select(md5(col("sh"))))
+      }
+      val step = 40
+      val nChunks = greatest(
+        (((size(w) - 10) + step - 1) / step).cast("int"), lit(1))
+      time("chunk(50,10) HOF") {
+        noop(longDocs.select(explode(transform(sequence(lit(0), nChunks - 1),
+          i => array_join(slice(w, i * step + 1, lit(50)), " ")))))
+      }
+      time("chunk(50,10) native") {
+        noop(longDocs.select(explode(
+          graft.functions.TextOps.chunkTexts(col("text"), 50, 10))))
+      }
+      val g2 = graft.functions.TextOps.shingles(col("text"), 2)
+      time("top2gram HOF") {
+        noop(longDocs.select(when(size(g2) > 0,
+          array_max(transform(array_distinct(g2),
+            x => size(filter(g2, _ === x)))).cast("double") / size(g2))
+          .otherwise(lit(0.0))))
+      }
+      time("top2gram native") {
+        noop(longDocs.select(
+          graft.functions.TextOps.topNgramFrac(col("text"), 2)))
+      }
+      // q113's mask stage: every 10th window duplicated
+      val starts = sequence(lit(0), lit(990), lit(10))
+      time("mask HOF (99 starts)") {
+        noop(longDocs.select(concat_ws(" ", filter(w, (_, i) =>
+          !exists(starts, st => i >= st && i < st + lit(8))))))
+      }
+      time("mask native (99 starts)") {
+        noop(longDocs.select(graft.expressions.SubstrMask
+          .substr_mask(col("text"), starts, 8).getField("clean_text")))
+      }
+      longDocs.unpersist()
     }
     spark.stop()
   }
