@@ -1226,15 +1226,21 @@ object TrainingData {
         .agg(sort_array(collect_list(col("p"))).as("starts"))
       // fused O(tokens + starts) codegen'd mask sweep — the HOF shape
       // (filter + exists) scanned `starts` per token, O(tokens·starts)
-      // interpreted, which a boilerplate-heavy doc turns pathological
-      val masked = graft.expressions.SubstrMask.substr_mask(
-        col("text"), col("starts"), K)
+      // interpreted, which a boilerplate-heavy doc turns pathological.
+      // The struct lands in its own projection first: CollapseProject
+      // keeps a non-cheap alias referenced twice, so the sweep runs
+      // ONCE per row even if codegen CSE declines the two branches.
+      // Null starts (no duplicated window — the common case) null-
+      // short-circuits the kernel; the when() guards never read __m
+      // on those rows.
       docs.join(starts, Seq("doc_id"), "left")
+        .withColumn("__m", graft.expressions.SubstrMask.substr_mask(
+          col("text"), col("starts"), K))
         .select(col("doc_id"),
           when(col("starts").isNull, col("text"))
-            .otherwise(masked.getField("clean_text")).as("clean_text"),
+            .otherwise(col("__m.clean_text")).as("clean_text"),
           when(col("starts").isNull, lit(0L))
-            .otherwise(masked.getField("n_removed")).as("n_removed"))
+            .otherwise(col("__m.n_removed")).as("n_removed"))
         .orderBy(col("doc_id"))
     }),
     // Benchmark decontamination: train-split documents sharing any

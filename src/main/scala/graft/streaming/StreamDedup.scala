@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.lake.{Lake, TableRef}
 
@@ -22,6 +23,12 @@ import graft.lake.{Lake, TableRef}
   * [[graft.lake.CorpusDedup]] anti-joins each landed micro-batch against
   * the bucketed corpus seen-set. Stream dedup keeps the hot path clean;
   * the lake keeps the corpus exact.
+  *
+  * Three stream-side drop rules, mirroring the batch dedup family:
+  * exact content hash ([[exactWithinWatermark]]), MinHash-LSH text
+  * bands ([[nearDupWithinWatermark]]), and cosine-over-embeddings
+  * ([[semanticWithinWatermark]]). Landing is exactly-once via
+  * [[landBatch]].
   */
 object StreamDedup {
 
@@ -93,6 +100,105 @@ object StreamDedup {
       .dropDuplicatesWithinWatermark("band_idx", "band_key")
       .dropDuplicatesWithinWatermark(idCol)
       .drop("__bands", "band_idx", "band_key")
+  }
+
+  /** One vector remembered by the semantic stream state (norm cached —
+    * computed once at admission, not per comparison). */
+  final case class SeenVec(id: Long, vec: Array[Float], norm: Double,
+                           tsMs: Long)
+  /** Per-bucket state: every vector admitted within the horizon. */
+  final case class BucketSeen(entries: Seq[SeenVec])
+
+  /** SEMANTIC (embedding) streaming dedup — SemDeDup's drop rule on the
+    * ingest stream, completing the stream-side dedup family (exact
+    * hash, LSH text bands, and now cosine-over-embeddings). A document
+    * whose embedding is ≥ `threshold` cosine-similar to one already
+    * admitted within the watermark horizon is dropped; the first
+    * arrival of each semantic neighborhood passes.
+    *
+    * Blocking mirrors the batch path's q63 principle: vectors are
+    * grouped by their `bits`-bit sign bucket ([[graft.functions
+    * .VectorOps.signBucket]]) and only IN-BUCKET candidates are
+    * cosine-verified — state and comparison cost are per-bucket, and a
+    * near-dup pair split across buckets is the documented recall loss
+    * (the batch layer's exact pass catches it downstream, same
+    * defense-in-depth as [[nearDupWithinWatermark]]). Unlike the text
+    * band operator, a bucket COLLISION alone never drops a document —
+    * every drop is cosine-verified against the remembered vectors, so
+    * false drops need actual similarity, not hash luck.
+    *
+    * State per bucket is the admitted vectors within the horizon
+    * ((dim·4 + 16) bytes each), evicted by event-time timeout when the
+    * watermark passes their horizon — bounded exactly like the
+    * engine's other watermarked state. Batch-internal order is pinned
+    * to (ts, id) so replays admit the same survivors. Input contract:
+    * `idCol` long, `vecCol` array<float>, `tsCol` timestamp. Emits
+    * (id, ts) of admitted documents; callers join payloads back by id
+    * (the vector itself stays out of the output to keep the sink
+    * narrow). Cosine is rounded to 4 dp — the engine's cross-run
+    * determinism convention. */
+  def semanticWithinWatermark(stream: DataFrame, idCol: String,
+                              vecCol: String, tsCol: String, horizon: String,
+                              threshold: Double, bits: Int = 4): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String
+        .fromString(horizon))
+    require(iv.months == 0, s"horizon '$horizon' must not use months")
+    val horizonMs = iv.days * 86400000L + iv.microseconds / 1000L
+    def cos(a: Array[Float], na: Double, b: Array[Float], nb: Double): Double = {
+      var d = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { d += a(i).toDouble * b(i).toDouble; i += 1 }
+      BigDecimal(d / (na * nb))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def norm(a: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * a(i).toDouble; i += 1 }
+      math.sqrt(s)
+    }
+    stream
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
+        col(tsCol).cast("timestamp").as("ts"),
+        graft.functions.VectorOps.signBucket(col(vecCol), bits).as("bucket"))
+      // AFTER the projection: a cast/rename re-derives the attribute
+      // and would silently drop watermark metadata attached before it
+      .withWatermark("ts", horizon)
+      .as[(Long, Array[Float], java.sql.Timestamp, String)]
+      .groupByKey(_._4)
+      .flatMapGroupsWithState[BucketSeen, (Long, java.sql.Timestamp)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, rows, state: GroupState[BucketSeen]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val wm = state.getCurrentWatermarkMs()
+            var seen = state.getOption.map(_.entries).getOrElse(Nil)
+              .filter(_.tsMs >= wm - horizonMs)
+            val out = rows.toIndexedSeq
+              .sortBy(r => (r._3.getTime, r._1))
+              .flatMap { case (id, vec, ts, _) =>
+                val nv = norm(vec)
+                val dup = nv > 0 && seen.exists(s =>
+                  s.norm > 0 && cos(vec, nv, s.vec, s.norm) >= threshold)
+                if (dup) None
+                else {
+                  seen = SeenVec(id, vec, nv, ts.getTime) +: seen
+                  Some((id, ts))
+                }
+              }
+            if (seen.nonEmpty) {
+              state.update(BucketSeen(seen))
+              // strictly above the watermark, or the engine rejects it
+              state.setTimeoutTimestamp(
+                math.max(wm + 1, seen.map(_.tsMs).max + horizonMs))
+            } else state.remove()
+            out.iterator
+          }
+      }
+      .toDF("id", "ts")
+      .withColumnRenamed("id", idCol).withColumnRenamed("ts", tsCol)
   }
 
   /** EXACTLY-ONCE land for `foreachBatch` compositions — the streaming

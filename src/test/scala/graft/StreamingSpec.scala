@@ -94,6 +94,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming semantic dedup: cosine-verified drops, eviction, bucket boundary") {
+    import graft.streaming.StreamDedup
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(hm: String) = Timestamp.valueOf(s"2024-01-01 $hm:00")
+    // all-positive base → bucket "1111"; first component deliberately
+    // TINY so flipping its sign changes the bucket, not the angle
+    val base = Array(0.01f, 0.8f, 0.6f, 0.4f, 0.2f, 0.1f)
+    val nearDup = base.map(_ * 1.01f) // cosine ≈ 1, same bucket
+    // same bucket, genuinely different direction (cosine ≈ 0.62 < 0.9)
+    val sameBucketFar = Array(0.1f, 0.2f, 0.9f, 0.01f, 0.9f, 0.01f)
+    // cosine ≈ 0.9998 to base but the flipped sign lands it in bucket
+    // "0111": the documented sign-bucket recall loss — it must PASS
+    val crossBucket = Array(-0.01f, 0.8f, 0.6f, 0.4f, 0.2f, 0.1f)
+
+    val mem = MemoryStream[(Long, Array[Float], Timestamp)]
+    val out = StreamDedup.semanticWithinWatermark(
+      mem.toDF.toDF("doc_id", "emb", "ts"), "doc_id", "emb", "ts",
+      "10 minutes", threshold = 0.9, bits = 4)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sem_out").start()
+    def ids() = spark.sql("SELECT doc_id FROM sem_out")
+      .as[Long].collect().toSet
+    try {
+      // batch 1: base admitted; in-batch near-dup dropped (cosine ≥ .9
+      // in the same bucket); same-bucket-but-far admitted (bucket
+      // collision alone must NOT drop)
+      mem.addData((1L, base, t("10:00")), (2L, nearDup, t("10:01")),
+        (3L, sameBucketFar, t("10:02")))
+      q.processAllAvailable()
+      assert(ids() === Set(1L, 3L))
+      // batch 2: cross-batch near-dup still inside the horizon →
+      // dropped by state; cross-bucket near-dup passes (boundary loss,
+      // caught by the batch layer downstream)
+      mem.addData((4L, nearDup, t("10:03")), (5L, crossBucket, t("10:04")))
+      q.processAllAvailable()
+      assert(ids() === Set(1L, 3L, 5L))
+      // push the watermark far past the horizon, then re-deliver the
+      // near-dup: state was evicted, so it is ADMITTED again — horizon
+      // semantics, the cross-horizon layer is CorpusDedup's job
+      mem.addData((6L, Array(0.5f, 0.5f, 0.5f, 0.5f, 0.5f, 0.5f), t("12:00")))
+      q.processAllAvailable()
+      mem.addData((7L, nearDup, t("12:05")))
+      q.processAllAvailable()
+      assert(ids() === Set(1L, 3L, 5L, 6L, 7L))
+    } finally q.stop()
+  }
+
   test("streaming prediction smoothing: buffers persist across micro-batches") {
     import graft.multimodal.PredictionBuffer
     import graft.multimodal.PredictionBuffer.{Prediction, Smoothed}
