@@ -269,6 +269,24 @@ class PlansSpec extends SparkSpec {
         (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
          l.contains("BroadcastHashJoin")) && l.contains("cluster")),
       s"corpus self-join not keyed on the trained cluster:\n$pairsPlan")
+    // at the 100 TB shape (broadcast off → SMJ), the self-join's two
+    // sides canonicalize to ONE exchange: the corpus — including its
+    // k-dot-product assignment work — shuffles once; the other side is
+    // a ReusedExchange
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val smj = graft.functions.DedupOps.semanticPairsBlocked(
+        Tables.load(spark, sf001, "embeddings"), "vec_id", "embedding", 0.35)
+      smj.collect()
+      val smjPlan = smj.queryExecution.executedPlan.toString
+      assert(smjPlan.contains("ReusedExchange"),
+        s"self-join shuffles the assigned corpus twice:\n$smjPlan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
     val scaled = graft.queries.TrainingData
       .defs("q114_semdedup_scaled")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
