@@ -33,7 +33,12 @@ object Bench {
     "q59_neardup_dedup",    // full dedup pipeline (LSH→Jaccard→drop)
     "q55_quality",          // text scoring scan
     "q60_knn_bruteforce",   // vector top-k
-    "q63_vector_neardup"    // bucketed vector pair join
+    "q63_vector_neardup",   // bucketed vector pair join
+    // Round-9 additions (r8 verdict: q113 "not benched") — the two
+    // flagship 100 TB-shape paths. Totals are NOT comparable with
+    // BENCH_r{1..8}; the comparable subset excludes these two names.
+    "q113_substring_dedup", // ExactSubstr map-side collapse
+    "q115_lm_quality_scaled" // broadcast-LM scan-local scoring
   )
 
   def main(args: Array[String]): Unit = {
