@@ -465,6 +465,21 @@ object DedupOps {
     val k = math.max(4, (emb.count() / perCellDivisor.toLong).toInt)
     val cents = VectorOps.centroidArrays(
       VectorOps.kmeansLloyd(emb, vecCol, k, iters))
+    semanticPairsWithCentroids(emb, idCol, vecCol, threshold, cents, nAssign)
+  }
+
+  /** [[semanticPairsBlocked]] against a PREBUILT quantizer — the
+    * incremental-ingest shape: a caller holding a persisted coarse
+    * quantizer (e.g. [[graft.lake.AnnIndex]]'s centroid table) blocks a
+    * new batch's pairs by the SAME cells its index search probes, with
+    * no per-batch Lloyd training. The plan shape is identical to the
+    * trained path (multi-probe assignment → cluster equi-join → exact
+    * cosine), so the linearity argument — and the spec that pins it —
+    * carries over unchanged. */
+  def semanticPairsWithCentroids(emb: DataFrame, idCol: String,
+                                 vecCol: String, threshold: Double,
+                                 cents: Seq[Array[Double]],
+                                 nAssign: Int = 2): DataFrame = {
     val assigned = VectorOps
       .assignClustersMulti(emb, cents, vecCol, nAssign)
       .withColumn("__n", VectorOps.norm(col(vecCol)))

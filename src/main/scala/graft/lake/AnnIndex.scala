@@ -177,16 +177,28 @@ class AnnIndex(spark: SparkSession, lake: Lake, dataset: String,
     VectorOps.bruteForceTopK(pruned, q, "id", "vec", k)
   }
 
-  /** The lists scan, recency-windowed when requested. */
-  private def windowed(minDate: Option[java.sql.Date]): DataFrame = {
+  /** The lists scan, recency-windowed when requested. `beforeDate` is
+    * EXCLUSIVE — its use case is a replaying ingest that must not see
+    * its own day's partition (see [[graft.lake.CorpusDedup
+    * .novelSemantic]]); both bounds prune as PartitionFilters. */
+  private def windowed(minDate: Option[java.sql.Date],
+                       beforeDate: Option[java.sql.Date] = None): DataFrame = {
     val lists = spark.table(qualified(listsRef))
-    minDate match {
-      case Some(d) =>
-        require(isDated, "recency window on an undated index — buildDated first")
-        lists.filter(col("seen_date") >= lit(d))
-      case None => lists
-    }
+    require(minDate.isEmpty && beforeDate.isEmpty || isDated,
+      "recency window on an undated index — buildDated first")
+    val lower = minDate.map(d => lists.filter(col("seen_date") >= lit(d)))
+      .getOrElse(lists)
+    beforeDate.map(d => lower.filter(col("seen_date") < lit(d)))
+      .getOrElse(lower)
   }
+
+  /** The persisted coarse quantizer as dense centroid arrays (k×dim
+    * doubles — the bounded collect every IVF consumer does). Exposed so
+    * incremental pipelines can block WITH THE INDEX'S OWN CELLS
+    * ([[graft.functions.DedupOps.semanticPairsWithCentroids]]) instead
+    * of retraining a throwaway quantizer per batch. */
+  def quantizer: IndexedSeq[Array[Double]] =
+    loadCentroidArrays(spark.table(qualified(centroidsRef)))
 
   /** Batch ANN search: top-k neighbors for EVERY row of a query FRAME in
     * one plan — the set-at-a-time twin of [[topK]], and the documented
@@ -217,7 +229,8 @@ class AnnIndex(spark: SparkSession, lake: Lake, dataset: String,
     */
   def topKJoin(queries: DataFrame, qidCol: String, vecCol: String, k: Int,
                nprobe: Int = 2,
-               minDate: Option[java.sql.Date] = None): DataFrame = {
+               minDate: Option[java.sql.Date] = None,
+               beforeDate: Option[java.sql.Date] = None): DataFrame = {
     require(!Seq("id", "vec", "cluster").contains(qidCol),
       s"query id column '$qidCol' collides with an index column; alias it")
     pinBucketedScan()
@@ -244,7 +257,7 @@ class AnnIndex(spark: SparkSession, lake: Lake, dataset: String,
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probedClusters = probes.select(col("cluster")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val lists = windowed(minDate)
+    val lists = windowed(minDate, beforeDate)
       .filter(col("cluster").isin(probedClusters: _*))
       .select(col("cluster"), col("id"), col("vec"))
       .withColumn("__n", VectorOps.norm(col("vec")))

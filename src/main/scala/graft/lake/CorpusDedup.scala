@@ -253,6 +253,74 @@ class CorpusDedup(spark: SparkSession, lake: Lake, dataset: String,
   def expireNearDup(minDate: java.sql.Date): Unit =
     expireDated(bandsDatedRef, minDate)
 
+  // ---- semantic (embedding-cosine, against the persisted ANN index) ----
+
+  /** Cross-run SEMANTIC dedup — the embedding-cosine leg of the
+    * incremental family (exact hashes, LSH bands, and now SemDeDup's
+    * drop rule), completing the batch-side symmetry with
+    * [[graft.streaming.StreamDedup.semanticWithinWatermark]].
+    *
+    * The seen-set here is not a new table: it IS the persisted
+    * [[AnnIndex]] — the corpus vectors the retrieval side already
+    * maintains. Committing survivors = appending them to the index
+    * ([[AnnIndex.appendDated]]/[[AnnIndex.append]], the ingest's
+    * existing ANN leg), so semantic dedup state and the serving index
+    * can never disagree.
+    *
+    * Two stages, in STREAMING-CONSISTENT order (history first, exactly
+    * like the stream operator compares against admitted state before
+    * batch peers):
+    *
+    *  1. cross-run gate — each doc's best stored neighbor via
+    *     [[AnnIndex.topKJoin]] (k=1); best cosine ≥ `threshold` drops
+    *     the doc. Multi-probe IVF search under-recalls slightly — a
+    *     dup whose true neighbor lives outside the probed cells slips
+    *     through — the mirror image of the near-dup gate's candidate-
+    *     level OVER-dropping; both are the documented incremental
+    *     approximation at their sensitivity.
+    *  2. in-batch — two novel semantic twins inside one batch: pairs
+    *     from [[DedupOps.semanticPairsWithCentroids]] blocked by the
+    *     INDEX'S OWN quantizer (no per-batch Lloyd training), min-id
+    *     survivor, same policy as [[DedupOps.dropNearDuplicates]].
+    *     (The near-dup gate leaves in-batch work to the pipeline
+    *     because its verify needs token streams; here both stages run
+    *     on the same vectors and cells, so the operator is
+    *     self-contained.)
+    *
+    * `minDate` gives the crawl-recency TTL ([[novelExactSince]]'s
+    * policy at cosine level). `beforeDate` (exclusive) exists for
+    * REPLAY STABILITY: a daily ingest that appends survivors to this
+    * same index must gate on `seen_date < day`, or a crash between the
+    * index append and the downstream state commits would hand the
+    * retry a DIFFERENT (self-collided, empty) novel set — the
+    * pack-cursor hazard [[graft.tools.DailyIngest]] documents. At
+    * 100 TB both bounds prune as PartitionFilters and the probe scan
+    * bucket-prunes as in any index search; only the batch shuffles.
+    *
+    * Bootstrap: requires an existing index — day one deduplicates
+    * in-batch with [[DedupOps.semanticDedupBlocked]] (trained on the
+    * batch) and then builds the index from the survivors, which is
+    * exactly [[graft.tools.DailyIngest]]'s first-day path. */
+  def novelSemantic(idx: AnnIndex, docs: DataFrame, idCol: String,
+                    vecCol: String, threshold: Double, nprobe: Int = 2,
+                    minDate: Option[java.sql.Date] = None,
+                    beforeDate: Option[java.sql.Date] = None): DataFrame = {
+    require(idx.exists,
+      "semantic dedup needs an existing ANN index — bootstrap the first " +
+        "batch with DedupOps.semanticDedupBlocked and build from survivors")
+    val hits = idx
+      .topKJoin(docs.select(col(idCol), col(vecCol)), idCol, vecCol,
+        k = 1, nprobe, minDate, beforeDate)
+      .filter(col("score") >= threshold)
+      .select(col(idCol)).distinct()
+    val vsHistory = docs.join(hits, Seq(idCol), "left_anti")
+    val inBatchLosers = DedupOps
+      .semanticPairsWithCentroids(vsHistory.select(col(idCol), col(vecCol)),
+        idCol, vecCol, threshold, idx.quantizer)
+      .select(col("id_b").as(idCol)).distinct()
+    vsHistory.join(inBatchLosers, Seq(idCol), "left_anti")
+  }
+
   /** Fold per-run seen-set files back down, preserving the bucket
     * layout (maintenance tick, under the dataset's RunLock). */
   def compact(): Unit = {

@@ -20,6 +20,10 @@ import graft.state.{RunLock, StateStore}
   *   land (overwritePartitions by ingest_day) → [ANN dated overwrite] →
   *   pack-commit → exact-dedup-commit → near-dup-commit
   *
+  * (the optional semantic gate READS the index strictly before the
+  * day — `seen_date < day` — so the ANN overwrite never changes what a
+  * replay of this day computes; see [[run]])
+  *
   *  - crash after land, before pack-commit: the retry recomputes the
   *    same novel set (dedup state unchanged) and the same pack ids
   *    (cursors unchanged), and the dynamic partition overwrite replaces
@@ -61,15 +65,46 @@ object DailyIngest {
     * step sits BEFORE the state commits for exactly that reason. The
     * first day bootstraps the index ([[AnnIndex.buildDated]], k sized
     * from the batch); [[expire]] ages it out on the same TTL as the
-    * dedup seen-sets. */
+    * dedup seen-sets.
+    *
+    * `semanticThreshold = Some(θ)` (requires `ann`) adds SEMANTIC dedup
+    * as a third gate after exact and near-dup:
+    * [[CorpusDedup.novelSemantic]] drops docs whose embedding is ≥ θ
+    * cosine to the index window — gated on `seen_date < day`, NEVER the
+    * day itself, so a crash between the index append and the pack
+    * commit replays to the SAME novel set (gating on the full index
+    * would self-collide on the replay, hand [[CorpusPack.assign]] an
+    * empty frame, and leave the cursors pointing before the landed
+    * rows — the exact hazard the step-order invariant above exists to
+    * prevent). Day one has no index: the batch deduplicates in-batch
+    * with [[graft.functions.DedupOps.semanticDedupBlocked]] (trained on
+    * the batch, deterministic, so replays agree) and the index is built
+    * from those survivors — afterwards the index holds only admitted
+    * vectors, which is what keeps the gate's "≥ θ to anything stored"
+    * reading correct. */
   def run(lake: Lake, dd: CorpusDedup, cp: CorpusPack, out: TableRef,
           docs: DataFrame, idCol: String, textCol: String, langCol: String,
           day: Date, ttlDays: Int,
-          ann: Option[(AnnIndex, String)] = None): Long = {
+          ann: Option[(AnnIndex, String)] = None,
+          semanticThreshold: Option[Double] = None): Long = {
+    require(semanticThreshold.isEmpty || ann.nonEmpty,
+      "semanticThreshold needs the ann leg — the index is the seen-set")
     val minDate = Date.valueOf(day.toLocalDate.minusDays(ttlDays.toLong))
     val exactNovel = dd.novelExactSince(docs, idCol, textCol, minDate)
-    val novel = dd.novelNearDupSince(exactNovel, idCol, textCol, minDate)
-      .withColumn("n_tok", Bpe.bpeTokenCount(col(textCol)))
+    val textNovel = dd.novelNearDupSince(exactNovel, idCol, textCol, minDate)
+    val semNovel = (ann, semanticThreshold) match {
+      case (Some((idx, embedCol)), Some(th)) if idx.exists =>
+        dd.novelSemantic(idx, textNovel, idCol, embedCol, th,
+          minDate = Some(minDate), beforeDate = Some(day))
+      case (Some((_, embedCol)), Some(th)) =>
+        val keepers = graft.functions.DedupOps.semanticDedupBlocked(
+          textNovel.select(col(idCol), col(embedCol)), idCol, embedCol, th,
+          keepPerCluster = 1)
+          .filter(col("keep") === 1).select(col(idCol))
+        textNovel.join(keepers, Seq(idCol), "left_semi")
+      case _ => textNovel
+    }
+    val novel = semNovel.withColumn("n_tok", Bpe.bpeTokenCount(col(textCol)))
     val batchId = day.toString
     val packed = cp.assign(novel, langCol, idCol, "n_tok", batchId)
       .withColumn("ingest_day", lit(day))

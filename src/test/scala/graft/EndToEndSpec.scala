@@ -624,6 +624,61 @@ class EndToEndSpec extends SparkSpec {
     assert(byDay("2024-03-05") === Set(11L, 12L))
   }
 
+  test("daily ingest with the semantic gate: bootstrap, cross-day drop, replay") {
+    import graft.lake.{CorpusDedup, CorpusPack}
+    import graft.tools.DailyIngest
+    // the third dedup gate on the composed ingest: embedding-cosine
+    // against the SAME index the retrieval leg maintains. Day one has
+    // no index — the batch SemDeDups in-batch (trained on the batch)
+    // and the index is built from the survivors; day two gates against
+    // seen_date < day, so a full-day replay converges even though the
+    // replay's gate runs AFTER the day's own index append
+    val lake = new Lake(spark, tmpDir("sem_crawl_lake"))
+    val dd = new CorpusDedup(spark, lake, "sem_crawl", numBuckets = 4)
+    val cp = new CorpusPack(spark,
+      new StateStore(spark, tmpDir("sem_crawl_state")),
+      "sem_crawl", budgetTokens = 16L)
+    val idx = new graft.lake.AnnIndex(spark, lake, "sem_crawl_ann",
+      numBuckets = 4)
+    val out = TableRef("prod", "sem_crawl", "packed")
+    def day(d: String) = java.sql.Date.valueOf(d)
+    def ingest(docs: org.apache.spark.sql.DataFrame, d: String): Long =
+      DailyIngest.run(lake, dd, cp, out, docs.withColumn("lang", lit("en")),
+        "doc_id", "text", "lang", day(d), ttlDays = 30,
+        ann = Some((idx, "emb")), semanticThreshold = Some(0.95))
+
+    // all texts distinct (the semantic gate must do the dropping, not
+    // the exact/near-dup gates); docs 1/2 are embedding twins
+    val day1 = Seq(
+      (1L, "aa bb cc dd", Seq(1.0, 0.0, 0.0)),
+      (2L, "ee ff gg hh", Seq(0.999, 0.03, 0.0)), // twin of 1, in-batch
+      (3L, "ii jj kk ll", Seq(0.0, 1.0, 0.0))
+    ).toDF("doc_id", "text", "emb")
+    assert(ingest(day1, "2024-04-01") === 2) // 1 and 3; 2 SemDeDup'd out
+    // day 2: 4 is an embedding twin of the STORED doc 3 (cross-day
+    // semantic dup with fresh text); 5 is genuinely novel
+    val day2 = Seq(
+      (4L, "mm nn oo pp", Seq(0.02, 0.999, 0.0)),
+      (5L, "qq rr ss tt", Seq(0.0, 0.0, 1.0))
+    ).toDF("doc_id", "text", "emb")
+    assert(ingest(day2, "2024-04-02") === 1) // only 5
+
+    def landed() = lake.read(out).select($"doc_id", $"pack_id")
+      .as[(Long, Long)].collect().toMap
+    assert(landed() === Map(1L -> 0L, 3L -> 0L, 5L -> 1L))
+
+    // full day-2 replay AFTER the day's index append: the < day gate
+    // window reproduces the first attempt's novel set, the overwrites
+    // replace their own partitions, nothing duplicates
+    assert(ingest(day2, "2024-04-02") === 1)
+    assert(landed() === Map(1L -> 0L, 3L -> 0L, 5L -> 1L))
+    // the index holds exactly the admitted survivors, once each
+    val annRows = spark.table("state_sem_crawl_ann.ivf_lists")
+      .select($"id").as[Long].collect()
+    assert(annRows.sorted.toSeq === Seq(1L, 3L, 5L))
+    idx.unpinBucketedScan()
+  }
+
   test("ANN maintenance: day-N tick compacts and recall-triggered retrain recovers") {
     import graft.lake.{CorpusDedup, CorpusPack}
     import graft.tools.DailyIngest

@@ -359,6 +359,63 @@ class LakeSpec extends SparkSpec {
     spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
   }
 
+  test("semantic dedup vs the persisted index: gate, in-batch, TTL, replay window") {
+    import graft.lake.{AnnIndex, CorpusDedup}
+    val lake = new Lake(spark, tmpDir("sem_lake"))
+    val dd = new CorpusDedup(spark, lake, "sem_test", numBuckets = 4)
+    val idx = new AnnIndex(spark, lake, "sem_test_ann", numBuckets = 4)
+    def day(d: String) = java.sql.Date.valueOf(d)
+    val d1 = day("2024-06-01"); val d2 = day("2024-06-02")
+    // two clean day-1 clusters around e1 and e2 (k = 2 trains onto them)
+    val hist = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)), (2L, Seq(0.98, 0.05, 0.0)),
+      (3L, Seq(0.0, 1.0, 0.0)), (4L, Seq(0.05, 0.98, 0.0))
+    ).toDF("doc_id", "vec")
+    idx.buildDated(hist, "doc_id", "vec", k = 2, d1)
+
+    // day 2: 100 = twin of doc 1 (cross-run drop); 101/102 = mutual
+    // twins along the NOVEL e3 axis (in-batch: min id survives);
+    // 103 = unrelated to everything (kept)
+    val batch = Seq(
+      (100L, Seq(0.999, 0.02, 0.0)),
+      (101L, Seq(0.0, 0.02, 1.0)), (102L, Seq(0.02, 0.0, 0.999)),
+      (103L, Seq(0.6, 0.6, 0.52))
+    ).toDF("doc_id", "vec")
+    val novel = dd.novelSemantic(idx, batch, "doc_id", "vec",
+      threshold = 0.95, nprobe = 2, minDate = Some(d1))
+    assert(novel.select($"doc_id").as[Long].collect().toSet ===
+      Set(101L, 103L), novel.columns.mkString(","))
+
+    // commit = the index append the retrieval leg already does
+    idx.appendDated(novel.select($"doc_id", $"vec"), "doc_id", "vec", d2)
+
+    // REPLAY WINDOW (the DailyIngest hazard): after the day's append,
+    // a same-day replay gated on the FULL index self-collides to an
+    // empty novel set — gating on seen_date < day sees exactly the
+    // pre-append state and reproduces the first attempt's answer
+    val replayFull = dd.novelSemantic(idx, batch, "doc_id", "vec",
+      threshold = 0.95, nprobe = 2)
+    assert(replayFull.count() === 0)
+    val replayWin = dd.novelSemantic(idx, batch, "doc_id", "vec",
+      threshold = 0.95, nprobe = 2, beforeDate = Some(d2))
+    assert(replayWin.select($"doc_id").as[Long].collect().toSet ===
+      Set(101L, 103L))
+    // both date bounds prune the lists scan as PartitionFilters
+    val plan = dd.novelSemantic(idx, batch, "doc_id", "vec",
+        threshold = 0.95, nprobe = 2, minDate = Some(d1),
+        beforeDate = Some(d2))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(seen_date"), plan)
+
+    // TTL: a window starting after day 1 ages the twin's target out of
+    // the seen-set (day-2 entries remain, none similar to 100) — the
+    // twin is re-admitted, the crawl-recency policy at cosine level
+    val ttl = dd.novelSemantic(idx, batch.filter($"doc_id" === 100L),
+      "doc_id", "vec", threshold = 0.95, nprobe = 2, minDate = Some(d2))
+    assert(ttl.select($"doc_id").as[Long].collect().toSet === Set(100L))
+    idx.unpinBucketedScan()
+  }
+
   test("bucketed compaction folds append files, preserves bucket layout") {
     val lake = new Lake(spark, tmpDir("lake"))
     val ref = TableRef("state", "bkc", "t")
