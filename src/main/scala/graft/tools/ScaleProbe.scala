@@ -89,12 +89,35 @@ object ScaleProbe {
       // SEARCH is the serving path whose state side must not shuffle
       val e = Tables.load(spark, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0).select(col("embedding"))
-      val (sec, bytes) = graft.lake.AnnIndex.withScratchIndex(
+      // cross-run semantic-dedup gate: a FIXED 100-doc batch (half
+      // stored twins, half negations) gated against the decade-growing
+      // index. The ingest claim under measurement: only the BATCH ever
+      // shuffles — the lists side bucket-prunes without an Exchange —
+      // so gate bytes must stay ~flat as the corpus grows (exponent
+      // ≈ 0, where ≈ 1 would mean the seen-set rides the shuffle).
+      val batch = e.filter(col("vec_id") < 100)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          when(col("vec_id") % 2 === 0, col("embedding"))
+            .otherwise(transform(col("embedding"), x => -x))
+            .as("embedding"))
+      val (searched, gated) = graft.lake.AnnIndex.withScratchIndex(
           spark, e, "vec_id", "embedding", k = 16, numBuckets = 8) { idx =>
-        measure { idx.topK(q, "embedding", 10, nprobe = 2).collect() }
+        val s = measure { idx.topK(q, "embedding", 10, nprobe = 2).collect() }
+        val dd = new graft.lake.CorpusDedup(spark,
+          new graft.lake.Lake(spark,
+            java.nio.file.Files.createTempDirectory("probe_sem").toString),
+          "probe_sem")
+        val g = measure {
+          dd.novelSemantic(idx, batch, "vec_id", "embedding",
+            threshold = 0.9).count()
+        }
+        (s, g)
       }
+      val (sec, bytes) = searched
       println(f"[probe] $dir ann_search: $sec%.2f s, shuffle ${bytes / 1048576.0}%.2f MiB")
-      Obs(docRows, perQuery + ("ann_search" -> bytes))
+      println(f"[probe] $dir semantic_gate: ${gated._1}%.2f s, shuffle ${gated._2 / 1048576.0}%.2f MiB")
+      Obs(docRows, perQuery +
+        ("ann_search" -> bytes) + ("semantic_gate" -> gated._2))
     }
 
     println(s"[probe] lo=$lo")
@@ -107,7 +130,7 @@ object ScaleProbe {
     if (rowRatio <= 1.0)
       println("[probe] WARNING: row counts do not grow between the two dirs — " +
         "exponents are undefined (pick SF dirs a real factor apart)")
-    (probes :+ "ann_search").foreach { name =>
+    (probes ++ Seq("ann_search", "semantic_gate")).foreach { name =>
       val (bLo, bHi) = (oLo.bytes(name), oHi.bytes(name))
       val exp =
         if (bLo <= 0 || bHi <= 0 || rowRatio <= 1.0) Double.NaN
