@@ -82,6 +82,16 @@ object SubstrMask {
       if (i >= coverEnd) kept.add(words(i))
       i += 1
     }
+    // starts beyond the last token never enter the sweep — finish the
+    // ascending check over them, or an unsorted tail (which WOULD have
+    // unmasked tokens had it sorted earlier) passes silently
+    while (sIdx < nStarts) {
+      val st = starts.getInt(sIdx)
+      if (st < prevStart) throw new IllegalArgumentException(
+        s"substr_mask requires ascending starts ($st after $prevStart)")
+      prevStart = st
+      sIdx += 1
+    }
     val clean =
       if (kept.size == words.length) text // nothing masked: zero-copy
       else UTF8String.concatWs(Space, kept.toArray(new Array[UTF8String](kept.size)): _*)

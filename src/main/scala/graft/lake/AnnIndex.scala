@@ -42,6 +42,10 @@ class AnnIndex(spark: SparkSession, lake: Lake, dataset: String,
   private def qualified(ref: TableRef) =
     s"${ref.zone}_${ref.dataset}.${ref.table}"
 
+  /** The previous [[topKJoin]] probe frame, released on the next call
+    * (see the persist note there). */
+  @volatile private var prevProbes: Option[DataFrame] = None
+
   def exists: Boolean = spark.catalog.tableExists(qualified(listsRef))
 
   /** Train the quantizer on `corpus` and (re)write both tables. */
@@ -192,6 +196,18 @@ class AnnIndex(spark: SparkSession, lake: Lake, dataset: String,
       .getOrElse(lower)
   }
 
+  /** Whether the dated lists hold ANY entry in [minDate, before) — a
+    * partition-pruned limit-1 probe. [[graft.tools.DailyIngest]]'s
+    * branch predicate between the semantic GATE and the bootstrap
+    * path: it must depend only on PRE-`before` state, because the
+    * day's own index write lands inside a crash-replay window and
+    * `exists` would flip across it (a replay that switches dedup
+    * policy mid-day computes a different novel set than the attempt
+    * it is replaying). */
+  def hasEntriesBefore(before: java.sql.Date,
+                       minDate: java.sql.Date): Boolean =
+    exists && isDated && !windowed(Some(minDate), Some(before)).isEmpty
+
   /** The persisted coarse quantizer as dense centroid arrays (k×dim
     * doubles — the bounded collect every IVF consumer does). Exposed so
     * incremental pipelines can block WITH THE INDEX'S OWN CELLS
@@ -237,24 +253,47 @@ class AnnIndex(spark: SparkSession, lake: Lake, dataset: String,
     val cents = loadCentroidArrays(spark.table(qualified(centroidsRef)))
     val vd = graft.expressions.VecDot.vec_dot(_: Column, _: Column)
     val qn2 = vd(col(vecCol), col(vecCol))
-    // ascending sort of (-round(cos,4), cluster) == csim desc, cluster asc
-    val scored = cents.zipWithIndex.map { case (cvec, c) =>
-      val cn2 = cvec.map(x => x * x).sum
-      struct(
-        (-round(vd(col(vecCol), lit(cvec)) / sqrt(lit(cn2) * qn2), 4))
-          .as("neg"),
-        lit(c).as("cluster"))
-    }
+    // ascending sort of (-round(cos,4), cluster) == csim desc, cluster
+    // asc — [[VectorOps.scoredArr]]'s two plan shapes transposed to
+    // COSINE ranking (the probe order must match [[topK]] exactly):
+    // small k unrolls codegen structs; past LiteralCentroidMaxK the
+    // centroids travel as ONE array literal scored by `transform`, so
+    // plan size stops riding k — this join serves quantizers retrained
+    // with k ∝ n/500 ([[graft.tools.DailyIngest.maintain]]), where an
+    // unrolled plan would blow past codegen limits with the corpus.
+    val scoredArr: Column =
+      if (cents.size <= VectorOps.LiteralCentroidMaxK)
+        array(cents.zipWithIndex.map { case (cvec, c) =>
+          val cn2 = cvec.map(x => x * x).sum
+          struct(
+            (-round(vd(col(vecCol), lit(cvec)) / sqrt(lit(cn2) * qn2), 4))
+              .as("neg"),
+            lit(c).as("cluster"))
+        }: _*)
+      else {
+        val cArr = typedLit(cents.map(_.toSeq))
+        val n2Arr = typedLit(cents.map(c => c.map(x => x * x).sum))
+        transform(cArr, (cv, i) => struct(
+          (-round(vd(col(vecCol), cv) /
+            sqrt(element_at(n2Arr, i + lit(1)) * qn2), 4)).as("neg"),
+          i.as("cluster")))
+      }
     // persisted: the frame is consumed TWICE — the distinct-cluster
     // collect below and the list join — and recomputing it would
     // re-evaluate the query frame (expensive when it is a subquery,
-    // and k dot products per row regardless)
+    // and k dot products per row regardless). The cache entry is
+    // BOUNDED per index instance: each call releases the previous
+    // call's probe frame (a still-pending earlier result frame just
+    // recomputes — slower, never wrong), so a daily caller does not
+    // accumulate CacheManager entries for the life of the session.
     val probes = queries.select(
       col(qidCol).as("qid"), col(vecCol).as("__qv"),
       VectorOps.norm(col(vecCol)).as("__qn"),
-      explode(slice(sort_array(array(scored: _*)), 1, nprobe)
+      explode(slice(sort_array(scoredArr), 1, nprobe)
         .getField("cluster")).as("cluster"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    prevProbes.foreach(_.unpersist(blocking = false))
+    prevProbes = Some(probes)
     val probedClusters = probes.select(col("cluster")).distinct()
       .collect().map(_.getInt(0)).toSeq
     val lists = windowed(minDate, beforeDate)

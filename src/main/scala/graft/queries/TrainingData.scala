@@ -1200,10 +1200,10 @@ object TrainingData {
       // collide across docs) in BOTH engines and hash-match anyway —
       // raise_error is the only observer. One codegen'd comparison per
       // shingle, the error branch never taken on conforming data.
-      // native Shingles, not the TextOps HOF: transform() is
-      // CodegenFallback and its interpreted element_at re-evaluates the
-      // text SPLIT per element — O(tokens²) per doc, seconds per row on
-      // book-length documents. The codegen'd expression splits once.
+      // native Shingles (TextOps.shingles delegates to the same
+      // expression — the direct call just skips the wrapper): one
+      // split per doc inside codegen, where the old transform() HOF
+      // was O(tokens²) interpreted per doc.
       val kg = docs
         .select(col("doc_id"),
           posexplode(graft.expressions.Shingles.shingles(col("text"), K))

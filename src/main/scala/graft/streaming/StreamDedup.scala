@@ -148,9 +148,13 @@ object StreamDedup {
     require(iv.months == 0, s"horizon '$horizon' must not use months")
     val horizonMs = iv.days * 86400000L + iv.microseconds / 1000L
     def cos(a: Array[Float], na: Double, b: Array[Float], nb: Double): Double = {
+      // a truncated/corrupt embedding must fail loudly, not score its
+      // prefix against full-length norms (which can both spuriously
+      // drop a novel doc and admit a true duplicate)
+      require(a.length == b.length,
+        s"embedding dimension mismatch: ${a.length} vs ${b.length}")
       var d = 0.0; var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { d += a(i).toDouble * b(i).toDouble; i += 1 }
+      while (i < a.length) { d += a(i).toDouble * b(i).toDouble; i += 1 }
       BigDecimal(d / (na * nb))
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     }

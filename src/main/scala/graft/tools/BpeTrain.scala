@@ -18,8 +18,11 @@ import graft.functions.Bpe
 object BpeTrain {
 
   /** 64-bit SplitMix hash — the deterministic randomness source for the
-    * synthetic vocabulary (no java.util.Random: cross-JVM stable). */
-  private def mix(x: Long): Long = {
+    * synthetic vocabulary (no java.util.Random: cross-JVM stable).
+    * Shared with MicroBench's corpus synthesis and BpeSpec's property
+    * tables — one implementation, so the generated fixtures can never
+    * drift apart. */
+  private[graft] def mix(x: Long): Long = {
     var z = x + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL

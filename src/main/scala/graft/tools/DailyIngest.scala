@@ -76,12 +76,16 @@ object DailyIngest {
     * would self-collide on the replay, hand [[CorpusPack.assign]] an
     * empty frame, and leave the cursors pointing before the landed
     * rows — the exact hazard the step-order invariant above exists to
-    * prevent). Day one has no index: the batch deduplicates in-batch
-    * with [[graft.functions.DedupOps.semanticDedupBlocked]] (trained on
-    * the batch, deterministic, so replays agree) and the index is built
-    * from those survivors — afterwards the index holds only admitted
-    * vectors, which is what keeps the gate's "≥ θ to anything stored"
-    * reading correct. */
+    * prevent). When the pre-day window holds NO vectors
+    * ([[AnnIndex.hasEntriesBefore]] — day one, or a fully aged-out
+    * index; the predicate deliberately ignores the day's own
+    * partition so crash replays branch identically), the batch
+    * deduplicates in-batch with
+    * [[graft.functions.DedupOps.semanticDedupBlocked]] (trained on
+    * the batch, deterministic, so replays agree) and the index is
+    * built from those survivors — afterwards the index holds only
+    * admitted vectors, which is what keeps the gate's "≥ θ to
+    * anything stored" reading correct. */
   def run(lake: Lake, dd: CorpusDedup, cp: CorpusPack, out: TableRef,
           docs: DataFrame, idCol: String, textCol: String, langCol: String,
           day: Date, ttlDays: Int,
@@ -93,7 +97,15 @@ object DailyIngest {
     val exactNovel = dd.novelExactSince(docs, idCol, textCol, minDate)
     val textNovel = dd.novelNearDupSince(exactNovel, idCol, textCol, minDate)
     val semNovel = (ann, semanticThreshold) match {
-      case (Some((idx, embedCol)), Some(th)) if idx.exists =>
+      // branch on "the PRE-day window holds vectors", NOT on
+      // idx.exists: the bootstrap day WRITES the index before the
+      // state commits, so a crash in between would flip exists on the
+      // replay and switch it to the gate's pairwise drop policy — a
+      // different novel set than the attempt being replayed (the same
+      // hazard beforeDate guards, one level up). An index whose
+      // window has fully aged out re-bootstraps the same way.
+      case (Some((idx, embedCol)), Some(th))
+          if idx.hasEntriesBefore(day, minDate) =>
         dd.novelSemantic(idx, textNovel, idCol, embedCol, th,
           minDate = Some(minDate), beforeDate = Some(day))
       case (Some((_, embedCol)), Some(th)) =>

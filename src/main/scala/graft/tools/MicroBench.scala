@@ -177,12 +177,7 @@ object MicroBench {
     {
       import graft.functions.{Bpe, BpeVocab}
       import spark.implicits._
-      def mix(x: Long): Long = {
-        var z = x + 0x9e3779b97f4a7c15L
-        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-        z ^ (z >>> 31)
-      }
+      def mix(x: Long): Long = BpeTrain.mix(x)
       val tTrain = System.nanoTime()
       val wc = BpeTrain.zipfWordCounts(1 << 16)
       val vocab32k = Bpe.trainFromWordCounts(wc, 32768)

@@ -103,14 +103,16 @@ object ScaleProbe {
       val (searched, gated) = graft.lake.AnnIndex.withScratchIndex(
           spark, e, "vec_id", "embedding", k = 16, numBuckets = 8) { idx =>
         val s = measure { idx.topK(q, "embedding", 10, nprobe = 2).collect() }
+        val semTmp =
+          java.nio.file.Files.createTempDirectory("probe_sem").toString
         val dd = new graft.lake.CorpusDedup(spark,
-          new graft.lake.Lake(spark,
-            java.nio.file.Files.createTempDirectory("probe_sem").toString),
-          "probe_sem")
-        val g = measure {
-          dd.novelSemantic(idx, batch, "vec_id", "embedding",
-            threshold = 0.9).count()
-        }
+          new graft.lake.Lake(spark, semTmp), "probe_sem")
+        val g =
+          try measure {
+            dd.novelSemantic(idx, batch, "vec_id", "embedding",
+              threshold = 0.9).count()
+          } finally org.apache.commons.io.FileUtils
+            .deleteDirectory(new java.io.File(semTmp))
         (s, g)
       }
       val (sec, bytes) = searched
@@ -163,15 +165,18 @@ object ScaleProbe {
         out
       }
       val (skLo, skHi) = (skewDir(lo), skewDir(hi))
-      val (_, bLo) =
-        measure(noop(graft.SparkEntry.queries("q113_substring_dedup")(spark, skLo)))
-      val (_, bHi) =
-        measure(noop(graft.SparkEntry.queries("q113_substring_dedup")(spark, skHi)))
-      val exp =
-        if (bLo <= 0 || bHi <= 0 || rowRatio <= 1.0) Double.NaN
-        else math.log(bHi.toDouble / bLo) / math.log(rowRatio)
-      println(f"[probe] q113_boilerplate_skew: ${bLo / 1048576.0}%.2f -> " +
-        f"${bHi / 1048576.0}%.2f MiB, exponent $exp%.2f")
+      try {
+        val (_, bLo) =
+          measure(noop(graft.SparkEntry.queries("q113_substring_dedup")(spark, skLo)))
+        val (_, bHi) =
+          measure(noop(graft.SparkEntry.queries("q113_substring_dedup")(spark, skHi)))
+        val exp =
+          if (bLo <= 0 || bHi <= 0 || rowRatio <= 1.0) Double.NaN
+          else math.log(bHi.toDouble / bLo) / math.log(rowRatio)
+        println(f"[probe] q113_boilerplate_skew: ${bLo / 1048576.0}%.2f -> " +
+          f"${bHi / 1048576.0}%.2f MiB, exponent $exp%.2f")
+      } finally Seq(skLo, skHi).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
     }
     spark.stop()
   }

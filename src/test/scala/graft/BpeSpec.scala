@@ -61,12 +61,7 @@ class BpeSpec extends SparkSpec {
     // dense tie-break / overlap / exhaustion coverage: tiny alphabet,
     // short words, many equal counts — every selection edge the
     // incremental bookkeeping could get wrong shows up here
-    def mix(x: Long): Long = {
-      var z = x + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
+    def mix(x: Long): Long = graft.tools.BpeTrain.mix(x)
     for (seed <- 1L to 8L) {
       val counts = (0 until 40).map { i =>
         val x = mix(seed * 1000 + i)

@@ -679,6 +679,62 @@ class EndToEndSpec extends SparkSpec {
     idx.unpinBucketedScan()
   }
 
+  test("semantic bootstrap crash: replay keeps the bootstrap policy, converges") {
+    import graft.lake.{CorpusDedup, CorpusPack}
+    import graft.tools.DailyIngest
+    // crash window: day ONE lands and BUILDS the index, then dies
+    // before any state commit. The retry must branch on the PRE-day
+    // window (empty → bootstrap again), not on idx.exists — the gate's
+    // pairwise drop policy differs from the bootstrap's transitive
+    // keep-1 on chain-shaped batches, so switching policies mid-replay
+    // would hand CorpusPack a different novel frame than attempt one.
+    // Chain witness: cos(1,3) ≥ θ, cos(2,3) ≥ θ, cos(1,2) < θ —
+    // bootstrap keeps {1} (one component); the gate path would keep
+    // {1, 2} (only id_b of each pair drops).
+    val lake = new Lake(spark, tmpDir("boot_lake"))
+    val dd = new CorpusDedup(spark, lake, "boot_crawl", numBuckets = 4)
+    val cp = new CorpusPack(spark,
+      new StateStore(spark, tmpDir("boot_state")),
+      "boot_crawl", budgetTokens = 16L)
+    val idx = new graft.lake.AnnIndex(spark, lake, "boot_ann", numBuckets = 4)
+    val out = TableRef("prod", "boot_crawl", "packed")
+    val d1 = java.sql.Date.valueOf("2024-05-01")
+    val day1 = Seq(
+      (1L, "aa bb cc dd", Seq(0.95, 0.31, 0.0)),
+      (2L, "ee ff gg hh", Seq(0.95, -0.31, 0.0)),
+      (3L, "ii jj kk ll", Seq(1.0, 0.0, 0.0))
+    ).toDF("doc_id", "text", "emb").withColumn("lang", lit("en"))
+
+    // attempt one, replicated up to the crash point (run()'s own steps:
+    // bootstrap dedup → pack assign → land → index build; NO commits)
+    val keep = graft.functions.DedupOps.semanticDedupBlocked(
+        day1.select($"doc_id", $"emb"), "doc_id", "emb", 0.9,
+        keepPerCluster = 1)
+      .filter($"keep" === 1).select($"doc_id")
+    val novel1 = day1.join(keep, Seq("doc_id"), "left_semi")
+      .withColumn("n_tok", graft.functions.Bpe.bpeTokenCount(col("text")))
+    assert(novel1.select($"doc_id").as[Long].collect().toSeq === Seq(1L))
+    val packed1 = cp.assign(novel1, "lang", "doc_id", "n_tok", "2024-05-01")
+      .withColumn("ingest_day", lit(d1))
+    lake.overwritePartitions(packed1.select(col("doc_id"), col("lang"),
+      col("n_tok"), col("pack_id"), col("ingest_day")), out,
+      partitionBy = Seq("ingest_day"))
+    idx.buildDated(novel1.select($"doc_id", $"emb"), "doc_id", "emb",
+      k = 4, d1)
+    // ...crash here: index EXISTS but nothing is committed. Full rerun:
+    val landed = DailyIngest.run(lake, dd, cp, out, day1,
+      "doc_id", "text", "lang", d1, ttlDays = 30,
+      ann = Some((idx, "emb")), semanticThreshold = Some(0.9))
+    assert(landed === 1)
+    val rows = lake.read(out).select($"doc_id", $"pack_id")
+      .as[(Long, Long)].collect().toMap
+    assert(rows === Map(1L -> 0L), rows.toString)
+    val annIds = spark.table("state_boot_ann.ivf_lists")
+      .select($"id").as[Long].collect().toSeq
+    assert(annIds === Seq(1L), annIds.toString)
+    idx.unpinBucketedScan()
+  }
+
   test("ANN maintenance: day-N tick compacts and recall-triggered retrain recovers") {
     import graft.lake.{CorpusDedup, CorpusPack}
     import graft.tools.DailyIngest

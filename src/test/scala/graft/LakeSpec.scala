@@ -359,6 +359,43 @@ class LakeSpec extends SparkSpec {
     spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
   }
 
+  test("topKJoin at k > LiteralCentroidMaxK: array-path plan, matches topK") {
+    import graft.lake.AnnIndex
+    // a retrained quantizer sizes k as n/500, so the probe scoring must
+    // not unroll one codegen struct per centroid past the same ceiling
+    // assignClusters honors — above it the centroids ride ONE array
+    // literal and the plan stops growing with k. Parity: the array path
+    // must probe the same lists and return the same neighbors as the
+    // per-query topK (which shares the ranking convention).
+    assert(graft.functions.VectorOps.LiteralCentroidMaxK === 128)
+    val n = 600
+    val emb = (0L until n.toLong).map { i =>
+      val m = graft.tools.BpeTrain.mix(i)
+      Tuple2(i, Seq((m & 0xff).toDouble, ((m >> 8) & 0xff).toDouble,
+        ((m >> 16) & 0xff).toDouble, 1.0))
+    }.toDF("vec_id", "vec")
+    AnnIndex.withScratchIndex(spark, emb, "vec_id", "vec", k = 140,
+        numBuckets = 4, iters = 1) { idx =>
+      val queries = emb.filter($"vec_id".isin(3L, 77L, 501L))
+        .select($"vec_id".as("qid"), $"vec")
+      val joined = idx.topKJoin(queries, "qid", "vec", k = 5, nprobe = 3)
+      // the scoring expression is O(1) nodes in k: one vec_dot under a
+      // transform lambda, not 140 unrolled ones
+      val plan = joined.queryExecution.analyzed.toString
+      assert("vec_dot".r.findAllIn(plan).size <= 6, // qn2 + lambda + norms
+        s"probe scoring unrolled with k: ${"vec_dot".r.findAllIn(plan).size}")
+      val got = joined.select($"qid", $"rk", $"id").as[(Long, Int, Long)]
+        .collect().groupBy(_._1).view
+        .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+      for (q <- Seq(3L, 77L, 501L)) {
+        val single = idx.topK(
+            emb.filter($"vec_id" === q).select($"vec"), "vec", 5, nprobe = 3)
+          .select($"id").as[Long].collect().toSeq
+        assert(got(q) === single, s"query $q diverged from topK")
+      }
+    }
+  }
+
   test("semantic dedup vs the persisted index: gate, in-batch, TTL, replay window") {
     import graft.lake.{AnnIndex, CorpusDedup}
     val lake = new Lake(spark, tmpDir("sem_lake"))
