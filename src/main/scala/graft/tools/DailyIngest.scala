@@ -177,17 +177,24 @@ object DailyIngest {
     * (the build-time n/`perCellDivisor` rule) — drift-triggered, not
     * calendar-triggered, so a stable corpus never pays the
     * full-rewrite cost and a drifting one pays it exactly when served
-    * recall says it must. */
+    * recall says it must.
+    *
+    * Indexes under `minRetrainRows` never retrain: a measured "dip" on
+    * a handful of vectors is sampling noise, and refitting k centroids
+    * to fewer points than cells can make recall WORSE (observed
+    * 0.89 → 0.56 retraining a 3-vector index) — a tiny index is served
+    * nearly exhaustively by nprobe anyway. */
   def maintain(idx: AnnIndex, day: Date, compactEveryDays: Int = 7,
                minRecall: Double = 0.9, nQueries: Int = 16, k: Int = 10,
-               nprobe: Int = 2, perCellDivisor: Int = 500): Maintenance = {
+               nprobe: Int = 2, perCellDivisor: Int = 500,
+               minRetrainRows: Long = 64L): Maintenance = {
     if (!idx.exists) return Maintenance(compacted = false, 1.0,
       retrained = false, 1.0)
     val compacted = day.toLocalDate.toEpochDay % compactEveryDays == 0
     if (compacted) idx.compact()
     val before = idx.measuredRecall(nQueries, k, nprobe)
-    if (before < minRecall) {
-      val n = idx.storedCount
+    val n = idx.storedCount
+    if (before < minRecall && n >= minRetrainRows) {
       // the training sample exists to bound Lloyd cost at corpus scale;
       // under ~10k vectors the full corpus IS the bounded sample (a 10%
       // draw of a small index can miss the drifted region entirely and
@@ -201,11 +208,17 @@ object DailyIngest {
   }
 
   /** CLI: DailyIngest <lakeRoot> <stateRoot> <inputParquet> <yyyy-mm-dd>
-    * [ttlDays=30] [budgetTokens=2048]. Input schema: doc_id, text, lang. */
+    * [ttlDays=30] [budgetTokens=2048] [embedCol] [semanticThreshold].
+    * Input schema: doc_id, text, lang (+ the embedding column when the
+    * ANN leg is enabled). Passing `embedCol` turns on the retrieval
+    * index and its maintenance tick; adding `semanticThreshold` also
+    * gates the batch semantically against it. */
   def main(args: Array[String]): Unit = {
     val Array(lakeRoot, stateRoot, input, dayStr, rest @ _*) = args
     val ttlDays = rest.headOption.map(_.toInt).getOrElse(30)
     val budget = rest.lift(1).map(_.toLong).getOrElse(2048L)
+    val embedCol = rest.lift(2)
+    val semTh = rest.lift(3).map(_.toDouble)
     // The dedup seen-sets and ANN lists are CATALOG tables (bucket specs
     // live in the metastore); with Spark's default in-memory catalog a
     // new JVM forgets them and every day-2 run re-admits the whole
@@ -227,10 +240,17 @@ object DailyIngest {
     val dd = new CorpusDedup(spark, lake, "crawl")
     val cp = new CorpusPack(spark, state, "crawl", budgetTokens = budget)
     val day = Date.valueOf(dayStr)
+    val ann = embedCol.map(c =>
+      (new AnnIndex(spark, lake, "crawl_ann"), c))
     val done = new RunLock(spark, stateRoot).withLock("crawl_daily_ingest") {
       val n = run(lake, dd, cp, TableRef("prod", "crawl", "packed"),
-        spark.read.parquet(input), "doc_id", "text", "lang", day, ttlDays)
-      expire(dd, day, ttlDays)
+        spark.read.parquet(input), "doc_id", "text", "lang", day, ttlDays,
+        ann = ann, semanticThreshold = semTh)
+      expire(dd, day, ttlDays, ann = ann.map(_._1))
+      ann.foreach { case (idx, _) =>
+        val m = maintain(idx, day)
+        println(s"[daily-ingest] ann maintenance: $m")
+      }
       println(s"[daily-ingest] day=$day landed=$n")
     }
     if (done.isEmpty)
