@@ -434,10 +434,11 @@ object DedupOps {
                            threshold: Double, perCellDivisor: Int = 500,
                            nAssign: Int = 2, iters: Int = 3,
                            keepPerCluster: Int = 2,
-                           reliableCheckpointDir: Option[String] = None)
+                           reliableCheckpointDir: Option[String] = None,
+                           trainSamplePct: Int = 100)
       : DataFrame = {
     val pairs = semanticPairsBlocked(emb, idCol, vecCol, threshold,
-      perCellDivisor, nAssign, iters)
+      perCellDivisor, nAssign, iters, trainSamplePct)
     // local checkpoints die with an executor; bulk callers pass a
     // reliable dir so the component closure survives node loss
     val cc = connectedComponents(pairs,
@@ -458,13 +459,39 @@ object DedupOps {
     * cells. The corpus self-join is an EQUI-join keyed on the trained
     * `cluster` — the property that keeps pair work linear in n (spec'd
     * against the physical plan). Exposed for callers that want the
-    * duplicate-pair graph without the keeper policy. */
+    * duplicate-pair graph without the keeper policy.
+    *
+    * `trainSamplePct` < 100 trains the quantizer on a DETERMINISTIC
+    * md5 sample of the corpus instead of all of it — standard IVF
+    * practice (what [[graft.lake.AnnIndex.retrain]] already does):
+    * Lloyd's per-iteration assignment pass is the expensive part, and
+    * running it over a 10% sample cuts the pipeline's corpus scans
+    * from ~iters+1 to ~1 while the full corpus is still assigned once
+    * against the finished centroids. Cell-shape noise from sampling
+    * only moves the blocking recall margin (multi-probe absorbs it);
+    * the spec's keep-agreement bound is re-checked under the sampled
+    * default. A sample that falls under k vectors falls back to
+    * training on the full corpus (tiny inputs). */
   def semanticPairsBlocked(emb: DataFrame, idCol: String, vecCol: String,
                            threshold: Double, perCellDivisor: Int = 500,
-                           nAssign: Int = 2, iters: Int = 3): DataFrame = {
+                           nAssign: Int = 2, iters: Int = 3,
+                           trainSamplePct: Int = 100): DataFrame = {
+    require(trainSamplePct >= 1 && trainSamplePct <= 100,
+      s"trainSamplePct must be in [1, 100], got $trainSamplePct")
     val k = math.max(4, (emb.count() / perCellDivisor.toLong).toInt)
+    val train =
+      if (trainSamplePct >= 100) emb
+      else {
+        // same deterministic device as kmeansLloyd's seeding: md5 of
+        // the rendered vector — stable across runs and partitionings
+        val sampled = emb.filter(
+          pmod(graft.expressions.HexPrefixToLong.hex_prefix_to_long(
+            md5(concat_ws(",", col(vecCol))), 15), lit(100L))
+            < trainSamplePct.toLong)
+        if (sampled.count() >= k.toLong) sampled else emb
+      }
     val cents = VectorOps.centroidArrays(
-      VectorOps.kmeansLloyd(emb, vecCol, k, iters))
+      VectorOps.kmeansLloyd(train, vecCol, k, iters))
     semanticPairsWithCentroids(emb, idCol, vecCol, threshold, cents, nAssign)
   }
 

@@ -838,8 +838,12 @@ object TrainingData {
     // distributed hash seeding + single-literal centroid plan, see
     // VectorOps.kmeansLloyd/scoredArr).
     "q114_semdedup_scaled" -> ((s, dir) => {
+      // trainSamplePct = 10: the quantizer trains on a deterministic
+      // 10% sample (IVF practice), cutting the pipeline's full-corpus
+      // scans from ~iters+1 to ~1 — the keep-agreement spec re-pins
+      // ≥90% vs exhaustive truth under this default
       DedupOps.semanticDedupBlocked(t(s, dir, "embeddings"),
-          "vec_id", "embedding", threshold = 0.35)
+          "vec_id", "embedding", threshold = 0.35, trainSamplePct = 10)
         .orderBy(col("vec_id"))
     }),
     // Context-window sequence packing: per language, documents stream
