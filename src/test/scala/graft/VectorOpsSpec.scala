@@ -71,6 +71,28 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("semanticPairsBlocked sample training: tiny-sample fallback, pairs stable") {
+    import graft.functions.DedupOps
+    // a 1% draw of a small frame lands under k — the trainer must fall
+    // back to the full corpus, making the run identical to pct=100
+    val small = emb.limit(40)
+    val full = DedupOps.semanticPairsBlocked(small, "vec_id", "embedding",
+      threshold = 0.35).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fb = DedupOps.semanticPairsBlocked(small, "vec_id", "embedding",
+      threshold = 0.35, trainSamplePct = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fb === full, "sub-k sample did not fall back to full training")
+    // a real sample trains a usable quantizer: deterministic across runs
+    val s1 = DedupOps.semanticPairsBlocked(emb, "vec_id", "embedding",
+      threshold = 0.35, trainSamplePct = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val s2 = DedupOps.semanticPairsBlocked(emb, "vec_id", "embedding",
+      threshold = 0.35, trainSamplePct = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(s1 === s2, "sampled training is not deterministic")
+    assert(s1.nonEmpty, "sampled quantizer found no pairs at 0.35")
+  }
+
   test("kmeansLloyd hash-seeds deterministically when k > FarthestFirstMaxK") {
     val k = VectorOps.FarthestFirstMaxK + 44 // 300: also > LiteralCentroidMaxK,
     // so the Lloyd iteration itself trains through the array-literal plan
