@@ -846,6 +846,33 @@ object TrainingData {
           "vec_id", "embedding", threshold = 0.35, trainSamplePct = 10)
         .orderBy(col("vec_id"))
     }),
+    // Leakage-safe train/valid/test split: q72's salted-hash
+    // assignment keyed by the verified NEAR-DUP CLUSTER (q69's
+    // components), not the document id — near-duplicates land in the
+    // SAME split by construction, so a test document can never have a
+    // train-set twin. This PREVENTS the eval-contamination q85/q91
+    // scrub for after the fact (Lee et al. 2022 §6.2 measure exactly
+    // this train/test near-dup leakage). Scale shape: q69's cluster
+    // cost plus one scan-local hash per row — keying the split by
+    // cluster_id adds NO shuffle over splitting by doc_id.
+    "q116_leakage_safe_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sig = DedupOps.minhashSignature(docs, "doc_id", "text")
+      val (pairs, tokens) = DedupOps.verifyInputs(docs, "doc_id", "text",
+        DedupOps.lshCandidatePairs(sig, "doc_id"))
+      val verified = DedupOps.jaccardForPairs(pairs, tokens, "doc_id")
+        .filter(col("jaccard") >= 0.8)
+      val comps = DedupOps.connectedComponents(verified)
+        .withColumnRenamed("node", "doc_id")
+      val pct = TextOps.hashBucket(col("cluster_id"))
+      docs.select(col("doc_id"))
+        .join(comps, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"),
+          TextOps.splitLabel(pct).as("split"))
+        .orderBy(col("doc_id"))
+    }),
     // Context-window sequence packing: per language, documents stream
     // in doc_id order into fixed token-budget packs — a doc opens in
     // the pack where its PRECEDING cumulative tokens land, so every
@@ -2124,6 +2151,22 @@ object TrainingData {
         |FROM bg LEFT JOIN model2 m USING (bigram)
         |WHERE bg.bigram IS NOT NULL
         |GROUP BY bg.doc_id, bg.lang ORDER BY bg.doc_id""".stripMargin,
+    "q116_leakage_safe_split" ->
+      s"""WITH RECURSIVE $sigCte,
+         |$bandsCte,
+         |$textClusterCte,
+         |cl AS (
+         |  SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+         |b AS (
+         |  SELECT doc_id, cluster_id,
+         |    CAST(('0x' || substr(md5('split|' || CAST(cluster_id AS VARCHAR)),
+         |      1, 15)) AS BIGINT) % 100 AS pct
+         |  FROM cl)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN pct < 80 THEN 'train'
+         |       WHEN pct < 90 THEN 'valid' ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
     "q88_bigram_lm" ->
       """WITH bg AS (
         |  SELECT unnest(list_transform(range(1, greatest(len(words), 1)),

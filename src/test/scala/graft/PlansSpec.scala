@@ -507,4 +507,29 @@ class PlansSpec extends SparkSpec {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(_.contains("ascending")), e.toString)
   }
+
+  test("q116 leakage-safe split: near-dup clusters never straddle splits") {
+    import org.apache.spark.sql.functions._
+    val df = graft.queries.TrainingData
+      .defs("q116_leakage_safe_split")(spark, "/root/testdata/sf0.01")
+      .cache()
+    try {
+      // every cluster carries exactly one split label — the property
+      // a doc-id-keyed split (q72) does NOT have
+      val perCluster = df.groupBy(col("cluster_id"))
+        .agg(countDistinct(col("split")).as("n"), count(lit(1)).as("sz"))
+      assert(perCluster.filter(col("n") =!= 1).count() === 0,
+        "a near-dup cluster straddles splits")
+      // non-vacuous: the corpus HAS multi-doc near-dup clusters, and
+      // all three labels are in use
+      assert(perCluster.filter(col("sz") > 1).count() > 0,
+        "no multi-doc clusters — the property is vacuous on this corpus")
+      assert(df.select(col("split")).distinct().count() === 3)
+      // the split fractions still track the 80/10/10 hash thresholds
+      // (clusters are small, so cluster-keying cannot skew them far)
+      val n = df.count().toDouble
+      val train = df.filter(col("split") === "train").count().toDouble
+      assert(train / n > 0.65 && train / n < 0.95, s"train share ${train / n}")
+    } finally df.unpersist()
+  }
 }
