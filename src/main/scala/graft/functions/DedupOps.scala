@@ -437,6 +437,11 @@ object DedupOps {
                            reliableCheckpointDir: Option[String] = None,
                            trainSamplePct: Int = 100)
       : DataFrame = {
+    // empty in, empty out — a replaying ingest can legitimately hand
+    // this an already-dedup'd (empty) batch, which must not throw
+    if (emb.isEmpty)
+      return emb.select(col(idCol), col(idCol).as("sem_cluster"),
+        lit(1).cast("int").as("keep"))
     val pairs = semanticPairsBlocked(emb, idCol, vecCol, threshold,
       perCellDivisor, nAssign, iters, trainSamplePct)
     // local checkpoints die with an executor; bulk callers pass a
@@ -478,7 +483,12 @@ object DedupOps {
                            trainSamplePct: Int = 100): DataFrame = {
     require(trainSamplePct >= 1 && trainSamplePct <= 100,
       s"trainSamplePct must be in [1, 100], got $trainSamplePct")
-    val k = math.max(4, (emb.count() / perCellDivisor.toLong).toInt)
+    val n = emb.count()
+    // an empty corpus has no pairs — and no quantizer to train
+    // (kmeansLloyd requires a non-empty seed corpus, by design)
+    if (n == 0L)
+      return emb.select(col(idCol).as("id_a"), col(idCol).as("id_b"))
+    val k = math.max(4, (n / perCellDivisor.toLong).toInt)
     val train =
       if (trainSamplePct >= 100) emb
       else {
@@ -488,7 +498,9 @@ object DedupOps {
           pmod(graft.expressions.HexPrefixToLong.hex_prefix_to_long(
             md5(concat_ws(",", col(vecCol))), 15), lit(100L))
             < trainSamplePct.toLong)
-        if (sampled.count() >= k.toLong) sampled else emb
+        // limit(k) bounds the sufficiency check — no full sample scan
+        // (retrain's device); a sub-k sample falls back to full
+        if (sampled.limit(k).count() >= k.toLong) sampled else emb
       }
     val cents = VectorOps.centroidArrays(
       VectorOps.kmeansLloyd(train, vecCol, k, iters))

@@ -283,9 +283,14 @@ class AnnIndex(spark: SparkSession, lake: Lake, dataset: String,
     // re-evaluate the query frame (expensive when it is a subquery,
     // and k dot products per row regardless). The cache entry is
     // BOUNDED per index instance: each call releases the previous
-    // call's probe frame (a still-pending earlier result frame just
-    // recomputes — slower, never wrong), so a daily caller does not
-    // accumulate CacheManager entries for the life of the session.
+    // call's probe frame, so a daily caller does not accumulate
+    // CacheManager entries for the life of the session. A still-
+    // pending earlier result frame then RECOMPUTES its probes at
+    // execution — correct because query frames are DETERMINISTIC
+    // (the engine convention: hash-based sampling, no rand()/limit-
+    // without-order); a nondeterministic query frame could recompute
+    // probes that disagree with its already-collected cluster IN-list
+    // and silently lose neighbors, so that contract is load-bearing.
     val probes = queries.select(
       col(qidCol).as("qid"), col(vecCol).as("__qv"),
       VectorOps.norm(col(vecCol)).as("__qn"),

@@ -165,6 +165,24 @@ object TrainingData {
         coalesce(col("comp"), col("vec_id")).as("cluster"))
   }
 
+  /** Shared q69/q105/q116 verified text near-dup clusters: MinHash →
+    * LSH candidates → exact Jaccard ≥ 0.8 → connected components →
+    * (doc_id, cluster_id) with singletons as their own cluster — ONE
+    * definition (mirroring the shared `textClusterCte` oracle body) so
+    * the three consumers can never drift onto different clusterings. */
+  private def textNearDupClusters(docs: DataFrame): DataFrame = {
+    val sig = DedupOps.minhashSignature(docs, "doc_id", "text")
+    val (pairs, tokens) = DedupOps.verifyInputs(docs, "doc_id", "text",
+      DedupOps.lshCandidatePairs(sig, "doc_id"))
+    val verified = DedupOps.jaccardForPairs(pairs, tokens, "doc_id")
+      .filter(col("jaccard") >= 0.8)
+    val comps = DedupOps.connectedComponents(verified)
+      .withColumnRenamed("node", "doc_id")
+    docs.select(col("doc_id")).join(comps, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+  }
+
   /** q101/q107 language-share targets — ONE definition so the composed
     * recipe can never drift from the standalone resampler. The oracles
     * enumerate the same five langs explicitly with NO ELSE branch: an
@@ -301,18 +319,7 @@ object TrainingData {
     // Every document gets a cluster id = min doc id reachable through
     // jaccard≥0.8 pairs; singletons are their own cluster.
     "q69_dedup_clusters" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val sig = DedupOps.minhashSignature(docs, "doc_id", "text")
-      val (pairs, tokens) = DedupOps.verifyInputs(docs, "doc_id", "text",
-        DedupOps.lshCandidatePairs(sig, "doc_id"))
-      val verified = DedupOps.jaccardForPairs(pairs, tokens, "doc_id")
-        .filter(col("jaccard") >= 0.8)
-      val comps = DedupOps.connectedComponents(verified)
-        .withColumnRenamed("node", "doc_id")
-      docs.select(col("doc_id")).join(comps, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("comp"), col("doc_id")).as("cluster_id"))
-        .orderBy(col("doc_id"))
+      textNearDupClusters(t(s, dir, "documents")).orderBy(col("doc_id"))
     }),
     // Quality-aware near-dup survivor selection — q69's text near-dup
     // clusters composed with q55's quality signal: keep the HIGHEST-
@@ -325,21 +332,13 @@ object TrainingData {
     "q105_best_survivor" -> ((s, dir) => {
       val W = org.apache.spark.sql.expressions.Window
       val docs = t(s, dir, "documents")
-      val sig = DedupOps.minhashSignature(docs, "doc_id", "text")
-      val (pairs, tokens) = DedupOps.verifyInputs(docs, "doc_id", "text",
-        DedupOps.lshCandidatePairs(sig, "doc_id"))
-      val verified = DedupOps.jaccardForPairs(pairs, tokens, "doc_id")
-        .filter(col("jaccard") >= 0.8)
-      val comps = DedupOps.connectedComponents(verified)
-        .withColumnRenamed("node", "doc_id")
-      docs.select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
-        .join(comps, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("comp"), col("doc_id")).as("cluster_id"),
-          col("quality"))
+      textNearDupClusters(docs)
+        .join(docs.select(col("doc_id"),
+          TextOps.qualityScore(col("text")).as("quality")), Seq("doc_id"))
         .withColumn("keep", (row_number().over(
           W.partitionBy(col("cluster_id"))
             .orderBy(col("quality").desc, col("doc_id"))) === 1).cast("int"))
+        .select(col("doc_id"), col("cluster_id"), col("quality"), col("keep"))
         .orderBy(col("doc_id"))
     }),
     // Per-source document cap — the C4/RefinedWeb anti-domination
@@ -856,19 +855,8 @@ object TrainingData {
     // cost plus one scan-local hash per row — keying the split by
     // cluster_id adds NO shuffle over splitting by doc_id.
     "q116_leakage_safe_split" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val sig = DedupOps.minhashSignature(docs, "doc_id", "text")
-      val (pairs, tokens) = DedupOps.verifyInputs(docs, "doc_id", "text",
-        DedupOps.lshCandidatePairs(sig, "doc_id"))
-      val verified = DedupOps.jaccardForPairs(pairs, tokens, "doc_id")
-        .filter(col("jaccard") >= 0.8)
-      val comps = DedupOps.connectedComponents(verified)
-        .withColumnRenamed("node", "doc_id")
       val pct = TextOps.hashBucket(col("cluster_id"))
-      docs.select(col("doc_id"))
-        .join(comps, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+      textNearDupClusters(t(s, dir, "documents"))
         .select(col("doc_id"), col("cluster_id"),
           TextOps.splitLabel(pct).as("split"))
         .orderBy(col("doc_id"))

@@ -193,7 +193,9 @@ object DailyIngest {
     val compacted = day.toLocalDate.toEpochDay % compactEveryDays == 0
     if (compacted) idx.compact()
     val before = idx.measuredRecall(nQueries, k, nprobe)
-    val n = idx.storedCount
+    // storedCount (a lists-table scan) only when recall actually dips —
+    // the healthy steady-state tick must not pay a daily full count
+    lazy val n = idx.storedCount
     if (before < minRecall && n >= minRetrainRows) {
       // the training sample exists to bound Lloyd cost at corpus scale;
       // under ~10k vectors the full corpus IS the bounded sample (a 10%

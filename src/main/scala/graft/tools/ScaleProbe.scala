@@ -65,9 +65,11 @@ object ScaleProbe {
       // the algorithm — report both so a dup-density shift in the scaled
       // corpus is not misread as blocking superlinearity
       if (probes.contains("q114_semdedup_scaled")) {
+        // trainSamplePct mirrors q114's own setting — the decomposition
+        // must count the SAME pair graph the measured query built
         val nPairs = graft.functions.DedupOps.semanticPairsBlocked(
           Tables.load(spark, dir, "embeddings"), "vec_id", "embedding",
-          0.35).count()
+          0.35, trainSamplePct = 10).count()
         println(s"[probe] $dir q114 pair graph: $nPairs thresholded pairs")
       }
       val perQuery = probes.map { name =>

@@ -672,6 +672,12 @@ class EndToEndSpec extends SparkSpec {
     // replace their own partitions, nothing duplicates
     assert(ingest(day2, "2024-04-02") === 1)
     assert(landed() === Map(1L -> 0L, 3L -> 0L, 5L -> 1L))
+    // full DAY-ONE replay: the exact gate swallows the whole batch, the
+    // pre-day window is still empty, and the bootstrap branch receives
+    // an EMPTY frame — which must no-op, not throw (the kmeansLloyd
+    // empty-corpus require must never be reachable from a replay)
+    assert(ingest(day1, "2024-04-01") === 2)
+    assert(landed() === Map(1L -> 0L, 3L -> 0L, 5L -> 1L))
     // the index holds exactly the admitted survivors, once each
     val annRows = spark.table("state_sem_crawl_ann.ivf_lists")
       .select($"id").as[Long].collect()
