@@ -50,19 +50,15 @@ object DedupOps {
     * A document shorter than one shingle yields an EMPTY array (the
     * batch path has no signature row for it either). */
   def bandKeysPerRow(text: Column, numHashes: Int = 8, rowsPerBand: Int = 2,
-                     shingleSize: Int = 3): Column = {
-    val sh = graft.expressions.Shingles.shingles(text, shingleSize)
-    // the SAME h64 lane and band-key helpers as the batch path: the
-    // streaming↔batch band-key equality CorpusDedup interop depends on
-    // is maintained by shared code, not hand-synchronized copies
-    val lanes = (0 until numHashes).map(seed =>
-      array_min(transform(sh, s => h64(s, seed))))
-    val numBands = numHashes / rowsPerBand
-    val keys = (0 until numBands).map(b =>
-      bandKeyOf((0 until rowsPerBand).map(r => lanes(b * rowsPerBand + r))))
-    when(size(sh) > 0, array(keys: _*)).otherwise(
-      array().cast("array<string>"))
-  }
+                     shingleSize: Int = 3): Column =
+    // one fused native pass ([[graft.expressions.BandKeys]]) — replaces
+    // numHashes interpreted `transform` lanes over the shingle array.
+    // The streaming↔batch band-key equality CorpusDedup interop depends
+    // on is pinned by the randomized property test against
+    // lshBands(minhashSignature(…)), which shares no code with the
+    // kernel — byte-level parity is proven, not assumed.
+    graft.expressions.BandKeys.band_keys(text, numHashes, rowsPerBand,
+      shingleSize)
 
   /** One (id, __pos, __w) row per word occurrence. Exposed separately so a
     * pipeline needing BOTH shingles and unigram tokens (e.g. LSH candidates

@@ -313,6 +313,27 @@ object MicroBench {
         noop(longDocs.select(graft.expressions.SubstrMask
           .substr_mask(col("text"), starts, 8).getField("clean_text")))
       }
+      // streaming band keys: the retired HOF encoding (8 interpreted
+      // transform lanes) vs the fused native BandKeys kernel
+      def hofBandKeys(numHashes: Int, rowsPerBand: Int, n: Int) = {
+        val sh = graft.expressions.Shingles.shingles(col("text"), n)
+        def h64(c: org.apache.spark.sql.Column, seed: Int) =
+          graft.expressions.HexPrefixToLong.hex_prefix_to_long(
+            md5(concat_ws("|", lit(seed), c)), 15)
+        val lanes = (0 until numHashes).map(s =>
+          array_min(transform(sh, x => h64(x, s))))
+        val keys = (0 until numHashes / rowsPerBand).map(b =>
+          md5(concat_ws("|",
+            (0 until rowsPerBand).map(r => lanes(b * rowsPerBand + r)): _*)))
+        when(size(sh) > 0, array(keys: _*))
+          .otherwise(array().cast("array<string>"))
+      }
+      time("bandkeys HOF") {
+        noop(longDocs.select(explode(hofBandKeys(8, 2, 3))))
+      }
+      time("bandkeys native") {
+        noop(longDocs.select(explode(DedupOps.bandKeysPerRow(col("text")))))
+      }
       longDocs.unpersist()
     }
     spark.stop()
