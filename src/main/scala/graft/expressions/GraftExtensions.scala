@@ -43,7 +43,10 @@ object GraftExtensions {
 
   /** Every native expression of the engine, SQL-addressable. Aggregates
     * (hll_sketch / hll_merge) register the raw AggregateFunction — the
-    * analyzer wraps it, same as the built-in sum/min builders. */
+    * analyzer wraps it, same as the built-in sum/min builders. The one
+    * deliberate omission is point_in_polygon, whose polygon is a
+    * plan-time-constant double array (a geometry object, not a SQL
+    * literal shape) — SQL callers go through the WKT layer instead. */
   private[expressions] val descriptors
       : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("unaccent"),
@@ -68,6 +71,37 @@ object GraftExtensions {
       new ExpressionInfo(classOf[HexPrefixToLong].getName, "hex_prefix_to_long"),
       (cs: Seq[Expression]) => HexPrefixToLong(cs.head,
         if (cs.size > 1) intArg(cs(1), "prefix length") else 15)),
+    (FunctionIdentifier("substr_mask"),
+      new ExpressionInfo(classOf[SubstrMask].getName, "substr_mask"),
+      (cs: Seq[Expression]) => SubstrMask(cs(0), cs(1),
+        if (cs.size > 2) intArg(cs(2), "window size") else 8)),
+    (FunctionIdentifier("chunk_texts"),
+      new ExpressionInfo(classOf[ChunkTexts].getName, "chunk_texts"),
+      (cs: Seq[Expression]) => ChunkTexts(cs.head,
+        if (cs.size > 1) intArg(cs(1), "chunk tokens") else 50,
+        if (cs.size > 2) intArg(cs(2), "overlap") else 10)),
+    (FunctionIdentifier("top_ngram_frac"),
+      new ExpressionInfo(classOf[TopNgramFrac].getName, "top_ngram_frac"),
+      (cs: Seq[Expression]) => TopNgramFrac(cs.head,
+        if (cs.size > 1) intArg(cs(1), "ngram size") else 2)),
+    (FunctionIdentifier("sorted_pairs"),
+      new ExpressionInfo(classOf[SortedPairs].getName, "sorted_pairs"),
+      (cs: Seq[Expression]) => SortedPairs(cs.head)),
+    (FunctionIdentifier("band_keys"),
+      new ExpressionInfo(classOf[BandKeys].getName, "band_keys"),
+      (cs: Seq[Expression]) => BandKeys(cs.head,
+        if (cs.size > 1) intArg(cs(1), "num hashes") else 8,
+        if (cs.size > 2) intArg(cs(2), "rows per band") else 2,
+        if (cs.size > 3) intArg(cs(3), "shingle size") else 3)),
+    (FunctionIdentifier("text_stats"),
+      new ExpressionInfo(classOf[TextStats].getName, "text_stats"),
+      (cs: Seq[Expression]) => TextStats(cs.head,
+        if (cs.size > 1) cs.tail.map {
+          case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+            s.toString
+          case other => throw new IllegalArgumentException(
+            s"stopwords must be string literals, got $other")
+        } else Seq("the", "a", "of", "and"))),
     (FunctionIdentifier("hll_sketch"),
       new ExpressionInfo(classOf[HllSketchAgg].getName, "hll_sketch"),
       (cs: Seq[Expression]) => HllSketchAgg(cs.head,

@@ -56,6 +56,29 @@ class ExtrasSpec extends SparkSpec {
     // BPE surface (default committed vocabulary)
     assert(spark.sql("SELECT bpe_count('batch join')").head().getLong(0) ===
       spark.sql("SELECT size(bpe_tokens('batch join'))").head().getInt(0).toLong)
+    // round-9 kernels
+    assert(spark.sql(
+        "SELECT substr_mask('a b c d e', array(1), 2).clean_text")
+      .as[String].head() === "a d e")
+    assert(spark.sql("SELECT chunk_texts('a b c d e', 2, 1)")
+      .head().getSeq[String](0) === Seq("a b", "b c", "c d", "d e"))
+    assert(spark.sql("SELECT top_ngram_frac('x y x y x', 2)")
+      .head().getDouble(0) === 0.5)
+    // input contract: a SORTED array (the bucket path sorts upstream)
+    assert(spark.sql("SELECT sorted_pairs(array(1L, 2L, 3L))")
+      .head().getSeq[org.apache.spark.sql.Row](0).map(r =>
+        (r.getLong(0), r.getLong(1))) === Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    // band_keys agrees with the Column API (same native kernel)
+    val sqlKeys = spark.sql("SELECT band_keys('a b c d e f')")
+      .head().getSeq[String](0)
+    val colKeys = Seq(Tuple1("a b c d e f")).toDF("text")
+      .select(graft.functions.DedupOps.bandKeysPerRow($"text"))
+      .head().getSeq[String](0)
+    assert(sqlKeys === colKeys && sqlKeys.size === 4)
+    val ts = spark.sql("SELECT text_stats('the cat and the hat!')").head()
+      .getStruct(0)
+    assert(ts.getLong(1) === 5L, ts.toString) // n_tok
+    assert(ts.getLong(2) === 3L, ts.toString) // stop hits: the, and, the
   }
 
   // Assemble a netCDF classic (CDF-1) file byte-for-byte per the public
