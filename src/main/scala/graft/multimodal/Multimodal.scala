@@ -394,7 +394,7 @@ object Multimodal {
     // length check and scramble pixels silently
     require(w > 0 && h > 0, s"frame dims must be positive, got $w x $h")
     require(src != null && src.length == w.toLong * h,
-      s"raw frame is ${if (src == null) "null" else src.length + " bytes"}, " +
+      s"raw frame is ${if (src == null) "null" else s"${src.length} bytes"}, " +
         s"expected $w x $h = ${w.toLong * h}")
     val out = new Array[Byte](tw * th)
     val sxs = Array.tabulate(tw)(x => (x.toLong * w / tw).toInt)

@@ -33,7 +33,7 @@ object Shapefile {
 
   def parse(bytes: Array[Byte]): Iterator[Shape] = {
     require(bytes != null && bytes.length >= 100,
-      s"not a shapefile (${if (bytes == null) "null" else bytes.length + " bytes"}, header is 100)")
+      s"not a shapefile (${if (bytes == null) "null" else s"${bytes.length} bytes"}, header is 100)")
     val header = ByteBuffer.wrap(bytes, 0, 100).order(ByteOrder.BIG_ENDIAN)
     require(header.getInt(0) == 9994, "not a shapefile (bad file code)")
     val fileLenBytes = header.getInt(24).toLong * 2
