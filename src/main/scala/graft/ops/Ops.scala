@@ -84,9 +84,7 @@ object Alerts {
 /** K13: per-query stage metrics via a Spark listener (the reference ships
   * per-stage timings to Elasticsearch; we expose them as rows). */
 final class StageMetricsListener extends org.apache.spark.scheduler.SparkListener {
-  final case class StageMetric(stageId: Int, name: String, numTasks: Int,
-                               runTimeMs: Long, inputBytes: Long,
-                               shuffleReadBytes: Long, shuffleWriteBytes: Long)
+  import StageMetricsListener.StageMetric
   val metrics = scala.collection.mutable.ArrayBuffer[StageMetric]()
 
   override def onStageCompleted(
@@ -104,4 +102,12 @@ final class StageMetricsListener extends org.apache.spark.scheduler.SparkListene
       .toDF("stage_id", "name", "n_tasks", "run_ms", "input_bytes",
         "shuffle_read", "shuffle_write")
   }
+}
+
+object StageMetricsListener {
+  // companion-level so the case class carries no outer reference (the
+  // nested form drew an unchecked-type-test warning on every build)
+  final case class StageMetric(stageId: Int, name: String, numTasks: Int,
+                               runTimeMs: Long, inputBytes: Long,
+                               shuffleReadBytes: Long, shuffleWriteBytes: Long)
 }
