@@ -37,9 +37,10 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class BandKeys(child: Expression, numHashes: Int, rowsPerBand: Int,
                     shingleSize: Int) extends UnaryExpression {
-  require(numHashes >= 1 && rowsPerBand >= 1 &&
-    numHashes % rowsPerBand == 0,
-    s"numHashes $numHashes must be a positive multiple of rowsPerBand $rowsPerBand")
+  // numHashes need NOT divide evenly: numBands floor-divides and spare
+  // lanes go unused — exactly the batch path's (lshBands) acceptance
+  require(numHashes >= 1 && rowsPerBand >= 1,
+    s"numHashes $numHashes and rowsPerBand $rowsPerBand must be positive")
   require(shingleSize >= 1, s"shingle size $shingleSize must be >= 1")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -65,6 +66,12 @@ object BandKeys {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
+  // "<seed>|" prefixes, cached per numHashes — not rebuilt per ROW
+  private val seedPrefixCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Byte]]]()
+  private def seedPrefixes(numHashes: Int): Array[Array[Byte]] =
+    seedPrefixCache.computeIfAbsent(numHashes, n =>
+      Array.tabulate(n)(s => (s.toString + "|").getBytes(StandardCharsets.UTF_8)))
 
   /** Static kernel shared by interpreted eval and generated code. */
   def compute(text: UTF8String, numHashes: Int, rowsPerBand: Int,
@@ -74,8 +81,7 @@ object BandKeys {
     if (count <= 0) return new GenericArrayData(Array.empty[Any])
     val md = md5Local.get()
     // "<seed>|" byte prefixes — concat_ws("|", seed, shingle) parity
-    val seedPrefix = Array.tabulate(numHashes)(s =>
-      (s.toString + "|").getBytes(StandardCharsets.UTF_8))
+    val seedPrefix = seedPrefixes(numHashes)
     val lanes = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i < count) {

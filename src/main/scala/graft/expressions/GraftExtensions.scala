@@ -71,37 +71,45 @@ object GraftExtensions {
       new ExpressionInfo(classOf[HexPrefixToLong].getName, "hex_prefix_to_long"),
       (cs: Seq[Expression]) => HexPrefixToLong(cs.head,
         if (cs.size > 1) intArg(cs(1), "prefix length") else 15)),
+    // The text kernels hard-code their input physical layout
+    // (UTF8String text, int-element starts) rather than declaring
+    // inputTypes, so the SQL builders CAST — an array<bigint> starts
+    // read through ArrayData.getInt would silently misparse, and a
+    // non-string first arg would CCE mid-job instead of analyzing.
     (FunctionIdentifier("substr_mask"),
       new ExpressionInfo(classOf[SubstrMask].getName, "substr_mask"),
-      (cs: Seq[Expression]) => SubstrMask(cs(0), cs(1),
+      (cs: Seq[Expression]) => SubstrMask(str(cs(0)),
+        org.apache.spark.sql.catalyst.expressions.Cast(cs(1),
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.IntegerType)),
         if (cs.size > 2) intArg(cs(2), "window size") else 8)),
     (FunctionIdentifier("chunk_texts"),
       new ExpressionInfo(classOf[ChunkTexts].getName, "chunk_texts"),
-      (cs: Seq[Expression]) => ChunkTexts(cs.head,
+      (cs: Seq[Expression]) => ChunkTexts(str(cs.head),
         if (cs.size > 1) intArg(cs(1), "chunk tokens") else 50,
         if (cs.size > 2) intArg(cs(2), "overlap") else 10)),
     (FunctionIdentifier("top_ngram_frac"),
       new ExpressionInfo(classOf[TopNgramFrac].getName, "top_ngram_frac"),
-      (cs: Seq[Expression]) => TopNgramFrac(cs.head,
+      (cs: Seq[Expression]) => TopNgramFrac(str(cs.head),
         if (cs.size > 1) intArg(cs(1), "ngram size") else 2)),
     (FunctionIdentifier("sorted_pairs"),
       new ExpressionInfo(classOf[SortedPairs].getName, "sorted_pairs"),
       (cs: Seq[Expression]) => SortedPairs(cs.head)),
     (FunctionIdentifier("band_keys"),
       new ExpressionInfo(classOf[BandKeys].getName, "band_keys"),
-      (cs: Seq[Expression]) => BandKeys(cs.head,
+      (cs: Seq[Expression]) => BandKeys(str(cs.head),
         if (cs.size > 1) intArg(cs(1), "num hashes") else 8,
         if (cs.size > 2) intArg(cs(2), "rows per band") else 2,
         if (cs.size > 3) intArg(cs(3), "shingle size") else 3)),
     (FunctionIdentifier("text_stats"),
       new ExpressionInfo(classOf[TextStats].getName, "text_stats"),
-      (cs: Seq[Expression]) => TextStats(cs.head,
+      (cs: Seq[Expression]) => TextStats(str(cs.head),
         if (cs.size > 1) cs.tail.map {
           case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
             s.toString
           case other => throw new IllegalArgumentException(
             s"stopwords must be string literals, got $other")
-        } else Seq("the", "a", "of", "and"))),
+        } else graft.functions.TextOps.DefaultStops)),
     (FunctionIdentifier("hll_sketch"),
       new ExpressionInfo(classOf[HllSketchAgg].getName, "hll_sketch"),
       (cs: Seq[Expression]) => HllSketchAgg(cs.head,
@@ -172,6 +180,10 @@ object GraftExtensions {
   private def dbl(e: Expression): Expression =
     org.apache.spark.sql.catalyst.expressions.Cast(
       e, org.apache.spark.sql.types.DoubleType)
+
+  private def str(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.expressions.Cast(
+      e, org.apache.spark.sql.types.StringType)
 
   /** Register on an already-built session (tests, driver-owned builders). */
   def install(spark: SparkSession): Unit =

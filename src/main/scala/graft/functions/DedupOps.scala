@@ -56,9 +56,14 @@ object DedupOps {
     // The streaming↔batch band-key equality CorpusDedup interop depends
     // on is pinned by the randomized property test against
     // lshBands(minhashSignature(…)), which shares no code with the
-    // kernel — byte-level parity is proven, not assumed.
-    graft.expressions.BandKeys.band_keys(text, numHashes, rowsPerBand,
-      shingleSize)
+    // kernel — byte-level parity is proven, not assumed. The coalesce
+    // preserves this method's original contract for NULL text: an
+    // empty array, like a shingle-less document (the raw SQL function
+    // `band_keys` is null-in→null-out, standard expression semantics).
+    coalesce(
+      graft.expressions.BandKeys.band_keys(text, numHashes, rowsPerBand,
+        shingleSize),
+      array().cast("array<string>"))
 
   /** One (id, __pos, __w) row per word occurrence. Exposed separately so a
     * pipeline needing BOTH shingles and unigram tokens (e.g. LSH candidates
@@ -122,9 +127,12 @@ object DedupOps {
     * Returns idCol, band_idx, band_key. Single pass over the signature
     * (explode of a band array) — a unionAll of per-band selects would
     * recompute the signature subtree once per band. */
-  /** Band key from a band's lane columns — shared by the batch
-    * ([[lshBands]]) and per-row/streaming ([[bandKeysPerRow]]) paths so
-    * their keys can never drift apart. */
+  /** Band key from a band's lane columns — the BATCH path's encoding
+    * ([[lshBands]]). The per-row/streaming path computes the identical
+    * key natively ([[graft.expressions.BandKeys]]); their equality is
+    * pinned by the randomized property test against this path, which
+    * shares no code with the kernel — change either side and the test
+    * is the drift alarm. */
   private def bandKeyOf(lanes: Seq[Column]): Column =
     md5(concat_ws("|", lanes: _*))
 

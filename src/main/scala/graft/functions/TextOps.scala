@@ -55,7 +55,13 @@ object TextOps {
   def meanTokenLen(text: Column): Column =
     (length(regexp_replace(text, " ", "")).cast("double") / nTokens(text))
 
-  def stopwordRatio(text: Column, stops: Seq[String] = Seq("the", "a", "of", "and")): Column =
+  /** Default stopword list — ONE definition shared by the Column API
+    * defaults and the SQL `text_stats` registration, so a defaulted
+    * SQL call can never count different stop hits than the Column
+    * path. */
+  val DefaultStops: Seq[String] = Seq("the", "a", "of", "and")
+
+  def stopwordRatio(text: Column, stops: Seq[String] = DefaultStops): Column =
     (stops.map(tokenOccurrences(text, _)).reduce(_ + _).cast("double") / nTokens(text))
 
   def nonAlnumRatio(text: Column): Column =
@@ -67,7 +73,7 @@ object TextOps {
     * formulations above at a fraction of the scan cost (see
     * [[graft.expressions.TextStats]]). */
   def textStats(text: Column,
-                stops: Seq[String] = Seq("the", "a", "of", "and")): Column =
+                stops: Seq[String] = DefaultStops): Column =
     graft.expressions.TextStats.textStats(text, stops)
 
   /** Composite quality score in [0,1]. Deliberately NOT rounded: the

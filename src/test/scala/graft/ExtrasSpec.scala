@@ -79,6 +79,18 @@ class ExtrasSpec extends SparkSpec {
       .getStruct(0)
     assert(ts.getLong(1) === 5L, ts.toString) // n_tok
     assert(ts.getLong(2) === 3L, ts.toString) // stop hits: the, and, the
+    // SQL builders CAST: bigint starts (q113's natural shape) parse
+    // correctly instead of being misread through getInt
+    assert(spark.sql(
+        "SELECT substr_mask('a b c d e', array(1L), 2).clean_text")
+      .as[String].head() === "a d e")
+    // null text: the Column API keeps its documented empty-array
+    // contract; the raw SQL function is null-in → null-out
+    assert(Seq(Tuple1(null: String)).toDF("text")
+      .select(graft.functions.DedupOps.bandKeysPerRow($"text").as("k"))
+      .head().getSeq[String](0) === Seq())
+    assert(spark.sql("SELECT band_keys(CAST(NULL AS STRING))")
+      .head().isNullAt(0))
   }
 
   // Assemble a netCDF classic (CDF-1) file byte-for-byte per the public
