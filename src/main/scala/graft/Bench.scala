@@ -123,7 +123,12 @@ object Bench {
     // "median"/"stddev" are the decision numbers from here on.
     val total = allRuns.head.map(_._2).sum
     val totalMedian = medians.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${toJson(allRuns.head)},"queries_run2":${toJson(allRuns(1))},"total_run2":${allRuns(1).map(_._2).sum}%.3f,"median":${toJson(medians)},"stddev":${toJson(stddevs)},"total_median":$totalMedian%.3f,"iterations":$iterations,"sf":"$sfDir"}""")
+    // The r1–r8 headline set predates q113/q115; this subtotal keeps
+    // cross-round comparisons one field-read instead of hand arithmetic.
+    val newInR9 = Set("q113_substring_dedup", "q115_lm_quality_scaled")
+    val totalR8Comparable =
+      medians.filterNot(p => newInR9(p._1)).map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${toJson(allRuns.head)},"queries_run2":${toJson(allRuns(1))},"total_run2":${allRuns(1).map(_._2).sum}%.3f,"median":${toJson(medians)},"stddev":${toJson(stddevs)},"total_median":$totalMedian%.3f,"total_r8_comparable":$totalR8Comparable%.3f,"iterations":$iterations,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -35,10 +35,48 @@ object GraftExtensions {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
+  /** Constant-fold a plan-time argument: any foldable expression is
+    * accepted (4+4, CAST('8' AS INT), 8L within Int range), not just a
+    * bare literal — the same surface builtins give their constant
+    * arguments. UnresolvedFunction only resolves once its children are
+    * resolved, so eval() on a foldable child is safe here. */
   private def intArg(e: Expression, name: String): Int = e match {
     case Literal(v: Int, _) => v
+    case other if other.resolved && other.foldable => other.eval() match {
+      case i: Int => i
+      case l: Long if l.isValidInt => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case v => throw new IllegalArgumentException(
+        s"$name must fold to an integer, got $v from $other")
+    }
     case other => throw new IllegalArgumentException(
-      s"$name must be an integer literal, got $other")
+      s"$name must be a constant (foldable) integer expression, got $other")
+  }
+
+  /** Constant-fold a string argument (see [[intArg]]). */
+  private def strArg(e: Expression, name: String): String = e match {
+    case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) if s != null =>
+      s.toString
+    case other if other.resolved && other.foldable => other.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case v => throw new IllegalArgumentException(
+        s"$name must fold to a string, got $v from $other")
+    }
+    case other => throw new IllegalArgumentException(
+      s"$name must be a constant (foldable) string expression, got $other")
+  }
+
+  /** Constant-fold a boolean argument (see [[intArg]]). */
+  private def boolArg(e: Expression, name: String): Boolean = e match {
+    case Literal(b: Boolean, _) => b
+    case other if other.resolved && other.foldable => other.eval() match {
+      case b: Boolean => b
+      case v => throw new IllegalArgumentException(
+        s"$name must fold to a boolean, got $v from $other")
+    }
+    case other => throw new IllegalArgumentException(
+      s"$name must be a constant (foldable) boolean expression, got $other")
   }
 
   /** Every native expression of the engine, SQL-addressable. Aggregates
@@ -104,12 +142,8 @@ object GraftExtensions {
     (FunctionIdentifier("text_stats"),
       new ExpressionInfo(classOf[TextStats].getName, "text_stats"),
       (cs: Seq[Expression]) => TextStats(str(cs.head),
-        if (cs.size > 1) cs.tail.map {
-          case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
-            s.toString
-          case other => throw new IllegalArgumentException(
-            s"stopwords must be string literals, got $other")
-        } else graft.functions.TextOps.DefaultStops)),
+        if (cs.size > 1) cs.tail.map(strArg(_, "stopword"))
+        else graft.functions.TextOps.DefaultStops)),
     (FunctionIdentifier("hll_sketch"),
       new ExpressionInfo(classOf[HllSketchAgg].getName, "hll_sketch"),
       (cs: Seq[Expression]) => HllSketchAgg(cs.head,
@@ -151,11 +185,7 @@ object GraftExtensions {
           s"utm_to_wgs84 takes (easting, northing[, zone[, southern]]), got ${cs.size} args")
         val zone = if (cs.size > 2) intArg(cs(2), "utm zone") else 23
         require(zone >= 1 && zone <= 60, s"UTM zone out of range: $zone")
-        val southern = cs.size <= 3 || (cs(3) match {
-          case Literal(b: Boolean, _) => b
-          case other => throw new IllegalArgumentException(
-            s"southern flag must be a boolean literal, got $other")
-        })
+        val southern = cs.size <= 3 || boolArg(cs(3), "southern flag")
         // SQL callers pass whatever numeric type they have (int literals,
         // DECIMAL columns) — coerce like the Column API does, or
         // nullSafeEval's Double cast throws at fold/eval time

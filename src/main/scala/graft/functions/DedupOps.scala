@@ -377,31 +377,62 @@ object DedupOps {
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b", maxIter: Int = 25,
                           reliableCheckpointDir: Option[String] = None): DataFrame = {
-    val edges = materialize(
-      pairs.select(col(idA).as("src"), col(idB).as("dst"))
-        .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-        .distinct(), reliableCheckpointDir)
-    var labels = materialize(edges.select(col("src").as("node")).distinct()
-      .withColumn("comp", col("node")), reliableCheckpointDir)
+    import org.apache.spark.storage.StorageLevel
+    // Reliable checkpoints are FILES: every downstream action re-reads
+    // them from storage, and this loop consumes edges once per round and
+    // each round's propagated frame twice (the pointer-jump self-join).
+    // A persist on top of the checkpoint caches the blocks so per-round
+    // consumption is a cache read, not a file re-scan — the scan-amp
+    // cut. localCheckpoint already lives in block storage, so the extra
+    // Dataset-level cache entry is skipped there.
+    val reliable = reliableCheckpointDir.isDefined
+    def cached(df: DataFrame): DataFrame =
+      if (reliable) df.persist(StorageLevel.MEMORY_AND_DISK) else df
+    def release(df: DataFrame): Unit =
+      if (reliable) df.unpersist(blocking = false)
+    // The pair subtree (often an expensive dedup pipeline) is
+    // materialized ONCE; the symmetric closure derives from the
+    // materialized frame, so neither union branch re-runs it.
+    val p = cached(materialize(
+      pairs.select(col(idA).as("src"), col(idB).as("dst")),
+      reliableCheckpointDir))
+    val edges = cached(materialize(
+      p.unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct(), reliableCheckpointDir))
+    release(p)
+    var labels = cached(materialize(
+      edges.select(col("src").as("node")).distinct()
+        .withColumn("comp", col("node")), reliableCheckpointDir))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("node").as("dst"), col("comp").as("dcomp")), "dst")
         .groupBy(col("src").as("node")).agg(min(col("dcomp")).as("ncomp"))
+      // consumed twice by the self-join below — persist (in BOTH modes:
+      // this frame is derived, not checkpointed) so the propagation
+      // join+agg runs once per round, not twice
       val propagated = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-      val jumped = materialize(propagated
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val jumped = cached(materialize(propagated
         .join(propagated.select(col("node").as("comp"), col("comp").as("cc")),
           Seq("comp"), "left")
         .select(col("node"), coalesce(col("cc"), col("comp")).as("comp")),
-        reliableCheckpointDir)
+        reliableCheckpointDir))
+      propagated.unpersist(blocking = false) // materialize() is eager
       converged = jumped.join(labels.withColumnRenamed("comp", "old"), "node")
         .filter(col("comp") =!= col("old")).limit(1).isEmpty
+      release(labels) // superseded checkpoint cache — jumped replaces it
       labels = jumped
       i += 1
     }
+    release(edges)
+    // the final labels frame stays checkpointed (the caller reads files
+    // once); releasing its cache entry keeps repeated calls from
+    // accumulating CacheManager state for the life of the session
+    release(labels)
     labels
   }
 

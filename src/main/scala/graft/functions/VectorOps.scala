@@ -30,13 +30,15 @@ object VectorOps {
     * work must not ride k ∝ n. */
   private[graft] val FarthestFirstMaxK = 256
 
-  /** Largest k whose assignment plan unrolls one codegen'd struct per
-    * centroid ([[assignClusters]]/[[assignClustersMulti]]); above it the
-    * centroids travel as ONE array literal scored by a higher-order
-    * `transform` — O(1) expression nodes, so plan size and codegen
-    * compile time stop growing with k. The literal's k·dim doubles ride
-    * the broadcast task binary once per executor — the same wire cost
-    * as an explicit broadcast variable. */
+  /** Largest k at which [[scoredArr]]'s unrolled-structs TEST-ORACLE
+    * shape is built (one codegen'd struct per centroid — plan size
+    * O(k·dim) expressions, unusable at k ∝ n). Production assignment
+    * runs the fused [[graft.expressions.NearestCentroid]] kernel at
+    * EVERY k since the round-10 A/B (MicroBench: the kernel beats the
+    * unrolled shape ~3× even at k = 128 — flat primitive centroid
+    * array vs per-centroid ArrayData literals — and the retired
+    * interpreted `transform` shape 6–16× at k = 2048); the constant
+    * only bounds where the oracle shapes stay cheap enough to build. */
   private[graft] val LiteralCentroidMaxK = 128
 
   /** Rows the driver samples to seed k clusters — O(k) at worst, never
@@ -212,20 +214,18 @@ object VectorOps {
       lit(2.0) * graft.expressions.VecDot.vec_dot(vec, lit(cvec))
 
   /** array<struct<d: squared-L2-minus-|v|², c: cluster id>> — one entry
-    * per centroid, min/sort order = (distance, cluster id), shared by
-    * [[assignClusters]] and [[assignClustersMulti]].
+    * per centroid, min/sort order = (distance, cluster id). TEST
+    * ORACLES ONLY since round 10: production assignment is the fused
+    * [[graft.expressions.NearestCentroid]] kernel at every k.
     *
-    * Two physical shapes with identical semantics (parity is spec'd):
-    * k ≤ [[LiteralCentroidMaxK]] unrolls k codegen'd [[sqDistRel]]
-    * structs — fastest, whole-stage-codegen'd, but plan size and
-    * compile time are O(k·dim) EXPRESSIONS. Larger k ships the
-    * centroids as ONE `typedLit` array (plus a precomputed |c|² array)
-    * scored by `transform`, whose lambda runs [[graft.expressions.VecDot]]'s
-    * interpreted eval per element: O(1) expression nodes, the k·dim
-    * doubles are task-binary DATA broadcast once per executor. The
-    * interpreted per-element overhead is the price of a plan that
-    * survives k ∝ n; it is amortized by the same dot-product FLOPs
-    * either path must do. */
+    * `forceArrayPath = false` (k ≤ [[LiteralCentroidMaxK]]): k unrolled
+    * codegen'd [[sqDistRel]] structs. `forceArrayPath = true`: the
+    * retired k-unbounded shape — centroids as ONE `typedLit` array
+    * (plus a precomputed |c|² array) scored by `transform`, whose
+    * lambda runs [[graft.expressions.VecDot]]'s interpreted eval per
+    * element. Both share the kernel's arithmetic (n2 − 2·dot, same
+    * summation order) with ZERO shared code — the drift alarms the
+    * parity specs ring. */
   private[graft] def scoredArr(cents: Seq[Array[Double]], vec: Column,
                                forceArrayPath: Boolean = false): Column =
     if (!forceArrayPath && cents.size <= LiteralCentroidMaxK)
@@ -243,9 +243,12 @@ object VectorOps {
 
   /** Nearest trained centroid per row (adds `cluster`). Ranking is by
     * squared L2 minus the per-row |v|² constant (|c|² − 2·v·c), k dot
-    * products per row — no join, no shuffle; see [[scoredArr]] for the
-    * two plan shapes. Ties break to the smaller cluster id
-    * (deterministic). */
+    * products per row — no join, no shuffle, ONE fused codegen'd
+    * kernel node ([[graft.expressions.NearestCentroid]]) at every k,
+    * so plan size never rides k and the dot products run as a
+    * primitive loop over a flat centroid array (spec-pinned row parity
+    * against both [[scoredArr]] oracle shapes). Ties break to the
+    * smaller cluster id (deterministic). */
   def assignClusters(corpus: DataFrame, cents: Seq[Array[Double]],
                      vecCol: String): DataFrame =
     assignClustersImpl(corpus, cents, vecCol, forceArrayPath = false)
@@ -254,14 +257,18 @@ object VectorOps {
       cents: Seq[Array[Double]], vecCol: String,
       forceArrayPath: Boolean): DataFrame =
     corpus.withColumn("cluster",
-      array_min(scoredArr(cents, col(vecCol), forceArrayPath)).getField("c"))
+      if (forceArrayPath)
+        array_min(scoredArr(cents, col(vecCol), forceArrayPath = true))
+          .getField("c")
+      else
+        graft.expressions.NearestCentroid.nearest_centroid(col(vecCol), cents))
 
   /** Each row's `nAssign` nearest centroids, EXPLODED to one row per
     * (vector, cluster) — multi-probe blocking for candidate-pair
     * generation: a near-dup pair the quantizer splits across two cells
     * still collides in a shared second-choice cell. Blocking cost is a
     * constant ×nAssign on rows (×nAssign² on worst-case pairs), not a
-    * growth term. Ranking ties break to the smaller cluster id, same as
+    * growth term. Same two plan shapes and tie-break as
     * [[assignClusters]]. */
   def assignClustersMulti(corpus: DataFrame, cents: Seq[Array[Double]],
                           vecCol: String, nAssign: Int): DataFrame =
@@ -272,8 +279,12 @@ object VectorOps {
       cents: Seq[Array[Double]], vecCol: String, nAssign: Int,
       forceArrayPath: Boolean): DataFrame =
     corpus.withColumn("cluster",
-      explode(slice(sort_array(scoredArr(cents, col(vecCol), forceArrayPath)),
-        1, nAssign).getField("c")))
+      if (forceArrayPath)
+        explode(slice(sort_array(scoredArr(cents, col(vecCol),
+          forceArrayPath = true)), 1, nAssign).getField("c"))
+      else
+        explode(graft.expressions.NearestCentroid
+          .nearest_centroids(col(vecCol), cents, nAssign)))
 
   /** (cluster, pos|dim, centroid) rows → dense arrays indexed by
     * cluster — k×dims doubles, the bounded collect every IVF consumer

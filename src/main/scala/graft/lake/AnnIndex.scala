@@ -43,8 +43,29 @@ class AnnIndex(spark: SparkSession, lake: Lake, dataset: String,
     s"${ref.zone}_${ref.dataset}.${ref.table}"
 
   /** The previous [[topKJoin]] probe frame, released on the next call
-    * (see the persist note there). */
-  @volatile private var prevProbes: Option[DataFrame] = None
+    * (see the persist note there). The swap is synchronized so two
+    * racing calls can never unpersist the SAME frame twice or leak one;
+    * results stay correct under concurrency regardless (deterministic-
+    * recompute contract), but a call whose probe frame was released by
+    * a concurrent call silently loses the persist optimization — treat
+    * topKJoin as single-threaded per index instance for predictable
+    * caching. */
+  private val probeSwapLock = new Object
+  private var prevProbes: Option[DataFrame] = None
+
+  private def swapProbes(next: Option[DataFrame]): Unit =
+    probeSwapLock.synchronized {
+      prevProbes.foreach(_.unpersist(blocking = false))
+      prevProbes = next
+    }
+
+  /** Release the LAST [[topKJoin]] probe frame's cache entry — without
+    * this the final call's frame stays in the CacheManager until the
+    * next call or session end. Call after the last result frame has
+    * been fully consumed (an unpersisted probe frame recomputes
+    * deterministically if re-read, so a too-early release costs work,
+    * never correctness). */
+  def releaseProbes(): Unit = swapProbes(None)
 
   def exists: Boolean = spark.catalog.tableExists(qualified(listsRef))
 
@@ -224,8 +245,9 @@ class AnnIndex(spark: SparkSession, lake: Lake, dataset: String,
     *
     *  1. Probe selection is MAP-SIDE. The centroid table collects once
     *     (k×dim doubles — config-sized, the bounded collect every IVF
-    *     search already does); each query row scores every centroid as a
-    *     codegen'd dot-product struct, sorts the array, and explodes its
+    *     search already does); each query row ranks every centroid by
+    *     cosine inside ONE fused codegen'd kernel call
+    *     ([[graft.expressions.TopCosineCentroids]]) and explodes its
     *     top nprobe. No window, no shuffle of the query frame. Ranking
     *     matches [[topK]] exactly — round(cos, 4) desc, cluster asc — so
     *     both paths probe the same lists.
@@ -251,33 +273,16 @@ class AnnIndex(spark: SparkSession, lake: Lake, dataset: String,
       s"query id column '$qidCol' collides with an index column; alias it")
     pinBucketedScan()
     val cents = loadCentroidArrays(spark.table(qualified(centroidsRef)))
-    val vd = graft.expressions.VecDot.vec_dot(_: Column, _: Column)
-    val qn2 = vd(col(vecCol), col(vecCol))
-    // ascending sort of (-round(cos,4), cluster) == csim desc, cluster
-    // asc — [[VectorOps.scoredArr]]'s two plan shapes transposed to
-    // COSINE ranking (the probe order must match [[topK]] exactly):
-    // small k unrolls codegen structs; past LiteralCentroidMaxK the
-    // centroids travel as ONE array literal scored by `transform`, so
-    // plan size stops riding k — this join serves quantizers retrained
-    // with k ∝ n/500 ([[graft.tools.DailyIngest.maintain]]), where an
-    // unrolled plan would blow past codegen limits with the corpus.
-    val scoredArr: Column =
-      if (cents.size <= VectorOps.LiteralCentroidMaxK)
-        array(cents.zipWithIndex.map { case (cvec, c) =>
-          val cn2 = cvec.map(x => x * x).sum
-          struct(
-            (-round(vd(col(vecCol), lit(cvec)) / sqrt(lit(cn2) * qn2), 4))
-              .as("neg"),
-            lit(c).as("cluster"))
-        }: _*)
-      else {
-        val cArr = typedLit(cents.map(_.toSeq))
-        val n2Arr = typedLit(cents.map(c => c.map(x => x * x).sum))
-        transform(cArr, (cv, i) => struct(
-          (-round(vd(col(vecCol), cv) /
-            sqrt(element_at(n2Arr, i + lit(1)) * qn2), 4)).as("neg"),
-          i.as("cluster")))
-      }
+    // probe ranking = cosine desc, cluster asc — ONE fused codegen'd
+    // kernel node ([[graft.expressions.TopCosineCentroids]]: score =
+    // −round(cos, 4) selected ascending, Spark-Round-parity), so plan
+    // size never rides k — this join serves quantizers retrained with
+    // k ∝ n/500 ([[graft.tools.DailyIngest.maintain]]), where an
+    // unrolled per-centroid plan would blow past codegen limits with
+    // the corpus and the earlier `transform`-lambda shape paid k
+    // interpreted dot products per query row. The order matches
+    // [[topK]]'s ivfListScores ranking: both round to 4 dp, which
+    // absorbs their sub-ulp summation-order differences.
     // persisted: the frame is consumed TWICE — the distinct-cluster
     // collect below and the list join — and recomputing it would
     // re-evaluate the query frame (expensive when it is a subquery,
@@ -294,11 +299,10 @@ class AnnIndex(spark: SparkSession, lake: Lake, dataset: String,
     val probes = queries.select(
       col(qidCol).as("qid"), col(vecCol).as("__qv"),
       VectorOps.norm(col(vecCol)).as("__qn"),
-      explode(slice(sort_array(scoredArr), 1, nprobe)
-        .getField("cluster")).as("cluster"))
+      explode(graft.expressions.NearestCentroid.top_cosine_centroids(
+        col(vecCol), cents, nprobe)).as("cluster"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    prevProbes.foreach(_.unpersist(blocking = false))
-    prevProbes = Some(probes)
+    swapProbes(Some(probes))
     val probedClusters = probes.select(col("cluster")).distinct()
       .collect().map(_.getInt(0)).toSeq
     val lists = windowed(minDate, beforeDate)
@@ -457,6 +461,7 @@ object AnnIndex {
       idx.build(corpus, idCol, vecCol, k, iters)
       f(idx)
     } finally {
+      idx.releaseProbes()
       idx.unpinBucketedScan()
       spark.sql(s"DROP DATABASE IF EXISTS state_$dataset CASCADE")
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))

@@ -280,11 +280,23 @@ class CorpusDedup(spark: SparkSession, lake: Lake, dataset: String,
     *     approximation at their sensitivity.
     *  2. in-batch — two novel semantic twins inside one batch: pairs
     *     from [[DedupOps.semanticPairsWithCentroids]] blocked by the
-    *     INDEX'S OWN quantizer (no per-batch Lloyd training), min-id
-    *     survivor, same policy as [[DedupOps.dropNearDuplicates]].
-    *     (The near-dup gate leaves in-batch work to the pipeline
-    *     because its verify needs token streams; here both stages run
-    *     on the same vectors and cells, so the operator is
+    *     INDEX'S OWN quantizer (no per-batch Lloyd training), then a
+    *     PAIRWISE-GREEDY drop — every greater id of a thresholded pair
+    *     is removed ([[DedupOps.dropNearDuplicates]]'s rule). This is
+    *     deliberately NOT connected-components keep-1: with pairs
+    *     (a,c) and (b,c) only — a and b both near c but not each
+    *     other — the greedy rule keeps {a,b}, where the bootstrap
+    *     path's component policy ([[DedupOps.semanticDedupBlocked]],
+    *     used by [[graft.tools.DailyIngest]] on day one) collapses
+    *     the whole component to {a} — so an identical batch can yield
+    *     a different survivor set on the bootstrap day than on a
+    *     steady-state day.
+    *     Accepted asymmetry: the steady-state gate must stay one
+    *     anti-join deep (no iterative closure per daily batch), and
+    *     both policies keep at least one representative per duplicate
+    *     neighborhood. (The near-dup gate leaves in-batch work to the
+    *     pipeline because its verify needs token streams; here both
+    *     stages run on the same vectors and cells, so the operator is
     *     self-contained.)
     *
     * `minDate` gives the crawl-recency TTL ([[novelExactSince]]'s

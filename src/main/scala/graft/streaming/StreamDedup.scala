@@ -136,10 +136,27 @@ object StreamDedup {
     * (id, ts) of admitted documents; callers join payloads back by id
     * (the vector itself stays out of the output to keep the sink
     * narrow). Cosine is rounded to 4 dp — the engine's cross-run
-    * determinism convention. */
+    * determinism convention.
+    *
+    * MALFORMED EMBEDDINGS: by default a dimension mismatch between an
+    * incoming vector and a remembered one fails the comparison loudly
+    * (a truncated embedding scored against full-length norms can both
+    * spuriously drop a novel doc and admit a true duplicate). Note the
+    * failure mode: the batch aborts, the query fails, and — because
+    * the poison row is still in the source — every RESTART replays it
+    * and fails again, a permanent wedge until the row is purged
+    * upstream. Streams that cannot guarantee the upstream schema pass
+    * `expectedDim = Some(d)`: rows whose vector length ≠ d are
+    * QUARANTINED — skipped (not admitted, not emitted, not stored),
+    * counted in `quarantined` when supplied — so one corrupt record
+    * costs one dropped row instead of the stream. With `expectedDim`
+    * set, every stored vector has length d and the loud in-comparison
+    * check becomes unreachable by construction. */
   def semanticWithinWatermark(stream: DataFrame, idCol: String,
                               vecCol: String, tsCol: String, horizon: String,
-                              threshold: Double, bits: Int = 4): DataFrame = {
+                              threshold: Double, bits: Int = 4,
+                              expectedDim: Option[Int] = None,
+                              quarantined: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val spark = stream.sparkSession
     import spark.implicits._
     val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
@@ -163,10 +180,21 @@ object StreamDedup {
       while (i < a.length) { s += a(i).toDouble * a(i).toDouble; i += 1 }
       math.sqrt(s)
     }
+    // the bucket projection itself indexes the first `bits` components
+    // (element_at throws on a short vector under ANSI), so the
+    // quarantine check must gate BEFORE it: mismatched rows take a
+    // sentinel bucket — never evaluated through signBucket — and the
+    // stateful function counts and drops them from that bucket
+    val bucketCol = expectedDim match {
+      case Some(d) =>
+        when(size(col(vecCol)) === d,
+            graft.functions.VectorOps.signBucket(col(vecCol), bits))
+          .otherwise(lit("__dim_mismatch"))
+      case None => graft.functions.VectorOps.signBucket(col(vecCol), bits)
+    }
     stream
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
-        col(tsCol).cast("timestamp").as("ts"),
-        graft.functions.VectorOps.signBucket(col(vecCol), bits).as("bucket"))
+        col(tsCol).cast("timestamp").as("ts"), bucketCol.as("bucket"))
       // AFTER the projection: a cast/rename re-derives the attribute
       // and would silently drop watermark metadata attached before it
       .withWatermark("ts", horizon)
@@ -183,13 +211,18 @@ object StreamDedup {
             val out = rows.toIndexedSeq
               .sortBy(r => (r._3.getTime, r._1))
               .flatMap { case (id, vec, ts, _) =>
-                val nv = norm(vec)
-                val dup = nv > 0 && seen.exists(s =>
-                  s.norm > 0 && cos(vec, nv, s.vec, s.norm) >= threshold)
-                if (dup) None
-                else {
-                  seen = SeenVec(id, vec, nv, ts.getTime) +: seen
-                  Some((id, ts))
+                if (expectedDim.exists(_ != vec.length)) {
+                  quarantined.foreach(_.add(1L)) // dead-letter, stream lives
+                  None
+                } else {
+                  val nv = norm(vec)
+                  val dup = nv > 0 && seen.exists(s =>
+                    s.norm > 0 && cos(vec, nv, s.vec, s.norm) >= threshold)
+                  if (dup) None
+                  else {
+                    seen = SeenVec(id, vec, nv, ts.getTime) +: seen
+                    Some((id, ts))
+                  }
                 }
               }
             if (seen.nonEmpty) {

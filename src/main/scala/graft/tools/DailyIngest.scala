@@ -5,7 +5,7 @@ import java.sql.Date
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.Bpe
+import graft.functions.{Bpe, BpeVocab}
 import graft.lake.{AnnIndex, CorpusDedup, CorpusPack, Lake, TableRef}
 import graft.state.{RunLock, StateStore}
 
@@ -90,7 +90,8 @@ object DailyIngest {
           docs: DataFrame, idCol: String, textCol: String, langCol: String,
           day: Date, ttlDays: Int,
           ann: Option[(AnnIndex, String)] = None,
-          semanticThreshold: Option[Double] = None): Long = {
+          semanticThreshold: Option[Double] = None,
+          vocab: BpeVocab = BpeVocab.default): Long = {
     require(semanticThreshold.isEmpty || ann.nonEmpty,
       "semanticThreshold needs the ann leg — the index is the seen-set")
     val minDate = Date.valueOf(day.toLocalDate.minusDays(ttlDays.toLong))
@@ -116,33 +117,43 @@ object DailyIngest {
         textNovel.join(keepers, Seq(idCol), "left_semi")
       case _ => textNovel
     }
-    val novel = semNovel.withColumn("n_tok", Bpe.bpeTokenCount(col(textCol)))
-    val batchId = day.toString
-    val packed = cp.assign(novel, langCol, idCol, "n_tok", batchId)
-      .withColumn("ingest_day", lit(day))
-    // the land MATERIALIZES the assigned frame (CorpusPack's
-    // materialize-then-commit contract) and is itself idempotent: the
-    // dynamic overwrite replaces exactly this day's partition, and an
-    // empty frame touches no partition at all
-    lake.overwritePartitions(
-      packed.select(col(idCol), col(langCol), col("n_tok"),
-        col("pack_id"), col("ingest_day")),
-      out, partitionBy = Seq("ingest_day"))
-    val landed = lake.read(out)
-      .filter(col("ingest_day") === lit(day)).count()
-    ann.foreach { case (idx, embedCol) =>
-      val vecs = novel.select(col(idCol), col(embedCol))
-      if (!idx.exists) {
-        val n = vecs.count()
-        if (n > 0)
-          idx.buildDated(vecs, idCol, embedCol,
-            k = math.max(4, (n / 500L).toInt), day)
-      } else idx.appendDated(vecs, idCol, embedCol, day)
-    }
-    cp.commit(novel, langCol, idCol, "n_tok", batchId)
-    dd.commitExactDated(docs, textCol, day, minDate)
-    dd.commitNearDupDated(docs, idCol, textCol, day, minDate)
-    landed
+    // persisted: `novel` is the most expensive frame of the composition
+    // (three dedup gates deep) and is consumed by the land, the ANN leg
+    // and the pack commit — without the cache each consumer re-derives
+    // the whole gate chain. Persistence is an execution hint, not a
+    // semantic change, so the replay invariant is untouched (a crash
+    // replay recomputes the identical frame from unchanged state).
+    val novel = semNovel
+      .withColumn("n_tok", Bpe.bpeTokenCount(col(textCol), vocab))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val batchId = day.toString
+      val packed = cp.assign(novel, langCol, idCol, "n_tok", batchId)
+        .withColumn("ingest_day", lit(day))
+      // the land MATERIALIZES the assigned frame (CorpusPack's
+      // materialize-then-commit contract) and is itself idempotent: the
+      // dynamic overwrite replaces exactly this day's partition, and an
+      // empty frame touches no partition at all
+      lake.overwritePartitions(
+        packed.select(col(idCol), col(langCol), col("n_tok"),
+          col("pack_id"), col("ingest_day")),
+        out, partitionBy = Seq("ingest_day"))
+      val landed = lake.read(out)
+        .filter(col("ingest_day") === lit(day)).count()
+      ann.foreach { case (idx, embedCol) =>
+        val vecs = novel.select(col(idCol), col(embedCol))
+        if (!idx.exists) {
+          val n = vecs.count()
+          if (n > 0)
+            idx.buildDated(vecs, idCol, embedCol,
+              k = math.max(4, (n / 500L).toInt), day)
+        } else idx.appendDated(vecs, idCol, embedCol, day)
+      }
+      cp.commit(novel, langCol, idCol, "n_tok", batchId)
+      dd.commitExactDated(docs, textCol, day, minDate)
+      dd.commitNearDupDated(docs, idCol, textCol, day, minDate)
+      landed
+    } finally novel.unpersist(blocking = false)
   }
 
   /** Expire the dated seen-sets (and the dated index, when present) to
@@ -209,18 +220,71 @@ object DailyIngest {
     } else Maintenance(compacted, before, retrained = false, before)
   }
 
+  /** The production BPE vocabulary size: large enough that `n_tok`
+    * denominations (pack budgets, dataset cards) behave like a real
+    * tokenizer's, small enough to train in seconds from a day's word
+    * counts ([[graft.functions.Bpe.trainFromWordCounts]]'s incremental
+    * trainer: 32,768 merges from 64k words in ~5 s). */
+  val DefaultVocabMerges: Int = 32768
+
+  /** Load the ingest's BPE vocabulary from `vocabFile`, TRAINING it
+    * from `docs` and persisting it there first if absent — so day one
+    * pays one training pass and every later day (and every crash
+    * replay) reads the identical merges file. Crash safety: the file
+    * appears via write-to-temp + rename, and a crash before the rename
+    * just retrains — deterministically, from the same word counts —
+    * on the retry. The merges format is the public one-merge-per-line
+    * text, so an externally trained vocabulary dropped at the same
+    * path wins over training. */
+  def ensureVocab(spark: SparkSession, docs: DataFrame, textCol: String,
+                  vocabFile: String,
+                  numMerges: Int = DefaultVocabMerges): BpeVocab = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(vocabFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      try BpeVocab.fromMergesText(
+        new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    } else {
+      val vocab = Bpe.train(docs, col(textCol), numMerges)
+      val tmp = new Path(p.getParent, p.getName + ".tmp")
+      val out = fs.create(tmp, true)
+      try out.write((vocab.toMergesText + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (!fs.rename(tmp, p) && !fs.exists(p))
+        throw new java.io.IOException(s"could not persist BPE vocab at $p")
+      vocab
+    }
+  }
+
   /** CLI: DailyIngest <lakeRoot> <stateRoot> <inputParquet> <yyyy-mm-dd>
-    * [ttlDays=30] [budgetTokens=2048] [embedCol] [semanticThreshold].
+    * [ttlDays=30] [budgetTokens=2048] [embedCol] [semanticThreshold]
+    * [vocab].
     * Input schema: doc_id, text, lang (+ the embedding column when the
     * ANN leg is enabled). Passing `embedCol` turns on the retrieval
     * index and its maintenance tick; adding `semanticThreshold` also
-    * gates the batch semantically against it. */
+    * gates the batch semantically against it.
+    *
+    * `vocab` selects the BPE denomination behind every `n_tok` the
+    * ingest writes (pack budgets, card counts):
+    *   - omitted (the DEFAULT): a REALISTIC vocabulary managed under
+    *     `<stateRoot>/bpe/merges.txt` — trained once from the first
+    *     day's corpus ([[DefaultVocabMerges]] merges) and reused by
+    *     every later day ([[ensureVocab]]);
+    *   - a path: an externally trained merges.txt in the public
+    *     one-merge-per-line format;
+    *   - the literal `builtin`: the committed fixture vocabulary
+    *     (90 merges — test-scale, NOT a production denomination). */
   def main(args: Array[String]): Unit = {
     val Array(lakeRoot, stateRoot, input, dayStr, rest @ _*) = args
     val ttlDays = rest.headOption.map(_.toInt).getOrElse(30)
     val budget = rest.lift(1).map(_.toLong).getOrElse(2048L)
     val embedCol = rest.lift(2)
     val semTh = rest.lift(3).map(_.toDouble)
+    val vocabArg = rest.lift(4)
     // The dedup seen-sets and ANN lists are CATALOG tables (bucket specs
     // live in the metastore); with Spark's default in-memory catalog a
     // new JVM forgets them and every day-2 run re-admits the whole
@@ -245,9 +309,19 @@ object DailyIngest {
     val ann = embedCol.map(c =>
       (new AnnIndex(spark, lake, "crawl_ann"), c))
     val done = new RunLock(spark, stateRoot).withLock("crawl_daily_ingest") {
+      val docs = spark.read.parquet(input)
+      // vocab resolution runs INSIDE the lock: day-one training and the
+      // merges-file write are state mutations like any other
+      val vocab = vocabArg match {
+        case Some("builtin") => BpeVocab.default
+        case Some(path) => ensureVocab(spark, docs, "text", path)
+        case None =>
+          ensureVocab(spark, docs, "text", s"$stateRoot/bpe/merges.txt")
+      }
+      println(s"[daily-ingest] bpe vocab: ${vocab.merges.length} merges")
       val n = run(lake, dd, cp, TableRef("prod", "crawl", "packed"),
-        spark.read.parquet(input), "doc_id", "text", "lang", day, ttlDays,
-        ann = ann, semanticThreshold = semTh)
+        docs, "doc_id", "text", "lang", day, ttlDays,
+        ann = ann, semanticThreshold = semTh, vocab = vocab)
       expire(dd, day, ttlDays, ann = ann.map(_._1))
       ann.foreach { case (idx, _) =>
         val m = maintain(idx, day)

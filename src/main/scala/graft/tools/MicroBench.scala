@@ -336,6 +336,44 @@ object MicroBench {
       }
       longDocs.unpersist()
     }
+
+    // ---- nearest-centroid assignment at k ∝ n: three plan shapes ----
+    // unrolled per-centroid structs (k ≤ 128 default), the retired
+    // typedLit+transform HOF (interpreted per element), and the fused
+    // native CentroidKernel (k > 128 default). Corpus size is scaled
+    // inversely with k so every cell pays the same ~10M centroid-dot
+    // budget — the comparison isolates per-dot overhead, not FLOPs.
+    {
+      import graft.functions.VectorOps
+      val e = Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      def synthCents(k: Int) = (0 until k).map(i =>
+        Array.tabulate(64)(d => ((i * 31 + d * 7) % 11).toDouble - 5.0))
+      for (k <- Seq(128, 512, 2048)) {
+        val cents = synthCents(k)
+        val factor = math.max(1, 2048 / k / 4) // 4x/1x/1x at sf0.1's 5k rows
+        val corpus = spark.range(factor).crossJoin(e)
+          .select(col("vec_id"), col("embedding")).persist()
+        corpus.count()
+        if (k <= VectorOps.LiteralCentroidMaxK)
+          time(s"assign k=$k unrolled-structs") {
+            noop(corpus.withColumn("cluster", array_min(
+                VectorOps.scoredArr(cents, col("embedding"))).getField("c"))
+              .select(col("vec_id"), col("cluster")))
+          }
+        time(s"assign k=$k HOF-transform") {
+          noop(VectorOps.assignClustersImpl(corpus, cents, "embedding",
+              forceArrayPath = true)
+            .select(col("vec_id"), col("cluster")))
+        }
+        time(s"assign k=$k fused-kernel") {
+          noop(corpus.withColumn("cluster", graft.expressions.NearestCentroid
+              .nearest_centroid(col("embedding"), cents))
+            .select(col("vec_id"), col("cluster")))
+        }
+        corpus.unpersist()
+      }
+    }
     spark.stop()
   }
 }

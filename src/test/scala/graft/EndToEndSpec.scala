@@ -803,4 +803,73 @@ class EndToEndSpec extends SparkSpec {
     assert(!m2.retrained && m2.recallBefore >= 0.9, m2.toString)
   }
 
+  test("daily ingest denominates n_tok with a realistic 32k-merge vocabulary") {
+    import graft.lake.{CorpusDedup, CorpusPack}
+    import graft.tools.{BpeTrain, DailyIngest}
+    import graft.functions.{Bpe, BpeVocab}
+    // the production-size vocabulary, trained from the synthetic Zipf
+    // word counts (the fixture corpus's 31 distinct pieces cannot
+    // produce one) — seconds-scale via the incremental trainer
+    val vocab32k = Bpe.trainFromWordCounts(
+      BpeTrain.zipfWordCounts(1 << 16), DailyIngest.DefaultVocabMerges)
+    assert(vocab32k.merges.length === DailyIngest.DefaultVocabMerges)
+    val lake = new Lake(spark, tmpDir("vocab_lake"))
+    val dd = new CorpusDedup(spark, lake, "vocab_crawl", numBuckets = 4)
+    val cp = new CorpusPack(spark,
+      new StateStore(spark, tmpDir("vocab_state")), "vocab_crawl",
+      budgetTokens = 64L)
+    val out = TableRef("prod", "vocab_crawl", "packed")
+    val d1 = java.sql.Date.valueOf("2024-06-01")
+    // texts drawn from the Zipf vocabulary the merges were trained on:
+    // the 32k encoder collapses each word to few tokens where the
+    // builtin 90-merge vocab leaves near-codepoint granularity
+    val zipfWords = BpeTrain.zipfWordCounts(1 << 16).map(_._1).toArray
+    val docs = (0L until 6L).map { i =>
+      (i, (0 until 12).map(j => zipfWords(((i * 31 + j * 7) % 512).toInt))
+        .mkString(" "))
+    }.toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val landed = DailyIngest.run(lake, dd, cp, out, docs,
+      "doc_id", "text", "lang", d1, ttlDays = 30, vocab = vocab32k)
+    assert(landed === 6)
+    // n_tok in the landed table is the 32k denomination — equal to the
+    // 32k encoder run directly, and strictly below the builtin count
+    val want32 = docs.select($"doc_id",
+        Bpe.bpeTokenCount($"text", vocab32k).as("n32"),
+        Bpe.bpeTokenCount($"text").as("n90"))
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    val got = lake.read(out).select($"doc_id", $"n_tok")
+      .as[(Long, Long)].collect().toMap
+    assert(got === want32.view.mapValues(_._1).toMap)
+    assert(want32.values.forall { case (n32, n90) => n32 < n90 },
+      "32k vocab did not compress below the builtin denomination")
+    // replay stability holds under the realistic vocab too
+    assert(DailyIngest.run(lake, dd, cp, out, docs,
+      "doc_id", "text", "lang", d1, ttlDays = 30, vocab = vocab32k) === 6)
+    assert(lake.read(out).count() === 6)
+  }
+
+  test("ensureVocab: trains+persists once, reloads identically, external file wins") {
+    import graft.tools.DailyIngest
+    import graft.functions.BpeVocab
+    val root = tmpDir("vocab_file")
+    val path = s"$root/bpe/merges.txt"
+    val docs = Tables.load(spark, sf001, "documents").select($"text")
+    // first call trains from the corpus and persists (merges exhaust
+    // early on the 31-piece fixture — a merge-list prefix is valid BPE)
+    val v1 = DailyIngest.ensureVocab(spark, docs, "text", path)
+    assert(new java.io.File(path).isFile, "vocab file not persisted")
+    assert(v1.merges.nonEmpty)
+    // second call LOADS — byte-identical merges, no retrain drift; the
+    // poisoned frame proves the corpus is not re-read on the load path
+    val poisoned = docs.withColumn("text", lit("zz zz zz"))
+    val v2 = DailyIngest.ensureVocab(spark, poisoned, "text", path)
+    assert(v2.merges === v1.merges)
+    // an externally supplied merges file at the path wins over training
+    val external = s"$root/external.txt"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(external),
+      "#version: 0.2\na b\nab c\n")
+    val v3 = DailyIngest.ensureVocab(spark, docs, "text", external)
+    assert(v3.merges === Vector(("a", "b"), ("ab", "c")))
+  }
+
 }

@@ -84,6 +84,24 @@ class ExtrasSpec extends SparkSpec {
     assert(spark.sql(
         "SELECT substr_mask('a b c d e', array(1L), 2).clean_text")
       .as[String].head() === "a d e")
+    // plan-time args CONSTANT-FOLD like builtins: any foldable
+    // expression is accepted, not just a bare literal — 1+2, a typed
+    // long within Int range, upper('x') stopwords
+    assert(spark.sql("SELECT shingles('a b c d', 1 + 2)")
+      .head().getSeq[String](0) === Seq("a b c", "b c d"))
+    assert(spark.sql("SELECT hex_prefix_to_long('09f0ffffffffffff', 4L)")
+      .head().getLong(0) === 0x09f0L)
+    val tsF = spark.sql(
+      "SELECT text_stats('the cat and the hat!', lower('THE'), 'and')").head()
+      .getStruct(0)
+    assert(tsF.getLong(2) === 3L, tsF.toString) // folded stopwords applied
+    // a NON-constant arg still fails loudly at plan time
+    val err = intercept[Exception] {
+      spark.sql("SELECT shingles(text, n) FROM VALUES ('a b', 2) AS t(text, n)")
+        .collect()
+    }
+    assert(err.getMessage.contains("foldable") ||
+      err.getMessage.toLowerCase.contains("constant"), err.getMessage)
     // null text: the Column API keeps its documented empty-array
     // contract; the raw SQL function is null-in → null-out
     assert(Seq(Tuple1(null: String)).toDF("text")

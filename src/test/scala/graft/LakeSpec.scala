@@ -359,14 +359,14 @@ class LakeSpec extends SparkSpec {
     spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
   }
 
-  test("topKJoin at k > LiteralCentroidMaxK: array-path plan, matches topK") {
+  test("topKJoin at k > LiteralCentroidMaxK: fused-kernel plan, matches topK") {
     import graft.lake.AnnIndex
     // a retrained quantizer sizes k as n/500, so the probe scoring must
-    // not unroll one codegen struct per centroid past the same ceiling
-    // assignClusters honors — above it the centroids ride ONE array
-    // literal and the plan stops growing with k. Parity: the array path
-    // must probe the same lists and return the same neighbors as the
-    // per-query topK (which shares the ranking convention).
+    // not unroll one codegen struct per centroid — the ranking runs as
+    // ONE fused TopCosineCentroids kernel node, so the plan stops
+    // growing with k. Parity: the kernel must probe the same lists and
+    // return the same neighbors as the per-query topK (whose probe
+    // ranking comes from the INDEPENDENT ivfListScores aggregation).
     assert(graft.functions.VectorOps.LiteralCentroidMaxK === 128)
     val n = 600
     val emb = (0L until n.toLong).map { i =>
@@ -379,10 +379,13 @@ class LakeSpec extends SparkSpec {
       val queries = emb.filter($"vec_id".isin(3L, 77L, 501L))
         .select($"vec_id".as("qid"), $"vec")
       val joined = idx.topKJoin(queries, "qid", "vec", k = 5, nprobe = 3)
-      // the scoring expression is O(1) nodes in k: one vec_dot under a
-      // transform lambda, not 140 unrolled ones
+      // the scoring expression is O(1) nodes in k: one fused
+      // top_cosine_centroids kernel, not 140 unrolled structs (the
+      // remaining vec_dots are the query/list norms, k-independent)
       val plan = joined.queryExecution.analyzed.toString
-      assert("vec_dot".r.findAllIn(plan).size <= 6, // qn2 + lambda + norms
+      assert("top_cosine_centroids".r.findAllIn(plan).size === 1,
+        s"expected one fused probe-ranking node: $plan")
+      assert("vec_dot".r.findAllIn(plan).size <= 4,
         s"probe scoring unrolled with k: ${"vec_dot".r.findAllIn(plan).size}")
       val got = joined.select($"qid", $"rk", $"id").as[(Long, Int, Long)]
         .collect().groupBy(_._1).view

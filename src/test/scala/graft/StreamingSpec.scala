@@ -142,6 +142,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming semantic dedup quarantines dimension-mismatched embeddings") {
+    import graft.streaming.StreamDedup
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(hm: String) = Timestamp.valueOf(s"2024-01-01 $hm:00")
+    val base = Array(0.01f, 0.8f, 0.6f, 0.4f, 0.2f, 0.1f)
+    val nearDup = base.map(_ * 1.01f)
+    val truncated = Array(0.9f, 0.1f, 0.05f) // a corrupt row — wrong dimension
+    // default posture (no expectedDim) is the LOUD failure — a poison
+    // row wedges the stream on every restart; expectedDim turns it
+    // into a dead-letter skip: one dropped row, counted, stream lives
+    val acc = spark.sparkContext.longAccumulator("sem_quarantined")
+    val mem = MemoryStream[(Long, Array[Float], Timestamp)]
+    val out = StreamDedup.semanticWithinWatermark(
+      mem.toDF.toDF("doc_id", "emb", "ts"), "doc_id", "emb", "ts",
+      "10 minutes", threshold = 0.9, bits = 4,
+      expectedDim = Some(6), quarantined = Some(acc))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sem_q_out").start()
+    try {
+      // corrupt row arrives BETWEEN two good ones in one batch: it is
+      // skipped (not admitted, not emitted, not remembered) and the
+      // stream keeps deduplicating — the near-dup still drops against
+      // the admitted base
+      mem.addData((1L, base, t("10:00")), (2L, truncated, t("10:01")),
+        (3L, nearDup, t("10:02")))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT doc_id FROM sem_q_out")
+        .as[Long].collect().toSet === Set(1L))
+      assert(acc.value === 1L, s"quarantine count: ${acc.value}")
+      // the quarantined vector left NO state: a full-length vector in
+      // its direction (cosine ≈ 1 to the corrupt row, ≈ 0.12 to base)
+      // is genuinely novel and must be admitted — had the corrupt row
+      // been remembered, this one would have dropped against it
+      mem.addData((4L, truncated ++ Array(0f, 0f, 0f), t("10:03")))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT doc_id FROM sem_q_out")
+        .as[Long].collect().toSet === Set(1L, 4L))
+      assert(acc.value === 1L)
+    } finally q.stop()
+  }
+
   test("streaming prediction smoothing: buffers persist across micro-batches") {
     import graft.multimodal.PredictionBuffer
     import graft.multimodal.PredictionBuffer.{Prediction, Smoothed}

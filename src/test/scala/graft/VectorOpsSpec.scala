@@ -26,38 +26,47 @@ class VectorOpsSpec extends SparkSpec {
     assert(VectorOps.seedSampleN(100000) === 100000)
   }
 
-  test("assignClusters/Multi: unrolled and array-literal plans agree row-for-row") {
+  test("assignClusters/Multi: kernel, unrolled and array-literal shapes agree row-for-row") {
     val cents = VectorOps.centroidArrays(
       VectorOps.kmeansLloyd(emb, "embedding", 6, iters = 2))
     def assignments(forceArray: Boolean): Map[Long, Int] =
       VectorOps.assignClustersImpl(emb, cents, "embedding", forceArray)
         .select(col("vec_id"), col("cluster"))
         .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-    val unrolled = assignments(forceArray = false)
+    val kernel = assignments(forceArray = false) // production: fused kernel
     val viaArray = assignments(forceArray = true)
-    assert(unrolled.size === 500)
-    assert(unrolled === viaArray)
+    // third shape: the small-k unrolled-structs oracle, built directly
+    val unrolled = emb.withColumn("cluster",
+        array_min(VectorOps.scoredArr(cents, col("embedding"))).getField("c"))
+      .select(col("vec_id"), col("cluster"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(kernel.size === 500)
+    assert(kernel === viaArray)
+    assert(kernel === unrolled)
 
     def multi(forceArray: Boolean): Seq[(Long, Int)] =
       VectorOps.assignClustersMultiImpl(emb, cents, "embedding", 2, forceArray)
         .select(col("vec_id"), col("cluster"))
         .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq.sorted
-    val mUnrolled = multi(forceArray = false)
+    val mKernel = multi(forceArray = false)
     val mViaArray = multi(forceArray = true)
-    assert(mUnrolled.size === 1000) // nAssign = 2 rows per vector
-    assert(mUnrolled === mViaArray)
+    assert(mKernel.size === 1000) // nAssign = 2 rows per vector
+    assert(mKernel === mViaArray)
   }
 
-  test("k past LiteralCentroidMaxK: ONE vec_dot expression in the plan, and correct") {
+  test("k past LiteralCentroidMaxK: ONE fused kernel node in the plan, and correct") {
     val k = VectorOps.LiteralCentroidMaxK + 2
     // deterministic synthetic centroids spanning the space
     val cents = (0 until k).map(i =>
       Array.tabulate(64)(d => ((i * 31 + d * 7) % 11).toDouble - 5.0))
     val df = VectorOps.assignClusters(emb, cents, "embedding")
     val plan = df.queryExecution.analyzed.toString
-    val dots = "vec_dot".r.findAllIn(plan).size
-    assert(dots === 1,
-      s"plan embeds $dots vec_dot nodes for k=$k — expression count must not ride k")
+    // the fused NearestCentroid kernel: zero per-centroid expressions,
+    // zero interpreted HOF lambdas — one node total regardless of k
+    assert("vec_dot".r.findAllIn(plan).isEmpty,
+      s"plan embeds vec_dot nodes for k=$k — the fused kernel should own the loop")
+    assert("nearest_centroid".r.findAllIn(plan).size === 1,
+      s"expected exactly one nearest_centroid node for k=$k")
     // correctness against a local argmin (|c|² − 2·v·c, ties → smaller id)
     val got = df.select(col("vec_id"), col("cluster"), col("embedding"))
       .collect()
@@ -68,6 +77,67 @@ class VectorOpsSpec extends SparkSpec {
         (c.map(x => x * x).sum - 2.0 * c.zip(v).map(p => p._1 * p._2).sum, i)
       }.min._2
       assert(r.getInt(1) === want, s"vec ${r.getLong(0)}")
+    }
+  }
+
+  test("k past LiteralCentroidMaxK: kernel row-parity with the retired array shape") {
+    val k = VectorOps.LiteralCentroidMaxK + 2
+    val cents = (0 until k).map(i =>
+      Array.tabulate(64)(d => ((i * 13 + d * 5) % 9).toDouble - 4.0))
+    // single assignment: fused kernel (default) vs the typedLit+transform
+    // oracle (forceArray) — same arithmetic, zero shared code
+    def assignments(forceArray: Boolean): Map[Long, Int] =
+      VectorOps.assignClustersImpl(emb, cents, "embedding", forceArray)
+        .select(col("vec_id"), col("cluster"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val kernel = assignments(forceArray = false)
+    val oracle = assignments(forceArray = true)
+    assert(kernel.size === 500)
+    assert(kernel === oracle)
+    // multi-probe: ordering within a vector's nAssign list must match
+    // slice(sort_array(...)) — compare ordered per-vector sequences
+    def multi(forceArray: Boolean): Map[Long, Seq[Int]] =
+      VectorOps.assignClustersMultiImpl(emb, cents, "embedding", 3, forceArray)
+        .select(col("vec_id"), col("cluster"))
+        .collect().map(r => (r.getLong(0), r.getInt(1)))
+        .groupBy(_._1).map { case (id, rs) => id -> rs.map(_._2).toSeq }
+    val mk = multi(forceArray = false)
+    val mo = multi(forceArray = true)
+    assert(mk.values.map(_.size).sum === 1500)
+    // explode preserves array order, but collect() order is not
+    // guaranteed across plans — compare as multisets per vector AND
+    // check the kernel's own ascending-distance order directly
+    assert(mk.view.mapValues(_.sorted).toMap === mo.view.mapValues(_.sorted).toMap)
+    // tie-break determinism: duplicate centroids must rank by id
+    val dupCents = cents.updated(5, cents(3).clone())
+    val withTies = VectorOps.assignClustersMultiImpl(
+        emb.limit(50), dupCents, "embedding", k, forceArrayPath = false)
+      .select(col("vec_id"), col("cluster")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).groupBy(_._1)
+    val tieOracle = VectorOps.assignClustersMultiImpl(
+        emb.limit(50), dupCents, "embedding", k, forceArrayPath = true)
+      .select(col("vec_id"), col("cluster")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).groupBy(_._1)
+    assert(withTies.view.mapValues(_.map(_._2).toSeq).toMap ===
+      tieOracle.view.mapValues(_.map(_._2).toSeq).toMap)
+  }
+
+  test("CentroidKernel.round4 is bit-parity with Spark round(_, 4)") {
+    import graft.expressions.CentroidKernel
+    import spark.implicits._
+    // halfway points, repeating binaries, signs, zero/NaN/Inf — the
+    // probe kernel's score must round EXACTLY like the round(cos, 4)
+    // expression it replaced, or probe order drifts on boundary cosines
+    val vals = Seq(0.00005, -0.00005, 0.99995, -0.99995, 0.12345, -0.12345,
+      1.0 / 3.0, -1.0 / 3.0, 2.0 / 3.0, 0.0001499999999, 0.000150000001,
+      0.0, -0.0, 1.0, -1.0, 0.987654321, -0.987654321,
+      Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity)
+    val sparkSide = vals.toDF("x").select(round(col("x"), 4).as("r"))
+      .collect().map(_.getDouble(0))
+    vals.zip(sparkSide).foreach { case (x, want) =>
+      val got = CentroidKernel.round4(x)
+      assert(java.lang.Double.doubleToLongBits(got) ===
+        java.lang.Double.doubleToLongBits(want), s"round4($x): $got != $want")
     }
   }
 
