@@ -97,20 +97,33 @@ object Relational {
       s.sql(Relational.shippingPrioritySql)
     }),
 
-    // A4-scale path: HLL approximate distinct for cardinality checks
-    // (rows-only: HLL estimates differ across engines by construction;
-    // the exact-count twin q4 is the hash-checked one).
+    // A4-scale path: HLL approximate distinct for cardinality checks.
+    // SELF-CHECKING since round 10: the raw estimate differs across
+    // engines by construction, so the frame carries the exact counts
+    // (hash-matched against DuckDB) plus an in-bound flag — the
+    // estimate within 3σ of its published error (rsd 0.05 default) —
+    // which the oracle pins to 1. A broken sketch now FAILS the hash
+    // instead of hiding behind a rows-only check.
     "q9_approx_distinct" -> ((s, dir) => {
       t(s, dir, "lineitem").agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          approx_count_distinct(col("l_partkey")).as("__ap"),
+          approx_count_distinct(col("l_orderkey")).as("__ao"))
+        .select(col("exact_parts"), col("exact_orders"),
+          (abs(col("__ap") - col("exact_parts"))
+            <= col("exact_parts") * lit(0.15)).cast("int").as("parts_in_bound"),
+          (abs(col("__ao") - col("exact_orders"))
+            <= col("exact_orders") * lit(0.15)).cast("int").as("orders_in_bound"))
     }),
 
-    // A4 at scale (rows-only): the MERGEABLE sketch twin of q9 — two
-    // half-year sketches built independently, merged, and estimated.
-    // Exercises the checkpointable path q9's one-shot estimate cannot:
-    // per-run sketches persist in _state and cross-run cardinality is a
-    // sketch merge, not a history re-scan.
+    // A4 at scale: the MERGEABLE sketch twin of q9 — two half-year
+    // sketches built independently, merged, and estimated. Exercises
+    // the checkpointable path q9's one-shot estimate cannot: per-run
+    // sketches persist in _state and cross-run cardinality is a sketch
+    // merge, not a history re-scan. Self-checking like q9: the merged
+    // estimate must land within 3·1.04/√2¹² ≈ 5% of the exact count
+    // the oracle recomputes.
     "q68_hll_sketch" -> ((s, dir) => {
       import graft.expressions.HllSketch._
       val o = t(s, dir, "orders")
@@ -118,7 +131,13 @@ object Relational {
           (year(col("o_orderdate")) * 2 + (month(col("o_orderdate")) > 6)
             .cast("int")).as("half"))
         .agg(hll_sketch(col("o_custkey")).as("sk"))
-      halves.agg(hll_estimate(hll_merge(col("sk"))).as("approx_customers"))
+      val est = halves.agg(hll_estimate(hll_merge(col("sk"))).as("__approx"))
+      o.agg(countDistinct(col("o_custkey")).as("exact_customers"))
+        .crossJoin(est)
+        .select(col("exact_customers"),
+          (abs(col("__approx") - col("exact_customers"))
+            <= col("exact_customers") * lit(0.05)).cast("int")
+            .as("est_in_bound"))
     }),
 
     // Native as-of join (custom LogicalPlan + SparkStrategy + exec):
@@ -272,6 +291,18 @@ object Relational {
       """SELECT DISTINCT EXTRACT(year FROM o_orderdate) AS ano,
         |  EXTRACT(month FROM o_orderdate) AS mes
         |FROM orders ORDER BY ano, mes""".stripMargin,
+    // q9/q68 self-checks: DuckDB recomputes the EXACT counts (hash
+    // anchors) and pins the in-bound flags — Spark's estimate straying
+    // past its error bound flips a flag and fails the hash
+    "q9_approx_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS exact_parts,
+        |  count(DISTINCT l_orderkey) AS exact_orders,
+        |  CAST(1 AS INT) AS parts_in_bound, CAST(1 AS INT) AS orders_in_bound
+        |FROM lineitem""".stripMargin,
+    "q68_hll_sketch" ->
+      """SELECT count(DISTINCT o_custkey) AS exact_customers,
+        |  CAST(1 AS INT) AS est_in_bound
+        |FROM orders""".stripMargin,
     "q7_newest_event" ->
       """SELECT max(greatest(value, CAST(event_id AS DOUBLE))) AS max_val,
         |  max(ts) AS max_ts FROM events""".stripMargin,
