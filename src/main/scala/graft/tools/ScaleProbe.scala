@@ -148,6 +148,77 @@ object ScaleProbe {
     graft.SparkEntry.queries("q95_ann_recall")(spark, hi).collect()
       .foreach(r => println(s"[probe] q95@hi recall: $r"))
 
+    // STREAMING semantic dedup at the decade: the watermarked state is
+    // seeded with the whole in-horizon corpus, then a FIXED 100-vector
+    // batch is measured against it ("hot"), and again after the
+    // watermark evicted everything ("evicted"). Claims measured:
+    //  - state rows ride the IN-HORIZON arrivals (exponent ≈ 1 by
+    //    design — the horizon, not stream age, bounds them);
+    //  - after eviction the same fixed batch is corpus-size-FLAT —
+    //    stream age never accumulates cost.
+    // Fixed-batch wall is reported but overhead-dominated at probe
+    // scale (micro-batch job setup >> the 16-bucket cosine work); the
+    // per-batch compute bound is the q63 bucket-density argument.
+    def semStreamProbe(dir: String): (Long, Long, Double, Double) = {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import spark.implicits._
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      val corpus = Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])].collect()
+      // negated corpus vectors: genuinely novel directions that still
+      // spread across the sign buckets (the gate probe's recipe)
+      val fixed = (0 until 100).map { i =>
+        val v = corpus(i % corpus.length)._2
+        (1000000L + i, v.map(x => -x), ts("2024-01-01 10:30:00"))
+      }
+      val mem = MemoryStream[(Long, Array[Float], java.sql.Timestamp)]
+      val out = graft.streaming.StreamDedup.semanticWithinWatermark(
+        mem.toDF.toDF("vec_id", "emb", "ts"), "vec_id", "emb", "ts",
+        "60 minutes", threshold = 0.9, bits = 4)
+      val q = out.writeStream.outputMode("append").format("noop").start()
+      try {
+        mem.addData(corpus.toIndexedSeq.map { case (id, v) =>
+          (id, v, ts("2024-01-01 10:00:00")) })
+        q.processAllAvailable()
+        val t0 = System.nanoTime()
+        mem.addData(fixed)
+        q.processAllAvailable()
+        val hotWall = (System.nanoTime() - t0) / 1e9
+        val prog = q.recentProgress.reverse
+          .find(p => p.stateOperators.nonEmpty && p.numInputRows > 0)
+        val stateRows = prog.map(_.stateOperators.map(_.numRowsTotal).sum)
+          .getOrElse(-1L)
+        val stateBytes = prog.map(_.stateOperators.map(_.memoryUsedBytes).sum)
+          .getOrElse(-1L)
+        // watermark far past the horizon → next batch evicts the state
+        mem.addData(Seq((999999L, corpus.head._2, ts("2024-01-01 20:00:00"))))
+        q.processAllAvailable()
+        val t1 = System.nanoTime()
+        mem.addData(fixed.map { case (id, v, _) =>
+          (id + 1000000L, v, ts("2024-01-01 20:05:00")) })
+        q.processAllAvailable()
+        val evictedWall = (System.nanoTime() - t1) / 1e9
+        (stateRows, stateBytes, hotWall, evictedWall)
+      } finally q.stop()
+    }
+    val (srLo, sbLo, hwLo, ewLo) = semStreamProbe(lo)
+    val (srHi, sbHi, hwHi, ewHi) = semStreamProbe(hi)
+    val embRatio = Tables.load(spark, hi, "embeddings").count().toDouble /
+      Tables.load(spark, lo, "embeddings").count()
+    // state ROWS are the bucket KEYS (2^bits, corpus-free by design);
+    // the stored vectors live inside each bucket's value, so the
+    // growth quantity is state MEMORY — exponent vs in-horizon vectors
+    val sbExp =
+      if (sbLo <= 0 || sbHi <= 0 || embRatio <= 1.0) Double.NaN
+      else math.log(sbHi.toDouble / sbLo) / math.log(embRatio)
+    println(f"[probe] sem_stream state: $srLo -> $srHi bucket keys, " +
+      f"${sbLo / 1024.0}%.0f -> ${sbHi / 1024.0}%.0f KiB, " +
+      f"byte exponent $sbExp%.2f vs x$embRatio%.1f in-horizon vectors")
+    println(f"[probe] sem_stream hot batch: $hwLo%.2f -> $hwHi%.2f s; " +
+      f"evicted batch: $ewLo%.2f -> $ewHi%.2f s (flat = horizon bounds cost)")
+
     // q113 under BOILERPLATE SKEW: one 8-token passage appended to 30%
     // of documents, so a single K-window hash goes viral across the
     // corpus. The map-side partial agg (count + min-prio) is claimed to
