@@ -1,7 +1,7 @@
 package graft.lake
 
 import graft.functions.VectorOps
-import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persisted, incrementally-appendable IVF ANN index over an embedding

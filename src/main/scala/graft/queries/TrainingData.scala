@@ -836,8 +836,10 @@ object TrainingData {
     // by multi-probe blocking: each vector joins its 2 nearest cells,
     // so a pair split across two cells still collides in a shared
     // second-choice cell — a constant ×2 on blocked rows, not a growth
-    // term. No DuckDB oracle: the quantizer is iterative kmeans
-    // (rows-only by design, like q9/q68/q95). The whole recipe is the
+    // term. No DuckDB oracle: the quantizer is iterative kmeans —
+    // since round 10 the ONLY rows-only query (q9/q68/q95 became
+    // self-checking); the compensating check here is the spec-pinned
+    // ≥90% keep-agreement vs exhaustive truth. The whole recipe is the
     // public API [[DedupOps.semanticDedupBlocked]] — this query is a
     // thin caller at q67's 0.35 threshold; seeding/assignment driver
     // cost is O(k·dim) by construction (constant sample cap +

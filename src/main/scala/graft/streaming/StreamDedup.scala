@@ -151,7 +151,9 @@ object StreamDedup {
     * counted in `quarantined` when supplied — so one corrupt record
     * costs one dropped row instead of the stream. With `expectedDim`
     * set, every stored vector has length d and the loud in-comparison
-    * check becomes unreachable by construction. */
+    * check becomes unreachable by construction. (The accumulator is a
+    * MONITORING metric with Spark's at-least-once task-retry
+    * semantics, not an exactly-once ledger.) */
   def semanticWithinWatermark(stream: DataFrame, idCol: String,
                               vecCol: String, tsCol: String, horizon: String,
                               threshold: Double, bits: Int = 4,
