@@ -390,16 +390,18 @@ object DedupOps {
       if (reliable) df.persist(StorageLevel.MEMORY_AND_DISK) else df
     def release(df: DataFrame): Unit =
       if (reliable) df.unpersist(blocking = false)
-    // The pair subtree (often an expensive dedup pipeline) is
-    // materialized ONCE; the symmetric closure derives from the
-    // materialized frame, so neither union branch re-runs it.
-    val p = cached(materialize(
-      pairs.select(col(idA).as("src"), col(idB).as("dst")),
-      reliableCheckpointDir))
+    // The symmetric-closure union reads the pair subtree twice, but a
+    // pre-checkpoint of it is NOT worth the extra materialization:
+    // every engine caller's pair frame ends in an exchange (distinct),
+    // so ReusedExchange already computes the subtree once across both
+    // branches — measured on the sfx1.0 decade, inserting the extra
+    // checkpoint layer moved q114 scan-amp ×162→×185 for zero wall or
+    // shuffle change. The single edges checkpoint below is the
+    // lineage-truncation point.
     val edges = cached(materialize(
-      p.unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
+      pairs.select(col(idA).as("src"), col(idB).as("dst"))
+        .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
         .distinct(), reliableCheckpointDir))
-    release(p)
     var labels = cached(materialize(
       edges.select(col("src").as("node")).distinct()
         .withColumn("comp", col("node")), reliableCheckpointDir))

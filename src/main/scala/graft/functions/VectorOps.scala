@@ -143,8 +143,17 @@ object VectorOps {
     // irreducible for a k-centroid quantizer (centroidArrays collects
     // the same k·dim doubles on every consumer).
     val sampleN = seedSampleN(k)
-    val hashed = corpus.select(col(vecCol))
-      .withColumn("h", md5(concat_ws(",", col(vecCol))))
+    // The loop below scans the training vectors once per iteration plus
+    // the seeding pass — cache the COLUMN-PRUNED working set for the
+    // training's duration (MLlib's own k-means practice) so iterations
+    // read blocks, not source files. Bounded by the TRAINING input the
+    // caller chose: the SemDeDup/retrain paths pass a ~10% hash sample,
+    // and build-time full-corpus training is the one place the whole
+    // vector column justifies a disk-backed cache.
+    val work = corpus.select(col(vecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    val hashed = work.withColumn("h", md5(concat_ws(",", col(vecCol))))
     val sampled = hashed.orderBy(col("h"))
       .select(col(vecCol), col("h")).take(sampleN)
     require(sampled.nonEmpty,
@@ -186,7 +195,7 @@ object VectorOps {
       // slightly different quantizers — and every downstream recall
       // number drifted with the environment. Rounded centroids make
       // index builds reproducible across cluster sizes.
-      val next = assignClusters(corpus, cents, vecCol)
+      val next = assignClusters(work, cents, vecCol)
         .select(col("cluster"), posexplode(col(vecCol)).as(Seq("pos", "x")))
         .groupBy(col("cluster"), col("pos"))
         .agg(round(avg(col("x").cast("double")), 4).as("centroid"))
@@ -205,6 +214,7 @@ object VectorOps {
     cents.zipWithIndex.flatMap { case (cvec, c) =>
       cvec.zipWithIndex.map { case (v, p) => (c, p, v) }
     }.toDF("cluster", "pos", "centroid")
+    } finally work.unpersist(blocking = false)
   }
 
   /** |v−c|² minus the per-row |v|² constant, for one literal centroid —
