@@ -106,8 +106,14 @@ final class CentroidKernel(val flat: Array[Double], val k: Int, val dim: Int,
     * expression shape it replaces: score = −round(dot/√(|c|²·|v|²), 4)
     * ranked ascending, with Spark Round semantics (HALF_UP on the
     * canonical decimal rendering; NaN/±Inf pass through) — so a
-    * zero-norm centroid's NaN sorts LAST, exactly as the struct
-    * ordering placed it. */
+    * zero-norm centroid's NaN sorts LAST. One DELIBERATE divergence
+    * from the retired SQL shape: on a zero-norm centroid or query the
+    * raw division threw under ANSI (DIVIDE_BY_ZERO), where this
+    * kernel's 0/0 is a plain NaN that ranks the degenerate entry
+    * last. Unobservable on the production path — topKJoin's exact
+    * scoring stage still divides by the stored norms in SQL and fails
+    * loudly on zero-norm vectors, the engine-wide posture — but probe
+    * SELECTION no longer falls over before that check is reached. */
   def topCosine(vec: ArrayData, isFloat: Boolean, nprobe: Int): ArrayData = {
     val n = vec.numElements()
     var qn2 = 0.0

@@ -474,4 +474,90 @@ class PropertiesSpec extends SparkSpec {
     })
   }
 
+  test("prop: centroid kernel == retired expression shapes on random inputs") {
+    import graft.expressions.NearestCentroid
+    import graft.functions.VectorOps
+    // randomized parity of the fused CentroidKernel against the
+    // RETIRED typedLit+transform shapes it replaced — zero shared
+    // code, and the generator forces the edge geometry: duplicate
+    // centroids (tie-break), an all-zero centroid and all-zero query
+    // vectors (NaN cosine ordering), and vectors SHORTER than dim
+    // (the min(len, dim) contract), over both double and float
+    // element types.
+    val dim = 6
+    val coord = Gen.frequency(4 -> Gen.choose(-50, 50).map(_ / 10.0),
+      1 -> Gen.const(0.0))
+    val vecGen = Gen.choose(dim - 2, dim)
+      .flatMap(n => Gen.listOfN(n, coord))
+    val centsGen = for {
+      k <- Gen.choose(2, 9)
+      base <- Gen.listOfN(k, Gen.listOfN(dim, coord))
+      dup <- Gen.choose(0, k - 1)
+    } yield (base :+ base(dup) :+ List.fill(dim)(0.0)).map(_.toArray)
+    // the retired AnnIndex cosine-probe shape, reconstructed inline
+    def hofTopCos(cents: Seq[Array[Double]], vec: org.apache.spark.sql.Column,
+                  nprobe: Int) = {
+      val vd = graft.expressions.VecDot.vec_dot _
+      val qn2 = vd(vec, vec)
+      val cArr = typedLit(cents.map(_.toSeq))
+      val n2Arr = typedLit(cents.map(c => c.map(x => x * x).sum))
+      slice(sort_array(transform(cArr, (cv, i) => struct(
+        (-round(vd(vec, cv) /
+          sqrt(element_at(n2Arr, i + lit(1)) * qn2), 4)).as("neg"),
+        i.as("cluster")))), 1, nprobe).getField("cluster")
+    }
+    val r = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10),
+      Prop.forAll(centsGen, Gen.listOfN(20, vecGen)) { (cents, rows) =>
+        // distance legs: zero vectors/centroids INCLUDED (no division)
+        def distMismatches(df: org.apache.spark.sql.DataFrame): Long =
+          df.select(
+              NearestCentroid.nearest_centroid($"vec", cents).as("s"),
+              array_min(VectorOps.scoredArr(cents, $"vec",
+                forceArrayPath = true)).getField("c").as("so"),
+              NearestCentroid.nearest_centroids($"vec", cents, 3).as("m"),
+              slice(sort_array(VectorOps.scoredArr(cents, $"vec",
+                forceArrayPath = true)), 1, 3).getField("c").as("mo"))
+            .filter($"s" =!= $"so" || $"m" =!= $"mo")
+            .count()
+        // cosine leg: the RETIRED oracle divides in SQL and throws
+        // under ANSI on a zero norm (the kernel's 0/0 is a NaN ranked
+        // last — the documented deliberate divergence, asserted
+        // deterministically below), so this leg compares on nonzero
+        // norms only: drop the appended zero centroid, filter zero
+        // query vectors
+        val centsNZ = cents.filter(_.exists(_ != 0.0))
+        def cosMismatches(df: org.apache.spark.sql.DataFrame): Long =
+          df.filter(graft.expressions.VecDot.vec_dot($"vec", $"vec") > 0)
+            .select(
+              NearestCentroid.top_cosine_centroids($"vec", centsNZ, 3).as("t"),
+              hofTopCos(centsNZ, $"vec", 3).as("to"))
+            .filter($"t" =!= $"to")
+            .count()
+        val dd = rows.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+          .toDF("id", "vec")
+        val df = rows.zipWithIndex
+          .map { case (v, i) => (i.toLong, v.map(_.toFloat)) }
+          .toDF("id", "vec")
+        distMismatches(dd) == 0 && distMismatches(df) == 0 &&
+          cosMismatches(dd) == 0 && cosMismatches(df) == 0
+      })
+    assert(r.passed, r.status.toString)
+
+    // the deliberate zero-norm divergence, pinned: a zero-norm QUERY
+    // scores every centroid NaN → probe order degrades to cluster-id
+    // order; a zero-norm CENTROID ranks strictly last
+    val e1 = Array(1.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    val e2 = Array(0.0, 1.0, 0.0, 0.0, 0.0, 0.0)
+    val z = Array.fill(6)(0.0)
+    val one = Seq((1L, z)).toDF("id", "vec")
+    assert(one.select(NearestCentroid
+        .top_cosine_centroids($"vec", Seq(e1, e2, z), 3))
+      .head().getSeq[Int](0) === Seq(0, 1, 2))
+    val q = Seq((1L, e1)).toDF("id", "vec")
+    assert(q.select(NearestCentroid
+        .top_cosine_centroids($"vec", Seq(z, e1, e2), 3))
+      .head().getSeq[Int](0) === Seq(1, 2, 0), "zero centroid must rank last")
+  }
+
 }
