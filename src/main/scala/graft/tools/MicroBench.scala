@@ -371,6 +371,24 @@ object MicroBench {
               .nearest_centroid(col("embedding"), cents))
             .select(col("vec_id"), col("cluster")))
         }
+        // the COSINE twin (topKJoin's probe selection): retired
+        // typedLit+transform ranking vs the fused TopCosineCentroids
+        val vd = graft.expressions.VecDot.vec_dot _
+        val qn2 = vd(col("embedding"), col("embedding"))
+        val cArr = typedLit(cents.map(_.toSeq))
+        val n2Arr = typedLit(cents.map(c => c.map(x => x * x).sum))
+        val hofProbe = slice(sort_array(transform(cArr, (cv, i) => struct(
+          (-round(vd(col("embedding"), cv) /
+            sqrt(element_at(n2Arr, i + lit(1)) * qn2), 4)).as("neg"),
+          i.as("cluster")))), 1, 3).getField("cluster")
+        time(s"probe k=$k HOF-transform") {
+          noop(corpus.select(col("vec_id"), explode(hofProbe).as("cluster")))
+        }
+        time(s"probe k=$k fused-kernel") {
+          noop(corpus.select(col("vec_id"),
+            explode(graft.expressions.NearestCentroid
+              .top_cosine_centroids(col("embedding"), cents, 3)).as("cluster")))
+        }
         corpus.unpersist()
       }
     }
