@@ -1,0 +1,263 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, FloatType}
+
+/** Product-quantization codec for embedding columns — the memory/scan
+  * side of ANN at corpus scale (Jégou et al. 2011's PQ, the IVF-PQ
+  * recipe FAISS ships): the vector space splits into `m` contiguous
+  * subspaces, each with its own `ksub`-centroid codebook, and a vector
+  * is stored as m one-byte codes — 64-dim float32 embeddings (256 B)
+  * become 8 B, a 32× compression.
+  *
+  * The Spark-first framing of the win: codes live in their OWN
+  * parquet column, so the candidate-generation scan column-prunes to
+  * (id, codes) and never reads the full vectors — the IO cut falls
+  * out of columnar storage rather than a custom store. Exact rescoring
+  * then reads full vectors ONLY for the refine set (a semi-join-pruned
+  * second scan). See [[graft.functions.VectorOps.pqTopK]].
+  *
+  * Two expressions, both fused native kernels over a flat codebook
+  * array (the [[CentroidKernel]] pattern):
+  *  - [[PqEncode]]: vector → m-byte code (per block, nearest
+  *    sub-centroid by the same |c|² − 2·v·c ranking / tie-break as
+  *    [[NearestCentroid]]);
+  *  - [[PqAdcDot]]: (query, codes) → Σ_b q_b · cent[b, code_b] — the
+  *    asymmetric-distance dot against the RECONSTRUCTION, computed
+  *    through a per-thread lookup table (m×ksub partial dots built
+  *    once per distinct query and reused across its candidates — the
+  *    classic ADC table, keyed by query content so interleaved
+  *    queries stay correct).
+  */
+final class PqKernel(val m: Int, val ksub: Int, val dsub: Int,
+                     flat: Array[Double]) extends Serializable {
+  // flat layout: ((b * ksub + c) * dsub + d)
+  val dim: Int = m * dsub
+
+  private def blockN2(b: Int, c: Int): Double = {
+    val base = (b * ksub + c) * dsub
+    var s = 0.0
+    var d = 0
+    while (d < dsub) { val x = flat(base + d); s += x * x; d += 1 }
+    s
+  }
+  // |cent|² per (block, code), precomputed once per executor instance
+  @transient private lazy val n2: Array[Double] = {
+    val a = new Array[Double](m * ksub)
+    var i = 0
+    while (i < m * ksub) { a(i) = blockN2(i / ksub, i % ksub); i += 1 }
+    a
+  }
+
+  def encode(vec: ArrayData, isFloat: Boolean): Array[Byte] = {
+    val n = vec.numElements()
+    val out = new Array[Byte](m)
+    var b = 0
+    while (b < m) {
+      var bestC = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < ksub) {
+        val base = (b * ksub + c) * dsub
+        var dot = 0.0
+        var d = 0
+        // positions past the vector's length contribute zero (the
+        // min(len, dim) convention of the engine's vector kernels)
+        val lim = math.min(dsub, math.max(0, n - b * dsub))
+        if (isFloat) while (d < lim) { dot += vec.getFloat(b * dsub + d).toDouble * flat(base + d); d += 1 }
+        else while (d < lim) { dot += vec.getDouble(b * dsub + d) * flat(base + d); d += 1 }
+        val dist = n2(b * ksub + c) - 2.0 * dot
+        val cmp = java.lang.Double.compare(dist, bestD)
+        if (cmp < 0) { bestD = dist; bestC = c }
+        c += 1
+      }
+      out(b) = bestC.toByte
+      b += 1
+    }
+    out
+  }
+
+  /** Per-thread ADC table: (query content hash, query copy, LUT).
+    * Rebuilt when a row's query differs from the cached one — one
+    * m×ksub×dsub pass per DISTINCT query, then each candidate costs m
+    * lookups. Content-compared on hash match, so interleaved queries
+    * (or a hash collision) can never read a stale table. */
+  @transient private lazy val lutCache =
+    new ThreadLocal[(Long, Array[Double], Array[Double])]
+
+  private def queryCopy(vec: ArrayData, isFloat: Boolean): Array[Double] = {
+    val n = math.min(vec.numElements(), dim)
+    val q = new Array[Double](dim) // zero-padded past the query length
+    var i = 0
+    if (isFloat) while (i < n) { q(i) = vec.getFloat(i).toDouble; i += 1 }
+    else while (i < n) { q(i) = vec.getDouble(i); i += 1 }
+    q
+  }
+
+  private def contentHash(q: Array[Double]): Long = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < q.length) {
+      h = 31 * h + java.lang.Double.doubleToLongBits(q(i)); i += 1
+    }
+    h
+  }
+
+  def adcDot(query: ArrayData, isFloat: Boolean, codes: Array[Byte]): Double = {
+    require(codes.length == m,
+      s"PQ code length ${codes.length} != m=$m subspaces")
+    val q = queryCopy(query, isFloat)
+    val h = contentHash(q)
+    var cached = lutCache.get()
+    if (cached == null || cached._1 != h ||
+        !java.util.Arrays.equals(cached._2, q)) {
+      val lut = new Array[Double](m * ksub)
+      var b = 0
+      while (b < m) {
+        var c = 0
+        while (c < ksub) {
+          val base = (b * ksub + c) * dsub
+          var dot = 0.0
+          var d = 0
+          while (d < dsub) { dot += q(b * dsub + d) * flat(base + d); d += 1 }
+          lut(b * ksub + c) = dot
+          c += 1
+        }
+        b += 1
+      }
+      cached = (h, q, lut)
+      lutCache.set(cached)
+    }
+    val lut = cached._3
+    var s = 0.0
+    var b = 0
+    while (b < m) { s += lut(b * ksub + (codes(b) & 0xff)); b += 1 }
+    s
+  }
+
+  /** ADC dot NORMALIZED by the reconstruction's norm — the candidate
+    * ranking [[graft.functions.VectorOps.pqTopK]] sorts on. Exact for
+    * the reconstruction: blocks are disjoint coordinates, so
+    * |v̂|² = Σ_b |cent_{b,code_b}|² (m lookups into the precomputed n2
+    * table, no extra FLOPs). The query's own norm is a per-query
+    * constant — rank-invariant, deliberately NOT divided out. A
+    * zero-norm reconstruction scores −∞ (never selected; NaN would
+    * sort FIRST under a descending order). */
+  def adcCosine(query: ArrayData, isFloat: Boolean, codes: Array[Byte]): Double = {
+    val dot = adcDot(query, isFloat, codes)
+    var rn2 = 0.0
+    var b = 0
+    while (b < m) { rn2 += n2(b * ksub + (codes(b) & 0xff)); b += 1 }
+    if (rn2 == 0.0) Double.NegativeInfinity else dot / math.sqrt(rn2)
+  }
+}
+
+object PqKernel {
+  /** codebooks: m blocks × ksub centroids × dsub dims. */
+  def build(codebooks: Seq[Seq[Seq[Double]]]): PqKernel = {
+    require(codebooks.nonEmpty, "empty PQ codebooks")
+    val m = codebooks.size
+    val ksub = codebooks.head.size
+    require(ksub >= 1 && ksub <= 256, s"ksub $ksub must fit one byte")
+    val dsub = codebooks.head.head.size
+    require(codebooks.forall(b => b.size == ksub && b.forall(_.size == dsub)),
+      "ragged PQ codebooks: every block needs ksub × dsub entries")
+    val flat = new Array[Double](m * ksub * dsub)
+    var i = 0
+    codebooks.foreach(_.foreach(_.foreach { x => flat(i) = x; i += 1 }))
+    new PqKernel(m, ksub, dsub, flat)
+  }
+}
+
+sealed trait PqExpression { self: Expression =>
+  def codebooks: Seq[Seq[Seq[Double]]]
+  @transient protected lazy val kernel: PqKernel = PqKernel.build(codebooks)
+  protected def isFloatArray(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  protected def kernelRef(ctx: CodegenContext): String =
+    ctx.addReferenceObj("pqKernel", kernel, classOf[PqKernel].getName)
+}
+
+/** vector → m-byte PQ code (binary). */
+case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression with PqExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "pq_encode"
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel.encode(input.asInstanceOf[ArrayData], isFloatArray(child))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kref = kernelRef(ctx)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $kref.encode($c, ${isFloatArray(child)});")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** (queryVec, codes) → asymmetric dot against the reconstruction. */
+case class PqAdcDot(left: Expression, right: Expression,
+                    codebooks: Seq[Seq[Seq[Double]]])
+    extends BinaryExpression with PqExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_dot"
+
+  override def nullSafeEval(q: Any, codes: Any): Any =
+    kernel.adcDot(q.asInstanceOf[ArrayData], isFloatArray(left),
+      codes.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kref = kernelRef(ctx)
+    nullSafeCodeGen(ctx, ev, (q, c) =>
+      s"${ev.value} = $kref.adcDot($q, ${isFloatArray(left)}, $c);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PqAdcDot = copy(left = newLeft, right = newRight)
+}
+
+/** (queryVec, codes) → reconstruction-normalized asymmetric dot — the
+  * [[graft.functions.VectorOps.pqTopK]] candidate ranking. */
+case class PqAdcCosine(left: Expression, right: Expression,
+                       codebooks: Seq[Seq[Seq[Double]]])
+    extends BinaryExpression with PqExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_cosine"
+
+  override def nullSafeEval(q: Any, codes: Any): Any =
+    kernel.adcCosine(q.asInstanceOf[ArrayData], isFloatArray(left),
+      codes.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kref = kernelRef(ctx)
+    nullSafeCodeGen(ctx, ev, (q, c) =>
+      s"${ev.value} = $kref.adcCosine($q, ${isFloatArray(left)}, $c);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PqAdcCosine = copy(left = newLeft, right = newRight)
+}
+
+object PqCodec {
+  def pq_encode(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    Bridge.column(PqEncode(Bridge.expression(vec), codebooks))
+
+  def pq_adc_dot(query: Column, codes: Column,
+                 codebooks: Seq[Seq[Seq[Double]]]): Column =
+    Bridge.column(PqAdcDot(Bridge.expression(query), Bridge.expression(codes),
+      codebooks))
+
+  def pq_adc_cosine(query: Column, codes: Column,
+                    codebooks: Seq[Seq[Seq[Double]]]): Column =
+    Bridge.column(PqAdcCosine(Bridge.expression(query), Bridge.expression(codes),
+      codebooks))
+}

@@ -738,6 +738,53 @@ object TrainingData {
       rows.toDF("nprobe", "k", "n_queries", "recall_floor", "recall_ok")
         .orderBy(col("nprobe"))
     }),
+    // PRODUCT-QUANTIZED ANN (Jégou et al. 2011) — the memory/scan-bytes
+    // scale path the IVF index (q95) doesn't cover: 64-dim float32
+    // embeddings compress 32× into an 8-byte codes COLUMN (8 blocks ×
+    // 256 codes), candidates rank by fused-kernel ADC cosine over the
+    // codes alone (column pruning delivers the byte cut), and only the
+    // k·refine survivors are exactly rescored from full vectors. Like
+    // q95, the iterative codebook training has no DuckDB oracle, so the
+    // frame is SELF-CHECKING: per-refine recall floors + ok flags the
+    // oracle pins (floors sit under both the sf0.01 and sf0.1
+    // measurements: 0.74/0.93/1.00 and 0.49/0.66/0.81 at refine 1/2/4),
+    // plus the constant code_bytes column that hash-pins the
+    // compression claim. refine = corpus/k reproduces brute force
+    // exactly (spec-pinned).
+    "q117_pq_recall" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val k = 10
+      val nQ = 8
+      val queries = e.filter(col("vec_id") < nQ)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val W = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+      val q = queries.select(col("qid"), col("embedding").as("__qv"),
+        VectorOps.norm(col("embedding")).as("__qn"))
+      val truth = e.withColumn("__n", VectorOps.norm(col("embedding")))
+        .crossJoin(broadcast(q))
+        .select(col("qid"), col("vec_id"), VectorOps.cosinePrenormed(
+          col("embedding"), col("__qv"), col("__n"), col("__qn")).as("score"))
+        .withColumn("rk", row_number().over(W)).filter(col("rk") <= k)
+        .select(col("qid"), col("vec_id")).as[(Long, Long)].collect().toSet
+      val cbs = VectorOps.pqTrainCodebooks(e, "embedding", m = 8, iters = 2)
+      // the persisted-codes shape: encode once, reuse across the sweep
+      val codes = VectorOps.pqEncodeCorpus(e, "vec_id", "embedding", cbs)
+      val floors = Map(1 -> 0.35, 2 -> 0.50, 4 -> 0.65)
+      val rows = Seq(1, 2, 4).map { refine =>
+        val got = VectorOps.pqTopKJoin(e, queries, "qid", "vec_id",
+            "embedding", k, cbs, refine, Some(codes))
+          .select(col("qid"), col("vec_id")).as[(Long, Long)].collect().toSet
+        val recall = truth.count(got.contains).toDouble / (k * nQ)
+        (refine, k, nQ, 8, floors(refine),
+          if (recall >= floors(refine)) 1 else 0)
+      }
+      rows.toDF("refine", "k", "n_queries", "code_bytes", "recall_floor",
+          "recall_ok")
+        .orderBy(col("refine"))
+    }),
+
     // Embedding-cosine near-dup pairs within (label × sign-bucket)
     // buckets. The 4-bit sign bucket rides on the join key so a hot label
     // splits into ≤16 sub-buckets: pair cost is Σ bucket² over the finer
@@ -2071,6 +2118,17 @@ object TrainingData {
         |FROM (VALUES (1, 0.15), (2, 0.25), (4, 0.45), (8, 0.70))
         |  AS t(nprobe, recall_floor)
         |ORDER BY nprobe""".stripMargin,
+    // q117 self-check: same pattern as q95 — the sweep shape, the
+    // compression constant and the recall_ok flags are what DuckDB can
+    // pin; a recall regression below any floor fails the hash
+    "q117_pq_recall" ->
+      """SELECT CAST(refine AS INT) AS refine, CAST(10 AS INT) AS k,
+        |  CAST(8 AS INT) AS n_queries, CAST(8 AS INT) AS code_bytes,
+        |  CAST(recall_floor AS DOUBLE) AS recall_floor,
+        |  CAST(1 AS INT) AS recall_ok
+        |FROM (VALUES (1, 0.35), (2, 0.50), (4, 0.65))
+        |  AS t(refine, recall_floor)
+        |ORDER BY refine""".stripMargin,
     "q93_pii_scrub" ->
       """WITH inj AS (
         |  SELECT doc_id,

@@ -392,6 +392,47 @@ object MicroBench {
         corpus.unpersist()
       }
     }
+
+    // ---- PQ: storage footprint + scan pruning, codes vs vectors ----
+    // the compression claim, measured at STORAGE level on UNIQUE
+    // vectors (per-copy jitter defeats parquet's dictionary coding —
+    // replicated fixtures compress away and fake the ratio), plus the
+    // plan-level proof that the ADC candidate stage's ReadSchema
+    // carries the codes column and NOT the embeddings. At scale,
+    // bytesRead follows ReadSchema — the IO cut is column pruning.
+    {
+      import graft.functions.VectorOps
+      val e = Tables.load(spark, sfDir, "embeddings")
+      val cbs = VectorOps.pqTrainCodebooks(e, "embedding", m = 8, iters = 1)
+      val uniq = spark.range(32).crossJoin(e)
+        .select((col("id") * 1000000 + col("vec_id")).as("vec_id"),
+          transform(col("embedding"),
+            x => x + (col("id") % 97).cast("float") * lit(1.013e-3f))
+            .as("embedding"))
+      val vdir = java.nio.file.Files.createTempDirectory("pq_vecs").toString
+      val cdir = java.nio.file.Files.createTempDirectory("pq_codes").toString
+      uniq.write.mode("overwrite").parquet(vdir)
+      val codesDf = VectorOps.pqEncodeCorpus(
+        spark.read.parquet(vdir), "vec_id", "embedding", cbs)
+      codesDf.write.mode("overwrite").parquet(cdir)
+      def mib(d: String): Double = org.apache.commons.io.FileUtils
+        .sizeOfDirectory(new java.io.File(d)) / 1048576.0
+      println(f"pq storage: vectors ${mib(vdir)}%.2f MiB vs codes " +
+        f"${mib(cdir)}%.2f MiB (x${mib(vdir) / mib(cdir)}%.1f), same ids")
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("__qv"))
+      val candScan = spark.read.parquet(cdir).crossJoin(broadcast(qv))
+        .select(col("vec_id"), graft.expressions.PqCodec.pq_adc_cosine(
+          col("__qv"), col("pq_code"), cbs).as("s"))
+      val formatted = candScan.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val readSchemas = formatted.linesIterator
+        .filter(_.trim.startsWith("ReadSchema")).toSeq
+      println("pq candidate ReadSchema: " + readSchemas.mkString(" | "))
+      assert(readSchemas.exists(_.contains("pq_code")),
+        "candidate scan must read the codes column")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(vdir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(cdir))
+    }
     spark.stop()
   }
 }

@@ -163,6 +163,94 @@ class VectorOpsSpec extends SparkSpec {
     assert(s1.nonEmpty, "sampled quantizer found no pairs at 0.35")
   }
 
+  test("PQ encode + ADC agree with a driver-side reference (float and double)") {
+    import graft.expressions.PqCodec
+    import spark.implicits._
+    // tiny hand-checkable codec: 2 blocks × 3 codes × 2 dims
+    val cbs: Seq[Seq[Seq[Double]]] = Seq(
+      Seq(Seq(0.0, 0.0), Seq(1.0, 1.0), Seq(-1.0, 2.0)),
+      Seq(Seq(2.0, 0.0), Seq(0.0, -2.0), Seq(0.5, 0.5)))
+    def refEncode(v: Array[Double]): Seq[Int] = (0 until 2).map { b =>
+      cbs(b).zipWithIndex.minBy { case (c, i) =>
+        val d = c.zipWithIndex.map { case (x, j) =>
+          val vj = if (b * 2 + j < v.length) v(b * 2 + j) else 0.0
+          (x - vj) * (x - vj)
+        }.sum
+        (d, i)
+      }._2
+    }
+    def refRecon(codes: Seq[Int]): Array[Double] =
+      codes.zipWithIndex.flatMap { case (c, b) => cbs(b)(c) }.toArray
+    val vecs = Seq(
+      Array(0.9, 1.1, 1.9, 0.1), Array(-1.2, 2.2, 0.4, 0.6),
+      Array(0.0, 0.0, 0.0, 0.0), Array(5.0, -5.0, -5.0, 5.0),
+      Array(1.0, 1.0)) // SHORT vector: missing coords read as zero
+    val q = Array(0.3, -0.7, 1.5, 0.25)
+    def check(df: org.apache.spark.sql.DataFrame): Unit = {
+      val got = df.select(col("id"),
+          PqCodec.pq_encode(col("vec"), cbs).as("code"),
+          PqCodec.pq_adc_dot(typedLit(q.toSeq), PqCodec.pq_encode(col("vec"), cbs), cbs).as("adc"))
+        .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1), r.getDouble(2)))
+      got.foreach { case (id, code, adc) =>
+        val v = vecs(id.toInt)
+        val want = refEncode(v)
+        assert(code.map(_ & 0xff).toSeq === want, s"vec $id encode")
+        val recon = refRecon(want)
+        val wantDot = q.zip(recon).map(p => p._1 * p._2).sum
+        assert(math.abs(adc - wantDot) < 1e-12, s"vec $id adc $adc != $wantDot")
+      }
+    }
+    val ids = vecs.indices.map(_.toLong)
+    check(ids.map(i => (i, vecs(i.toInt))).toDF("id", "vec"))
+    check(ids.map(i => (i, vecs(i.toInt).map(_.toFloat))).toDF("id", "vec"))
+  }
+
+  test("PQ ADC per-thread table survives interleaved queries") {
+    import graft.expressions.PqCodec
+    import spark.implicits._
+    val cbs = VectorOps.pqTrainCodebooks(emb, "embedding", m = 8, ksub = 8,
+      iters = 1)
+    val codes = VectorOps.pqEncodeCorpus(emb.limit(64), "vec_id", "embedding", cbs)
+    val qs = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("__qv"))
+    // one partition forces the two queries to INTERLEAVE through one
+    // thread's cached lookup table — scores must match the per-query runs
+    val inter = codes.crossJoin(qs).repartition(1)
+      .select(col("qid"), col("vec_id"),
+        PqCodec.pq_adc_cosine(col("__qv"), col("pq_code"), cbs).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    (0L until 2L).foreach { qid =>
+      val solo = codes.crossJoin(qs.filter(col("qid") === qid))
+        .select(col("vec_id"),
+          PqCodec.pq_adc_cosine(col("__qv"), col("pq_code"), cbs).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      solo.foreach { case (id, s) =>
+        assert(inter((qid, id)) === s, s"query $qid vec $id drifted")
+      }
+    }
+  }
+
+  test("pqTopK: exact when refine covers the corpus; recall holds at refine=4") {
+    // the standard PQ dial: 8 blocks × 256 codes (8 bits/subspace)
+    val cbs = VectorOps.pqTrainCodebooks(emb, "embedding", m = 8, iters = 2)
+    val query = emb.filter(col("vec_id") === 0)
+    val exact = VectorOps.bruteForceTopK(emb, query, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // refine big enough that the candidate stage keeps everything —
+    // the two-stage search must then BE brute force, bit for bit
+    val full = VectorOps.pqTopK(emb, query, "vec_id", "embedding", 10, cbs,
+        refine = 100)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full === exact)
+    // the compressed path at the production dial: recall@10 ≥ 0.6 on
+    // the fixture (measured ~0.8-1.0; the floor leaves drift margin)
+    val got = VectorOps.pqTopK(emb, query, "vec_id", "embedding", 10, cbs,
+        refine = 4)
+      .collect().map(_.getLong(0)).toSet
+    val hits = exact.map(_._1).count(got.contains)
+    assert(hits >= 6, s"recall@10 too low: $hits/10")
+  }
+
   test("kmeansLloyd hash-seeds deterministically when k > FarthestFirstMaxK") {
     val k = VectorOps.FarthestFirstMaxK + 44 // 300: also > LiteralCentroidMaxK,
     // so the Lloyd iteration itself trains through the array-literal plan
