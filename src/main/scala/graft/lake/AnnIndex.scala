@@ -38,6 +38,12 @@ class AnnIndex(spark: SparkSession, lake: Lake, dataset: String,
 
   val centroidsRef: TableRef = TableRef("state", dataset, "ivf_centroids")
   val listsRef: TableRef = TableRef("state", dataset, "ivf_lists")
+  /** Optional IVF-PQ sidecars (see [[enablePq]]): per-subspace
+    * codebooks (config-sized) and the m-byte code per stored vector,
+    * bucketed and partitioned EXACTLY like the lists so every prune
+    * the lists scan gets, the codes scan gets too. */
+  val pqCodebooksRef: TableRef = TableRef("state", dataset, "ivf_pq_codebooks")
+  val pqCodesRef: TableRef = TableRef("state", dataset, "ivf_pq_codes")
 
   private def qualified(ref: TableRef) =
     s"${ref.zone}_${ref.dataset}.${ref.table}"
@@ -86,11 +92,19 @@ class AnnIndex(spark: SparkSession, lake: Lake, dataset: String,
     * (into its bucket files). Idempotence is the caller's business (ids
     * are not deduplicated here; compose with [[CorpusDedup]] /
     * processed-file state for exactly-once ingest — or use the DATED
-    * ingest below, which is replay-idempotent by construction). */
+    * ingest below, which is replay-idempotent by construction). With
+    * PQ enabled the batch's codes land FIRST (see [[appendDated]] for
+    * why that order is the safe one). */
   def append(batch: DataFrame, idCol: String, vecCol: String): Unit = {
     val cents = loadCentroidArrays(spark.table(qualified(centroidsRef)))
     val assigned = VectorOps.assignClusters(batch, cents, vecCol)
       .select(col("cluster"), col(idCol).as("id"), col(vecCol).as("vec"))
+    if (pqEnabled) {
+      val cols = spark.table(qualified(pqCodesRef)).columns
+      codesOf(assigned, pqCodebooks).select(cols.map(col).toIndexedSeq: _*)
+        .write.mode(SaveMode.Append).insertInto(qualified(pqCodesRef))
+      spark.catalog.refreshTable(qualified(pqCodesRef))
+    }
     // insertInto is positional — align to the stored column order
     val cols = spark.table(qualified(listsRef)).columns
     assigned.select(cols.map(col).toIndexedSeq: _*)
@@ -130,11 +144,31 @@ class AnnIndex(spark: SparkSession, lake: Lake, dataset: String,
       partitionBy = Seq("seen_date"))
   }
 
+  /** Dynamic-partition overwrite into a catalog table — the dated
+    * land primitive shared by lists and PQ codes. */
+  private def dynamicOverwrite(df: DataFrame, ref: TableRef): Unit = {
+    val cols = spark.table(qualified(ref)).columns
+    val modeKey = "spark.sql.sources.partitionOverwriteMode"
+    val was = spark.conf.get(modeKey, "static")
+    spark.conf.set(modeKey, "dynamic")
+    try df.select(cols.map(col).toIndexedSeq: _*)
+      .write.mode(SaveMode.Overwrite).insertInto(qualified(ref))
+    finally spark.conf.set(modeKey, was)
+    spark.catalog.refreshTable(qualified(ref))
+  }
+
   /** Land one day's vectors idempotently: assign against the persisted
     * centroids, then dynamic-partition-OVERWRITE `seen_date=day` — a
     * replay recomputes the same rows and replaces exactly its own
     * partition; an empty batch touches no partition at all (the same
-    * crash-window argument as the daily ingest's land step). */
+    * crash-window argument as the daily ingest's land step).
+    *
+    * With PQ enabled the day's CODES land before the lists: a crash
+    * between the two leaves codes ⊇ lists for the day, which is the
+    * harmless direction — [[topKJoinPq]]'s exact-rescore join drops
+    * candidate ids the lists don't hold, and the replay's overwrite
+    * converges both partitions. (Lists-first would leave vectors the
+    * compressed candidate stage cannot see.) */
   def appendDated(batch: DataFrame, idCol: String, vecCol: String,
                   day: java.sql.Date): Unit = {
     require(isDated, "lists table has no seen_date layer — buildDated first")
@@ -142,20 +176,18 @@ class AnnIndex(spark: SparkSession, lake: Lake, dataset: String,
     val assigned = VectorOps.assignClusters(batch, cents, vecCol)
       .select(col("cluster"), col(idCol).as("id"), col(vecCol).as("vec"),
         lit(day).as("seen_date"))
-    val cols = spark.table(qualified(listsRef)).columns
-    val modeKey = "spark.sql.sources.partitionOverwriteMode"
-    val was = spark.conf.get(modeKey, "static")
-    spark.conf.set(modeKey, "dynamic")
-    try assigned.select(cols.map(col).toIndexedSeq: _*)
-      .write.mode(SaveMode.Overwrite).insertInto(qualified(listsRef))
-    finally spark.conf.set(modeKey, was)
-    spark.catalog.refreshTable(qualified(listsRef))
+    if (pqEnabled) dynamicOverwrite(codesOf(assigned, pqCodebooks), pqCodesRef)
+    dynamicOverwrite(assigned, listsRef)
   }
 
   /** Drop list partitions older than `minDate` — the index's TTL tick
-    * (metastore and files; under the dataset's RunLock). */
-  def expire(minDate: java.sql.Date): Unit =
+    * (metastore and files; under the dataset's RunLock). PQ codes age
+    * out on the same clock. */
+  def expire(minDate: java.sql.Date): Unit = {
     lake.expireDatePartitions(listsRef, "seen_date", minDate)
+    if (pqEnabled)
+      lake.expireDatePartitions(pqCodesRef, "seen_date", minDate)
+  }
 
   /** Spark 4.1's DisableUnnecessaryBucketedScan rule drops ANY bucketed
     * scan without an "interesting partition" (join/agg on the bucket
@@ -207,14 +239,129 @@ class AnnIndex(spark: SparkSession, lake: Lake, dataset: String,
     * its own day's partition (see [[graft.lake.CorpusDedup
     * .novelSemantic]]); both bounds prune as PartitionFilters. */
   private def windowed(minDate: Option[java.sql.Date],
-                       beforeDate: Option[java.sql.Date] = None): DataFrame = {
-    val lists = spark.table(qualified(listsRef))
+                       beforeDate: Option[java.sql.Date] = None): DataFrame =
+    windowedOf(listsRef, minDate, beforeDate)
+
+  /** [[windowed]] generalized over the table — the PQ codes sidecar
+    * shares the seen_date layout, so it windows identically. */
+  private def windowedOf(ref: TableRef, minDate: Option[java.sql.Date],
+                         beforeDate: Option[java.sql.Date]): DataFrame = {
+    val t = spark.table(qualified(ref))
     require(minDate.isEmpty && beforeDate.isEmpty || isDated,
       "recency window on an undated index — buildDated first")
-    val lower = minDate.map(d => lists.filter(col("seen_date") >= lit(d)))
-      .getOrElse(lists)
+    val lower = minDate.map(d => t.filter(col("seen_date") >= lit(d)))
+      .getOrElse(t)
     beforeDate.map(d => lower.filter(col("seen_date") < lit(d)))
       .getOrElse(lower)
+  }
+
+  // ---- IVF-PQ mode: compressed candidate scan + exact rescore ----------
+
+  /** Whether the PQ sidecars exist ([[enablePq]] ran). */
+  def pqEnabled: Boolean = spark.catalog.tableExists(qualified(pqCodesRef))
+
+  /** Turn the index into IVF-PQ: train per-subspace codebooks on a
+    * deterministic hash sample of the stored vectors
+    * ([[graft.functions.VectorOps.pqTrainCodebooks]]; a sample that
+    * cannot seed ksub clusters falls back to the full lists) and
+    * materialize the m-byte code of EVERY stored vector as a sidecar
+    * table, bucketed on cluster and seen_date-partitioned exactly like
+    * the lists — so [[topKJoinPq]]'s candidate stage gets the same
+    * PartitionFilters + bucket prune the lists scan gets, while
+    * reading ~32× fewer bytes per row (the codes column vs the
+    * vector column; measured ×47 on disk incl. parquet framing).
+    * Runs under the dataset's RunLock like every rewrite. */
+  def enablePq(m: Int = 8, ksub: Int = 256, iters: Int = 3,
+               samplePct: Int = 10, salt: Long = 0L): Unit = {
+    require(exists, "no lists to quantize — build the index first")
+    require(samplePct > 0 && samplePct <= 100, s"samplePct $samplePct")
+    val lists = spark.table(qualified(listsRef))
+    val sampled = lists
+      .filter(pmod(xxhash64(col("id"), lit(salt)), lit(100L)) < samplePct)
+    val train = if (sampled.limit(ksub).count() < ksub) lists else sampled
+    val cbs = VectorOps.pqTrainCodebooks(train.select(col("vec")), "vec",
+      m, ksub, iters)
+    val cbRows = for {
+      (blk, b) <- cbs.zipWithIndex
+      (cent, c) <- blk.zipWithIndex
+      (v, d) <- cent.zipWithIndex
+    } yield (b, c, d, v)
+    lake.writeBucketed(
+      spark.createDataFrame(cbRows).toDF("block", "code", "dim", "centroid"),
+      pqCodebooksRef, "block", 1)
+    lake.writeBucketed(codesOf(lists, cbs), pqCodesRef, "cluster", numBuckets,
+      partitionBy = if (isDated) Seq("seen_date") else Nil)
+  }
+
+  /** The persisted PQ codebooks as nested arrays (m × ksub × dsub —
+    * config-sized, the bounded collect every ADC consumer does). */
+  def pqCodebooks: Seq[Seq[Seq[Double]]] = {
+    val rows = spark.table(qualified(pqCodebooksRef)).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, blk) =>
+      blk.groupBy(_._2).toSeq.sortBy(_._1).map { case (_, cent) =>
+        cent.sortBy(_._3).map(_._4).toIndexedSeq
+      }
+    }
+  }
+
+  /** (cluster, id, pq_code[, seen_date]) for a lists-shaped frame. */
+  private def codesOf(listsShaped: DataFrame,
+                      cbs: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val tail =
+      if (listsShaped.columns.contains("seen_date")) Seq(col("seen_date"))
+      else Nil
+    listsShaped.select(Seq(col("cluster"), col("id"),
+      graft.expressions.PqCodec.pq_encode(col("vec"), cbs).as("pq_code"))
+      ++ tail: _*)
+  }
+
+  /** [[topKJoin]] in IVF-PQ mode: the probed clusters' CODES rank the
+    * candidates (fused ADC kernel — the scan reads (cluster, id,
+    * pq_code), never the vectors), each query keeps its k·`refine`
+    * best, and only those rows are exactly rescored from the lists —
+    * a second scan pruned by the same probed clusters plus the
+    * candidate id join. Same probe selection, windowing and output
+    * shape as [[topKJoin]]; `refine` is the recall dial the compressed
+    * path adds on top of nprobe. */
+  def topKJoinPq(queries: DataFrame, qidCol: String, vecCol: String, k: Int,
+                 nprobe: Int = 2, refine: Int = 4,
+                 minDate: Option[java.sql.Date] = None,
+                 beforeDate: Option[java.sql.Date] = None): DataFrame = {
+    require(pqEnabled, "PQ sidecars missing — enablePq() first")
+    require(refine >= 1, s"refine $refine must be >= 1")
+    require(!Seq("id", "vec", "cluster").contains(qidCol),
+      s"query id column '$qidCol' collides with an index column; alias it")
+    pinBucketedScan()
+    val cents = loadCentroidArrays(spark.table(qualified(centroidsRef)))
+    val cbs = pqCodebooks
+    val (probes, probedClusters) = probeFrame(queries, qidCol, vecCol,
+      nprobe, cents)
+    val codes = windowedOf(pqCodesRef, minDate, beforeDate)
+      .filter(col("cluster").isin(probedClusters: _*))
+      .select(col("cluster"), col("id"), col("pq_code"))
+    val Wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("__adc").desc, col("id"))
+    val cand = codes.join(probes, Seq("cluster"))
+      .select(col("qid"), col("id"), graft.expressions.PqCodec
+        .pq_adc_cosine(col("__qv"), col("pq_code"), cbs).as("__adc"))
+      .withColumn("__rk", row_number().over(Wc))
+      .filter(col("__rk") <= k * refine)
+      .select(col("qid"), col("id"))
+    val q = queries.select(col(qidCol).as("qid"), col(vecCol).as("__qv"),
+      VectorOps.norm(col(vecCol)).as("__qn"))
+    val lists = windowed(minDate, beforeDate)
+      .filter(col("cluster").isin(probedClusters: _*))
+      .select(col("id"), col("vec"), VectorOps.norm(col("vec")).as("__n"))
+    val W = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score").desc, col("id"))
+    cand.join(lists, Seq("id"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("id"), VectorOps.cosinePrenormed(
+        col("vec"), col("__qv"), col("__n"), col("__qn")).as("score"))
+      .withColumn("rk", row_number().over(W))
+      .filter(col("rk") <= k)
+      .select(col("qid").as(qidCol), col("id"), col("score"), col("rk"))
   }
 
   /** Whether the dated lists hold ANY entry in [minDate, before) — a
@@ -236,6 +383,25 @@ class AnnIndex(spark: SparkSession, lake: Lake, dataset: String,
     * of retraining a throwaway quantizer per batch. */
   def quantizer: IndexedSeq[Array[Double]] =
     loadCentroidArrays(spark.table(qualified(centroidsRef)))
+
+  /** The persisted+swapped probe frame and its distinct cluster set —
+    * shared by [[topKJoin]] and [[topKJoinPq]] (identical probe
+    * selection, so the compressed and exact paths search the same
+    * lists). */
+  private def probeFrame(queries: DataFrame, qidCol: String, vecCol: String,
+                         nprobe: Int, cents: IndexedSeq[Array[Double]])
+      : (DataFrame, Seq[Int]) = {
+    val probes = queries.select(
+      col(qidCol).as("qid"), col(vecCol).as("__qv"),
+      VectorOps.norm(col(vecCol)).as("__qn"),
+      explode(graft.expressions.NearestCentroid.top_cosine_centroids(
+        col(vecCol), cents, nprobe)).as("cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    swapProbes(Some(probes))
+    val probedClusters = probes.select(col("cluster")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    (probes, probedClusters)
+  }
 
   /** Batch ANN search: top-k neighbors for EVERY row of a query FRAME in
     * one plan — the set-at-a-time twin of [[topK]], and the documented
@@ -296,15 +462,8 @@ class AnnIndex(spark: SparkSession, lake: Lake, dataset: String,
     // without-order); a nondeterministic query frame could recompute
     // probes that disagree with its already-collected cluster IN-list
     // and silently lose neighbors, so that contract is load-bearing.
-    val probes = queries.select(
-      col(qidCol).as("qid"), col(vecCol).as("__qv"),
-      VectorOps.norm(col(vecCol)).as("__qn"),
-      explode(graft.expressions.NearestCentroid.top_cosine_centroids(
-        col(vecCol), cents, nprobe)).as("cluster"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    swapProbes(Some(probes))
-    val probedClusters = probes.select(col("cluster")).distinct()
-      .collect().map(_.getInt(0)).toSeq
+    val (probes, probedClusters) = probeFrame(queries, qidCol, vecCol,
+      nprobe, cents)
     val lists = windowed(minDate, beforeDate)
       .filter(col("cluster").isin(probedClusters: _*))
       .select(col("cluster"), col("id"), col("vec"))
@@ -322,9 +481,13 @@ class AnnIndex(spark: SparkSession, lake: Lake, dataset: String,
 
   /** Fold per-append list files back down, preserving the bucket
     * layout (maintenance tick, under the dataset's RunLock — same
-    * contract as [[CorpusDedup]]'s seen-set compaction). */
-  def compact(): Unit =
+    * contract as [[CorpusDedup]]'s seen-set compaction). The PQ codes
+    * sidecar accumulates files at the same per-append rate and folds
+    * on the same tick. */
+  def compact(): Unit = {
     lake.compactBucketed(listsRef, "cluster", numBuckets)
+    if (pqEnabled) lake.compactBucketed(pqCodesRef, "cluster", numBuckets)
+  }
 
   /** Rows currently stored in the lists (maintenance k-sizing). */
   def storedCount: Long = spark.table(qualified(listsRef)).count()
@@ -391,6 +554,7 @@ class AnnIndex(spark: SparkSession, lake: Lake, dataset: String,
     val marker = new Path(snapRoot, "_COMMIT")
     val centsSnap = new Path(snapRoot, "centroids").toString
     val listsSnap = new Path(snapRoot, "lists").toString
+    val codesSnap = new Path(snapRoot, "codes").toString
 
     def rewriteFromSnapshot(): Unit = {
       lake.writeBucketed(spark.read.parquet(centsSnap), centroidsRef,
@@ -402,6 +566,18 @@ class AnnIndex(spark: SparkSession, lake: Lake, dataset: String,
         if (snap.columns.contains("seen_date")) Seq("seen_date") else Nil
       lake.writeBucketed(snap.repartition(numBuckets, col("cluster")),
         listsRef, "cluster", numBuckets, partitionBy = partBy)
+      // PQ sidecar: the reassignment moved cluster ids, so the codes
+      // table rewrites from its own snapshot under the same marker —
+      // lists and codes can never disagree about the quantizer
+      // generation (pq_code bytes themselves are cluster-independent)
+      if (fs.exists(new Path(codesSnap))) {
+        val cs = spark.read.parquet(codesSnap)
+        lake.writeBucketed(cs.repartition(numBuckets, col("cluster")),
+          pqCodesRef, "cluster", numBuckets,
+          partitionBy =
+            if (cs.columns.contains("seen_date")) Seq("seen_date") else Nil)
+        spark.catalog.refreshTable(qualified(pqCodesRef))
+      }
       spark.catalog.refreshTable(qualified(centroidsRef))
       spark.catalog.refreshTable(qualified(listsRef))
       fs.delete(snapRoot, true)
@@ -425,6 +601,9 @@ class AnnIndex(spark: SparkSession, lake: Lake, dataset: String,
     VectorOps.assignClusters(corpus, newCents, "vec")
       .select(col("cluster") +: carried: _*)
       .write.mode(SaveMode.Overwrite).parquet(listsSnap)
+    if (pqEnabled)
+      codesOf(spark.read.parquet(listsSnap), pqCodebooks)
+        .write.mode(SaveMode.Overwrite).parquet(codesSnap)
     fs.create(marker).close()
     rewriteFromSnapshot()
   }

@@ -407,6 +407,119 @@ class LakeSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ mode: enable, compressed search, dated append order, expiry, retrain sync") {
+    import graft.lake.AnnIndex
+    val lake = new Lake(spark, tmpDir("pq_lake"))
+    val idx = new AnnIndex(spark, lake, "pq_test", numBuckets = 4)
+    def day(d: String) = java.sql.Date.valueOf(d)
+    val d1 = day("2024-07-01"); val d2 = day("2024-07-02")
+    def vec(id: Long): Seq[Double] = {
+      val m = graft.tools.BpeTrain.mix(id)
+      Seq((m & 0xff).toDouble, ((m >> 8) & 0xff).toDouble,
+        ((m >> 16) & 0xff).toDouble, ((m >> 24) & 0xff).toDouble)
+    }
+    val day1 = (0L until 40L).map(i => (i, vec(i))).toDF("vec_id", "v")
+    idx.buildDated(day1, "vec_id", "v", k = 4, d1, iters = 2)
+    assert(!idx.pqEnabled)
+    idx.enablePq(m = 2, ksub = 16, iters = 2, samplePct = 100)
+    assert(idx.pqEnabled)
+    // codes sidecar covers every stored vector, same layout
+    val codes = spark.table("state_pq_test.ivf_pq_codes")
+    assert(codes.count() === 40)
+    assert(codes.columns.toSet ===
+      Set("cluster", "id", "pq_code", "seen_date"))
+    assert(codes.select($"pq_code").head().getAs[Array[Byte]](0).length === 2)
+
+    // compressed search at FULL refine + all probes == the exact path
+    val queries = day1.filter($"vec_id".isin(1L, 17L, 33L))
+      .select($"vec_id".as("qid"), $"v")
+    val exact = idx.topKJoin(queries, "qid", "v", k = 5, nprobe = 4)
+      .select($"qid", $"rk", $"id").as[(Long, Int, Long)].collect().toSet
+    val pqFull = idx.topKJoinPq(queries, "qid", "v", k = 5, nprobe = 4,
+        refine = 40)
+      .select($"qid", $"rk", $"id").as[(Long, Int, Long)].collect().toSet
+    assert(pqFull === exact, "full-refine PQ search must equal exact")
+    // the production dial keeps most of the neighbors
+    val pq4 = idx.topKJoinPq(queries, "qid", "v", k = 5, nprobe = 4,
+        refine = 4)
+      .select($"qid", $"id").as[(Long, Long)].collect().toSet
+    val hits = exact.map(t => (t._1, t._3)).count(pq4.contains)
+    assert(hits >= 10, s"PQ recall too low: $hits/15")
+
+    // dated append writes the CODES partition too (codes-first order);
+    // a replay overwrites both, no duplicates in either table
+    val day2 = (100L until 120L).map(i => (i, vec(i))).toDF("vec_id", "v")
+    idx.appendDated(day2, "vec_id", "v", d2)
+    idx.appendDated(day2, "vec_id", "v", d2) // replay
+    assert(spark.table("state_pq_test.ivf_lists").count() === 60)
+    assert(spark.table("state_pq_test.ivf_pq_codes").count() === 60)
+    val got = idx.topKJoinPq(day2.limit(1)
+        .select($"vec_id".as("qid"), $"v"), "qid", "v",
+        k = 3, nprobe = 4, refine = 20)
+      .select($"id").as[Long].collect()
+    assert(got.nonEmpty, "appended vectors not searchable through PQ")
+
+    // crash window: codes partition present, lists partition missing —
+    // the rescore join drops the orphaned candidates instead of
+    // failing or emitting phantom ids
+    val d3 = day("2024-07-03")
+    val day3 = (200L until 210L).map(i => (i, vec(i))).toDF("vec_id", "v")
+    val cents3 = idx.quantizer
+    val assigned3 = graft.functions.VectorOps
+      .assignClusters(day3, cents3, "v")
+      .select($"cluster", $"vec_id".as("id"), $"v".as("vec"),
+        lit(d3).as("seen_date"))
+    // replicate appendDated's first half only (codes land, crash)
+    val cbs = idx.pqCodebooks
+    val codeCols = spark.table("state_pq_test.ivf_pq_codes").columns
+    val was = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try assigned3.select($"cluster", $"id",
+        graft.expressions.PqCodec.pq_encode($"vec", cbs).as("pq_code"),
+        $"seen_date")
+      .select(codeCols.map(col).toIndexedSeq: _*)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .insertInto("state_pq_test.ivf_pq_codes")
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", was)
+    spark.catalog.refreshTable("state_pq_test.ivf_pq_codes")
+    assert(spark.table("state_pq_test.ivf_pq_codes").count() === 70)
+    assert(spark.table("state_pq_test.ivf_lists").count() === 60)
+    val orphanSearch = idx.topKJoinPq(day3.limit(1)
+        .select($"vec_id".as("qid"), $"v"), "qid", "v",
+        k = 3, nprobe = 4, refine = 40)
+      .select($"id").as[Long].collect()
+    assert(orphanSearch.forall(_ < 200L),
+      s"phantom ids from the orphaned codes partition: ${orphanSearch.toSeq}")
+    // ...and the replay converges both tables
+    idx.appendDated(day3, "vec_id", "v", d3)
+    assert(spark.table("state_pq_test.ivf_lists").count() === 70)
+    assert(spark.table("state_pq_test.ivf_pq_codes").count() === 70)
+
+    // expiry ages codes out on the lists' clock
+    idx.expire(d2)
+    assert(spark.table("state_pq_test.ivf_lists").count() === 30)
+    assert(spark.table("state_pq_test.ivf_pq_codes").count() === 30)
+
+    // retrain rewrites the codes sidecar in the same committed
+    // snapshot: counts stay in sync and PQ search still works
+    idx.retrain(k = 3, iters = 1, samplePct = 100)
+    assert(spark.table("state_pq_test.ivf_lists").count() === 30)
+    assert(spark.table("state_pq_test.ivf_pq_codes").count() === 30)
+    val clustersL = spark.table("state_pq_test.ivf_lists")
+      .select($"id", $"cluster").as[(Long, Int)].collect().toMap
+    val clustersC = spark.table("state_pq_test.ivf_pq_codes")
+      .select($"id", $"cluster").as[(Long, Int)].collect().toMap
+    assert(clustersL === clustersC,
+      "codes sidecar disagrees with the lists about cluster assignment")
+    val after = idx.topKJoinPq(day2.limit(1)
+        .select($"vec_id".as("qid"), $"v"), "qid", "v",
+        k = 3, nprobe = 3, refine = 20)
+      .select($"id").as[Long].collect()
+    assert(after.nonEmpty)
+    idx.releaseProbes()
+    idx.unpinBucketedScan()
+  }
+
   test("semantic dedup vs the persisted index: gate, in-batch, TTL, replay window") {
     import graft.lake.{AnnIndex, CorpusDedup}
     val lake = new Lake(spark, tmpDir("sem_lake"))
