@@ -270,7 +270,11 @@ class AnnIndex(spark: SparkSession, lake: Lake, dataset: String,
     * PartitionFilters + bucket prune the lists scan gets, while
     * reading ~32× fewer bytes per row (the codes column vs the
     * vector column; measured ×47 on disk incl. parquet framing).
-    * Runs under the dataset's RunLock like every rewrite. */
+    * Runs under the dataset's RunLock like every rewrite, and is
+    * IDEMPOTENT: both writes are full overwrites derived from the
+    * current lists, so a crashed or repeated enable just re-runs —
+    * re-running on an already-enabled index is also how the PQ
+    * codebooks themselves retrain. */
   def enablePq(m: Int = 8, ksub: Int = 256, iters: Int = 3,
                samplePct: Int = 10, salt: Long = 0L): Unit = {
     require(exists, "no lists to quantize — build the index first")
