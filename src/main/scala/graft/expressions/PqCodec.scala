@@ -1,7 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
@@ -21,8 +21,8 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, 
   * then reads full vectors ONLY for the refine set (a semi-join-pruned
   * second scan). See [[graft.functions.VectorOps.pqTopK]].
   *
-  * Two expressions, both fused native kernels over a flat codebook
-  * array (the [[CentroidKernel]] pattern):
+  * Fused native kernels over a flat codebook array (the
+  * [[CentroidKernel]] pattern):
   *  - [[PqEncode]]: vector → m-byte code (per block, nearest
   *    sub-centroid by the same |c|² − 2·v·c ranking / tie-break as
   *    [[NearestCentroid]]);
@@ -31,7 +31,11 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, 
   *    through a per-thread lookup table (m×ksub partial dots built
   *    once per distinct query and reused across its candidates — the
   *    classic ADC table, keyed by query content so interleaved
-  *    queries stay correct).
+  *    queries stay correct);
+  *  - [[PqResidualEncode]] / [[PqResidualAdcCosine]]: the IVFADC
+  *    twins — codes quantize v − c(cluster) (the coarse cell's
+  *    residual), so the same bits model a tighter distribution;
+  *    ranking reconstructs v̂ = c + r̂ against the query.
   */
 final class PqKernel(val m: Int, val ksub: Int, val dsub: Int,
                      flat: Array[Double]) extends Serializable {
@@ -73,6 +77,44 @@ final class PqKernel(val m: Int, val ksub: Int, val dsub: Int,
         val dist = n2(b * ksub + c) - 2.0 * dot
         val cmp = java.lang.Double.compare(dist, bestD)
         if (cmp < 0) { bestD = dist; bestC = c }
+        c += 1
+      }
+      out(b) = bestC.toByte
+      b += 1
+    }
+    out
+  }
+
+  /** [[encode]] over the RESIDUAL v − c (Jégou et al. 2011 §IVFADC):
+    * the coarse cell's centroid is subtracted before quantization, so
+    * the codebooks model the residual distribution — tighter than the
+    * raw corpus at the same m·log2(ksub) bits. Positions past either
+    * array's length read as zero (the engine's min(len, dim)
+    * convention applied to both operands). */
+  def encodeResidual(vec: ArrayData, isFloat: Boolean,
+                     cvec: ArrayData, isFloatC: Boolean): Array[Byte] = {
+    val resid = new Array[Double](dim)
+    val nv = math.min(vec.numElements(), dim)
+    val nc = math.min(cvec.numElements(), dim)
+    var i = 0
+    if (isFloat) while (i < nv) { resid(i) = vec.getFloat(i).toDouble; i += 1 }
+    else while (i < nv) { resid(i) = vec.getDouble(i); i += 1 }
+    i = 0
+    if (isFloatC) while (i < nc) { resid(i) -= cvec.getFloat(i).toDouble; i += 1 }
+    else while (i < nc) { resid(i) -= cvec.getDouble(i); i += 1 }
+    val out = new Array[Byte](m)
+    var b = 0
+    while (b < m) {
+      var bestC = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < ksub) {
+        val base = (b * ksub + c) * dsub
+        var dot = 0.0
+        var d = 0
+        while (d < dsub) { dot += resid(b * dsub + d) * flat(base + d); d += 1 }
+        val dist = n2(b * ksub + c) - 2.0 * dot
+        if (java.lang.Double.compare(dist, bestD) < 0) { bestD = dist; bestC = c }
         c += 1
       }
       out(b) = bestC.toByte
@@ -153,6 +195,57 @@ final class PqKernel(val m: Int, val ksub: Int, val dsub: Int,
     var b = 0
     while (b < m) { rn2 += n2(b * ksub + (codes(b) & 0xff)); b += 1 }
     if (rn2 == 0.0) Double.NegativeInfinity else dot / math.sqrt(rn2)
+  }
+
+  /** [[adcCosine]] in RESIDUAL mode: the reconstruction is
+    * v̂ = c + r̂ (coarse centroid + decoded residual), so
+    *   q·v̂   = q·c + LUT_q(codes)        (the LUT covers the residual
+    *                                      part — per-query, reused
+    *                                      across its candidates)
+    *   |v̂|²  = |c|² + 2·c·r̂ + |r̂|²     (c·r̂ and |c|² are direct
+    *                                      dim-FLOP loops — c varies
+    *                                      per CANDIDATE, so a LUT
+    *                                      would rebuild per row and
+    *                                      cost m·ksub·dsub ≫ dim)
+    * A non-positive |v̂|² (zero reconstruction, or negative by sub-ulp
+    * cancellation when r̂ ≈ −c) scores −∞ — never selected, same
+    * posture as [[adcCosine]]'s zero-norm branch. */
+  def adcCosineResidual(query: ArrayData, isFloat: Boolean,
+                        codes: Array[Byte], cvec: ArrayData,
+                        isFloatC: Boolean): Double = {
+    val qr = adcDot(query, isFloat, codes) // q·r̂, per-query LUT
+    val nc = math.min(cvec.numElements(), dim)
+    val nq = math.min(query.numElements(), dim)
+    // q·c and |c|² — one direct pass over the centroid
+    var qc = 0.0
+    var cn2 = 0.0
+    var i = 0
+    while (i < nc) {
+      val cx = if (isFloatC) cvec.getFloat(i).toDouble else cvec.getDouble(i)
+      cn2 += cx * cx
+      if (i < nq)
+        qc += cx * (if (isFloat) query.getFloat(i).toDouble else query.getDouble(i))
+      i += 1
+    }
+    // c·r̂ and |r̂|² — per-block decoded lookups
+    var cr = 0.0
+    var rn2 = 0.0
+    var b = 0
+    while (b < m) {
+      val code = codes(b) & 0xff
+      rn2 += n2(b * ksub + code)
+      val base = (b * ksub + code) * dsub
+      var d = 0
+      val lim = math.min(dsub, math.max(0, nc - b * dsub))
+      if (isFloatC) while (d < lim) {
+        cr += cvec.getFloat(b * dsub + d).toDouble * flat(base + d); d += 1
+      } else while (d < lim) {
+        cr += cvec.getDouble(b * dsub + d) * flat(base + d); d += 1
+      }
+      b += 1
+    }
+    val vn2 = cn2 + 2.0 * cr + rn2
+    if (vn2 <= 0.0) Double.NegativeInfinity else (qc + qr) / math.sqrt(vn2)
   }
 }
 
@@ -247,6 +340,59 @@ case class PqAdcCosine(left: Expression, right: Expression,
       newRight: Expression): PqAdcCosine = copy(left = newLeft, right = newRight)
 }
 
+/** (vector, cellCentroid) → m-byte PQ code of the RESIDUAL v − c. */
+case class PqResidualEncode(left: Expression, right: Expression,
+                            codebooks: Seq[Seq[Seq[Double]]])
+    extends BinaryExpression with PqExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "pq_residual_encode"
+
+  override def nullSafeEval(vec: Any, cvec: Any): Any =
+    kernel.encodeResidual(vec.asInstanceOf[ArrayData], isFloatArray(left),
+      cvec.asInstanceOf[ArrayData], isFloatArray(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kref = kernelRef(ctx)
+    nullSafeCodeGen(ctx, ev, (v, c) =>
+      s"${ev.value} = $kref.encodeResidual($v, ${isFloatArray(left)}, " +
+        s"$c, ${isFloatArray(right)});")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PqResidualEncode =
+    copy(left = newLeft, right = newRight)
+}
+
+/** (queryVec, codes, cellCentroid) → reconstruction-normalized
+  * asymmetric dot in residual mode (v̂ = c + r̂) — the candidate
+  * ranking of [[graft.lake.AnnIndex.topKJoinPq]] on a
+  * residual-encoded index. */
+case class PqResidualAdcCosine(first: Expression, second: Expression,
+                               third: Expression,
+                               codebooks: Seq[Seq[Seq[Double]]])
+    extends TernaryExpression with PqExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_residual_adc_cosine"
+
+  override def nullSafeEval(q: Any, codes: Any, cvec: Any): Any =
+    kernel.adcCosineResidual(q.asInstanceOf[ArrayData], isFloatArray(first),
+      codes.asInstanceOf[Array[Byte]],
+      cvec.asInstanceOf[ArrayData], isFloatArray(third))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kref = kernelRef(ctx)
+    nullSafeCodeGen(ctx, ev, (q, c, cv) =>
+      s"${ev.value} = $kref.adcCosineResidual($q, ${isFloatArray(first)}, " +
+        s"$c, $cv, ${isFloatArray(third)});")
+  }
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): PqResidualAdcCosine =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 object PqCodec {
   def pq_encode(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
     Bridge.column(PqEncode(Bridge.expression(vec), codebooks))
@@ -260,4 +406,15 @@ object PqCodec {
                     codebooks: Seq[Seq[Seq[Double]]]): Column =
     Bridge.column(PqAdcCosine(Bridge.expression(query), Bridge.expression(codes),
       codebooks))
+
+  def pq_residual_encode(vec: Column, cellCentroid: Column,
+                         codebooks: Seq[Seq[Seq[Double]]]): Column =
+    Bridge.column(PqResidualEncode(Bridge.expression(vec),
+      Bridge.expression(cellCentroid), codebooks))
+
+  def pq_residual_adc_cosine(query: Column, codes: Column,
+                             cellCentroid: Column,
+                             codebooks: Seq[Seq[Seq[Double]]]): Column =
+    Bridge.column(PqResidualAdcCosine(Bridge.expression(query),
+      Bridge.expression(codes), Bridge.expression(cellCentroid), codebooks))
 }

@@ -380,6 +380,37 @@ object VectorOps {
     }
   }
 
+  /** The coarse centroids as a k-row (cluster, __cvec) frame — the
+    * broadcast side of every residual-PQ join (encode needs each
+    * row's cell centroid; a k-row broadcast hash join is the
+    * Spark-first way to hand it over without touching plan size). */
+  private[graft] def centroidVecFrame(spark: org.apache.spark.sql.SparkSession,
+                                      cents: Seq[Array[Double]]): DataFrame =
+    spark.createDataFrame(
+      cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) })
+      .toDF("cluster", "__cvec")
+
+  /** [[pqTrainCodebooks]] over RESIDUALS v − c(cluster) — the IVFADC
+    * recipe (Jégou et al. 2011 §IV): after coarse assignment the
+    * residual distribution is tighter than the raw corpus, so the same
+    * m·log2(ksub) bits buy measurably more recall. `assigned` must
+    * carry `clusterCol`; each row's cell centroid joins in broadcast
+    * (k rows) and subtracts element-wise. The zip_with subtraction is
+    * an interpreted HOF — acceptable ONLY because training is
+    * sample-bound by the caller; the full-corpus encode runs the fused
+    * [[graft.expressions.PqResidualEncode]] kernel instead. */
+  def pqTrainCodebooksResidual(assigned: DataFrame, cents: Seq[Array[Double]],
+                               vecCol: String, clusterCol: String, m: Int,
+                               ksub: Int = 256, iters: Int = 3): Seq[Seq[Seq[Double]]] = {
+    val centsDf = centroidVecFrame(assigned.sparkSession, cents)
+      .withColumnRenamed("cluster", clusterCol)
+    val resid = assigned
+      .join(broadcast(centsDf), Seq(clusterCol))
+      .select(zip_with(col(vecCol).cast("array<double>"), col("__cvec"),
+        (a, b) => coalesce(a, lit(0.0)) - coalesce(b, lit(0.0))).as("__resid"))
+    pqTrainCodebooks(resid, "__resid", m, ksub, iters)
+  }
+
   /** (id, pq_code) for every corpus row — the m-byte codes column a
     * pipeline persists NEXT TO the full vectors. At 100 TB this is the
     * point of PQ under columnar storage: the candidate scan reads

@@ -101,7 +101,8 @@ class AnnIndex(spark: SparkSession, lake: Lake, dataset: String,
       .select(col("cluster"), col(idCol).as("id"), col(vecCol).as("vec"))
     if (pqEnabled) {
       val cols = spark.table(qualified(pqCodesRef)).columns
-      codesOf(assigned, pqCodebooks).select(cols.map(col).toIndexedSeq: _*)
+      codesOf(assigned, pqCodebooks, pqResidualMode, cents)
+        .select(cols.map(col).toIndexedSeq: _*)
         .write.mode(SaveMode.Append).insertInto(qualified(pqCodesRef))
       spark.catalog.refreshTable(qualified(pqCodesRef))
     }
@@ -176,7 +177,9 @@ class AnnIndex(spark: SparkSession, lake: Lake, dataset: String,
     val assigned = VectorOps.assignClusters(batch, cents, vecCol)
       .select(col("cluster"), col(idCol).as("id"), col(vecCol).as("vec"),
         lit(day).as("seen_date"))
-    if (pqEnabled) dynamicOverwrite(codesOf(assigned, pqCodebooks), pqCodesRef)
+    if (pqEnabled)
+      dynamicOverwrite(codesOf(assigned, pqCodebooks, pqResidualMode, cents),
+        pqCodesRef)
     dynamicOverwrite(assigned, listsRef)
   }
 
@@ -274,33 +277,77 @@ class AnnIndex(spark: SparkSession, lake: Lake, dataset: String,
     * IDEMPOTENT: both writes are full overwrites derived from the
     * current lists, so a crashed or repeated enable just re-runs —
     * re-running on an already-enabled index is also how the PQ
-    * codebooks themselves retrain. */
+    * codebooks themselves retrain (including switching modes).
+    *
+    * `residual = true` is IVFADC proper (Jégou et al. 2011 §IV): codes
+    * quantize v − c(cluster) instead of v, so the codebooks model the
+    * tighter post-assignment distribution — measurably better recall
+    * at the SAME code bytes (MicroBench A/B, nprobe = all lists so the
+    * IVF term cancels: recall@10 at refine 2/4 — sf0.01 0.91→0.95 /
+    * 0.99→0.99, sf0.1 0.61→0.68 / 0.78→0.84).
+    * The costs: candidate ranking adds one k-row broadcast join (the
+    * cell centroid feeds the reconstruction v̂ = c + r̂), and a
+    * [[retrain]] must also retrain the codebooks and re-encode every
+    * code (residuals are defined against the new centroids), where
+    * raw-mode codes survive a quantizer swap byte-identical. Default
+    * stays raw for the cheaper lifecycle; prefer residual when recall
+    * per byte is the constraint. */
   def enablePq(m: Int = 8, ksub: Int = 256, iters: Int = 3,
-               samplePct: Int = 10, salt: Long = 0L): Unit = {
+               samplePct: Int = 10, salt: Long = 0L,
+               residual: Boolean = false): Unit = {
     require(exists, "no lists to quantize — build the index first")
     require(samplePct > 0 && samplePct <= 100, s"samplePct $samplePct")
     val lists = spark.table(qualified(listsRef))
     val sampled = lists
       .filter(pmod(xxhash64(col("id"), lit(salt)), lit(100L)) < samplePct)
     val train = if (sampled.limit(ksub).count() < ksub) lists else sampled
-    val cbs = VectorOps.pqTrainCodebooks(train.select(col("vec")), "vec",
-      m, ksub, iters)
+    val cents = if (residual) quantizer else IndexedSeq.empty
+    // residual mode (IVFADC): codebooks model v − c(cluster) — the
+    // lists already carry each vector's cell, so training residuals
+    // costs one k-row broadcast join over the sample
+    val cbs =
+      if (residual)
+        VectorOps.pqTrainCodebooksResidual(
+          train.select(col("cluster"), col("vec")), cents, "vec", "cluster",
+          m, ksub, iters)
+      else
+        VectorOps.pqTrainCodebooks(train.select(col("vec")), "vec",
+          m, ksub, iters)
+    writeCodebooks(cbs, residual)
+    lake.writeBucketed(codesOf(lists, cbs, residual, cents), pqCodesRef,
+      "cluster", numBuckets,
+      partitionBy = if (isDated) Seq("seen_date") else Nil)
+  }
+
+  /** Persist the PQ codebooks (one row per (block, code, dim) plus the
+    * constant `residual` mode flag every consumer reads back). */
+  private def writeCodebooks(cbs: Seq[Seq[Seq[Double]]],
+                             residual: Boolean): Unit = {
     val cbRows = for {
       (blk, b) <- cbs.zipWithIndex
       (cent, c) <- blk.zipWithIndex
       (v, d) <- cent.zipWithIndex
-    } yield (b, c, d, v)
+    } yield (b, c, d, v, residual)
     lake.writeBucketed(
-      spark.createDataFrame(cbRows).toDF("block", "code", "dim", "centroid"),
+      spark.createDataFrame(cbRows)
+        .toDF("block", "code", "dim", "centroid", "residual"),
       pqCodebooksRef, "block", 1)
-    lake.writeBucketed(codesOf(lists, cbs), pqCodesRef, "cluster", numBuckets,
-      partitionBy = if (isDated) Seq("seen_date") else Nil)
+  }
+
+  /** Whether the PQ sidecar encodes residuals ([[enablePq]]'s
+    * `residual = true` — IVFADC) rather than raw vectors. */
+  def pqResidualMode: Boolean = {
+    val t = spark.table(qualified(pqCodebooksRef))
+    t.columns.contains("residual") &&
+      t.select(col("residual")).head().getBoolean(0)
   }
 
   /** The persisted PQ codebooks as nested arrays (m × ksub × dsub —
     * config-sized, the bounded collect every ADC consumer does). */
   def pqCodebooks: Seq[Seq[Seq[Double]]] = {
-    val rows = spark.table(qualified(pqCodebooksRef)).collect()
+    val rows = spark.table(qualified(pqCodebooksRef))
+      .select(col("block"), col("code"), col("dim"), col("centroid"))
+      .collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
     rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, blk) =>
       blk.groupBy(_._2).toSeq.sortBy(_._1).map { case (_, cent) =>
@@ -309,15 +356,27 @@ class AnnIndex(spark: SparkSession, lake: Lake, dataset: String,
     }
   }
 
-  /** (cluster, id, pq_code[, seen_date]) for a lists-shaped frame. */
-  private def codesOf(listsShaped: DataFrame,
-                      cbs: Seq[Seq[Seq[Double]]]): DataFrame = {
+  /** (cluster, id, pq_code[, seen_date]) for a lists-shaped frame. In
+    * residual mode each row's cell centroid joins in broadcast (k
+    * rows) and the fused kernel encodes v − c; `cents` must then be
+    * the SAME quantizer generation the frame's cluster column was
+    * assigned under. */
+  private def codesOf(listsShaped: DataFrame, cbs: Seq[Seq[Seq[Double]]],
+                      residual: Boolean,
+                      cents: Seq[Array[Double]]): DataFrame = {
     val tail =
       if (listsShaped.columns.contains("seen_date")) Seq(col("seen_date"))
       else Nil
-    listsShaped.select(Seq(col("cluster"), col("id"),
-      graft.expressions.PqCodec.pq_encode(col("vec"), cbs).as("pq_code"))
-      ++ tail: _*)
+    if (residual) {
+      val centsDf = VectorOps.centroidVecFrame(spark, cents)
+      listsShaped.join(broadcast(centsDf), Seq("cluster"))
+        .select(Seq(col("cluster"), col("id"),
+          graft.expressions.PqCodec.pq_residual_encode(
+            col("vec"), col("__cvec"), cbs).as("pq_code")) ++ tail: _*)
+    } else
+      listsShaped.select(Seq(col("cluster"), col("id"),
+        graft.expressions.PqCodec.pq_encode(col("vec"), cbs).as("pq_code"))
+        ++ tail: _*)
   }
 
   /** [[topKJoin]] in IVF-PQ mode: the probed clusters' CODES rank the
@@ -346,9 +405,22 @@ class AnnIndex(spark: SparkSession, lake: Lake, dataset: String,
       .select(col("cluster"), col("id"), col("pq_code"))
     val Wc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("__adc").desc, col("id"))
-    val cand = codes.join(probes, Seq("cluster"))
-      .select(col("qid"), col("id"), graft.expressions.PqCodec
-        .pq_adc_cosine(col("__qv"), col("pq_code"), cbs).as("__adc"))
+    // residual mode reconstructs v̂ = c + r̂, so the ranking kernel
+    // needs each candidate's cell centroid — one more k-row broadcast
+    // join on the cluster key the candidate frame already carries
+    val scored =
+      if (pqResidualMode)
+        codes.join(probes, Seq("cluster"))
+          .join(broadcast(VectorOps.centroidVecFrame(spark, cents)),
+            Seq("cluster"))
+          .select(col("qid"), col("id"), graft.expressions.PqCodec
+            .pq_residual_adc_cosine(col("__qv"), col("pq_code"),
+              col("__cvec"), cbs).as("__adc"))
+      else
+        codes.join(probes, Seq("cluster"))
+          .select(col("qid"), col("id"), graft.expressions.PqCodec
+            .pq_adc_cosine(col("__qv"), col("pq_code"), cbs).as("__adc"))
+    val cand = scored
       .withColumn("__rk", row_number().over(Wc))
       .filter(col("__rk") <= k * refine)
       .select(col("qid"), col("id"))
@@ -559,6 +631,7 @@ class AnnIndex(spark: SparkSession, lake: Lake, dataset: String,
     val centsSnap = new Path(snapRoot, "centroids").toString
     val listsSnap = new Path(snapRoot, "lists").toString
     val codesSnap = new Path(snapRoot, "codes").toString
+    val cbSnap = new Path(snapRoot, "codebooks").toString
 
     def rewriteFromSnapshot(): Unit = {
       lake.writeBucketed(spark.read.parquet(centsSnap), centroidsRef,
@@ -581,6 +654,14 @@ class AnnIndex(spark: SparkSession, lake: Lake, dataset: String,
           partitionBy =
             if (cs.columns.contains("seen_date")) Seq("seen_date") else Nil)
         spark.catalog.refreshTable(qualified(pqCodesRef))
+      }
+      // residual mode also snapshots RETRAINED codebooks (residuals are
+      // defined against the new centroids, so the old codebooks would
+      // model a stale distribution) — committed under the same marker
+      if (fs.exists(new Path(cbSnap))) {
+        lake.writeBucketed(spark.read.parquet(cbSnap), pqCodebooksRef,
+          "block", 1)
+        spark.catalog.refreshTable(qualified(pqCodebooksRef))
       }
       spark.catalog.refreshTable(qualified(centroidsRef))
       spark.catalog.refreshTable(qualified(listsRef))
@@ -605,9 +686,39 @@ class AnnIndex(spark: SparkSession, lake: Lake, dataset: String,
     VectorOps.assignClusters(corpus, newCents, "vec")
       .select(col("cluster") +: carried: _*)
       .write.mode(SaveMode.Overwrite).parquet(listsSnap)
-    if (pqEnabled)
-      codesOf(spark.read.parquet(listsSnap), pqCodebooks)
-        .write.mode(SaveMode.Overwrite).parquet(codesSnap)
+    if (pqEnabled) {
+      val snap = spark.read.parquet(listsSnap)
+      if (pqResidualMode) {
+        // residuals changed with the quantizer: retrain the codebooks
+        // on the reassigned sample, then re-encode everything — both
+        // land in the snapshot, committed atomically with the lists
+        val cbs0 = pqCodebooks
+        val m = cbs0.size
+        val ksub = cbs0.head.size
+        val cbTrain = {
+          val s = snap
+            .filter(pmod(xxhash64(col("id"), lit(salt)), lit(100L)) < samplePct)
+          if (s.limit(ksub).count() < ksub) snap else s
+        }
+        val newCbs = VectorOps.pqTrainCodebooksResidual(
+          cbTrain.select(col("cluster"), col("vec")), newCents, "vec",
+          "cluster", m, ksub)
+        val cbRows = for {
+          (blk, b) <- newCbs.zipWithIndex
+          (cent, c) <- blk.zipWithIndex
+          (v, d) <- cent.zipWithIndex
+        } yield (b, c, d, v, true)
+        spark.createDataFrame(cbRows)
+          .toDF("block", "code", "dim", "centroid", "residual")
+          .write.mode(SaveMode.Overwrite).parquet(cbSnap)
+        codesOf(snap, newCbs, residual = true, newCents)
+          .write.mode(SaveMode.Overwrite).parquet(codesSnap)
+      } else
+        // raw-vector codes are cluster-independent: same codebooks,
+        // same bytes — only the cluster tags move with the lists
+        codesOf(snap, pqCodebooks, residual = false, Nil)
+          .write.mode(SaveMode.Overwrite).parquet(codesSnap)
+    }
     fs.create(marker).close()
     rewriteFromSnapshot()
   }

@@ -433,6 +433,49 @@ object MicroBench {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(vdir))
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(cdir))
     }
+
+    // ---- raw vs RESIDUAL PQ: recall A/B at equal code bytes ----------
+    // same index, same m/ksub/iters, nprobe = every list (so the coarse
+    // quantizer's IVF loss cancels out of the comparison and the delta
+    // is purely the codebooks' ranking quality). IVFADC's claim is that
+    // residual codebooks buy recall at the same bits; this measures it
+    // on the engine's own index instead of assuming the paper.
+    {
+      import graft.functions.VectorOps
+      val e = Tables.load(spark, sfDir, "embeddings")
+      val k = 10
+      val nQ = 8
+      val queries = e.filter(col("vec_id") < nQ)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val W = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+      val q = queries.select(col("qid"), col("embedding").as("__qv"),
+        VectorOps.norm(col("embedding")).as("__qn"))
+      val truth = e.withColumn("__n", VectorOps.norm(col("embedding")))
+        .crossJoin(broadcast(q))
+        .select(col("qid"), col("vec_id"), VectorOps.cosinePrenormed(
+          col("embedding"), col("__qv"), col("__n"), col("__qn")).as("score"))
+        .withColumn("rk", org.apache.spark.sql.functions.row_number().over(W))
+        .filter(col("rk") <= k)
+        .select(col("qid"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      graft.lake.AnnIndex.withScratchIndex(
+          spark, e, "vec_id", "embedding", k = 16, numBuckets = 8) { idx =>
+        for (residual <- Seq(false, true)) {
+          idx.enablePq(m = 8, ksub = 256, iters = 1, samplePct = 100,
+            residual = residual)
+          val recalls = Seq(1, 2, 4).map { refine =>
+            val got = idx.topKJoinPq(queries, "qid", "embedding", k,
+                nprobe = 16, refine = refine)
+              .select(col("qid"), col("id"))
+              .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+            truth.count(got.contains).toDouble / (k * nQ)
+          }
+          println(f"pq recall@$k (residual=$residual) refine 1/2/4: " +
+            recalls.map(r => f"$r%.3f").mkString(" / "))
+        }
+      }
+    }
     spark.stop()
   }
 }

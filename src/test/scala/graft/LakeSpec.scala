@@ -520,6 +520,70 @@ class LakeSpec extends SparkSpec {
     idx.unpinBucketedScan()
   }
 
+  test("IVF-PQ residual mode: enable, full-refine exactness, append, retrain recodes") {
+    import graft.lake.AnnIndex
+    val lake = new Lake(spark, tmpDir("pqres_lake"))
+    val idx = new AnnIndex(spark, lake, "pqres_test", numBuckets = 4)
+    def vec(id: Long): Seq[Double] = {
+      val m = graft.tools.BpeTrain.mix(id)
+      Seq((m & 0xff).toDouble, ((m >> 8) & 0xff).toDouble,
+        ((m >> 16) & 0xff).toDouble, ((m >> 24) & 0xff).toDouble)
+    }
+    val corpus = (0L until 48L).map(i => (i, vec(i))).toDF("vec_id", "v")
+    idx.build(corpus, "vec_id", "v", k = 4, iters = 2)
+    idx.enablePq(m = 2, ksub = 16, iters = 2, samplePct = 100,
+      residual = true)
+    assert(idx.pqEnabled && idx.pqResidualMode)
+
+    // full refine + all probes reproduces the exact path bit-for-bit:
+    // the residual ranking only ORDERS candidates, rescoring is exact
+    val queries = corpus.filter($"vec_id".isin(2L, 19L, 40L))
+      .select($"vec_id".as("qid"), $"v")
+    val exact = idx.topKJoin(queries, "qid", "v", k = 5, nprobe = 4)
+      .select($"qid", $"rk", $"id").as[(Long, Int, Long)].collect().toSet
+    val pqFull = idx.topKJoinPq(queries, "qid", "v", k = 5, nprobe = 4,
+        refine = 48)
+      .select($"qid", $"rk", $"id").as[(Long, Int, Long)].collect().toSet
+    assert(pqFull === exact, "full-refine residual PQ must equal exact")
+    // the production dial keeps most neighbors (residual codebooks are
+    // at least as good as raw on the fixture)
+    val pq4 = idx.topKJoinPq(queries, "qid", "v", k = 5, nprobe = 4,
+        refine = 4)
+      .select($"qid", $"id").as[(Long, Long)].collect().toSet
+    assert(exact.map(t => (t._1, t._3)).count(pq4.contains) >= 10)
+
+    // appends encode against the CURRENT centroids in residual mode
+    val batch = (100L until 112L).map(i => (i, vec(i))).toDF("vec_id", "v")
+    idx.append(batch, "vec_id", "v")
+    assert(spark.table("state_pqres_test.ivf_lists").count() === 60)
+    assert(spark.table("state_pqres_test.ivf_pq_codes").count() === 60)
+    val found = idx.topKJoinPq(batch.limit(1)
+        .select($"vec_id".as("qid"), $"v"), "qid", "v",
+        k = 3, nprobe = 4, refine = 60)
+      .select($"id").as[Long].collect()
+    assert(found.contains(100L), s"appended vector not its own neighbor: ${found.toSeq}")
+
+    // retrain moves the centroids → residuals change → the codebooks
+    // retrain and every code re-encodes, all inside the same committed
+    // snapshot; the mode flag survives and search still reproduces the
+    // exact path at full refine
+    idx.retrain(k = 3, iters = 1, samplePct = 100)
+    assert(idx.pqResidualMode, "residual flag lost across retrain")
+    val clustersL = spark.table("state_pqres_test.ivf_lists")
+      .select($"id", $"cluster").as[(Long, Int)].collect().toMap
+    val clustersC = spark.table("state_pqres_test.ivf_pq_codes")
+      .select($"id", $"cluster").as[(Long, Int)].collect().toMap
+    assert(clustersL === clustersC, "codes sidecar out of sync after retrain")
+    val exact2 = idx.topKJoin(queries, "qid", "v", k = 5, nprobe = 3)
+      .select($"qid", $"rk", $"id").as[(Long, Int, Long)].collect().toSet
+    val pqFull2 = idx.topKJoinPq(queries, "qid", "v", k = 5, nprobe = 3,
+        refine = 60)
+      .select($"qid", $"rk", $"id").as[(Long, Int, Long)].collect().toSet
+    assert(pqFull2 === exact2, "post-retrain residual PQ diverged from exact")
+    idx.releaseProbes()
+    idx.unpinBucketedScan()
+  }
+
   test("semantic dedup vs the persisted index: gate, in-batch, TTL, replay window") {
     import graft.lake.{AnnIndex, CorpusDedup}
     val lake = new Lake(spark, tmpDir("sem_lake"))

@@ -205,6 +205,74 @@ class VectorOpsSpec extends SparkSpec {
     check(ids.map(i => (i, vecs(i.toInt).map(_.toFloat))).toDF("id", "vec"))
   }
 
+  test("residual PQ encode + ADC cosine agree with a driver-side reference") {
+    import graft.expressions.PqCodec
+    import spark.implicits._
+    val cbs: Seq[Seq[Seq[Double]]] = Seq(
+      Seq(Seq(0.0, 0.0), Seq(1.0, 1.0), Seq(-1.0, 2.0)),
+      Seq(Seq(2.0, 0.0), Seq(0.0, -2.0), Seq(0.5, 0.5)))
+    // the documented ranking quantity (|c|² − 2·c·r, summed
+    // left-to-right — the NearestCentroid/PqEncode convention), NOT
+    // naive |c − r|²: the two round differently on exact-arithmetic
+    // ties (this fixture has one), and the convention is the contract
+    def refEncode(v: Array[Double]): Seq[Int] = (0 until 2).map { b =>
+      cbs(b).zipWithIndex.minBy { case (c, i) =>
+        val n2 = c.map(x => x * x).sum
+        val dot = c.zipWithIndex.map { case (x, j) =>
+          val vj = if (b * 2 + j < v.length) v(b * 2 + j) else 0.0
+          x * vj
+        }.sum
+        (n2 - 2.0 * dot, i)
+      }._2
+    }
+    def refRecon(codes: Seq[Int]): Array[Double] =
+      codes.zipWithIndex.flatMap { case (c, b) => cbs(b)(c) }.toArray
+    val cents = Seq(
+      Array(0.5, 0.5, 0.5, 0.5), Array(-1.0, 1.5, 2.0, 0.0),
+      Array(0.0, 0.0, 0.0, 0.0))
+    val vecs = Seq(
+      Array(0.9, 1.1, 1.9, 0.1), Array(-1.2, 2.2, 0.4, 0.6),
+      Array(0.0, 0.0, 0.0, 0.0), Array(5.0, -5.0, -5.0, 5.0),
+      Array(1.0, 1.0)) // SHORT vector: missing coords read as zero
+    val q = Array(0.3, -0.7, 1.5, 0.25)
+    def refResidual(v: Array[Double], c: Array[Double]): Array[Double] =
+      Array.tabulate(4)(i =>
+        (if (i < v.length) v(i) else 0.0) - (if (i < c.length) c(i) else 0.0))
+    def check(df: org.apache.spark.sql.DataFrame, cvecDouble: Boolean): Unit = {
+      val cvecCol =
+        if (cvecDouble) col("cvec") else col("cvec").cast("array<float>")
+      val got = df.select(col("id"),
+          PqCodec.pq_residual_encode(col("vec"), cvecCol, cbs).as("code"),
+          PqCodec.pq_residual_adc_cosine(typedLit(q.toSeq),
+            PqCodec.pq_residual_encode(col("vec"), cvecCol, cbs),
+            cvecCol, cbs).as("score"))
+        .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1), r.getDouble(2)))
+      got.foreach { case (id, code, score) =>
+        val v = vecs(id.toInt % vecs.size)
+        val c = cents(id.toInt / vecs.size)
+        val cRounded = // the float cast costs precision the ref must mirror
+          if (cvecDouble) c else c.map(x => x.toFloat.toDouble)
+        val want = refEncode(refResidual(v, cRounded))
+        assert(code.map(_ & 0xff).toSeq === want, s"row $id encode")
+        val recon = cRounded.zip(refRecon(want)).map(p => p._1 + p._2)
+        val dot = q.zip(recon).map(p => p._1 * p._2).sum
+        val rn = math.sqrt(recon.map(x => x * x).sum)
+        val wantScore =
+          if (rn == 0.0) Double.NegativeInfinity else dot / rn
+        assert(math.abs(score - wantScore) < 1e-9,
+          s"row $id score $score != $wantScore")
+      }
+    }
+    // every (vector, centroid) combination, both element types each side
+    val rows = for {
+      ci <- cents.indices; vi <- vecs.indices
+    } yield ((ci * vecs.size + vi).toLong, vecs(vi), cents(ci).toSeq)
+    check(rows.toDF("id", "vec", "cvec"), cvecDouble = true)
+    check(rows.map { case (i, v, c) => (i, v.map(_.toFloat), c) }
+      .toDF("id", "vec", "cvec"), cvecDouble = true)
+    check(rows.toDF("id", "vec", "cvec"), cvecDouble = false)
+  }
+
   test("PQ ADC per-thread table survives interleaved queries") {
     import graft.expressions.PqCodec
     import spark.implicits._
