@@ -316,13 +316,32 @@ class CorpusDedup(spark: SparkSession, lake: Lake, dataset: String,
   def novelSemantic(idx: AnnIndex, docs: DataFrame, idCol: String,
                     vecCol: String, threshold: Double, nprobe: Int = 2,
                     minDate: Option[java.sql.Date] = None,
-                    beforeDate: Option[java.sql.Date] = None): DataFrame = {
+                    beforeDate: Option[java.sql.Date] = None,
+                    pqRefine: Option[Int] = None): DataFrame = {
     require(idx.exists,
       "semantic dedup needs an existing ANN index — bootstrap the first " +
         "batch with DedupOps.semanticDedupBlocked and build from survivors")
-    val hits = idx
-      .topKJoin(docs.select(col(idCol), col(vecCol)), idCol, vecCol,
+    require(pqRefine.isEmpty || idx.pqEnabled,
+      "pqRefine set but the index has no PQ sidecars — enablePq() first")
+    // With `pqRefine` the history probe runs through the COMPRESSED
+    // index path ([[AnnIndex.topKJoinPq]]): the candidate scan reads
+    // m-byte codes instead of full vectors — at 100 TB that is the
+    // gate's dominant IO, cut ~30× by plain column pruning — and the
+    // exact rescore (which this filter's score comes from, so the
+    // threshold semantics are unchanged) touches only k·refine rows
+    // per query. The dial's cost is RECALL, same failure class as a
+    // too-small nprobe: a PQ-misranked true neighbor admits a
+    // duplicate; it can never drop a novel doc (scores stay exact).
+    // Explicitly opt-in for that reason.
+    val probed = pqRefine match {
+      case Some(r) => idx.topKJoinPq(
+        docs.select(col(idCol), col(vecCol)), idCol, vecCol,
+        k = 1, nprobe, refine = r, minDate, beforeDate)
+      case None => idx.topKJoin(
+        docs.select(col(idCol), col(vecCol)), idCol, vecCol,
         k = 1, nprobe, minDate, beforeDate)
+    }
+    val hits = probed
       .filter(col("score") >= threshold)
       .select(col(idCol)).distinct()
     val vsHistory = docs.join(hits, Seq(idCol), "left_anti")

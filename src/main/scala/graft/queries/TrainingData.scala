@@ -784,6 +784,50 @@ object TrainingData {
           "recall_ok")
         .orderBy(col("refine"))
     }),
+    // RESIDUAL IVF-PQ (IVFADC, Jégou et al. 2011 §IV) through the
+    // SERVED index: codes quantize v − c(cluster), so the same 8 bytes
+    // model the tighter post-assignment distribution — measured
+    // recall@10 beats q117's raw codes at refine 2/4 on both SFs
+    // (sf0.1: 0.68 vs 0.61 / 0.84 vs 0.78). The sweep probes EVERY
+    // list (nprobe = k) so the number isolates codebook quality, not
+    // IVF loss. Self-checking like q95/q117: floors + ok flags +
+    // the code_bytes constant, DuckDB-pinned; kernel/lifecycle
+    // correctness is spec-pinned (full-refine == exact bit-for-bit).
+    "q118_ivfpq_residual_recall" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val k = 10
+      val nQ = 8
+      val queries = e.filter(col("vec_id") < nQ)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val W = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+      val q = queries.select(col("qid"), col("embedding").as("__qv"),
+        VectorOps.norm(col("embedding")).as("__qn"))
+      val truth = e.withColumn("__n", VectorOps.norm(col("embedding")))
+        .crossJoin(broadcast(q))
+        .select(col("qid"), col("vec_id"), VectorOps.cosinePrenormed(
+          col("embedding"), col("__qv"), col("__n"), col("__qn")).as("score"))
+        .withColumn("rk", row_number().over(W)).filter(col("rk") <= k)
+        .select(col("qid"), col("vec_id")).as[(Long, Long)].collect().toSet
+      val floors = Map(1 -> 0.35, 2 -> 0.50, 4 -> 0.65)
+      val rows = graft.lake.AnnIndex.withScratchIndex(
+          s, e, "vec_id", "embedding", k = 16, numBuckets = 8) { idx =>
+        idx.enablePq(m = 8, ksub = 256, iters = 2, samplePct = 100,
+          residual = true)
+        Seq(1, 2, 4).map { refine =>
+          val got = idx.topKJoinPq(queries, "qid", "embedding", k,
+              nprobe = 16, refine = refine)
+            .select(col("qid"), col("id")).as[(Long, Long)].collect().toSet
+          val recall = truth.count(got.contains).toDouble / (k * nQ)
+          (refine, k, nQ, 8, floors(refine),
+            if (recall >= floors(refine)) 1 else 0)
+        }
+      }
+      rows.toDF("refine", "k", "n_queries", "code_bytes", "recall_floor",
+          "recall_ok")
+        .orderBy(col("refine"))
+    }),
 
     // Embedding-cosine near-dup pairs within (label × sign-bucket)
     // buckets. The 4-bit sign bucket rides on the join key so a hot label
@@ -2122,6 +2166,18 @@ object TrainingData {
     // compression constant and the recall_ok flags are what DuckDB can
     // pin; a recall regression below any floor fails the hash
     "q117_pq_recall" ->
+      """SELECT CAST(refine AS INT) AS refine, CAST(10 AS INT) AS k,
+        |  CAST(8 AS INT) AS n_queries, CAST(8 AS INT) AS code_bytes,
+        |  CAST(recall_floor AS DOUBLE) AS recall_floor,
+        |  CAST(1 AS INT) AS recall_ok
+        |FROM (VALUES (1, 0.35), (2, 0.50), (4, 0.65))
+        |  AS t(refine, recall_floor)
+        |ORDER BY refine""".stripMargin,
+    // q118 self-check: q117's pattern on the RESIDUAL served-index
+    // path — the iterative quantizer+codebooks have no SQL oracle, so
+    // DuckDB pins the sweep shape, the compression constant and the
+    // recall_ok flags
+    "q118_ivfpq_residual_recall" ->
       """SELECT CAST(refine AS INT) AS refine, CAST(10 AS INT) AS k,
         |  CAST(8 AS INT) AS n_queries, CAST(8 AS INT) AS code_bytes,
         |  CAST(recall_floor AS DOUBLE) AS recall_floor,

@@ -85,13 +85,25 @@ object DailyIngest {
     * the batch, deterministic, so replays agree) and the index is
     * built from those survivors — afterwards the index holds only
     * admitted vectors, which is what keeps the gate's "≥ θ to
-    * anything stored" reading correct. */
+    * anything stored" reading correct.
+    *
+    * `pqRefine = Some(r)` routes the gate's history probe through the
+    * COMPRESSED index path when the index has PQ sidecars
+    * ([[AnnIndex.topKJoinPq]]; the candidate scan reads m-byte codes,
+    * not vectors — the gate's dominant IO at corpus scale). On an
+    * index without PQ it silently falls back to the exact path: the
+    * fallback is strictly better recall and identical threshold
+    * semantics, and a daily job must not wedge because `enablePq` has
+    * not run yet (notably the bootstrap day, which has no index at
+    * all). Recall cost mirrors nprobe: a PQ-misranked true neighbor
+    * ADMITS a duplicate, never drops a novel doc. */
   def run(lake: Lake, dd: CorpusDedup, cp: CorpusPack, out: TableRef,
           docs: DataFrame, idCol: String, textCol: String, langCol: String,
           day: Date, ttlDays: Int,
           ann: Option[(AnnIndex, String)] = None,
           semanticThreshold: Option[Double] = None,
-          vocab: BpeVocab = BpeVocab.default): Long = {
+          vocab: BpeVocab = BpeVocab.default,
+          pqRefine: Option[Int] = None): Long = {
     require(semanticThreshold.isEmpty || ann.nonEmpty,
       "semanticThreshold needs the ann leg — the index is the seen-set")
     val minDate = Date.valueOf(day.toLocalDate.minusDays(ttlDays.toLong))
@@ -108,7 +120,8 @@ object DailyIngest {
       case (Some((idx, embedCol)), Some(th))
           if idx.hasEntriesBefore(day, minDate) =>
         dd.novelSemantic(idx, textNovel, idCol, embedCol, th,
-          minDate = Some(minDate), beforeDate = Some(day))
+          minDate = Some(minDate), beforeDate = Some(day),
+          pqRefine = pqRefine.filter(_ => idx.pqEnabled))
       case (Some((_, embedCol)), Some(th)) =>
         val keepers = graft.functions.DedupOps.semanticDedupBlocked(
           textNovel.select(col(idCol), col(embedCol)), idCol, embedCol, th,
@@ -262,7 +275,7 @@ object DailyIngest {
 
   /** CLI: DailyIngest <lakeRoot> <stateRoot> <inputParquet> <yyyy-mm-dd>
     * [ttlDays=30] [budgetTokens=2048] [embedCol] [semanticThreshold]
-    * [vocab].
+    * [vocab] [pqRefine].
     * Input schema: doc_id, text, lang (+ the embedding column when the
     * ANN leg is enabled). Passing `embedCol` turns on the retrieval
     * index and its maintenance tick; adding `semanticThreshold` also
@@ -285,6 +298,7 @@ object DailyIngest {
     val embedCol = rest.lift(2)
     val semTh = rest.lift(3).map(_.toDouble)
     val vocabArg = rest.lift(4)
+    val pqRefine = rest.lift(5).map(_.toInt)
     // The dedup seen-sets and ANN lists are CATALOG tables (bucket specs
     // live in the metastore); with Spark's default in-memory catalog a
     // new JVM forgets them and every day-2 run re-admits the whole
@@ -321,7 +335,8 @@ object DailyIngest {
       println(s"[daily-ingest] bpe vocab: ${vocab.merges.length} merges")
       val n = run(lake, dd, cp, TableRef("prod", "crawl", "packed"),
         docs, "doc_id", "text", "lang", day, ttlDays,
-        ann = ann, semanticThreshold = semTh, vocab = vocab)
+        ann = ann, semanticThreshold = semTh, vocab = vocab,
+        pqRefine = pqRefine)
       expire(dd, day, ttlDays, ann = ann.map(_._1))
       ann.foreach { case (idx, _) =>
         val m = maintain(idx, day)

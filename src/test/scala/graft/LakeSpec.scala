@@ -584,6 +584,47 @@ class LakeSpec extends SparkSpec {
     idx.unpinBucketedScan()
   }
 
+  test("novelSemantic through the compressed (PQ) gate matches the exact gate") {
+    import graft.lake.{AnnIndex, CorpusDedup}
+    val lake = new Lake(spark, tmpDir("pqgate_lake"))
+    val dd = new CorpusDedup(spark, lake, "pqgate", numBuckets = 4)
+    val idx = new AnnIndex(spark, lake, "pqgate_ann", numBuckets = 4)
+    // 8 one-hot directions × 5 magnitudes — cosine structure is exact:
+    // same direction = 1.0, different one-hot directions = 0.0
+    def oneHot(dir: Int, mag: Double): Seq[Double] =
+      Seq.tabulate(8)(i => if (i == dir) mag else 0.0)
+    val history = (0L until 40L).map(i =>
+      (i, oneHot((i % 8).toInt, (i / 8 + 1).toDouble))).toDF("doc_id", "emb")
+    idx.build(history, "doc_id", "emb", k = 4, iters = 2)
+    val mix = Seq.tabulate(8)(_ => 1.0)
+    val alt = Seq.tabulate(8)(i => if (i % 2 == 0) 1.0 else -1.0)
+    val batch = Seq(
+      (100L, oneHot(3, 1.01)),         // history dup (cos 1.0 to dir 3)
+      (101L, mix),                     // novel (cos 1/sqrt(8) to any e_i)
+      (102L, mix.map(_ * 1.02)),       // in-batch twin of 101
+      (103L, alt)                      // novel (cos 0 to mix, +-1/sqrt(8) to e_i)
+    ).toDF("doc_id", "emb")
+    val exact = dd.novelSemantic(idx, batch, "doc_id", "emb",
+      threshold = 0.9, nprobe = 4).select($"doc_id").as[Long].collect().toSet
+    assert(exact === Set(101L, 103L), exact.toString)
+    // asking for the compressed path before enablePq is a loud error
+    intercept[IllegalArgumentException] {
+      dd.novelSemantic(idx, batch, "doc_id", "emb", threshold = 0.9,
+        nprobe = 4, pqRefine = Some(4))
+    }
+    idx.enablePq(m = 2, ksub = 4, iters = 2, samplePct = 100,
+      residual = true)
+    // generous refine: the compressed gate must reproduce the exact
+    // gate's novel set (scores are exact on both paths — PQ only
+    // reorders candidates, and refine covers them all here)
+    val pq = dd.novelSemantic(idx, batch, "doc_id", "emb",
+        threshold = 0.9, nprobe = 4, pqRefine = Some(40))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(pq === exact, s"compressed gate diverged: $pq vs $exact")
+    idx.releaseProbes()
+    idx.unpinBucketedScan()
+  }
+
   test("semantic dedup vs the persisted index: gate, in-batch, TTL, replay window") {
     import graft.lake.{AnnIndex, CorpusDedup}
     val lake = new Lake(spark, tmpDir("sem_lake"))
