@@ -430,7 +430,10 @@ object VectorOps {
     * exact over it. `codes` supplies a precomputed [[pqEncodeCorpus]]
     * frame (the persisted-codes shape); absent, codes are derived
     * in-flight. Recall is the refine dial: k·refine ≥ corpus is exact
-    * by construction (the spec pins it). */
+    * by construction (the spec pins it). RAW codes only — residual
+    * (IVFADC) encoding needs each vector's coarse-cell assignment,
+    * which is the served index's business
+    * ([[graft.lake.AnnIndex.enablePq]] with `residual = true`). */
   def pqTopK(corpus: DataFrame, queryVec: DataFrame, idCol: String,
              vecCol: String, k: Int, codebooks: Seq[Seq[Seq[Double]]],
              refine: Int = 4, codes: Option[DataFrame] = None): DataFrame = {

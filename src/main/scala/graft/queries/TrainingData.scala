@@ -828,6 +828,28 @@ object TrainingData {
           "recall_ok")
         .orderBy(col("refine"))
     }),
+    // CORPUS DRIFT monitor: per-source Jensen–Shannon divergence (base
+    // 2) between the token distributions of two halves of the corpus
+    // (doc_id parity stands in for yesterday/today) — the crawl
+    // regression check a rolling ingest runs daily: a scraper change
+    // that shifts a source's token mix flags here before it reaches a
+    // model eval. One explode → wordcount-shaped (key, token) agg with
+    // map-side combine (the only heavy shuffle, linear in tokens), a
+    // broadcast per-key totals join, and a per-key rollup of
+    // closed-form JSD terms — nothing pairwise, nothing driver-side.
+    // The JSD rounds to 6 dp (aggregate-output rounding: summation
+    // order across engines/partitionings differs sub-ulp).
+    // the day split is alternating id-blocks of 20 ((doc_id % 40) < 20),
+    // NOT doc_id parity: the fixture assigns source = doc_id % 20, so a
+    // parity split would give every source exactly one EMPTY day (the
+    // NaN edge, pinned in the unit spec instead)
+    "q119_corpus_drift" -> ((s, dir) => {
+      graft.functions.DriftOps.tokenDistributionDrift(
+          t(s, dir, "documents"), "source", "text",
+          when(col("doc_id") % 40 < 20, 0).otherwise(1))
+        .withColumn("drifted", (col("jsd") >= 0.05).cast("int"))
+        .orderBy(col("source"))
+    }),
 
     // Embedding-cosine near-dup pairs within (label × sign-bucket)
     // buckets. The 4-bit sign bucket rides on the join key so a hot label
@@ -2185,6 +2207,40 @@ object TrainingData {
         |FROM (VALUES (1, 0.35), (2, 0.50), (4, 0.65))
         |  AS t(refine, recall_floor)
         |ORDER BY refine""".stripMargin,
+    // q119: full independent recompute — DuckDB rebuilds both unigram
+    // distributions and the closed-form JSD terms; the 6-dp round on
+    // the summed divergence absorbs cross-engine summation order
+    "q119_corpus_drift" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    CASE WHEN doc_id % 40 < 20 THEN 0 ELSE 1 END AS half,
+        |    unnest(regexp_split_to_array(text, '\s+')) AS tok
+        |  FROM documents),
+        |tk AS (SELECT * FROM toks WHERE length(tok) > 0),
+        |counts AS (
+        |  SELECT source, tok,
+        |    sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS cb
+        |  FROM tk GROUP BY source, tok),
+        |tot AS (
+        |  SELECT source, CAST(sum(ca) AS BIGINT) AS ta,
+        |    CAST(sum(cb) AS BIGINT) AS tb
+        |  FROM counts GROUP BY source),
+        |terms AS (
+        |  SELECT c.source, t.ta, t.tb,
+        |    CAST(ca AS DOUBLE) / ta AS pa, CAST(cb AS DOUBLE) / tb AS pb
+        |  FROM counts c JOIN tot t ON c.source = t.source),
+        |j AS (
+        |  SELECT source, max(ta) AS n_tok_a, max(tb) AS n_tok_b,
+        |    round(sum(
+        |      (CASE WHEN pa > 0 THEN pa * log2(2*pa/(pa+pb)) * 0.5
+        |            ELSE 0 END) +
+        |      (CASE WHEN pb > 0 THEN pb * log2(2*pb/(pa+pb)) * 0.5
+        |            ELSE 0 END)), 6) AS jsd
+        |  FROM terms GROUP BY source)
+        |SELECT source, n_tok_a, n_tok_b, jsd,
+        |  CAST(CASE WHEN jsd >= 0.05 THEN 1 ELSE 0 END AS INT) AS drifted
+        |FROM j ORDER BY source""".stripMargin,
     "q93_pii_scrub" ->
       """WITH inj AS (
         |  SELECT doc_id,

@@ -770,6 +770,14 @@ class EndToEndSpec extends SparkSpec {
       .toDF("doc_id", "text", "emb")
     ingest(day1, "2024-03-01")
     assert(idx.exists)
+    // PQ-enable the served index (residual mode — the demanding
+    // lifecycle: a retrain must also retrain codebooks and re-encode):
+    // the maintenance tick below must carry the sidecar through
+    // compaction AND the recall-triggered retrain, and day-2's ingest
+    // appends must write the day's codes partition
+    idx.enablePq(m = 2, ksub = 16, iters = 2, samplePct = 100,
+      residual = true)
+    assert(idx.pqEnabled && idx.pqResidualMode)
 
     // day 2: the DRIFTED region (+y, unseen by the trained centroids;
     // the ±x nudge splits its members across old lists — the retrain
@@ -795,6 +803,22 @@ class EndToEndSpec extends SparkSpec {
     // the rewrite preserved the corpus and left no snapshot debris
     assert(idx.storedCount === 90)
     assert(!new java.io.File(lake.path(idx.listsRef) + ".retrain").exists())
+    // the PQ sidecar rode the whole composed lifecycle: day-2 append
+    // wrote its codes partition, compaction folded it, and the retrain
+    // re-encoded under the new quantizer in the same committed swap —
+    // codes agree with the lists row-for-row about cluster assignment
+    assert(idx.pqEnabled && idx.pqResidualMode)
+    val lc = spark.table("state_maint_ann.ivf_lists")
+      .select($"id", $"cluster").as[(Long, Int)].collect().toMap
+    val cc = spark.table("state_maint_ann.ivf_pq_codes")
+      .select($"id", $"cluster").as[(Long, Int)].collect().toMap
+    assert(cc === lc, "PQ codes out of sync after composed maintenance")
+    val pqHits = idx.topKJoinPq(
+        day2.limit(1).select($"doc_id".as("qid"), $"emb"), "qid", "emb",
+        k = 3, nprobe = 3, refine = 30)
+      .select($"id").as[Long].collect()
+    assert(pqHits.contains(200L),
+      s"compressed search lost the drifted region post-retrain: ${pqHits.toSeq}")
     // a stable corpus does NOT pay the rewrite: the next tick measures
     // healthy recall and skips the retrain branch
     val m2 = DailyIngest.maintain(idx, day("2024-03-03"),

@@ -521,4 +521,35 @@ class ExtrasSpec extends SparkSpec {
       ("s1", ts("2024-01-01 10:00:00")), ("s2", ts("2024-01-01 11:00:00")),
       ("s1", ts("2024-01-01 12:00:00")), ("s3", ts("2024-01-01 08:00:00"))))
   }
+
+  test("tokenDistributionDrift: hand-computed JSD, identical and disjoint edges") {
+    import graft.functions.DriftOps
+    // source "s": bucket 0 = {a:2/3, b:1/3}, bucket 1 = {a:1/4, b:3/4}
+    // source "same": identical distributions → JSD exactly 0
+    // source "disj": disjoint supports → JSD exactly 1 (the base-2 max)
+    val docs = Seq(
+      (0L, "a a b", "s"), (1L, "a b b b", "s"),
+      (2L, "x y", "same"), (3L, "y x", "same"),
+      (4L, "p p q", "disj"), (5L, "r r r", "disj"),
+      (6L, "z z", "only") // bucket 1 EMPTY: the vanished-source edge
+    ).toDF("doc_id", "text", "source")
+    val got = DriftOps.tokenDistributionDrift(docs, "source", "text",
+        $"doc_id" % 2)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    def lg2(x: Double) = math.log(x) / math.log(2.0)
+    def term(p: Double, q: Double) =
+      if (p > 0) p * lg2(2 * p / (p + q)) * 0.5 else 0.0
+    val want = Seq((2.0 / 3, 1.0 / 4), (1.0 / 3, 3.0 / 4))
+      .map { case (pa, pb) => term(pa, pb) + term(pb, pa) }.sum
+    assert(got("s")._1 === 3L && got("s")._2 === 4L)
+    assert(math.abs(got("s")._3 - want) < 1e-6, s"${got("s")._3} vs $want")
+    assert(got("same") === ((2L, 2L, 0.0)))
+    assert(got("disj") === ((3L, 3L, 1.0)))
+    // a source missing from one day surfaces as a NaN row (maximal
+    // drift for the caller to flag), NOT an ANSI divide-by-zero that
+    // would kill the monitoring job on the exact event it watches for
+    assert(got("only")._1 === 2L && got("only")._2 === 0L)
+    assert(got("only")._3.isNaN, got("only").toString)
+  }
 }
