@@ -38,7 +38,10 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, 
   *    ranking reconstructs v̂ = c + r̂ against the query.
   */
 final class PqKernel(val m: Int, val ksub: Int, val dsub: Int,
-                     flat: Array[Double]) extends Serializable {
+                     flat: Array[Double],
+                     val lutEntries: Int = PqKernel.DefaultLutEntries)
+    extends Serializable {
+  require(lutEntries >= 1, s"lutEntries $lutEntries must be >= 1")
   // flat layout: ((b * ksub + c) * dsub + d)
   val dim: Int = m * dsub
 
@@ -123,13 +126,30 @@ final class PqKernel(val m: Int, val ksub: Int, val dsub: Int,
     out
   }
 
-  /** Per-thread ADC table: (query content hash, query copy, LUT).
-    * Rebuilt when a row's query differs from the cached one — one
-    * m×ksub×dsub pass per DISTINCT query, then each candidate costs m
-    * lookups. Content-compared on hash match, so interleaved queries
-    * (or a hash collision) can never read a stale table. */
+  /** Per-thread ADC tables, an LRU of up to `lutEntries` (query
+    * content hash → (query copy, LUT)). Bounded capacity matters:
+    * joined candidate rows INTERLEAVE query ids (hash/nested-loop
+    * iteration order cycles the broadcast queries per candidate), so
+    * a single-entry cache would rebuild the m×ksub×dsub table on
+    * nearly every row whenever a batch holds >1 query — costing far
+    * more than the m-lookup ADC saves (measured 40-70× slower on an
+    * 8-query worst-case interleave at the 8×256×8 shape, MicroBench
+    * "adc interleaved"). The default capacity
+    * covers a broadcastable query batch (64 × (dim + m·ksub) doubles
+    * ≈ 1 MiB/thread at the 64-dim/8×256 shape); past it, LRU
+    * eviction degrades gracefully toward rebuild-per-row. Entries are
+    * content-compared on hash match, so interleaved queries and hash
+    * collisions can never read a stale table. */
   @transient private lazy val lutCache =
-    new ThreadLocal[(Long, Array[Double], Array[Double])]
+    new ThreadLocal[java.util.LinkedHashMap[java.lang.Long, (Array[Double], Array[Double])]] {
+      override def initialValue() =
+        new java.util.LinkedHashMap[java.lang.Long, (Array[Double], Array[Double])](
+            lutEntries * 2, 0.75f, true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[java.lang.Long, (Array[Double], Array[Double])]): Boolean =
+            size() > lutEntries
+        }
+    }
 
   private def queryCopy(vec: ArrayData, isFloat: Boolean): Array[Double] = {
     val n = math.min(vec.numElements(), dim)
@@ -153,10 +173,10 @@ final class PqKernel(val m: Int, val ksub: Int, val dsub: Int,
     require(codes.length == m,
       s"PQ code length ${codes.length} != m=$m subspaces")
     val q = queryCopy(query, isFloat)
-    val h = contentHash(q)
-    var cached = lutCache.get()
-    if (cached == null || cached._1 != h ||
-        !java.util.Arrays.equals(cached._2, q)) {
+    val h = java.lang.Long.valueOf(contentHash(q))
+    val cache = lutCache.get()
+    var entry = cache.get(h)
+    if (entry == null || !java.util.Arrays.equals(entry._1, q)) {
       val lut = new Array[Double](m * ksub)
       var b = 0
       while (b < m) {
@@ -171,10 +191,10 @@ final class PqKernel(val m: Int, val ksub: Int, val dsub: Int,
         }
         b += 1
       }
-      cached = (h, q, lut)
-      lutCache.set(cached)
+      entry = (q, lut)
+      cache.put(h, entry)
     }
-    val lut = cached._3
+    val lut = entry._2
     var s = 0.0
     var b = 0
     while (b < m) { s += lut(b * ksub + (codes(b) & 0xff)); b += 1 }
@@ -250,8 +270,15 @@ final class PqKernel(val m: Int, val ksub: Int, val dsub: Int,
 }
 
 object PqKernel {
-  /** codebooks: m blocks × ksub centroids × dsub dims. */
-  def build(codebooks: Seq[Seq[Seq[Double]]]): PqKernel = {
+  /** ADC LUT entries cached per thread — sized for a broadcastable
+    * query batch (see the lutCache note in [[PqKernel]]). */
+  val DefaultLutEntries: Int = 64
+
+  /** codebooks: m blocks × ksub centroids × dsub dims. `lutEntries`
+    * overrides the per-thread ADC cache capacity (measurement
+    * harnesses pass 1 to reproduce the single-entry behavior). */
+  def build(codebooks: Seq[Seq[Seq[Double]]],
+            lutEntries: Int = DefaultLutEntries): PqKernel = {
     require(codebooks.nonEmpty, "empty PQ codebooks")
     val m = codebooks.size
     val ksub = codebooks.head.size
@@ -262,7 +289,7 @@ object PqKernel {
     val flat = new Array[Double](m * ksub * dsub)
     var i = 0
     codebooks.foreach(_.foreach(_.foreach { x => flat(i) = x; i += 1 }))
-    new PqKernel(m, ksub, dsub, flat)
+    new PqKernel(m, ksub, dsub, flat, lutEntries)
   }
 }
 

@@ -434,6 +434,40 @@ object MicroBench {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(cdir))
     }
 
+    // ---- ADC LUT cache capacity under INTERLEAVED queries ------------
+    // joined candidate rows cycle through the broadcast queries, so a
+    // single-entry per-thread LUT cache (the shape this engine shipped
+    // first) rebuilds the m×ksub×dsub table on ~every row once a batch
+    // holds >1 query — the rebuild (~16k FLOPs at 8×256×8) dwarfs the
+    // m-lookup ADC it feeds. Kernel-level timing, worst-case
+    // interleave (query changes EVERY candidate): capacity 1 vs the
+    // shipped LRU default.
+    {
+      import graft.expressions.PqKernel
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      val e = Tables.load(spark, sfDir, "embeddings")
+      val cbs = graft.functions.VectorOps.pqTrainCodebooks(e, "embedding",
+        m = 8, iters = 1)
+      val nQ = 8
+      val queries = (0 until nQ).map(i => new GenericArrayData(
+        Array.tabulate[Any](64)(d => ((i * 13 + d * 7) % 17 - 8).toDouble)))
+      val codes = Array.tabulate(200000)(i =>
+        Array.tabulate(8)(b => ((i * 31 + b * 101) % 256).toByte))
+      for ((cap, label) <- Seq(1 -> "cap=1(old)",
+                               PqKernel.DefaultLutEntries -> "cap=default")) {
+        val kern = PqKernel.build(cbs, cap)
+        var sink = 0.0
+        time(s"adc interleaved nQ=$nQ $label") {
+          var i = 0
+          while (i < codes.length) {
+            sink += kern.adcDot(queries(i % nQ), false, codes(i))
+            i += 1
+          }
+        }
+        if (sink.isNaN) println("adc sink NaN (impossible)") // keep sink live
+      }
+    }
+
     // ---- raw vs RESIDUAL PQ: recall A/B at equal code bytes ----------
     // same index, same m/ksub/iters, nprobe = every list (so the coarse
     // quantizer's IVF loss cancels out of the comparison and the delta
