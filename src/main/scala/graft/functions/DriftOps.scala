@@ -12,22 +12,30 @@ import org.apache.spark.sql.functions._
   *
   * The divergence is Jensen–Shannon (base 2, bounded [0, 1],
   * symmetric, defined for non-overlapping supports — KL is none of
-  * those), over per-key unigram token distributions.
+  * those). [[categoricalDrift]] is the general machine — JSD between
+  * two buckets' distributions of ANY categorical column:
+  *  - token mix per source ([[tokenDistributionDrift]], q119);
+  *  - language / source mix (`categoricalDrift(docs, key, "lang", …)`);
+  *  - EMBEDDING-space drift without scoring a single vector:
+  *    `categoricalDrift` over a dated IVF index's lists with
+  *    `catCol = "cluster"` compares two days' coarse-cell occupancy —
+  *    the quantizer's view of where the vectors moved (spec-pinned in
+  *    LakeSpec; the recall-triggered retrain is the COST-gated signal,
+  *    this is the cheap always-on one).
   */
 object DriftOps {
 
-  /** Per-key JSD between the token distributions of `bucket` 0 and 1
-    * (e.g. yesterday vs today) — one row per key:
-    * (keyCol, n_tok_a, n_tok_b, jsd).
+  /** Per-key JSD between the `bucket` 0 and 1 distributions of
+    * `catCol` — one row per key: (keyCol, n_a, n_b, jsd).
     *
-    * Plan shape at 100 TB: one explode → (key, token) count with
-    * map-side combine (the wordcount shape — the only heavy shuffle,
-    * linear in tokens), a per-key totals rollup joined back BROADCAST
-    * (one row per key), and a per-key sum of closed-form JSD terms.
-    * Nothing pairwise, nothing driver-side.
+    * Plan shape at 100 TB: one (key, category) count with map-side
+    * combine (the wordcount shape — the only heavy shuffle, linear in
+    * rows), a per-key totals rollup joined back BROADCAST (one row
+    * per key), and a per-key sum of closed-form JSD terms. Nothing
+    * pairwise, nothing driver-side.
     *
     * The JSD is rounded (`roundTo` dp, default 6) because it is a
-    * floating SUM over tokens — summation order differs across
+    * floating SUM over categories — summation order differs across
     * engines/partitionings and the round absorbs it (the engine's
     * aggregate-output rounding convention). A key with an EMPTY side
     * yields NaN — JSD against a zero distribution is undefined, and
@@ -35,21 +43,45 @@ object DriftOps {
     * exactly the drift this monitor exists to catch, so it must
     * surface as a NaN row, not an ANSI divide-by-zero that kills the
     * whole job. Callers should treat NaN as maximal drift. */
-  def tokenDistributionDrift(docs: DataFrame, keyCol: String,
-                             textCol: String, bucket: Column,
-                             roundTo: Int = 6): DataFrame = {
-    val toks = docs
-      .select(col(keyCol), bucket.cast("int").as("__half"),
-        explode(split(col(textCol), "\\s+")).as("__tok"))
-      .filter(length(col("__tok")) > 0)
-    val counts = toks.groupBy(col(keyCol), col("__tok")).agg(
-      sum(when(col("__half") === 0, 1L).otherwise(0L)).as("__ca"),
-      sum(when(col("__half") === 1, 1L).otherwise(0L)).as("__cb"))
+  def categoricalDrift(rows: DataFrame, keyCol: String, catCol: String,
+                       bucket: Column, roundTo: Int = 6): DataFrame =
+    driftFromSideCounts(rows
+      .select(col(keyCol), col(catCol).as("__cat"),
+        bucket.cast("int").as("__half"))
+      .groupBy(col(keyCol), col("__cat")).agg(
+        sum(when(col("__half") === 0, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__half") === 1, 1L).otherwise(0L)).as("__cb")),
+      keyCol, roundTo)
+
+  /** [[categoricalDrift]] from two PRECOMPUTED count frames
+    * (keyCol, catCol, nCol) — the incremental shape: a daily job
+    * lands each day's vocab-sized histogram once
+    * ([[tokenHistogram]]), and any two days compare WITHOUT
+    * re-scanning text — O(vocab) instead of O(corpus), the same
+    * retained-aggregate pattern as the mergeable HLL sketches. */
+  def categoricalDriftFromCounts(a: DataFrame, b: DataFrame,
+                                 keyCol: String, catCol: String,
+                                 nCol: String, roundTo: Int = 6): DataFrame = {
+    def tagged(df: DataFrame, asA: Boolean) = df.select(
+      col(keyCol), col(catCol).as("__cat"),
+      (if (asA) col(nCol) else lit(0L)).cast("long").as("__na"),
+      (if (asA) lit(0L) else col(nCol)).cast("long").as("__nb"))
+    driftFromSideCounts(
+      tagged(a, asA = true).unionByName(tagged(b, asA = false))
+        .groupBy(col(keyCol), col("__cat"))
+        .agg(sum(col("__na")).as("__ca"), sum(col("__nb")).as("__cb")),
+      keyCol, roundTo)
+  }
+
+  /** The shared JSD rollup over per-category side counts
+    * (keyCol, __cat, __ca, __cb). */
+  private def driftFromSideCounts(counts: DataFrame, keyCol: String,
+                                  roundTo: Int): DataFrame = {
     val totals = counts.groupBy(col(keyCol)).agg(
       sum(col("__ca")).as("__ta"), sum(col("__cb")).as("__tb"))
-    // 0.5·p·log2(2p/(p+q)) summed over both sides; a token absent from
-    // one side contributes only the other side's term (lim p→0 of the
-    // term is 0, made explicit so no NaN leaks from log2(0))
+    // 0.5·p·log2(2p/(p+q)) summed over both sides; a category absent
+    // from one side contributes only the other side's term (lim p→0 of
+    // the term is 0, made explicit so no NaN leaks from log2(0))
     def side(p: Column, q: Column): Column =
       when(isnan(p) || isnan(q), lit(Double.NaN)) // empty side: NaN out
         .when(p > 0, p * log2(lit(2.0) * p / (p + q)) * 0.5)
@@ -61,8 +93,35 @@ object DriftOps {
         share(col("__ca"), col("__ta")).as("__pa"),
         share(col("__cb"), col("__tb")).as("__pb"))
       .groupBy(col(keyCol))
-      .agg(first(col("__ta")).as("n_tok_a"), first(col("__tb")).as("n_tok_b"),
+      .agg(first(col("__ta")).as("n_a"), first(col("__tb")).as("n_b"),
         round(sum(side(col("__pa"), col("__pb"))
           + side(col("__pb"), col("__pa"))), roundTo).as("jsd"))
+  }
+
+  /** (keyCol, tok, n) unigram histogram — the vocab-sized frame a
+    * daily ingest LANDS so later drift checks never re-read the text
+    * ([[categoricalDriftFromCounts]]). */
+  def tokenHistogram(docs: DataFrame, keyCol: String,
+                     textCol: String): DataFrame =
+    docs.select(col(keyCol),
+        explode(split(col(textCol), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col(keyCol), col("tok")).agg(count(lit(1)).as("n"))
+
+  /** [[categoricalDrift]] over whitespace-tokenized `textCol` — JSD
+    * between two days' unigram token distributions per key (q119's
+    * operator). The explode is the only addition: tokens become the
+    * categorical column, so the heavy shuffle stays the wordcount
+    * shape, linear in tokens. */
+  def tokenDistributionDrift(docs: DataFrame, keyCol: String,
+                             textCol: String, bucket: Column,
+                             roundTo: Int = 6): DataFrame = {
+    val toks = docs
+      .select(col(keyCol), bucket.cast("int").as("__halftok"),
+        explode(split(col(textCol), "\\s+")).as("__tok"))
+      .filter(length(col("__tok")) > 0)
+    categoricalDrift(toks, keyCol, "__tok", col("__halftok"), roundTo)
+      .withColumnRenamed("n_a", "n_tok_a")
+      .withColumnRenamed("n_b", "n_tok_b")
   }
 }

@@ -233,6 +233,32 @@ object DailyIngest {
     } else Maintenance(compacted, before, retrained = false, before)
   }
 
+  /** Land the day's token histogram and report drift vs the previous
+    * day. The histogram is vocab-sized ([[graft.functions.DriftOps
+    * .tokenHistogram]]) and lands by dynamic partition overwrite on
+    * `ingest_day` — replay-idempotent like every land in this
+    * composition. It is taken over the RAW incoming docs, BEFORE any
+    * dedup gate: a scraper regression must flag even when dedup would
+    * mask it downstream. Returns the per-key drift report (JSD
+    * yesterday→today, [[graft.functions.DriftOps
+    * .categoricalDriftFromCounts]] — O(vocab), no text re-scan) when
+    * yesterday's histogram exists; None on day one. A key that
+    * VANISHED from either day reports NaN — treat as maximal drift. */
+  def recordDrift(lake: Lake, histOut: TableRef, docs: DataFrame,
+                  keyCol: String, textCol: String,
+                  day: Date): Option[DataFrame] = {
+    val hist = graft.functions.DriftOps.tokenHistogram(docs, keyCol, textCol)
+      .withColumn("ingest_day", lit(day))
+    lake.overwritePartitions(hist, histOut, partitionBy = Seq("ingest_day"))
+    val prev = Date.valueOf(day.toLocalDate.minusDays(1L))
+    val all = lake.read(histOut)
+    val prevHist = all.filter(col("ingest_day") === lit(prev))
+    if (prevHist.limit(1).isEmpty) None
+    else Some(graft.functions.DriftOps.categoricalDriftFromCounts(
+      prevHist, all.filter(col("ingest_day") === lit(day)),
+      keyCol, "tok", "n"))
+  }
+
   /** The production BPE vocabulary size: large enough that `n_tok`
     * denominations (pack budgets, dataset cards) behave like a real
     * tokenizer's, small enough to train in seconds from a day's word
@@ -337,6 +363,19 @@ object DailyIngest {
         docs, "doc_id", "text", "lang", day, ttlDays,
         ann = ann, semanticThreshold = semTh, vocab = vocab,
         pqRefine = pqRefine)
+      // drift watch on the RAW feed (pre-dedup), vs yesterday's landed
+      // histogram, keyed by the CLI schema's grouping column (lang) —
+      // NaN (a language vanished from the feed) counts as drifted
+      recordDrift(lake, TableRef("prod", "crawl", "token_hist"), docs,
+          "lang", "text", day).foreach { report =>
+        val flagged = report
+          .filter(isnan(col("jsd")) || col("jsd") >= 0.05)
+          .select(col("lang"), col("jsd")).collect()
+        if (flagged.isEmpty)
+          println(s"[daily-ingest] drift: all langs stable vs previous day")
+        else flagged.foreach(r => println(
+          s"[daily-ingest] DRIFT lang=${r.get(0)} jsd=${r.get(1)}"))
+      }
       expire(dd, day, ttlDays, ann = ann.map(_._1))
       ann.foreach { case (idx, _) =>
         val m = maintain(idx, day)

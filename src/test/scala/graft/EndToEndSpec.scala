@@ -872,6 +872,35 @@ class EndToEndSpec extends SparkSpec {
     assert(lake.read(out).count() === 6)
   }
 
+  test("recordDrift: histogram lands idempotently, report flags shifts and vanished keys") {
+    import graft.tools.DailyIngest
+    val lake = new Lake(spark, tmpDir("drift_lake"))
+    val hist = TableRef("prod", "driftcrawl", "token_hist")
+    def day(s: String) = java.sql.Date.valueOf(s)
+    def mkDocs(rows: Seq[(Long, String, String)]) =
+      rows.toDF("doc_id", "text", "lang")
+    val d1 = mkDocs(Seq((1L, "alpha beta alpha", "en"), (2L, "uno dos", "es")))
+    // day one: the histogram lands, there is no yesterday to compare
+    assert(DailyIngest.recordDrift(lake, hist, d1, "lang", "text",
+      day("2024-06-01")).isEmpty)
+    // day two: en unchanged; es VANISHES; fr appears — the report keys
+    // the union, with one-sided languages surfacing as NaN rows
+    val d2 = mkDocs(Seq((3L, "alpha beta alpha", "en"), (4L, "oui non", "fr")))
+    def report() = DailyIngest.recordDrift(lake, hist, d2, "lang", "text",
+        day("2024-06-02")).get
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val rep = report()
+    assert(rep("en") === 0.0, rep.toString) // identical distribution
+    assert(rep("es").isNaN && rep("fr").isNaN, rep.toString)
+    // replay: the dynamic overwrite replaces exactly day-2's partition —
+    // identical report, each (lang, tok) held once
+    val rep2 = report()
+    assert(rep2.keySet === rep.keySet && rep2("en") === 0.0)
+    val p2 = lake.read(hist)
+      .filter($"ingest_day" === java.sql.Date.valueOf("2024-06-02"))
+    assert(p2.count() === p2.select($"lang", $"tok").distinct().count())
+  }
+
   test("ensureVocab: trains+persists once, reloads identically, external file wins") {
     import graft.tools.DailyIngest
     import graft.functions.BpeVocab

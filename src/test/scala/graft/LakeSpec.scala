@@ -584,6 +584,45 @@ class LakeSpec extends SparkSpec {
     idx.unpinBucketedScan()
   }
 
+  test("embedding drift via IVF occupancy: categoricalDrift over the dated lists") {
+    import graft.lake.AnnIndex
+    import graft.functions.DriftOps
+    // the cheap always-on embedding-drift monitor: compare two days'
+    // coarse-cell occupancy distributions on the SERVED index — no
+    // vector is scored, the lists table's (cluster, seen_date) columns
+    // are the whole input. The recall-triggered retrain stays the
+    // cost-gated signal; this one is a groupBy away.
+    val lake = new Lake(spark, tmpDir("occ_lake"))
+    val idx = new AnnIndex(spark, lake, "occ_ann", numBuckets = 4)
+    def d(s: String) = java.sql.Date.valueOf(s)
+    def jit(i: Int, m: Int) = ((i * 7919) % m) * 0.01
+    def pt(i: Int, x: Double): Seq[Double] =
+      Seq(x + jit(i, 7), jit(i, 11), 0.0, 0.0)
+    def region(i: Int): Double = if (i % 2 == 0) 10.0 else -10.0
+    val day1 = (0 until 40).map(i => (i.toLong, pt(i, region(i))))
+      .toDF("vec_id", "v")
+    idx.buildDated(day1, "vec_id", "v", k = 4, d("2024-05-01"), iters = 2)
+    // day 2: the same two-region mixture → occupancy stays put
+    val day2 = (100 until 140).map(i => (i.toLong, pt(i, region(i))))
+      .toDF("vec_id", "v")
+    idx.appendDated(day2, "vec_id", "v", d("2024-05-02"))
+    // day 3: all mass collapses into ONE region → occupancy shifts
+    val day3 = (200 until 240).map(i => (i.toLong, pt(i, 10.0)))
+      .toDF("vec_id", "v")
+    idx.appendDated(day3, "vec_id", "v", d("2024-05-03"))
+    def drift(dayB: String): Double = DriftOps.categoricalDrift(
+        spark.table("state_occ_ann.ivf_lists")
+          .filter(col("seen_date").isin(d("2024-05-01"), d(dayB)))
+          .select(lit("all").as("k"), col("cluster"), col("seen_date")),
+        "k", "cluster", (col("seen_date") === d(dayB)).cast("int"))
+      .select(col("jsd")).head().getDouble(0)
+    val stable = drift("2024-05-02")
+    val drifted = drift("2024-05-03")
+    assert(stable < 0.05, s"stable occupancy reads as drift: $stable")
+    assert(drifted > 0.2 && drifted > 4 * stable,
+      s"regional collapse not detected: stable $stable vs drifted $drifted")
+  }
+
   test("novelSemantic through the compressed (PQ) gate matches the exact gate") {
     import graft.lake.{AnnIndex, CorpusDedup}
     val lake = new Lake(spark, tmpDir("pqgate_lake"))
