@@ -277,7 +277,12 @@ class AnnIndex(spark: SparkSession, lake: Lake, dataset: String,
     * IDEMPOTENT: both writes are full overwrites derived from the
     * current lists, so a crashed or repeated enable just re-runs —
     * re-running on an already-enabled index is also how the PQ
-    * codebooks themselves retrain (including switching modes).
+    * codebooks themselves retrain (including switching modes). A
+    * crash BETWEEN the two writes (codebooks land first) leaves codes
+    * from the previous codebook generation being ranked by the new
+    * one — a candidate-ORDERING degradation only, never a wrong
+    * result, because every emitted score comes from the exact rescore
+    * of full vectors; the re-run restores ranking quality.
     *
     * `residual = true` is IVFADC proper (Jégou et al. 2011 §IV): codes
     * quantize v − c(cluster) instead of v, so the codebooks model the
