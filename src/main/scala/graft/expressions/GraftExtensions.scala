@@ -90,6 +90,13 @@ object GraftExtensions {
     (FunctionIdentifier("unaccent"),
       new ExpressionInfo(classOf[Unaccent].getName, "unaccent"),
       (cs: Seq[Expression]) => Unaccent(cs.head)),
+    (FunctionIdentifier("dhash64"),
+      new ExpressionInfo(classOf[DHash64Expr].getName, "dhash64"),
+      (cs: Seq[Expression]) => {
+        require(cs.size == 3,
+          s"dhash64 takes (pixels, width, height), got ${cs.size} args")
+        DHash64Expr(cs(0), cs(1), cs(2))
+      }),
     (FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (cs: Seq[Expression]) => VecDot(cs(0), cs(1))),

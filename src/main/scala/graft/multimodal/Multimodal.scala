@@ -411,6 +411,36 @@ object Multimodal {
     out
   }
 
+  /** Perceptual fingerprint over decoded images ([[decodeImage]]'s
+    * output shape): 64-bit dHash with its own 9×8 downsample FUSED
+    * into one codegen expression ([[graft.expressions.DHash64]]) —
+    * no resized intermediate, no row-encoder pass, and decode
+    * failures (NULL pixels) yield NULL hashes instead of throwing. */
+  def imageDHash(df: DataFrame, pixelsCol: String = "pixels",
+                 widthCol: String = "img_width",
+                 heightCol: String = "img_height",
+                 outCol: String = "dhash"): DataFrame =
+    df.withColumn(outCol, graft.expressions.DHash64.dhash64(
+      col(pixelsCol), col(widthCol), col(heightCol)))
+
+  /** IMAGE near-dup pairs by perceptual hash — the dedup family
+    * extended to the multimodal column: re-encodes, mild noise and
+    * thumbnail copies land within a few dHash bits, so the engine's
+    * existing 64-bit Hamming-LSH machinery
+    * ([[graft.functions.DedupOps.simhashPairs]]; banding EXACT at
+    * maxHamming ≤ 3 by pigeonhole) finds them with the text-SimHash
+    * plan — a groupBy per band bucket, nothing pairwise across
+    * buckets, no pixel ever compared. NULL hashes (decode failures)
+    * are excluded: they cannot be near anything. */
+  def imageNearDupPairs(df: DataFrame, idCol: String,
+                        dhashCol: String = "dhash",
+                        maxHamming: Int = 3): DataFrame =
+    graft.functions.DedupOps.simhashPairs(
+      df.filter(col(dhashCol).isNotNull)
+        .select(col(idCol),
+          lpad(bin(col(dhashCol)), 64, "0").as("simhash")),
+      idCol, bits = 64, maxHamming = maxHamming)
+
   /** Frame-sampling plumbing (video shape): emit every `stride`-th chunk
     * of `chunkBytes` as a frame row — the real version would seek to
     * keyframes; the partition/batch mechanics are identical. */

@@ -642,10 +642,15 @@ class EndToEndSpec extends SparkSpec {
       numBuckets = 4)
     val out = TableRef("prod", "sem_crawl", "packed")
     def day(d: String) = java.sql.Date.valueOf(d)
+    // pqRefine is configured from DAY ONE: the bootstrap day has no
+    // index and day two's index has no PQ sidecars yet, so the
+    // documented silent fallback to the exact path must hold until
+    // enablePq runs — identical counts to an unconfigured ingest
     def ingest(docs: org.apache.spark.sql.DataFrame, d: String): Long =
       DailyIngest.run(lake, dd, cp, out, docs.withColumn("lang", lit("en")),
         "doc_id", "text", "lang", day(d), ttlDays = 30,
-        ann = Some((idx, "emb")), semanticThreshold = Some(0.95))
+        ann = Some((idx, "emb")), semanticThreshold = Some(0.95),
+        pqRefine = Some(50))
 
     // all texts distinct (the semantic gate must do the dropping, not
     // the exact/near-dup gates); docs 1/2 are embedding twins
@@ -682,6 +687,25 @@ class EndToEndSpec extends SparkSpec {
     val annRows = spark.table("state_sem_crawl_ann.ivf_lists")
       .select($"id").as[Long].collect()
     assert(annRows.sorted.toSeq === Seq(1L, 3L, 5L))
+
+    // day 3 goes through the COMPRESSED gate: PQ sidecars now exist,
+    // so the configured pqRefine activates (generous refine → same
+    // semantics as exact). 6 is a twin of STORED 5; 7 is novel.
+    idx.enablePq(m = 3, ksub = 2, iters = 2, samplePct = 100,
+      residual = true)
+    val day3 = Seq(
+      (6L, "uu vv ww xx", Seq(0.0, 0.02, 0.999)),
+      (7L, "yy zz ab cd", Seq(0.57, 0.57, 0.57))
+    ).toDF("doc_id", "text", "emb")
+    assert(ingest(day3, "2024-04-03") === 1) // only 7
+    assert(landed().keySet === Set(1L, 3L, 5L, 7L))
+    // replay through the PQ gate converges like the exact one
+    assert(ingest(day3, "2024-04-03") === 1)
+    assert(landed().keySet === Set(1L, 3L, 5L, 7L))
+    // the day's codes partition landed alongside the lists
+    assert(spark.table("state_sem_crawl_ann.ivf_pq_codes").count() ===
+      spark.table("state_sem_crawl_ann.ivf_lists").count())
+    idx.releaseProbes()
     idx.unpinBucketedScan()
   }
 

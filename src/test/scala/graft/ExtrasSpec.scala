@@ -522,6 +522,71 @@ class ExtrasSpec extends SparkSpec {
       ("s1", ts("2024-01-01 12:00:00")), ("s3", ts("2024-01-01 08:00:00"))))
   }
 
+  test("image near-dup dedup: fused dHash + Hamming-LSH over decoded PNGs") {
+    import graft.multimodal.Multimodal
+    import java.awt.image.BufferedImage
+    def pattern(w: Int, h: Int)(f: (Int, Int) => Int): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = f(x, y) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    def png(img: BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val w = 72; val h = 48
+    def baseV(x: Int, y: Int) = ((x / 8) * 40 + (y / 8) * 25) % 256
+    val base = pattern(w, h)(baseV)
+    // per-pixel noise small vs the 40-step block structure
+    val noisy = pattern(w, h)((x, y) => baseV(x, y) + ((x * 31 + y * 17) % 5) - 2)
+    // a THUMBNAIL: half-size downscale of the same image — the 9×8
+    // grid sampling makes the hash scale-invariant by construction
+    val thumb = new BufferedImage(w / 2, h / 2, BufferedImage.TYPE_INT_RGB)
+    locally {
+      val g = thumb.createGraphics()
+      g.drawImage(base, 0, 0, w / 2, h / 2, null)
+      g.dispose()
+    }
+    // luminance-inverted: every gradient flips, hamming ≈ 64
+    val other = pattern(w, h)((x, y) => 255 - baseV(x, y))
+    val rows = Seq(
+      (1L, png(base)), (2L, png(noisy)), (3L, png(thumb)), (4L, png(other)),
+      (5L, Array[Byte](1, 2, 3)) // corrupt bytes: decode fails
+    ).toDF("media_id", "content")
+    val hashed = Multimodal.imageDHash(Multimodal.decodeImage(rows))
+    val hs = hashed.select($"media_id", $"dhash").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(hs(5L).isEmpty, "corrupt image must yield a NULL hash")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hs(1L).get, hs(2L).get) <= 3,
+      s"noise broke the hash: ${ham(hs(1L).get, hs(2L).get)} bits")
+    assert(ham(hs(1L).get, hs(3L).get) <= 3,
+      s"thumbnail broke the hash: ${ham(hs(1L).get, hs(3L).get)} bits")
+    assert(ham(hs(1L).get, hs(4L).get) > 10,
+      s"inverted image hashed too close: ${ham(hs(1L).get, hs(4L).get)} bits")
+    // the SQL surface agrees with the Column API
+    GraftExtensions.install(spark)
+    hashed.createOrReplaceTempView("dhash_imgs")
+    val viaSql = spark.sql(
+      """SELECT media_id, dhash64(pixels, img_width, img_height) AS d
+        |FROM dhash_imgs""".stripMargin)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(viaSql === hs, "SQL dhash64 diverged from the Column API")
+    // the pair stage is the text-SimHash Hamming-LSH plan verbatim
+    val pairs = Multimodal.imageNearDupPairs(hashed, "media_id")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)), pairs.toString)
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "false positive")
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L),
+      "NULL-hash row leaked into pairing")
+  }
+
   test("tokenDistributionDrift: hand-computed JSD, identical and disjoint edges") {
     import graft.functions.DriftOps
     // source "s": bucket 0 = {a:2/3, b:1/3}, bucket 1 = {a:1/4, b:3/4}
