@@ -90,6 +90,9 @@ object GraftExtensions {
     (FunctionIdentifier("unaccent"),
       new ExpressionInfo(classOf[Unaccent].getName, "unaccent"),
       (cs: Seq[Expression]) => Unaccent(cs.head)),
+    (FunctionIdentifier("audio_hash64"),
+      new ExpressionInfo(classOf[AudioHash64Expr].getName, "audio_hash64"),
+      (cs: Seq[Expression]) => AudioHash64Expr(cs.head)),
     (FunctionIdentifier("dhash64"),
       new ExpressionInfo(classOf[DHash64Expr].getName, "dhash64"),
       (cs: Seq[Expression]) => {

@@ -441,6 +441,86 @@ object Multimodal {
           lpad(bin(col(dhashCol)), 64, "0").as("simhash")),
       idCol, bits = 64, maxHamming = maxHamming)
 
+  /** Perceptual fingerprint over decoded audio ([[decodeAudio]]'s
+    * samples column): 64-bit spectrogram hash — band-energy rise/fall
+    * bits over a 9×8 (time × frequency) grid, one fused codegen
+    * expression ([[graft.expressions.AudioHash64]]). Gain-invariant,
+    * resample-tolerant; decode failures (NULL samples) yield NULL. */
+  def audioHash(df: DataFrame, samplesCol: String = "samples",
+                outCol: String = "ahash"): DataFrame =
+    df.withColumn(outCol,
+      graft.expressions.AudioHash64.audio_hash64(col(samplesCol)))
+
+  /** AUDIO near-dup pairs by perceptual hash — same machinery as
+    * [[imageNearDupPairs]]: the 64-bit Hamming-LSH band join (exact
+    * at maxHamming ≤ 3), NULL hashes excluded. */
+  def audioNearDupPairs(df: DataFrame, idCol: String,
+                        ahashCol: String = "ahash",
+                        maxHamming: Int = 3): DataFrame =
+    graft.functions.DedupOps.simhashPairs(
+      df.filter(col(ahashCol).isNotNull)
+        .select(col(idCol),
+          lpad(bin(col(ahashCol)), 64, "0").as("simhash")),
+      idCol, bits = 64, maxHamming = maxHamming)
+
+  /** VIDEO near-dup pairs from per-frame perceptual hashes — the
+    * dedup family completed across the multimodal columns: `frames`
+    * is the [[graft.multimodal.VideoDecoder.extractFrames]] →
+    * [[decodeImage]] → [[imageDHash]] shape (one row per sampled
+    * frame, NULL hash on decode failure), frame pairs within
+    * `maxHamming` collide through the banded Hamming-LSH join (the
+    * text-SimHash plan — no frame ever compared pairwise across
+    * buckets), and two videos pair when the MATCHED share of either
+    * side's hashed frames reaches `minOverlap`. The share is
+    * containment-style (max of the two sides, like the text
+    * containment verifier): a short clip wholly embedded in a longer
+    * video scores ~1 on its own side — the sub-clip duplication a
+    * symmetric ratio systematically misses.
+    *
+    * Scale shape: frames per video are bounded by the extraction's
+    * maxFrames, the frame-pair stage is banded, the video rollup is
+    * one count-distinct per video pair, and the per-video frame
+    * totals are a broadcastable aggregate. Output: (vid_a, vid_b,
+    * matched_a, matched_b, frames_a, frames_b, overlap). */
+  def videoNearDupPairs(frames: DataFrame, videoCol: String,
+                        frameIdxCol: String, dhashCol: String = "dhash",
+                        maxHamming: Int = 3,
+                        minOverlap: Double = 0.5): DataFrame = {
+    val keyed = frames.filter(col(dhashCol).isNotNull)
+      .select(concat_ws("#", col(videoCol).cast("string"),
+          col(frameIdxCol).cast("string")).as("__fid"),
+        col(videoCol).as("__vid"), col(dhashCol))
+    val nFrames = keyed.groupBy(col("__vid"))
+      .agg(countDistinct(col("__fid")).as("__nf"))
+    val framePairs = imageNearDupPairs(keyed, "__fid", dhashCol, maxHamming)
+    // frame keys → their videos (values from the original column, the
+    // "#" key is only a join handle), cross-video pairs only, oriented
+    // so fa always belongs to vid_a
+    val vmap = keyed.select(col("__fid"), col("__vid"))
+    val oriented = framePairs
+      .join(vmap.toDF("id_a", "va"), "id_a")
+      .join(vmap.toDF("id_b", "vb"), "id_b")
+      .filter(col("va") =!= col("vb"))
+      .select(
+        least(col("va"), col("vb")).as("vid_a"),
+        greatest(col("va"), col("vb")).as("vid_b"),
+        when(col("va") <= col("vb"), col("id_a")).otherwise(col("id_b"))
+          .as("fa"),
+        when(col("va") <= col("vb"), col("id_b")).otherwise(col("id_a"))
+          .as("fb"))
+    oriented.groupBy(col("vid_a"), col("vid_b"))
+      .agg(countDistinct(col("fa")).as("matched_a"),
+        countDistinct(col("fb")).as("matched_b"))
+      .join(broadcast(nFrames.toDF("vid_a", "frames_a")), "vid_a")
+      .join(broadcast(nFrames.toDF("vid_b", "frames_b")), "vid_b")
+      .withColumn("overlap", round(greatest(
+        col("matched_a").cast("double") / col("frames_a"),
+        col("matched_b").cast("double") / col("frames_b")), 4))
+      .filter(col("overlap") >= minOverlap)
+      .select(col("vid_a"), col("vid_b"), col("matched_a"),
+        col("matched_b"), col("frames_a"), col("frames_b"), col("overlap"))
+  }
+
   /** Frame-sampling plumbing (video shape): emit every `stride`-th chunk
     * of `chunkBytes` as a frame row — the real version would seek to
     * keyframes; the partition/batch mechanics are identical. */

@@ -587,6 +587,116 @@ class ExtrasSpec extends SparkSpec {
       "NULL-hash row leaked into pairing")
   }
 
+  test("video near-dup: frame dHash overlap pairs re-encodes and sub-clips, not strangers") {
+    import graft.multimodal.{AviMjpeg, Multimodal}
+    // structured MJPEG frames: 4px x-blocks so the 9-point dHash grid
+    // samples at block starts (w=36 → multiples of 4) and gradients
+    // are 40-step — far above JPEG noise. Content k varies the block
+    // slopes; a re-encode shifts intensity by +1 (gradient-invariant).
+    def frame(k: Int, shift: Int): Array[Byte] = {
+      val w = 36; val h = 16
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = ((((x / 4) * (1 + k % 3) + (y / 2) * (1 + k % 5)) * 40
+          + 60 + shift) % 256) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", out))
+      out.toByteArray
+    }
+    def avi(ks: Seq[Int], shift: Int): Array[Byte] =
+      aviBytes(ks.map(frame(_, shift)), 36, 16)
+    val vids = Seq(
+      ("A", avi(Seq(0, 1, 2, 3), 0)),
+      ("B", avi(Seq(0, 1, 2, 3), 1)),        // re-encode of A
+      ("C", avi(Seq(10, 11, 12, 13), 0)),    // unrelated contents
+      ("D", avi(Seq(2, 3), 1)),              // sub-clip of A, re-encoded
+      ("E", Array[Byte](9, 9, 9))            // corrupt container
+    ).toDF("vid", "content")
+    val frames = AviMjpeg.extractFrames(vids)
+    val hashed = Multimodal.imageDHash(
+      Multimodal.decodeImage(frames, contentCol = "frame"))
+    val pairs = Multimodal.videoNearDupPairs(hashed, "vid", "frame_idx",
+        minOverlap = 0.5)
+      .select($"vid_a", $"vid_b", $"overlap")
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // full re-encode: every frame matches, overlap 1.0 both sides
+    assert(pairs.get(("A", "B")).contains(1.0), pairs.toString)
+    // SUB-CLIP duplication: D's side is fully contained — the
+    // containment-style max catches it even though A's side is 0.5
+    assert(pairs.get(("A", "D")).contains(1.0), pairs.toString)
+    assert(pairs.contains(("B", "D")))
+    // strangers and the corrupt container stay unpaired
+    assert(!pairs.keySet.exists(p => p._1 == "C" || p._2 == "C"),
+      s"stranger paired: $pairs")
+    assert(!pairs.keySet.exists(p => p._1 == "E" || p._2 == "E"))
+  }
+
+  test("audio near-dup: spectrogram hash pairs re-levels/resamples, not other clips") {
+    import graft.multimodal.Multimodal
+    import graft.expressions.GraftExtensions
+    // every (window, band) cell carries energy with ≥4× steps between
+    // adjacent windows (amplitude pattern c ∈ {0.2..1.0}, never equal
+    // across consecutive windows), so the rise/fall bits never compare
+    // numerical leakage against numerical leakage and small additive
+    // noise cannot flip them
+    def clip(perWin: Int, gain: Double, noise: Double,
+             pat: (Int, Int) => Int): Array[Double] = {
+      val T = 9; val B = 8
+      Array.tabulate(T * perWin) { i =>
+        val t = i / perWin
+        val ph = (i % perWin).toDouble / perWin
+        var v = 0.0
+        var b = 1
+        while (b <= B) {
+          val c = 0.2 + (pat(t, b) % 5) * 0.2
+          v += c * math.sin(2.0 * math.Pi * b * ph)
+          b += 1
+        }
+        gain * v + noise *
+          ((((i * 1103515245 + 12345) & 0x7fffffff).toDouble /
+            Int.MaxValue) - 0.5)
+      }
+    }
+    val basePat = (t: Int, b: Int) => t * 7 + b * 3
+    val otherPat = (t: Int, b: Int) => t * 11 + b * 9 + 2
+    val rows = Seq(
+      (1L, clip(400, 1.0, 0.0, basePat)),
+      (2L, clip(400, 0.3, 0.02, basePat)), // re-leveled + light noise
+      (3L, clip(800, 1.0, 0.0, basePat)),  // resampled 2x
+      (4L, clip(400, 1.0, 0.0, otherPat)), // different clip
+      (5L, null.asInstanceOf[Array[Double]]) // decode failure upstream
+    ).toDF("media_id", "samples")
+    val hashed = Multimodal.audioHash(rows)
+    val hs = hashed.select($"media_id", $"ahash").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(hs(5L).isEmpty, "null samples must yield a NULL hash")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hs(1L).get, hs(2L).get) <= 3,
+      s"re-level+noise broke the hash: ${ham(hs(1L).get, hs(2L).get)} bits")
+    assert(hs(3L).get === hs(1L).get,
+      "resampling must land in the same time x band cells")
+    assert(ham(hs(1L).get, hs(4L).get) > 10,
+      s"different clip hashed too close: ${ham(hs(1L).get, hs(4L).get)} bits")
+    // SQL surface parity
+    GraftExtensions.install(spark)
+    hashed.createOrReplaceTempView("ahash_rows")
+    val viaSql = spark.sql(
+      "SELECT media_id, audio_hash64(samples) AS a FROM ahash_rows")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(viaSql === hs)
+    // pairing rides the shared Hamming-LSH machinery
+    val pairs = Multimodal.audioNearDupPairs(hashed, "media_id")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)), pairs.toString)
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), pairs.toString)
+  }
+
   test("tokenDistributionDrift: hand-computed JSD, identical and disjoint edges") {
     import graft.functions.DriftOps
     // source "s": bucket 0 = {a:2/3, b:1/3}, bucket 1 = {a:1/4, b:3/4}
