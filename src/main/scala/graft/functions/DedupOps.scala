@@ -337,18 +337,41 @@ object DedupOps {
     * groupBy per band bucket and in-bucket
     * [[graft.expressions.SortedPairs]] expansion. */
   def simhashPairs(sim: DataFrame, idCol: String, bits: Int = 64,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3,
+                   starBucketThreshold: Int = Int.MaxValue): DataFrame = {
+    require(starBucketThreshold >= 2, "starBucketThreshold must be >= 2")
     val w = bits / 4
     val bands = sim.select(col(idCol), explode(array((0 until 4).map(b =>
       struct(lit(b).as("band_idx"),
         substring(col("simhash"), b * w + 1, w).as("band_key"))): _*)).as("band"))
       .select(col(idCol), col("band.band_idx").as("band_idx"),
         col("band.band_key").as("band_key"))
+    // VIRAL-BUCKET guard, [[lshCandidatePairs]]'s star expansion
+    // verbatim: 16-bit bands keep RANDOM collisions bounded, but
+    // IDENTICAL fingerprints share all four bands and pile into one
+    // bucket — and identical hashes are the COMMON case off text
+    // (solid/black frames all dHash to 0, silence audio-hashes to 0),
+    // where the quadratic expansion would explode. Over-cap buckets
+    // emit (min id, member) star pairs — lossless for keep-min dedup
+    // when the over-cap bucket is a cluster of IDENTICAL fingerprints
+    // (the degenerate case that causes the pile-up: every member
+    // verifies against the min at Hamming 0); distinct fingerprints
+    // merely sharing the band lose member↔member pairs past the cap,
+    // and the other three bands can still surface those. Default
+    // Int.MaxValue = exact everywhere.
+    val star = expr(
+      "transform(slice(ids, 2, size(ids) - 1), x -> struct(ids[0] AS id_a, x AS id_b))")
+    val pairsCol =
+      if (starBucketThreshold == Int.MaxValue)
+        graft.expressions.SortedPairs.sorted_pairs(col("ids"))
+      else
+        when(size(col("ids")) <= starBucketThreshold,
+          graft.expressions.SortedPairs.sorted_pairs(col("ids")))
+          .otherwise(star)
     val cand = bands.groupBy(col("band_idx"), col("band_key"))
       .agg(sort_array(collect_set(col(idCol))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(
-        graft.expressions.SortedPairs.sorted_pairs(col("ids"))).as("p"))
+      .select(explode(pairsCol).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
     val a = sim.select(col(idCol).as("id_a"), col("simhash").as("__sa"))

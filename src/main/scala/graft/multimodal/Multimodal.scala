@@ -24,6 +24,17 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** Default viral-bucket cap for the multimodal near-dup pair joins —
+    * FINITE here, unlike the text SimHash default (exact), because
+    * degenerate fingerprints are the NORM off text: solid/black frames
+    * all dHash to 0, silence audio-hashes to 0, and at corpus scale
+    * those pile millions of ids into ONE Hamming band bucket whose
+    * quadratic expansion would dominate the job. Past the cap a bucket
+    * emits linear (min id, member) star pairs — lossless for keep-min
+    * dedup on identical-fingerprint clusters, which is exactly what an
+    * over-cap bucket is in this domain. */
+  val DefaultStarBucketThreshold: Int = 4096
+
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType),
     StructField("content", BinaryType),
@@ -434,12 +445,14 @@ object Multimodal {
     * are excluded: they cannot be near anything. */
   def imageNearDupPairs(df: DataFrame, idCol: String,
                         dhashCol: String = "dhash",
-                        maxHamming: Int = 3): DataFrame =
+                        maxHamming: Int = 3,
+                        starBucketThreshold: Int = DefaultStarBucketThreshold): DataFrame =
     graft.functions.DedupOps.simhashPairs(
       df.filter(col(dhashCol).isNotNull)
         .select(col(idCol),
           lpad(bin(col(dhashCol)), 64, "0").as("simhash")),
-      idCol, bits = 64, maxHamming = maxHamming)
+      idCol, bits = 64, maxHamming = maxHamming,
+      starBucketThreshold = starBucketThreshold)
 
   /** Perceptual fingerprint over decoded audio ([[decodeAudio]]'s
     * samples column): 64-bit spectrogram hash — band-energy rise/fall
@@ -456,12 +469,14 @@ object Multimodal {
     * at maxHamming ≤ 3), NULL hashes excluded. */
   def audioNearDupPairs(df: DataFrame, idCol: String,
                         ahashCol: String = "ahash",
-                        maxHamming: Int = 3): DataFrame =
+                        maxHamming: Int = 3,
+                        starBucketThreshold: Int = DefaultStarBucketThreshold): DataFrame =
     graft.functions.DedupOps.simhashPairs(
       df.filter(col(ahashCol).isNotNull)
         .select(col(idCol),
           lpad(bin(col(ahashCol)), 64, "0").as("simhash")),
-      idCol, bits = 64, maxHamming = maxHamming)
+      idCol, bits = 64, maxHamming = maxHamming,
+      starBucketThreshold = starBucketThreshold)
 
   /** VIDEO near-dup pairs from per-frame perceptual hashes — the
     * dedup family completed across the multimodal columns: `frames`
@@ -485,14 +500,16 @@ object Multimodal {
   def videoNearDupPairs(frames: DataFrame, videoCol: String,
                         frameIdxCol: String, dhashCol: String = "dhash",
                         maxHamming: Int = 3,
-                        minOverlap: Double = 0.5): DataFrame = {
+                        minOverlap: Double = 0.5,
+                        starBucketThreshold: Int = DefaultStarBucketThreshold): DataFrame = {
     val keyed = frames.filter(col(dhashCol).isNotNull)
       .select(concat_ws("#", col(videoCol).cast("string"),
           col(frameIdxCol).cast("string")).as("__fid"),
         col(videoCol).as("__vid"), col(dhashCol))
     val nFrames = keyed.groupBy(col("__vid"))
       .agg(countDistinct(col("__fid")).as("__nf"))
-    val framePairs = imageNearDupPairs(keyed, "__fid", dhashCol, maxHamming)
+    val framePairs = imageNearDupPairs(keyed, "__fid", dhashCol, maxHamming,
+      starBucketThreshold)
     // frame keys → their videos (values from the original column, the
     // "#" key is only a join handle), cross-video pairs only, oriented
     // so fa always belongs to vid_a

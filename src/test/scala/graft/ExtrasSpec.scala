@@ -635,6 +635,25 @@ class ExtrasSpec extends SparkSpec {
     assert(!pairs.keySet.exists(p => p._1 == "E" || p._2 == "E"))
   }
 
+  test("simhashPairs star cap: identical-fingerprint pile-ups expand linearly") {
+    import graft.functions.DedupOps
+    // the multimodal degenerate case: solid frames / silence all hash
+    // identically, so one band bucket holds the whole pile. Exact mode
+    // goes quadratic; the cap switches to (min, member) star pairs —
+    // linear, with the same keep-min dedup outcome
+    val n = 40
+    val sim = (0L until n).map(i => (i, "0" * 64)).toDF("id", "simhash")
+    val exact = DedupOps.simhashPairs(sim, "id")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(exact.size === n * (n - 1) / 2)
+    val capped = DedupOps.simhashPairs(sim, "id", starBucketThreshold = 8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(capped.size === n - 1, s"star expansion not linear: ${capped.size}")
+    assert(capped.forall(_._1 == 0L), "star pairs must anchor on the min id")
+    // keep-min survivors agree: every non-min id is a loser either way
+    assert(exact.map(_._2) === capped.map(_._2))
+  }
+
   test("audio near-dup: spectrogram hash pairs re-levels/resamples, not other clips") {
     import graft.multimodal.Multimodal
     import graft.expressions.GraftExtensions
