@@ -502,9 +502,15 @@ object Multimodal {
                         maxHamming: Int = 3,
                         minOverlap: Double = 0.5,
                         starBucketThreshold: Int = DefaultStarBucketThreshold): DataFrame = {
+    // frame key = LENGTH-PREFIXED video id + frame idx: "#"-joining
+    // alone is ambiguous when a video id itself contains the delimiter
+    // (vid "a#1" frame "2" vs vid "a" frame "1#2"), and a key collision
+    // would merge frames ACROSS videos into false overlap. The length
+    // prefix pins exactly where the video id ends.
+    val vidStr = col(videoCol).cast("string")
     val keyed = frames.filter(col(dhashCol).isNotNull)
-      .select(concat_ws("#", col(videoCol).cast("string"),
-          col(frameIdxCol).cast("string")).as("__fid"),
+      .select(concat(length(vidStr).cast("string"), lit(":"), vidStr,
+          lit(":"), col(frameIdxCol).cast("string")).as("__fid"),
         col(videoCol).as("__vid"), col(dhashCol))
     val nFrames = keyed.groupBy(col("__vid"))
       .agg(countDistinct(col("__fid")).as("__nf"))
