@@ -34,7 +34,10 @@ object AudioHash64 {
   val TimeWindows = 9
   val Bands = 8
 
-  def compute(s: Array[Double]): Long = {
+  /** The 9×8 (window × band) energy grid — |DFT bin (b+1)|² of each
+    * window via the Goertzel recurrence. Exposed so the parity spec
+    * can check the recurrence against a direct DFT sum. */
+  private[graft] def bandEnergies(s: Array[Double]): Array[Array[Double]] = {
     val n = s.length
     val e = Array.ofDim[Double](TimeWindows, Bands)
     var t = 0
@@ -62,10 +65,15 @@ object AudioHash64 {
       }
       t += 1
     }
+    e
+  }
+
+  def compute(s: Array[Double]): Long = {
+    val e = bandEnergies(s)
     var hash = 0L
     var b = 0
     while (b < Bands) {
-      t = 0
+      var t = 0
       while (t < TimeWindows - 1) {
         hash = (hash << 1) | (if (e(t)(b) < e(t + 1)(b)) 1L else 0L)
         t += 1

@@ -584,6 +584,51 @@ class LakeSpec extends SparkSpec {
     idx.unpinBucketedScan()
   }
 
+  test("cross-run image dedup: dHash rides the dated exact seen-set") {
+    import graft.lake.CorpusDedup
+    import graft.multimodal.Multimodal
+    // INCREMENTAL image dedup composes from existing machinery: the
+    // perceptual hash is the content key and CorpusDedup's dated
+    // exact seen-set is the memory — a re-level of yesterday's image
+    // (different bytes, different pixels, same luminance STRUCTURE →
+    // identical dHash under lossless PNG) falls out on day two, and
+    // no pixel data is ever retained in state
+    val lake = new Lake(spark, tmpDir("imgcrawl_lake"))
+    val dd = new CorpusDedup(spark, lake, "imgcrawl", numBuckets = 4)
+    def day(s: String) = java.sql.Date.valueOf(s)
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(36, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 36) {
+        val v = f(x, y) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      bos.toByteArray
+    }
+    def baseV(x: Int, y: Int) = ((x / 4) * 40 + (y / 2) * 25) % 200
+    def phash(rows: Seq[(Long, Array[Byte])]) =
+      Multimodal.imageDHash(
+          Multimodal.decodeImage(rows.toDF("media_id", "content")))
+        .select($"media_id", lpad(bin($"dhash"), 64, "0").as("phash"))
+    val d1 = day("2024-07-01"); val d2 = day("2024-07-02")
+    val minDate = day("2024-06-01")
+    val day1 = phash(Seq(1L -> png(baseV), 2L -> png((x, y) => 199 - baseV(x, y))))
+    assert(dd.novelExactSince(day1, "media_id", "phash", minDate)
+      .count() === 2)
+    dd.commitExactDated(day1, "phash", d1, minDate)
+    // day two: a re-level of image 1 (+50 intensity — new bytes, new
+    // pixels, same structure) plus one genuinely new image
+    val day2 = phash(Seq(
+      3L -> png((x, y) => baseV(x, y) + 50),
+      4L -> png((x, y) => (x * 7 + y * 29) % 256)))
+    val novel2 = dd.novelExactSince(day2, "media_id", "phash", minDate)
+      .select($"media_id").as[Long].collect().toSet
+    assert(novel2 === Set(4L),
+      s"re-leveled image not deduplicated cross-run: $novel2")
+  }
+
   test("embedding drift via IVF occupancy: categoricalDrift over the dated lists") {
     import graft.lake.AnnIndex
     import graft.functions.DriftOps

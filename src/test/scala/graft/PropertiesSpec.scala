@@ -560,4 +560,52 @@ class PropertiesSpec extends SparkSpec {
       .head().getSeq[Int](0) === Seq(1, 2, 0), "zero centroid must rank last")
   }
 
+  test("prop: AudioHash64's Goertzel energies == direct DFT sums") {
+    import graft.expressions.AudioHash64
+    // the Goertzel recurrence is the clever form; the spec checks it
+    // against the DEFINITION — |Σ x(i)·e^{-jωi}|² summed directly per
+    // (window, band) — on random signals, random lengths (including
+    // windows of unequal size and length 0/1 edges)
+    def directEnergies(s: Array[Double]): Array[Array[Double]] = {
+      val T = AudioHash64.TimeWindows
+      val B = AudioHash64.Bands
+      val n = s.length
+      Array.tabulate(T, B) { (t, b) =>
+        val from = (t.toLong * n / T).toInt
+        val to = ((t + 1).toLong * n / T).toInt
+        val w = to - from
+        if (w <= 0) 0.0
+        else {
+          val omega = 2.0 * math.Pi * (b + 1).toDouble / w
+          var re = 0.0
+          var im = 0.0
+          var i = from
+          while (i < to) {
+            val ph = omega * (i - from)
+            re += s(i) * math.cos(ph)
+            im -= s(i) * math.sin(ph)
+            i += 1
+          }
+          re * re + im * im
+        }
+      }
+    }
+    val sampleGen = for {
+      n <- Gen.oneOf(Gen.choose(0, 12), Gen.choose(50, 400))
+      xs <- Gen.listOfN(n, Gen.choose(-1000, 1000).map(_ / 1000.0))
+    } yield xs.toArray
+    val r = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(40),
+      Prop.forAll(sampleGen) { s =>
+        val g = AudioHash64.bandEnergies(s)
+        val d = directEnergies(s)
+        (0 until AudioHash64.TimeWindows).forall(t =>
+          (0 until AudioHash64.Bands).forall { b =>
+            val scale = math.max(1e-9, math.max(g(t)(b).abs, d(t)(b).abs))
+            (g(t)(b) - d(t)(b)).abs <= 1e-6 * scale
+          })
+      })
+    assert(r.passed, r.status.toString)
+  }
+
 }
