@@ -423,4 +423,61 @@ class StreamingSpec extends SparkSpec {
     assert(bad.length === 1 && bad.head.isNullAt(1) && bad.head.isNullAt(2))
   }
 
+  test("streaming image dedup: decode → dHash → dropDuplicatesWithinWatermark") {
+    import graft.multimodal.Multimodal
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(hm: String) = Timestamp.valueOf(s"2024-01-01 $hm:00")
+    // streaming MULTIMODAL dedup composes with ZERO new machinery:
+    // decodeImage runs statelessly per micro-batch, the fused dHash
+    // is the content key, and Spark's own watermarked key dedup holds
+    // the TTL state — the exact-text streaming path's shape with a
+    // perceptual key
+    def png(shift: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(36, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 36) {
+        val v = (((x / 4) * 40 + (y / 2) * 25) % 200 + shift) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      bos.toByteArray
+    }
+    val mem = MemoryStream[(Long, Array[Byte], Timestamp)]
+    val hashed = Multimodal.imageDHash(Multimodal.decodeImage(
+      mem.toDF.toDF("media_id", "content", "ts")))
+      .filter(col("dhash").isNotNull)
+      .select(col("media_id"), col("dhash"), col("ts"))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("dhash")
+    val q = hashed.writeStream.outputMode("append")
+      .format("memory").queryName("img_dedup_out").start()
+    try {
+      // batch 1: an image, a RE-LEVELED copy (new bytes, same dHash —
+      // a uniform shift preserves every gradient), and CORRUPT bytes —
+      // the copy drops as a dup, the corrupt row is filtered out
+      mem.addData((1L, png(0), t("10:00")), (2L, png(50), t("10:01")),
+        (3L, png(0).reverse.map(b => (b ^ 0x5a).toByte), t("10:02")))
+      q.processAllAvailable()
+      val got1 = spark.sql("SELECT media_id FROM img_dedup_out")
+        .as[Long].collect().toSet
+      assert(got1 === Set(1L), got1.toString)
+      // within the horizon another copy still drops
+      mem.addData(Seq((4L, png(50), t("10:05"))))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT media_id FROM img_dedup_out")
+        .as[Long].collect().toSet === Set(1L))
+      // past the watermark the key evicts and a copy re-admits — the
+      // TTL semantics, same as the exact-text streaming dedup
+      mem.addData(Seq((5L, png(25), t("10:40"))))
+      q.processAllAvailable()
+      mem.addData(Seq((6L, png(50), t("10:41"))))
+      q.processAllAvailable()
+      val finalIds = spark.sql("SELECT media_id FROM img_dedup_out")
+        .as[Long].collect().toSet
+      assert(finalIds.contains(6L), s"evicted key did not re-admit: $finalIds")
+    } finally q.stop()
+  }
+
 }
