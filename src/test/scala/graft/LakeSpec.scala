@@ -584,6 +584,79 @@ class LakeSpec extends SparkSpec {
     idx.unpinBucketedScan()
   }
 
+  test("IVF-PQ lifecycle soak: random op sequences keep codes and lists in sync") {
+    import graft.lake.AnnIndex
+    // the crash-window specs pin INDIVIDUAL transitions; this soak
+    // walks seeded RANDOM sequences of lifecycle ops and re-checks the
+    // global invariants after every step: the codes sidecar mirrors
+    // the lists row-for-row (count + id→cluster map), and a
+    // full-refine compressed search reproduces the exact path
+    def vec(id: Long): Seq[Double] = {
+      val m = graft.tools.BpeTrain.mix(id)
+      Seq((m & 0xff).toDouble, ((m >> 8) & 0xff).toDouble,
+        ((m >> 16) & 0xff).toDouble, ((m >> 24) & 0xff).toDouble)
+    }
+    for (seed <- Seq(11, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val ds = s"pqsoak_$seed"
+      val lake = new Lake(spark, tmpDir(s"pqsoak_lake_$seed"))
+      val idx = new AnnIndex(spark, lake, ds, numBuckets = 4)
+      var day = java.time.LocalDate.parse("2024-08-01")
+      var nextId = 0L
+      def batch(n: Int) = {
+        val rows = (nextId until nextId + n).map(i => (i, vec(i)))
+        nextId += n
+        rows.toDF("vec_id", "v")
+      }
+      idx.buildDated(batch(30), "vec_id", "v", k = 4,
+        java.sql.Date.valueOf(day), iters = 2)
+      idx.enablePq(m = 2, ksub = 8, iters = 1, samplePct = 100,
+        residual = rnd.nextBoolean())
+      def checkInvariants(opName: String): Unit = {
+        val lists = spark.table(s"state_$ds.ivf_lists")
+          .select($"id", $"cluster").as[(Long, Int)].collect().toMap
+        val codes = spark.table(s"state_$ds.ivf_pq_codes")
+          .select($"id", $"cluster").as[(Long, Int)].collect().toMap
+        assert(codes === lists, s"[$seed/$opName] codes out of sync")
+        if (lists.nonEmpty) {
+          val n = lists.size
+          val someIds = lists.keys.toSeq.sorted.take(2)
+          val qs = someIds.map(i => (i, vec(i))).toDF("qid", "v")
+          val exact = idx.topKJoin(qs, "qid", "v", k = 3, nprobe = 4)
+            .select($"qid", $"rk", $"id").as[(Long, Int, Long)]
+            .collect().toSet
+          val pq = idx.topKJoinPq(qs, "qid", "v", k = 3, nprobe = 4,
+              refine = n)
+            .select($"qid", $"rk", $"id").as[(Long, Int, Long)]
+            .collect().toSet
+          assert(pq === exact, s"[$seed/$opName] full-refine PQ != exact")
+        }
+      }
+      checkInvariants("enablePq")
+      for (step <- 1 to 6) {
+        day = day.plusDays(1)
+        val d = java.sql.Date.valueOf(day)
+        val op = rnd.nextInt(5)
+        val stored = idx.storedCount
+        op match {
+          case 0 | 1 => idx.appendDated(batch(10 + rnd.nextInt(10)),
+            "vec_id", "v", d)
+          case 2 if stored > 0 =>
+            idx.retrain(k = 3 + rnd.nextInt(3), iters = 1, samplePct = 100)
+          case 3 => idx.compact()
+          case 4 =>
+            // expire a window that keeps at least the latest day
+            idx.expire(java.sql.Date.valueOf(day.minusDays(2)))
+          case _ => idx.appendDated(batch(5), "vec_id", "v", d)
+        }
+        checkInvariants(s"step$step-op$op")
+      }
+      idx.releaseProbes()
+      idx.unpinBucketedScan()
+      spark.sql(s"DROP DATABASE IF EXISTS state_$ds CASCADE")
+    }
+  }
+
   test("cross-run image dedup: dHash rides the dated exact seen-set") {
     import graft.lake.CorpusDedup
     import graft.multimodal.Multimodal
