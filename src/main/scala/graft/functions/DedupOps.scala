@@ -504,6 +504,22 @@ object DedupOps {
         lit(1).cast("int").as("keep"))
     val pairs = semanticPairsBlocked(emb, idCol, vecCol, threshold,
       perCellDivisor, nAssign, iters, trainSamplePct)
+    semanticDedupFromPairs(emb, idCol, pairs, keepPerCluster,
+      reliableCheckpointDir)
+  }
+
+  /** [[semanticDedupBlocked]]'s keeper policy alone, over a
+    * caller-supplied duplicate-pair graph: collapse `pairs` with
+    * [[connectedComponents]], then keep the `keepPerCluster` smallest
+    * ids per component — every input row comes back (singletons are
+    * their own cluster, keep=1). ONE definition shared by the blocked
+    * path and validation callers that bring an exhaustive pair graph
+    * (q120's agreement check), so the two can never drift onto
+    * different keeper semantics. */
+  def semanticDedupFromPairs(emb: DataFrame, idCol: String,
+                             pairs: DataFrame, keepPerCluster: Int = 2,
+                             reliableCheckpointDir: Option[String] = None)
+      : DataFrame = {
     // local checkpoints die with an executor; bulk callers pass a
     // reliable dir so the component closure survives node loss
     val cc = connectedComponents(pairs,

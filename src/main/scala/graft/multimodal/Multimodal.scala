@@ -517,8 +517,8 @@ object Multimodal {
     val framePairs = imageNearDupPairs(keyed, "__fid", dhashCol, maxHamming,
       starBucketThreshold)
     // frame keys → their videos (values from the original column, the
-    // "#" key is only a join handle), cross-video pairs only, oriented
-    // so fa always belongs to vid_a
+    // length-prefixed key is only a join handle), cross-video pairs
+    // only, oriented so fa always belongs to vid_a
     val vmap = keyed.select(col("__fid"), col("__vid"))
     val oriented = framePairs
       .join(vmap.toDF("id_a", "va"), "id_a")

@@ -983,6 +983,56 @@ object TrainingData {
           TextOps.splitLabel(pct).as("split"))
         .orderBy(col("doc_id"))
     }),
+    // SELF-CHECK for q114's machinery — the one remaining family with
+    // no DuckDB oracle (the iterative quantizer) gets a DRIVER-VISIBLE
+    // bound: on a CONSTANT-SIZE subset (vec_id < 500 — bounded at any
+    // SF, so the quadratic truth join is a fixed cost, never a scale
+    // term), the blocked path's keep decisions are compared against
+    // EXHAUSTIVE truth — the UNBLOCKED all-pairs threshold graph
+    // (the same cosinePrenormed predicate, no blocking) fed through
+    // the SAME keeper policy ([[DedupOps.semanticDedupFromPairs]], one
+    // shared definition) — and the frame emits the agreement floor +
+    // ok flag DuckDB pins. This is PlansSpec's ≥90% keep-agreement
+    // bound promoted from ScalaTest into the CORRECTNESS gate: a
+    // blocking-recall regression now fails the hash.
+    "q120_semdedup_agreement" -> ((s, dir) => {
+      val sub = t(s, dir, "embeddings").filter(col("vec_id") < 500)
+      val blocked = DedupOps.semanticDedupBlocked(sub, "vec_id",
+          "embedding", threshold = 0.35, trainSamplePct = 10)
+        .select(col("vec_id"), col("keep").as("keep_blocked"))
+      val e = sub.withColumn("__n", VectorOps.norm(col("embedding")))
+      val a = e.select(col("vec_id").as("id_a"),
+        col("embedding").as("va"), col("__n").as("na"))
+      val b = e.select(col("vec_id").as("id_b"),
+        col("embedding").as("vb"), col("__n").as("nb"))
+      val exactPairs = a.crossJoin(b)
+        .filter(col("id_a") < col("id_b"))
+        .filter(VectorOps.cosinePrenormed(col("va"), col("vb"),
+          col("na"), col("nb")) >= 0.35)
+        .select(col("id_a"), col("id_b"))
+      val truth = DedupOps.semanticDedupFromPairs(sub, "vec_id", exactPairs)
+        .select(col("vec_id"), col("keep").as("keep_exact"))
+      blocked.join(truth, "vec_id")
+        .agg(count(lit(1)).as("n_vectors"),
+          avg((col("keep_blocked") === col("keep_exact")).cast("int"))
+            .as("__agree"))
+        .select(col("n_vectors"),
+          lit(0.9).as("agreement_floor"),
+          (col("__agree") >= 0.9).cast("int").as("agreement_ok"))
+    }),
+    // EPOCH-SHUFFLED sequence packing — the training-order step q99's
+    // doc_id-ordered packing doesn't cover: shuffle-then-pack in a
+    // seeded pseudo-random global order. The whole recipe — including
+    // the scale-safe sharded prefix-sum that replaces the global
+    // window — is the public API [[graft.lake.CorpusPack.epochShuffledPack]];
+    // this query is a thin caller at seed "graft-epoch-0".
+    "q121_shuffled_pack" -> ((s, dir) => {
+      graft.lake.CorpusPack.epochShuffledPack(
+          t(s, dir, "documents")
+            .withColumn("n_tok", size(split(col("text"), " ")).cast("long")),
+          "doc_id", "n_tok", seed = "graft-epoch-0")
+        .orderBy(col("doc_id"))
+    }),
     // Context-window sequence packing: per language, documents stream
     // in doc_id order into fixed token-budget packs — a doc opens in
     // the pack where its PRECEDING cumulative tokens land, so every
@@ -2207,6 +2257,30 @@ object TrainingData {
         |FROM (VALUES (1, 0.35), (2, 0.50), (4, 0.65))
         |  AS t(refine, recall_floor)
         |ORDER BY refine""".stripMargin,
+    // q120 self-check: the blocked-vs-exhaustive keep agreement is
+    // computed Spark-side (DuckDB cannot express the iterative
+    // quantizer); the oracle pins the bounded subset's size, the floor
+    // and the ok flag — a blocking-recall regression fails the hash
+    "q120_semdedup_agreement" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+        |  CAST(0.9 AS DOUBLE) AS agreement_floor,
+        |  CAST(1 AS INT) AS agreement_ok
+        |FROM embeddings WHERE vec_id < 500""".stripMargin,
+    // q121: full independent recompute — DuckDB derives the same
+    // seeded order key and packs through ONE global window (the
+    // sharded prefix-sum is a plan choice, not a semantic one)
+    "q121_shuffled_pack" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    md5('graft-epoch-0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        |  FROM documents)
+        |SELECT doc_id, n_tok,
+        |  CAST(FLOOR(COALESCE(SUM(n_tok) OVER (
+        |      ORDER BY shuffle_key, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    / 2048.0) AS BIGINT) AS pack_id
+        |FROM s ORDER BY doc_id""".stripMargin,
     // q119: full independent recompute — DuckDB rebuilds both unigram
     // distributions and the closed-form JSD terms; the 6-dp round on
     // the summed divergence absorbs cross-engine summation order

@@ -38,7 +38,8 @@ object ScaleProbe {
       "q103_semdedup", "q104_dsir_importance", "q106_source_cap",
       "q107_pretrain_mix", "q108_token_entropy", "q113_substring_dedup",
       "q114_semdedup_scaled", "q115_lm_quality_scaled",
-      "q116_leakage_safe_split", "q119_corpus_drift")
+      "q116_leakage_safe_split", "q119_corpus_drift",
+      "q121_shuffled_pack")
     // optional 3rd arg: comma-separated substring filter (probe a single
     // query's decade without re-running the whole set)
     val probes = args.lift(2) match {

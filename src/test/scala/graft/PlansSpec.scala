@@ -532,4 +532,58 @@ class PlansSpec extends SparkSpec {
       assert(train / n > 0.65 && train / n < 0.95, s"train share ${train / n}")
     } finally df.unpersist()
   }
+
+  test("q120 agreement self-check: ok flag green, bounded subset") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.TrainingData
+      .defs("q120_semdedup_agreement")(spark, sf001).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getAs[Long]("n_vectors") === 500L)
+    assert(r.getAs[Double]("agreement_floor") === 0.9)
+    assert(r.getAs[Int]("agreement_ok") === 1,
+      "blocked-vs-exhaustive keep agreement fell below the floor")
+  }
+
+  test("q121 shuffled pack: sharded prefix-sum == global window; no corpus single-partition stage") {
+    import org.apache.spark.sql.functions._
+    val df = graft.queries.TrainingData
+      .defs("q121_shuffled_pack")(spark, sf001)
+    // the sharded two-level prefix-sum must give EXACTLY the global
+    // window's answer — recompute the reference the naive way (fine at
+    // spec scale; the whole point of the sharded plan is not doing
+    // this at corpus scale)
+    val W = org.apache.spark.sql.expressions.Window
+    val ref = Tables.load(spark, sf001, "documents")
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .withColumn("shuffle_key",
+        md5(concat(lit("graft-epoch-0:"), col("doc_id").cast("string"))))
+      .select(col("doc_id"), col("n_tok"),
+        floor(coalesce(sum(col("n_tok")).over(
+            W.orderBy(col("shuffle_key"), col("doc_id"))
+              .rowsBetween(W.unboundedPreceding, -1)), lit(0L)) / lit(2048.0))
+          .cast("long").as("pack_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === ref, "sharded prefix-sum diverged from the global window")
+    // plan property: the only single-partition stage is the 256-row
+    // shard-offset rollup (fed by a HashAggregate) — the corpus itself
+    // never funnels through one task
+    val plan = df.queryExecution.executedPlan.toString
+    val lines = plan.linesIterator.toIndexedSeq
+    val spIdx = lines.zipWithIndex
+      .filter(_._1.contains("Exchange SinglePartition")).map(_._2)
+    assert(spIdx.nonEmpty, s"expected the bounded offsets rollup:\n$plan")
+    spIdx.foreach { i =>
+      assert(lines(i + 1).contains("HashAggregate"),
+        s"raw corpus crossed a single-partition exchange:\n$plan")
+    }
+    // pack ids are dense from 0 and the epoch order is non-trivially
+    // shuffled (the seeded key must not degenerate to doc_id order)
+    val packs = got.map(_._3)
+    assert(packs.min === 0L)
+    val sortedByDoc = df.orderBy(col("doc_id")).collect().map(_.getLong(2))
+    assert(sortedByDoc.zip(sortedByDoc.tail).exists { case (a, b) => a > b },
+      "pack ids monotone in doc_id — the shuffle key did nothing")
+  }
 }
