@@ -145,45 +145,25 @@ object CorpusPack {
     * count and replay derives the same epoch; a new `seed` is a new
     * epoch permutation).
     *
-    * The global running total is computed the SCALE-SAFE way: a global
-    * window would serialize the corpus through ONE task, so the order
-    * key's first two hex chars shard the total order into 256
-    * CONTIGUOUS ranges (ordering by shuffle_key is ordering by (shard,
-    * rest)) — a window within each shard runs parallel, the per-shard
-    * totals roll up through one 256-row window (bounded partition by
-    * construction), and the shard offsets broadcast back. Same answer
-    * as the global window (spec-pinned by exact comparison), no global
-    * sort, no single-task stage over the corpus.
+    * The global running total is computed WITHOUT a global sort —
+    * [[graft.core.GlobalOrder.precedingSum]]'s sharded prefix-sum
+    * (same answer as the global window, spec-pinned; no single-task
+    * stage over the corpus).
     *
     * Returns (idCol, nTokCol, pack_id). Driver-visible as q121. */
   def epochShuffledPack(docs: DataFrame, idCol: String, nTokCol: String,
                         seed: String, budgetTokens: Long = 2048L): DataFrame = {
     require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
-    val W = Window
-    val seeded = docs
-      .withColumn("__key",
-        md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))))
-      .withColumn("__shard", substring(col("__key"), 1, 2))
-    val wLocal = W.partitionBy(col("__shard"))
-      .orderBy(col("__key"), col(idCol))
-      .rowsBetween(W.unboundedPreceding, -1)
-    val local = seeded.withColumn("__local_prev",
-      coalesce(sum(col(nTokCol)).over(wLocal), lit(0L)))
-    val wShard = W.orderBy(col("__shard"))
-      .rowsBetween(W.unboundedPreceding, -1)
-    val offsets = seeded.groupBy(col("__shard"))
-      .agg(sum(col(nTokCol)).as("__shard_tok"))
-      .withColumn("__shard_offset",
-        coalesce(sum(col("__shard_tok")).over(wShard), lit(0L)))
-      .select(col("__shard"), col("__shard_offset"))
-    local.join(broadcast(offsets), Seq("__shard"))
+    val seeded = docs.withColumn("__key",
+      md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))))
+    graft.core.GlobalOrder
+      .precedingSum(seeded, idCol, "__key", nTokCol, "__prev")
       .select(col(idCol), col(nTokCol),
         // a power-of-two budget keeps the double division exact for any
         // Σ n_tok < 2^53; for other budgets the quotient is still exact
         // until Σ n_tok approaches 2^53 / budget digits — callers at
         // that scale should keep budgets to powers of two
-        floor((col("__shard_offset") + col("__local_prev")) /
-            lit(budgetTokens.toDouble))
+        floor(col("__prev") / lit(budgetTokens.toDouble))
           .cast("long").as("pack_id"))
   }
 }

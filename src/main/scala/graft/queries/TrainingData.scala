@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.{Bpe, BpeVocab, DedupOps, TextOps, VectorOps}
+import graft.functions.{Bpe, BpeVocab, DedupOps, TextOps, TripletOps, VectorOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1032,6 +1032,23 @@ object TrainingData {
             .withColumn("n_tok", size(split(col("text"), " ")).cast("long")),
           "doc_id", "n_tok", seed = "graft-epoch-0")
         .orderBy(col("doc_id"))
+    }),
+    // CONTRASTIVE TRIPLET MINING — training data FOR the embedding
+    // models the rest of the vector stack consumes: (anchor, positive,
+    // negative) rows where positives are the corpus's verified
+    // semantic-dup pairs (here q67's exact pair graph — the validation
+    // fixture; bulk callers feed [[DedupOps.semanticPairsBlocked]]'s
+    // linear-scale graph into the same API) and negatives are a seeded
+    // deterministic half-rotation draw, carried with their cosine and
+    // a clean flag instead of a rejection loop. The whole recipe is
+    // the public API [[graft.functions.TripletOps.mineTriplets]].
+    "q122_contrastive_triplets" -> ((s, dir) => {
+      TripletOps.mineTriplets(t(s, dir, "embeddings"), "vec_id",
+          "embedding",
+          defs("q67_vector_neardup_exact")(s, dir)
+            .select(col("id_a"), col("id_b")),
+          negThreshold = 0.35)
+        .orderBy(col("anchor_id"))
     }),
     // Context-window sequence packing: per language, documents stream
     // in doc_id order into fixed token-budget packs — a doc opens in
@@ -2281,6 +2298,48 @@ object TrainingData {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |    / 2048.0) AS BIGINT) AS pack_id
         |FROM s ORDER BY doc_id""".stripMargin,
+    // q122: full independent recompute — DuckDB rebuilds the pair
+    // graph, the best-positive window, the seeded global rank and the
+    // half-rotation negative; the sharded rank is a plan choice, not a
+    // semantic one, so one global ROW_NUMBER reproduces it
+    "q122_contrastive_triplets" ->
+      s"""WITH pr AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE ${duckCos("a", "b")} >= 0.35),
+         |bidir AS (
+         |  SELECT id_a AS anchor_id, id_b AS cand FROM pr
+         |  UNION ALL SELECT id_b AS anchor_id, id_a AS cand FROM pr),
+         |sc AS (
+         |  SELECT t.anchor_id, t.cand, ${duckCos("av", "cv")} AS pos_cos
+         |  FROM bidir t JOIN embeddings av ON av.vec_id = t.anchor_id
+         |    JOIN embeddings cv ON cv.vec_id = t.cand),
+         |best AS (
+         |  SELECT anchor_id, cand AS pos_id, pos_cos
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+         |          ORDER BY pos_cos DESC, cand) AS rk FROM sc)
+         |  WHERE rk = 1),
+         |rnk AS (
+         |  SELECT vec_id, ROW_NUMBER() OVER (
+         |    ORDER BY md5('triplet-0:' || CAST(vec_id AS VARCHAR)),
+         |      vec_id) - 1 AS r
+         |  FROM embeddings),
+         |nn AS (SELECT COUNT(*) AS c FROM embeddings),
+         |trip AS (
+         |  SELECT b.anchor_id, b.pos_id, b.pos_cos, r2.vec_id AS neg_id
+         |  FROM best b
+         |  JOIN rnk r1 ON r1.vec_id = b.anchor_id
+         |  CROSS JOIN nn
+         |  JOIN rnk r2 ON r2.r = (r1.r + c // 2) % c)
+         |SELECT t.anchor_id, t.pos_id, t.pos_cos, t.neg_id,
+         |  ${duckCos("av", "nv")} AS neg_cos,
+         |  CAST(CASE WHEN ${duckCos("av", "nv")} < 0.35
+         |      AND t.neg_id <> t.anchor_id AND t.neg_id <> t.pos_id
+         |    THEN 1 ELSE 0 END AS INT) AS neg_clean
+         |FROM trip t JOIN embeddings av ON av.vec_id = t.anchor_id
+         |  JOIN embeddings nv ON nv.vec_id = t.neg_id
+         |ORDER BY anchor_id""".stripMargin,
     // q119: full independent recompute — DuckDB rebuilds both unigram
     // distributions and the closed-form JSD terms; the 6-dp round on
     // the summed divergence absorbs cross-engine summation order

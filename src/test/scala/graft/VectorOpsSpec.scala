@@ -330,4 +330,57 @@ class VectorOpsSpec extends SparkSpec {
       VectorOps.kmeansLloyd(emb, "embedding", k, iters = 1))
     assert(cents.zip(again).forall { case (a, b) => a.sameElements(b) })
   }
+
+  test("TripletOps: known geometry picks best positives; flags encode negative quality") {
+    import graft.functions.TripletOps
+    import spark.implicits._
+    // two tight pairs on orthogonal axes plus two fillers — positives
+    // are known by construction, negatives are structural invariants
+    // (the seeded draw is deterministic but geometry-blind)
+    val vs = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(0.999, 0.04)),   // pair A
+      (2L, Seq(0.0, 1.0)), (3L, Seq(0.01, 0.999)),   // pair B
+      (4L, Seq(-1.0, 0.2)), (5L, Seq(0.7, -0.7))     // fillers
+    ).toDF("vec_id", "embedding")
+    val pairs = Seq((0L, 1L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = TripletOps.mineTriplets(vs, "vec_id", "embedding", pairs,
+      negThreshold = 0.8).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // one triplet per anchor in the graph, and only those anchors
+    assert(got.keySet === Set(0L, 1L, 2L, 3L))
+    assert(got(0L).getAs[Long]("pos_id") === 1L)
+    assert(got(1L).getAs[Long]("pos_id") === 0L)
+    assert(got(2L).getAs[Long]("pos_id") === 3L)
+    assert(got(3L).getAs[Long]("pos_id") === 2L)
+    // the flag recomputes from the emitted row: clean ⟺ cosine below
+    // threshold and the draw is neither endpoint — check CONSISTENCY
+    // against the row's own neg_cos/ids rather than pinning the draw
+    got.values.foreach { r =>
+      val clean = r.getAs[Double]("neg_cos") < 0.8 &&
+        r.getAs[Long]("neg_id") != r.getLong(0) &&
+        r.getAs[Long]("neg_id") != r.getAs[Long]("pos_id")
+      assert(r.getAs[Int]("neg_clean") === (if (clean) 1 else 0), r.toString)
+      assert(Set(0L, 1L, 2L, 3L, 4L, 5L).contains(r.getAs[Long]("neg_id")))
+    }
+    // determinism: a replay mines byte-identical triplets
+    val again = TripletOps.mineTriplets(vs, "vec_id", "embedding", pairs,
+      negThreshold = 0.8).collect().map(_.toString).sorted
+    assert(again.sameElements(
+      got.values.map(_.toString).toArray.sorted))
+    // a corpus of near-identical vectors cannot yield a clean negative
+    val dup = (0L to 3L).map(i => (i, Seq(1.0, i * 1e-4)))
+      .toDF("vec_id", "embedding")
+    val dupPairs = Seq((0L, 1L)).toDF("id_a", "id_b")
+    val flags = TripletOps.mineTriplets(dup, "vec_id", "embedding",
+        dupPairs, negThreshold = 0.8)
+      .select(col("neg_clean")).collect().map(_.getInt(0))
+    assert(flags.nonEmpty && flags.forall(_ === 0),
+      "identical-corpus negatives must flag dirty")
+    // the guard: a 1-row corpus cannot rotate to a distinct negative
+    val one = Seq((0L, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+    val err = intercept[IllegalArgumentException](
+      TripletOps.mineTriplets(one, "vec_id", "embedding",
+        Seq.empty[(Long, Long)].toDF("id_a", "id_b"), 0.8))
+    assert(err.getMessage.contains(">= 2"))
+  }
 }
