@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: tokenization,
@@ -167,6 +167,38 @@ object TextOps {
     require(buckets > 0 && buckets < (1L << 53), s"buckets $buckets not exact in double")
     pmod(hashDraw(id, salt), lit(buckets))
       .cast("double") / lit(buckets.toDouble)
+  }
+
+  /** Deterministic EXACT-K-per-stratum sample — the fixed-size eval
+    * subset carve ("500 eval docs per language"): within each stratum,
+    * rows rank by the salted [[hashDraw]] (ties to the smaller id) and
+    * the K smallest keep. Unlike the Bernoulli gate ([[hashBucket]] <
+    * rate, q72's in_sample), output size is EXACT per stratum — and
+    * stays exact as the corpus grows (a rate would need retuning).
+    *
+    * Skew-safe at corpus scale: a naive per-stratum window puts a
+    * billion-row language through ONE task, so the rank runs in two
+    * levels — rows first top-K within (stratum, salt-of-id) across
+    * `salts` parallel groups, then the ≤ K·salts survivors top-K within
+    * the stratum. Every global top-K member wins its salt group too, so
+    * the composition is EXACTLY the single window's answer (the oracle
+    * recomputes it with one window; spec-pinned as a plan choice). */
+  def stratifiedTake(df: DataFrame, strataCols: Seq[String], idCol: String,
+                     k: Int, salt: String, salts: Int = 32): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(salts >= 1, s"salts must be >= 1: $salts")
+    val draw = hashDraw(col(idCol), salt)
+    val W = org.apache.spark.sql.expressions.Window
+    val w1 = W.partitionBy((strataCols.map(col) :+
+        pmod(hashDraw(col(idCol), salt + "#shard"), lit(salts.toLong))): _*)
+      .orderBy(draw, col(idCol))
+    val w2 = W.partitionBy(strataCols.map(col): _*)
+      .orderBy(draw, col(idCol))
+    df.withColumn("__st_rk1", row_number().over(w1))
+      .filter(col("__st_rk1") <= k)
+      .withColumn("__st_rk2", row_number().over(w2))
+      .filter(col("__st_rk2") <= k)
+      .drop("__st_rk1", "__st_rk2")
   }
 
   /** PII patterns for training-data scrubbing. Deliberately RE2-safe

@@ -1050,6 +1050,19 @@ object TrainingData {
           negThreshold = 0.35)
         .orderBy(col("anchor_id"))
     }),
+    // STRATIFIED EXACT-K EVAL CARVE — the fixed-size per-stratum
+    // sample the Bernoulli gate (q72) cannot give: q72's in_sample is
+    // EXPECTED-size (rate × stratum), so eval subsets drift as strata
+    // grow; here each source contributes exactly min(K, |stratum|)
+    // docs, ranked by the salted hashDraw. The skew-safe two-level
+    // rank is the public API [[TextOps.stratifiedTake]]; the oracle
+    // recomputes with ONE window (the salting is a plan choice).
+    "q123_stratified_eval" -> ((s, dir) => {
+      TextOps.stratifiedTake(
+          t(s, dir, "documents").select(col("doc_id"), col("source")),
+          Seq("source"), "doc_id", k = 20, salt = "eval-0")
+        .orderBy(col("doc_id"))
+    }),
     // Context-window sequence packing: per language, documents stream
     // in doc_id order into fixed token-budget packs — a doc opens in
     // the pack where its PRECEDING cumulative tokens land, so every
@@ -2340,6 +2353,17 @@ object TrainingData {
          |FROM trip t JOIN embeddings av ON av.vec_id = t.anchor_id
          |  JOIN embeddings nv ON nv.vec_id = t.neg_id
          |ORDER BY anchor_id""".stripMargin,
+    // q123: full independent recompute with ONE window per stratum —
+    // the engine's two-level salted rank is a skew plan choice, not a
+    // semantic one; the BIGINT cast is the hashDraw idiom (q82's)
+    "q123_stratified_eval" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY CAST(('0x' || substr(md5('eval-0|' ||
+        |        CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+        |      doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 20 ORDER BY doc_id""".stripMargin,
     // q119: full independent recompute — DuckDB rebuilds both unigram
     // distributions and the closed-form JSD terms; the 6-dp round on
     // the summed divergence absorbs cross-engine summation order

@@ -586,4 +586,36 @@ class PlansSpec extends SparkSpec {
     assert(sortedByDoc.zip(sortedByDoc.tail).exists { case (a, b) => a > b },
       "pack ids monotone in doc_id — the shuffle key did nothing")
   }
+
+  test("q123 stratified take: two-level salted rank == one window; exact K per stratum") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextOps
+    val docs = Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"), col("source"))
+    val got = graft.queries.TrainingData
+      .defs("q123_stratified_eval")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // reference: the naive single window (what the oracle computes)
+    val W = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(TextOps.hashDraw(col("doc_id"), "eval-0"), col("doc_id"))
+    val ref = docs.withColumn("__rk", row_number().over(W))
+      .filter(col("__rk") <= 20)
+      .select(col("doc_id"), col("source"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === ref, "two-level salted rank diverged from one window")
+    // exact-K property: every stratum contributes min(K, its size)
+    val sizes = docs.groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val taken = got.groupBy(_._2).view.mapValues(_.size).toMap
+    sizes.foreach { case (src, n) =>
+      assert(taken.getOrElse(src, 0) === math.min(20L, n).toInt,
+        s"stratum $src took ${taken.getOrElse(src, 0)} of $n")
+    }
+    // salts = 1 degenerates to the single window — same answer
+    val s1 = TextOps.stratifiedTake(docs, Seq("source"), "doc_id",
+        k = 20, salt = "eval-0", salts = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(s1 === ref)
+  }
 }
