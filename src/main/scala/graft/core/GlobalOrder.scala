@@ -29,10 +29,20 @@ object GlobalOrder {
 
   /** Append `outCol` = the running total of `valueCol` over all rows
     * STRICTLY BEFORE this one in the global (keyCol, idCol) order
-    * (0 for the first row). All input columns pass through. */
+    * (0 for the first row). All input columns pass through — including
+    * null-keyed rows: a null key shards to "" (coalesce), which is
+    * contiguous at the FRONT of the global order exactly where
+    * ascending nulls-first ordering (Spark's default, and what the
+    * equivalent single global window would do) places null keys, so
+    * the sharded answer still equals the global window's. */
   def precedingSum(df: DataFrame, idCol: String, keyCol: String,
                    valueCol: String, outCol: String): DataFrame = {
-    val sharded = df.withColumn("__go_shard", substring(col(keyCol), 1, 2))
+    Seq("__go_shard", "__go_local", "__go_off", "__go_tot").foreach { c =>
+      require(!df.columns.contains(c),
+        s"$c is reserved by GlobalOrder; drop or rename the input column")
+    }
+    val sharded = df.withColumn("__go_shard",
+      coalesce(substring(col(keyCol), 1, 2), lit("")))
     val wLocal = Window.partitionBy(col("__go_shard"))
       .orderBy(col(keyCol), col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -53,7 +63,10 @@ object GlobalOrder {
   /** Append `outCol` = this row's 0-based position in the global
     * (keyCol, idCol) order — [[precedingSum]] of the constant 1. */
   def rank0(df: DataFrame, idCol: String, keyCol: String,
-            outCol: String): DataFrame =
+            outCol: String): DataFrame = {
+    require(!df.columns.contains("__go_one"),
+      "__go_one is reserved by GlobalOrder; drop or rename the input column")
     precedingSum(df.withColumn("__go_one", lit(1L)), idCol, keyCol,
       "__go_one", outCol).drop("__go_one")
+  }
 }

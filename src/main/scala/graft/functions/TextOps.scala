@@ -187,6 +187,10 @@ object TextOps {
                      k: Int, salt: String, salts: Int = 32): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     require(salts >= 1, s"salts must be >= 1: $salts")
+    Seq("__st_rk1", "__st_rk2").foreach { c =>
+      require(!df.columns.contains(c),
+        s"$c is reserved by stratifiedTake; drop or rename the input column")
+    }
     val draw = hashDraw(col(idCol), salt)
     val W = org.apache.spark.sql.expressions.Window
     val w1 = W.partitionBy((strataCols.map(col) :+

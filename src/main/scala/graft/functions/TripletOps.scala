@@ -34,16 +34,26 @@ object TripletOps {
   /** Mine (anchor_id, pos_id, pos_cos, neg_id, neg_cos, neg_clean)
     * from a verified pair graph. `pairs` must carry (id_a, id_b) with
     * id_a < id_b (any extra columns ignored); every id must exist in
-    * `emb`. Each anchor that appears in the graph yields ONE triplet:
-    * its best-cosine positive (ties to the smaller id) and its seeded
-    * negative. `neg_clean` = 1 when the negative's cosine is below
+    * `emb` — a pair id absent from `emb` fails the job loudly at
+    * execution (scan-side `raise_error` riding `pos_cos`, the q113
+    * idiom — no extra validation pass over either input). Each anchor
+    * that appears in the graph yields ONE triplet: its best-cosine
+    * positive (ties to the smaller id) and its seeded negative.
+    * `neg_clean` = 1 when the negative's cosine is below
     * `negThreshold` and the draw is neither the anchor nor its
-    * positive. */
+    * positive.
+    *
+    * The projected (id, vec, norm) frame is persisted
+    * (MEMORY_AND_DISK) and materialized by the in-call corpus count,
+    * so an expensive upstream `emb` plan (a decoded/scored frame) is
+    * computed ONCE, not once per downstream join; the cache lives
+    * until Spark evicts it or the session clears it. */
   def mineTriplets(emb: DataFrame, idCol: String, vecCol: String,
                    pairs: DataFrame, negThreshold: Double,
                    seed: String = "triplet-0"): DataFrame = {
     val vecs = emb.select(col(idCol).as("__tid"), col(vecCol).as("__tv"),
-      VectorOps.norm(col(vecCol)).as("__tn"))
+        VectorOps.norm(col(vecCol)).as("__tn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // best positive per anchor: both orientations of the pair graph,
     // exact cosine, rank (score desc, candidate id asc)
     val bidir = pairs.select(col("id_a").as("anchor_id"),
@@ -51,10 +61,19 @@ object TripletOps {
       .union(pairs.select(col("id_b").as("anchor_id"),
         col("id_a").as("cand")))
     val scored = bidir
-      .join(vecs.toDF("anchor_id", "__av", "__an"), "anchor_id")
-      .join(vecs.toDF("cand", "__cv", "__cn"), "cand")
-      .withColumn("pos_cos", VectorOps.cosinePrenormed(
-        col("__av"), col("__cv"), col("__an"), col("__cn")))
+      .join(vecs.toDF("anchor_id", "__av", "__an"), Seq("anchor_id"), "left")
+      .join(vecs.toDF("cand", "__cv", "__cn"), Seq("cand"), "left")
+      .withColumn("pos_cos",
+        // orphan guard rides pos_cos (evaluated for every pair row by
+        // the best-positive ordering) so column pruning can't drop it:
+        // a pair id with no emb row ⇒ raise_error at execution
+        when(col("__an").isNull || col("__cn").isNull,
+          raise_error(concat(
+            lit("mineTriplets: pair id missing from emb -> ("),
+            col("anchor_id").cast("string"), lit(", "),
+            col("cand").cast("string"), lit(")"))).cast("double"))
+          .otherwise(VectorOps.cosinePrenormed(
+            col("__av"), col("__cv"), col("__an"), col("__cn"))))
     val wBest = Window.partitionBy(col("anchor_id"))
       .orderBy(col("pos_cos").desc, col("cand"))
     val best = scored
@@ -63,14 +82,15 @@ object TripletOps {
       .select(col("anchor_id"), col("cand").as("pos_id"), col("pos_cos"),
         col("__av"), col("__an"))
     // deterministic negative: global rank in the seeded md5 order,
-    // half-rotation modulo the corpus size
-    val keyed = emb.select(col(idCol).as("__tid"))
+    // half-rotation modulo the corpus size. Derived from the CACHED
+    // projection, not emb, so the upstream plan isn't re-run.
+    val keyed = vecs.select(col("__tid"))
       .withColumn("__key",
         md5(concat(lit(seed), lit(":"), col("__tid").cast("string"))))
     val ranked = graft.core.GlobalOrder
       .rank0(keyed, "__tid", "__key", "__rnk")
       .select(col("__tid"), col("__rnk"))
-    val n = emb.count()
+    val n = vecs.count() // materializes the persisted projection
     require(n >= 2, s"triplet mining needs >= 2 corpus rows, got $n")
     val anchors = best.join(
       ranked.toDF("anchor_id", "__arnk"), "anchor_id")

@@ -83,7 +83,7 @@ class CorpusPack(spark: SparkSession, state: StateStore, dataset: String,
     * (monotone-id precondition). */
   def assign(batch: DataFrame, langCol: String, idCol: String,
              nTokCol: String, batchId: String): DataFrame = {
-    Seq("pack_id", "offset_tok", "guard_id").foreach { reserved =>
+    Seq("pack_id", "offset_tok", "guard_id", "__cum_tok").foreach { reserved =>
       require(!batch.columns.contains(reserved),
         s"$reserved is reserved by CorpusPack; drop or rename the input column")
     }
@@ -92,10 +92,13 @@ class CorpusPack(spark: SparkSession, state: StateStore, dataset: String,
     batch
       .join(broadcast(offsets(batchId).withColumnRenamed("lang", langCol)),
         Seq(langCol), "left")
+      .withColumn("__cum_tok",
+        coalesce(col("offset_tok"), lit(0L)) +
+          coalesce(sum(col(nTokCol)).over(w), lit(0L)))
       .withColumn("pack_id",
-        floor((coalesce(col("offset_tok"), lit(0L)) +
-          coalesce(sum(col(nTokCol)).over(w), lit(0L))) /
-          lit(budgetTokens)) +
+        // integral division on longs — exact at any cumulative total,
+        // unlike the double-rounded floor(x / budget.toDouble)
+        expr(s"__cum_tok div ${budgetTokens}L") +
           // the guard rides the pack_id expression so column pruning
           // can never drop it: violation ⇒ raise_error at execution
           when(col(idCol) <= coalesce(col("guard_id"),
@@ -105,7 +108,7 @@ class CorpusPack(spark: SparkSession, state: StateStore, dataset: String,
                 "packing (already packed past) -> "),
               col(idCol).cast("string"))).cast("long"))
             .otherwise(lit(0L)))
-      .drop("offset_tok", "guard_id")
+      .drop("offset_tok", "guard_id", "__cum_tok")
   }
 
   /** Advance the per-language cursors by this batch's token totals and
@@ -154,16 +157,18 @@ object CorpusPack {
   def epochShuffledPack(docs: DataFrame, idCol: String, nTokCol: String,
                         seed: String, budgetTokens: Long = 2048L): DataFrame = {
     require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
+    Seq("__key", "__prev").foreach { c =>
+      require(!docs.columns.contains(c),
+        s"$c is reserved by epochShuffledPack; drop or rename the input column")
+    }
     val seeded = docs.withColumn("__key",
       md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))))
     graft.core.GlobalOrder
       .precedingSum(seeded, idCol, "__key", nTokCol, "__prev")
       .select(col(idCol), col(nTokCol),
-        // a power-of-two budget keeps the double division exact for any
-        // Σ n_tok < 2^53; for other budgets the quotient is still exact
-        // until Σ n_tok approaches 2^53 / budget digits — callers at
-        // that scale should keep budgets to powers of two
-        floor(col("__prev") / lit(budgetTokens.toDouble))
-          .cast("long").as("pack_id"))
+        // integral division (IntegralDivide) on longs — exact at every
+        // scale, no power-of-two-budget caveat; __prev is a sum of
+        // non-negative token counts so truncation == floor
+        expr(s"__prev div ${budgetTokens}L").as("pack_id"))
   }
 }
