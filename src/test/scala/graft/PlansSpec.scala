@@ -618,4 +618,50 @@ class PlansSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(s1 === ref)
   }
+
+  test("GlobalOrder: null keys pass through == global nulls-first window; reserved guards") {
+    import graft.core.GlobalOrder
+    val df = Seq(
+      (1L, Option("ab"), 3L), (2L, Option.empty[String], 5L),
+      (3L, Option("0f"), 2L), (4L, Option.empty[String], 7L),
+      (5L, Option(""), 1L), (6L, Option("zz"), 4L)
+    ).toDF("id", "key", "v")
+    val got = GlobalOrder.precedingSum(df, "id", "key", "v", "ps")
+      .select($"id", $"ps").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: ONE global window, ascending (Spark default: nulls first)
+    val W = org.apache.spark.sql.expressions.Window
+      .orderBy($"key", $"id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ref = df.select($"id",
+        coalesce(sum($"v").over(W), lit(0L)).as("ps"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 6, "a null-keyed row vanished from precedingSum")
+    assert(got === ref, "sharded answer diverged from the global window on null keys")
+    // reserved temp columns are rejected loudly, not silently overwritten
+    intercept[IllegalArgumentException](GlobalOrder.precedingSum(
+      df.withColumn("__go_shard", lit(1)), "id", "key", "v", "ps"))
+    intercept[IllegalArgumentException](GlobalOrder.rank0(
+      df.withColumn("__go_one", lit(1)), "id", "key", "r"))
+    intercept[IllegalArgumentException](graft.functions.TextOps.stratifiedTake(
+      df.withColumn("__st_rk1", lit(1)), Seq("key"), "id", 1, "s"))
+  }
+
+  test("epochShuffledPack: non-power-of-two budget is exact integral division") {
+    import graft.lake.CorpusPack
+    val docs = (1L to 400L).map(i => (i, 1L + i % 7)).toDF("doc_id", "n_tok")
+    val got = CorpusPack.epochShuffledPack(docs, "doc_id", "n_tok",
+        seed = "e0", budgetTokens = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    // reference: exact long arithmetic over the same seeded global order
+    val W = org.apache.spark.sql.expressions.Window
+      .orderBy(md5(concat(lit("e0:"), $"doc_id".cast("string"))), $"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ref = docs.select($"doc_id",
+        coalesce(sum($"n_tok").over(W), lit(0L)).as("prev"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1) / 3L).toMap
+    assert(got === ref)
+    intercept[IllegalArgumentException](CorpusPack.epochShuffledPack(
+      docs.withColumn("__prev", lit(1)), "doc_id", "n_tok", "e0"))
+  }
 }

@@ -383,4 +383,19 @@ class VectorOpsSpec extends SparkSpec {
         Seq.empty[(Long, Long)].toDF("id_a", "id_b"), 0.8))
     assert(err.getMessage.contains(">= 2"))
   }
+
+  test("TripletOps: a pair id missing from emb fails loudly, not a silent drop") {
+    import graft.functions.TripletOps
+    import spark.implicits._
+    val vs = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val orphaned = Seq((0L, 9L)).toDF("id_a", "id_b")
+    val ex = intercept[Exception](
+      TripletOps.mineTriplets(vs, "vec_id", "embedding", orphaned, 0.8)
+        .collect())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("missing from emb")),
+      s"wrong failure: $ex")
+  }
 }
