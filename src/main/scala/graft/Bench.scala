@@ -41,7 +41,30 @@ object Bench {
     "q115_lm_quality_scaled" // broadcast-LM scan-local scoring
   )
 
+  /** Fixed CPU-bound calibration workload — constant size regardless of
+    * SF, zero IO, pure codegen'd hash+agg. Its wall time moves with
+    * ambient host load (CPU contention, thermal state) and with NOTHING
+    * in this repo, so `calibration_s` is the denominator that separates
+    * "the machine was slower this round" from "a query regressed":
+    * cross-round comparisons divide total_median by calibration_s. */
+  def calibration(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    spark.range(0L, 400000000L, 1L, 32)
+      .select(xxhash64(col("id")).as("h"))
+      .groupBy(pmod(col("h"), lit(1024L)).as("b"))
+      // sum a bounded residue, not the raw hash — 2e8 full-range longs
+      // would overflow ANSI sum
+      .agg(sum(pmod(col("h"), lit(1000000L))).as("s"), count(lit(1)).as("c"))
+      .write.mode("overwrite").format("noop").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.contains("--ab")) {
+      graft.tools.BenchAb.main(args.dropWhile(_ != "--ab").drop(1))
+      return
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -78,7 +101,14 @@ object Bench {
         s"SPARK_GRAFT_BENCH_ITERS must be an integer, got '$itersStr'")
     }
     require(iterations >= 2, "bench needs >=2 iterations (run2 field)")
-    val runs: Seq[Seq[(String, Double)]] = Seq.fill(iterations)(runHeadline())
+    // One calibration sample per iteration, interleaved with the real
+    // runs so it sees the same ambient-load window they do. A throwaway
+    // first call absorbs its codegen compile.
+    calibration(spark)
+    val calAndRuns: Seq[(Double, Seq[(String, Double)])] =
+      Seq.fill(iterations)((calibration(spark), runHeadline()))
+    val cals = calAndRuns.map(_._1)
+    val runs: Seq[Seq[(String, Double)]] = calAndRuns.map(_._2)
 
     // Capture micro-batch: one tick of the streaming pipeline at this SF
     // (fresh lake each iteration, same median/stddev protocol).
@@ -128,7 +158,11 @@ object Bench {
     val newInR9 = Set("q113_substring_dedup", "q115_lm_quality_scaled")
     val totalR8Comparable =
       medians.filterNot(p => newInR9(p._1)).map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${toJson(allRuns.head)},"queries_run2":${toJson(allRuns(1))},"total_run2":${allRuns(1).map(_._2).sum}%.3f,"median":${toJson(medians)},"stddev":${toJson(stddevs)},"total_median":$totalMedian%.3f,"total_r8_comparable":$totalR8Comparable%.3f,"iterations":$iterations,"sf":"$sfDir"}""")
+    // calibration_s normalizes cross-round totals: a drifted host moves
+    // calibration_s and total_median together, a real regression moves
+    // only the latter. total_per_cal is the drift-corrected headline.
+    val calMedian = median(cals)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${toJson(allRuns.head)},"queries_run2":${toJson(allRuns(1))},"total_run2":${allRuns(1).map(_._2).sum}%.3f,"median":${toJson(medians)},"stddev":${toJson(stddevs)},"total_median":$totalMedian%.3f,"total_r8_comparable":$totalR8Comparable%.3f,"calibration_s":$calMedian%.3f,"calibration_stddev":${stddev(cals)}%.3f,"total_per_cal":${totalMedian / calMedian}%.3f,"iterations":$iterations,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,157 @@
+package graft.tools
+
+import java.io.File
+import java.net.{URL, URLClassLoader}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Interleaved old-vs-new-tree A/B benchmark — the controlled
+  * instrument for "did THIS round's commits change performance", which
+  * a cross-round comparison of BENCH_r{N}.json files cannot answer
+  * (rounds run hours apart under different ambient host load; r9 and
+  * r10 both saw double-digit total swings on untouched queries).
+  *
+  * `runMain graft.tools.BenchAb <gitref> [q1,q52,...]` (or
+  * `graft.Bench --ab <gitref> ...`):
+  *   1. checks the ref out into a cached git worktree under
+  *      /tmp/graft_ab/<sha> and `sbt compile`s it once;
+  *   2. loads the old tree's `graft.SparkEntry` through a CHILD-FIRST
+  *      classloader (graft.* classes from the old tree, Spark/Scala
+  *      from the shared parent), so both trees run in ONE Spark
+  *      session and see the same JVM warmth and ambient-load window;
+  *   3. alternates old/new per query per iteration (order flipped
+  *      each iteration to cancel ordering bias), with a
+  *      [[graft.Bench.calibration]] sample per iteration;
+  *   4. prints one JSON line of per-query medians and old/new ratios.
+  *
+  * Caveat: generated code that is byte-identical across trees shares
+  * one Janino cache entry (Spark keys its codegen cache on source
+  * text), so a kernel change only A/Bs cleanly when it changes the
+  * generated source — which any real kernel change does. micro_batch
+  * is out of scope (lake state machinery across loaders); use the
+  * headline queries, which cover every hot kernel family.
+  */
+object BenchAb {
+
+  /** graft.* resolves child-first (the old tree); everything else —
+    * Spark, Scala stdlib, Hadoop — parent-first, so both trees share
+    * one SparkSession and one set of framework classes. */
+  private final class ChildFirst(urls: Array[URL], parent: ClassLoader)
+      extends URLClassLoader(urls, parent) {
+    override def loadClass(name: String, resolve: Boolean): Class[_] =
+      getClassLoadingLock(name).synchronized {
+        if (name.startsWith("graft.")) {
+          val c = Option(findLoadedClass(name)).getOrElse {
+            try findClass(name)
+            catch { case _: ClassNotFoundException =>
+              super.loadClass(name, resolve) }
+          }
+          if (resolve) resolveClass(c)
+          c
+        } else super.loadClass(name, resolve)
+      }
+  }
+
+  private def sh(cmd: Seq[String], cwd: File): Int =
+    new ProcessBuilder(cmd: _*).directory(cwd).inheritIO().start().waitFor()
+
+  /** Worktree + compile the ref once; cached by sha with a marker file
+    * written only after a successful compile. */
+  private def compiledClassesDir(repo: File, ref: String): File = {
+    val shaProc = new ProcessBuilder("git", "rev-parse", ref).directory(repo).start()
+    val sha = scala.io.Source.fromInputStream(shaProc.getInputStream).mkString.trim
+    require(shaProc.waitFor() == 0 && sha.nonEmpty, s"cannot resolve git ref '$ref'")
+    val wt = new File(s"/tmp/graft_ab/$sha")
+    val marker = new File(wt, ".ab_compiled")
+    if (!marker.exists()) {
+      if (wt.exists()) {
+        sh(Seq("git", "worktree", "remove", "--force", wt.getPath), repo)
+        sh(Seq("rm", "-rf", wt.getPath), repo)
+      }
+      require(sh(Seq("git", "worktree", "add", "--detach", wt.getPath, sha), repo) == 0,
+        s"git worktree add failed for $sha")
+      require(sh(Seq("sbt", "-batch", "compile"), wt) == 0,
+        s"sbt compile failed in ${wt.getPath}")
+      marker.createNewFile()
+    }
+    val classes = new File(wt, "target/scala-2.13/classes")
+    require(classes.isDirectory, s"no compiled classes at $classes")
+    classes
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: BenchAb <gitref> [comma,separated,query,filter]")
+    val ref = args(0)
+    val filter: String => Boolean =
+      if (args.length > 1) { val want = args(1).split(",").map(_.trim).toSet
+        n => want.exists(n.contains)
+      } else _ => true
+
+    val classes = compiledClassesDir(new File("/root/repo"), ref)
+    val loader = new ChildFirst(Array(classes.toURI.toURL), getClass.getClassLoader)
+    val oldEntry = loader.loadClass("graft.SparkEntry$").getField("MODULE$").get(null)
+    val oldQueries = oldEntry.getClass.getMethod("queries").invoke(oldEntry)
+      .asInstanceOf[Map[String, (SparkSession, String) => DataFrame]]
+
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-bench-ab")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val newQueries = graft.SparkEntry.queries
+    val names = graft.Bench.headline
+      .filter(n => newQueries.contains(n) && oldQueries.contains(n) && filter(n))
+    require(names.nonEmpty, "no headline query exists in BOTH trees after the filter")
+
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def materialize(df: DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+    def runOld(name: String): Double = {
+      val prev = Thread.currentThread().getContextClassLoader
+      Thread.currentThread().setContextClassLoader(loader)
+      try timed(materialize(oldQueries(name)(spark, sfDir)))
+      finally Thread.currentThread().setContextClassLoader(prev)
+    }
+    def runNew(name: String): Double =
+      timed(materialize(newQueries(name)(spark, sfDir)))
+
+    // warm both trees + the calibration plan before any measurement
+    runNew(names.head); runOld(names.head); graft.Bench.calibration(spark)
+
+    val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    val samples = collection.mutable.Map[(String, String), List[Double]]()
+      .withDefaultValue(Nil)
+    val cals = (1 to iterations).map { it =>
+      val cal = graft.Bench.calibration(spark)
+      names.foreach { n =>
+        // alternate which tree goes first to cancel ordering bias
+        val legs = if (it % 2 == 1) Seq("new" -> (() => runNew(n)), "old" -> (() => runOld(n)))
+                   else Seq("old" -> (() => runOld(n)), "new" -> (() => runNew(n)))
+        legs.foreach { case (side, run) =>
+          samples((n, side)) = run() :: samples((n, side)) }
+      }
+      cal
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val rows = names.map { n =>
+      val nw = median(samples((n, "new"))); val od = median(samples((n, "old")))
+      f""""$n":{"new":$nw%.3f,"old":$od%.3f,"ratio":${nw / od}%.3f}"""
+    }
+    val tNew = names.map(n => median(samples((n, "new")))).sum
+    val tOld = names.map(n => median(samples((n, "old")))).sum
+    println(f"""{"metric":"ab","ref":"$ref","queries":${rows.mkString("{", ",", "}")},"total_new":$tNew%.3f,"total_old":$tOld%.3f,"total_ratio":${tNew / tOld}%.3f,"calibration_s":${median(cals)}%.3f,"iterations":$iterations,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
