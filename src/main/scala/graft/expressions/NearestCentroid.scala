@@ -141,8 +141,39 @@ object CentroidKernel {
   /** Spark `Round(_, 4)` parity for doubles: NaN/±Inf pass through,
     * everything else rounds HALF_UP over the canonical decimal
     * rendering (java BigDecimal.valueOf) — the exact eval path of the
-    * builtin, so kernel scores are bit-identical to `round(col, 4)`. */
-  def round4(x: Double): Double =
+    * builtin, so kernel scores are bit-identical to `round(col, 4)`.
+    *
+    * Fast path: when |x|·10⁴ sits safely away from a .5 boundary
+    * (margin 1e-6, ≥45× the combined multiply + shortest-decimal
+    * representation error of ~|x|·10⁴·2⁻⁵¹, which the |x|·10⁴ < 10⁸
+    * gate caps at ~4e-8), binary and decimal rounding provably agree,
+    * so plain scaled-integer arithmetic answers with ZERO allocation — the BigDecimal path (one BigDecimal + one
+    * BigInteger per call, measured 2–4× slower per probe at k ≥ 128)
+    * runs only for boundary-adjacent values, which have ~0 measure on
+    * real cosine scores. Parity is by construction: any value where
+    * the two COULD disagree takes the exact path. The final n/10⁴
+    * division is a single correctly-rounded IEEE op, identical to
+    * BigDecimal.doubleValue() on the same 4-dp decimal. */
+  def round4(x: Double): Double = {
+    if (x.isNaN || x.isInfinite) return x
+    val s = x * 1e4
+    val a = math.abs(s)
+    if (a < 1e8) {
+      val fl = math.floor(a)
+      val frac = a - fl
+      if (math.abs(frac - 0.5) > 1e-6) {
+        val r = if (frac > 0.5) fl + 1.0 else fl
+        // BigDecimal never yields -0.0 — a negative rounding to zero
+        // must come back as POSITIVE zero for bit-parity
+        return if (r == 0.0) 0.0 else (if (s < 0) -r else r) / 1e4
+      }
+    }
+    round4Exact(x)
+  }
+
+  /** The reference implementation (Spark Round's own eval path) —
+    * kept callable for the parity spec. */
+  def round4Exact(x: Double): Double =
     if (x.isNaN || x.isInfinite) x
     else java.math.BigDecimal.valueOf(x)
       .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()

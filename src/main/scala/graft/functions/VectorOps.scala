@@ -395,10 +395,10 @@ object VectorOps {
     * residual distribution is tighter than the raw corpus, so the same
     * m·log2(ksub) bits buy measurably more recall. `assigned` must
     * carry `clusterCol`; each row's cell centroid joins in broadcast
-    * (k rows) and subtracts element-wise. The zip_with subtraction is
-    * an interpreted HOF — acceptable ONLY because training is
-    * sample-bound by the caller; the full-corpus encode runs the fused
-    * [[graft.expressions.PqResidualEncode]] kernel instead. */
+    * (k rows) and subtracts element-wise through the codegen'd
+    * [[graft.expressions.VecSub]] kernel (the full-corpus encode runs
+    * the fused [[graft.expressions.PqResidualEncode]] kernel; this was
+    * the last interpreted zip_with on a vector data path). */
   def pqTrainCodebooksResidual(assigned: DataFrame, cents: Seq[Array[Double]],
                                vecCol: String, clusterCol: String, m: Int,
                                ksub: Int = 256, iters: Int = 3): Seq[Seq[Seq[Double]]] = {
@@ -406,8 +406,8 @@ object VectorOps {
       .withColumnRenamed("cluster", clusterCol)
     val resid = assigned
       .join(broadcast(centsDf), Seq(clusterCol))
-      .select(zip_with(col(vecCol).cast("array<double>"), col("__cvec"),
-        (a, b) => coalesce(a, lit(0.0)) - coalesce(b, lit(0.0))).as("__resid"))
+      .select(graft.expressions.VecSub.vec_sub(
+        col(vecCol), col("__cvec")).as("__resid"))
     pqTrainCodebooks(resid, "__resid", m, ksub, iters)
   }
 

@@ -434,6 +434,26 @@ object MicroBench {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(cdir))
     }
 
+    // ---- residual subtraction: interpreted zip_with vs fused VecSub --
+    // the v − c feed of residual-codebook training (sample-bound, but
+    // the same shape a full-corpus residual materialization would use)
+    {
+      val e = Tables.load(spark, sfDir, "embeddings")
+      val corpus = spark.range(64).crossJoin(e)
+        .select(col("vec_id"), col("embedding")).persist()
+      corpus.count()
+      val cent = typedLit(Array.tabulate(64)(d => (d % 7).toDouble - 3.0).toSeq)
+      time("residual-sub zip_with") {
+        noop(corpus.select(zip_with(col("embedding").cast("array<double>"),
+          cent, (a, b) => coalesce(a, lit(0.0)) - coalesce(b, lit(0.0))).as("r")))
+      }
+      time("residual-sub vec_sub") {
+        noop(corpus.select(graft.expressions.VecSub
+          .vec_sub(col("embedding"), cent).as("r")))
+      }
+      corpus.unpersist()
+    }
+
     // ---- ADC LUT cache capacity under INTERLEAVED queries ------------
     // joined candidate rows cycle through the broadcast queries, so a
     // single-entry per-thread LUT cache (the shape this engine shipped

@@ -139,6 +139,23 @@ class VectorOpsSpec extends SparkSpec {
       assert(java.lang.Double.doubleToLongBits(got) ===
         java.lang.Double.doubleToLongBits(want), s"round4($x): $got != $want")
     }
+    // the scaled-integer fast path must agree with the exact BigDecimal
+    // path everywhere: random cosines, every representable value NEAR a
+    // half boundary (the regime the fast path must punt on), large
+    // magnitudes past the fast-path gate, and subnormals
+    val rnd = new scala.util.Random(11)
+    val fuzz = Seq.fill(200000)(rnd.nextDouble() * 2 - 1) ++
+      (-20000 to 20000).flatMap { k =>
+        val half = (k.toDouble + 0.5) / 1e4
+        Seq(half, Math.nextUp(half), Math.nextDown(half))
+      } ++
+      Seq.fill(1000)(rnd.nextDouble() * 1e12 - 5e11) ++
+      Seq(Double.MinPositiveValue, -Double.MinPositiveValue, 1e-300, 4.9e8, 1.0000001e4)
+    fuzz.foreach { x =>
+      assert(java.lang.Double.doubleToLongBits(CentroidKernel.round4(x)) ===
+        java.lang.Double.doubleToLongBits(CentroidKernel.round4Exact(x)),
+        s"fast path diverged at $x")
+    }
   }
 
   test("semanticPairsBlocked sample training: tiny-sample fallback, pairs stable") {
@@ -382,6 +399,39 @@ class VectorOpsSpec extends SparkSpec {
       TripletOps.mineTriplets(one, "vec_id", "embedding",
         Seq.empty[(Long, Long)].toDF("id_a", "id_b"), 0.8))
     assert(err.getMessage.contains(">= 2"))
+  }
+
+  test("vec_sub: parity with the zip_with shape (both element types, ragged lengths)") {
+    import graft.expressions.VecSub.vec_sub
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // double-element left vs double right, including ragged lengths
+    // (zip_with pads the shorter side with null → coalesce 0.0)
+    val rows = (1 to 50).map { i =>
+      (i.toLong,
+        Seq.fill(3 + rnd.nextInt(4))(rnd.nextDouble() * 10 - 5),
+        Seq.fill(3 + rnd.nextInt(4))(rnd.nextDouble() * 10 - 5))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val both = df.select($"id",
+        vec_sub($"a", $"b").as("fused"),
+        zip_with($"a", $"b",
+          (x, y) => coalesce(x, lit(0.0)) - coalesce(y, lit(0.0))).as("hof"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Double](1) === r.getSeq[Double](2), s"id=${r.getLong(0)}")
+    }
+    // float-element left (the embeddings column type) vs double right
+    val fdf = rows.map { case (i, a, b) => (i, a.map(_.toFloat), b) }
+      .toDF("id", "a", "b")
+    val fBoth = fdf.select($"id",
+        vec_sub($"a", $"b").as("fused"),
+        zip_with($"a".cast("array<double>"), $"b",
+          (x, y) => coalesce(x, lit(0.0)) - coalesce(y, lit(0.0))).as("hof"))
+      .collect()
+    fBoth.foreach { r =>
+      assert(r.getSeq[Double](1) === r.getSeq[Double](2), s"id=${r.getLong(0)}")
+    }
   }
 
   test("TripletOps: a pair id missing from emb fails loudly, not a silent drop") {
