@@ -76,6 +76,12 @@ final class BufferAlerter extends Alerter {
   def send(message: String): Unit = sent += message
 }
 
+/** Stdout fallback for CLI entry points with no webhook configured —
+  * the alert still lands in the job log instead of vanishing. */
+final class ConsoleAlerter extends Alerter {
+  def send(message: String): Unit = println(s"[alert] $message")
+}
+
 object Alerts {
   def sendChunked(alerter: Alerter, message: String, chunk: Int = 2000): Unit =
     message.grouped(chunk).foreach(alerter.send)

@@ -24,7 +24,7 @@ object Quality {
   /** Offending-rows frame → result; limit(k).collect keeps the failure
     * report driver-safe at any scale. Single-sourced for SQL checks and
     * [[SchemaTests]] alike. */
-  private[quality] def offendingResult(name: String, df: DataFrame): CheckResult = {
+  private[graft] def offendingResult(name: String, df: DataFrame): CheckResult = {
     val sample = df.limit(5).collect().map(_.toString).toIndexedSeq
     val n = if (sample.isEmpty) 0L else df.count()
     CheckResult(name, passed = n == 0, nOffending = n, sample = sample)

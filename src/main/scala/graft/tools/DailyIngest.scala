@@ -259,6 +259,65 @@ object DailyIngest {
       keyCol, "tok", "n"))
   }
 
+  /** Route the day's health signals through the alert sink — the
+    * reference's check → chunked-report pattern (perform_check →
+    * Discord webhook), composed from [[recordDrift]] and
+    * [[graft.quality.Quality.SchemaTests]]:
+    *
+    *  - DRIFT: per-key JSD rows at/above `jsdThreshold`, or NaN (a key
+    *    vanished from either day — maximal drift), become ONE message
+    *    (chunk-split at the transport's 2000-char limit by
+    *    [[graft.ops.Alerts.sendChunked]]);
+    *  - QUALITY: the landed day partition must have unique ids and
+    *    non-null lang/n_tok — each failed check contributes its
+    *    offending count and a bounded sample to ONE quality message.
+    *
+    * A healthy day sends NOTHING — an empty-report contract, so the
+    * alert channel's base rate stays zero and a message always means
+    * action. Returns the number of messages handed to the alerter
+    * BEFORE chunking (0 healthy, ≤2 otherwise). Driver-side work is
+    * bounded: the drift report is vocab-keyed (≤ keys rows collected),
+    * quality samples are limit(5). */
+  def healthTick(lake: Lake, histOut: TableRef, out: TableRef,
+                 docs: DataFrame, keyCol: String, textCol: String,
+                 idCol: String, langCol: String, day: Date,
+                 alerter: graft.ops.Alerter,
+                 jsdThreshold: Double = 0.05): Int = {
+    import graft.ops.Alerts
+    import graft.quality.Quality
+    var sentMessages = 0
+    recordDrift(lake, histOut, docs, keyCol, textCol, day).foreach { report =>
+      val flagged = report
+        .filter(isnan(col("jsd")) || col("jsd") >= jsdThreshold)
+        .select(col(keyCol), col("jsd")).collect()
+      if (flagged.nonEmpty) {
+        val lines = flagged.map(r => s"$keyCol=${r.get(0)} jsd=${r.get(1)}")
+        Alerts.sendChunked(alerter,
+          s"[drift] day=$day ${lines.length} key(s) drifted vs previous day: " +
+            lines.mkString("; "))
+        sentMessages += 1
+      }
+    }
+    val landed = lake.read(out).filter(col("ingest_day") === lit(day))
+    val failed = Seq(
+      Quality.offendingResult(s"unique_$idCol",
+        Quality.SchemaTests.unique(landed, Seq(idCol))),
+      Quality.offendingResult(s"not_null_$langCol",
+        Quality.SchemaTests.notNull(landed, langCol)),
+      Quality.offendingResult("not_null_n_tok",
+        Quality.SchemaTests.notNull(landed, "n_tok"))
+    ).filterNot(_.passed)
+    if (failed.nonEmpty) {
+      val lines = failed.map(r =>
+        s"${r.name}: ${r.nOffending} offending, sample ${r.sample.mkString(" | ")}")
+      Alerts.sendChunked(alerter,
+        s"[quality] day=$day ${failed.length} check(s) failed on ${out.table}: " +
+          lines.mkString("; "))
+      sentMessages += 1
+    }
+    sentMessages
+  }
+
   /** The production BPE vocabulary size: large enough that `n_tok`
     * denominations (pack budgets, dataset cards) behave like a real
     * tokenizer's, small enough to train in seconds from a day's word
@@ -363,19 +422,15 @@ object DailyIngest {
         docs, "doc_id", "text", "lang", day, ttlDays,
         ann = ann, semanticThreshold = semTh, vocab = vocab,
         pqRefine = pqRefine)
-      // drift watch on the RAW feed (pre-dedup), vs yesterday's landed
-      // histogram, keyed by the CLI schema's grouping column (lang) —
-      // NaN (a language vanished from the feed) counts as drifted
-      recordDrift(lake, TableRef("prod", "crawl", "token_hist"), docs,
-          "lang", "text", day).foreach { report =>
-        val flagged = report
-          .filter(isnan(col("jsd")) || col("jsd") >= 0.05)
-          .select(col("lang"), col("jsd")).collect()
-        if (flagged.isEmpty)
-          println(s"[daily-ingest] drift: all langs stable vs previous day")
-        else flagged.foreach(r => println(
-          s"[daily-ingest] DRIFT lang=${r.get(0)} jsd=${r.get(1)}"))
-      }
+      // health watch: drift on the RAW feed (pre-dedup, keyed by lang;
+      // NaN = a language vanished = maximal drift) plus generic quality
+      // checks on the landed partition, routed through the alert sink
+      // (console here; a webhook Alerter in a real deployment)
+      val nAlerts = healthTick(lake, TableRef("prod", "crawl", "token_hist"),
+        TableRef("prod", "crawl", "packed"), docs, "lang", "text",
+        "doc_id", "lang", day, new graft.ops.ConsoleAlerter)
+      if (nAlerts == 0)
+        println(s"[daily-ingest] health: drift + quality clean vs previous day")
       expire(dd, day, ttlDays, ann = ann.map(_._1))
       ann.foreach { case (idx, _) =>
         val m = maintain(idx, day)

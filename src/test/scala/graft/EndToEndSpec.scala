@@ -925,6 +925,60 @@ class EndToEndSpec extends SparkSpec {
     assert(p2.count() === p2.select($"lang", $"tok").distinct().count())
   }
 
+  test("healthTick: drifted day alerts once, broken land alerts once, healthy day is silent") {
+    import graft.tools.DailyIngest
+    import graft.ops.BufferAlerter
+    val lake = new Lake(spark, tmpDir("health_lake"))
+    val hist = TableRef("prod", "healthcrawl", "token_hist")
+    val out = TableRef("prod", "healthcrawl", "packed")
+    def day(s: String) = java.sql.Date.valueOf(s)
+    def mkDocs(rows: Seq[(Long, String, String)]) =
+      rows.toDF("doc_id", "text", "lang")
+    def land(rows: Seq[(Long, String, Option[Long])], d: String): Unit =
+      lake.overwritePartitions(
+        rows.toDF("doc_id", "lang", "n_tok")
+          .withColumn("pack_id", lit(0L))
+          .withColumn("ingest_day", lit(day(d))),
+        out, partitionBy = Seq("ingest_day"))
+    def tick(docs: org.apache.spark.sql.DataFrame, d: String): (Int, BufferAlerter) = {
+      val a = new BufferAlerter
+      (DailyIngest.healthTick(lake, hist, out, docs, "lang", "text",
+        "doc_id", "lang", day(d), a), a)
+    }
+    val base = Seq((1L, "alpha beta alpha", "en"), (2L, "uno dos", "es"))
+    // day one: no yesterday, clean land → silent
+    land(Seq((1L, "en", Some(8L)), (2L, "es", Some(4L))), "2024-06-01")
+    val (n1, a1) = tick(mkDocs(base), "2024-06-01")
+    assert(n1 === 0 && a1.sent.isEmpty)
+    // day two HEALTHY: identical distribution, clean land → silent
+    land(Seq((3L, "en", Some(8L)), (4L, "es", Some(4L))), "2024-06-02")
+    val (n2, a2) = tick(mkDocs(Seq((3L, "alpha beta alpha", "en"),
+      (4L, "uno dos", "es"))), "2024-06-02")
+    assert(n2 === 0 && a2.sent.isEmpty, a2.sent.mkString(" // "))
+    // day three DRIFTED: es vanishes, fr appears → exactly ONE drift
+    // message naming both flagged keys; quality stays clean
+    land(Seq((5L, "en", Some(8L)), (6L, "fr", Some(4L))), "2024-06-03")
+    val (n3, a3) = tick(mkDocs(Seq((5L, "alpha beta alpha", "en"),
+      (6L, "oui non", "fr"))), "2024-06-03")
+    assert(n3 === 1 && a3.sent.size === 1, a3.sent.mkString(" // "))
+    assert(a3.sent.head.startsWith("[drift]") &&
+      a3.sent.head.contains("lang=es") && a3.sent.head.contains("lang=fr"),
+      a3.sent.head)
+    // day four: drift-stable feed but a BROKEN land (duplicate id, null
+    // n_tok) → exactly ONE quality message naming the failed checks
+    land(Seq((7L, "en", Some(8L)), (7L, "en", Some(8L)), (8L, "fr", None)),
+      "2024-06-04")
+    val (n4, a4) = tick(mkDocs(Seq((7L, "alpha beta alpha", "en"),
+      (8L, "oui non", "fr"))), "2024-06-04")
+    assert(n4 === 1 && a4.sent.size === 1, a4.sent.mkString(" // "))
+    assert(a4.sent.head.startsWith("[quality]") &&
+      a4.sent.head.contains("unique_doc_id") &&
+      a4.sent.head.contains("not_null_n_tok"), a4.sent.head)
+    // the 2000-char transport chunking applies to the alert route: a
+    // long report splits, shorts don't (sendChunked is the shared path)
+    assert(a4.sent.head.length < 2000)
+  }
+
   test("ensureVocab: trains+persists once, reloads identically, external file wins") {
     import graft.tools.DailyIngest
     import graft.functions.BpeVocab
