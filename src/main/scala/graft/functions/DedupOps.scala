@@ -338,8 +338,39 @@ object DedupOps {
     * [[graft.expressions.SortedPairs]] expansion. */
   def simhashPairs(sim: DataFrame, idCol: String, bits: Int = 64,
                    maxHamming: Int = 3,
-                   starBucketThreshold: Int = Int.MaxValue): DataFrame = {
+                   starBucketThreshold: Int = Int.MaxValue,
+                   collapseIdentical: Boolean = false): DataFrame = {
     require(starBucketThreshold >= 2, "starBucketThreshold must be >= 2")
+    if (collapseIdentical) {
+      // DEGENERATE-FINGERPRINT COLLAPSE — the media-scale regime where
+      // identical hashes are the NORM (solid frames dHash to 0, silence
+      // audio-hashes to 0; 20%+ of a real frame corpus). The star cap
+      // bounds the pair EXPANSION of such a bucket but not its
+      // COLLECTION: sort_array(collect_set(ids)) still gathers the
+      // whole viral group into ONE aggregation buffer — 0.2n ids in a
+      // single task's memory at corpus scale. Collapsing first fixes
+      // the buffer too: identical fingerprints fold to their min-id
+      // representative through a map-side-partial hash agg (the q50
+      // exact-dedup shape — no per-group buffer anywhere), members
+      // emit (rep, member, hamming=0) star pairs via a JOIN (no
+      // collect), and the band machinery runs over DISTINCT
+      // fingerprints only. Lossless for keep-min survivor selection
+      // and connected-components clustering (spec-pinned): stars link
+      // every member to its rep, rep↔rep pairs link nearby groups.
+      // NOT pair-complete — member↔member pairs across two nearby
+      // groups are represented only through their reps — so
+      // pair-complete consumers (video frame-overlap counting) must
+      // keep the exact path.
+      val reps = sim.groupBy(col("simhash")).agg(min(col(idCol)).as("__rep"))
+      val stars = sim.join(reps, Seq("simhash"))
+        .filter(col(idCol) =!= col("__rep"))
+        .select(col("__rep").as("id_a"), col(idCol).as("id_b"),
+          lit(0L).as("hamming"))
+      val repPairs = simhashPairs(
+        reps.select(col("__rep").as(idCol), col("simhash")),
+        idCol, bits, maxHamming, starBucketThreshold)
+      return stars.union(repPairs)
+    }
     val w = bits / 4
     val bands = sim.select(col(idCol), explode(array((0 until 4).map(b =>
       struct(lit(b).as("band_idx"),
@@ -358,7 +389,13 @@ object DedupOps {
     // verifies against the min at Hamming 0); distinct fingerprints
     // merely sharing the band lose member↔member pairs past the cap,
     // and the other three bands can still surface those. Default
-    // Int.MaxValue = exact everywhere.
+    // Int.MaxValue = exact everywhere. KNOW THE CAP'S LIMIT (probed,
+    // PLANS.md r11): it linearizes a bucket only once it CROSSES the
+    // threshold — a sub-cap identical group still expands
+    // quadratically, and collect_set still buffers the whole group in
+    // one task either way. Dedup/clustering consumers should prefer
+    // collapseIdentical, which is linear and buffer-bounded at EVERY
+    // group size.
     val star = expr(
       "transform(slice(ids, 2, size(ids) - 1), x -> struct(ids[0] AS id_a, x AS id_b))")
     val pairsCol =

@@ -442,17 +442,27 @@ object Multimodal {
     * maxHamming ≤ 3 by pigeonhole) finds them with the text-SimHash
     * plan — a groupBy per band bucket, nothing pairwise across
     * buckets, no pixel ever compared. NULL hashes (decode failures)
-    * are excluded: they cannot be near anything. */
+    * are excluded: they cannot be near anything.
+    *
+    * `collapseIdentical = true` is the DEDUP-AT-MEDIA-SCALE setting:
+    * identical fingerprints (solid frames → dHash 0) fold to their
+    * min-id representative before banding, so the viral bucket never
+    * materializes as one aggregation buffer — lossless for survivor
+    * selection and clustering, NOT pair-complete (see
+    * [[graft.functions.DedupOps.simhashPairs]]); video frame-overlap
+    * counting must keep the default exact path. */
   def imageNearDupPairs(df: DataFrame, idCol: String,
                         dhashCol: String = "dhash",
                         maxHamming: Int = 3,
-                        starBucketThreshold: Int = DefaultStarBucketThreshold): DataFrame =
+                        starBucketThreshold: Int = DefaultStarBucketThreshold,
+                        collapseIdentical: Boolean = false): DataFrame =
     graft.functions.DedupOps.simhashPairs(
       df.filter(col(dhashCol).isNotNull)
         .select(col(idCol),
           lpad(bin(col(dhashCol)), 64, "0").as("simhash")),
       idCol, bits = 64, maxHamming = maxHamming,
-      starBucketThreshold = starBucketThreshold)
+      starBucketThreshold = starBucketThreshold,
+      collapseIdentical = collapseIdentical)
 
   /** Perceptual fingerprint over decoded audio ([[decodeAudio]]'s
     * samples column): 64-bit spectrogram hash — band-energy rise/fall
@@ -466,17 +476,21 @@ object Multimodal {
 
   /** AUDIO near-dup pairs by perceptual hash — same machinery as
     * [[imageNearDupPairs]]: the 64-bit Hamming-LSH band join (exact
-    * at maxHamming ≤ 3), NULL hashes excluded. */
+    * at maxHamming ≤ 3), NULL hashes excluded, same opt-in
+    * degenerate-fingerprint collapse (silence audio-hashes to 0 the
+    * way solid frames dHash to 0). */
   def audioNearDupPairs(df: DataFrame, idCol: String,
                         ahashCol: String = "ahash",
                         maxHamming: Int = 3,
-                        starBucketThreshold: Int = DefaultStarBucketThreshold): DataFrame =
+                        starBucketThreshold: Int = DefaultStarBucketThreshold,
+                        collapseIdentical: Boolean = false): DataFrame =
     graft.functions.DedupOps.simhashPairs(
       df.filter(col(ahashCol).isNotNull)
         .select(col(idCol),
           lpad(bin(col(ahashCol)), 64, "0").as("simhash")),
       idCol, bits = 64, maxHamming = maxHamming,
-      starBucketThreshold = starBucketThreshold)
+      starBucketThreshold = starBucketThreshold,
+      collapseIdentical = collapseIdentical)
 
   /** VIDEO near-dup pairs from per-frame perceptual hashes — the
     * dedup family completed across the multimodal columns: `frames`

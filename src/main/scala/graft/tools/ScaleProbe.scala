@@ -253,6 +253,48 @@ object ScaleProbe {
       } finally Seq(skLo, skHi).foreach(d =>
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
     }
+
+    // MULTIMODAL near-dup at the DEGENERATE-HASH regime: 20% of rows
+    // share ONE fingerprint (solid frames dHash to 0 — the common case
+    // off text) and another ~9% sit at Hamming 1 from a neighbor (and
+    // some from the viral hash itself, piling into its buckets through
+    // 3 of 4 shared bands — the worst case). Claims measured on the
+    // same Hamming-LSH machine both paths ride:
+    //  - star cap (the shipped default): pair OUTPUT stays linear in
+    //    members despite the quadratic-in-exact-mode viral group;
+    //  - collapse (opt-in): same linearity with the viral collect_set
+    //    buffer gone — bytes should not exceed the star path's.
+    if (args.lift(2).forall(_.contains("media"))) {
+      def mediaProbe(dir: String): Map[String, (Long, Long)] = {
+        val n = Tables.load(spark, dir, "documents").count()
+        val hashes = spark.range(n).select(col("id").as("media_id"),
+          when(col("id") % 5 === 0, lit(0L))
+            .when(col("id") % 11 === 3,
+              xxhash64(col("id") - 1).bitwiseXOR(lit(1L)))
+            .otherwise(xxhash64(col("id"))).as("dhash"))
+        Seq("media_star" -> false, "media_collapsed" -> true).map {
+          case (label, collapse) =>
+            var nPairs = 0L
+            val (sec, bytes) = measure {
+              nPairs = graft.multimodal.Multimodal.imageNearDupPairs(
+                hashes, "media_id", collapseIdentical = collapse).count()
+            }
+            println(f"[probe] $dir $label: $sec%.2f s, shuffle " +
+              f"${bytes / 1048576.0}%.2f MiB, $nPairs pairs (n=$n, viral=${n / 5})")
+            label -> (bytes, nPairs)
+        }.toMap
+      }
+      val mLo = mediaProbe(lo)
+      val mHi = mediaProbe(hi)
+      Seq("media_star", "media_collapsed").foreach { label =>
+        val (bLo, pLo) = mLo(label); val (bHi, pHi) = mHi(label)
+        def e(a: Long, b: Long) =
+          if (a <= 0 || b <= 0 || rowRatio <= 1.0) Double.NaN
+          else math.log(b.toDouble / a) / math.log(rowRatio)
+        println(f"[probe] $label: bytes exponent ${e(bLo, bHi)}%.2f, " +
+          f"pair exponent ${e(pLo, pHi)}%.2f ($pLo -> $pHi pairs)")
+      }
+    }
     spark.stop()
   }
 }

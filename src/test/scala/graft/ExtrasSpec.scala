@@ -652,6 +652,27 @@ class ExtrasSpec extends SparkSpec {
     assert(capped.forall(_._1 == 0L), "star pairs must anchor on the min id")
     // keep-min survivors agree: every non-min id is a loser either way
     assert(exact.map(_._2) === capped.map(_._2))
+    // the degenerate-fingerprint COLLAPSE path: identical hashes fold
+    // to their min-id rep BEFORE banding (no viral collect_set buffer),
+    // members ride (rep, member, 0) star pairs. On a fixture with TWO
+    // identical groups one Hamming bit apart, clustering and survivors
+    // must equal the exact path's — the lossless-for-dedup contract —
+    // while pair output stays linear in members
+    val twoGroups = ((0L until n).map(i => (i, "0" * 64)) ++
+      (100L until 100L + n).map(i => (i, "0" * 63 + "1")))
+      .toDF("id", "simhash")
+    val exact2 = DedupOps.simhashPairs(twoGroups, "id")
+    val collapsed2 = DedupOps.simhashPairs(twoGroups, "id",
+      collapseIdentical = true)
+    assert(collapsed2.count() === 2L * (n - 1) + 1,
+      "collapsed pairs must be linear: one star per member + one rep-rep edge")
+    def comps(pairs: org.apache.spark.sql.DataFrame) =
+      DedupOps.connectedComponents(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps(collapsed2) === comps(exact2),
+      "collapse must preserve connected components")
+    // hamming values on star pairs are the true distance (identical = 0)
+    assert(collapsed2.filter($"hamming" === 0).count() === 2L * (n - 1))
   }
 
   test("audio near-dup: spectrogram hash pairs re-levels/resamples, not other clips") {
