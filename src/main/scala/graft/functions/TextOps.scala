@@ -205,6 +205,173 @@ object TextOps {
       .drop("__st_rk1", "__st_rk2")
   }
 
+  /** C4-style LINE-level corpus dedup (Raffel et al. 2020 §2.2 — "we
+    * discarded all but one of any three-sentence span occurring more
+    * than once"): the corpus is segmented into LINES, every line keeps
+    * exactly its first corpus-wide occurrence (minimum (doc, position)),
+    * later occurrences are removed WHOLESALE, and documents are
+    * reassembled from their surviving lines. Distinct from q113's
+    * overlapping-window masking in all three choices: disjoint units,
+    * whole-unit removal, document reassembly.
+    *
+    * The line unit is `lineTokens` consecutive whitespace tokens
+    * ([[chunkTexts]] with zero overlap — single-space corpora carry no
+    * newlines; a newline-delimited corpus would split first and feed
+    * one line per row into the same keeper machinery).
+    *
+    * Scale shape (the q113 argument, one step further): every segment
+    * in a hash group is the SAME text, so the keeper is a single
+    * `min_by(struct(id, idx, seg), priority)` groupBy on the line hash
+    * with MAP-SIDE partial merge — a viral boilerplate line collapses
+    * to one row per task BEFORE the shuffle, there is no per-key
+    * buffer, no skewed sort partition, and no join back (the earlier
+    * keeper-join formulation scanned the corpus twice more; measured
+    * scan amp ×4 → ×2). The corpus text is read exactly twice: once to
+    * segment, once to count lines for the reassembly spine. Reassembly
+    * is a per-document collect — bounded by ONE document's line count,
+    * never by the corpus. Priority encodes (doc, segment) as one
+    * bigint, the q113 encoding with the same scan-side raise_error
+    * guard; identical md5 ⇒ identical line is the q50/q113
+    * content-hash contract.
+    *
+    * Output: (idCol, text_dedup, n_lines, n_kept); a document whose
+    * every line lost reassembles to the empty string, not a dropped
+    * row. */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+                lineTokens: Int = 10): DataFrame = {
+    require(lineTokens > 0, s"lineTokens must be positive: $lineTokens")
+    Seq("__ld_idx", "__ld_seg", "__ld_h", "__ld_prio", "__ld_keep",
+        "__ld_kept", "__ld_nl").foreach { c =>
+      require(!df.columns.contains(c),
+        s"$c is reserved by lineDedup; drop or rename the input column")
+    }
+    val segs = df
+      .select(col(idCol),
+        posexplode(chunkTexts(col(textCol), lineTokens, 0))
+          .as(Seq("__ld_idx", "__ld_seg")))
+      .withColumn("__ld_idx",
+        when(col("__ld_idx") < lit(1L << 21), col("__ld_idx"))
+          .otherwise(raise_error(concat(lit("lineDedup: doc "),
+            col(idCol).cast("string"),
+            lit(s" has >= 2^21 lines of $lineTokens tokens; the "),
+            lit("priority encoding would break lexicographic order")))))
+      .withColumn("__ld_h", md5(col("__ld_seg")))
+      .withColumn("__ld_prio",
+        col(idCol).cast("long") * lit(1L << 21) + col("__ld_idx"))
+    val rebuilt = segs.groupBy(col("__ld_h"))
+      .agg(min_by(struct(col(idCol), col("__ld_idx"), col("__ld_seg")),
+        col("__ld_prio")).as("__ld_kept"))
+      .select(col("__ld_kept." + idCol).as(idCol),
+        col("__ld_kept.__ld_idx").as("__ld_idx"),
+        col("__ld_kept.__ld_seg").as("__ld_seg"))
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("__ld_idx"), col("__ld_seg")))),
+          x => x("__ld_seg"))).as("text_dedup"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(idCol),
+        size(chunkTexts(col(textCol), lineTokens, 0)).cast("long")
+          .as("n_lines"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("text_dedup"), lit("")).as("text_dedup"),
+        col("n_lines"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
+  /** Temperature-scaled mixture weights over sources — the multilingual
+    * sampling rule of mBERT/XLM-R (Conneau et al. 2020 §3.1): sample
+    * source s with probability ∝ p_s^τ where p_s is its share of the
+    * corpus token mass. τ < 1 flattens the mixture (upsamples the
+    * tail), τ = 1 is natural proportions, τ = 0 uniform. Output per
+    * source: mass, its natural share `p`, the temperature-scaled
+    * sampling weight `w` (normalized to sum 1), and `boost` = w/p —
+    * the rate multiplier a Bernoulli gate ([[hashFrac]] < base · boost)
+    * applies per source.
+    *
+    * Exactness: τ = 0.5 (the default) computes through `sqrt`, which
+    * IEEE 754 requires to be CORRECTLY rounded in every engine — so the
+    * weights are bit-portable; other τ go through `pow` (faithful to
+    * ≤ 1 ulp, not bit-pinned). Scale shape: one partial-agg shuffle
+    * keyed by source to a vocabulary-sized frame; both normalizers join
+    * back as broadcast single-row frames — the corpus is scanned once
+    * and nothing corpus-sized shuffles. */
+  def temperatureWeights(df: DataFrame, srcCol: String, massCol: Column,
+                         tau: Double = 0.5): DataFrame = {
+    require(tau >= 0.0, s"tau must be non-negative: $tau")
+    def powTau(c: Column): Column =
+      if (tau == 0.5) sqrt(c) else pow(c, lit(tau))
+    val bySrc = df.groupBy(col(srcCol)).agg(sum(massCol).as("mass"))
+    val tot = bySrc.agg(sum(col("mass")).as("__tw_tot"))
+    val withP = bySrc.join(broadcast(tot))
+      .withColumn("p", col("mass").cast("double") / col("__tw_tot"))
+      .withColumn("__tw_pw", powTau(col("p")))
+    val z = withP.agg(sum(col("__tw_pw")).as("__tw_z"))
+    withP.join(broadcast(z))
+      .select(col(srcCol), col("mass"),
+        col("p"),
+        (col("__tw_pw") / col("__tw_z")).as("w"),
+        (col("__tw_pw") / col("__tw_z") / col("p")).as("boost"))
+  }
+
+  /** Distinct-n diversity (Li et al. 2016): per group, the ratio of
+    * unique n-grams to total n-grams at n = 1 and n = 2 — the standard
+    * corpus-diversity report line (low distinct-2 marks template/
+    * boilerplate-heavy sources). Exact counts (the dataset-card
+    * contract), not sketches: two wordcount-shaped aggregations —
+    * count-distinct shuffles the (group, gram) pairs once, partial
+    * aggs collapse repeats map-side. `d2` is null for a group with no
+    * bigrams (every document shorter than two tokens). */
+  def ngramDiversity(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val uni = df.select(col(groupCol), explode(tokens(col(textCol))).as("g"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_uni"), countDistinct(col("g")).as("u_uni"))
+    val bi = df.select(col(groupCol), explode(shingles(col(textCol), 2)).as("g"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_bi"), countDistinct(col("g")).as("u_bi"))
+    uni.join(bi, Seq(groupCol), "left")
+      .select(col(groupCol), col("n_uni"), col("u_uni"),
+        round(col("u_uni").cast("double") / col("n_uni"), 4).as("d1"),
+        coalesce(col("n_bi"), lit(0L)).as("n_bi"),
+        coalesce(col("u_bi"), lit(0L)).as("u_bi"),
+        round(col("u_bi").cast("double") / col("n_bi"), 4).as("d2"))
+  }
+
+  /** Zipf slope per group — the least-squares slope of ln(freq) on
+    * ln(rank) over the top `topN` tokens (rank by count desc, token asc
+    * for a deterministic tie-break). Natural text sits near −1
+    * (Zipf's law); a flat or cliffed curve flags synthetic/templated
+    * sources, so this is a one-row-per-source corpus QA signal.
+    *
+    * Scale shape: the wordcount agg is the only corpus-sized shuffle
+    * (map-side combine to the vocabulary); the rank window runs over
+    * the VOCABULARY frame, per group — bounded by vocabulary size, not
+    * corpus size — and the regression is a closed-form aggregate
+    * ((nΣxy − ΣxΣy)/(nΣx² − (Σx)²)) over ≤ topN rows per group. The
+    * identical arithmetic runs in the oracle (no engine regr_slope,
+    * whose internals could differ). Slope is null for a group with
+    * fewer than two distinct tokens. */
+  def zipfSlope(df: DataFrame, groupCol: String, textCol: String,
+                topN: Int = 1000): DataFrame = {
+    require(topN >= 2, s"topN must be >= 2: $topN")
+    val W = org.apache.spark.sql.expressions.Window
+    val wc = df.select(col(groupCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col(groupCol), col("tok")).agg(count(lit(1)).as("cnt"))
+    val ranked = wc
+      .withColumn("rk", row_number().over(
+        W.partitionBy(col(groupCol)).orderBy(col("cnt").desc, col("tok").asc)))
+      .filter(col("rk") <= topN)
+      .select(col(groupCol), log(col("rk").cast("double")).as("x"),
+        log(col("cnt").cast("double")).as("y"))
+    ranked.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col(groupCol), col("n_terms"),
+        round((col("n_terms") * col("sxy") - col("sx") * col("sy")) /
+          nullif(col("n_terms") * col("sxx") - col("sx") * col("sx"), lit(0.0)),
+          4).as("zipf_slope"))
+  }
+
   /** PII patterns for training-data scrubbing. Deliberately RE2-safe
     * (char classes + bounded alternation only — NO lookarounds, which
     * RE2 lacks, and NO `\b`, whose word set is Unicode in java.util.regex

@@ -1063,6 +1063,64 @@ object TrainingData {
           Seq("source"), "doc_id", k = 20, salt = "eval-0")
         .orderBy(col("doc_id"))
     }),
+    // C4-STYLE LINE DEDUP — the third dedup granularity, between whole-
+    // document (q50) and overlapping-window masking (q113): disjoint
+    // 10-token "lines", each distinct line keeps exactly its first
+    // corpus-wide occurrence, later occurrences drop WHOLESALE, and
+    // documents reassemble from their survivors (Raffel et al. 2020
+    // §2.2 — C4 discards repeated three-sentence spans). The public API
+    // [[TextOps.lineDedup]] carries the scale argument: map-side
+    // partial-min keeper (viral boilerplate lines collapse per task
+    // before the shuffle — no per-key buffer, no skewed sort), hash-
+    // keyed join back, per-DOCUMENT-bounded reassembly.
+    "q124_line_dedup" -> ((s, dir) => {
+      TextOps.lineDedup(t(s, dir, "documents"), "doc_id", "text",
+          lineTokens = 10)
+        .orderBy(col("doc_id"))
+    }),
+    // TEMPERATURE-SCALED MIXTURE WEIGHTS — the multilingual sampling
+    // rule (Conneau et al. 2020 §3.1): source s samples ∝ p_s^τ of the
+    // corpus TOKEN mass (not document count — long-doc sources would
+    // otherwise oversample). τ = 0.5 flattens the head and upsamples
+    // the tail; `boost` = w/p is the per-source multiplier a Bernoulli
+    // gate (q72's hashFrac machinery) applies. τ = 0.5 runs through
+    // sqrt — IEEE-correctly-rounded in every engine, so the weights
+    // are bit-portable where pow would be faithful-only. One
+    // vocabulary-sized shuffle; both normalizers broadcast back.
+    "q125_temperature_mixture" -> ((s, dir) => {
+      TextOps.temperatureWeights(
+          t(s, dir, "documents").select(col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_tok")),
+          "source", col("n_tok"), tau = 0.5)
+        .select(col("source"), col("mass").as("n_tok"),
+          round(col("p"), 4).as("p"), round(col("w"), 4).as("w"),
+          round(col("boost"), 4).as("boost"))
+        .orderBy(col("source"))
+    }),
+    // DISTINCT-N DIVERSITY — the corpus-diversity line of a dataset
+    // card (Li et al. 2016): unique/total n-grams at n = 1, 2 per
+    // source; low distinct-2 marks template-heavy sources before they
+    // flood a mixture. Exact counts (two wordcount-shaped
+    // aggregations, count-distinct shuffling (source, gram) once with
+    // map-side collapse) — the card contract is exact, q68's HLL is
+    // the sketched variant when approximation is acceptable.
+    "q126_ngram_diversity" -> ((s, dir) => {
+      TextOps.ngramDiversity(t(s, dir, "documents"), "source", "text")
+        .orderBy(col("source"))
+    }),
+    // ZIPF SLOPE — corpus-naturalness QA: least-squares slope of
+    // ln(freq) on ln(rank) over each language's top-1000 tokens.
+    // Natural text sits near −1; synthetic/templated feeds go flat or
+    // cliffed, so a drifting slope is a one-row-per-group alarm the
+    // drift monitor (q119) can't see (JSD measures distribution
+    // CHANGE, not SHAPE). The rank window runs over the VOCABULARY
+    // frame, never the corpus; the regression is the closed form in
+    // both engines (no engine-private regr_slope internals).
+    "q127_zipf_slope" -> ((s, dir) => {
+      TextOps.zipfSlope(t(s, dir, "documents"), "lang", "text",
+          topN = 1000)
+        .orderBy(col("lang"))
+    }),
     // Context-window sequence packing: per language, documents stream
     // in doc_id order into fixed token-budget packs — a doc opens in
     // the pack where its PRECEDING cumulative tokens land, so every
@@ -2364,6 +2422,113 @@ object TrainingData {
         |      doc_id) AS rk
         |  FROM documents)
         |WHERE rk <= 20 ORDER BY doc_id""".stripMargin,
+    // q124: full independent recompute — DuckDB re-segments with list
+    // slices (chunk semantics: ⌈n/10⌉ disjoint 10-word chunks, last
+    // chunk truncated), re-derives the min-(doc,idx) keeper per
+    // distinct line, and reassembles with an ordered string_agg. The
+    // priority encoding (doc_id·2^21 + idx) is shared with the Spark
+    // plan, q113's convention.
+    "q124_line_dedup" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |nseg AS (
+        |  SELECT doc_id, toks, (len(toks) + 9) // 10 AS n_lines FROM docs),
+        |pos AS (
+        |  SELECT doc_id, toks, n_lines, unnest(range(0, n_lines)) AS i
+        |  FROM nseg),
+        |segs AS (
+        |  SELECT doc_id, i,
+        |    array_to_string(list_slice(toks, i * 10 + 1, i * 10 + 10), ' ')
+        |      AS seg,
+        |    doc_id * 2097152 + i AS prio
+        |  FROM pos),
+        |keep AS (
+        |  SELECT md5(seg) AS h, min(prio) AS keep_prio
+        |  FROM segs GROUP BY 1),
+        |kept AS (
+        |  SELECT s.doc_id,
+        |    string_agg(s.seg, ' ' ORDER BY s.i) AS text_dedup,
+        |    count(*) AS n_kept
+        |  FROM segs s JOIN keep k ON md5(s.seg) = k.h AND s.prio = k.keep_prio
+        |  GROUP BY s.doc_id)
+        |SELECT n.doc_id, COALESCE(k.text_dedup, '') AS text_dedup,
+        |  CAST(n.n_lines AS BIGINT) AS n_lines,
+        |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+        |FROM nseg n LEFT JOIN kept k USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // q125: full independent recompute — τ = 0.5 through sqrt (IEEE-
+    // correctly-rounded in both engines; the one engine-ordered term is
+    // the 20-element normalizer sum, absorbed by the 4-dp round)
+    "q125_temperature_mixture" ->
+      """WITH m AS (
+        |  SELECT source,
+        |    SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_tok
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT SUM(n_tok) AS tot FROM m),
+        |p AS (
+        |  SELECT source, n_tok,
+        |    CAST(n_tok AS DOUBLE) / tot AS p,
+        |    sqrt(CAST(n_tok AS DOUBLE) / tot) AS pw
+        |  FROM m, t),
+        |z AS (SELECT SUM(pw) AS z FROM p)
+        |SELECT source, n_tok, round(p, 4) AS p,
+        |  round(pw / z, 4) AS w,
+        |  round(pw / z / p, 4) AS boost
+        |FROM p, z ORDER BY source""".stripMargin,
+    // q126: full independent recompute — the bigram derivation is
+    // q73's list_transform idiom (L−1 windows, empty under two tokens)
+    "q126_ngram_diversity" ->
+      """WITH w AS (
+        |  SELECT source, string_split(text, ' ') AS toks FROM documents),
+        |uni AS (SELECT source, unnest(toks) AS g FROM w),
+        |u AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_uni,
+        |    CAST(count(DISTINCT g) AS BIGINT) AS u_uni
+        |  FROM uni GROUP BY 1),
+        |big AS (
+        |  SELECT source,
+        |    unnest(list_transform(range(1, greatest(len(toks), 1)),
+        |      i -> toks[i] || ' ' || toks[i + 1])) AS g
+        |  FROM w),
+        |b AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_bi,
+        |    CAST(count(DISTINCT g) AS BIGINT) AS u_bi
+        |  FROM big GROUP BY 1)
+        |SELECT u.source, n_uni, u_uni,
+        |  round(CAST(u_uni AS DOUBLE) / n_uni, 4) AS d1,
+        |  CAST(COALESCE(n_bi, 0) AS BIGINT) AS n_bi,
+        |  CAST(COALESCE(u_bi, 0) AS BIGINT) AS u_bi,
+        |  round(CAST(u_bi AS DOUBLE) / n_bi, 4) AS d2
+        |FROM u LEFT JOIN b ON u.source = b.source
+        |ORDER BY u.source""".stripMargin,
+    // q127: full independent recompute — same closed-form regression
+    // arithmetic as the Spark plan (deliberately NOT regr_slope, whose
+    // internals are engine-private); 4-dp round absorbs ln/summation
+    // ulps
+    "q127_zipf_slope" ->
+      """WITH wc AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT lang, tok, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM wc GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT lang, tok, cnt, row_number() OVER (PARTITION BY lang
+        |    ORDER BY cnt DESC, tok ASC) AS rk
+        |  FROM cnt),
+        |xy AS (
+        |  SELECT lang, ln(CAST(rk AS DOUBLE)) AS x,
+        |    ln(CAST(cnt AS DOUBLE)) AS y
+        |  FROM rk WHERE rk <= 1000),
+        |agg AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_terms,
+        |    sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM xy GROUP BY 1)
+        |SELECT lang, n_terms,
+        |  round((n_terms * sxy - sx * sy) /
+        |    nullif(n_terms * sxx - sx * sx, 0.0), 4) AS zipf_slope
+        |FROM agg ORDER BY lang""".stripMargin,
     // q119: full independent recompute — DuckDB rebuilds both unigram
     // distributions and the closed-form JSD terms; the 6-dp round on
     // the summed divergence absorbs cross-engine summation order

@@ -39,7 +39,8 @@ object ScaleProbe {
       "q107_pretrain_mix", "q108_token_entropy", "q113_substring_dedup",
       "q114_semdedup_scaled", "q115_lm_quality_scaled",
       "q116_leakage_safe_split", "q119_corpus_drift",
-      "q121_shuffled_pack")
+      "q121_shuffled_pack", "q124_line_dedup", "q126_ngram_diversity",
+      "q127_zipf_slope")
     // optional 3rd arg: comma-separated substring filter (probe a single
     // query's decade without re-running the whole set)
     val probes = args.lift(2) match {
@@ -249,6 +250,41 @@ object ScaleProbe {
           if (bLo <= 0 || bHi <= 0 || rowRatio <= 1.0) Double.NaN
           else math.log(bHi.toDouble / bLo) / math.log(rowRatio)
         println(f"[probe] q113_boilerplate_skew: ${bLo / 1048576.0}%.2f -> " +
+          f"${bHi / 1048576.0}%.2f MiB, exponent $exp%.2f")
+      } finally Seq(skLo, skHi).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    }
+
+    // q124 at the VIRAL-LINE regime: 30% of docs PREPEND one identical
+    // 10-token passage, so segment 0 of every skewed doc is the same
+    // line (prepending keeps it boundary-aligned; q113's APPEND twin
+    // would fall across line boundaries and disperse). The claim: the
+    // keeper's map-side partial min collapses the viral key per task
+    // before the shuffle, so bytes track the corpus decade — a window-
+    // over-hash formulation would sort the viral key in one task.
+    if (probes.exists(_.startsWith("q124"))) {
+      val passage = "all rights reserved redistribution permitted under " +
+        "attribution license terms apply" // exactly 10 tokens
+      def skewDir(src: String): String = {
+        val out = java.nio.file.Files
+          .createTempDirectory(s"graft_vline_${new java.io.File(src).getName}_")
+          .toString
+        Tables.load(spark, src, "documents")
+          .withColumn("text", when(col("doc_id") % 10 < 3,
+            concat(lit(passage + " "), col("text"))).otherwise(col("text")))
+          .write.mode("overwrite").parquet(s"$out/documents.parquet")
+        out
+      }
+      val (skLo, skHi) = (skewDir(lo), skewDir(hi))
+      try {
+        val (_, bLo) =
+          measure(noop(graft.SparkEntry.queries("q124_line_dedup")(spark, skLo)))
+        val (_, bHi) =
+          measure(noop(graft.SparkEntry.queries("q124_line_dedup")(spark, skHi)))
+        val exp =
+          if (bLo <= 0 || bHi <= 0 || rowRatio <= 1.0) Double.NaN
+          else math.log(bHi.toDouble / bLo) / math.log(rowRatio)
+        println(f"[probe] q124_viral_line_skew: ${bLo / 1048576.0}%.2f -> " +
           f"${bHi / 1048576.0}%.2f MiB, exponent $exp%.2f")
       } finally Seq(skLo, skHi).foreach(d =>
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+
+/** Corpus-level text operators added in round 11: C4-style line dedup,
+  * temperature mixture weights, distinct-n diversity, Zipf slope. */
+class TextCorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("lineDedup: first corpus-wide occurrence survives, docs reassemble") {
+    val docs = Seq(
+      (0L, ""),               // empty text = one empty line, first occurrence
+      (1L, "a b c x y z"),    // both lines first occurrences
+      (2L, "a b c q"),        // line 0 duplicates doc 1, trailing partial "q"
+      (3L, "x y z"),          // duplicates doc 1's second line
+      (4L, "a b c x y z")     // every line already seen -> empty doc
+    ).toDF("doc_id", "text")
+    val out = TextOps.lineDedup(docs, "doc_id", "text", lineTokens = 3)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect()
+    assert(out === Seq(
+      (0L, "", 1L, 1L),            // the empty line is ITS OWN first occurrence
+      (1L, "a b c x y z", 2L, 2L),
+      (2L, "q", 2L, 1L),
+      (3L, "", 1L, 0L),
+      (4L, "", 2L, 0L)))
+  }
+
+  test("lineDedup: intra-document repeats keep only the earliest segment") {
+    val docs = Seq((7L, "p q r p q r p q")).toDF("doc_id", "text")
+    // lines: "p q r", "p q r", "p q" -> second drops, partial tail distinct
+    val out = TextOps.lineDedup(docs, "doc_id", "text", lineTokens = 3)
+      .as[(Long, String, Long, Long)].head()
+    assert(out === ((7L, "p q r p q", 3L, 2L)))
+  }
+
+  test("lineDedup: no Window in the plan (keeper is a partial-agg groupBy)") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = TextOps.lineDedup(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // keep-first is the min-priority AGGREGATE, never a window over the
+    // line hash — a window would sort the viral boilerplate key in one task
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("lineDedup: reserved temp column rejected") {
+    val bad = Seq((1L, "a", "x")).toDF("doc_id", "text", "__ld_h")
+    val e = intercept[IllegalArgumentException] {
+      TextOps.lineDedup(bad, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("__ld_h"))
+  }
+
+  test("temperatureWeights: tau=0.5 flattens 9:1 token mass to 3:1") {
+    val docs = Seq(("A", 9L), ("B", 1L)).toDF("source", "n_tok")
+    val out = TextOps.temperatureWeights(docs, "source", col("n_tok"))
+      .orderBy("source")
+      .select("source", "mass", "p", "w", "boost")
+      .as[(String, Long, Double, Double, Double)].collect()
+    val Seq(a, b) = out.toSeq
+    assert(a._1 == "A" && a._2 == 9L && math.abs(a._3 - 0.9) < 1e-15)
+    // sqrt(0.9) : sqrt(0.1) = 3 : 1 exactly (0.9/0.1 = 9, sqrt exact ratio)
+    assert(math.abs(a._4 - 0.75) < 1e-12 && math.abs(b._4 - 0.25) < 1e-12)
+    assert(math.abs(a._5 - 0.75 / 0.9) < 1e-12)  // head downsampled
+    assert(math.abs(b._5 - 2.5) < 1e-12)         // tail upsampled 2.5x
+  }
+
+  test("temperatureWeights: tau=1 is natural sampling, tau=0 is uniform") {
+    val docs = Seq(("A", 3L), ("B", 1L), ("C", 4L)).toDF("source", "n_tok")
+    val nat = TextOps.temperatureWeights(docs, "source", col("n_tok"), tau = 1.0)
+      .select("source", "p", "w").as[(String, Double, Double)].collect()
+    nat.foreach { case (_, p, w) => assert(math.abs(p - w) < 1e-12) }
+    val uni = TextOps.temperatureWeights(docs, "source", col("n_tok"), tau = 0.0)
+      .select("w").as[Double].collect()
+    uni.foreach(w => assert(math.abs(w - 1.0 / 3) < 1e-12))
+  }
+
+  test("ngramDiversity: exact distinct-1/distinct-2 per source") {
+    val docs = Seq(
+      ("s1", "a b a"), ("s1", "a"),  // uni [a,b,a,a]; bi ["a b","b a"]
+      ("s2", "x")                     // one token, NO bigrams
+    ).toDF("source", "text")
+    val out = TextOps.ngramDiversity(docs, "source", "text")
+      .orderBy("source")
+      .as[(String, Long, Long, Double, Long, Long, Option[Double])].collect()
+    assert(out(0) === (("s1", 4L, 2L, 0.5, 2L, 2L, Some(1.0))))
+    assert(out(1) === (("s2", 1L, 1L, 1.0, 0L, 0L, None)))
+  }
+
+  test("zipfSlope: two-point regression is exact; degenerate group null") {
+    val docs = Seq(
+      ("en", "a a a a b b c"), // a=4 b=2 c=1; top-2: (1,4),(2,2)
+      ("de", "z z")            // one distinct token -> slope undefined
+    ).toDF("lang", "text")
+    // topN=2: slope through (ln1,ln4),(ln2,ln2) = (ln2-ln4)/ln2 = -1 exactly
+    val out = TextOps.zipfSlope(docs, "lang", "text", topN = 2)
+      .orderBy("lang")
+      .as[(String, Long, Option[Double])].collect()
+    assert(out(0) === (("de", 1L, None)))
+    assert(out(1) === (("en", 2L, Some(-1.0))))
+  }
+
+  test("zipfSlope: closed form matches an independent local regression") {
+    val docs = Seq(("en", "w w w w w w x x x y y z")).toDF("lang", "text")
+    // counts w=6 x=3 y=2 z=1 -> ranks 1..4
+    val pts = Seq((1.0, 6.0), (2.0, 3.0), (3.0, 2.0), (4.0, 1.0))
+      .map { case (r, c) => (math.log(r), math.log(c)) }
+    val n = pts.size.toDouble
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val expected = BigDecimal((n * sxy - sx * sy) / (n * sxx - sx * sx))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = TextOps.zipfSlope(docs, "lang", "text")
+      .as[(String, Long, Double)].head()
+    assert(got._1 == "en" && got._2 == 4L && got._3 === expected)
+  }
+}
