@@ -238,15 +238,32 @@ object TextOps {
     * every line lost reassembles to the empty string, not a dropped
     * row. */
   def lineDedup(df: DataFrame, idCol: String, textCol: String,
-                lineTokens: Int = 10): DataFrame = {
+                lineTokens: Int = 10): DataFrame =
+    lineReassemble(df,
+      lineKeepFirst(lineSegments(df, idCol, textCol, lineTokens), idCol),
+      idCol, textCol, lineTokens)
+
+  /** The segment stream behind [[lineDedup]] (and the cross-run line
+    * scrub, `lake.CorpusDedup.scrubLines`): one row per disjoint
+    * `lineTokens`-token segment, carrying the segment hash and the
+    * (doc, idx) priority bigint. Ids must be NON-NEGATIVE INTEGRAL
+    * (the q113 priority-encoding contract: doc·2²¹ + idx is
+    * lexicographic only then) — enforced, because a string id would
+    * cast to a null priority and silently break min_by ordering. */
+  private[graft] def lineSegments(df: DataFrame, idCol: String,
+                                  textCol: String, lineTokens: Int): DataFrame = {
     require(lineTokens > 0, s"lineTokens must be positive: $lineTokens")
-    Seq("__ld_idx", "__ld_seg", "__ld_h", "__ld_prio", "__ld_keep",
-        "__ld_kept", "__ld_nl").foreach { c =>
+    require(Seq("byte", "short", "int", "long", "integer", "bigint",
+        "smallint", "tinyint")
+        .contains(df.schema(idCol).dataType.typeName),
+      s"lineDedup needs a non-negative integral $idCol " +
+        s"(got ${df.schema(idCol).dataType.typeName}): the keep-first " +
+        "priority encodes (id, idx) as one bigint")
+    Seq("__ld_idx", "__ld_seg", "__ld_h", "__ld_prio", "__ld_kept").foreach { c =>
       require(!df.columns.contains(c),
         s"$c is reserved by lineDedup; drop or rename the input column")
     }
-    val segs = df
-      .select(col(idCol),
+    df.select(col(idCol),
         posexplode(chunkTexts(col(textCol), lineTokens, 0))
           .as(Seq("__ld_idx", "__ld_seg")))
       .withColumn("__ld_idx",
@@ -257,13 +274,33 @@ object TextOps {
             lit("priority encoding would break lexicographic order")))))
       .withColumn("__ld_h", md5(col("__ld_seg")))
       .withColumn("__ld_prio",
-        col(idCol).cast("long") * lit(1L << 21) + col("__ld_idx"))
-    val rebuilt = segs.groupBy(col("__ld_h"))
+        when(col(idCol) >= 0,
+          col(idCol).cast("long") * lit(1L << 21) + col("__ld_idx"))
+          .otherwise(raise_error(concat(lit("lineDedup: negative or null "),
+            lit(idCol), lit(" breaks the keep-first priority ordering")))))
+  }
+
+  /** First corpus-wide occurrence per distinct line, as ONE map-side-
+    * partial min_by (every segment in a hash group is the same text,
+    * so the keeper row carries everything — no join back). Output
+    * keeps `__ld_h` so cross-run gates can anti-join history before
+    * reassembly. */
+  private[graft] def lineKeepFirst(segs: DataFrame, idCol: String): DataFrame =
+    segs.groupBy(col("__ld_h"))
       .agg(min_by(struct(col(idCol), col("__ld_idx"), col("__ld_seg")),
         col("__ld_prio")).as("__ld_kept"))
-      .select(col("__ld_kept." + idCol).as(idCol),
+      .select(col("__ld_h"),
+        col("__ld_kept." + idCol).as(idCol),
         col("__ld_kept.__ld_idx").as("__ld_idx"),
         col("__ld_kept.__ld_seg").as("__ld_seg"))
+
+  /** Rebuild documents from surviving segments against the full doc
+    * spine — a doc whose every line lost reassembles to the empty
+    * string, not a dropped row. */
+  private[graft] def lineReassemble(df: DataFrame, kept: DataFrame,
+                                    idCol: String, textCol: String,
+                                    lineTokens: Int): DataFrame = {
+    val rebuilt = kept
       .groupBy(col(idCol))
       .agg(
         concat_ws(" ", transform(

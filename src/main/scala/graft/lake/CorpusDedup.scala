@@ -158,6 +158,131 @@ class CorpusDedup(spark: SparkSession, lake: Lake, dataset: String,
     spark.catalog.refreshTable(qualified(hashesRef))
   }
 
+  // ---- line-level (C4 line dedup, cross-run) ----------------------------
+
+  val linesRef: TableRef = TableRef("state", dataset, "seen_lines")
+
+  /** Cross-run LINE scrub — [[graft.functions.TextOps.lineDedup]]'s
+    * policy extended over the whole ingest history: a line (disjoint
+    * `lineTokens`-token segment) survives only if it is the first
+    * occurrence IN THIS BATCH and has never been committed by a prior
+    * run; documents reassemble from their survivors (C4 ran its
+    * sentence dedup corpus-global — this is the daily-ingest shape of
+    * the same policy). Returns (idCol, text_dedup, n_lines, n_kept),
+    * one row per input doc.
+    *
+    * Scale: the in-batch keeper is the one map-side-partial min_by
+    * (viral lines collapse per task); the history side reads
+    * PRE-BUCKETED on line_hash, so the anti-join never shuffles the
+    * seen-set — only the batch's distinct-lines frame moves, exactly
+    * the [[novelExact]] argument. A TTL-dated twin would ride the
+    * seen_date-partition layout of [[commitExactDated]] unchanged. */
+  def scrubLines(docs: DataFrame, idCol: String, textCol: String,
+                 lineTokens: Int = 10): DataFrame = {
+    val first = graft.functions.TextOps.lineKeepFirst(
+      graft.functions.TextOps.lineSegments(docs, idCol, textCol, lineTokens),
+      idCol)
+    val vsHistory =
+      if (!tableExists(linesRef)) first
+      else first.join(
+        spark.table(qualified(linesRef))
+          .withColumnRenamed("line_hash", "__ld_h"),
+        Seq("__ld_h"), "left_anti")
+    graft.functions.TextOps.lineReassemble(docs, vsHistory, idCol, textCol,
+      lineTokens)
+  }
+
+  /** Fold this batch's distinct line hashes into the seen-lines set
+    * (idempotent: hashes already present are not re-added — a replayed
+    * day neither grows the state nor changes any later scrub). Records
+    * ALL of the batch's lines, not only survivors: committing the day
+    * marks its content seen, the [[commitExact]] contract. */
+  def commitLines(docs: DataFrame, textCol: String,
+                  lineTokens: Int = 10): Unit = {
+    val fresh = batchLineHashes(docs, textCol, lineTokens)
+    if (!tableExists(linesRef))
+      lake.writeBucketed(fresh, linesRef, "line_hash", numBuckets)
+    else {
+      val novel = fresh.join(spark.table(qualified(linesRef)),
+        Seq("line_hash"), "left_anti")
+      novel.write.mode(SaveMode.Append).insertInto(qualified(linesRef))
+    }
+    spark.catalog.refreshTable(qualified(linesRef)) // see commitExact
+  }
+
+  private def batchLineHashes(docs: DataFrame, textCol: String,
+                              lineTokens: Int): DataFrame =
+    docs.select(explode(graft.functions.TextOps.chunkTexts(
+        col(textCol), lineTokens, 0)).as("__cl_seg"))
+      .select(md5(col("__cl_seg")).as("line_hash"))
+      .distinct()
+
+  // ---- line-level, TTL-dated (the daily-ingest shape) ------------------
+
+  val linesDatedRef: TableRef = TableRef("state", dataset, "seen_lines_dated")
+
+  /** TTL + replay-safe twin of [[scrubLines]]: history is the dated
+    * seen-lines partitions in [minDate, beforeDate) — `beforeDate =
+    * Some(day)` excludes the day's OWN committed lines, so a crash
+    * between [[commitLinesDated]] and the pipeline's land replays to
+    * the IDENTICAL scrub (gating on the full set would re-scrub the
+    * day against itself and empty every replayed document — the same
+    * self-collision hazard `novelSemantic`'s beforeDate guards; the
+    * doc-level gates tolerate it because their replay degenerates to
+    * an empty no-op batch, but a scrub REWRITES rows, so it must not).
+    * `seen_date` partitions prune before the scan; within partitions
+    * the table stays bucketed on line_hash — the anti-join never
+    * shuffles history. */
+  def scrubLinesSince(docs: DataFrame, idCol: String, textCol: String,
+                      minDate: java.sql.Date,
+                      beforeDate: Option[java.sql.Date] = None,
+                      lineTokens: Int = 10): DataFrame = {
+    val first = graft.functions.TextOps.lineKeepFirst(
+      graft.functions.TextOps.lineSegments(docs, idCol, textCol, lineTokens),
+      idCol)
+    val vsRecent =
+      if (!tableExists(linesDatedRef)) first
+      else {
+        val window = spark.table(qualified(linesDatedRef))
+          .filter(col("seen_date") >= lit(minDate))
+        val bounded = beforeDate
+          .map(d => window.filter(col("seen_date") < lit(d)))
+          .getOrElse(window)
+        first.join(bounded.withColumnRenamed("line_hash", "__ld_h"),
+          Seq("__ld_h"), "left_anti")
+      }
+    graft.functions.TextOps.lineReassemble(docs, vsRecent, idCol, textCol,
+      lineTokens)
+  }
+
+  /** Record the batch's distinct line hashes under `date` — the
+    * [[commitExactDated]] contract: a hash already in the retained
+    * window is not re-added, one fully aged out re-records (restarting
+    * its TTL). */
+  def commitLinesDated(docs: DataFrame, textCol: String,
+                       date: java.sql.Date, minDate: java.sql.Date,
+                       lineTokens: Int = 10): Unit = {
+    val fresh = batchLineHashes(docs, textCol, lineTokens)
+      .withColumn("seen_date", lit(date))
+    if (!tableExists(linesDatedRef))
+      lake.writeBucketed(fresh, linesDatedRef, "line_hash", numBuckets,
+        partitionBy = Seq("seen_date"))
+    else {
+      val novel = fresh.join(
+        spark.table(qualified(linesDatedRef))
+          .filter(col("seen_date") >= lit(minDate)),
+        Seq("line_hash"), "left_anti")
+      val cols = spark.table(qualified(linesDatedRef)).columns
+      novel.select(cols.map(col).toIndexedSeq: _*)
+        .write.mode(SaveMode.Append).insertInto(qualified(linesDatedRef))
+    }
+    spark.catalog.refreshTable(qualified(linesDatedRef)) // see commitExact
+  }
+
+  /** Drop dated seen-lines partitions older than `minDate`. */
+  def expireLines(minDate: java.sql.Date): Unit =
+    expireDated(linesDatedRef, minDate)
+
   // ---- near-dup (MinHash-LSH candidate level) --------------------------
 
   private def bandsOf(docs: DataFrame, idCol: String, textCol: String): DataFrame =

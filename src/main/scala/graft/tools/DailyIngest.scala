@@ -103,7 +103,8 @@ object DailyIngest {
           ann: Option[(AnnIndex, String)] = None,
           semanticThreshold: Option[Double] = None,
           vocab: BpeVocab = BpeVocab.default,
-          pqRefine: Option[Int] = None): Long = {
+          pqRefine: Option[Int] = None,
+          lineScrub: Boolean = false): Long = {
     require(semanticThreshold.isEmpty || ann.nonEmpty,
       "semanticThreshold needs the ann leg — the index is the seen-set")
     val minDate = Date.valueOf(day.toLocalDate.minusDays(ttlDays.toLong))
@@ -130,13 +131,33 @@ object DailyIngest {
         textNovel.join(keepers, Seq(idCol), "left_semi")
       case _ => textNovel
     }
+    // `lineScrub` adds the C4 LINE policy as a REWRITE stage after the
+    // three doc-level gates (cheapest order — whole-doc dups drop
+    // before their lines are ever segmented): lines already committed
+    // in [minDate, day) strip out of surviving docs, docs scrubbed to
+    // NOTHING drop entirely (an all-historical doc is a duplicate the
+    // exact gate only catches when byte-identical). beforeDate = day
+    // keeps the stage replay-exact — see scrubLinesSince. The gated
+    // frame persists because the scrub's two segment passes plus the
+    // join-back would otherwise re-derive the 3-gate chain four times.
+    val semPersisted = if (lineScrub)
+      Some(semNovel.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    else None
+    val gatedNovel = semPersisted.map { sem =>
+      val scrub = dd.scrubLinesSince(sem, idCol, textCol, minDate,
+        beforeDate = Some(day))
+      sem.drop(textCol).join(
+        scrub.filter(col("n_kept") > 0)
+          .select(col(idCol), col("text_dedup").as(textCol)),
+        Seq(idCol))
+    }.getOrElse(semNovel)
     // persisted: `novel` is the most expensive frame of the composition
     // (three dedup gates deep) and is consumed by the land, the ANN leg
     // and the pack commit — without the cache each consumer re-derives
     // the whole gate chain. Persistence is an execution hint, not a
     // semantic change, so the replay invariant is untouched (a crash
     // replay recomputes the identical frame from unchanged state).
-    val novel = semNovel
+    val novel = gatedNovel
       .withColumn("n_tok", Bpe.bpeTokenCount(col(textCol), vocab))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -165,8 +186,15 @@ object DailyIngest {
       cp.commit(novel, langCol, idCol, "n_tok", batchId)
       dd.commitExactDated(docs, textCol, day, minDate)
       dd.commitNearDupDated(docs, idCol, textCol, day, minDate)
+      // the ORIGINAL batch's lines, the commitExactDated convention:
+      // committing the day marks its content seen, gate-dropped docs
+      // included
+      if (lineScrub) dd.commitLinesDated(docs, textCol, day, minDate)
       landed
-    } finally novel.unpersist(blocking = false)
+    } finally {
+      novel.unpersist(blocking = false)
+      semPersisted.foreach(_.unpersist(blocking = false))
+    }
   }
 
   /** Expire the dated seen-sets (and the dated index, when present) to
@@ -177,6 +205,7 @@ object DailyIngest {
     val minDate = Date.valueOf(day.toLocalDate.minusDays(ttlDays.toLong))
     dd.expireExact(minDate)
     dd.expireNearDup(minDate)
+    dd.expireLines(minDate) // no-op until the first lineScrub=true day
     ann.foreach(_.expire(minDate))
   }
 
@@ -360,7 +389,10 @@ object DailyIngest {
 
   /** CLI: DailyIngest <lakeRoot> <stateRoot> <inputParquet> <yyyy-mm-dd>
     * [ttlDays=30] [budgetTokens=2048] [embedCol] [semanticThreshold]
-    * [vocab] [pqRefine].
+    * [vocab] [pqRefine] [scrub-lines].
+    * The literal `scrub-lines` in position 7 adds the C4 line-level
+    * rewrite stage after the doc gates ([[CorpusDedup.scrubLinesSince]],
+    * TTL-dated, replay-exact via beforeDate = day).
     * Input schema: doc_id, text, lang (+ the embedding column when the
     * ANN leg is enabled). Passing `embedCol` turns on the retrieval
     * index and its maintenance tick; adding `semanticThreshold` also
@@ -384,6 +416,7 @@ object DailyIngest {
     val semTh = rest.lift(3).map(_.toDouble)
     val vocabArg = rest.lift(4)
     val pqRefine = rest.lift(5).map(_.toInt)
+    val lineScrub = rest.lift(6).contains("scrub-lines")
     // The dedup seen-sets and ANN lists are CATALOG tables (bucket specs
     // live in the metastore); with Spark's default in-memory catalog a
     // new JVM forgets them and every day-2 run re-admits the whole
@@ -421,7 +454,7 @@ object DailyIngest {
       val n = run(lake, dd, cp, TableRef("prod", "crawl", "packed"),
         docs, "doc_id", "text", "lang", day, ttlDays,
         ann = ann, semanticThreshold = semTh, vocab = vocab,
-        pqRefine = pqRefine)
+        pqRefine = pqRefine, lineScrub = lineScrub)
       // health watch: drift on the RAW feed (pre-dedup, keyed by lang;
       // NaN = a language vanished = maximal drift) plus generic quality
       // checks on the landed partition, routed through the alert sink

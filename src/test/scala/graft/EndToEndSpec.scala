@@ -624,6 +624,101 @@ class EndToEndSpec extends SparkSpec {
     assert(byDay("2024-03-05") === Set(11L, 12L))
   }
 
+  test("daily ingest with line scrub: historical lines strip, crash replay exact") {
+    import graft.lake.{CorpusDedup, CorpusPack}
+    import graft.tools.DailyIngest
+    val lake = new Lake(spark, tmpDir("ls_lake"))
+    val dd = new CorpusDedup(spark, lake, "ls_crawl", numBuckets = 4)
+    val cp = new CorpusPack(spark,
+      new StateStore(spark, tmpDir("ls_state")), "ls_crawl",
+      budgetTokens = 1024L)
+    val out = TableRef("prod", "ls_crawl", "packed")
+    def day(d: String) = java.sql.Date.valueOf(d)
+    def line(p: String) = (1 to 10).map(i => s"$p$i").mkString(" ")
+    def ingest(docs: org.apache.spark.sql.DataFrame, d: String): Long =
+      DailyIngest.run(lake, dd, cp, out,
+        docs.withColumn("lang", lit("en")), "doc_id", "text", "lang",
+        day(d), ttlDays = 30, lineScrub = true)
+
+    // day 1: two docs, four distinct 10-token lines
+    val day1 = Seq(
+      (1L, line("a") + " " + line("b")),
+      (2L, line("c") + " " + line("d"))).toDF("doc_id", "text")
+    assert(ingest(day1, "2024-03-01") === 2)
+
+    // day 2: docs 10/11 each repeat ONE day-1 line among three novel
+    // ones (1-in-4 overlap keeps shingle Jaccard ~0.17, safely under
+    // the 4×2 band gate's candidate sensitivity — the scrub, not the
+    // band gate, must be what strips the line); doc 12 is ENTIRELY
+    // day-1 lines — scrubbed to nothing and dropped
+    val day2 = Seq(
+      (10L, Seq("a", "e", "p", "q").map(line).mkString(" ")),
+      (11L, Seq("b", "f", "r", "s").map(line).mkString(" ")),
+      (12L, Seq("d", "c", "a", "b").map(line).mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(ingest(day2, "2024-03-02") === 2) // 10 and 11; 12 gone
+    val landedTok = lake.read(out).select($"doc_id", $"n_tok")
+      .as[(Long, Long)].collect().toMap
+    // scrubbed docs land with the SCRUBBED token count: their three
+    // surviving 10-token lines' worth
+    val oneLineTok = Seq(line("e")).toDF("t")
+      .select(graft.functions.Bpe.bpeTokenCount($"t")).as[Long].head()
+    assert(landedTok(10L) === 3 * oneLineTok && landedTok(11L) === 3 * oneLineTok)
+    assert(landedTok(1L) === 2 * oneLineTok)
+
+    // crash window: day 3 landed, NO commit ran (run()'s step order —
+    // land first, commits last — makes this the widest window). The
+    // replay recomputes the identical scrub from unchanged seen-lines
+    // state and the overwrite replaces, not duplicates.
+    val day3 = Seq((20L, Seq("g", "t", "u", "a").map(line).mkString(" ")))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val minD = day("2024-02-03")
+    val scrub3 = dd.scrubLinesSince(day3, "doc_id", "text", minD,
+      beforeDate = Some(day("2024-03-03")))
+    val novel3 = day3.drop("text").join(
+        scrub3.filter($"n_kept" > 0)
+          .select($"doc_id", $"text_dedup".as("text")), Seq("doc_id"))
+      .withColumn("n_tok", graft.functions.Bpe.bpeTokenCount(col("text")))
+    val packed3 = cp.assign(novel3, "lang", "doc_id", "n_tok", "2024-03-03")
+      .withColumn("ingest_day", lit(day("2024-03-03")))
+    lake.overwritePartitions(packed3.select(col("doc_id"), col("lang"),
+      col("n_tok"), col("pack_id"), col("ingest_day")), out,
+      partitionBy = Seq("ingest_day"))
+    // ...crash here (no commits); the orchestrator reruns the whole day
+    assert(ingest(day3, "2024-03-03") === 1)
+    val tok20 = lake.read(out).filter($"doc_id" === 20L)
+      .select($"n_tok").as[Long].head()
+    assert(tok20 === 3 * oneLineTok) // line a stripped by day-1 history
+
+    // replay-after-full-commit converges: the exact gate swallows the
+    // replayed batch, the empty overwrite touches nothing, the landed
+    // scrubbed row is STABLE — and crucially doc 20 is NOT re-scrubbed
+    // to "" by its own day-3 line commit (beforeDate = day in run())
+    assert(ingest(day3, "2024-03-03") === 1)
+    assert(lake.read(out).count() === 5)
+
+    // the beforeDate contract, directly: with day 3's lines committed,
+    // a same-day re-scrub that EXCLUDES the day is byte-stable, while
+    // an unbounded scrub would empty the doc against its own commit —
+    // the self-collision run() must never produce
+    val reScrub = dd.scrubLinesSince(day3, "doc_id", "text", minD,
+      beforeDate = Some(day("2024-03-03")))
+      .select($"text_dedup").as[String].head()
+    assert(reScrub === Seq("g", "t", "u").map(line).mkString(" "))
+    val selfCollide = dd.scrubLinesSince(day3, "doc_id", "text", minD)
+      .select($"n_kept").as[Long].head()
+    assert(selfCollide === 0L)
+
+    // day 4 scrubs against day 3's committed lines across the boundary
+    val day4 = Seq((30L, Seq("g", "h", "i", "j").map(line).mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(ingest(day4, "2024-03-04") === 1)
+    val tok30 = lake.read(out).filter($"doc_id" === 30L)
+      .select($"n_tok").as[Long].head()
+    assert(tok30 === 3 * oneLineTok) // line g stripped; h, i, j kept
+    assert(lake.read(out).count() === 6)
+  }
+
   test("daily ingest with the semantic gate: bootstrap, cross-day drop, replay") {
     import graft.lake.{CorpusDedup, CorpusPack}
     import graft.tools.DailyIngest

@@ -116,6 +116,56 @@ class LakeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("cross-run line scrub: history lines drop, docs reassemble, replay idempotent") {
+    import graft.lake.CorpusDedup
+    val lake = new Lake(spark, tmpDir("lake"))
+    val dd = new CorpusDedup(spark, lake, "cl_test", numBuckets = 4)
+
+    // day 1, empty history: behaves exactly as in-batch lineDedup
+    val day1 = Seq((1L, "a b c x y z")).toDF("doc_id", "text")
+    val s1 = dd.scrubLines(day1, "doc_id", "text", lineTokens = 3)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(s1 === Seq((1L, "a b c x y z", 2L, 2L)))
+    dd.commitLines(day1, "text", lineTokens = 3)
+
+    // day 2: doc 10 repeats a day-1 line + brings a new one; doc 11 is
+    // ENTIRELY historical — it reassembles to empty, not a dropped row
+    val day2 = Seq((10L, "a b c q r s"), (11L, "x y z")).toDF("doc_id", "text")
+    val s2 = dd.scrubLines(day2, "doc_id", "text", lineTokens = 3)
+      .orderBy($"doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(s2 === Seq((10L, "q r s", 2L, 1L), (11L, "", 1L, 0L)))
+    dd.commitLines(day2, "text", lineTokens = 3)
+
+    // state holds exactly the distinct lines ever seen; replay is a no-op
+    val lines = spark.table("state_cl_test.seen_lines")
+    assert(lines.count() === 3) // "a b c", "x y z", "q r s"
+    dd.commitLines(day2, "text", lineTokens = 3)
+    assert(lines.count() === 3)
+
+    // in-batch keep-first composes with the history gate in one pass:
+    // an intra-doc repeat drops AND a historical line drops
+    val day3 = Seq((20L, "n n n n n n a b c")).toDF("doc_id", "text")
+    val s3 = dd.scrubLines(day3, "doc_id", "text", lineTokens = 3)
+      .as[(Long, String, Long, Long)].head()
+    assert(s3 === ((20L, "n n n", 3L, 1L)))
+
+    // the anti-join must never reshuffle the bucketed seen-lines side
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val bigBatch = spark.range(1000)
+        .select($"id".as("doc_id"),
+          concat(lit("fresh line number "), $"id").as("text"))
+      val plan = dd.scrubLines(bigBatch, "doc_id", "text", lineTokens = 3)
+        .queryExecution.executedPlan.toString
+      val stateSide = plan.linesIterator
+        .filter(l => l.contains("Exchange") || l.contains("seen_lines")).toSeq
+      assert(stateSide.exists(_.contains("seen_lines")), plan)
+      assert(!stateSide.last.contains("Exchange"),
+        s"state side of the line-scrub anti-join reshuffles:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q95: measured ANN recall sweeps nprobe against brute-force truth") {
     // the driver-visible frame is SELF-CHECKING since round 10: floors
     // + ok flags the DuckDB oracle pins (raw recall moved out of the
