@@ -94,6 +94,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming line scrub: earlier micro-batches' lines strip from later ones") {
+    import graft.lake.{CorpusDedup, Lake}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the line-scrub family closes over streaming as a PURE composition
+    // — foreachBatch drives the same scrubLines/commitLines pair the
+    // daily ingest uses, the bucketed seen-lines table IS the stream's
+    // state (exactly how the cross-run exact/semantic gates stream):
+    // no new machinery, no new state format
+    val lake = new Lake(spark, tmpDir("sl_lake"))
+    val dd = new CorpusDedup(spark, lake, "sl_stream", numBuckets = 4)
+    val got = collection.mutable.Map[Long, (String, Long)]()
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF.toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val scrubbed = dd.scrubLines(batch, "doc_id", "text", lineTokens = 3)
+          .filter(col("n_kept") > 0)
+        scrubbed.select(col("doc_id"), col("text_dedup"), col("n_kept"))
+          .collect().foreach(r =>
+            got(r.getLong(0)) = (r.getString(1), r.getLong(2)))
+        dd.commitLines(batch, "text", lineTokens = 3)
+        ()
+      }.start()
+    try {
+      mem.addData((1L, "a b c x y z")) // lines "a b c", "x y z"
+      q.processAllAvailable()
+      assert(got(1L) === (("a b c x y z", 2L)))
+      // batch 2: one historical line + one novel; one doc ALL-historical
+      mem.addData((10L, "a b c q r s"), (11L, "x y z"))
+      q.processAllAvailable()
+      assert(got(10L) === (("q r s", 1L)))
+      assert(!got.contains(11L), "all-historical doc must drop, not land empty")
+      // batch 3: the batch-2 novel line is now history too
+      mem.addData((20L, "q r s t u v"))
+      q.processAllAvailable()
+      assert(got(20L) === (("t u v", 1L)))
+    } finally q.stop()
+  }
+
   test("streaming semantic dedup: cosine-verified drops, eviction, bucket boundary") {
     import graft.streaming.StreamDedup
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
