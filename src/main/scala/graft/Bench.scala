@@ -38,7 +38,11 @@ object Bench {
     // flagship 100 TB-shape paths. Totals are NOT comparable with
     // BENCH_r{1..8}; the comparable subset excludes these two names.
     "q113_substring_dedup", // ExactSubstr map-side collapse
-    "q115_lm_quality_scaled" // broadcast-LM scan-local scoring
+    "q115_lm_quality_scaled", // broadcast-LM scan-local scoring
+    // Round-11 addition — the C4 line-dedup rewrite (segment → min_by
+    // keeper → reassemble). Excluded from the comparable subset like
+    // the r9 pair.
+    "q124_line_dedup"
   )
 
   /** Fixed CPU-bound calibration workload — constant size regardless of
@@ -153,11 +157,13 @@ object Bench {
     // "median"/"stddev" are the decision numbers from here on.
     val total = allRuns.head.map(_._2).sum
     val totalMedian = medians.map(_._2).sum
-    // The r1–r8 headline set predates q113/q115; this subtotal keeps
-    // cross-round comparisons one field-read instead of hand arithmetic.
-    val newInR9 = Set("q113_substring_dedup", "q115_lm_quality_scaled")
+    // The r1–r8 headline set predates q113/q115 (r9) and q124 (r11);
+    // this subtotal keeps cross-round comparisons one field-read
+    // instead of hand arithmetic.
+    val addedSinceR8 = Set("q113_substring_dedup", "q115_lm_quality_scaled",
+      "q124_line_dedup")
     val totalR8Comparable =
-      medians.filterNot(p => newInR9(p._1)).map(_._2).sum
+      medians.filterNot(p => addedSinceR8(p._1)).map(_._2).sum
     // calibration_s normalizes cross-round totals: a drifted host moves
     // calibration_s and total_median together, a real regression moves
     // only the latter. total_per_cal is the drift-corrected headline.

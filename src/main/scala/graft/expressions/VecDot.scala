@@ -24,6 +24,20 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
 
+  // Same analysis-time contract as [[VecSub]]: the packed float/double
+  // reads below would silently misread any other element type
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    Seq(left, right).map(_.dataType).find {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => false
+      case _ => true
+    } match {
+      case Some(bad) => TypeCheckResult.TypeCheckFailure(
+        s"vec_dot needs array<float> or array<double> inputs, got $bad")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
+  }
+
   private def elemIsFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 

@@ -25,6 +25,22 @@ case class VecSub(left: Expression, right: Expression) extends BinaryExpression 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "vec_sub"
 
+  // The float/double fast reads below index the array's PACKED layout
+  // directly — any other element type would be silently misread, so
+  // reject it at analysis (the call-site cast this kernel replaced
+  // used to widen; now the analyzer refuses instead of corrupting)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    Seq(left, right).map(_.dataType).find {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => false
+      case _ => true
+    } match {
+      case Some(bad) => TypeCheckResult.TypeCheckFailure(
+        s"vec_sub needs array<float> or array<double> inputs, got $bad")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
+  }
+
   private def elemIsFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
@@ -50,6 +66,7 @@ case class VecSub(left: Expression, right: Expression) extends BinaryExpression 
       val i = ctx.freshName("i")
       val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
       val n = ctx.freshName("n"); val out = ctx.freshName("out")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
       val lGet = if (elemIsFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val rGet = if (elemIsFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
@@ -58,9 +75,9 @@ case class VecSub(left: Expression, right: Expression) extends BinaryExpression 
          |int $n = java.lang.Math.max($na, $nb);
          |double[] $out = new double[$n];
          |for (int $i = 0; $i < $n; $i++) {
-         |  double x = ($i >= $na) ? 0.0 : ($lGet);
-         |  double y = ($i >= $nb) ? 0.0 : ($rGet);
-         |  $out[$i] = x - y;
+         |  double $x = ($i >= $na) ? 0.0 : ($lGet);
+         |  double $y = ($i >= $nb) ? 0.0 : ($rGet);
+         |  $out[$i] = $x - $y;
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin

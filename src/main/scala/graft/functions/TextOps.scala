@@ -274,10 +274,11 @@ object TextOps {
             lit("priority encoding would break lexicographic order")))))
       .withColumn("__ld_h", md5(col("__ld_seg")))
       .withColumn("__ld_prio",
-        when(col(idCol) >= 0,
+        when(col(idCol) >= 0 && col(idCol) < lit(1L << 42),
           col(idCol).cast("long") * lit(1L << 21) + col("__ld_idx"))
-          .otherwise(raise_error(concat(lit("lineDedup: negative or null "),
-            lit(idCol), lit(" breaks the keep-first priority ordering")))))
+          .otherwise(raise_error(concat(lit("lineDedup: "), lit(idCol),
+            lit(" outside [0, 2^42) breaks the keep-first priority "),
+            lit("encoding (id*2^21 + idx must not overflow a long)")))))
   }
 
   /** First corpus-wide occurrence per distinct line, as ONE map-side-

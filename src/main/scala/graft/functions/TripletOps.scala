@@ -46,14 +46,22 @@ object TripletOps {
     * The projected (id, vec, norm) frame is persisted
     * (MEMORY_AND_DISK) and materialized by the in-call corpus count,
     * so an expensive upstream `emb` plan (a decoded/scored frame) is
-    * computed ONCE, not once per downstream join; the cache lives
-    * until Spark evicts it or the session clears it. */
+    * computed ONCE, not once per downstream join. The cache is
+    * per-call and lives until the session evicts or clears it — a
+    * returned lazy frame leaves no point where the callee could safely
+    * release it. A long-lived driver mining MANY graphs in one session
+    * should pass `persistVecs = false` (and persist/unpersist emb
+    * itself around the calls) or clear between calls; one leaked
+    * corpus projection per loop iteration is otherwise the cost. */
   def mineTriplets(emb: DataFrame, idCol: String, vecCol: String,
                    pairs: DataFrame, negThreshold: Double,
-                   seed: String = "triplet-0"): DataFrame = {
-    val vecs = emb.select(col(idCol).as("__tid"), col(vecCol).as("__tv"),
-        VectorOps.norm(col(vecCol)).as("__tn"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                   seed: String = "triplet-0",
+                   persistVecs: Boolean = true): DataFrame = {
+    val projected = emb.select(col(idCol).as("__tid"), col(vecCol).as("__tv"),
+      VectorOps.norm(col(vecCol)).as("__tn"))
+    val vecs = if (persistVecs)
+      projected.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else projected
     // best positive per anchor: both orientations of the pair graph,
     // exact cosine, rank (score desc, candidate id asc)
     val bidir = pairs.select(col("id_a").as("anchor_id"),

@@ -24,12 +24,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *      [[graft.Bench.calibration]] sample per iteration;
   *   4. prints one JSON line of per-query medians and old/new ratios.
   *
-  * Caveat: generated code that is byte-identical across trees shares
-  * one Janino cache entry (Spark keys its codegen cache on source
-  * text), so a kernel change only A/Bs cleanly when it changes the
-  * generated source — which any real kernel change does. micro_batch
-  * is out of scope (lake state machinery across loaders); use the
-  * headline queries, which cover every hot kernel family.
+  * SCOPE — what this instrument can and cannot A/B. The child-first
+  * loader governs the DRIVER: plan construction, analysis, and codegen
+  * SOURCE generation all run old-tree code, so plan-shape changes and
+  * generated-source changes A/B faithfully. But tasks deserialize on
+  * executor threads whose classloader is the application one — even in
+  * local mode — so a `graft.*` class referenced FROM task-side code by
+  * name (a static kernel helper like CentroidKernel/PqKernel called
+  * out of generated source, or an addReferenceObj'd object) resolves
+  * to the NEW tree on BOTH legs. A change living purely inside such a
+  * static helper therefore A/Bs to ratio ≈ 1.0 — silently. Kernel-
+  * internal changes belong to [[MicroBench]]'s in-tree A/B rows (how
+  * the round4 and VecSub changes were actually measured); this tool is
+  * for plan/query-level regressions. Generated code that is
+  * byte-identical across trees additionally shares one Janino cache
+  * entry (the cache keys on source text). micro_batch is out of scope
+  * (lake state machinery across loaders).
   */
 object BenchAb {
 
@@ -68,6 +78,9 @@ object BenchAb {
         sh(Seq("git", "worktree", "remove", "--force", wt.getPath), repo)
         sh(Seq("rm", "-rf", wt.getPath), repo)
       }
+      // a cleared /tmp can leave a stale registration behind — prune
+      // before adding, or every previously-benched ref fails forever
+      sh(Seq("git", "worktree", "prune"), repo)
       require(sh(Seq("git", "worktree", "add", "--detach", wt.getPath, sha), repo) == 0,
         s"git worktree add failed for $sha")
       require(sh(Seq("sbt", "-batch", "compile"), wt) == 0,
@@ -87,7 +100,13 @@ object BenchAb {
         n => want.exists(n.contains)
       } else _ => true
 
-    val classes = compiledClassesDir(new File("/root/repo"), ref)
+    // the repo root is wherever the JVM was launched from (sbt runs in
+    // the project dir) — walk up to the .git marker rather than
+    // hardcoding a checkout path
+    val repoRoot = Iterator.iterate(new File(".").getCanonicalFile)(_.getParentFile)
+      .takeWhile(_ != null).find(d => new File(d, ".git").exists())
+      .getOrElse(sys.error("BenchAb must run from inside the git checkout"))
+    val classes = compiledClassesDir(repoRoot, ref)
     val loader = new ChildFirst(Array(classes.toURI.toURL), getClass.getClassLoader)
     val oldEntry = loader.loadClass("graft.SparkEntry$").getField("MODULE$").get(null)
     val oldQueries = oldEntry.getClass.getMethod("queries").invoke(oldEntry)

@@ -44,6 +44,26 @@ class TextCorpusOpsSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("lineDedup: id contract enforced — type at analysis, range at scan") {
+    val strId = Seq(("k1", "a b c")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      TextOps.lineDedup(strId, "doc_id", "text", lineTokens = 3)
+    }
+    assert(e.getMessage.contains("integral"))
+    // in-range 64-bit ids work; an id at 2^42 would overflow the
+    // priority encoding and must die loudly, not mis-order silently
+    val big = Seq(((1L << 42) - 1, "a b c"), (1L << 42, "x y z"))
+      .toDF("doc_id", "text")
+    val ok = TextOps.lineDedup(big.filter($"doc_id" < (1L << 42)),
+      "doc_id", "text", lineTokens = 3).collect()
+    assert(ok.length === 1)
+    val err = intercept[Exception] {
+      TextOps.lineDedup(big, "doc_id", "text", lineTokens = 3).collect()
+    }
+    assert(err.getMessage.contains("2^42") ||
+      Option(err.getCause).exists(_.getMessage.contains("2^42")), err.getMessage)
+  }
+
   test("lineDedup: reserved temp column rejected") {
     val bad = Seq((1L, "a", "x")).toDF("doc_id", "text", "__ld_h")
     val e = intercept[IllegalArgumentException] {

@@ -122,6 +122,28 @@ class VectorOpsSpec extends SparkSpec {
       tieOracle.view.mapValues(_.map(_._2).toSeq).toMap)
   }
 
+  test("vec_dot/vec_sub reject non-float/double arrays at analysis") {
+    import graft.expressions.{VecDot, VecSub}
+    import spark.implicits._
+    // the packed getFloat/getDouble reads would silently misread an
+    // int array (4-byte slots read as 8) — the analyzer must refuse
+    val ints = Seq((Array(1, 2), Array(3, 4))).toDF("a", "b")
+    val eDot = intercept[org.apache.spark.sql.AnalysisException] {
+      ints.select(VecDot.vec_dot($"a", $"b")).collect()
+    }
+    assert(eDot.getMessage.contains("vec_dot"), eDot.getMessage)
+    val eSub = intercept[org.apache.spark.sql.AnalysisException] {
+      ints.select(VecSub.vec_sub($"a", $"b")).collect()
+    }
+    assert(eSub.getMessage.contains("vec_sub"), eSub.getMessage)
+    // the two legal element types still work, mixed
+    val fd = Seq((Array(1.0f, 2.0f), Array(0.5, 0.5)))
+      .toDF("f", "d")
+    assert(fd.select(VecDot.vec_dot($"f", $"d")).as[Double].head() === 1.5)
+    assert(fd.select(VecSub.vec_sub($"f", $"d")).as[Array[Double]].head()
+      .toSeq === Seq(0.5, 1.5))
+  }
+
   test("CentroidKernel.round4 is bit-parity with Spark round(_, 4)") {
     import graft.expressions.CentroidKernel
     import spark.implicits._
