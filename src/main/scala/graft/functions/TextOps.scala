@@ -219,18 +219,19 @@ object TextOps {
     * newlines; a newline-delimited corpus would split first and feed
     * one line per row into the same keeper machinery).
     *
-    * Scale shape (the q113 argument, one step further): every segment
-    * in a hash group is the SAME text, so the keeper is a single
-    * `min_by(struct(id, idx, seg), priority)` groupBy on the line hash
-    * with MAP-SIDE partial merge — a viral boilerplate line collapses
-    * to one row per task BEFORE the shuffle, there is no per-key
-    * buffer, no skewed sort partition, and no join back (the earlier
-    * keeper-join formulation scanned the corpus twice more; measured
-    * scan amp ×4 → ×2). The corpus text is read exactly twice: once to
-    * segment, once to count lines for the reassembly spine. Reassembly
-    * is a per-document collect — bounded by ONE document's line count,
-    * never by the corpus. Priority encodes (doc, segment) as one
-    * bigint, the q113 encoding with the same scan-side raise_error
+    * Scale shape — EXACTLY the q113 argument: corpus text NEVER
+    * crosses an exchange. The segment stream projects to (id, idx,
+    * hash, priority) before anything shuffles; the keeper is a
+    * primitive-buffer `min(priority)` HashAggregate with map-side
+    * partial (a viral boilerplate line collapses per task — no per-key
+    * buffer, no sort); what ships back to documents is the DROPPED
+    * offsets, a minority at realistic dup density (AQE broadcasts
+    * them, q113's `starts` shape), and each document rebuilds
+    * SCAN-SIDE from its own chunk array. Two text scans total (segment
+    * + rebuild), zero text bytes shuffled — an earlier formulation
+    * shipped kept-line text through the keeper shuffle, corpus-sized
+    * bytes for a diverse corpus. Priority encodes (doc, segment) as
+    * one bigint, the q113 encoding with the same scan-side raise_error
     * guard; identical md5 ⇒ identical line is the q50/q113
     * content-hash contract.
     *
@@ -239,8 +240,8 @@ object TextOps {
     * row. */
   def lineDedup(df: DataFrame, idCol: String, textCol: String,
                 lineTokens: Int = 10): DataFrame =
-    lineReassemble(df,
-      lineKeepFirst(lineSegments(df, idCol, textCol, lineTokens), idCol),
+    lineRebuild(df,
+      lineDropped(lineSegments(df, idCol, textCol, lineTokens), None),
       idCol, textCol, lineTokens)
 
   /** The segment stream behind [[lineDedup]] (and the cross-run line
@@ -279,41 +280,64 @@ object TextOps {
           .otherwise(raise_error(concat(lit("lineDedup: "), lit(idCol),
             lit(" outside [0, 2^42) breaks the keep-first priority "),
             lit("encoding (id*2^21 + idx must not overflow a long)")))))
+      // the segment TEXT stays behind: downstream shuffles carry only
+      // (id, idx, hash, priority) — text never crosses an exchange
+      .drop("__ld_seg")
   }
 
-  /** First corpus-wide occurrence per distinct line, as ONE map-side-
-    * partial min_by (every segment in a hash group is the same text,
-    * so the keeper row carries everything — no join back). Output
-    * keeps `__ld_h` so cross-run gates can anti-join history before
-    * reassembly. */
-  private[graft] def lineKeepFirst(segs: DataFrame, idCol: String): DataFrame =
-    segs.groupBy(col("__ld_h"))
-      .agg(min_by(struct(col(idCol), col("__ld_idx"), col("__ld_seg")),
-        col("__ld_prio")).as("__ld_kept"))
-      .select(col("__ld_h"),
-        col("__ld_kept." + idCol).as(idCol),
-        col("__ld_kept.__ld_idx").as("__ld_idx"),
-        col("__ld_kept.__ld_seg").as("__ld_seg"))
+  /** Segments that LOSE — non-first occurrences, plus (for the
+    * cross-run gates) any segment whose hash sits in `history` — as
+    * (idCol, __ld_idx) offset pairs. The keeper is a primitive-buffer
+    * min(priority) HashAggregate with map-side partial merge, so a
+    * viral line collapses per task before its shuffle. The seen-lines
+    * commit paths keep `history` unique by `__ld_h` within a TTL
+    * window, but a caller scrubbing over a WIDER window than the
+    * commit TTL could see a re-recorded hash twice — the output
+    * dedups (id, idx) so multiplicity can never double-count a
+    * segment into `n_kept`. */
+  private[graft] def lineDropped(segs: DataFrame, history: Option[DataFrame],
+                                 idCol: String = "doc_id"): DataFrame = {
+    val keepers = segs.groupBy(col("__ld_h"))
+      .agg(min(col("__ld_prio")).as("__ld_keep"))
+    val marked = segs.join(keepers, Seq("__ld_h"))
+    val flagged = history match {
+      case Some(hw) => marked.join(
+        hw.select(col("__ld_h"), lit(1).as("__ld_hist")), Seq("__ld_h"), "left")
+      case None => marked.withColumn("__ld_hist", lit(null).cast("int"))
+    }
+    flagged
+      .filter(col("__ld_prio") =!= col("__ld_keep") || col("__ld_hist").isNotNull)
+      .select(col(idCol), col("__ld_idx"))
+      .dropDuplicates(idCol, "__ld_idx")
+  }
 
-  /** Rebuild documents from surviving segments against the full doc
-    * spine — a doc whose every line lost reassembles to the empty
-    * string, not a dropped row. */
-  private[graft] def lineReassemble(df: DataFrame, kept: DataFrame,
-                                    idCol: String, textCol: String,
-                                    lineTokens: Int): DataFrame = {
-    val rebuilt = kept
-      .groupBy(col(idCol))
-      .agg(
-        concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("__ld_idx"), col("__ld_seg")))),
-          x => x("__ld_seg"))).as("text_dedup"),
-        count(lit(1)).as("n_kept"))
+  /** Rebuild documents SCAN-SIDE from their own chunk arrays minus the
+    * dropped offsets. At realistic dup density the per-doc dropped
+    * summary covers a minority of documents, so AQE broadcasts it
+    * (q113's `starts` shape) and document text never shuffles; an
+    * untouched doc passes through byte-identical. A doc whose every
+    * line lost reassembles to the empty string, not a dropped row. */
+  private[graft] def lineRebuild(df: DataFrame, dropped: DataFrame,
+                                 idCol: String, textCol: String,
+                                 lineTokens: Int): DataFrame = {
+    val perDoc = dropped.groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("__ld_idx"))).as("__ld_drop_idxs"),
+        count(lit(1)).as("__ld_n_dropped"))
     df.select(col(idCol),
-        size(chunkTexts(col(textCol), lineTokens, 0)).cast("long")
-          .as("n_lines"))
-      .join(rebuilt, Seq(idCol), "left")
-      .select(col(idCol), coalesce(col("text_dedup"), lit("")).as("text_dedup"),
-        col("n_lines"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        chunkTexts(col(textCol), lineTokens, 0).as("__ld_chunks"),
+        col(textCol).as("__ld_text"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__ld_drop_idxs").isNull, col("__ld_text"))
+          // the HOF runs only over TOUCHED docs' chunk arrays (the
+          // q113 mask position; a native kernel is not warranted at
+          // minority-density)
+          .otherwise(concat_ws(" ", filter(col("__ld_chunks"),
+            (_, i) => !array_contains(col("__ld_drop_idxs"), i))))
+          .as("text_dedup"),
+        size(col("__ld_chunks")).cast("long").as("n_lines"),
+        (size(col("__ld_chunks")) -
+          coalesce(col("__ld_n_dropped"), lit(0L))).cast("long").as("n_kept"))
   }
 
   /** Temperature-scaled mixture weights over sources — the multilingual

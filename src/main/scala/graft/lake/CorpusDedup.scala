@@ -179,17 +179,15 @@ class CorpusDedup(spark: SparkSession, lake: Lake, dataset: String,
     * seen_date-partition layout of [[commitExactDated]] unchanged. */
   def scrubLines(docs: DataFrame, idCol: String, textCol: String,
                  lineTokens: Int = 10): DataFrame = {
-    val first = graft.functions.TextOps.lineKeepFirst(
-      graft.functions.TextOps.lineSegments(docs, idCol, textCol, lineTokens),
-      idCol)
-    val vsHistory =
-      if (!tableExists(linesRef)) first
-      else first.join(
-        spark.table(qualified(linesRef))
-          .withColumnRenamed("line_hash", "__ld_h"),
-        Seq("__ld_h"), "left_anti")
-    graft.functions.TextOps.lineReassemble(docs, vsHistory, idCol, textCol,
-      lineTokens)
+    val history =
+      if (!tableExists(linesRef)) None
+      else Some(spark.table(qualified(linesRef))
+        .withColumnRenamed("line_hash", "__ld_h"))
+    graft.functions.TextOps.lineRebuild(docs,
+      graft.functions.TextOps.lineDropped(
+        graft.functions.TextOps.lineSegments(docs, idCol, textCol, lineTokens),
+        history, idCol),
+      idCol, textCol, lineTokens)
   }
 
   /** Fold this batch's distinct line hashes into the seen-lines set
@@ -237,22 +235,24 @@ class CorpusDedup(spark: SparkSession, lake: Lake, dataset: String,
                       minDate: java.sql.Date,
                       beforeDate: Option[java.sql.Date] = None,
                       lineTokens: Int = 10): DataFrame = {
-    val first = graft.functions.TextOps.lineKeepFirst(
-      graft.functions.TextOps.lineSegments(docs, idCol, textCol, lineTokens),
-      idCol)
-    val vsRecent =
-      if (!tableExists(linesDatedRef)) first
+    val history =
+      if (!tableExists(linesDatedRef)) None
       else {
         val window = spark.table(qualified(linesDatedRef))
           .filter(col("seen_date") >= lit(minDate))
         val bounded = beforeDate
           .map(d => window.filter(col("seen_date") < lit(d)))
           .getOrElse(window)
-        first.join(bounded.withColumnRenamed("line_hash", "__ld_h"),
-          Seq("__ld_h"), "left_anti")
+        // unique by __ld_h within a commit-TTL window by construction
+        // (commitLinesDated anti-joins before every append); wider
+        // caller windows are safe anyway — lineDropped dedups offsets
+        Some(bounded.withColumnRenamed("line_hash", "__ld_h"))
       }
-    graft.functions.TextOps.lineReassemble(docs, vsRecent, idCol, textCol,
-      lineTokens)
+    graft.functions.TextOps.lineRebuild(docs,
+      graft.functions.TextOps.lineDropped(
+        graft.functions.TextOps.lineSegments(docs, idCol, textCol, lineTokens),
+        history, idCol),
+      idCol, textCol, lineTokens)
   }
 
   /** Record the batch's distinct line hashes under `date` — the

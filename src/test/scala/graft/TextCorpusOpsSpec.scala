@@ -35,13 +35,30 @@ class TextCorpusOpsSpec extends SparkSpec {
     assert(out === ((7L, "p q r p q", 3L, 2L)))
   }
 
-  test("lineDedup: no Window in the plan (keeper is a partial-agg groupBy)") {
-    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
-    val plan = TextOps.lineDedup(docs, "doc_id", "text")
-      .queryExecution.executedPlan.toString
-    // keep-first is the min-priority AGGREGATE, never a window over the
-    // line hash — a window would sort the viral boilerplate key in one task
-    assert(!plan.contains("Window"), plan)
+  test("lineDedup plan: no Window, and NO text column in any Exchange") {
+    // AQE off: the exchange inventory is a STATIC plan property, and
+    // AdaptiveSparkPlanExec hides exchanges from tree collection until
+    // execution
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+      val df = TextOps.lineDedup(docs, "doc_id", "text")
+      val plan = df.queryExecution.executedPlan.toString
+      // keep-first is the min-priority AGGREGATE, never a window over
+      // the line hash — a window would sort the viral key in one task
+      assert(!plan.contains("Window"), plan)
+      // the q113 contract: corpus text never crosses an exchange — only
+      // (id, idx, hash, priority) and the dropped-offset summaries move
+      val exchanged = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e.child.output.map(_.name)
+      }.flatten
+      assert(exchanged.nonEmpty)
+      assert(!exchanged.exists(n => n == "text" || n.contains("__ld_seg") ||
+          n.contains("__ld_chunks") || n.contains("text_dedup")),
+        s"text-bearing column in a shuffle: $exchanged")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
   test("lineDedup: id contract enforced — type at analysis, range at scan") {
