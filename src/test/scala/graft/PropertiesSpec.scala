@@ -256,6 +256,46 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("prop: lineDedup == driver keep-first reference on random corpora") {
+    import graft.functions.TextOps
+    // driver-side reference: segment into ceil(n/k) disjoint k-token
+    // chunks (last truncated, empty text = one empty chunk), keep each
+    // distinct chunk's first (doc, idx) occurrence, rejoin with spaces
+    def reference(docs: Seq[(Long, String)], k: Int): Map[Long, (String, Long, Long)] = {
+      def chunks(t: String): Seq[String] = {
+        val w = t.split(" ", -1).toSeq
+        val n = math.max(1, (w.length + k - 1) / k)
+        (0 until n).map(i => w.slice(i * k, i * k + k).mkString(" "))
+      }
+      val firstOwner = collection.mutable.Map[String, (Long, Int)]()
+      docs.sortBy(_._1).foreach { case (id, t) =>
+        chunks(t).zipWithIndex.foreach { case (c, i) =>
+          if (!firstOwner.contains(c)) firstOwner(c) = (id, i)
+        }
+      }
+      docs.map { case (id, t) =>
+        val cs = chunks(t)
+        val kept = cs.zipWithIndex.filter { case (c, i) => firstOwner(c) == ((id, i)) }
+        (id, (kept.map(_._1).mkString(" "), cs.length.toLong, kept.length.toLong))
+      }.toMap
+    }
+    val rnd = new scala.util.Random(20260814)
+    (1 to 4).foreach { round =>
+      val k = 2 + rnd.nextInt(3) // line lengths 2..4 tokens
+      // small token alphabet forces heavy cross-doc and intra-doc
+      // repetition — the regime where keep-first ordering must be exact
+      val docs = (0L until (8 + rnd.nextInt(8))).map { id =>
+        val nTok = rnd.nextInt(12) // 0 => empty text
+        (id, (0 until nTok).map(_ => s"t${rnd.nextInt(6)}").mkString(" "))
+      }
+      val got = TextOps.lineDedup(docs.toDF("doc_id", "text"),
+          "doc_id", "text", lineTokens = k)
+        .as[(Long, String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got === reference(docs, k), s"diverged at k=$k round=$round")
+    }
+  }
+
   test("prop: connected components == driver union-find on random graphs") {
     import graft.functions.DedupOps
     // ground truth: path-compressing union-find over the same edges
