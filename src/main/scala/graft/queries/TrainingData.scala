@@ -1108,6 +1108,35 @@ object TrainingData {
       TextOps.ngramDiversity(t(s, dir, "documents"), "source", "text")
         .orderBy(col("source"))
     }),
+    // DIVERSITY AT SCALE — the SKETCHED twin of q126: per-source
+    // distinct-unigram cardinality as mergeable HLL sketches (built
+    // per (source, half) then merged, exercising the checkpointable
+    // path q68 pins on orders), self-checking against the exact count
+    // with the 3σ ≈ 5% bound at 2^12 registers. At 100 TB the card
+    // runs q126's exact aggregation once; the DAILY diversity watch
+    // runs THIS shape — per-source sketch bytes are fixed-size
+    // regardless of vocabulary, and yesterday's sketches merge with
+    // today's instead of re-scanning the corpus.
+    "q128_diversity_sketch" -> ((s, dir) => {
+      import graft.expressions.HllSketch._
+      val uni = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("g"))
+      val halves = uni
+        .groupBy(col("source"), (col("doc_id") % 2).as("__half"))
+        .agg(hll_sketch(col("g")).as("__sk"))
+      val est = halves.groupBy(col("source"))
+        .agg(hll_estimate(hll_merge(col("__sk"))).as("__approx"))
+      uni.groupBy(col("source"))
+        .agg(countDistinct(col("g")).as("exact_unigrams"),
+          count(lit(1)).as("n_unigrams"))
+        .join(est, Seq("source"))
+        .select(col("source"), col("exact_unigrams"), col("n_unigrams"),
+          (abs(col("__approx") - col("exact_unigrams"))
+            <= col("exact_unigrams") * lit(0.05)).cast("int")
+            .as("est_in_bound"))
+        .orderBy(col("source"))
+    }),
     // ZIPF SLOPE — corpus-naturalness QA: least-squares slope of
     // ln(freq) on ln(rank) over each language's top-1000 tokens.
     // Natural text sits near −1; synthetic/templated feeds go flat or
@@ -2501,6 +2530,18 @@ object TrainingData {
         |  round(CAST(u_bi AS DOUBLE) / n_bi, 4) AS d2
         |FROM u LEFT JOIN b ON u.source = b.source
         |ORDER BY u.source""".stripMargin,
+    // q128: the q9/q68 anchor pattern — DuckDB recomputes the EXACT
+    // per-source counts and pins est_in_bound = 1; a sketch straying
+    // past its 3σ bound flips the flag and fails the hash
+    "q128_diversity_sketch" ->
+      """WITH uni AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS g
+        |  FROM documents)
+        |SELECT source,
+        |  CAST(count(DISTINCT g) AS BIGINT) AS exact_unigrams,
+        |  CAST(count(*) AS BIGINT) AS n_unigrams,
+        |  CAST(1 AS INT) AS est_in_bound
+        |FROM uni GROUP BY source ORDER BY source""".stripMargin,
     // q127: full independent recompute — same closed-form regression
     // arithmetic as the Spark plan (deliberately NOT regr_slope, whose
     // internals are engine-private); 4-dp round absorbs ln/summation

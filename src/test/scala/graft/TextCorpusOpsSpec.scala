@@ -125,6 +125,17 @@ class TextCorpusOpsSpec extends SparkSpec {
     assert(out(1) === (("s2", 1L, 1L, 1.0, 0L, 0L, None)))
   }
 
+  test("q128 diversity sketch: merged estimate lands in the 3-sigma bound") {
+    val df = graft.queries.TrainingData
+      .defs("q128_diversity_sketch")(spark, sf001)
+      .as[(String, Long, Long, Int)].collect()
+    assert(df.nonEmpty)
+    df.foreach { case (src, exact, total, inBound) =>
+      assert(exact > 0 && total >= exact)
+      assert(inBound === 1, s"sketch out of bound for $src (exact=$exact)")
+    }
+  }
+
   test("zipfSlope: two-point regression is exact; degenerate group null") {
     val docs = Seq(
       ("en", "a a a a b b c"), // a=4 b=2 c=1; top-2: (1,4),(2,2)
