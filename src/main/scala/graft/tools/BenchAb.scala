@@ -143,20 +143,48 @@ object BenchAb {
     def runNew(name: String): Double =
       timed(materialize(newQueries(name)(spark, sfDir)))
 
-    // warm both trees + the calibration plan before any measurement
-    runNew(names.head); runOld(names.head); graft.Bench.calibration(spark)
+    // A query whose physical plan SHIPS an old-tree graft class that
+    // evolved incompatibly (serialVersionUID mismatch on task-side
+    // deserialization — e.g. an Expression the round changed) cannot
+    // be cross-tree-measured in one JVM. It fails LOUDLY here; we
+    // exclude it from both legs and report it, instead of letting one
+    // crash kill the whole instrument. MicroBench is the A/B for
+    // kernel-internal changes (see the scaladoc SCOPE note).
+    val incompatible = collection.mutable.LinkedHashSet[String]()
+    def tryOld(name: String): Option[Double] =
+      try Some(runOld(name))
+      catch {
+        case e: Throwable
+            if Iterator.iterate(e.asInstanceOf[Throwable])(_.getCause)
+              .takeWhile(_ != null).take(8)
+              .exists(c => c.isInstanceOf[java.io.InvalidClassException] ||
+                Option(c.getMessage).exists(_.contains("InvalidClassException"))) =>
+          incompatible += name; None
+      }
 
-    val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    // warm both trees + the calibration plan before any measurement
+    runNew(names.head); tryOld(names.head); graft.Bench.calibration(spark)
+
+    // EVEN iteration count only: order alternates per iteration, and
+    // the first leg of a pair pays that query's cold costs (JIT, GC
+    // credit, shuffle-file cache) — an odd count hands one side the
+    // cold slot more often and the medians inherit a systematic bias
+    // (measured: untouched queries read 15–40% "slower" at 3 iters,
+    // new-first 2-of-3)
+    val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "4").toInt
+    require(iterations % 2 == 0,
+      s"BenchAb needs an even iteration count for order balance, got $iterations")
     val samples = collection.mutable.Map[(String, String), List[Double]]()
       .withDefaultValue(Nil)
     val cals = (1 to iterations).map { it =>
       val cal = graft.Bench.calibration(spark)
-      names.foreach { n =>
+      names.filterNot(incompatible).foreach { n =>
         // alternate which tree goes first to cancel ordering bias
-        val legs = if (it % 2 == 1) Seq("new" -> (() => runNew(n)), "old" -> (() => runOld(n)))
-                   else Seq("old" -> (() => runOld(n)), "new" -> (() => runNew(n)))
+        val legs: Seq[(String, () => Option[Double])] =
+          if (it % 2 == 1) Seq("new" -> (() => Some(runNew(n))), "old" -> (() => tryOld(n)))
+          else Seq("old" -> (() => tryOld(n)), "new" -> (() => Some(runNew(n))))
         legs.foreach { case (side, run) =>
-          samples((n, side)) = run() :: samples((n, side)) }
+          run().foreach(t => samples((n, side)) = t :: samples((n, side))) }
       }
       cal
     }
@@ -164,13 +192,29 @@ object BenchAb {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val rows = names.map { n =>
+    val measured = names.filterNot(incompatible)
+      .filter(n => samples((n, "old")).nonEmpty && samples((n, "new")).nonEmpty)
+    require(measured.nonEmpty,
+      s"every query was cross-tree-incompatible with $ref: " +
+        incompatible.mkString(", "))
+    // Two estimators per query: the median (what Bench reports) and
+    // the MIN of k — the classic noise-floor estimator: ambient load
+    // only ever ADDS time, so min-vs-min compares the two trees'
+    // undisturbed runs. On sub-second queries the median scatters
+    // ±20–30% between whole sessions (measured; the same width
+    // BENCH_r{N} stddevs show), so treat median ratios inside that
+    // band as noise and read min ratios for the signal.
+    val rows = measured.map { n =>
       val nw = median(samples((n, "new"))); val od = median(samples((n, "old")))
-      f""""$n":{"new":$nw%.3f,"old":$od%.3f,"ratio":${nw / od}%.3f}"""
+      val mnN = samples((n, "new")).min; val mnO = samples((n, "old")).min
+      f""""$n":{"new":$nw%.3f,"old":$od%.3f,"ratio":${nw / od}%.3f,"min_new":$mnN%.3f,"min_old":$mnO%.3f,"min_ratio":${mnN / mnO}%.3f}"""
     }
-    val tNew = names.map(n => median(samples((n, "new")))).sum
-    val tOld = names.map(n => median(samples((n, "old")))).sum
-    println(f"""{"metric":"ab","ref":"$ref","queries":${rows.mkString("{", ",", "}")},"total_new":$tNew%.3f,"total_old":$tOld%.3f,"total_ratio":${tNew / tOld}%.3f,"calibration_s":${median(cals)}%.3f,"iterations":$iterations,"sf":"$sfDir"}""")
+    val tNew = measured.map(n => median(samples((n, "new")))).sum
+    val tOld = measured.map(n => median(samples((n, "old")))).sum
+    val tMinNew = measured.map(n => samples((n, "new")).min).sum
+    val tMinOld = measured.map(n => samples((n, "old")).min).sum
+    val incompat = incompatible.map(n => s""""$n"""").mkString("[", ",", "]")
+    println(f"""{"metric":"ab","ref":"$ref","queries":${rows.mkString("{", ",", "}")},"incompatible":$incompat,"total_new":$tNew%.3f,"total_old":$tOld%.3f,"total_ratio":${tNew / tOld}%.3f,"total_min_ratio":${tMinNew / tMinOld}%.3f,"calibration_s":${median(cals)}%.3f,"iterations":$iterations,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
