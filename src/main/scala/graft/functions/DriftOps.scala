@@ -98,6 +98,42 @@ object DriftOps {
           + side(col("__pb"), col("__pa"))), roundTo).as("jsd"))
   }
 
+  /** Zipf slope per key from a PRECOMPUTED (key, cat, n) histogram —
+    * [[graft.functions.TextOps.zipfSlope]]'s ln-ln regression over
+    * stored counts: O(vocab), no text re-scan, so a daily tick can
+    * watch corpus SHAPE from the same landed histograms the JSD
+    * reads. The two signals are complements: JSD sees distribution
+    * CHANGE day-over-day, the slope sees UNNATURALNESS outright (a
+    * templated feed is flat or cliffed from its first day — no
+    * previous day needed to know that). Output
+    * (keyCol, n_terms, zipf_slope); slope null under two distinct
+    * categories. */
+  def zipfSlopeFromCounts(counts: DataFrame, keyCol: String,
+                          catCol: String, nCol: String,
+                          topN: Int = 1000): DataFrame = {
+    require(topN >= 2, s"topN must be >= 2: $topN")
+    val W = org.apache.spark.sql.expressions.Window
+    val ranked = counts
+      .withColumn("__zs_rk", row_number().over(
+        W.partitionBy(col(keyCol))
+          .orderBy(col(nCol).desc, col(catCol).asc)))
+      .filter(col("__zs_rk") <= topN)
+      .select(col(keyCol),
+        log(col("__zs_rk").cast("double")).as("__zs_x"),
+        log(col(nCol).cast("double")).as("__zs_y"))
+    ranked.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("__zs_x")).as("__zs_sx"), sum(col("__zs_y")).as("__zs_sy"),
+        sum(col("__zs_x") * col("__zs_y")).as("__zs_sxy"),
+        sum(col("__zs_x") * col("__zs_x")).as("__zs_sxx"))
+      .select(col(keyCol), col("n_terms"),
+        round((col("n_terms") * col("__zs_sxy") -
+            col("__zs_sx") * col("__zs_sy")) /
+          nullif(col("n_terms") * col("__zs_sxx") -
+            col("__zs_sx") * col("__zs_sx"), lit(0.0)),
+          4).as("zipf_slope"))
+  }
+
   /** (keyCol, tok, n) unigram histogram — the vocab-sized frame a
     * daily ingest LANDS so later drift checks never re-read the text
     * ([[categoricalDriftFromCounts]]). */

@@ -413,26 +413,14 @@ object TextOps {
     * whose internals could differ). Slope is null for a group with
     * fewer than two distinct tokens. */
   def zipfSlope(df: DataFrame, groupCol: String, textCol: String,
-                topN: Int = 1000): DataFrame = {
-    require(topN >= 2, s"topN must be >= 2: $topN")
-    val W = org.apache.spark.sql.expressions.Window
-    val wc = df.select(col(groupCol), explode(tokens(col(textCol))).as("tok"))
-      .groupBy(col(groupCol), col("tok")).agg(count(lit(1)).as("cnt"))
-    val ranked = wc
-      .withColumn("rk", row_number().over(
-        W.partitionBy(col(groupCol)).orderBy(col("cnt").desc, col("tok").asc)))
-      .filter(col("rk") <= topN)
-      .select(col(groupCol), log(col("rk").cast("double")).as("x"),
-        log(col("cnt").cast("double")).as("y"))
-    ranked.groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n_terms"),
-        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
-      .select(col(groupCol), col("n_terms"),
-        round((col("n_terms") * col("sxy") - col("sx") * col("sy")) /
-          nullif(col("n_terms") * col("sxx") - col("sx") * col("sx"), lit(0.0)),
-          4).as("zipf_slope"))
-  }
+                topN: Int = 1000): DataFrame =
+    // ONE regression definition: the histogram form is the daily-tick
+    // instrument (DriftOps reads stored counts), this is its from-text
+    // convenience — q127's oracle pins the shared arithmetic
+    graft.functions.DriftOps.zipfSlopeFromCounts(
+      df.select(col(groupCol), explode(tokens(col(textCol))).as("tok"))
+        .groupBy(col(groupCol), col("tok")).agg(count(lit(1)).as("cnt")),
+      groupCol, "tok", "cnt", topN)
 
   /** PII patterns for training-data scrubbing. Deliberately RE2-safe
     * (char classes + bounded alternation only — NO lookarounds, which

@@ -304,14 +304,23 @@ object DailyIngest {
     * A healthy day sends NOTHING — an empty-report contract, so the
     * alert channel's base rate stays zero and a message always means
     * action. Returns the number of messages handed to the alerter
-    * BEFORE chunking (0 healthy, ≤2 otherwise). Driver-side work is
-    * bounded: the drift report is vocab-keyed (≤ keys rows collected),
-    * quality samples are limit(5). */
+    * BEFORE chunking (0 healthy, ≤3 otherwise). Driver-side work is
+    * bounded: the drift and shape reports are vocab-keyed (≤ keys
+    * rows collected), quality samples are limit(5).
+    *
+    *  - SHAPE: per-key Zipf slope from the SAME stored histograms the
+    *    JSD reads (zero extra state, no text re-scan) — a day-over-day
+    *    slope move ≥ `slopeDelta` flags a key even when the token SET
+    *    barely changed (a templating bug repeats the same head tokens:
+    *    small JSD, big flattening). Keys with a null slope either day
+    *    (< 2 distinct tokens) are the JSD's NaN territory, not
+    *    re-flagged here. */
   def healthTick(lake: Lake, histOut: TableRef, out: TableRef,
                  docs: DataFrame, keyCol: String, textCol: String,
                  idCol: String, langCol: String, day: Date,
                  alerter: graft.ops.Alerter,
-                 jsdThreshold: Double = 0.05): Int = {
+                 jsdThreshold: Double = 0.05,
+                 slopeDelta: Double = 0.3): Int = {
     import graft.ops.Alerts
     import graft.quality.Quality
     var sentMessages = 0
@@ -323,6 +332,26 @@ object DailyIngest {
         val lines = flagged.map(r => s"$keyCol=${r.get(0)} jsd=${r.get(1)}")
         Alerts.sendChunked(alerter,
           s"[drift] day=$day ${lines.length} key(s) drifted vs previous day: " +
+            lines.mkString("; "))
+        sentMessages += 1
+      }
+      // shape watch on the stored histograms (prev day exists here —
+      // recordDrift returned a report)
+      val all = lake.read(histOut)
+      def slopes(d: Date) = graft.functions.DriftOps.zipfSlopeFromCounts(
+          all.filter(col("ingest_day") === lit(d)), keyCol, "tok", "n")
+        .select(col(keyCol), col("zipf_slope"))
+      val prev = Date.valueOf(day.toLocalDate.minusDays(1L))
+      val shifted = slopes(prev).withColumnRenamed("zipf_slope", "__slope_prev")
+        .join(slopes(day), Seq(keyCol))
+        .filter(col("__slope_prev").isNotNull && col("zipf_slope").isNotNull &&
+          abs(col("zipf_slope") - col("__slope_prev")) >= slopeDelta)
+        .select(col(keyCol), col("__slope_prev"), col("zipf_slope")).collect()
+      if (shifted.nonEmpty) {
+        val lines = shifted.map(r =>
+          s"$keyCol=${r.get(0)} slope ${r.get(1)} -> ${r.get(2)}")
+        Alerts.sendChunked(alerter,
+          s"[shape] day=$day ${lines.length} key(s) zipf-slope shifted: " +
             lines.mkString("; "))
         sentMessages += 1
       }

@@ -1072,6 +1072,17 @@ class EndToEndSpec extends SparkSpec {
     // the 2000-char transport chunking applies to the alert route: a
     // long report splits, shorts don't (sendChunked is the shared path)
     assert(a4.sent.head.length < 2000)
+    // day five SHAPE-SHIFTED: en's head token stops dominating
+    // (alpha:2 beta:1 → alpha:2 beta:2 — slope −1.0 → 0.0) while the
+    // token SET barely moves (JSD ≈ 0.021, under the 0.05 gate) — the
+    // flattening ONLY the zipf watch sees; fr's shape is stable
+    land(Seq((9L, "en", Some(8L)), (10L, "fr", Some(4L))), "2024-06-05")
+    val (n5, a5) = tick(mkDocs(Seq((9L, "alpha beta alpha beta", "en"),
+      (10L, "oui non", "fr"))), "2024-06-05")
+    assert(n5 === 1 && a5.sent.size === 1, a5.sent.mkString(" // "))
+    assert(a5.sent.head.startsWith("[shape]") &&
+      a5.sent.head.contains("lang=en") && !a5.sent.head.contains("lang=fr"),
+      a5.sent.head)
   }
 
   test("ensureVocab: trains+persists once, reloads identically, external file wins") {
