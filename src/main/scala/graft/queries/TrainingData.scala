@@ -1137,6 +1137,27 @@ object TrainingData {
             .as("est_in_bound"))
         .orderBy(col("source"))
     }),
+    // TOKENIZER FERTILITY — subword tokens per whitespace token, per
+    // language: THE tokenizer-fit metric for a multilingual corpus (a
+    // language paying 2× pieces/word gets half the effective context
+    // and double the training cost — the signal that triggers vocab
+    // retraining or per-language budget correction, and the reason
+    // q112 packs in BPE rather than whitespace denomination). One
+    // scan, one vocabulary-sized aggregate; the BPE count is the q110
+    // kernel, whose per-doc parity the q110 oracle already pins.
+    "q129_token_fertility" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("lang"),
+          Bpe.bpeTokenCount(Bpe.sanitizeAscii(col("text")), bpeVocab48)
+            .as("n_bpe"),
+          size(split(col("text"), " ")).cast("long").as("n_ws"))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_bpe")).as("n_bpe"), sum(col("n_ws")).as("n_ws"))
+        .select(col("lang"), col("n_bpe"), col("n_ws"),
+          round(col("n_bpe").cast("double") / col("n_ws"), 4)
+            .as("fertility"))
+        .orderBy(col("lang"))
+    }),
     // ZIPF SLOPE — corpus-naturalness QA: least-squares slope of
     // ln(freq) on ln(rank) over each language's top-1000 tokens.
     // Natural text sits near −1; synthetic/templated feeds go flat or
@@ -2542,6 +2563,21 @@ object TrainingData {
         |  CAST(count(*) AS BIGINT) AS n_unigrams,
         |  CAST(1 AS INT) AS est_in_bound
         |FROM uni GROUP BY source ORDER BY source""".stripMargin,
+    // q129: the q110 BPE recursion re-aggregated per language; n_ws
+    // counts the ORIGINAL text's whitespace tokens (sanitization only
+    // feeds the subword side, mirroring the Spark plan)
+    "q129_token_fertility" ->
+      s"""WITH RECURSIVE $bpeCte,
+         |cnt AS (SELECT dw.doc_id, SUM(t.n) AS n_bpe
+         |        FROM docw dw JOIN term t ON dw.w = t.w GROUP BY dw.doc_id),
+         |per AS (
+         |  SELECT d.lang, COALESCE(c.n_bpe, 0) AS n_bpe,
+         |    len(string_split(d.text, ' ')) AS n_ws
+         |  FROM documents d LEFT JOIN cnt c ON d.doc_id = c.doc_id)
+         |SELECT lang, CAST(SUM(n_bpe) AS BIGINT) AS n_bpe,
+         |  CAST(SUM(n_ws) AS BIGINT) AS n_ws,
+         |  round(CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_ws), 4) AS fertility
+         |FROM per GROUP BY lang ORDER BY lang""".stripMargin,
     // q127: full independent recompute — same closed-form regression
     // arithmetic as the Spark plan (deliberately NOT regr_slope, whose
     // internals are engine-private); 4-dp round absorbs ln/summation
