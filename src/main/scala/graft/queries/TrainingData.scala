@@ -2508,7 +2508,11 @@ object TrainingData {
         |ORDER BY doc_id""".stripMargin,
     // q125: full independent recompute — τ = 0.5 through sqrt (IEEE-
     // correctly-rounded in both engines; the one engine-ordered term is
-    // the 20-element normalizer sum, absorbed by the 4-dp round)
+    // the 20-element normalizer sum, absorbed by the 4-dp round).
+    // n_tok is re-cast in the FINAL select: DuckDB widens SUM(BIGINT)
+    // to HUGEINT (decimal128), which hash-mismatches Spark's int64
+    // even when every value is identical — the r11 red row. The
+    // OracleTypeLint spec makes this class unrepresentable.
     "q125_temperature_mixture" ->
       """WITH m AS (
         |  SELECT source,
@@ -2521,7 +2525,7 @@ object TrainingData {
         |    sqrt(CAST(n_tok AS DOUBLE) / tot) AS pw
         |  FROM m, t),
         |z AS (SELECT SUM(pw) AS z FROM p)
-        |SELECT source, n_tok, round(p, 4) AS p,
+        |SELECT source, CAST(n_tok AS BIGINT) AS n_tok, round(p, 4) AS p,
         |  round(pw / z, 4) AS w,
         |  round(pw / z / p, 4) AS boost
         |FROM p, z ORDER BY source""".stripMargin,
