@@ -949,10 +949,10 @@ object TrainingData {
     // by multi-probe blocking: each vector joins its 2 nearest cells,
     // so a pair split across two cells still collides in a shared
     // second-choice cell — a constant ×2 on blocked rows, not a growth
-    // term. No DuckDB oracle: the quantizer is iterative kmeans —
-    // since round 10 the ONLY rows-only query (q9/q68/q95 became
-    // self-checking); the compensating check here is the spec-pinned
-    // ≥90% keep-agreement vs exhaustive truth. The whole recipe is the
+    // term. DuckDB cannot express the iterative quantizer, so the
+    // query emits a constant-size VERDICT the oracle pins instead of
+    // raw rows (see the in-query comment) — CORRECTNESS has had zero
+    // rows-only entries since round 12. The whole recipe is the
     // public API [[DedupOps.semanticDedupBlocked]] — this query is a
     // thin caller at q67's 0.35 threshold; seeding/assignment driver
     // cost is O(k·dim) by construction (constant sample cap +
@@ -962,10 +962,48 @@ object TrainingData {
       // trainSamplePct = 10: the quantizer trains on a deterministic
       // 10% sample (IVF practice), cutting the pipeline's full-corpus
       // scans from ~iters+1 to ~1 — the keep-agreement spec re-pins
-      // ≥90% vs exhaustive truth under this default
-      DedupOps.semanticDedupBlocked(t(s, dir, "embeddings"),
-          "vec_id", "embedding", threshold = 0.35, trainSamplePct = 10)
-        .orderBy(col("vec_id"))
+      // ≥90% vs exhaustive truth under this default.
+      //
+      // SELF-CHECKING since round 12 (the q95/q120/q128 pattern —
+      // formerly the dump's one rows-only row): the FULL-corpus
+      // blocked dedup still runs, but the query emits a constant-size
+      // verdict DuckDB can pin instead of quantizer-dependent rows —
+      // (a) coverage: every input vector comes back exactly once with
+      // keep ∈ {0,1}; (b) keeper policy: every component keeps exactly
+      // min(2, size) members; (c) order: keepers are the smallest ids
+      // (every kept id < every dropped id within a cluster); plus the
+      // q120 agreement bound on the fixed ≤500-vector subset, reused
+      // verbatim. The raw dedup rows remain the public API
+      // ([[DedupOps.semanticDedupBlocked]], pinned by PlansSpec).
+      val emb = t(s, dir, "embeddings")
+      val full = DedupOps.semanticDedupBlocked(emb, "vec_id",
+        "embedding", threshold = 0.35, trainSamplePct = 10)
+      val nVec = emb.agg(count(lit(1)).as("n_vectors"))
+      val inv = full.agg(
+        count(lit(1)).as("__n_out"),
+        countDistinct(col("vec_id")).as("__n_ids"),
+        sum(when(col("keep").isin(0, 1), 0).otherwise(1)).as("__bad_keep"))
+      val pol = full.groupBy(col("sem_cluster"))
+        .agg(count(lit(1)).as("__sz"), sum(col("keep")).as("__k"),
+          max(when(col("keep") === 1, col("vec_id"))).as("__max_kept"),
+          min(when(col("keep") === 0, col("vec_id"))).as("__min_drop"))
+        .agg(
+          sum(when(col("__k") === least(lit(2L), col("__sz")), 0)
+            .otherwise(1)).as("__bad_policy"),
+          sum(when(col("__min_drop").isNull ||
+              (col("__max_kept") < col("__min_drop")), 0)
+            .otherwise(1)).as("__bad_order"))
+      val agree = defs("q120_semdedup_agreement")(s, dir)
+        .select(col("n_vectors").as("n_subset"), col("agreement_floor"),
+          col("agreement_ok"))
+      nVec.crossJoin(inv).crossJoin(pol).crossJoin(agree)
+        .select(col("n_vectors"),
+          ((col("__n_out") === col("n_vectors")) &&
+            (col("__n_ids") === col("n_vectors")) &&
+            (col("__bad_keep") === 0)).cast("int").as("coverage_ok"),
+          (col("__bad_policy") === 0).cast("int").as("policy_ok"),
+          (col("__bad_order") === 0).cast("int").as("order_ok"),
+          col("n_subset"), col("agreement_floor"), col("agreement_ok"))
     }),
     // Leakage-safe train/valid/test split: q72's salted-hash
     // assignment keyed by the verified NEAR-DUP CLUSTER (q69's
@@ -2708,6 +2746,26 @@ object TrainingData {
         |  CAST(SUM(k) AS BIGINT) AS n_bigrams
         |FROM dbc JOIN c2 USING (bigram)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q114 self-check (new in round 12 — formerly the dump's one
+    // rows-only row): the full-corpus blocked dedup runs Spark-side
+    // and is reduced to structural invariants (coverage / keeper
+    // policy / keep-order) plus the q120 agreement bound; DuckDB
+    // recomputes the two counts and pins every flag at 1. A coverage,
+    // policy, ordering, or blocking-recall regression fails the hash.
+    "q114_semdedup_scaled" ->
+      """WITH n AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_vectors FROM embeddings),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_subset
+        |  FROM embeddings WHERE vec_id < 500)
+        |SELECT n_vectors,
+        |  CAST(1 AS INT) AS coverage_ok,
+        |  CAST(1 AS INT) AS policy_ok,
+        |  CAST(1 AS INT) AS order_ok,
+        |  n_subset,
+        |  CAST(0.9 AS DOUBLE) AS agreement_floor,
+        |  CAST(1 AS INT) AS agreement_ok
+        |FROM n, s""".stripMargin,
     "q115_lm_quality_scaled" ->
       """WITH refbg AS (
         |  SELECT unnest(list_transform(range(1, greatest(len(words), 1)),

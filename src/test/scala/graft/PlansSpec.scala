@@ -287,9 +287,14 @@ class PlansSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
       spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
     }
-    val scaled = graft.queries.TrainingData
-      .defs("q114_semdedup_scaled")(spark, sf001)
+    // q114's query now emits a constant-size verdict (round 12); the
+    // raw dedup rows this test pins come from the public operator with
+    // q114's exact arguments
+    def q114Rows() = graft.functions.DedupOps.semanticDedupBlocked(
+        Tables.load(spark, sf001, "embeddings"), "vec_id", "embedding",
+        threshold = 0.35, trainSamplePct = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val scaled = q114Rows()
     assert(scaled.nonEmpty)
     // same keeper-policy invariants as q103 (≤2 kept, smallest ids,
     // singletons kept) under the IVF-cluster pair blocking
@@ -333,11 +338,21 @@ class PlansSpec extends SparkSpec {
     val agree = scaled.count { case (id, _, keep) => truthKeep(id) == keep }
     assert(agree.toDouble / scaled.length >= 0.9,
       s"keep agreement ${agree.toDouble / scaled.length}")
-    // determinism: the seeded quantizer makes the whole query replayable
-    val again = graft.queries.TrainingData
-      .defs("q114_semdedup_scaled")(spark, sf001)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // determinism: the seeded quantizer makes the whole pipeline
+    // replayable
+    val again = q114Rows()
     assert(scaled.sortBy(_._1).sameElements(again.sortBy(_._1)))
+    // and q114's oracle-facing verdict frame reports all-ok over the
+    // same full-corpus run (the invariants this test checks by hand)
+    val verdict = graft.queries.TrainingData
+      .defs("q114_semdedup_scaled")(spark, sf001).collect()
+    assert(verdict.length === 1)
+    val v = verdict(0)
+    assert(v.getAs[Long]("n_vectors") === scaled.length.toLong)
+    assert(v.getAs[Int]("coverage_ok") === 1)
+    assert(v.getAs[Int]("policy_ok") === 1)
+    assert(v.getAs[Int]("order_ok") === 1)
+    assert(v.getAs[Int]("agreement_ok") === 1)
   }
 
   test("q115 broadcast-LM scoring: bigram stream never crosses an exchange") {
