@@ -395,7 +395,11 @@ object DedupOps {
     // quadratically, and collect_set still buffers the whole group in
     // one task either way. Dedup/clustering consumers should prefer
     // collapseIdentical, which is linear and buffer-bounded at EVERY
-    // group size.
+    // group size — the media wrappers
+    // ([[graft.multimodal.Multimodal.imageNearDupPairs]]/
+    // audioNearDupPairs) default to it since round 12; this primitive
+    // keeps the exact default because its oracle-checked text callers
+    // (q71) and pair-complete consumers enumerate the full pair set.
     val star = expr(
       "transform(slice(ids, 2, size(ids) - 1), x -> struct(ids[0] AS id_a, x AS id_b))")
     val pairsCol =

@@ -444,18 +444,23 @@ object Multimodal {
     * buckets, no pixel ever compared. NULL hashes (decode failures)
     * are excluded: they cannot be near anything.
     *
-    * `collapseIdentical = true` is the DEDUP-AT-MEDIA-SCALE setting:
-    * identical fingerprints (solid frames → dHash 0) fold to their
-    * min-id representative before banding, so the viral bucket never
-    * materializes as one aggregation buffer — lossless for survivor
-    * selection and clustering, NOT pair-complete (see
-    * [[graft.functions.DedupOps.simhashPairs]]); video frame-overlap
-    * counting must keep the default exact path. */
+    * `collapseIdentical` DEFAULTS TO TRUE here (round 12 — the r11
+    * probe showed a sub-cap identical-hash group still expands
+    * quadratically under the star cap, and identical fingerprints are
+    * the NORM off text: solid frames dHash to 0): identical
+    * fingerprints fold to their min-id representative before banding,
+    * so the viral bucket never materializes as one aggregation
+    * buffer — lossless for survivor selection and clustering
+    * (spec-pinned), NOT pair-complete (see
+    * [[graft.functions.DedupOps.simhashPairs]]). Pair-complete
+    * consumers — video frame-overlap counting
+    * ([[videoNearDupPairs]] opts out internally) — must pass
+    * `collapseIdentical = false` explicitly. */
   def imageNearDupPairs(df: DataFrame, idCol: String,
                         dhashCol: String = "dhash",
                         maxHamming: Int = 3,
                         starBucketThreshold: Int = DefaultStarBucketThreshold,
-                        collapseIdentical: Boolean = false): DataFrame =
+                        collapseIdentical: Boolean = true): DataFrame =
     graft.functions.DedupOps.simhashPairs(
       df.filter(col(dhashCol).isNotNull)
         .select(col(idCol),
@@ -476,14 +481,15 @@ object Multimodal {
 
   /** AUDIO near-dup pairs by perceptual hash — same machinery as
     * [[imageNearDupPairs]]: the 64-bit Hamming-LSH band join (exact
-    * at maxHamming ≤ 3), NULL hashes excluded, same opt-in
+    * at maxHamming ≤ 3), NULL hashes excluded, same DEFAULT-ON
     * degenerate-fingerprint collapse (silence audio-hashes to 0 the
-    * way solid frames dHash to 0). */
+    * way solid frames dHash to 0 — the regime where the exact path
+    * goes quadratic below the star cap). */
   def audioNearDupPairs(df: DataFrame, idCol: String,
                         ahashCol: String = "ahash",
                         maxHamming: Int = 3,
                         starBucketThreshold: Int = DefaultStarBucketThreshold,
-                        collapseIdentical: Boolean = false): DataFrame =
+                        collapseIdentical: Boolean = true): DataFrame =
     graft.functions.DedupOps.simhashPairs(
       df.filter(col(ahashCol).isNotNull)
         .select(col(idCol),
@@ -528,8 +534,13 @@ object Multimodal {
         col(videoCol).as("__vid"), col(dhashCol))
     val nFrames = keyed.groupBy(col("__vid"))
       .agg(countDistinct(col("__fid")).as("__nf"))
+    // PAIR-COMPLETE consumer: the overlap rollup counts DISTINCT
+    // matched frames per video pair, so a member↔member frame pair
+    // represented only through its collapse rep would undercount
+    // matched_a/matched_b — this is the one consumer that must keep
+    // the exact path (explicit opt-out of the collapse default)
     val framePairs = imageNearDupPairs(keyed, "__fid", dhashCol, maxHamming,
-      starBucketThreshold)
+      starBucketThreshold, collapseIdentical = false)
     // frame keys → their videos (values from the original column, the
     // length-prefixed key is only a join handle), cross-video pairs
     // only, oriented so fa always belongs to vid_a

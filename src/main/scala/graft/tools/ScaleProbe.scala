@@ -296,10 +296,14 @@ object ScaleProbe {
     // some from the viral hash itself, piling into its buckets through
     // 3 of 4 shared bands — the worst case). Claims measured on the
     // same Hamming-LSH machine both paths ride:
-    //  - star cap (the shipped default): pair OUTPUT stays linear in
-    //    members despite the quadratic-in-exact-mode viral group;
-    //  - collapse (opt-in): same linearity with the viral collect_set
-    //    buffer gone — bytes should not exceed the star path's.
+    //  - media_default: the wrapper with NO caller-side flag — since
+    //    round 12 that IS the collapse path (identical hashes fold to
+    //    min-id reps map-side; no viral collect_set buffer), so the
+    //    no-flag 100 TB run gets the linear exponent;
+    //  - media_exact: the explicit pair-complete opt-out (video
+    //    frame-overlap's path) — star-capped, linear OUTPUT, but the
+    //    viral group still collects into one buffer and a sub-cap
+    //    identical group still expands quadratically.
     if (args.lift(2).forall(_.contains("media"))) {
       def mediaProbe(dir: String): Map[String, (Long, Long)] = {
         val n = Tables.load(spark, dir, "documents").count()
@@ -308,21 +312,23 @@ object ScaleProbe {
             .when(col("id") % 11 === 3,
               xxhash64(col("id") - 1).bitwiseXOR(lit(1L)))
             .otherwise(xxhash64(col("id"))).as("dhash"))
-        Seq("media_star" -> false, "media_collapsed" -> true).map {
-          case (label, collapse) =>
-            var nPairs = 0L
-            val (sec, bytes) = measure {
-              nPairs = graft.multimodal.Multimodal.imageNearDupPairs(
-                hashes, "media_id", collapseIdentical = collapse).count()
-            }
-            println(f"[probe] $dir $label: $sec%.2f s, shuffle " +
-              f"${bytes / 1048576.0}%.2f MiB, $nPairs pairs (n=$n, viral=${n / 5})")
-            label -> (bytes, nPairs)
-        }.toMap
+        def run(label: String, pairs: => org.apache.spark.sql.DataFrame) = {
+          var nPairs = 0L
+          val (sec, bytes) = measure { nPairs = pairs.count() }
+          println(f"[probe] $dir $label: $sec%.2f s, shuffle " +
+            f"${bytes / 1048576.0}%.2f MiB, $nPairs pairs (n=$n, viral=${n / 5})")
+          label -> (bytes, nPairs)
+        }
+        Seq(
+          run("media_default", graft.multimodal.Multimodal
+            .imageNearDupPairs(hashes, "media_id")),
+          run("media_exact", graft.multimodal.Multimodal
+            .imageNearDupPairs(hashes, "media_id", collapseIdentical = false))
+        ).toMap
       }
       val mLo = mediaProbe(lo)
       val mHi = mediaProbe(hi)
-      Seq("media_star", "media_collapsed").foreach { label =>
+      Seq("media_default", "media_exact").foreach { label =>
         val (bLo, pLo) = mLo(label); val (bHi, pHi) = mHi(label)
         def e(a: Long, b: Long) =
           if (a <= 0 || b <= 0 || rowRatio <= 1.0) Double.NaN

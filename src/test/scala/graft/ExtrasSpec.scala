@@ -675,6 +675,41 @@ class ExtrasSpec extends SparkSpec {
     assert(collapsed2.filter($"hamming" === 0).count() === 2L * (n - 1))
   }
 
+  test("media dedup wrappers collapse identical fingerprints BY DEFAULT; video overlap stays pair-complete") {
+    import graft.multimodal.Multimodal
+    // the r11 probe's lesson: the star cap linearizes a bucket only
+    // past the threshold — a sub-cap identical group still expands
+    // quadratically, and identical hashes are the NORM off text. So
+    // the dedup wrappers must take the collapse path with NO
+    // caller-side flag: an n-member identical pile yields n-1 star
+    // pairs anchored on the min id, not C(n,2)
+    val n = 12
+    val imgs = (0L until n).map(i => (i, 7L)).toDF("media_id", "dhash")
+    val defPairs = Multimodal.imageNearDupPairs(imgs, "media_id")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(defPairs.size === n - 1,
+      s"default image path is not collapse-shaped: ${defPairs.size} pairs")
+    assert(defPairs.forall(_._1 == 0L), "stars must anchor on the min id")
+    // the pair-complete path stays available by explicit opt-out
+    assert(Multimodal.imageNearDupPairs(imgs, "media_id",
+      collapseIdentical = false).count() === n.toLong * (n - 1) / 2)
+    // the audio wrapper rides the same default
+    val auds = (0L until n).map(i => (i, 7L)).toDF("media_id", "ahash")
+    assert(Multimodal.audioNearDupPairs(auds, "media_id").count()
+      === (n - 1).toLong)
+    // video frame-overlap is the pair-complete consumer and must opt
+    // out INTERNALLY: with all four frames identical, both matched
+    // counts are full — the collapse path would report matched_a = 1
+    // (only the rep frame appears on the a-side of cross-video pairs)
+    val frames = Seq(("A", 0L, 7L), ("A", 1L, 7L), ("B", 0L, 7L),
+      ("B", 1L, 7L)).toDF("vid", "frame_idx", "dhash")
+    val v = Multimodal.videoNearDupPairs(frames, "vid", "frame_idx").collect()
+    assert(v.length === 1)
+    assert(v(0).getAs[Long]("matched_a") === 2L, v.mkString(","))
+    assert(v(0).getAs[Long]("matched_b") === 2L, v.mkString(","))
+    assert(v(0).getAs[Double]("overlap") === 1.0)
+  }
+
   test("audio near-dup: spectrogram hash pairs re-levels/resamples, not other clips") {
     import graft.multimodal.Multimodal
     import graft.expressions.GraftExtensions
