@@ -21,6 +21,49 @@ object TrainingData {
     * A prefix is itself a valid BPE vocabulary (training is sequential). */
   private lazy val bpeVocab48 = BpeVocab.default.take(48)
 
+  /** Shared oracle CTE: the q130/q131 quality classifier recomputed
+    * end-to-end in SQL — train (add-1 NB log-odds over 1024 hashed
+    * unigram+bigram buckets, class prior over docs) and score (per-doc
+    * Σ c·llr + prior, rounded 4 dp). Mirrors
+    * [[graft.functions.QualityClassifier]]: the bucket hash is q104's
+    * md5-hex-15 idiom, grams follow split-on-single-space with L−n+1
+    * windows. Yields `clf_scored(doc_id, score)`. */
+  private val clfScoredCte =
+    """clfw AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS w
+      |  FROM documents),
+      |clfg AS (
+      |  SELECT doc_id, source, unnest(w) AS g FROM clfw
+      |  UNION ALL
+      |  SELECT doc_id, source,
+      |    unnest(list_transform(range(1, greatest(len(w), 1)),
+      |      i -> w[i] || ' ' || w[i+1])) AS g
+      |  FROM clfw),
+      |clff AS (
+      |  SELECT doc_id, source,
+      |    CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 1024 AS b
+      |  FROM clfg),
+      |clfm AS (SELECT b,
+      |    SUM(CASE WHEN source IN ('src0','src1') THEN 1 ELSE 0 END) AS ct,
+      |    SUM(CASE WHEN source IN ('src0','src1') THEN 0 ELSE 1 END) AS cr
+      |  FROM clff GROUP BY b),
+      |clft AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM clfm),
+      |clfd AS (SELECT
+      |    SUM(CASE WHEN source IN ('src0','src1') THEN 1 ELSE 0 END) AS dt,
+      |    SUM(CASE WHEN source IN ('src0','src1') THEN 0 ELSE 1 END) AS dr
+      |  FROM documents),
+      |clfwts AS (SELECT b,
+      |    ln((ct + 1) / CAST(nt + 1024 AS DOUBLE)) -
+      |    ln((cr + 1) / CAST(nr + 1024 AS DOUBLE)) AS llr
+      |  FROM clfm, clft),
+      |clfdoc AS (SELECT doc_id, b, COUNT(*) AS c FROM clff GROUP BY 1, 2),
+      |clf_scored AS (
+      |  SELECT doc_id,
+      |    round(ln(CAST(dt AS DOUBLE)) - ln(CAST(dr AS DOUBLE)) +
+      |      SUM(c * llr), 4) AS score
+      |  FROM clfdoc JOIN clfwts USING (b), clfd
+      |  GROUP BY doc_id, dt, dr)""".stripMargin
+
   /** Shared oracle CTE: 8-hash MinHash signature over 3-word shingles.
     * Each lane is the top 60 bits of md5(seed|shingle) as BIGINT —
     * mirrors DedupOps.h64 (fixed-width hex ⇒ numeric min == lex min). */
@@ -1195,6 +1238,58 @@ object TrainingData {
           round(col("n_bpe").cast("double") / col("n_ws"), 4)
             .as("fertility"))
         .orderBy(col("lang"))
+    }),
+    // TRAINABLE QUALITY CLASSIFIER — the modern recipe's quality gate
+    // (GPT-3 §A.2 / DCLM: a linear classifier over hashed n-gram
+    // features scoring curated-vs-crawl likelihood), replacing q55's
+    // fixed heuristics with FITTED weights. Train: closed-form Naive
+    // Bayes log-odds over 1024 hashed unigram+bigram buckets (q104's
+    // hashing, one corpus pass, M-bounded model — never a corpus
+    // collect). Score: ONE codegen'd scan via
+    // [[graft.expressions.HashedNgramScore]] — the weights ride the
+    // codegen reference array, so the gate adds ZERO exchanges to a
+    // corpus pass (plan-asserted), vs q104's (doc, bucket) shuffle +
+    // broadcast-join scoring shape. Gate: log-odds > 0 ⇔ P(curated) >
+    // 0.5. The whole recipe is the public API
+    // [[graft.functions.QualityClassifier]] (train / scoreDocs /
+    // LinearModel-format persistence).
+    "q130_quality_classifier" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.functions.QualityClassifier.train(docs, "text",
+        col("source").isin("src0", "src1"))
+      graft.functions.QualityClassifier
+        .scoreDocs(docs, "doc_id", "text", model)
+        .orderBy(col("doc_id"))
+    }),
+    // COMPOSED RECIPE under the TRAINED gate — q82's pretraining
+    // pipeline with its heuristic quality filter (n_tok ≥ 10 ∧
+    // dup-word-frac < 0.3) swapped for the q130 classifier gate:
+    // classifier keep → exact-dedup keep-first → leakage-stable split
+    // → per-split corpus stats. Same plan spine as q82 (the gate is
+    // scan-local either way — the classifier adds no shuffle).
+    "q131_classifier_gate_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.functions.QualityClassifier.train(docs, "text",
+        col("source").isin("src0", "src1"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("content_hash")).orderBy(col("doc_id"))
+      docs
+        .filter(round(model.scoreCol(col("text")), 4) > 0.0)
+        .select(col("doc_id"), col("text"),
+          TextOps.nTokens(col("text")).as("n_tok"))
+        .withColumn("content_hash", md5(col("text")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("n_tok"),
+          TextOps.hashBucket(col("doc_id")).as("pct"),
+          expr("greatest((n_tok - 10 + 39) DIV 40, 1L)").as("n_chunks"))
+        .select(col("n_tok"), col("n_chunks"),
+          TextOps.splitLabel(col("pct")).as("split"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tokens"),
+          sum(col("n_chunks")).as("total_chunks"))
+        .orderBy(col("split"))
     }),
     // ZIPF SLOPE — corpus-naturalness QA: least-squares slope of
     // ln(freq) on ln(rank) over each language's top-1000 tokens.
@@ -2620,6 +2715,38 @@ object TrainingData {
          |  CAST(SUM(n_ws) AS BIGINT) AS n_ws,
          |  round(CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_ws), 4) AS fertility
          |FROM per GROUP BY lang ORDER BY lang""".stripMargin,
+    // q130: full independent recompute of train AND score — DuckDB
+    // refits the NB log-odds from the same labeled buckets and re-sums
+    // each document's score in its own order (the 4-dp round absorbs
+    // summation/ln ulps, q104's convention); keep gates on the ROUNDED
+    // value in both engines
+    "q130_quality_classifier" ->
+      s"""WITH $clfScoredCte
+         |SELECT doc_id, score,
+         |  CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS INT) AS keep
+         |FROM clf_scored ORDER BY doc_id""".stripMargin,
+    // q131: q82's oracle with the heuristic gate swapped for the
+    // trained classifier gate (score > 0 from the shared clf CTE)
+    "q131_classifier_gate_pipeline" ->
+      s"""WITH $clfScoredCte,
+         |surv AS (
+         |  SELECT d.doc_id, len(string_split(d.text, ' ')) AS n_tok,
+         |    ROW_NUMBER() OVER (PARTITION BY md5(d.text) ORDER BY d.doc_id)
+         |      AS rn
+         |  FROM documents d JOIN clf_scored c ON d.doc_id = c.doc_id
+         |  WHERE c.score > 0),
+         |labeled AS (
+         |  SELECT n_tok,
+         |    CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)),
+         |      1, 15)) AS BIGINT) % 100 AS pct,
+         |    GREATEST((n_tok - 10 + 39) // 40, 1) AS n_chunks
+         |  FROM surv WHERE rn = 1)
+         |SELECT CASE WHEN pct < 80 THEN 'train'
+         |            WHEN pct < 90 THEN 'valid' ELSE 'test' END AS split,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(n_chunks) AS BIGINT) AS total_chunks
+         |FROM labeled GROUP BY 1 ORDER BY split""".stripMargin,
     // q127: full independent recompute — same closed-form regression
     // arithmetic as the Spark plan (deliberately NOT regr_slope, whose
     // internals are engine-private); 4-dp round absorbs ln/summation
