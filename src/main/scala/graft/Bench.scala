@@ -153,8 +153,6 @@ object Bench {
     def toJson(pairs: Seq[(String, Double)]): String =
       pairs.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
         .mkString("{", ",", "}")
-    // "queries"/"value" stay run1 (comparable with earlier rounds);
-    // "median"/"stddev" are the decision numbers from here on.
     val total = allRuns.head.map(_._2).sum
     val totalMedian = medians.map(_._2).sum
     // The r1–r8 headline set predates q113/q115 (r9) and q124 (r11);
@@ -167,8 +165,22 @@ object Bench {
     // calibration_s normalizes cross-round totals: a drifted host moves
     // calibration_s and total_median together, a real regression moves
     // only the latter. total_per_cal is the drift-corrected headline.
+    //
+    // The stdout line must stay UNDER the driver's 2000-char tail
+    // capture or the artifact's `parsed` field comes back null (the
+    // r11 lesson: the verbose run1/run2 maps pushed the line to ~2.2k
+    // and truncated the JSON's head). So stdout carries ONE compact
+    // line — "queries"/"value" are the MEDIANS, the decision numbers
+    // (r11 and earlier put run1 there; cross-round comparison goes
+    // through calibration_s/BenchAb, not raw run1 deltas) — and the
+    // full per-run detail goes to stderr for humans.
     val calMedian = median(cals)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${toJson(allRuns.head)},"queries_run2":${toJson(allRuns(1))},"total_run2":${allRuns(1).map(_._2).sum}%.3f,"median":${toJson(medians)},"stddev":${toJson(stddevs)},"total_median":$totalMedian%.3f,"total_r8_comparable":$totalR8Comparable%.3f,"calibration_s":$calMedian%.3f,"calibration_stddev":${stddev(cals)}%.3f,"total_per_cal":${totalMedian / calMedian}%.3f,"iterations":$iterations,"sf":"$sfDir"}""")
+    System.err.println(f"""[bench-detail] {"queries_run1":${toJson(allRuns.head)},"total_run1":$total%.3f,"queries_run2":${toJson(allRuns(1))},"total_run2":${allRuns(1).map(_._2).sum}%.3f}""")
+    val line = f"""{"metric":"total","value":$totalMedian%.3f,"unit":"sec","value_semantics":"median_of_$iterations","queries":${toJson(medians)},"stddev":${toJson(stddevs)},"total_median":$totalMedian%.3f,"total_r8_comparable":$totalR8Comparable%.3f,"calibration_s":$calMedian%.3f,"calibration_stddev":${stddev(cals)}%.3f,"total_per_cal":${totalMedian / calMedian}%.3f,"iterations":$iterations,"sf":"$sfDir"}"""
+    if (line.length > 1900)
+      System.err.println(s"[bench] WARNING: stdout JSON is ${line.length} " +
+        "chars - may exceed the driver's 2000-char tail capture")
+    println(line)
     spark.stop()
   }
 }

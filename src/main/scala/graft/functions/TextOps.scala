@@ -316,10 +316,35 @@ object TextOps {
     * summary covers a minority of documents, so AQE broadcasts it
     * (q113's `starts` shape) and document text never shuffles; an
     * untouched doc passes through byte-identical. A doc whose every
-    * line lost reassembles to the empty string, not a dropped row. */
+    * line lost reassembles to the empty string, not a dropped row.
+    *
+    * The mask is the fused two-pointer kernel
+    * [[graft.expressions.ChunkRebuild]] — O(chunks + drops) per
+    * touched doc, value-identical to the HOF encoding it replaced
+    * (spec-pinned; the retired shape is kept as [[lineRebuildHof]] for
+    * the MicroBench A/B and the parity spec). The r11 probe concern:
+    * the HOF's `array_contains` inside `filter` is O(dropped × chunks)
+    * per touched doc, which a boilerplate-heavy corpus (majority
+    * touched, long drop lists) turns into the scan's hot loop. */
   private[graft] def lineRebuild(df: DataFrame, dropped: DataFrame,
                                  idCol: String, textCol: String,
-                                 lineTokens: Int): DataFrame = {
+                                 lineTokens: Int): DataFrame =
+    lineRebuildWith(df, dropped, idCol, textCol, lineTokens,
+      (chunks, drops) =>
+        graft.expressions.ChunkRebuild.chunk_rebuild(chunks, drops))
+
+  /** The retired HOF mask (probe/parity twin of [[lineRebuild]]). */
+  private[graft] def lineRebuildHof(df: DataFrame, dropped: DataFrame,
+                                    idCol: String, textCol: String,
+                                    lineTokens: Int): DataFrame =
+    lineRebuildWith(df, dropped, idCol, textCol, lineTokens,
+      (chunks, drops) => concat_ws(" ",
+        filter(chunks, (_, i) => !array_contains(drops, i))))
+
+  private def lineRebuildWith(df: DataFrame, dropped: DataFrame,
+                              idCol: String, textCol: String,
+                              lineTokens: Int,
+                              mask: (Column, Column) => Column): DataFrame = {
     val perDoc = dropped.groupBy(col(idCol))
       .agg(sort_array(collect_list(col("__ld_idx"))).as("__ld_drop_idxs"),
         count(lit(1)).as("__ld_n_dropped"))
@@ -329,11 +354,9 @@ object TextOps {
       .join(perDoc, Seq(idCol), "left")
       .select(col(idCol),
         when(col("__ld_drop_idxs").isNull, col("__ld_text"))
-          // the HOF runs only over TOUCHED docs' chunk arrays (the
-          // q113 mask position; a native kernel is not warranted at
-          // minority-density)
-          .otherwise(concat_ws(" ", filter(col("__ld_chunks"),
-            (_, i) => !array_contains(col("__ld_drop_idxs"), i))))
+          // the mask runs only over TOUCHED docs' chunk arrays (the
+          // q113 mask position)
+          .otherwise(mask(col("__ld_chunks"), col("__ld_drop_idxs")))
           .as("text_dedup"),
         size(col("__ld_chunks")).cast("long").as("n_lines"),
         (size(col("__ld_chunks")) -

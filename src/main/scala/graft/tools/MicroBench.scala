@@ -530,6 +530,36 @@ object MicroBench {
         }
       }
     }
+    // ---- lineRebuild mask in the MAJORITY-TOUCHED regime -------------
+    // (r11 verdict nit: the HOF's array_contains-inside-filter is
+    // O(dropped × chunks) per touched doc — fine at minority density,
+    // but a boilerplate-heavy corpus makes "touched" the majority.)
+    // Synthetic worst case: ~40% of docs touched, HALF their lines
+    // dropped; HOF vs the fused two-pointer ChunkRebuild kernel.
+    {
+      import graft.functions.TextOps
+      // long documents (text ×8) + 2-token lines make the per-doc drop
+      // lists LONG (~25 offsets over ~50 lines), so the HOF's
+      // O(dropped × chunks) term is actually exercised — the bench
+      // corpus's own docs are 1–2 lines of 10 tokens and would hide it
+      val longDocs = docs.select(col("doc_id"),
+        concat_ws(" ", array_repeat(col("text"), 8)).as("text")).persist()
+      val segs = TextOps.lineSegments(longDocs, "doc_id", "text", 2)
+      val dropped = segs
+        .filter(col("doc_id") % 5 < 2 && col("__ld_idx") % 2 === 0)
+        .select(col("doc_id"), col("__ld_idx"))
+        .persist()
+      println(s"lineRebuild probe: ${dropped.count()} dropped offsets, " +
+        s"${dropped.select("doc_id").distinct().count()} touched docs " +
+        s"of ${longDocs.count()}")
+      time("lineRebuild HOF (majority-touched)") {
+        noop(TextOps.lineRebuildHof(longDocs, dropped, "doc_id", "text", 2))
+      }
+      time("lineRebuild kernel (majority-touched)") {
+        noop(TextOps.lineRebuild(longDocs, dropped, "doc_id", "text", 2))
+      }
+      dropped.unpersist(); longDocs.unpersist()
+    }
     spark.stop()
   }
 }

@@ -27,6 +27,50 @@ class TextCorpusOpsSpec extends SparkSpec {
       (4L, "", 2L, 0L)))
   }
 
+  test("lineRebuild kernel is value-identical to the HOF mask it replaced") {
+    // round 12: the rebuild mask is the fused two-pointer ChunkRebuild
+    // (O(chunks + drops)); the retired HOF encoding stays as the
+    // parity/probe twin. Edge coverage: untouched doc (byte-identical
+    // pass-through), all lines dropped (empty string, not a dropped
+    // row), out-of-range and duplicate drop offsets (ignored
+    // idempotently — !array_contains semantics), first/last drops.
+    val docs = Seq(
+      (0L, "a b c d e f g h i"),  // 3 lines of 3
+      (1L, "p q r s t u"),        // 2 lines
+      (2L, "x y z"),              // 1 line
+      (3L, "k l m n o")           // 2 lines (trailing partial)
+    ).toDF("doc_id", "text")
+    val dropped = Seq(
+      (0L, 0L), (0L, 2L),          // first + last of doc 0
+      (1L, 0L), (1L, 1L),          // ALL of doc 1
+      (3L, 1L), (3L, 1L), (3L, 9L) // duplicate + out-of-range on doc 3
+    ).toDF("doc_id", "__ld_idx")
+    val kernel = TextOps.lineRebuild(docs, dropped, "doc_id", "text", 3)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+    val hof = TextOps.lineRebuildHof(docs, dropped, "doc_id", "text", 3)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+    assert(kernel.map(r => (r._1, r._2)) === hof.map(r => (r._1, r._2)),
+      s"kernel ${kernel.toSeq} vs HOF ${hof.toSeq}")
+    assert(kernel.map(r => (r._1, r._2)).toSeq === Seq(
+      (0L, "d e f"), (1L, ""), (2L, "x y z"), (3L, "k l m")))
+    // interpreted eval agrees too (the kernel is also the fallback path)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interp = TextOps.lineRebuild(docs, dropped, "doc_id", "text", 3)
+        .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+      assert(interp === kernel)
+    } finally spark.conf.unset("spark.sql.codegen.wholeStage")
+    // INT-typed drop offsets (posexplode's position type — the real
+    // pipeline's shape; reading an int array through getLong was the
+    // first cut's bug, caught by the lineDedup fixtures)
+    val droppedInt = Seq((0L, 0), (0L, 2), (1L, 0), (1L, 1))
+      .toDF("doc_id", "__ld_idx")
+    val kernelInt = TextOps.lineRebuild(docs, droppedInt, "doc_id", "text", 3)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+    assert(kernelInt.map(r => (r._1, r._2)).toSeq === Seq(
+      (0L, "d e f"), (1L, ""), (2L, "x y z"), (3L, "k l m n o")))
+  }
+
   test("lineDedup: intra-document repeats keep only the earliest segment") {
     val docs = Seq((7L, "p q r p q r p q")).toDF("doc_id", "text")
     // lines: "p q r", "p q r", "p q" -> second drops, partial tail distinct
