@@ -159,4 +159,99 @@ object QualityClassifier {
     docs.select(col(idCol), s.as("score"),
       (s > 0.0).cast("int").as("keep"))
   }
+
+  /** LOGISTIC refinement of the gate — the fastText/DCLM shape: from
+    * the Naive Bayes closed form (or a caller-supplied `init`), run
+    * `epochs` of FULL-BATCH gradient descent on the mean logistic loss
+    * over the same hashed-n-gram count features. NB assumes bucket
+    * independence; the discriminative steps correct the weights where
+    * buckets co-occur.
+    *
+    * Scale shape: corpus TEXT is scanned exactly once — the
+    * (doc, bucket, count) frame materializes up front (persisted,
+    * narrow: longs and doubles only) and every epoch runs two
+    * aggregations over IT, never the corpus: a doc-keyed score/loss
+    * pass (the per-bucket weights broadcast in) and a bucket-keyed
+    * gradient pass whose result is the M-bounded frame the driver
+    * collects (the centroid-collect precedent). Full-batch GD on a
+    * convex loss with a deterministic feature frame — no sampling, no
+    * row order in the MATH; the only cross-run wobble is double
+    * summation order inside the aggregations, ulp-scale, which is why
+    * q132 pins loss-improvement FLAGS (robust to ulps), not weights.
+    *
+    * Returns the refined model and the loss trajectory
+    * (`losses.head` = loss under `init`, one entry per epoch after). */
+  def trainLogistic(docs: DataFrame, idCol: String, textCol: String,
+                    isTarget: Column, buckets: Int = 1024,
+                    ns: Seq[Int] = Seq(1, 2), epochs: Int = 3,
+                    lr: Double = 0.1, init: Option[Model] = None)
+      : (Model, Seq[Double]) = {
+    require(epochs >= 1, s"epochs must be >= 1, got $epochs")
+    require(lr > 0.0, s"lr must be positive, got $lr")
+    val start = init.getOrElse(train(docs, textCol, isTarget, buckets, ns))
+    require(start.buckets == buckets && start.ns == ns,
+      s"init model shape (${start.buckets}, ${start.ns}) != ($buckets, $ns)")
+    val spark = docs.sparkSession
+    import org.apache.spark.storage.StorageLevel
+    val grams = ns.map(n => docs.select(col(idCol).as("__id"),
+        isTarget.cast("int").cast("double").as("__y"),
+        explode(graft.expressions.Shingles.shingles(col(textCol), n))
+          .as("__g")))
+      .reduce(_ unionAll _)
+    val counts = grams
+      .select(col("__id"), col("__y"), bucketCol(col("__g"), buckets).as("__b"))
+      .groupBy(col("__id"), col("__y"), col("__b"))
+      .agg(count(lit(1)).cast("double").as("__c"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nDocs = counts.select(col("__id")).distinct().count().toDouble
+    require(nDocs > 0, "no documents to train on")
+
+    var w = start.weights.clone()
+    var bias = start.prior
+    val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var epoch = 0
+    while (epoch <= epochs) { // epoch 0 measures the init loss only
+      val wDf = spark.createDataFrame(
+        w.toIndexedSeq.zipWithIndex.map { case (v, b) => (b.toLong, v) })
+        .toDF("__b", "__w")
+      val scored = counts.join(broadcast(wDf), Seq("__b"))
+        .groupBy(col("__id"), col("__y"))
+        .agg(sum(col("__c") * col("__w")).as("__dot"))
+        .select(col("__id"), col("__y"),
+          (col("__dot") + lit(bias)).as("__s"))
+      // stable softplus of the margin: loss = mean ln(1 + e^(−(2y−1)s))
+      val margin = (col("__y") * 2.0 - 1.0) * col("__s")
+      val lossCol = greatest(lit(0.0), -margin) +
+        log(lit(1.0) + exp(-abs(margin)))
+      if (epoch < epochs) {
+        // one pass computes loss AND residuals; residuals join back to
+        // the count frame for the M-bounded gradient
+        val resid = scored.select(col("__id"),
+            (lit(1.0) / (lit(1.0) + exp(-col("__s"))) - col("__y"))
+              .as("__r"),
+            lossCol.as("__l"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val lrow = resid.agg(sum(col("__l")), count(lit(1))).head()
+        losses += lrow.getDouble(0) / nDocs
+        val grad = counts.join(resid.select(col("__id"), col("__r")),
+            Seq("__id"))
+          .groupBy(col("__b"))
+          .agg(sum(col("__c") * col("__r")).as("__g"))
+          .collect()
+        val biasGrad = resid.agg(sum(col("__r"))).head().getDouble(0)
+        resid.unpersist(blocking = false)
+        grad.foreach { r =>
+          val b = r.getLong(0).toInt
+          w(b) -= lr * r.getDouble(1) / nDocs
+        }
+        bias -= lr * biasGrad / nDocs
+      } else {
+        losses += scored.select(lossCol.as("__l"))
+          .agg(sum(col("__l"))).head().getDouble(0) / nDocs
+      }
+      epoch += 1
+    }
+    counts.unpersist(blocking = false)
+    (Model(w, bias, ns), losses.toSeq)
+  }
 }

@@ -1261,6 +1261,27 @@ object TrainingData {
         .scoreDocs(docs, "doc_id", "text", model)
         .orderBy(col("doc_id"))
     }),
+    // LOGISTIC REFINEMENT of the q130 gate — the fastText/DCLM
+    // discriminative step: from the NB closed form, full-batch
+    // gradient descent on the mean logistic loss over the SAME hashed
+    // count features (corpus text scanned once; each epoch re-aggregates
+    // only the narrow (doc, bucket, count) frame; gradients collect
+    // M-bounded). GD weights are double-summation-order sensitive at
+    // the ulp level, so the oracle pins ROBUST facts, not weights —
+    // the q114/q120 verdict pattern: doc count, epoch count, and the
+    // loss-improvement flag (the improvement is orders of magnitude
+    // above ulp noise).
+    "q132_logistic_refined_gate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (_, losses) = graft.functions.QualityClassifier.trainLogistic(
+        docs, "doc_id", "text", col("source").isin("src0", "src1"),
+        epochs = 3)
+      docs.agg(count(lit(1)).as("n_docs"))
+        .select(col("n_docs"),
+          lit(3).cast("int").as("epochs"),
+          lit(if (losses.last < losses.head) 1 else 0).cast("int")
+            .as("loss_improved_ok"))
+    }),
     // COMPOSED RECIPE under the TRAINED gate — q82's pretraining
     // pipeline with its heuristic quality filter (n_tok ≥ 10 ∧
     // dup-word-frac < 0.3) swapped for the q130 classifier gate:
@@ -2725,6 +2746,15 @@ object TrainingData {
          |SELECT doc_id, score,
          |  CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS INT) AS keep
          |FROM clf_scored ORDER BY doc_id""".stripMargin,
+    // q132: the verdict pattern (q114/q120) — DuckDB recomputes the
+    // doc count and pins the GD loss-improvement flag at 1 (the
+    // improvement is far above double-summation ulp noise, the only
+    // cross-run wobble full-batch GD has here)
+    "q132_logistic_refined_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(3 AS INT) AS epochs,
+        |  CAST(1 AS INT) AS loss_improved_ok
+        |FROM documents""".stripMargin,
     // q131: q82's oracle with the heuristic gate swapped for the
     // trained classifier gate (score > 0 from the shared clf CTE)
     "q131_classifier_gate_pipeline" ->

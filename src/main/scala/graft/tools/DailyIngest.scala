@@ -96,7 +96,17 @@ object DailyIngest {
     * semantics, and a daily job must not wedge because `enablePq` has
     * not run yet (notably the bootstrap day, which has no index at
     * all). Recall cost mirrors nprobe: a PQ-misranked true neighbor
-    * ADMITS a duplicate, never drops a novel doc. */
+    * ADMITS a duplicate, never drops a novel doc.
+    *
+    * `qualityGate = Some(model)` drops documents scoring ≤ 0 log-odds
+    * under a TRAINED [[graft.functions.QualityClassifier]] model (the
+    * q130 gate) BEFORE any dedup stage — the scale-right order: the
+    * gate is one scan-local codegen'd predicate (zero shuffles), so
+    * junk never reaches the hash/band/index machinery. Replay-exact by
+    * construction: the model is a constant loaded from its weights
+    * file, and the gate composes with the pre-commit recompute
+    * invariant like any deterministic filter. Gating uses the 4-dp
+    * ROUNDED score, the same comparison q130's oracle pins. */
   def run(lake: Lake, dd: CorpusDedup, cp: CorpusPack, out: TableRef,
           docs: DataFrame, idCol: String, textCol: String, langCol: String,
           day: Date, ttlDays: Int,
@@ -104,11 +114,15 @@ object DailyIngest {
           semanticThreshold: Option[Double] = None,
           vocab: BpeVocab = BpeVocab.default,
           pqRefine: Option[Int] = None,
-          lineScrub: Boolean = false): Long = {
+          lineScrub: Boolean = false,
+          qualityGate: Option[graft.functions.QualityClassifier.Model] = None)
+      : Long = {
     require(semanticThreshold.isEmpty || ann.nonEmpty,
       "semanticThreshold needs the ann leg — the index is the seen-set")
     val minDate = Date.valueOf(day.toLocalDate.minusDays(ttlDays.toLong))
-    val exactNovel = dd.novelExactSince(docs, idCol, textCol, minDate)
+    val admitted = qualityGate.map(m =>
+      docs.filter(round(m.scoreCol(col(textCol)), 4) > 0.0)).getOrElse(docs)
+    val exactNovel = dd.novelExactSince(admitted, idCol, textCol, minDate)
     val textNovel = dd.novelNearDupSince(exactNovel, idCol, textCol, minDate)
     val semNovel = (ann, semanticThreshold) match {
       // branch on "the PRE-day window holds vectors", NOT on

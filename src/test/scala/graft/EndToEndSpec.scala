@@ -719,6 +719,68 @@ class EndToEndSpec extends SparkSpec {
     assert(lake.read(out).count() === 6)
   }
 
+  test("daily ingest with the trained quality gate: junk drops pre-dedup, replay exact") {
+    import graft.lake.{CorpusDedup, CorpusPack}
+    import graft.tools.DailyIngest
+    import graft.functions.QualityClassifier
+    // train the q130-style gate once (a persisted model in production;
+    // here fit on a labeled fixture and round-tripped through the
+    // weights file so the ingest consumes exactly what a file-loaded
+    // model would be)
+    val labeled = Seq(
+      (1L, "the history of the city and the river", true),
+      (2L, "a study of the growth of a region", true),
+      (3L, "the economy and the culture of a nation", true),
+      (4L, "buy cheap deals buy cheap deals now now", false),
+      (5L, "click here click here free free free", false),
+      (6L, "win big win big casino casino casino", false),
+      (7L, "subscribe now cheap deals click here", false)
+    ).toDF("doc_id", "text", "tgt")
+    val modelPath = tmpDir("qgate") + "/model.txt"
+    QualityClassifier.train(labeled, "text", $"tgt", buckets = 256)
+      .save(spark, modelPath)
+    val model = QualityClassifier.load(spark, modelPath)
+
+    val lake = new Lake(spark, tmpDir("qg_lake"))
+    val dd = new CorpusDedup(spark, lake, "qg_crawl", numBuckets = 4)
+    val cp = new CorpusPack(spark,
+      new StateStore(spark, tmpDir("qg_state")), "qg_crawl",
+      budgetTokens = 1024L)
+    val out = TableRef("prod", "qg_crawl", "packed")
+    def day(d: String) = java.sql.Date.valueOf(d)
+    def ingest(docs: org.apache.spark.sql.DataFrame, d: String): Long =
+      DailyIngest.run(lake, dd, cp, out,
+        docs.withColumn("lang", lit("en")), "doc_id", "text", "lang",
+        day(d), ttlDays = 30, qualityGate = Some(model))
+
+    // day 1: two curated-like docs, two junk docs — only quality lands
+    val day1 = Seq(
+      (10L, "the history of the river and the city region"),
+      (11L, "a study of the culture of the nation"),
+      (12L, "buy cheap deals click here free casino now"),
+      (13L, "win big casino free deals subscribe now")
+    ).toDF("doc_id", "text")
+    assert(ingest(day1, "2024-03-01") === 2)
+    val landed = lake.read(out).select($"doc_id").as[Long].collect().toSet
+    assert(landed === Set(10L, 11L),
+      s"quality gate admitted the wrong set: $landed")
+    // same-day replay: the gate + dedup chain recomputes the identical
+    // novel set and the partition overwrite replaces, not duplicates —
+    // the run's idempotence contract (returns the same landed count)
+    assert(ingest(day1, "2024-03-01") === 2, "replay must recompute identically")
+    assert(lake.read(out).count() === 2, "replay must not duplicate rows")
+    // the gate runs BEFORE dedup: junk never entered the seen-sets, so
+    // a day-2 doc exactly duplicating day-1 JUNK text is judged by the
+    // gate again (dropped for quality), while a duplicate of a LANDED
+    // doc is dropped by the exact gate
+    val day2 = Seq(
+      (20L, "buy cheap deals click here free casino now"), // junk dup
+      (21L, "the history of the river and the city region") // landed dup
+    ).toDF("doc_id", "text")
+    assert(ingest(day2, "2024-03-02") === 0)
+    assert(lake.read(out).count() === 2)
+  }
+
   test("daily ingest with the semantic gate: bootstrap, cross-day drop, replay") {
     import graft.lake.{CorpusDedup, CorpusPack}
     import graft.tools.DailyIngest

@@ -138,6 +138,36 @@ class QualityClassifierSpec extends SparkSpec {
       s"LinearModel $viaLm vs kernel $viaKernel")
   }
 
+  test("logistic refinement reduces the loss from the NB start and keeps separating") {
+    val nb = QualityClassifier.train(fixture, "text", col("tgt"),
+      buckets = 256)
+    val (refined, losses) = QualityClassifier.trainLogistic(fixture,
+      "doc_id", "text", col("tgt"), buckets = 256, epochs = 4, lr = 0.5)
+    assert(losses.length === 5, "init loss + one per epoch")
+    assert(losses.last < losses.head,
+      s"GD did not improve the loss: $losses")
+    // full-batch GD at a sane lr on the convex loss: monotone here
+    losses.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-9, s"loss increased: $losses")
+    }
+    // the refined gate still reproduces the training labels
+    val scored = QualityClassifier
+      .scoreDocs(fixture, "doc_id", "text", refined)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert((1L to 3L).forall(scored(_) == 1), scored.toString)
+    assert((4L to 7L).forall(scored(_) == 0), scored.toString)
+    // a supplied init short-circuits the NB fit and shape-mismatches fail
+    val (_, losses2) = QualityClassifier.trainLogistic(fixture,
+      "doc_id", "text", col("tgt"), buckets = 256, epochs = 1, lr = 0.5,
+      init = Some(nb))
+    assert(math.abs(losses2.head - losses.head) < 1e-9,
+      "init loss must be the NB model's loss")
+    intercept[IllegalArgumentException] {
+      QualityClassifier.trainLogistic(fixture, "doc_id", "text",
+        col("tgt"), buckets = 128, init = Some(nb))
+    }
+  }
+
   test("degenerate labels fail loudly") {
     intercept[IllegalArgumentException] {
       QualityClassifier.train(fixture, "text", lit(true))
