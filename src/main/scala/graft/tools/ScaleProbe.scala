@@ -40,7 +40,8 @@ object ScaleProbe {
       "q114_semdedup_scaled", "q115_lm_quality_scaled",
       "q116_leakage_safe_split", "q119_corpus_drift",
       "q121_shuffled_pack", "q124_line_dedup", "q126_ngram_diversity",
-      "q127_zipf_slope")
+      "q127_zipf_slope", "q130_quality_classifier",
+      "q131_classifier_gate_pipeline")
     // optional 3rd arg: comma-separated substring filter (probe a single
     // query's decade without re-running the whole set)
     val probes = args.lift(2) match {
