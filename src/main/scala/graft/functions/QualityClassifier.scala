@@ -111,11 +111,39 @@ object QualityClassifier {
     *
     * `isTarget` labels the curated class (e.g. the Wikipedia-like
     * sources); everything else is the raw/crawl class. Both classes
-    * must be non-empty. */
+    * must be non-empty.
+    *
+    * `trainSamplePct` < 100 fits the model on a DETERMINISTIC md5
+    * sample of the corpus — the 100 TB posture (the
+    * [[DedupOps.semanticPairsBlocked]] / AnnIndex.retrain device): a
+    * bag-of-buckets model converges long before the full corpus is
+    * read, so the training scans shrink 100/pct× while scoring still
+    * covers every document. A sample that loses either class falls
+    * back to training on the full corpus (tiny inputs). */
   def train(docs: DataFrame, textCol: String, isTarget: Column,
-            buckets: Int = 1024, ns: Seq[Int] = Seq(1, 2)): Model = {
+            buckets: Int = 1024, ns: Seq[Int] = Seq(1, 2),
+            trainSamplePct: Int = 100): Model = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     require(ns.nonEmpty && ns.forall(_ >= 1), s"bad ngram sizes $ns")
+    require(trainSamplePct >= 1 && trainSamplePct <= 100,
+      s"trainSamplePct must be in [1, 100], got $trainSamplePct")
+    if (trainSamplePct < 100) {
+      val sampled = docs.filter(
+        pmod(graft.expressions.HexPrefixToLong.hex_prefix_to_long(
+          md5(col(textCol)), 15), lit(100L)) < trainSamplePct.toLong)
+      val d = sampled.agg(
+        sum(when(isTarget, 1L).otherwise(0L)),
+        sum(when(isTarget, 0L).otherwise(1L))).head()
+      if (!d.isNullAt(0) && d.getLong(0) > 0L &&
+          !d.isNullAt(1) && d.getLong(1) > 0L)
+        return trainFull(sampled, textCol, isTarget, buckets, ns)
+      // fall through: the sample lost a class — train on everything
+    }
+    trainFull(docs, textCol, isTarget, buckets, ns)
+  }
+
+  private def trainFull(docs: DataFrame, textCol: String, isTarget: Column,
+                        buckets: Int, ns: Seq[Int]): Model = {
     val m = buckets.toLong
     val grams = ns.map(n => docs.select(isTarget.as("__tgt"),
         explode(graft.expressions.Shingles.shingles(col(textCol), n))
