@@ -188,6 +188,38 @@ object QualityClassifier {
       (s > 0.0).cast("int").as("keep"))
   }
 
+  /** STOCHASTIC quality sampling — GPT-3's actual acceptance rule
+    * (Brown et al. 2020 §A.2: "documents were kept if
+    * np.random.pareto(α) > 1 − document_score", α = 9), which keeps
+    * SOME lower-scoring documents instead of a hard cutoff — the
+    * diversity-preserving gate. Spark-shaped deterministically: the
+    * Pareto draw comes from [[TextOps.hashFrac]]'s salted md5 uniform
+    * through the inverse Lomax CDF, x = (1−u)^(−1/α) − 1, so replays
+    * and both engines draw the IDENTICAL value per document (the q72
+    * device; `rand()` would be neither replayable nor oracle-checkable).
+    * `score` is the classifier probability σ(log-odds), computed from
+    * the 4-dp-ROUNDED log-odds (q130's oracle-visible quantity — the
+    * oracle re-derives σ from the same rounded value), and both sides
+    * of the comparison round to 4 dp so the engines compare identical
+    * doubles (exp/pow are faithful-rounded, not bit-pinned).
+    *
+    * Scale shape: like [[scoreDocs]], ONE codegen'd scan — the model
+    * rides the codegen reference array, the draw is scalar md5
+    * arithmetic, zero exchanges. */
+  def paretoGate(docs: DataFrame, idCol: String, textCol: String,
+                 model: Model, alpha: Double = 9.0,
+                 salt: String = "quality"): DataFrame = {
+    require(alpha > 0.0, s"alpha must be positive, got $alpha")
+    val p = lit(1.0) /
+      (lit(1.0) + exp(-round(model.scoreCol(col(textCol)), 4)))
+    val u = TextOps.hashFrac(col(idCol), salt)
+    val draw = pow(lit(1.0) - u, lit(-1.0 / alpha)) - lit(1.0)
+    docs.select(col(idCol),
+      round(p, 4).as("score"),
+      round(draw, 4).as("draw"),
+      (round(draw, 4) > round(lit(1.0) - p, 4)).cast("int").as("keep"))
+  }
+
   /** LOGISTIC refinement of the gate — the fastText/DCLM shape: from
     * the Naive Bayes closed form (or a caller-supplied `init`), run
     * `epochs` of FULL-BATCH gradient descent on the mean logistic loss

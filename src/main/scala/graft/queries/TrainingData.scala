@@ -1282,6 +1282,22 @@ object TrainingData {
           lit(if (losses.last < losses.head) 1 else 0).cast("int")
             .as("loss_improved_ok"))
     }),
+    // STOCHASTIC PARETO ACCEPTANCE — GPT-3's actual keep rule (Brown
+    // et al. 2020 §A.2: keep iff pareto(α=9) > 1 − score), completing
+    // the classifier family: q130 is the hard gate, this the
+    // diversity-preserving soft gate that admits SOME low scorers. The
+    // draw is the salted-hash uniform through the inverse Lomax CDF —
+    // deterministic, replayable, oracle-checkable where rand() is
+    // none of those. One codegen'd scan, zero exchanges (the q130
+    // scorer plus scalar md5/pow arithmetic).
+    "q133_pareto_quality_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.functions.QualityClassifier.train(docs, "text",
+        col("source").isin("src0", "src1"))
+      graft.functions.QualityClassifier
+        .paretoGate(docs, "doc_id", "text", model)
+        .orderBy(col("doc_id"))
+    }),
     // COMPOSED RECIPE under the TRAINED gate — q82's pretraining
     // pipeline with its heuristic quality filter (n_tok ≥ 10 ∧
     // dup-word-frac < 0.3) swapped for the q130 classifier gate:
@@ -2755,6 +2771,24 @@ object TrainingData {
         |  CAST(3 AS INT) AS epochs,
         |  CAST(1 AS INT) AS loss_improved_ok
         |FROM documents""".stripMargin,
+    // q133: full recompute — σ of the shared CTE's ROUNDED log-odds,
+    // the salted-hash uniform, the inverse Lomax draw; both comparison
+    // sides round to 4 dp so the engines compare identical doubles
+    "q133_pareto_quality_sample" ->
+      s"""WITH $clfScoredCte,
+         |g AS (
+         |  SELECT doc_id,
+         |    1.0 / (1.0 + exp(-score)) AS p,
+         |    (CAST(('0x' || substr(md5('quality|' ||
+         |        CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000)
+         |      / 1000000.0 AS u
+         |  FROM clf_scored)
+         |SELECT doc_id, round(p, 4) AS score,
+         |  round(pow(1.0 - u, -1.0 / 9.0) - 1.0, 4) AS draw,
+         |  CAST(CASE WHEN round(pow(1.0 - u, -1.0 / 9.0) - 1.0, 4)
+         |         > round(1.0 - p, 4)
+         |       THEN 1 ELSE 0 END AS INT) AS keep
+         |FROM g ORDER BY doc_id""".stripMargin,
     // q131: q82's oracle with the heuristic gate swapped for the
     // trained classifier gate (score > 0 from the shared clf CTE)
     "q131_classifier_gate_pipeline" ->

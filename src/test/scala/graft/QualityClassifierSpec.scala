@@ -204,6 +204,43 @@ class QualityClassifierSpec extends SparkSpec {
       "class-losing sample must fall back to full-corpus training")
   }
 
+  test("pareto gate: deterministic draw, independent reference agrees, soft-keeps diversity") {
+    val m = QualityClassifier.train(fixture, "text", col("tgt"),
+      buckets = 256)
+    val got = QualityClassifier.paretoGate(fixture, "doc_id", "text", m)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getInt(3)))
+    // independent reference: σ of the 4-dp-rounded log-odds, the
+    // salted-hash uniform, the inverse Lomax draw — driver-side Scala
+    def round4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val texts = fixture.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.foreach { case (id, score, draw, keep) =>
+      val p = 1.0 / (1.0 + math.exp(-round4(refScore(texts(id), m))))
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"quality|$id".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      val u = (java.lang.Long.parseLong(hex, 16) % 1000000L) / 1000000.0
+      val d = math.pow(1.0 - u, -1.0 / 9.0) - 1.0
+      assert(score === round4(p), s"doc $id score")
+      assert(draw === round4(d), s"doc $id draw")
+      assert(keep === (if (round4(d) > round4(1.0 - p)) 1 else 0),
+        s"doc $id keep")
+    }
+    // replays draw identically (the rand() shape could not)
+    val again = QualityClassifier.paretoGate(fixture, "doc_id", "text", m)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getInt(3)))
+    assert(again.sortBy(_._1).toSeq
+      === got.sortBy(_._1).map(g => (g._1, g._3, g._4)).toSeq)
+    // one codegen'd scan, zero exchanges — same plan contract as scoreDocs
+    val plan = QualityClassifier
+      .paretoGate(Tables.load(spark, sf001, "documents"), "doc_id",
+        "text", m)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("degenerate labels fail loudly") {
     intercept[IllegalArgumentException] {
       QualityClassifier.train(fixture, "text", lit(true))
