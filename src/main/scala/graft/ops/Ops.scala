@@ -117,3 +117,58 @@ object StageMetricsListener {
                                runTimeMs: Long, inputBytes: Long,
                                shuffleReadBytes: Long, shuffleWriteBytes: Long)
 }
+
+/** Governance report: the IAM policy-matrix flatten
+  * (utils/policy_matrix/tasks.py:56-136). The reference fetches per-
+  * project IAM bindings from the Cloud Resource Manager API and
+  * flattens them to (project_id, type, email, role) rows for a
+  * spreadsheet; the data-plane half is this flatten — nested
+  * bindings documents → normalized rows — which at fleet scale (many
+  * projects × many bindings) is a plain explode, not a driver loop.
+  * The API fetch is a live-transport connector (spec-verified request
+  * shape, like GSuite/Twitter — no live HTTP in the sandbox). */
+object PolicyMatrix {
+  import org.apache.spark.sql.functions._
+
+  /** `policies` rows: (project_id, bindings) where bindings is
+    * array<struct<role string, members array<string>>> — the
+    * getIamPolicy response shape. Members are `type:email` strings;
+    * rows come back one per (project, member, role), member split
+    * into its type and email halves (the reference's exact columns,
+    * in its column order). */
+  def rolesMatrix(policies: DataFrame): DataFrame =
+    policies
+      .select(col("project_id"), explode(col("bindings")).as("b"))
+      .select(col("project_id"), col("b.role").as("role"),
+        explode(col("b.members")).as("member"))
+      .select(col("project_id"),
+        substring_index(col("member"), ":", 1).as("type"),
+        substring_index(col("member"), ":", -1).as("email"),
+        col("role"))
+
+  /** The Cloud Resource Manager getIamPolicy request body
+    * (policy_matrix/tasks.py:40-53) — assembled, not sent. */
+  def getIamPolicyRequest(requestedPolicyVersion: Int = 1): String =
+    s"""{"options": {"requestedPolicyVersion": $requestedPolicyVersion}}"""
+}
+
+/** Earth Engine table-asset registration
+  * (utils/dump_earth_engine_asset/tasks.py:216-252): the data-plane
+  * half of that flow — the cost-gated query→GCS export — is [[Export]]
+  * (K8); what remains is ONE ingestion call registering the exported
+  * file as an EE table asset. Request assembly is exact and
+  * spec-verified; transport is a live connector boundary (no
+  * credentials/HTTP in the sandbox), the GSuite/Twitter convention. */
+object EarthEngine {
+  /** `startTableIngestion` params for a GCS-hosted table
+    * (tasks.py:245-248): asset name + primary source path + charset. */
+  def tableIngestionParams(eeAssetPath: String, gcsFilePath: String,
+                           charset: String = "UTF-8"): String = {
+    require(eeAssetPath.startsWith("projects/") ||
+        eeAssetPath.startsWith("users/"),
+      s"ee asset path must be projects/... or users/...: $eeAssetPath")
+    require(gcsFilePath.startsWith("gs://"),
+      s"source must be a GCS path: $gcsFilePath")
+    s"""{"name": "$eeAssetPath", "sources": [{"primaryPath": "$gcsFilePath", "charset": "$charset"}]}"""
+  }
+}

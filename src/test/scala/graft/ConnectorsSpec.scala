@@ -503,6 +503,41 @@ class ConnectorsSpec extends SparkSpec {
     assert(sheet.rows === Seq(Seq("1", "a"), Seq("2", "")))
   }
 
+  test("policy matrix flatten + EE asset registration request shapes") {
+    // utils/policy_matrix: nested IAM bindings -> (project_id, type,
+    // email, role) rows, the reference's exact columns and order
+    val policies = Seq(
+      ("proj-a", Seq(
+        ("roles/owner", Seq("user:alice@x.org", "serviceAccount:sa@x.iam")),
+        ("roles/viewer", Seq("user:alice@x.org")))),
+      ("proj-b", Seq(
+        ("roles/editor", Seq("group:eng@x.org"))))
+    ).toDF("project_id", "bindings")
+      .select($"project_id", $"bindings".cast(
+        "array<struct<role:string,members:array<string>>>").as("bindings"))
+    val rows = graft.ops.PolicyMatrix.rolesMatrix(policies)
+    assert(rows.columns.toSeq === Seq("project_id", "type", "email", "role"))
+    val got = rows.as[(String, String, String, String)].collect().toSet
+    assert(got === Set(
+      ("proj-a", "user", "alice@x.org", "roles/owner"),
+      ("proj-a", "serviceAccount", "sa@x.iam", "roles/owner"),
+      ("proj-a", "user", "alice@x.org", "roles/viewer"),
+      ("proj-b", "group", "eng@x.org", "roles/editor")))
+    assert(graft.ops.PolicyMatrix.getIamPolicyRequest()
+      === """{"options": {"requestedPolicyVersion": 1}}""")
+    // utils/dump_earth_engine_asset: the startTableIngestion params
+    val params = graft.ops.EarthEngine.tableIngestionParams(
+      "projects/p/assets/t", "gs://bucket/f.csv")
+    assert(params === """{"name": "projects/p/assets/t", """ +
+      """"sources": [{"primaryPath": "gs://bucket/f.csv", "charset": "UTF-8"}]}""")
+    intercept[IllegalArgumentException] {
+      graft.ops.EarthEngine.tableIngestionParams("bad/path", "gs://b/f")
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.EarthEngine.tableIngestionParams("users/u/a", "/local/f")
+    }
+  }
+
   test("url download to landing zone then spark.read (S11)") {
     val t: Http.Transport = _ => "id,v\n1,a\n2,b\n"
     val dest = Http.downloadToLanding(t, "http://files/x.csv",
