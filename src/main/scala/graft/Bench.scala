@@ -42,7 +42,11 @@ object Bench {
     // Round-11 addition — the C4 line-dedup rewrite (segment → min_by
     // keeper → reassemble). Excluded from the comparable subset like
     // the r9 pair.
-    "q124_line_dedup"
+    "q124_line_dedup",
+    // Round-12 addition — the trained quality-classifier family's
+    // flagship (NB train + one-scan codegen scoring). Excluded from
+    // the comparable subset like the r9/r11 additions.
+    "q130_quality_classifier"
   )
 
   /** Fixed CPU-bound calibration workload — constant size regardless of
@@ -159,7 +163,7 @@ object Bench {
     // this subtotal keeps cross-round comparisons one field-read
     // instead of hand arithmetic.
     val addedSinceR8 = Set("q113_substring_dedup", "q115_lm_quality_scaled",
-      "q124_line_dedup")
+      "q124_line_dedup", "q130_quality_classifier")
     val totalR8Comparable =
       medians.filterNot(p => addedSinceR8(p._1)).map(_._2).sum
     // calibration_s normalizes cross-round totals: a drifted host moves

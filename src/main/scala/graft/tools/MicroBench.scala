@@ -560,6 +560,37 @@ object MicroBench {
       }
       dropped.unpersist(); longDocs.unpersist()
     }
+
+    // ---- quality-classifier scoring: one-scan kernel vs composable --
+    // The q130 scorer's claim: HashedNgramScore computes the document
+    // log-odds scan-locally (zero exchanges), where the composable
+    // q104-shape pays explode → (doc, bucket) partial-agg shuffle →
+    // broadcast weights join → doc-keyed agg. Same arithmetic, same
+    // hash; the delta is pure plan shape.
+    {
+      import graft.functions.QualityClassifier
+      val model = QualityClassifier.train(docs, "text",
+        col("source").isin("src0", "src1"))
+      time("clf score kernel (one scan)") {
+        noop(QualityClassifier.scoreDocs(docs, "doc_id", "text", model))
+      }
+      val wDf = spark.createDataFrame(
+        model.weights.toIndexedSeq.zipWithIndex
+          .map { case (v, b) => (b.toLong, v) }).toDF("b", "w")
+      time("clf score composable (shuffle)") {
+        noop(Seq(1, 2).map(n => docs.select(col("doc_id"),
+            explode(graft.expressions.Shingles.shingles(col("text"), n))
+              .as("g")))
+          .reduce(_ unionAll _)
+          .select(col("doc_id"),
+            QualityClassifier.bucketCol(col("g"), model.buckets).as("b"))
+          .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+          .join(broadcast(wDf), Seq("b"))
+          .groupBy(col("doc_id"))
+          .agg(round(sum(col("c") * col("w")) + lit(model.prior), 4)
+            .as("score")))
+      }
+    }
     spark.stop()
   }
 }
