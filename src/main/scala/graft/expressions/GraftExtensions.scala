@@ -119,6 +119,15 @@ object GraftExtensions {
       new ExpressionInfo(classOf[HexPrefixToLong].getName, "hex_prefix_to_long"),
       (cs: Seq[Expression]) => HexPrefixToLong(cs.head,
         if (cs.size > 1) intArg(cs(1), "prefix length") else 15)),
+    (FunctionIdentifier("html_text"),
+      new ExpressionInfo(classOf[HtmlText].getName, "html_text"),
+      (cs: Seq[Expression]) => HtmlText(cs.head,
+        if (cs.size > 1) intArg(cs(1), "minWords") else 0,
+        if (cs.size > 2) cs(2).eval() match {
+          case d: Double => d
+          case v => throw new IllegalArgumentException(
+            s"maxLinkDensity must fold to a double, got $v")
+        } else 1.0)),
     // The text kernels hard-code their input physical layout
     // (UTF8String text, int-element starts) rather than declaring
     // inputTypes, so the SQL builders CAST — an array<bigint> starts

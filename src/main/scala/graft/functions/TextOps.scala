@@ -47,6 +47,20 @@ object TextOps {
       .otherwise(lit("und"))
   }
 
+  /** HTML → text, raw: tags stripped, script/style/comments skipped,
+    * entities decoded, block tags break lines — the crawl-ingest
+    * pre-stage ([[graft.expressions.HtmlText]], one codegen'd pass). */
+  def htmlToText(html: Column): Column =
+    graft.expressions.HtmlText.html_text(html)
+
+  /** HTML → MAIN content: [[htmlToText]] plus the per-line boilerplate
+    * filter — a line survives with ≥ `minWords` words and ≤
+    * `maxLinkDensity` anchor-text share (nav/footer/link-farm lines
+    * are short and almost-all-anchor; Kohlschütter et al. 2010). */
+  def htmlMainContent(html: Column, minWords: Int = 3,
+                      maxLinkDensity: Double = 0.5): Column =
+    graft.expressions.HtmlText.html_text(html, minWords, maxLinkDensity)
+
   /** Quality signals: char length, token count, mean token length,
     * stopword ratio, non-alpha ratio. */
   def nChars(text: Column): Column = length(text).cast("long")

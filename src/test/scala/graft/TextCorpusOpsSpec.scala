@@ -27,6 +27,62 @@ class TextCorpusOpsSpec extends SparkSpec {
       (4L, "", 2L, 0L)))
   }
 
+  test("htmlToText / htmlMainContent: extraction, entities, link-density boilerplate") {
+    val html =
+      """<html><head><title>T</title>
+        |<style>.x { color: red }</style>
+        |<script>var a = "<p>not text</p>";</script></head>
+        |<body>
+        |<!-- navigation -->
+        |<div><a href="/">Home</a> | <a href="/about">About</a> | <a href="/contact">Contact us</a></div>
+        |<h1>City &amp; River</h1>
+        |<p>The history of the city begins at the river &#8212; a long
+        |story of growth &lt;unescaped&gt; and change.</p>
+        |<p>Read <a href="/more">more about the history</a> in our archive
+        |of documents and maps.</p>
+        |<ul><li><a href="/a">Link a</a></li><li><a href="/b">Link b</a></li></ul>
+        |<footer><a href="/tos">Terms</a> <a href="/priv">Privacy</a></footer>
+        |</body></html>""".stripMargin
+    val df = Seq(Tuple1(html)).toDF("html")
+    val raw = df.select(TextOps.htmlToText($"html")).as[String].head()
+    val rawLines = raw.split("\n").toSeq
+    // script/style/comment content gone; entities decoded; tags stripped
+    assert(!raw.contains("color: red") && !raw.contains("not text"))
+    assert(!raw.contains("navigation"))
+    assert(rawLines.contains("City & River"))
+    assert(raw.contains("the river — a long story"))
+    assert(raw.contains("<unescaped>"))
+    assert(rawLines.head === "T") // title text flows through raw mode
+    // main-content mode: the nav bar (all-anchor), the link list and
+    // the footer drop; the two real paragraphs survive — including the
+    // one with an inline anchor (its density is under the threshold)
+    val main = df.select(TextOps.htmlMainContent($"html"))
+      .as[String].head().split("\n").toSeq
+    assert(main.exists(_.startsWith("The history of the city")), main)
+    assert(main.exists(_.startsWith("Read more about the history")), main)
+    assert(!main.exists(_.contains("Home")), main)
+    assert(!main.exists(_.contains("Link a")), main)
+    assert(!main.exists(_.contains("Terms")), main)
+    assert(main.contains("City & River"),
+      "3-word heading (the decoded & counts) meets minWords = 3")
+    assert(!main.contains("T"), "1-word title is under minWords")
+    // malformed input degrades, never throws
+    val edge = Seq("<p>ok", "text < 5 and > 3", "<a href='x'", "&#xZZ; &bad;")
+      .toDF("html").select(TextOps.htmlToText($"html")).as[String].collect()
+    assert(edge(0) === "ok")
+    assert(edge(1) === "text < 5 and > 3")
+    assert(edge(2) === "")
+    assert(edge(3) === "&#xZZ; &bad;")
+    // SQL surface parity
+    graft.expressions.GraftExtensions.install(spark)
+    df.createOrReplaceTempView("html_docs")
+    val viaSql = spark.sql(
+      "SELECT html_text(html, 3, CAST(0.5 AS DOUBLE)) FROM html_docs")
+      .as[String].head()
+    assert(viaSql === df.select(TextOps.htmlMainContent($"html"))
+      .as[String].head())
+  }
+
   test("lineRebuild kernel is value-identical to the HOF mask it replaced") {
     // round 12: the rebuild mask is the fused two-pointer ChunkRebuild
     // (O(chunks + drops)); the retired HOF encoding stays as the
