@@ -1,0 +1,208 @@
+package graft.connectors
+
+import java.io.{BufferedInputStream, EOFException, InputStream}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WARC (Web ARChive, ISO 28500) source — the container CommonCrawl
+  * ships, i.e. the on-disk format of the 100 TB crawl corpus the
+  * training-data operators (html_text → q130 gate → dedup family)
+  * consume. Pure-JVM record parser, no external library (the
+  * Hdf5/NetCdf/AviMjpeg precedent: byte-level reader checked against
+  * an independently written fixture).
+  *
+  * Format: each record is `WARC/1.x\r\n`, header lines until a blank
+  * line, exactly `Content-Length` body bytes, then `\r\n\r\n`.
+  * CommonCrawl gzips each record as its OWN gzip member and
+  * concatenates the members; `java.util.zip.GZIPInputStream` reads
+  * concatenated members natively, so one decompressing stream walks
+  * the whole file.
+  *
+  * SCALE SHAPE — the reader STREAMS: [[read]] parallelizes over FILE
+  * PATHS and each task opens its file through the Hadoop FileSystem
+  * and iterates records incrementally — a 1 GiB WARC never
+  * materializes in memory (the `binaryFile` source would buffer whole
+  * files per row). Per-file parallelism is the CommonCrawl-standard
+  * unit (thousands of ~1 GiB segments); `bodyMaxBytes` caps a single
+  * runaway record instead of OOMing the task. */
+object Warc {
+
+  final case class WarcRecord(warcType: String, targetUri: String,
+                              date: String, contentType: String,
+                              body: Array[Byte])
+
+  /** Iterate the records of one (possibly .gz) WARC stream. Truncated
+    * tails end iteration instead of throwing — a partially fetched
+    * crawl segment yields its complete records. */
+  def records(in0: InputStream, bodyMaxBytes: Int = 64 << 20): Iterator[WarcRecord] = {
+    val in = new BufferedInputStream(in0, 1 << 16)
+
+    def readLine(): String = {
+      // WARC header lines are CRLF-terminated ASCII
+      val sb = new java.lang.StringBuilder
+      var c = in.read()
+      if (c < 0) return null
+      while (c >= 0 && c != '\n') {
+        if (c != '\r') sb.append(c.toChar)
+        c = in.read()
+      }
+      sb.toString
+    }
+
+    def readFully(buf: Array[Byte]): Boolean = {
+      var off = 0
+      while (off < buf.length) {
+        val k = in.read(buf, off, buf.length - off)
+        if (k < 0) return false
+        off += k
+      }
+      true
+    }
+
+    new Iterator[WarcRecord] {
+      private var nextRec: WarcRecord = _
+      private var done = false
+
+      private def advance(): Unit = {
+        nextRec = null
+        while (nextRec == null && !done) {
+          var line = readLine()
+          // skip inter-record blank lines
+          while (line != null && line.isEmpty) line = readLine()
+          if (line == null) { done = true; return }
+          if (!line.startsWith("WARC/")) { done = true; return }
+          val headers = scala.collection.mutable.Map.empty[String, String]
+          var h = readLine()
+          while (h != null && h.nonEmpty) {
+            val i = h.indexOf(':')
+            if (i > 0)
+              headers(h.substring(0, i).trim.toLowerCase) =
+                h.substring(i + 1).trim
+            h = readLine()
+          }
+          if (h == null) { done = true; return }
+          val len =
+            try headers.getOrElse("content-length", "0").toLong
+            catch { case _: NumberFormatException => -1L }
+          if (len < 0 || len > bodyMaxBytes) {
+            // unparseable or runaway record: skip its body if we can
+            done = true; return
+          }
+          val body = new Array[Byte](len.toInt)
+          if (!readFully(body)) { done = true; return }
+          nextRec = WarcRecord(
+            headers.getOrElse("warc-type", ""),
+            // the URI is sometimes <wrapped>
+            headers.getOrElse("warc-target-uri", "")
+              .stripPrefix("<").stripSuffix(">"),
+            headers.getOrElse("warc-date", ""),
+            headers.getOrElse("content-type", ""),
+            body)
+        }
+      }
+
+      advance()
+      override def hasNext: Boolean = nextRec != null
+      override def next(): WarcRecord = {
+        if (nextRec == null) throw new NoSuchElementException
+        val r = nextRec
+        advance()
+        r
+      }
+    }
+  }
+
+  /** Strip the HTTP envelope of a `response` record: bytes after the
+    * first blank line (`\r\n\r\n`, tolerant of bare `\n\n`). A body
+    * with no envelope comes back whole. */
+  def httpBody(payload: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i + 1 < payload.length) {
+      if (payload(i) == '\n' &&
+          (i + 1 < payload.length && payload(i + 1) == '\n'))
+        return java.util.Arrays.copyOfRange(payload, i + 2, payload.length)
+      if (payload(i) == '\r' && i + 3 < payload.length &&
+          payload(i + 1) == '\n' && payload(i + 2) == '\r' &&
+          payload(i + 3) == '\n')
+        return java.util.Arrays.copyOfRange(payload, i + 4, payload.length)
+      i += 1
+    }
+    payload
+  }
+
+  /** Distributed read: one task per WARC file path, records streamed —
+    * (file, warc_type, url, warc_date, content_type, body binary).
+    * `paths` accepts files or directories (expanded non-recursively);
+    * `.gz` decompresses via the multi-member-aware JDK stream. */
+  def read(spark: SparkSession, paths: Seq[String],
+           bodyMaxBytes: Int = 64 << 20): DataFrame = {
+    import spark.implicits._
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val files: Seq[String] = paths.flatMap { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(conf.value)
+      if (fs.getFileStatus(path).isDirectory)
+        fs.listStatus(path).toSeq.filter(_.isFile).map(_.getPath.toString)
+          .filter(f => f.endsWith(".warc") || f.endsWith(".warc.gz"))
+      else Seq(p)
+    }
+    val cap = bodyMaxBytes
+    spark.createDataset(files)
+      .repartition(math.max(1, math.min(files.size,
+        spark.sparkContext.defaultParallelism)))
+      .mapPartitions { it =>
+        it.flatMap { f =>
+          val path = new org.apache.hadoop.fs.Path(f)
+          val fs = path.getFileSystem(conf.value)
+          val raw: InputStream = fs.open(path)
+          val in: InputStream =
+            if (f.endsWith(".gz"))
+              new java.util.zip.GZIPInputStream(raw, 1 << 16)
+            else raw
+          // the iterator closes its stream when drained; Spark drains
+          // task iterators fully, so no leak on the happy path
+          val base = records(in, cap)
+          new Iterator[(String, String, String, String, String, Array[Byte])] {
+            override def hasNext: Boolean = {
+              val h = base.hasNext
+              if (!h) in.close()
+              h
+            }
+            override def next(): (String, String, String, String, String, Array[Byte]) = {
+              val r = base.next()
+              (f, r.warcType, r.targetUri, r.date, r.contentType, r.body)
+            }
+          }
+        }
+      }
+      .toDF("file", "warc_type", "url", "warc_date", "content_type", "body")
+  }
+
+  /** The crawl-to-corpus head: WARC response records → HTTP body →
+    * UTF-8 → [[graft.functions.TextOps.htmlMainContent]] — rows shaped
+    * like the documents table ((url, warc_date, text)), ready for the
+    * quality gate and the dedup chain. The HTTP-envelope strip is
+    * NATIVE column arithmetic (decode + locate + substr — no UDF on
+    * the data path, the engine-wide rule), value-matching [[httpBody]]
+    * which the spec cross-checks. */
+  def htmlDocuments(spark: SparkSession, paths: Seq[String],
+                    minWords: Int = 3,
+                    maxLinkDensity: Double = 0.5): DataFrame = {
+    val s = decode(col("body"), "UTF-8")
+    val crlf = locate("\r\n\r\n", s)
+    val lf = locate("\n\n", s)
+    val bodyText =
+      when(crlf > 0 && (lf === 0 || crlf <= lf),
+        s.substr(crlf + lit(4), length(s)))
+      .when(lf > 0, s.substr(lf + lit(2), length(s)))
+      .otherwise(s)
+    read(spark, paths)
+      .filter(col("warc_type") === "response")
+      .select(col("url"), col("warc_date"),
+        graft.functions.TextOps.htmlMainContent(
+          bodyText, minWords, maxLinkDensity).as("text"))
+      .filter(length(col("text")) > 0)
+  }
+}

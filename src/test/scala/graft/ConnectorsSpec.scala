@@ -503,6 +503,72 @@ class ConnectorsSpec extends SparkSpec {
     assert(sheet.rows === Seq(Seq("1", "a"), Seq("2", "")))
   }
 
+  test("WARC source: streamed records, multi-member gzip, crawl-to-corpus head") {
+    import graft.connectors.Warc
+    // INDEPENDENT fixture writer (the Hdf5/AviMjpeg convention): WARC
+    // records assembled byte-by-byte from the ISO 28500 layout the
+    // reader is checked against
+    def rec(warcType: String, uri: String, body: Array[Byte]): Array[Byte] = {
+      val h = new StringBuilder
+      h.append("WARC/1.0\r\n")
+      h.append(s"WARC-Type: $warcType\r\n")
+      if (uri.nonEmpty) h.append(s"WARC-Target-URI: <$uri>\r\n")
+      h.append("WARC-Date: 2024-03-01T00:00:00Z\r\n")
+      h.append("Content-Type: application/http; msgtype=response\r\n")
+      h.append(s"Content-Length: ${body.length}\r\n\r\n")
+      h.toString.getBytes("UTF-8") ++ body ++ "\r\n\r\n".getBytes("UTF-8")
+    }
+    def http(html: String): Array[Byte] =
+      ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html)
+        .getBytes("UTF-8")
+    val page1 = "<html><body><p>The history of the city begins at " +
+      "the river.</p><div><a href='/'>Home</a> <a href='/a'>About</a>" +
+      "</div></body></html>"
+    val page2 = "<html><body><p>A study of the growth of a region " +
+      "over time.</p></body></html>"
+    val warcBytes =
+      rec("warcinfo", "", "software: test\r\n".getBytes("UTF-8")) ++
+      rec("request", "http://x.org/1",
+        "GET /1 HTTP/1.1\r\n".getBytes("UTF-8")) ++
+      rec("response", "http://x.org/1", http(page1)) ++
+      rec("response", "http://x.org/2", http(page2))
+    val dir = tmpDir("warc")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "a.warc"), warcBytes)
+    // CommonCrawl layout: each record its OWN gzip member, concatenated
+    val gz = new java.io.ByteArrayOutputStream()
+    Seq(rec("response", "http://y.org/3", http(page2)),
+        rec("response", "http://y.org/4", http(page1))).foreach { r =>
+      val g = new java.util.zip.GZIPOutputStream(gz)
+      g.write(r); g.finish()
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "b.warc.gz"), gz.toByteArray)
+
+    // record-level read: all records, types and uris parsed, bodies exact
+    val all = Warc.read(spark, Seq(dir))
+      .select($"warc_type", $"url", $"body").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Array[Byte]](2)))
+    assert(all.length === 6)
+    assert(all.count(_._1 == "response") === 4)
+    val r1 = all.find(r => r._1 == "response" && r._2 == "http://x.org/1").get
+    assert(new String(Warc.httpBody(r1._3), "UTF-8") === page1)
+    // truncated tail: complete records survive, no throw
+    val truncated = java.util.Arrays.copyOfRange(
+      warcBytes, 0, warcBytes.length - 60)
+    val n = Warc.records(new java.io.ByteArrayInputStream(truncated)).size
+    assert(n === 3, s"expected the 3 complete records, got $n")
+    // crawl-to-corpus head: responses only, HTTP envelope stripped
+    // natively (value-matching httpBody), nav boilerplate filtered
+    val docs = Warc.htmlDocuments(spark, Seq(dir))
+      .orderBy($"url").collect()
+      .map(r => (r.getString(0), r.getString(2)))
+    assert(docs.map(_._1).toSeq === Seq("http://x.org/1", "http://x.org/2",
+      "http://y.org/3", "http://y.org/4"))
+    assert(docs.head._2 === "The history of the city begins at the river.")
+    assert(!docs.exists(_._2.contains("Home")), "nav line must filter out")
+  }
+
   test("policy matrix flatten + EE asset registration request shapes") {
     // utils/policy_matrix: nested IAM bindings -> (project_id, type,
     // email, role) rows, the reference's exact columns and order
