@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL curation — the filtering stage between the crawl container
+  * ([[graft.connectors.Warc]]) and the text pipeline: C4 deduplicates
+  * by URL, RefinedWeb filters against domain blocklists and strips
+  * tracking noise before content ever parses. All built on Spark's
+  * native `try_parse_url`/string expressions — scan-local, codegen'd, no
+  * UDFs, so the gates add zero exchanges to a crawl scan (the q130
+  * plan argument).
+  */
+object UrlOps {
+
+  /** Lowercased registrable host ("www." stripped): the blocklist and
+    * per-domain-cap key. NULL for unparseable URLs. */
+  def urlDomain(url: Column): Column = {
+    val host = lower(try_parse_url(url, lit("HOST")))
+    when(host.startsWith("www."), expr_stripWww(host)).otherwise(host)
+  }
+
+  private def expr_stripWww(host: Column): Column =
+    host.substr(lit(5), length(host))
+
+  /** Canonical form for URL-level dedup (C4's unit): lowercase
+    * scheme+host, default-port strip, query and fragment dropped,
+    * trailing slash trimmed (except the bare root). Two crawls of
+    * `HTTP://www.X.org:80/a/?utm=1#top` and `http://x.org/a` collide. */
+  def urlCanonical(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([a-zA-Z][a-zA-Z0-9+.-]*):", 1))
+    val host = urlDomain(url)
+    val path0 = coalesce(try_parse_url(url, lit("PATH")), lit(""))
+    val path = when(path0 =!= "/" && path0.endsWith("/"),
+        path0.substr(lit(1), length(path0) - 1))
+      .otherwise(path0)
+    when(host.isNull || scheme === "", lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), host,
+        when(path === "/", lit("")).otherwise(path)))
+  }
+
+  /** Keep the first crawl of each canonical URL (min by `orderCol` —
+    * e.g. the WARC date or a record id): C4's URL dedup. One map-side
+    * partial-min shuffle on the canonical key; rows with unparseable
+    * URLs pass through untouched (they cannot collide). */
+  def dedupByUrl(df: DataFrame, urlCol: String, orderCol: String): DataFrame = {
+    val canon = df.withColumn("__u_canon", urlCanonical(col(urlCol)))
+    val keep = canon.filter(col("__u_canon").isNotNull)
+      .groupBy(col("__u_canon"))
+      .agg(min(col(orderCol)).as("__u_keep"))
+    canon.join(keep, Seq("__u_canon"), "left")
+      .filter(col("__u_canon").isNull || col(orderCol) === col("__u_keep"))
+      .drop("__u_canon", "__u_keep")
+  }
+
+  /** Drop rows whose domain (or any parent domain: `ads.x.org` matches
+    * a blocklisted `x.org`) is blocklisted. The blocklist is
+    * config-sized — it broadcasts; matching is a left-anti join on the
+    * EXPLODED suffix set (a domain has ≤ ~6 labels, so the expansion
+    * is a small constant, never a per-row loop over the list). */
+  def dropBlockedDomains(df: DataFrame, urlCol: String,
+                         blocklist: DataFrame): DataFrame = {
+    // suffix set excludes the bare TLD (a blocklist never means "all
+    // of .org"); greatest(0, …) guards the single-label host, where a
+    // raw size−2 = −1 would make sequence() count DOWN
+    val suffixes = df.withColumn("__u_dom", urlDomain(col(urlCol)))
+      .withColumn("__u_sfx",
+        explode_outer(expr(
+          """transform(
+            |  sequence(0, greatest(0, size(split(__u_dom, '\\.')) - 2)),
+            |  i -> array_join(slice(split(__u_dom, '\\.'), i + 1,
+            |         size(split(__u_dom, '\\.')) - i), '.'))""".stripMargin)))
+    val blocked = suffixes
+      .join(broadcast(blocklist.select(lower(col("domain")).as("__u_sfx"))),
+        Seq("__u_sfx"), "left_semi")
+      .select(col(urlCol)).distinct()
+    df.join(blocked, Seq(urlCol), "left_anti")
+  }
+}

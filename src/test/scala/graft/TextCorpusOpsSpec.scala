@@ -27,6 +27,37 @@ class TextCorpusOpsSpec extends SparkSpec {
       (4L, "", 2L, 0L)))
   }
 
+  test("UrlOps: canonicalization, URL dedup, parent-domain blocklist") {
+    import graft.functions.UrlOps
+    val urls = Seq(
+      (1L, "HTTP://www.X.org:80/a/?utm=1#top"),
+      (2L, "http://x.org/a"),                 // canonical twin of 1
+      (3L, "https://x.org/a"),                // different scheme: distinct
+      (4L, "http://x.org/"),                  // bare root keeps its slash… trimmed to host
+      (5L, "http://ads.tracker.net/pixel"),
+      (6L, "http://sub.ads.tracker.net/p"),   // parent-domain match
+      (7L, "http://nottracker.net/fine"),     // suffix must match on LABELS
+      (8L, "not a url")
+    ).toDF("id", "url")
+    val canon = urls.select($"id", UrlOps.urlCanonical($"url").as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(canon(1L) === "http://x.org/a" && canon(2L) === "http://x.org/a")
+    assert(canon(3L) === "https://x.org/a")
+    assert(canon(4L) === "http://x.org")
+    assert(canon(8L) === null)
+    // C4's URL dedup: first crawl (min id) of each canonical URL wins;
+    // unparseable URLs pass through
+    val kept = UrlOps.dedupByUrl(urls, "url", "id")
+      .select($"id").as[Long].collect().toSet
+    assert(kept === Set(1L, 3L, 4L, 5L, 6L, 7L, 8L))
+    // blocklist drops the domain AND its subdomains, never a
+    // same-suffix different label, never the bare TLD
+    val bl = Seq("Tracker.NET").toDF("domain")
+    val surv = UrlOps.dropBlockedDomains(urls, "url", bl)
+      .select($"id").as[Long].collect().toSet
+    assert(surv === Set(1L, 2L, 3L, 4L, 7L, 8L))
+  }
+
   test("htmlToText / htmlMainContent: extraction, entities, link-density boilerplate") {
     val html =
       """<html><head><title>T</title>
