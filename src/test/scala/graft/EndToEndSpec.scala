@@ -781,6 +781,64 @@ class EndToEndSpec extends SparkSpec {
     assert(lake.read(out).count() === 2)
   }
 
+  test("the full crawl path: WARC -> extraction -> URL dedup -> quality gate -> ingest") {
+    import graft.connectors.Warc
+    import graft.functions.{QualityClassifier, UrlOps}
+    import graft.lake.{CorpusDedup, CorpusPack}
+    import graft.tools.DailyIngest
+    // the 100 TB shape end-to-end at fixture scale: a crawl segment in
+    // CommonCrawl's own container, through every curation stage this
+    // round completed, into the replay-exact daily ingest
+    def rec(uri: String, html: String): Array[Byte] = {
+      val body = ("HTTP/1.1 200 OK\r\n\r\n" + html).getBytes("UTF-8")
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: <$uri>\r\n" +
+        s"WARC-Date: 2024-03-01T00:00:00Z\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes("UTF-8") ++
+        body ++ "\r\n\r\n".getBytes("UTF-8")
+    }
+    val good1 = "<p>The history of the city begins at the river and the region.</p>"
+    val good2 = "<p>A study of the growth of the nation and the culture.</p>"
+    val junk = "<p>buy cheap deals click here free casino win big now</p>"
+    val dir = tmpDir("crawl")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "seg.warc"),
+      rec("http://a.org/1", good1) ++
+      rec("HTTP://www.A.org:80/1?utm=x", good1) ++ // URL-dup of the first
+      rec("http://b.org/2", good2) ++
+      rec("http://spam.example/3", junk))
+    val labeled = Seq(
+      (1L, "the history of the city and the river", true),
+      (2L, "a study of the growth of a region", true),
+      (3L, "the economy and the culture of a nation", true),
+      (4L, "buy cheap deals buy cheap deals now now", false),
+      (5L, "click here click here free free free", false),
+      (6L, "win big win big casino casino casino", false)
+    ).toDF("doc_id", "text", "tgt")
+    val model = QualityClassifier.train(labeled, "text", $"tgt", buckets = 256)
+
+    val extracted = Warc.htmlDocuments(spark, Seq(dir), minWords = 3)
+    assert(extracted.count() === 4)
+    val urlDeduped = UrlOps.dedupByUrl(extracted, "url", "url")
+    assert(urlDeduped.count() === 3, "canonical URL twins must collapse")
+    val docs = urlDeduped
+      .withColumn("doc_id",
+        graft.functions.TextOps.hashDraw($"url", "crawl-id"))
+      .withColumn("lang", lit("en"))
+      .select($"doc_id", $"text", $"lang")
+
+    val lake = new Lake(spark, tmpDir("crawl_lake"))
+    val dd = new CorpusDedup(spark, lake, "crawl_e2e", numBuckets = 4)
+    val cp = new CorpusPack(spark,
+      new StateStore(spark, tmpDir("crawl_state")), "crawl_e2e",
+      budgetTokens = 1024L)
+    val out = TableRef("prod", "crawl_e2e", "packed")
+    val landed = DailyIngest.run(lake, dd, cp, out, docs,
+      "doc_id", "text", "lang", java.sql.Date.valueOf("2024-03-01"),
+      ttlDays = 30, qualityGate = Some(model))
+    // 4 crawled pages -> 3 after URL dedup -> 2 after the quality gate
+    assert(landed === 2, "junk page must fall to the trained gate")
+    assert(lake.read(out).count() === 2)
+  }
+
   test("daily ingest with the semantic gate: bootstrap, cross-day drop, replay") {
     import graft.lake.{CorpusDedup, CorpusPack}
     import graft.tools.DailyIngest
