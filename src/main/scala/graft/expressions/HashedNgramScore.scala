@@ -31,11 +31,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * trainer and the [[graft.multimodal.LinearModel]] interop.
   */
 final class NgramScoreKernel(val weights: Array[Double], val ns: Array[Int],
-                             val prior: Double) extends Serializable {
+                             val prior: Double,
+                             val charGrams: Boolean = false)
+    extends Serializable {
   require(weights.nonEmpty, "empty weights")
   require(ns.nonEmpty && ns.forall(_ >= 1), s"bad ngram sizes ${ns.toSeq}")
 
-  def score(text: UTF8String): Double = {
+  def score(text: UTF8String): Double =
+    if (charGrams) scoreChars(text) else scoreWords(text)
+
+  private def scoreWords(text: UTF8String): Double = {
     val words = text.split(NgramScoreKernel.Space, -1)
     var acc = prior
     var ni = 0
@@ -48,6 +53,28 @@ final class NgramScoreKernel(val weights: Array[Double], val ns: Array[Int],
         var j = 1
         while (j < n) { s = UTF8String.concat(s, NgramScoreKernel.Space, words(i + j)); j += 1 }
         acc += weights(NgramScoreKernel.bucket(s, weights.length))
+        i += 1
+      }
+      ni += 1
+    }
+    acc
+  }
+
+  /** Char-n-gram mode (the fastText LID featurization): windows over
+    * CODE POINTS — `UTF8String.substring` and DuckDB `substr` agree on
+    * code-point indexing, so grams and their md5 buckets match the
+    * oracle's `substr(text, i, n)` exactly. */
+  private def scoreChars(text: UTF8String): Double = {
+    val m = text.numChars()
+    var acc = prior
+    var ni = 0
+    while (ni < ns.length) {
+      val n = ns(ni)
+      val count = m - n + 1
+      var i = 0
+      while (i < count) {
+        acc += weights(NgramScoreKernel.bucket(
+          text.substring(i, i + n), weights.length))
         i += 1
       }
       ni += 1
@@ -83,11 +110,12 @@ object NgramScoreKernel {
   * executor-side kernel is a transient lazy rebuild (interpreted eval)
   * or a serialized codegen reference. */
 case class HashedNgramScore(child: Expression, weights: Seq[Double],
-                            ns: Seq[Int], prior: Double)
+                            ns: Seq[Int], prior: Double,
+                            charGrams: Boolean = false)
     extends UnaryExpression {
 
   @transient private lazy val kernel: NgramScoreKernel =
-    new NgramScoreKernel(weights.toArray, ns.toArray, prior)
+    new NgramScoreKernel(weights.toArray, ns.toArray, prior, charGrams)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "hashed_ngram_score"
@@ -107,6 +135,7 @@ case class HashedNgramScore(child: Expression, weights: Seq[Double],
 
 object HashedNgramScore {
   def hashed_ngram_score(text: Column, weights: Seq[Double], ns: Seq[Int],
-                         prior: Double): Column =
-    Bridge.column(HashedNgramScore(Bridge.expression(text), weights, ns, prior))
+                         prior: Double, charGrams: Boolean = false): Column =
+    Bridge.column(HashedNgramScore(Bridge.expression(text), weights, ns,
+      prior, charGrams))
 }

@@ -1282,6 +1282,26 @@ object TrainingData {
           lit(if (losses.last < losses.head) 1 else 0).cast("int")
             .as("loss_improved_ok"))
     }),
+    // TRAINABLE LANGUAGE ID — the fastText-LID shape (Joulin et al.
+    // 2017; CCNet's stage one): multinomial NB over hashed char
+    // trigrams, upgrading q54's fixed stopword votes to FITTED
+    // per-language models. Train: one corpus pass, ONE (bucket, lang)
+    // aggregation yields all K class models (M×K driver collect,
+    // bounded). Predict: K codegen char-gram kernels in one
+    // projection, argmax on rounded scores with ties to the smaller
+    // lang — zero exchanges. The whole recipe is the public API
+    // [[graft.functions.LangId]]. NOTE the oracle pins the ARITHMETIC
+    // (train + score + argmax recomputed end-to-end in DuckDB); model
+    // SKILL on this synthetic corpus is data-limited — its lang labels
+    // are only weakly text-correlated, so the majority-class prior
+    // dominates here. LangIdSpec pins the learning behavior on a
+    // fixture whose classes actually separate.
+    "q134_langid_trained" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.functions.LangId.train(docs, "text", "lang")
+      graft.functions.LangId.predict(docs, "doc_id", "text", model)
+        .orderBy(col("doc_id"))
+    }),
     // STOCHASTIC PARETO ACCEPTANCE — GPT-3's actual keep rule (Brown
     // et al. 2020 §A.2: keep iff pareto(α=9) > 1 − score), completing
     // the classifier family: q130 is the hard gate, this the
@@ -2771,6 +2791,46 @@ object TrainingData {
         |  CAST(3 AS INT) AS epochs,
         |  CAST(1 AS INT) AS loss_improved_ok
         |FROM documents""".stripMargin,
+    // q134: full independent recompute of train AND predict — per-class
+    // bucket counts from char trigrams, multinomial-NB scores with the
+    // add-1 smoothing floor on class-unseen buckets, argmax on rounded
+    // scores (ties to the smaller lang, Spark's struct-min order)
+    "q134_langid_trained" ->
+      """WITH cg AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_transform(range(1, greatest(len(text) - 1, 1)),
+        |      i -> substr(text, i, 3))) AS g
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 1024 AS b
+        |  FROM cg),
+        |m AS (SELECT lang, b, COUNT(*) AS c FROM f GROUP BY 1, 2),
+        |nlt AS (SELECT lang, SUM(c) AS nl FROM m GROUP BY 1),
+        |d AS (SELECT lang, COUNT(*) AS dl FROM documents GROUP BY 1),
+        |t AS (SELECT SUM(dl) AS dt FROM d),
+        |db AS (SELECT doc_id, b, COUNT(*) AS c FROM f GROUP BY 1, 2),
+        |s AS (
+        |  SELECT doc.doc_id, cls.lang,
+        |    ln(CAST(d.dl AS DOUBLE)) - ln(CAST(t.dt AS DOUBLE)) +
+        |    COALESCE(SUM(db.c *
+        |      ln((COALESCE(m.c, 0) + 1) / CAST(nlt.nl + 1024 AS DOUBLE))),
+        |      0) AS score
+        |  FROM (SELECT doc_id FROM documents) doc
+        |  CROSS JOIN (SELECT DISTINCT lang FROM documents) cls
+        |  LEFT JOIN db ON db.doc_id = doc.doc_id
+        |  LEFT JOIN m ON m.lang = cls.lang AND m.b = db.b
+        |  JOIN nlt ON nlt.lang = cls.lang
+        |  JOIN d ON d.lang = cls.lang
+        |  CROSS JOIN t
+        |  GROUP BY doc.doc_id, cls.lang, d.dl, t.dt),
+        |r AS (
+        |  SELECT doc_id, lang, round(score, 4) AS rs,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY round(score, 4) DESC, lang) AS rk
+        |  FROM s)
+        |SELECT doc_id, lang AS pred_lang, rs AS score
+        |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin,
     // q133: full recompute — σ of the shared CTE's ROUNDED log-odds,
     // the salted-hash uniform, the inverse Lomax draw; both comparison
     // sides round to 4 dp so the engines compare identical doubles
