@@ -85,20 +85,29 @@ object Warc {
           val len =
             try headers.getOrElse("content-length", "0").toLong
             catch { case _: NumberFormatException => -1L }
-          if (len < 0 || len > bodyMaxBytes) {
-            // unparseable or runaway record: skip its body if we can
-            done = true; return
+          if (len < 0) { done = true; return } // unparseable: resync lost
+          if (len > bodyMaxBytes) {
+            // runaway record: its length is known, so SKIP it and keep
+            // reading — one pathological page must not drop the
+            // segment's remaining records
+            var left = len
+            while (left > 0) {
+              val k = in.skip(left)
+              if (k <= 0) { done = true; return }
+              left -= k
+            }
+          } else {
+            val body = new Array[Byte](len.toInt)
+            if (!readFully(body)) { done = true; return }
+            nextRec = WarcRecord(
+              headers.getOrElse("warc-type", ""),
+              // the URI is sometimes <wrapped>
+              headers.getOrElse("warc-target-uri", "")
+                .stripPrefix("<").stripSuffix(">"),
+              headers.getOrElse("warc-date", ""),
+              headers.getOrElse("content-type", ""),
+              body)
           }
-          val body = new Array[Byte](len.toInt)
-          if (!readFully(body)) { done = true; return }
-          nextRec = WarcRecord(
-            headers.getOrElse("warc-type", ""),
-            // the URI is sometimes <wrapped>
-            headers.getOrElse("warc-target-uri", "")
-              .stripPrefix("<").stripSuffix(">"),
-            headers.getOrElse("warc-date", ""),
-            headers.getOrElse("content-type", ""),
-            body)
         }
       }
 
@@ -153,6 +162,14 @@ object Warc {
       .repartition(math.max(1, math.min(files.size,
         spark.sparkContext.defaultParallelism)))
       .mapPartitions { it =>
+        // the drained iterator closes its own stream; the completion
+        // listener covers task failure/kill mid-file, so a retried
+        // crawl task never leaks a filesystem handle
+        var open: InputStream = null
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+          if (open != null) try open.close() catch { case _: Exception => }
+        }
         it.flatMap { f =>
           val path = new org.apache.hadoop.fs.Path(f)
           val fs = path.getFileSystem(conf.value)
@@ -161,13 +178,12 @@ object Warc {
             if (f.endsWith(".gz"))
               new java.util.zip.GZIPInputStream(raw, 1 << 16)
             else raw
-          // the iterator closes its stream when drained; Spark drains
-          // task iterators fully, so no leak on the happy path
+          open = in
           val base = records(in, cap)
           new Iterator[(String, String, String, String, String, Array[Byte])] {
             override def hasNext: Boolean = {
               val h = base.hasNext
-              if (!h) in.close()
+              if (!h) { in.close(); if (open eq in) open = null }
               h
             }
             override def next(): (String, String, String, String, String, Array[Byte]) = {

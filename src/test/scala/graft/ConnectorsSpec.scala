@@ -558,6 +558,13 @@ class ConnectorsSpec extends SparkSpec {
       warcBytes, 0, warcBytes.length - 60)
     val n = Warc.records(new java.io.ByteArrayInputStream(truncated)).size
     assert(n === 3, s"expected the 3 complete records, got $n")
+    // a runaway record SKIPS (its length is known) — one pathological
+    // page must not drop the segment's remaining records
+    val withBig = rec("response", "http://x.org/big", http("A" * 500)) ++
+      rec("response", "http://x.org/after", http(page2))
+    val kept2 = Warc.records(
+      new java.io.ByteArrayInputStream(withBig), bodyMaxBytes = 200).toSeq
+    assert(kept2.map(_.targetUri) === Seq("http://x.org/after"), kept2.map(_.targetUri))
     // crawl-to-corpus head: responses only, HTTP envelope stripped
     // natively (value-matching httpBody), nav boilerplate filtered
     val docs = Warc.htmlDocuments(spark, Seq(dir))
