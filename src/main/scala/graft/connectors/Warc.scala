@@ -64,7 +64,19 @@ object Warc {
       private var nextRec: WarcRecord = _
       private var done = false
 
-      private def advance(): Unit = {
+      private def advance(): Unit =
+        // a truncated gzip member throws (EOFException / ZipException /
+        // "Unexpected end of ZLIB input stream" IOException) instead of
+        // returning -1 — map ALL of it to end-of-iteration so a
+        // partially fetched segment yields its complete records, the
+        // same contract the plain-byte truncation path keeps
+        try advance0()
+        catch {
+          // EOFException and ZipException are both IOExceptions
+          case _: java.io.IOException => nextRec = null; done = true
+        }
+
+      private def advance0(): Unit = {
         nextRec = null
         while (nextRec == null && !done) {
           var line = readLine()

@@ -123,10 +123,16 @@ object GraftExtensions {
       new ExpressionInfo(classOf[HtmlText].getName, "html_text"),
       (cs: Seq[Expression]) => HtmlText(cs.head,
         if (cs.size > 1) intArg(cs(1), "minWords") else 0,
+        // a bare SQL literal like 0.5 parses as DecimalType — accept
+        // every numeric fold, not just Double
         if (cs.size > 2) cs(2).eval() match {
           case d: Double => d
+          case f: Float => f.toDouble
+          case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+          case i: Int => i.toDouble
+          case l: Long => l.toDouble
           case v => throw new IllegalArgumentException(
-            s"maxLinkDensity must fold to a double, got $v")
+            s"maxLinkDensity must fold to a number, got $v")
         } else 1.0)),
     // The text kernels hard-code their input physical layout
     // (UTF8String text, int-element starts) rather than declaring

@@ -106,6 +106,25 @@ object HtmlText {
       i = if (idx < 0) n else idx + marker.length
     }
 
+    // CASE-INSENSITIVE close-tag skip for raw-text elements: legacy
+    // crawl HTML closes <SCRIPT> with </SCRIPT>, and a case-sensitive
+    // search would silently drop the rest of the document
+    def skipToCloseTag(tag: String): Unit = {
+      val probe = "</" + tag
+      var k = i
+      while (k >= 0) {
+        k = s.indexOf('<', k)
+        if (k < 0) { i = n; return }
+        if (s.regionMatches(true, k, probe, 0, probe.length)) {
+          val gt = s.indexOf('>', k + probe.length)
+          i = if (gt < 0) n else gt + 1
+          return
+        }
+        k += 1
+      }
+      i = n
+    }
+
     while (i < n) {
       val c = s.charAt(i)
       if (c == '<') {
@@ -120,7 +139,19 @@ object HtmlText {
           val nameStart = j
           while (j < n && Character.isLetterOrDigit(s.charAt(j))) j += 1
           val name = s.substring(nameStart, j).toLowerCase
-          val end = s.indexOf('>', j)
+          // tag end respects QUOTED attribute values: a '>' inside
+          // alt="cats > dogs" must not cut the tag and leak the
+          // attribute tail into the corpus text
+          var end = -1
+          var k = j
+          var quote: Char = 0
+          while (k < n && end < 0) {
+            val ch = s.charAt(k)
+            if (quote != 0) { if (ch == quote) quote = 0 }
+            else if (ch == '"' || ch == '\'') quote = ch
+            else if (ch == '>') end = k
+            k += 1
+          }
           if (name.isEmpty && !closing) {
             // HTML5: '<' not starting a tag name is literal text
             line.append('<'); lineTotal += 1
@@ -131,8 +162,8 @@ object HtmlText {
           else {
             i = end + 1
             name match {
-              case "script" if !closing => skipTo("</script>")
-              case "style" if !closing => skipTo("</style>")
+              case "script" if !closing => skipToCloseTag("script")
+              case "style" if !closing => skipToCloseTag("style")
               case "a" =>
                 if (closing) { if (anchorDepth > 0) anchorDepth -= 1 }
                 else if (s.charAt(end - 1) != '/') anchorDepth += 1

@@ -45,11 +45,16 @@ object LangId {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     require(n >= 1, s"char-gram size must be >= 1, got $n")
     val m = buckets.toLong
+    // CASE guard, not greatest(): Spark's sequence(1, 0) counts DOWN
+    // ([1, 0] — the UrlOps suffix lesson), which would inject two
+    // bogus partial grams per shorter-than-n document and diverge from
+    // both the scoring kernel (zero grams) and the DuckDB oracle
     val counts = docs.select(col(langCol).as("__l"),
         explode(expr(
-          s"""transform(
-             |  sequence(1, greatest(char_length($textCol) - ${n - 1}, 0)),
-             |  i -> substring($textCol, i, $n))""".stripMargin)).as("__g"))
+          s"""CASE WHEN char_length($textCol) >= $n THEN
+             |  transform(sequence(1, char_length($textCol) - ${n - 1}),
+             |    i -> substring($textCol, i, $n))
+             |ELSE array() END""".stripMargin)).as("__g"))
       .select(col("__l"),
         QualityClassifier.bucketCol(col("__g"), buckets).as("__b"))
       .groupBy(col("__l"), col("__b"))

@@ -24,33 +24,52 @@ object UrlOps {
     host.substr(lit(5), length(host))
 
   /** Canonical form for URL-level dedup (C4's unit): lowercase
-    * scheme+host, default-port strip, query and fragment dropped,
-    * trailing slash trimmed (except the bare root). Two crawls of
-    * `HTTP://www.X.org:80/a/?utm=1#top` and `http://x.org/a` collide. */
+    * scheme+host, DEFAULT port stripped (`:80` under http, `:443`
+    * under https — a NON-default port names a different server and
+    * survives), query and fragment dropped, trailing slash trimmed
+    * (except the bare root). Two crawls of
+    * `HTTP://www.X.org:80/a/?utm=1#top` and `http://x.org/a` collide;
+    * `http://x.org:8080/a` does not. */
   def urlCanonical(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "^([a-zA-Z][a-zA-Z0-9+.-]*):", 1))
     val host = urlDomain(url)
+    // HOST never carries the port — recover it from AUTHORITY
+    // (userinfo@host:port) and keep it unless it is the scheme default
+    val port = regexp_extract(
+      coalesce(try_parse_url(url, lit("AUTHORITY")), lit("")),
+      ":(\\d+)$", 1)
+    val portSfx = when(port === "" ||
+        (scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"), lit(""))
+      .otherwise(concat(lit(":"), port))
     val path0 = coalesce(try_parse_url(url, lit("PATH")), lit(""))
     val path = when(path0 =!= "/" && path0.endsWith("/"),
         path0.substr(lit(1), length(path0) - 1))
       .otherwise(path0)
     when(host.isNull || scheme === "", lit(null).cast("string"))
-      .otherwise(concat(scheme, lit("://"), host,
+      .otherwise(concat(scheme, lit("://"), host, portSfx,
         when(path === "/", lit("")).otherwise(path)))
   }
 
-  /** Keep the first crawl of each canonical URL (min by `orderCol` —
-    * e.g. the WARC date or a record id): C4's URL dedup. One map-side
-    * partial-min shuffle on the canonical key; rows with unparseable
-    * URLs pass through untouched (they cannot collide). */
+  /** Keep the FIRST crawl of each canonical URL — C4's URL dedup —
+    * via `row_number` over (orderCol asc NULLS LAST, urlCol): exactly
+    * one survivor per canonical key even when order values TIE (two
+    * fetches in the same snapshot share a WARC date — a min-equality
+    * filter would keep both) or are NULL (a min-equality filter would
+    * drop the row). Rows with unparseable URLs pass through untouched
+    * (they cannot collide). Per-key groups are crawl-dup counts —
+    * small by nature — so the keep-first window is the P8/q82 shape,
+    * not a skew hazard. */
   def dedupByUrl(df: DataFrame, urlCol: String, orderCol: String): DataFrame = {
-    val canon = df.withColumn("__u_canon", urlCanonical(col(urlCol)))
-    val keep = canon.filter(col("__u_canon").isNotNull)
-      .groupBy(col("__u_canon"))
-      .agg(min(col(orderCol)).as("__u_keep"))
-    canon.join(keep, Seq("__u_canon"), "left")
-      .filter(col("__u_canon").isNull || col(orderCol) === col("__u_keep"))
-      .drop("__u_canon", "__u_keep")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__u_canon"))
+      .orderBy(col(orderCol).asc_nulls_last, col(urlCol))
+    df.withColumn("__u_canon", urlCanonical(col(urlCol)))
+      .withColumn("__u_rk",
+        when(col("__u_canon").isNull, lit(1))
+          .otherwise(row_number().over(w)))
+      .filter(col("__u_rk") === 1)
+      .drop("__u_canon", "__u_rk")
   }
 
   /** Drop rows whose domain (or any parent domain: `ads.x.org` matches

@@ -565,6 +565,15 @@ class ConnectorsSpec extends SparkSpec {
     val kept2 = Warc.records(
       new java.io.ByteArrayInputStream(withBig), bodyMaxBytes = 200).toSeq
     assert(kept2.map(_.targetUri) === Seq("http://x.org/after"), kept2.map(_.targetUri))
+    // review finding, pinned: a gzip member truncated MID-STREAM throws
+    // from GZIPInputStream (not a -1 read) — the iterator must map it
+    // to end-of-iteration, yielding the complete earlier records
+    val gzBytes = gz.toByteArray
+    val gzTrunc = java.util.Arrays.copyOfRange(gzBytes, 0, gzBytes.length - 20)
+    val gzKept = Warc.records(new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(gzTrunc))).toSeq
+    assert(gzKept.map(_.targetUri) === Seq("http://y.org/3"),
+      s"truncated gzip must yield the complete first record: ${gzKept.map(_.targetUri)}")
     // crawl-to-corpus head: responses only, HTTP envelope stripped
     // natively (value-matching httpBody), nav boilerplate filtered
     val docs = Warc.htmlDocuments(spark, Seq(dir))

@@ -67,6 +67,22 @@ class LangIdSpec extends SparkSpec {
     assert(p.forall(_._2 == "xx"), p.mkString(","))
   }
 
+  test("shorter-than-n documents contribute NO grams to training") {
+    // review finding, pinned: sequence(1, 0) counts DOWN in Spark, so
+    // an unguarded gram window would inject two bogus partial grams
+    // per short doc — the class likelihoods must be byte-identical
+    // with and without a 2-char document (only the doc-count prior moves)
+    val base = LangId.train(fixture, "text", "lang", buckets = 128)
+    val withShort = LangId.train(
+      fixture.union(Seq((99L, "aa", "ab")).toDF("doc_id", "lang", "text")),
+      "text", "lang", buckets = 128)
+    assert(withShort.weights("aa").sameElements(base.weights("aa")),
+      "a 2-char doc must not contribute char trigrams")
+    assert(withShort.weights("bb").sameElements(base.weights("bb")))
+    assert(withShort.priors("aa") > base.priors("aa"),
+      "the doc-count prior still moves")
+  }
+
   test("empty text predicts from priors alone, never throws") {
     val m = LangId.train(fixture, "text", "lang", buckets = 128)
     val p = LangId.predict(Seq((1L, "")).toDF("doc_id", "text"),

@@ -56,6 +56,27 @@ class TextCorpusOpsSpec extends SparkSpec {
     val surv = UrlOps.dropBlockedDomains(urls, "url", bl)
       .select($"id").as[Long].collect().toSet
     assert(surv === Set(1L, 2L, 3L, 4L, 7L, 8L))
+    // review findings, pinned: (a) a NON-default port names a
+    // different server — it survives canonicalization and never
+    // collides with the default-port twin; (b) tied order values keep
+    // exactly ONE row; (c) a NULL order value must not drop the row
+    val ports = Seq((1L, "http://x.org:8080/a"), (2L, "http://x.org/a"),
+      (3L, "https://x.org:443/a")).toDF("id", "url")
+    val pc = ports.select($"id", UrlOps.urlCanonical($"url"))
+      .as[(Long, String)].collect().toMap
+    assert(pc(1L) === "http://x.org:8080/a")
+    assert(pc(2L) === "http://x.org/a")
+    assert(pc(3L) === "https://x.org/a")
+    val tied = Seq(
+      (1L, "http://t.org/p", "2024-03-01"),
+      (2L, "http://www.t.org/p", "2024-03-01"),   // same snapshot date
+      (3L, "http://u.org/q", null.asInstanceOf[String])
+    ).toDF("id", "url", "crawl_date")
+    val tkept = UrlOps.dedupByUrl(tied, "url", "crawl_date")
+      .select($"id").as[Long].collect().toSet
+    assert(tkept.intersect(Set(1L, 2L)).size === 1,
+      s"tied order values must keep exactly one: $tkept")
+    assert(tkept.contains(3L), "NULL order value must not drop the row")
   }
 
   test("htmlToText / htmlMainContent: extraction, entities, link-density boilerplate") {
@@ -104,14 +125,34 @@ class TextCorpusOpsSpec extends SparkSpec {
     assert(edge(1) === "text < 5 and > 3")
     assert(edge(2) === "")
     assert(edge(3) === "&#xZZ; &bad;")
-    // SQL surface parity
+    // SQL surface parity — the bare 0.5 literal folds as Decimal and
+    // must be accepted (the first cut needed a CAST workaround)
     graft.expressions.GraftExtensions.install(spark)
     df.createOrReplaceTempView("html_docs")
     val viaSql = spark.sql(
-      "SELECT html_text(html, 3, CAST(0.5 AS DOUBLE)) FROM html_docs")
+      "SELECT html_text(html, 3, 0.5) FROM html_docs")
       .as[String].head()
     assert(viaSql === df.select(TextOps.htmlMainContent($"html"))
       .as[String].head())
+    // review findings, pinned: (a) legacy UPPERCASE close tags must
+    // not swallow the document; (b) '>' inside a quoted attribute must
+    // not cut the tag and leak the attribute tail
+    val upper = "<SCRIPT>var a=1;</SCRIPT><p>real content stays here</p>"
+    assert(Seq(Tuple1(upper)).toDF("h")
+      .select(TextOps.htmlToText($"h")).as[String].head()
+      === "real content stays here")
+    val quoted = "<img alt=\"cats > dogs\" src=x><p>after image</p>" +
+      "<a onclick=\"if(a>b)f()\" href=x>link text</a>"
+    val qout = Seq(Tuple1(quoted)).toDF("h")
+      .select(TextOps.htmlToText($"h")).as[String].head()
+    assert(!qout.contains("dogs\"") && !qout.contains("b)f()"), qout)
+    assert(qout.split("\n").toSeq === Seq("after image", "link text"), qout)
+    // and the anchor tracking survives the quoted '>': the link line
+    // is all-anchor, so the density filter still drops it
+    val qmain = Seq(Tuple1(quoted)).toDF("h")
+      .select(TextOps.htmlMainContent($"h", minWords = 2,
+        maxLinkDensity = 0.3)).as[String].head()
+    assert(qmain === "after image", qmain)
   }
 
   test("lineRebuild kernel is value-identical to the HOF mask it replaced") {
