@@ -72,6 +72,22 @@ object UrlOps {
       .drop("__u_canon", "__u_rk")
   }
 
+  /** Cap pages PER DOMAIN (RefinedWeb's over-represented-host guard:
+    * one forum mirror must not dominate the corpus): each domain keeps
+    * at most `k` rows, chosen by the salted deterministic draw — the
+    * skew-safe two-level rank of [[TextOps.stratifiedTake]], so a
+    * million-page domain never funnels through one task. Rows with
+    * unparseable URLs pass through (no domain to cap). */
+  def capPerDomain(df: DataFrame, urlCol: String, idCol: String, k: Int,
+                   salt: String = "domain-cap"): DataFrame = {
+    val withDom = df.withColumn("__u_dom", urlDomain(col(urlCol)))
+    val capped = TextOps.stratifiedTake(
+      withDom.filter(col("__u_dom").isNotNull), Seq("__u_dom"),
+      idCol, k, salt)
+    capped.unionByName(withDom.filter(col("__u_dom").isNull))
+      .drop("__u_dom")
+  }
+
   /** Drop rows whose domain (or any parent domain: `ads.x.org` matches
     * a blocklisted `x.org`) is blocklisted. The blocklist is
     * config-sized — it broadcasts; matching is a left-anti join on the

@@ -77,6 +77,18 @@ class TextCorpusOpsSpec extends SparkSpec {
     assert(tkept.intersect(Set(1L, 2L)).size === 1,
       s"tied order values must keep exactly one: $tkept")
     assert(tkept.contains(3L), "NULL order value must not drop the row")
+    // per-domain cap: k survivors per domain (deterministic draw),
+    // other domains and unparseable URLs untouched
+    val many = ((1L to 10L).map(i => (i, s"http://big.org/p$i")) ++
+      Seq((90L, "http://small.org/x"), (91L, "bad url")))
+      .toDF("id", "url")
+    val cappedIds = UrlOps.capPerDomain(many, "url", "id", k = 3)
+      .select($"id").as[Long].collect().toSet
+    assert(cappedIds.count(_ <= 10L) === 3, cappedIds.toString)
+    assert(cappedIds.contains(90L) && cappedIds.contains(91L))
+    val again2 = UrlOps.capPerDomain(many, "url", "id", k = 3)
+      .select($"id").as[Long].collect().toSet
+    assert(again2 === cappedIds, "the cap draw must be deterministic")
   }
 
   test("htmlToText / htmlMainContent: extraction, entities, link-density boilerplate") {
