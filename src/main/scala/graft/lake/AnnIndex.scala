@@ -326,18 +326,24 @@ class AnnIndex(spark: SparkSession, lake: Lake, dataset: String,
 
   /** Persist the PQ codebooks (one row per (block, code, dim) plus the
     * constant `residual` mode flag every consumer reads back). */
-  private def writeCodebooks(cbs: Seq[Seq[Seq[Double]]],
-                             residual: Boolean): Unit = {
+  /** The codebooks table's row shape — ONE definition feeding both the
+    * live table writer and retrain's snapshot writer, so a schema
+    * change cannot silently diverge between them. */
+  private def codebookFrame(cbs: Seq[Seq[Seq[Double]]],
+                            residual: Boolean): DataFrame = {
     val cbRows = for {
       (blk, b) <- cbs.zipWithIndex
       (cent, c) <- blk.zipWithIndex
       (v, d) <- cent.zipWithIndex
     } yield (b, c, d, v, residual)
-    lake.writeBucketed(
-      spark.createDataFrame(cbRows)
-        .toDF("block", "code", "dim", "centroid", "residual"),
-      pqCodebooksRef, "block", 1)
+    spark.createDataFrame(cbRows)
+      .toDF("block", "code", "dim", "centroid", "residual")
   }
+
+  private def writeCodebooks(cbs: Seq[Seq[Seq[Double]]],
+                             residual: Boolean): Unit =
+    lake.writeBucketed(codebookFrame(cbs, residual), pqCodebooksRef,
+      "block", 1)
 
   /** Whether the PQ sidecar encodes residuals ([[enablePq]]'s
     * `residual = true` — IVFADC) rather than raw vectors. */
@@ -708,13 +714,7 @@ class AnnIndex(spark: SparkSession, lake: Lake, dataset: String,
         val newCbs = VectorOps.pqTrainCodebooksResidual(
           cbTrain.select(col("cluster"), col("vec")), newCents, "vec",
           "cluster", m, ksub)
-        val cbRows = for {
-          (blk, b) <- newCbs.zipWithIndex
-          (cent, c) <- blk.zipWithIndex
-          (v, d) <- cent.zipWithIndex
-        } yield (b, c, d, v, true)
-        spark.createDataFrame(cbRows)
-          .toDF("block", "code", "dim", "centroid", "residual")
+        codebookFrame(newCbs, residual = true)
           .write.mode(SaveMode.Overwrite).parquet(cbSnap)
         codesOf(snap, newCbs, residual = true, newCents)
           .write.mode(SaveMode.Overwrite).parquet(codesSnap)

@@ -109,23 +109,10 @@ class CorpusDedup(spark: SparkSession, lake: Lake, dataset: String,
     * re-recorded under the new date — that is what restarts its TTL. */
   def commitExactDated(docs: DataFrame, textCol: String,
                        date: java.sql.Date,
-                       minDate: java.sql.Date): Unit = {
-    val fresh = hashed(docs, textCol).select(col("content_hash")).distinct()
-      .withColumn("seen_date", lit(date))
-    if (!tableExists(hashesDatedRef))
-      lake.writeBucketed(fresh, hashesDatedRef, "content_hash", numBuckets,
-        partitionBy = Seq("seen_date"))
-    else {
-      val novel = fresh.join(
-        spark.table(qualified(hashesDatedRef))
-          .filter(col("seen_date") >= lit(minDate)),
-        Seq("content_hash"), "left_anti")
-      val cols = spark.table(qualified(hashesDatedRef)).columns
-      novel.select(cols.map(col).toIndexedSeq: _*)
-        .write.mode(SaveMode.Append).insertInto(qualified(hashesDatedRef))
-    }
-    spark.catalog.refreshTable(qualified(hashesDatedRef)) // see commitExact
-  }
+                       minDate: java.sql.Date): Unit =
+    commitSeen(hashed(docs, textCol).select(col("content_hash")).distinct(),
+      hashesDatedRef, Seq("content_hash"), "content_hash",
+      Some((date, minDate)))
 
   /** Drop seen-set partitions older than `minDate` — metastore and
     * files together, so no phantom partitions survive. Maintenance
@@ -141,22 +128,45 @@ class CorpusDedup(spark: SparkSession, lake: Lake, dataset: String,
 
   /** Fold this batch's hashes into the seen-set (idempotent: hashes
     * already present are not re-added). */
-  def commitExact(docs: DataFrame, textCol: String): Unit = {
-    val fresh = hashed(docs, textCol).select(col("content_hash")).distinct()
-    if (!tableExists(hashesRef))
-      lake.writeBucketed(fresh, hashesRef, "content_hash", numBuckets)
-    else {
-      val novel = fresh.join(spark.table(qualified(hashesRef)),
-        Seq("content_hash"), "left_anti")
-      novel.write.mode(SaveMode.Append).insertInto(qualified(hashesRef))
+  /** The ONE seen-set commit discipline all six commit methods share
+    * (review-consolidated from six near-identical copies): create the
+    * bucketed table on first commit (dated refs add the seen_date
+    * partition layer), else anti-join the (windowed) history and
+    * append only novel keys, column-aligned because insertInto is
+    * POSITIONAL; then refresh THIS session's relation cache — the
+    * write may run on a DIFFERENT session than this instance reads
+    * from (foreachBatch hands frames bound to a cloned micro-batch
+    * session, and insertInto invalidates only the WRITER's relation
+    * cache), so without the refresh the next novel* read sees a stale
+    * file index and re-admits committed content. */
+  private def commitSeen(fresh0: DataFrame, ref: TableRef,
+                         keyCols: Seq[String], bucketCol: String,
+                         dated: Option[(java.sql.Date, java.sql.Date)])
+      : Unit = {
+    val fresh = dated match {
+      case Some((date, _)) => fresh0.withColumn("seen_date", lit(date))
+      case None => fresh0
     }
-    // The write may run on a DIFFERENT session than this instance reads
-    // from (foreachBatch hands frames bound to a cloned micro-batch
-    // session, and insertInto invalidates only the WRITER's relation
-    // cache) — refresh our session or the next novelExact/count reads a
-    // stale file index and re-admits committed content.
-    spark.catalog.refreshTable(qualified(hashesRef))
+    if (!tableExists(ref))
+      lake.writeBucketed(fresh, ref, bucketCol, numBuckets,
+        partitionBy = if (dated.isDefined) Seq("seen_date") else Nil)
+    else {
+      val history = dated match {
+        case Some((_, minDate)) => spark.table(qualified(ref))
+          .filter(col("seen_date") >= lit(minDate))
+        case None => spark.table(qualified(ref))
+      }
+      val novel = fresh.join(history, keyCols, "left_anti")
+      val cols = spark.table(qualified(ref)).columns
+      novel.select(cols.map(col).toIndexedSeq: _*)
+        .write.mode(SaveMode.Append).insertInto(qualified(ref))
+    }
+    spark.catalog.refreshTable(qualified(ref))
   }
+
+  def commitExact(docs: DataFrame, textCol: String): Unit =
+    commitSeen(hashed(docs, textCol).select(col("content_hash")).distinct(),
+      hashesRef, Seq("content_hash"), "content_hash", None)
 
   // ---- line-level (C4 line dedup, cross-run) ----------------------------
 
@@ -196,17 +206,9 @@ class CorpusDedup(spark: SparkSession, lake: Lake, dataset: String,
     * ALL of the batch's lines, not only survivors: committing the day
     * marks its content seen, the [[commitExact]] contract. */
   def commitLines(docs: DataFrame, textCol: String,
-                  lineTokens: Int = 10): Unit = {
-    val fresh = batchLineHashes(docs, textCol, lineTokens)
-    if (!tableExists(linesRef))
-      lake.writeBucketed(fresh, linesRef, "line_hash", numBuckets)
-    else {
-      val novel = fresh.join(spark.table(qualified(linesRef)),
-        Seq("line_hash"), "left_anti")
-      novel.write.mode(SaveMode.Append).insertInto(qualified(linesRef))
-    }
-    spark.catalog.refreshTable(qualified(linesRef)) // see commitExact
-  }
+                  lineTokens: Int = 10): Unit =
+    commitSeen(batchLineHashes(docs, textCol, lineTokens),
+      linesRef, Seq("line_hash"), "line_hash", None)
 
   private def batchLineHashes(docs: DataFrame, textCol: String,
                               lineTokens: Int): DataFrame =
@@ -261,23 +263,9 @@ class CorpusDedup(spark: SparkSession, lake: Lake, dataset: String,
     * its TTL). */
   def commitLinesDated(docs: DataFrame, textCol: String,
                        date: java.sql.Date, minDate: java.sql.Date,
-                       lineTokens: Int = 10): Unit = {
-    val fresh = batchLineHashes(docs, textCol, lineTokens)
-      .withColumn("seen_date", lit(date))
-    if (!tableExists(linesDatedRef))
-      lake.writeBucketed(fresh, linesDatedRef, "line_hash", numBuckets,
-        partitionBy = Seq("seen_date"))
-    else {
-      val novel = fresh.join(
-        spark.table(qualified(linesDatedRef))
-          .filter(col("seen_date") >= lit(minDate)),
-        Seq("line_hash"), "left_anti")
-      val cols = spark.table(qualified(linesDatedRef)).columns
-      novel.select(cols.map(col).toIndexedSeq: _*)
-        .write.mode(SaveMode.Append).insertInto(qualified(linesDatedRef))
-    }
-    spark.catalog.refreshTable(qualified(linesDatedRef)) // see commitExact
-  }
+                       lineTokens: Int = 10): Unit =
+    commitSeen(batchLineHashes(docs, textCol, lineTokens),
+      linesDatedRef, Seq("line_hash"), "line_hash", Some((date, minDate)))
 
   /** Drop dated seen-lines partitions older than `minDate`. */
   def expireLines(minDate: java.sql.Date): Unit =
@@ -306,21 +294,10 @@ class CorpusDedup(spark: SparkSession, lake: Lake, dataset: String,
   }
 
   /** Fold this batch's band keys into the seen-set (idempotent). */
-  def commitNearDup(docs: DataFrame, idCol: String, textCol: String): Unit = {
-    val fresh = bandsOf(docs, idCol, textCol)
-      .select(col("band_idx"), col("band_key")).distinct()
-    if (!tableExists(bandsRef))
-      lake.writeBucketed(fresh, bandsRef, "band_key", numBuckets)
-    else {
-      val novel = fresh.join(spark.table(qualified(bandsRef)),
-        Seq("band_idx", "band_key"), "left_anti")
-      // insertInto is positional — align to the stored column order
-      val cols = spark.table(qualified(bandsRef)).columns
-      novel.select(cols.map(col).toIndexedSeq: _*)
-        .write.mode(SaveMode.Append).insertInto(qualified(bandsRef))
-    }
-    spark.catalog.refreshTable(qualified(bandsRef)) // see commitExact
-  }
+  def commitNearDup(docs: DataFrame, idCol: String, textCol: String): Unit =
+    commitSeen(bandsOf(docs, idCol, textCol)
+        .select(col("band_idx"), col("band_key")).distinct(),
+      bandsRef, Seq("band_idx", "band_key"), "band_key", None)
 
   // ---- near-dup, TTL-bounded (crawl-recency near-dedup) ----------------
 
@@ -354,24 +331,11 @@ class CorpusDedup(spark: SparkSession, lake: Lake, dataset: String,
     * the new date, restarting their TTL — mirrors [[commitExactDated]]. */
   def commitNearDupDated(docs: DataFrame, idCol: String, textCol: String,
                          date: java.sql.Date,
-                         minDate: java.sql.Date): Unit = {
-    val fresh = bandsOf(docs, idCol, textCol)
-      .select(col("band_idx"), col("band_key")).distinct()
-      .withColumn("seen_date", lit(date))
-    if (!tableExists(bandsDatedRef))
-      lake.writeBucketed(fresh, bandsDatedRef, "band_key", numBuckets,
-        partitionBy = Seq("seen_date"))
-    else {
-      val novel = fresh.join(
-        spark.table(qualified(bandsDatedRef))
-          .filter(col("seen_date") >= lit(minDate)),
-        Seq("band_idx", "band_key"), "left_anti")
-      val cols = spark.table(qualified(bandsDatedRef)).columns
-      novel.select(cols.map(col).toIndexedSeq: _*)
-        .write.mode(SaveMode.Append).insertInto(qualified(bandsDatedRef))
-    }
-    spark.catalog.refreshTable(qualified(bandsDatedRef)) // see commitExact
-  }
+                         minDate: java.sql.Date): Unit =
+    commitSeen(bandsOf(docs, idCol, textCol)
+        .select(col("band_idx"), col("band_key")).distinct(),
+      bandsDatedRef, Seq("band_idx", "band_key"), "band_key",
+      Some((date, minDate)))
 
   /** Drop near-dup seen-set partitions older than `minDate` (metastore
     * and files — see [[expireExact]]). */
@@ -478,11 +442,22 @@ class CorpusDedup(spark: SparkSession, lake: Lake, dataset: String,
   }
 
   /** Fold per-run seen-set files back down, preserving the bucket
-    * layout (maintenance tick, under the dataset's RunLock). */
+    * layout AND the dated tables' seen_date partition layer
+    * ([[Lake.compactBucketed]] reads it from the catalog) —
+    * maintenance tick, under the dataset's RunLock. ALL six seen-set
+    * tables fold: the review-found gap (linesRef and the three dated
+    * tables missing) let line-scrub and TTL state accrete one bucketed
+    * file-set per commit forever. */
   def compact(): Unit = {
-    if (tableExists(hashesRef))
-      lake.compactBucketed(hashesRef, "content_hash", numBuckets)
-    if (tableExists(bandsRef))
-      lake.compactBucketed(bandsRef, "band_key", numBuckets)
+    Seq(
+      hashesRef -> "content_hash",
+      bandsRef -> "band_key",
+      linesRef -> "line_hash",
+      hashesDatedRef -> "content_hash",
+      bandsDatedRef -> "band_key",
+      linesDatedRef -> "line_hash"
+    ).foreach { case (ref, bucketCol) =>
+      if (tableExists(ref)) lake.compactBucketed(ref, bucketCol, numBuckets)
+    }
   }
 }

@@ -212,10 +212,22 @@ class Lake(spark: SparkSession, root: String) {
     val name = s"$db.${ref.table}"
     val snapPath = new Path(path(ref) + ".compactsrc")
     val fs = snapPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // PRESERVE the table's partition layer (review-found data-loss
+    // class): rewriting a seen_date-partitioned table without its
+    // partition columns recreates it unpartitioned, and the next
+    // dynamic-partition overwrite (appendDated's insertInto) would
+    // TRUNCATE it to one day's batch. The layout is read from the
+    // catalog, so every caller keeps it for free.
+    val partCols: Seq[String] = spark.catalog.listColumns(name).collect()
+      .filter(_.isPartition).map(_.name).toSeq
 
     def rewriteFrom(src: DataFrame): Unit = {
-      val clustered = src.repartition(numBuckets, col(bucketCol))
-      writeBucketed(clustered, ref, bucketCol, numBuckets)
+      // cluster on (partitions, bucket) so each partition dir folds to
+      // ~one file per bucket instead of one per historical append
+      val clustered = src.repartition(numBuckets,
+        (partCols :+ bucketCol).map(col): _*)
+      writeBucketed(clustered, ref, bucketCol, numBuckets,
+        partitionBy = partCols)
       spark.catalog.refreshTable(name)
       fs.delete(snapPath, true)
     }

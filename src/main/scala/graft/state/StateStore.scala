@@ -140,11 +140,19 @@ class StateStore(spark: SparkSession, root: String) {
 
   private def readOrEmpty(path: String, schemaDdl: String): DataFrame = {
     heal(path)
-    try spark.read.parquet(path)
-    catch { case _: Exception => // first run: table does not exist yet
+    // first-run is decided by PATH ABSENCE, never by swallowing read
+    // errors (review-found regression class: a transient storage
+    // failure misread as first-run makes the caller's merge+writeAtomic
+    // atomically replace live state with only the current batch —
+    // silent watermark loss). A real failure on an existing path must
+    // propagate; a reader racing writeAtomic's rename pair sees a
+    // missing path, which IS the documented first-run-style miss.
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
-    }
+    else spark.read.parquet(path)
   }
 
   /** Distributed read-modify-write: the merged frame (which lazily READS
@@ -253,9 +261,13 @@ class StateStore(spark: SparkSession, root: String) {
     * else the seed (rj_smtr/tasks.py:1216-1251). */
   def lastRunOrMax(key: String, target: => DataFrame, tsCol: String): Timestamp =
     lastRun(key).getOrElse {
+      // seed only when the target genuinely is not there yet
+      // (AnalysisException: missing table/path/column); a transient
+      // execution failure must propagate, not silently reset the
+      // watermark to the seed and re-ingest all history
       try target.agg(max(col(tsCol))).collect().headOption
         .flatMap(r => Option(r.getTimestamp(0))).getOrElse(SeedWatermark)
-      catch { case _: Exception => SeedWatermark }
+      catch { case _: org.apache.spark.sql.AnalysisException => SeedWatermark }
     }
 
   // ---- T7: per-entity watermarks ---------------------------------------

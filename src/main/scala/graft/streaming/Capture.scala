@@ -16,12 +16,19 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * (rj_smtr/flows.py:46-194, rj_smtr/tasks.py:1403-1505).
   *
   * Spark shape: one Structured Streaming query per source with
-  * `foreachBatch` doing raw append → treat → staging append → log append.
-  * The checkpoint gives exactly-once batch tracking; the staging write
-  * uses date/hora partitions so replays land idempotently (T5) — the
+  * `foreachBatch` doing raw land → treat → staging land → log append.
+  * The checkpoint gives exactly-once batch tracking; BOTH zone writes
+  * are per-tick dynamic partition OVERWRITES (raw on (data, tick),
+  * staging on (data, hora, tick) — hour partitions are shared by ~60
+  * ticks, so idempotency needs the tick level), and the streaming
+  * path derives each batch's capture timestamp from a write-once state
+  * file keyed by batchId, so a checkpoint REPLAY of the same batch
+  * re-lands the identical partitions instead of duplicating — the
   * prefix-integrity + idempotent-sink recipe of Armbrust et al.,
   * "Structured Streaming: A Declarative API for Real-Time Applications
-  * in Apache Spark" (SIGMOD 2018).
+  * in Apache Spark" (SIGMOD 2018). (The first cut stamped wall-clock
+  * time per attempt and APPENDED staging — a crash between the staging
+  * land and the checkpoint commit duplicated rows; review-found.)
   */
 final case class CaptureConfig(dataset: String, table: String,
                                pk: Seq[String], tsCol: String)
@@ -44,6 +51,18 @@ class Capture(spark: SparkSession, lake: Lake, log: CaptureLog,
 
   /** The per-micro-batch body — usable directly for batch captures and
     * from foreachBatch for streaming ones. */
+  /** Staging land, idempotent per tick: the hour partition is shared
+    * by ~60 ticks, so an APPEND there cannot be replay-safe — the tick
+    * sub-partition (derived from timestamp_captura, stable across
+    * replays of the same batch) gives each capture its own overwrite
+    * unit while (data, hora) readers see the union transparently. */
+  private def writeStaging(treated: DataFrame): Unit =
+    lake.overwritePartitions(
+      treated.withColumn("tick",
+        date_format(col("timestamp_captura"), "yyyyMMddHHmmss")),
+      TableRef("staging", cfg.dataset, cfg.table),
+      partitionBy = Seq("data", "hora", "tick"))
+
   def processBatch(raw: DataFrame, captureTs: Timestamp): Unit = {
     // The batch feeds TWO writes (raw + staging); cache it so the source
     // is scanned once per tick, not once per sink.
@@ -56,8 +75,7 @@ class Capture(spark: SparkSession, lake: Lake, log: CaptureLog,
         Clean.trimStrings(stamped), pk = cfg.pk :+ "timestamp_captura")
         .withColumn("data", date_format(col("timestamp_captura"), "yyyy-MM-dd"))
         .withColumn("hora", date_format(col("timestamp_captura"), "HH"))
-      lake.append(treated, TableRef("staging", cfg.dataset, cfg.table),
-        partitionBy = Seq("data", "hora"))
+      writeStaging(treated)
 
       log.append(cfg.dataset, cfg.table, captureTs, success = true)
     } catch {
@@ -91,8 +109,7 @@ class Capture(spark: SparkSession, lake: Lake, log: CaptureLog,
         Clean.trimStrings(union), pk = cfg.pk :+ "timestamp_captura")
         .withColumn("data", date_format(col("timestamp_captura"), "yyyy-MM-dd"))
         .withColumn("hora", date_format(col("timestamp_captura"), "HH"))
-      lake.append(treated, TableRef("staging", cfg.dataset, cfg.table),
-        partitionBy = Seq("data", "hora"))
+      writeStaging(treated)
 
       windows.foreach { case (ts, _) =>
         log.append(cfg.dataset, cfg.table, ts, success = true,
@@ -108,7 +125,44 @@ class Capture(spark: SparkSession, lake: Lake, log: CaptureLog,
     } finally union.unpersist(blocking = false)
   }
 
-  /** T1: continuous capture from any streaming source. */
+  /** Deterministic capture timestamp for a streaming batch: the FIRST
+    * attempt records wall-clock time into a write-once file keyed by
+    * batchId (atomic create-if-absent); a checkpoint replay reads the
+    * SAME value back, so every partition the replay lands overwrites
+    * its predecessor instead of duplicating under a fresh timestamp.
+    * The tick files live beside the other state tables and are
+    * tick-sized; a lost create race (two attempts of one batch — not
+    * possible under the checkpoint's single-attempt discipline, but
+    * harmless) falls back to reading the winner's value. */
+  private[streaming] def tickFor(batchId: Long): Timestamp = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(
+      lake.path(TableRef("state", cfg.dataset, s"${cfg.table}_ticks")))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val f = new Path(dir, batchId.toString)
+    def read(): Timestamp = {
+      val in = fs.open(f)
+      try new Timestamp(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      finally in.close()
+    }
+    if (fs.exists(f)) read()
+    else {
+      fs.mkdirs(dir)
+      val now = System.currentTimeMillis()
+      try {
+        val out = fs.create(f, false) // atomic create-if-absent
+        try out.write(now.toString.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        new Timestamp(now)
+      } catch { case _: java.io.IOException => read() }
+    }
+  }
+
+  /** T1: continuous capture from any streaming source. The batch's
+    * capture timestamp comes from [[tickFor]], so a checkpoint replay
+    * of the same batchId re-lands identical partitions (T5). */
   def start(source: DataFrame, checkpoint: String,
             trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery =
     source.writeStream
@@ -116,8 +170,7 @@ class Capture(spark: SparkSession, lake: Lake, log: CaptureLog,
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val ts = new Timestamp(System.currentTimeMillis())
-        processBatch(batch, ts)
+        processBatch(batch, tickFor(batchId))
       }
       .start()
 }

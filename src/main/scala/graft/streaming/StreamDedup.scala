@@ -38,11 +38,17 @@ object StreamDedup {
     * 32-char hash + timestamp — a million docs/hour at a 2-hour horizon
     * is ~100 MB of store, executor-resident and checkpointed. */
   def exactWithinWatermark(stream: DataFrame, textCol: String, tsCol: String,
-                           horizon: String): DataFrame =
+                           horizon: String): DataFrame = {
+    // same reserved-column guard as the batch twin (CorpusDedup.hashed):
+    // withColumn would silently CLOBBER a caller's content_hash values
+    require(!stream.columns.contains("content_hash"),
+      "content_hash is reserved by exactWithinWatermark; drop or rename " +
+        "the input column")
     stream
       .withColumn("content_hash", md5(col(textCol)))
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark("content_hash")
+  }
 
   /** Keyed variant: dedup on explicit business keys (e.g. entity + tick)
     * instead of content — the reference's capture-id semantics. */

@@ -94,10 +94,13 @@ class EndToEndSpec extends SparkSpec {
     days.foreach { ts =>
       val tick = ev.filter(date_format($"ts", "yyyy-MM-dd") ===
         ts.toString.take(10))
-      // two sub-batches per tick → two small files in the same
-      // (data, hora) partition dir, the shape compaction exists for
-      cap.processBatch(tick.filter($"event_id" % 2 === 0), ts)
-      cap.processBatch(tick.filter($"event_id" % 2 === 1), ts)
+      // two ticks per day, 30 s apart (a same-ts re-run is a REPLAY by
+      // the T5 contract and overwrites — so sub-batches get their own
+      // ticks), each written with several tasks → several small files
+      // per tick dir, the shape compaction exists for
+      val ts2 = Timestamp.valueOf(ts.toLocalDateTime.plusSeconds(30))
+      cap.processBatch(tick.filter($"event_id" % 2 === 0).repartition(3), ts)
+      cap.processBatch(tick.filter($"event_id" % 2 === 1).repartition(3), ts2)
       val sk = tick.agg(graft.expressions.HllSketch.hll_sketch($"user_id").as("sk"))
         .head().getAs[Array[Byte]]("sk")
       state.mergeSketch("gps.users", sk)
@@ -105,13 +108,24 @@ class EndToEndSpec extends SparkSpec {
     val ref = TableRef("staging", "smtr", "gps")
     val before = lake.read(ref).count()
 
-    // compaction keeps the data identical while collapsing tick files
     def files(dir: java.io.File): Int =
       dir.listFiles.map(f => if (f.isDirectory) files(f) else
         if (f.getName.endsWith(".parquet")) 1 else 0).sum
-    val nBefore = files(new java.io.File(lake.path(ref)))
-    lake.compact(ref, partitionBy = Seq("data", "hora"))
-    assert(files(new java.io.File(lake.path(ref))) < nBefore)
+    // staging is per-tick-overwrite + partition-aligned since the T5
+    // hardening: every tick dir holds exactly ONE file by construction,
+    // so staging no longer NEEDS folding — pin that invariant
+    val tickDirs = 10 // 5 days × 2 ticks
+    assert(files(new java.io.File(lake.path(ref))) === tickDirs,
+      "aligned tick writes must land one file per tick")
+    // the append-accreting table is the capture LOG (one row-file per
+    // tick) — that is where compact still earns its keep
+    val logRef = log.ref("smtr", "gps")
+    val logBefore = lake.read(logRef).count()
+    val logFilesBefore = files(new java.io.File(lake.path(logRef)))
+    assert(logFilesBefore >= tickDirs, "log should accrete per-tick files")
+    lake.compact(logRef)
+    assert(files(new java.io.File(lake.path(logRef))) < logFilesBefore)
+    assert(lake.read(logRef).count() === logBefore)
     assert(lake.read(ref).count() === before)
 
     // the accumulated sketch estimates the true cross-tick cardinality

@@ -405,15 +405,31 @@ class LakeSpec extends SparkSpec {
     assert(idx.isDated)
     assert(spark.table("state_ann_dated.ivf_lists").count() === 60)
 
+    // COMPACT + APPEND must keep the dated layout and ALL history —
+    // the review-found data-loss path: a compaction that rewrote the
+    // table without its seen_date partition layer made the next day's
+    // dynamic-partition overwrite TRUNCATE the index to one batch
+    idx.compact()
+    assert(idx.isDated, "compaction dropped the seen_date layer")
+    assert(spark.table("state_ann_dated.ivf_lists").count() === 60)
+    val d3 = (200L until 210L).map(i => (i, vec(i))).toDF("id", "vec")
+    idx.appendDated(d3, "id", "vec", day("2024-05-03"))
+    assert(spark.table("state_ann_dated.ivf_lists").count() === 70,
+      "post-compaction append truncated the dated index")
+    idx.expire(day("2024-05-01")) // nothing older than day 1: keeps all,
+    // and proves SHOW PARTITIONS still works on the compacted table
+    assert(spark.table("state_ann_dated.ivf_lists").count() === 70)
+
     // TTL expiry drops the aged day — metastore and files
     idx.expire(day("2024-05-02"))
     val left = spark.table("state_ann_dated.ivf_lists")
-    assert(left.count() === 20)
+    assert(left.count() === 30) // day 2 (20 rows) + day 3 (10 rows)
     assert(left.select($"id").as[Long].collect().forall(_ >= 100L))
     val dirs = new java.io.File(lake.path(idx.listsRef)).listFiles()
       .filter(_.isDirectory).map(_.getName)
       .filter(_.startsWith("seen_date")).toSet
-    assert(dirs === Set("seen_date=2024-05-02"), dirs.toString)
+    assert(dirs === Set("seen_date=2024-05-02", "seen_date=2024-05-03"),
+      dirs.toString)
     spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
   }
 

@@ -22,11 +22,21 @@ class StreamingSpec extends SparkSpec {
     val staged = lake.read(TableRef("staging", "smtr", "gps"))
     assert(staged.count() === 50)
     assert(staged.columns.toSet ===
-      Set("event_id", "timestamp_captura", "content", "data", "hora"))
+      Set("event_id", "timestamp_captura", "content", "data", "hora", "tick"))
     // content is valid JSON carrying the non-pk fields
     assert(staged.select(get_json_object($"content", "$.event_type").as("et"))
       .filter($"et".isNotNull).count() === 50)
     assert(log.read("smtr", "gps").filter($"sucesso" === true).count() === 1)
+    // REPLAY idempotency (T5, review-hardened): re-running the same
+    // tick overwrites its raw AND staging partitions — no duplicates
+    // in either zone (staging append was the original sin: the hour
+    // partition is shared by ~60 ticks, so only the tick sub-partition
+    // can be the overwrite unit)
+    cap.processBatch(raw, Timestamp.valueOf("2024-01-05 10:00:00"))
+    assert(lake.read(TableRef("raw", "smtr", "gps")).count() === 50,
+      "raw replay duplicated rows")
+    assert(lake.read(TableRef("staging", "smtr", "gps")).count() === 50,
+      "staging replay duplicated rows")
   }
 
   test("streaming capture via foreachBatch over a file source (T1)") {
