@@ -131,33 +131,58 @@ class Capture(spark: SparkSession, lake: Lake, log: CaptureLog,
     * SAME value back, so every partition the replay lands overwrites
     * its predecessor instead of duplicating under a fresh timestamp.
     * The tick files live beside the other state tables and are
-    * tick-sized; a lost create race (two attempts of one batch — not
-    * possible under the checkpoint's single-attempt discipline, but
-    * harmless) falls back to reading the winner's value. */
+    * tick-sized.
+    *
+    * Crash-atomicity (review-found): the value is written to a TEMP
+    * file and RENAMED into place — a crash mid-write leaves only a
+    * temp file, never an empty/partial tick file at the final path
+    * (`create(f, false)` + write + close had a window where a crash
+    * left '' at f, and every later replay threw NumberFormatException
+    * on read — the stream wedged permanently in exactly the
+    * crash-replay path this mechanism protects). Defense in depth on
+    * the READ side too: an empty/unparseable tick file (a leftover
+    * from a pre-rename writer, or a non-atomic object store) is
+    * treated as ABSENT — deleted and re-created — instead of thrown
+    * on. After the rename attempt the file is read BACK, so even on
+    * filesystems whose rename overwrites an existing destination
+    * (POSIX local) every racer returns the value that actually ended
+    * up in the file — one agreed tick per batchId. */
   private[streaming] def tickFor(batchId: Long): Timestamp = {
     import org.apache.hadoop.fs.Path
     val dir = new Path(
       lake.path(TableRef("state", cfg.dataset, s"${cfg.table}_ticks")))
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val f = new Path(dir, batchId.toString)
-    def read(): Timestamp = {
-      val in = fs.open(f)
-      try new Timestamp(new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
-      finally in.close()
-    }
-    if (fs.exists(f)) read()
-    else {
-      fs.mkdirs(dir)
-      val now = System.currentTimeMillis()
-      try {
-        val out = fs.create(f, false) // atomic create-if-absent
+    // Some(ts) = committed tick; None = absent OR corrupt (deleted here)
+    def tryRead(): Option[Timestamp] =
+      if (!fs.exists(f)) None
+      else {
+        val in = fs.open(f)
+        val s = try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+        s.toLongOption match {
+          case Some(ms) => Some(new Timestamp(ms))
+          case None => fs.delete(f, false); None
+        }
+      }
+    def acquire(attempts: Int): Timestamp = {
+      if (attempts <= 0)
+        throw new java.io.IOException(s"tick file $f: could not commit")
+      tryRead().getOrElse {
+        fs.mkdirs(dir)
+        val now = System.currentTimeMillis()
+        val tmp = new Path(dir,
+          s".$batchId.${java.util.UUID.randomUUID()}.tmp")
+        val out = fs.create(tmp, true)
         try out.write(now.toString.getBytes(
           java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
-        new Timestamp(now)
-      } catch { case _: java.io.IOException => read() }
+        if (!fs.rename(tmp, f)) fs.delete(tmp, false)
+        acquire(attempts - 1)
+      }
     }
+    acquire(attempts = 3)
   }
 
   /** T1: continuous capture from any streaming source. The batch's

@@ -383,6 +383,39 @@ class StreamingSpec extends SparkSpec {
     assert(lake.read(graft.lake.TableRef("raw", "ds", "gps")).count() === 4)
   }
 
+  test("tickFor is write-once, crash-atomic, and heals a corrupt tick file (T5)") {
+    val tmp = tmpDir("lake")
+    val lake = new graft.lake.Lake(spark, tmp)
+    val log = new CaptureLog(spark, lake)
+    val cap = new Capture(spark, lake, log,
+      CaptureConfig("ds", "gps", pk = Seq("id"), tsCol = "ts"))
+    // write-once: a replay of the same batchId reads the SAME tick back
+    val t1 = cap.tickFor(7L)
+    assert(cap.tickFor(7L) === t1)
+
+    val dir = new org.apache.hadoop.fs.Path(
+      lake.path(graft.lake.TableRef("state", "ds", "gps_ticks")))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the commit is rename-based: no temp debris survives a completed call
+    assert(!fs.listStatus(dir).exists(_.getPath.getName.endsWith(".tmp")))
+
+    // crash window of the pre-rename writer: an EMPTY file at the final
+    // path (create succeeded, write/close never ran). Must be treated as
+    // ABSENT — healed and re-created — not thrown on (the old read path
+    // threw NumberFormatException on ''.toLong forever, wedging replays).
+    fs.create(new org.apache.hadoop.fs.Path(dir, "8"), true).close()
+    val t2 = cap.tickFor(8L)
+    assert(cap.tickFor(8L) === t2) // healed file is now the committed tick
+
+    // same for unparseable garbage (partial write / torn object)
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, "9"), true)
+    out.write("16917".take(3).getBytes); out.write("x".getBytes); out.close()
+    val t3 = cap.tickFor(9L)
+    assert(cap.tickFor(9L) === t3)
+    // and the healed ticks are real timestamps, not artifacts of the junk
+    assert(t2.getTime > 0L && t3.getTime > 0L)
+  }
+
   test("recapture backfill runs as ONE job and closes the gaps (T4/T5)") {
     val tmp = tmpDir("lake")
     val lake = new graft.lake.Lake(spark, tmp)
