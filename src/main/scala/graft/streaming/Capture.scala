@@ -134,55 +134,86 @@ class Capture(spark: SparkSession, lake: Lake, log: CaptureLog,
     * tick-sized.
     *
     * Crash-atomicity (review-found): the value is written to a TEMP
-    * file and RENAMED into place — a crash mid-write leaves only a
-    * temp file, never an empty/partial tick file at the final path
-    * (`create(f, false)` + write + close had a window where a crash
-    * left '' at f, and every later replay threw NumberFormatException
-    * on read — the stream wedged permanently in exactly the
-    * crash-replay path this mechanism protects). Defense in depth on
-    * the READ side too: an empty/unparseable tick file (a leftover
-    * from a pre-rename writer, or a non-atomic object store) is
-    * treated as ABSENT — deleted and re-created — instead of thrown
-    * on. After the rename attempt the file is read BACK, so even on
-    * filesystems whose rename overwrites an existing destination
-    * (POSIX local) every racer returns the value that actually ended
-    * up in the file — one agreed tick per batchId. */
-  private[streaming] def tickFor(batchId: Long): Timestamp = {
-    import org.apache.hadoop.fs.Path
+    * file and committed by a NO-OVERWRITE rename
+    * (`FileContext.rename` without `Options.Rename.OVERWRITE` —
+    * atomic and dest-must-not-exist on HDFS and the local FS). A
+    * crash mid-write leaves only a temp file, never an empty/partial
+    * tick at the final path, AND a late racer's rename cannot replace
+    * a tick another attempt already returned and landed partitions
+    * under (a plain overwrite-rename lost that single-winner
+    * property: racer A could read back t_A, land partitions, then
+    * racer B's rename overwrote with t_B — two attempts of one
+    * batchId with different ticks; review-found). The rename loser
+    * deletes its temp and reads the winner.
+    *
+    * Defense in depth on the READ side: an empty/unparseable tick
+    * (a torn object on a non-atomic store) is treated as ABSENT —
+    * healed and re-created. The heal RE-READS before deleting, so a
+    * racer that saw a torn state cannot delete a tick that was
+    * validly committed in between (TOCTOU; review-found); and reads
+    * carry no exists() pre-check — a concurrent heal deleting the
+    * file between exists and open would turn FileNotFoundException
+    * into a micro-batch failure, so open's FileNotFoundException IS
+    * the absent signal. Temps leaked by a crash between create and
+    * rename are swept (best-effort, per batchId) before a new mint,
+    * so the ticks dir cannot accumulate debris across replays. */
+  private[graft] def tickFor(batchId: Long): Timestamp = {
+    import org.apache.hadoop.fs.{FileContext, Path}
+    val hconf = spark.sparkContext.hadoopConfiguration
     val dir = new Path(
       lake.path(TableRef("state", cfg.dataset, s"${cfg.table}_ticks")))
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = dir.getFileSystem(hconf)
     val f = new Path(dir, batchId.toString)
-    // Some(ts) = committed tick; None = absent OR corrupt (deleted here)
-    def tryRead(): Option[Timestamp] =
-      if (!fs.exists(f)) None
-      else {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    // Some(Some(ts)) = committed; Some(None) = present but unparseable
+    // (torn write); None = absent. No exists() pre-check — see Scaladoc.
+    def readOnce(): Option[Option[Timestamp]] =
+      try {
         val in = fs.open(f)
-        val s = try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8).trim
+        val s = try new String(in.readAllBytes(), utf8).trim
         finally in.close()
-        s.toLongOption match {
-          case Some(ms) => Some(new Timestamp(ms))
-          case None => fs.delete(f, false); None
+        Some(s.toLongOption.map(ms => new Timestamp(ms)))
+      } catch { case _: java.io.FileNotFoundException => None }
+    // Some(ts) = committed tick; None = absent (healing corrupt files)
+    def tryRead(): Option[Timestamp] = readOnce() match {
+      case Some(Some(ts)) => Some(ts)
+      case None => None
+      case Some(None) => // torn: re-read before healing (TOCTOU guard)
+        readOnce() match {
+          case Some(Some(ts)) => Some(ts)
+          case Some(None) => fs.delete(f, false); None
+          case None => None
         }
-      }
+    }
     def acquire(attempts: Int): Timestamp = {
       if (attempts <= 0)
         throw new java.io.IOException(s"tick file $f: could not commit")
       tryRead().getOrElse {
         fs.mkdirs(dir)
+        // sweep temps a crashed predecessor of THIS batchId leaked
+        val stale = try fs.globStatus(new Path(dir, s".$batchId.*.tmp"))
+        catch { case _: java.io.IOException => Array.empty[org.apache.hadoop.fs.FileStatus] }
+        Option(stale).getOrElse(Array.empty).foreach { st =>
+          try fs.delete(st.getPath, false)
+          catch { case _: java.io.IOException => () }
+        }
         val now = System.currentTimeMillis()
         val tmp = new Path(dir,
           s".$batchId.${java.util.UUID.randomUUID()}.tmp")
         val out = fs.create(tmp, true)
-        try out.write(now.toString.getBytes(
-          java.nio.charset.StandardCharsets.UTF_8))
+        try out.write(now.toString.getBytes(utf8))
         finally out.close()
-        if (!fs.rename(tmp, f)) fs.delete(tmp, false)
+        // single-winner commit: atomic, fails if the destination exists
+        val won =
+          try { FileContext.getFileContext(dir.toUri, hconf).rename(tmp, f); true }
+          catch { case _: java.io.IOException => false }
+        if (!won) {
+          try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
+        }
         acquire(attempts - 1)
       }
     }
-    acquire(attempts = 3)
+    acquire(attempts = 5)
   }
 
   /** T1: continuous capture from any streaming source. The batch's

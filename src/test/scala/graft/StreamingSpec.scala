@@ -414,6 +414,33 @@ class StreamingSpec extends SparkSpec {
     assert(cap.tickFor(9L) === t3)
     // and the healed ticks are real timestamps, not artifacts of the junk
     assert(t2.getTime > 0L && t3.getTime > 0L)
+
+    // single-winner: a tick that a racer already committed is READ, never
+    // replaced — the no-overwrite rename makes a late attempt the loser
+    val pre = fs.create(new org.apache.hadoop.fs.Path(dir, "12"), true)
+    pre.write("1700000000000".getBytes); pre.close()
+    assert(cap.tickFor(12L) === new java.sql.Timestamp(1700000000000L))
+    // ... and the commit primitive itself REFUSES an existing
+    // destination (the foundation of that single-winner property): a
+    // racer that loses the rename can only delete its temp and read
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      dir.toUri, spark.sparkContext.hadoopConfiguration)
+    val loser = new org.apache.hadoop.fs.Path(dir, ".12.loser.tmp")
+    fs.create(loser, true).close()
+    intercept[java.io.IOException] {
+      fc.rename(loser, new org.apache.hadoop.fs.Path(dir, "12"))
+    }
+    assert(cap.tickFor(12L) === new java.sql.Timestamp(1700000000000L),
+      "a losing rename must leave the committed tick untouched")
+    fs.delete(loser, false)
+
+    // temps leaked by a crash between create and rename are swept on the
+    // next mint of the same batchId — the ticks dir accumulates no debris
+    fs.create(new org.apache.hadoop.fs.Path(
+      dir, ".13.deadbeef-0000.tmp"), true).close()
+    val t4 = cap.tickFor(13L)
+    assert(cap.tickFor(13L) === t4)
+    assert(!fs.listStatus(dir).exists(_.getPath.getName.endsWith(".tmp")))
   }
 
   test("recapture backfill runs as ONE job and closes the gaps (T4/T5)") {
