@@ -198,12 +198,16 @@ object DailyIngest {
         } else idx.appendDated(vecs, idCol, embedCol, day)
       }
       cp.commit(novel, langCol, idCol, "n_tok", batchId)
-      dd.commitExactDated(docs, textCol, day, minDate)
-      dd.commitNearDupDated(docs, idCol, textCol, day, minDate)
-      // the ORIGINAL batch's lines, the commitExactDated convention:
-      // committing the day marks its content seen, gate-dropped docs
-      // included
-      if (lineScrub) dd.commitLinesDated(docs, textCol, day, minDate)
+      // seen-set contract: the ADMITTED frame (post-quality-gate), not
+      // the raw batch. Committing pre-gate docs would mean a later,
+      // better gate model finds recurring text it now admits already
+      // exact-seen against junk history — silently starved forever.
+      // Gate-dropped docs re-arriving re-score the same (the model is
+      // a constant), so excluding them loses no dedup power; replay
+      // recomputes the identical admitted frame from unchanged state.
+      dd.commitExactDated(admitted, textCol, day, minDate)
+      dd.commitNearDupDated(admitted, idCol, textCol, day, minDate)
+      if (lineScrub) dd.commitLinesDated(admitted, textCol, day, minDate)
       landed
     } finally {
       novel.unpersist(blocking = false)
