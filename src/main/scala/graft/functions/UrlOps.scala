@@ -57,19 +57,26 @@ object UrlOps {
     * fetches in the same snapshot share a WARC date — a min-equality
     * filter would keep both) or are NULL (a min-equality filter would
     * drop the row). Rows with unparseable URLs pass through untouched
-    * (they cannot collide). Per-key groups are crawl-dup counts —
-    * small by nature — so the keep-first window is the P8/q82 shape,
-    * not a skew hazard. */
+    * (they cannot collide) — and they BYPASS the window entirely: the
+    * frame is split and only the parseable side is ranked, because a
+    * `when(isNull, 1)` guard does not stop Catalyst from routing every
+    * NULL-canonical row through the Window operator's single NULL
+    * partition (at crawl scale, 0.1% unparseable of 10^10 URLs is 10^7
+    * rows in one sort task — the capPerDomain split shape, applied
+    * here too; review-found). Parseable per-key groups are crawl-dup
+    * counts — small by nature — so the keep-first window on that side
+    * is the P8/q82 shape. */
   def dedupByUrl(df: DataFrame, urlCol: String, orderCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__u_canon"))
       .orderBy(col(orderCol).asc_nulls_last, col(urlCol))
-    df.withColumn("__u_canon", urlCanonical(col(urlCol)))
-      .withColumn("__u_rk",
-        when(col("__u_canon").isNull, lit(1))
-          .otherwise(row_number().over(w)))
+    val withCanon = df.withColumn("__u_canon", urlCanonical(col(urlCol)))
+    val kept = withCanon.filter(col("__u_canon").isNotNull)
+      .withColumn("__u_rk", row_number().over(w))
       .filter(col("__u_rk") === 1)
-      .drop("__u_canon", "__u_rk")
+      .drop("__u_rk")
+    kept.unionByName(withCanon.filter(col("__u_canon").isNull))
+      .drop("__u_canon")
   }
 
   /** Cap pages PER DOMAIN (RefinedWeb's over-represented-host guard:

@@ -77,6 +77,21 @@ class TextCorpusOpsSpec extends SparkSpec {
     assert(tkept.intersect(Set(1L, 2L)).size === 1,
       s"tied order values must keep exactly one: $tkept")
     assert(tkept.contains(3L), "NULL order value must not drop the row")
+    // the skew guard is STRUCTURAL: unparseable rows bypass the window
+    // (an isnotnull filter sits under it), so the Window operator never
+    // sorts the crawl's every-bad-URL rows in one NULL partition
+    // (asserted on the analyzed plan: over a LocalRelation fixture the
+    // optimizer folds the filter into the scan itself — equally good)
+    val dq = UrlOps.dedupByUrl(urls, "url", "id").queryExecution
+    val danalyzed = dq.analyzed.toString
+    assert(danalyzed.contains("Union"), danalyzed)
+    assert(danalyzed.contains("isnotnull(__u_canon"), danalyzed)
+    assert(dq.analyzed.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.forall(_.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.condition.toString.contains("isnotnull(__u_canon") => f
+    }.nonEmpty), danalyzed)
     // per-domain cap: k survivors per domain (deterministic draw),
     // other domains and unparseable URLs untouched
     val many = ((1L to 10L).map(i => (i, s"http://big.org/p$i")) ++
