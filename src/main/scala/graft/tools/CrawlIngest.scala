@@ -1,0 +1,189 @@
+package graft.tools
+
+import java.sql.Date
+
+import graft.connectors.Warc
+import graft.functions.{LangId, QualityClassifier, UrlOps}
+import graft.lake.{CorpusDedup, CorpusPack, Lake, TableRef}
+import graft.state.StateStore
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental crawl ingest: the reference's capture discipline (T1
+  * cadence + T8 processed-file seen-sets + per-tick completion logs,
+  * rj_smtr/utils.py:335-366 shape) applied to WARC segments — the
+  * `Trigger.AvailableNow` form of a daily crawl tick, wiring the crawl
+  * head ([[graft.connectors.Warc.htmlDocuments]] → URL curation →
+  * quality gate) into the replay-exact [[DailyIngest]].
+  *
+  * Batch discipline — ONE batch per day, pinned by a MANIFEST:
+  * [[DailyIngest]] lands each day as a single dynamic partition
+  * overwrite, so the day's input set must be immutable across replays.
+  * The first tick of a day that finds unprocessed segments writes that
+  * set to the state store (atomic) BEFORE reading a byte of WARC; every
+  * later attempt of the same day — including a crash replay — ingests
+  * exactly the pinned set. Segments that arrive after the pin wait for
+  * the next day's batch (they stay absent from the processed set, so
+  * the next pin picks them up): late data rolls forward, it never
+  * mutates a committed day.
+  *
+  * Crash windows, in commit order (land → mark-processed → log):
+  *   - crash before the pin: nothing recorded, the retry re-pins;
+  *   - crash mid-[[DailyIngest]]: its own replay invariants apply —
+  *     the retry recomputes the identical batch from the manifest;
+  *   - crash between land and mark-processed: the retry sees the full
+  *     manifest still pending, re-runs the (now no-op) ingest, and
+  *     completes the mark — segments are never lost, at worst re-read;
+  *   - crash between mark-processed and the log append: that batch's
+  *     completion rows are never written (the next tick sees a complete
+  *     day and returns without re-logging) — the log is observability,
+  *     not state; no correctness decision reads it.
+  *
+  * 100 TB posture: segment reads are one streamed task per WARC file
+  * (never whole-file buffering, [[Warc.read]]); the seen-set check is
+  * a broadcast-able anti-join (J5); only the segment NAME list ever
+  * reaches the driver — a day of CommonCrawl is ~9×10⁴ names, KBs.
+  */
+object CrawlIngest {
+
+  /** What one tick did: the segments THIS call ingested (empty for an
+    * idle tick or an already-complete day) and the day's landed docs. */
+  final case class CrawlResult(ingested: Seq[String], landed: Long)
+
+  def segmentLogRef(dataset: String): TableRef =
+    TableRef("staging", dataset, "crawl_segments_log")
+
+  private def manifestKey(dataset: String, day: Date) =
+    s"crawl_manifest_${dataset}_$day"
+  private def processedKey(dataset: String) = s"crawl_segments_$dataset"
+
+  /** Crawl doc id: `epochDay << 48 | hash48(url)` — deterministic per
+    * (day, url) so replays mint identical ids, and BATCH-MONOTONE
+    * (every day's ids exceed every earlier day's) because
+    * [[graft.lake.CorpusPack]]'s incremental cursors require each
+    * batch's ids above the already-packed max. 48 random bits keep the
+    * within-day birthday risk at ~20 expected collisions per 10^8
+    * docs/day (a collided pair shares a pack row — benign); epochDay
+    * fits its 15 bits until 2059, enforced loudly. */
+  private[tools] def docId(day: Date, url: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val epochDay = day.toLocalDate.toEpochDay
+    require(epochDay > 0 && epochDay < (1L << 15),
+      s"crawl day $day out of the id-packing range")
+    lit(epochDay << 48) +
+      graft.expressions.HexPrefixToLong.hex_prefix_to_long(
+        md5(concat(lit("crawl-id|"), url)), 12)
+  }
+
+  /** List WARC segments under `paths` (files or non-recursive dirs),
+    * scheme-qualified so seen-set membership never aliases the same
+    * file under two spellings. */
+  def discover(spark: SparkSession, paths: Seq[String]): Seq[String] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    paths.flatMap { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(hconf)
+      if (!fs.exists(path)) Nil
+      else if (fs.getFileStatus(path).isDirectory)
+        fs.listStatus(path).toSeq.filter(_.isFile)
+          .map(_.getPath.toString)
+          .filter(f => f.endsWith(".warc") || f.endsWith(".warc.gz"))
+      else Seq(fs.makeQualified(path).toString)
+    }.sorted
+  }
+
+  /** One daily tick. Idempotent: an idle tick (no new segments) and a
+    * replay of a completed day both return without touching the lake. */
+  def run(spark: SparkSession, lake: Lake, state: StateStore,
+          dd: CorpusDedup, cp: CorpusPack, out: TableRef,
+          paths: Seq[String], dataset: String, day: Date, ttlDays: Int,
+          qualityGate: Option[QualityClassifier.Model] = None,
+          langModel: Option[LangId.LangIdModel] = None,
+          blockedDomains: Option[DataFrame] = None,
+          perDomainCap: Option[Int] = None,
+          lineScrub: Boolean = false,
+          minWords: Int = 3, maxLinkDensity: Double = 0.5): CrawlResult = {
+    import spark.implicits._
+    val pKey = processedKey(dataset)
+    val mKey = manifestKey(dataset, day)
+
+    // the day's batch: the pinned manifest, or pin it now (first
+    // non-idle tick). An empty stored table and an absent one read the
+    // same — correct either way: a day is only ever pinned non-empty.
+    val stored = state.readTable(mKey, "file STRING")
+      .as[String].collect().toSeq.sorted
+    val manifest =
+      if (stored.nonEmpty) stored
+      else {
+        val found = discover(spark, paths)
+        val pending =
+          if (found.isEmpty) Nil
+          else state.unprocessed(pKey, found.toDF("file"), "file")
+            .as[String].collect().toSeq.sorted
+        if (pending.nonEmpty) state.writeTable(mKey, pending.toDF("file"))
+        pending
+      }
+    if (manifest.isEmpty) return CrawlResult(Nil, 0L)
+
+    // already-complete day (replay after the mark): cheap no-op tick —
+    // report the landed count without re-reading a byte of WARC
+    val todo = state.unprocessed(pKey, manifest.toDF("file"), "file")
+      .as[String].collect()
+    if (todo.isEmpty)
+      return CrawlResult(Nil,
+        scala.util.Try(lake.read(out)
+          .filter(col("ingest_day") === lit(day)).count()).getOrElse(0L))
+
+    try {
+      val extracted =
+        Warc.htmlDocuments(spark, manifest, minWords, maxLinkDensity)
+      val unblocked = blockedDomains
+        .map(bl => UrlOps.dropBlockedDomains(extracted, "url", bl))
+        .getOrElse(extracted)
+      // first crawl of each canonical URL wins (warc_date is ISO-8601 —
+      // lexicographic asc IS chronological asc)
+      val withId = UrlOps.dedupByUrl(unblocked, "url", "warc_date")
+        .withColumn("doc_id", docId(day, col("url")))
+      val capped = perDomainCap
+        .map(k => UrlOps.capPerDomain(withId, "url", "doc_id", k))
+        .getOrElse(withId)
+      val docs = langModel match {
+        case Some(m) =>
+          capped.join(
+            LangId.predict(capped.select($"doc_id", $"text"),
+              "doc_id", "text", m)
+              .select(col("doc_id"), col("pred_lang").as("lang")),
+            Seq("doc_id"))
+        case None => capped.withColumn("lang", lit("und"))
+      }
+      val landed = DailyIngest.run(lake, dd, cp, out,
+        docs.select($"doc_id", $"text", $"lang"),
+        "doc_id", "text", "lang", day, ttlDays,
+        lineScrub = lineScrub, qualityGate = qualityGate)
+      state.markProcessed(pKey, manifest)
+      logSegments(spark, lake, dataset, manifest, day,
+        success = true, error = None)
+      CrawlResult(manifest, landed)
+    } catch {
+      case e: Exception =>
+        logSegments(spark, lake, dataset, manifest, day,
+          success = false, error = Option(e.getMessage))
+        throw e
+    }
+  }
+
+  /** Per-segment completion rows — the `_logs` convention of
+    * [[graft.lake.CaptureLog]] with the segment name as the unit. */
+  private def logSegments(spark: SparkSession, lake: Lake,
+                          dataset: String, segments: Seq[String], day: Date,
+                          success: Boolean, error: Option[String]): Unit = {
+    import spark.implicits._
+    lake.append(
+      segments.toDF("segment")
+        .withColumn("ingest_day", lit(day))
+        .withColumn("sucesso", lit(success))
+        .withColumn("erro", lit(error.orNull).cast("string"))
+        .withColumn("processed_at", current_timestamp()),
+      segmentLogRef(dataset), partitionBy = Seq("ingest_day"))
+  }
+}

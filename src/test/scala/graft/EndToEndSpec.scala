@@ -793,6 +793,17 @@ class EndToEndSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     assert(ingest(day2, "2024-03-02") === 0)
     assert(lake.read(out).count() === 2)
+    // model-upgrade scenario — the seen-set contract's whole point:
+    // only ADMITTED docs were committed, so when a later (here: absent)
+    // gate admits the recurring text, it LANDS. Committing the pre-gate
+    // batch would have exact-deduped it against junk history forever.
+    val day3 = Seq(
+      (30L, "buy cheap deals click here free casino now") // junk dup, now admitted
+    ).toDF("doc_id", "text")
+    assert(DailyIngest.run(lake, dd, cp, out,
+      day3.withColumn("lang", lit("en")), "doc_id", "text", "lang",
+      day("2024-03-03"), ttlDays = 30, qualityGate = None) === 1,
+      "text rejected by an old gate model must not be starved by junk seen-history")
   }
 
   test("the full crawl path: WARC -> extraction -> URL dedup -> quality gate -> ingest") {
@@ -851,6 +862,103 @@ class EndToEndSpec extends SparkSpec {
     // 4 crawled pages -> 3 after URL dedup -> 2 after the quality gate
     assert(landed === 2, "junk page must fall to the trained gate")
     assert(lake.read(out).count() === 2)
+  }
+
+  test("incremental crawl ingest: manifest pin, seen segments, idle and late-arrival ticks") {
+    import graft.functions.QualityClassifier
+    import graft.lake.{CorpusDedup, CorpusPack}
+    import graft.tools.CrawlIngest
+    def rec(uri: String, html: String): Array[Byte] = {
+      val body = ("HTTP/1.1 200 OK\r\n\r\n" + html).getBytes("UTF-8")
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: <$uri>\r\n" +
+        s"WARC-Date: 2024-03-01T00:00:00Z\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes("UTF-8") ++
+        body ++ "\r\n\r\n".getBytes("UTF-8")
+    }
+    def seg(dir: String, name: String, recs: Array[Byte]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, name), recs)
+    val crawl = tmpDir("inc_crawl")
+    seg(crawl, "seg1.warc",
+      rec("http://a.org/1",
+        "<p>The history of the city begins at the river and the region.</p>") ++
+      rec("http://spam.example/x",
+        "<p>buy cheap deals click here free casino win big now</p>"))
+    seg(crawl, "seg2.warc",
+      rec("http://b.org/2",
+        "<p>A study of the growth of the nation and the culture.</p>"))
+    val labeled = Seq(
+      (1L, "the history of the city and the river", true),
+      (2L, "a study of the growth of a region", true),
+      (3L, "the economy and the culture of a nation", true),
+      (4L, "buy cheap deals buy cheap deals now now", false),
+      (5L, "click here click here free free free", false),
+      (6L, "win big win big casino casino casino", false)
+    ).toDF("doc_id", "text", "tgt")
+    val model = QualityClassifier.train(labeled, "text", $"tgt", buckets = 256)
+
+    val lake = new Lake(spark, tmpDir("inc_crawl_lake"))
+    val state = new StateStore(spark, tmpDir("inc_crawl_state"))
+    val dd = new CorpusDedup(spark, lake, "inc_crawl", numBuckets = 4)
+    val cp = new CorpusPack(spark, state, "inc_crawl", budgetTokens = 1024L)
+    val out = TableRef("prod", "inc_crawl", "packed")
+    def day(d: String) = java.sql.Date.valueOf(d)
+    def tick(d: String) = CrawlIngest.run(spark, lake, state, dd, cp, out,
+      Seq(crawl), "inc_crawl", day(d), ttlDays = 30,
+      qualityGate = Some(model))
+
+    // day 1: both segments pinned and ingested; junk falls to the gate
+    val r1 = tick("2024-03-01")
+    assert(r1.ingested.map(f => f.substring(f.lastIndexOf('/') + 1)).sorted
+      === Seq("seg1.warc", "seg2.warc"))
+    assert(r1.landed === 2)
+    // replay of the complete day: no re-read, same landed count
+    val r1b = tick("2024-03-01")
+    assert(r1b.ingested.isEmpty && r1b.landed === 2)
+    // per-segment completion rows landed exactly once
+    val logs = lake.read(CrawlIngest.segmentLogRef("inc_crawl"))
+    assert(logs.count() === 2 &&
+      logs.filter($"sucesso" === true).count() === 2)
+
+    // a segment arriving AFTER day 1's pin waits — the pinned batch is
+    // immutable — and day 2's tick picks it up without re-reading 1-2
+    seg(crawl, "seg3.warc",
+      rec("http://c.org/3",
+        "<p>The economy of the region and the culture of the city grow.</p>"))
+    val r1c = tick("2024-03-01")
+    assert(r1c.ingested.isEmpty, "a pinned day must not absorb late segments")
+    val r2 = tick("2024-03-02")
+    assert(r2.ingested.map(f => f.substring(f.lastIndexOf('/') + 1))
+      === Seq("seg3.warc"))
+    assert(lake.read(out).count() === 3)
+
+    // idle tick: nothing new -> no manifest pinned, nothing touched
+    val r3 = tick("2024-03-03")
+    assert(r3.ingested.isEmpty && r3.landed === 0L)
+    assert(lake.read(CrawlIngest.segmentLogRef("inc_crawl")).count() === 3)
+
+    // crash replay: a day whose manifest was pinned but whose ingest
+    // never ran (the crash-after-pin state, written here by hand). The
+    // retry must ingest EXACTLY the pinned set — seg5 — even though an
+    // unpinned seg6 is also unprocessed; seg6 rolls to the next day.
+    seg(crawl, "seg5.warc",
+      rec("http://d.org/5",
+        "<p>Economy and history combine nation river study growth together.</p>"))
+    seg(crawl, "seg6.warc",
+      rec("http://e.org/6",
+        "<p>Culture grows when region meets city through study then history.</p>"))
+    val seg5Path = CrawlIngest.discover(spark, Seq(crawl))
+      .filter(_.endsWith("seg5.warc"))
+    state.writeTable("crawl_manifest_inc_crawl_2024-03-04",
+      seg5Path.toDF("file"))
+    val r4 = tick("2024-03-04")
+    assert(r4.ingested === seg5Path,
+      "a crash replay must ingest exactly the pinned manifest")
+    assert(lake.read(out).count() === 4)
+    val r5 = tick("2024-03-05")
+    assert(r5.ingested.map(f => f.substring(f.lastIndexOf('/') + 1))
+      === Seq("seg6.warc"))
+    assert(lake.read(out).count() === 5)
   }
 
   test("daily ingest with the semantic gate: bootstrap, cross-day drop, replay") {
