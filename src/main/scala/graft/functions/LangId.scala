@@ -78,18 +78,27 @@ object LangId {
     LangIdModel(langs, weights, priors, n)
   }
 
+  // array of (negScore, lang) structs: array_min picks the HIGHEST
+  // rounded score, ties to the smaller lang — Spark's struct
+  // ordering, reproduced by the oracle's ORDER BY
+  private def ranked(text: Column, model: LangIdModel): Column =
+    array_min(array(model.langs.map(l =>
+      struct((-round(model.scoreCol(text, l), 4)).as("ns"),
+        lit(l).as("lang"))): _*))
+
+  /** The winning language as a single COLUMN — the zero-join form for
+    * pipelines that stamp `lang` inline on an expensive source scan
+    * (a `predict`-then-join-back would re-derive the source lineage). */
+  def predictCol(text: Column, model: LangIdModel): Column =
+    ranked(text, model).getField("lang")
+
   /** Predict the language of every document: (idCol, pred_lang, score)
     * with `score` the winning class's rounded log-score. One scan. */
   def predict(docs: DataFrame, idCol: String, textCol: String,
               model: LangIdModel): DataFrame = {
-    // array of (negScore, lang) structs: array_min picks the HIGHEST
-    // rounded score, ties to the smaller lang — Spark's struct
-    // ordering, reproduced by the oracle's ORDER BY
-    val ranked = array_min(array(model.langs.map(l =>
-      struct((-round(model.scoreCol(col(textCol), l), 4)).as("ns"),
-        lit(l).as("lang"))): _*))
+    val r = ranked(col(textCol), model)
     docs.select(col(idCol),
-      ranked.getField("lang").as("pred_lang"),
-      (-ranked.getField("ns")).as("score"))
+      r.getField("lang").as("pred_lang"),
+      (-r.getField("ns")).as("score"))
   }
 }

@@ -102,6 +102,7 @@ object CrawlIngest {
           blockedDomains: Option[DataFrame] = None,
           perDomainCap: Option[Int] = None,
           lineScrub: Boolean = false,
+          nearDupVerify: Option[Double] = None,
           minWords: Int = 3, maxLinkDensity: Double = 0.5): CrawlResult = {
     import spark.implicits._
     val pKey = processedKey(dataset)
@@ -147,23 +148,27 @@ object CrawlIngest {
       val capped = perDomainCap
         .map(k => UrlOps.capPerDomain(withId, "url", "doc_id", k))
         .getOrElse(withId)
-      val docs = langModel match {
-        case Some(m) =>
-          capped.join(
-            LangId.predict(capped.select($"doc_id", $"text"),
-              "doc_id", "text", m)
-              .select(col("doc_id"), col("pred_lang").as("lang")),
-            Seq("doc_id"))
-        case None => capped.withColumn("lang", lit("und"))
-      }
-      val landed = DailyIngest.run(lake, dd, cp, out,
-        docs.select($"doc_id", $"text", $"lang"),
-        "doc_id", "text", "lang", day, ttlDays,
-        lineScrub = lineScrub, qualityGate = qualityGate)
-      state.markProcessed(pKey, manifest)
-      logSegments(spark, lake, dataset, manifest, day,
-        success = true, error = None)
-      CrawlResult(manifest, landed)
+      // lang is stamped as a COLUMN (zero join — a predict-then-join
+      // would re-derive the whole WARC lineage for the probe side), and
+      // the curated frame is PERSISTED: DailyIngest consumes its input
+      // several times (gate chain + the three seen-set commits), and
+      // each re-derivation here would re-scan the day's segments.
+      val docs = capped
+        .withColumn("lang", langModel
+          .map(m => LangId.predictCol(col("text"), m))
+          .getOrElse(lit("und")))
+        .select($"doc_id", $"text", $"lang")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val landed = DailyIngest.run(lake, dd, cp, out, docs,
+          "doc_id", "text", "lang", day, ttlDays,
+          lineScrub = lineScrub, qualityGate = qualityGate,
+          nearDupVerify = nearDupVerify)
+        state.markProcessed(pKey, manifest)
+        logSegments(spark, lake, dataset, manifest, day,
+          success = true, error = None)
+        CrawlResult(manifest, landed)
+      } finally docs.unpersist(blocking = false)
     } catch {
       case e: Exception =>
         logSegments(spark, lake, dataset, manifest, day,
