@@ -148,6 +148,25 @@ object DedupOps {
         col("band.band_key").as("band_key"))
   }
 
+  /** [[lshBands]] with the signature lanes RETAINED on every band row —
+    * the layout of the VERIFIED cross-run near-dup gate
+    * ([[graft.lake.CorpusDedup.novelNearDupVerifiedSince]]): the band
+    * key prescreens candidates, the lanes riding the same row decide.
+    * Returns idCol, band_idx, band_key, h0..h{k-1}. */
+  def lshBandsWithSig(sig: DataFrame, idCol: String, numHashes: Int = 8,
+                      rowsPerBand: Int = 2): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val bandStructs = (0 until numBands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      struct(lit(b).as("band_idx"), bandKeyOf(cols).as("band_key"))
+    }
+    val lanes = (0 until numHashes).map(i => col(s"h$i"))
+    sig.select(col(idCol) +: explode(array(bandStructs: _*)).as("band") +:
+        lanes: _*)
+      .select(col(idCol) +: col("band.band_idx").as("band_idx") +:
+        col("band.band_key").as("band_key") +: lanes: _*)
+  }
+
   /** Candidate near-dup pairs: docs sharing any band bucket.
     *
     * One groupBy on (band_idx, band_key) collects each bucket's members,

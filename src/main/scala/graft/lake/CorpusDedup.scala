@@ -337,6 +337,72 @@ class CorpusDedup(spark: SparkSession, lake: Lake, dataset: String,
       bandsDatedRef, Seq("band_idx", "band_key"), "band_key",
       Some((date, minDate)))
 
+  // ---- near-dup, VERIFIED (signature-carrying, TTL-bounded) -----------
+
+  val sigBandsDatedRef: TableRef =
+    TableRef("state", dataset, "seen_sigbands_dated")
+  private val sigLanes = 8
+
+  private def sigBandsOf(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame =
+    DedupOps.lshBandsWithSig(
+      DedupOps.minhashSignature(docs, idCol, textCol,
+        numHashes = sigLanes), idCol, numHashes = sigLanes)
+
+  /** VERIFIED cross-run near-dup gate: like [[novelNearDupSince]], but
+    * a band collision only DROPS a document when the two signatures
+    * agree on ≥ ceil(minAgree × lanes) MinHash lanes — the standard
+    * MinHash Jaccard estimate, killing the single-band flukes the
+    * candidate-level gate counts as dups (the in-batch pipeline
+    * already verifies candidates with Jaccard; this is the same
+    * policy for the cross-run state). The lanes ride ON the stored
+    * band rows, so verification is the SAME bucketed equi-join as the
+    * candidate gate plus a scan-local lane comparison — no second
+    * state table, no extra shuffle. Fan-out note: the inner join
+    * multiplies a probe band row by the bucket's DISTINCT stored
+    * signatures (byte-identical boilerplate collapses to one row at
+    * commit), never by the raw duplicate count; a template page with
+    * many distinct variants concentrates one join key, which AQE's
+    * skew-join split handles at runtime (same-key rows split across
+    * tasks with the probe side replicated). */
+  def novelNearDupVerifiedSince(docs: DataFrame, idCol: String,
+                                textCol: String, minDate: java.sql.Date,
+                                minAgree: Double = 0.75): DataFrame = {
+    if (!tableExists(sigBandsDatedRef)) docs
+    else {
+      val needed = math.ceil(minAgree * sigLanes).toInt
+      val hist = spark.table(qualified(sigBandsDatedRef))
+        .filter(col("seen_date") >= lit(minDate))
+        .select(col("band_idx") +: col("band_key") +:
+          (0 until sigLanes).map(i => col(s"h$i").as(s"__g$i")): _*)
+      val agree = (0 until sigLanes).map(i =>
+        when(col(s"h$i") === col(s"__g$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      val collided = sigBandsOf(docs, idCol, textCol)
+        .join(hist, Seq("band_idx", "band_key"))
+        .filter(agree >= needed)
+        .select(col(idCol)).distinct()
+      docs.join(collided, Seq(idCol), "left_anti")
+    }
+  }
+
+  /** Record this batch's (band, lanes) rows under `date` — the verified
+    * gate's state, with [[commitNearDupDated]]'s TTL semantics. */
+  def commitNearDupVerifiedDated(docs: DataFrame, idCol: String,
+                                 textCol: String, date: java.sql.Date,
+                                 minDate: java.sql.Date): Unit = {
+    val laneCols = (0 until sigLanes).map(i => s"h$i")
+    commitSeen(sigBandsOf(docs, idCol, textCol)
+        .select(col("band_idx") +: col("band_key") +:
+          laneCols.map(col): _*).distinct(),
+      sigBandsDatedRef, Seq("band_idx", "band_key") ++ laneCols,
+      "band_key", Some((date, minDate)))
+  }
+
+  /** Drop verified-near-dup seen-set partitions older than `minDate`. */
+  def expireNearDupVerified(minDate: java.sql.Date): Unit =
+    expireDated(sigBandsDatedRef, minDate)
+
   /** Drop near-dup seen-set partitions older than `minDate` (metastore
     * and files — see [[expireExact]]). */
   def expireNearDup(minDate: java.sql.Date): Unit =

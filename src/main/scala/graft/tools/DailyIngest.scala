@@ -106,7 +106,16 @@ object DailyIngest {
     * construction: the model is a constant loaded from its weights
     * file, and the gate composes with the pre-commit recompute
     * invariant like any deterministic filter. Gating uses the 4-dp
-    * ROUNDED score, the same comparison q130's oracle pins. */
+    * ROUNDED score, the same comparison q130's oracle pins.
+    *
+    * `nearDupVerify = Some(minAgree)` swaps the candidate-level
+    * cross-run near-dup gate for the signature-verified one
+    * ([[graft.lake.CorpusDedup.novelNearDupVerifiedSince]]): a band
+    * collision only drops a doc when MinHash lane agreement reaches
+    * `minAgree`, so single-band flukes are admitted. Gate and commit
+    * pair on the verified state table; choose the policy when the
+    * dataset's seen-set is first created and keep it — the two tables
+    * are separate state. */
   def run(lake: Lake, dd: CorpusDedup, cp: CorpusPack, out: TableRef,
           docs: DataFrame, idCol: String, textCol: String, langCol: String,
           day: Date, ttlDays: Int,
@@ -115,7 +124,8 @@ object DailyIngest {
           vocab: BpeVocab = BpeVocab.default,
           pqRefine: Option[Int] = None,
           lineScrub: Boolean = false,
-          qualityGate: Option[graft.functions.QualityClassifier.Model] = None)
+          qualityGate: Option[graft.functions.QualityClassifier.Model] = None,
+          nearDupVerify: Option[Double] = None)
       : Long = {
     require(semanticThreshold.isEmpty || ann.nonEmpty,
       "semanticThreshold needs the ann leg — the index is the seen-set")
@@ -123,7 +133,15 @@ object DailyIngest {
     val admitted = qualityGate.map(m =>
       docs.filter(round(m.scoreCol(col(textCol)), 4) > 0.0)).getOrElse(docs)
     val exactNovel = dd.novelExactSince(admitted, idCol, textCol, minDate)
-    val textNovel = dd.novelNearDupSince(exactNovel, idCol, textCol, minDate)
+    // `nearDupVerify = Some(minAgree)` swaps the candidate-level
+    // cross-run gate for the signature-VERIFIED one (single-band
+    // flukes admitted; drops need >= minAgree lane agreement) — gate
+    // and commit must pair on the same state table, chosen here once
+    val textNovel = nearDupVerify match {
+      case Some(minAgree) => dd.novelNearDupVerifiedSince(
+        exactNovel, idCol, textCol, minDate, minAgree)
+      case None => dd.novelNearDupSince(exactNovel, idCol, textCol, minDate)
+    }
     val semNovel = (ann, semanticThreshold) match {
       // branch on "the PRE-day window holds vectors", NOT on
       // idx.exists: the bootstrap day WRITES the index before the
@@ -206,7 +224,12 @@ object DailyIngest {
       // a constant), so excluding them loses no dedup power; replay
       // recomputes the identical admitted frame from unchanged state.
       dd.commitExactDated(admitted, textCol, day, minDate)
-      dd.commitNearDupDated(admitted, idCol, textCol, day, minDate)
+      nearDupVerify match {
+        case Some(_) =>
+          dd.commitNearDupVerifiedDated(admitted, idCol, textCol, day, minDate)
+        case None =>
+          dd.commitNearDupDated(admitted, idCol, textCol, day, minDate)
+      }
       if (lineScrub) dd.commitLinesDated(admitted, textCol, day, minDate)
       landed
     } finally {
@@ -223,6 +246,7 @@ object DailyIngest {
     val minDate = Date.valueOf(day.toLocalDate.minusDays(ttlDays.toLong))
     dd.expireExact(minDate)
     dd.expireNearDup(minDate)
+    dd.expireNearDupVerified(minDate) // no-op until a verified ingest
     dd.expireLines(minDate) // no-op until the first lineScrub=true day
     ann.foreach(_.expire(minDate))
   }

@@ -806,6 +806,36 @@ class EndToEndSpec extends SparkSpec {
       "text rejected by an old gate model must not be starved by junk seen-history")
   }
 
+  test("daily ingest with the verified near-dup gate: gate and commit pair on the verified state") {
+    import graft.lake.{CorpusDedup, CorpusPack}
+    import graft.tools.DailyIngest
+    val lake = new Lake(spark, tmpDir("vnd_lake"))
+    val dd = new CorpusDedup(spark, lake, "vnd_crawl", numBuckets = 4)
+    val cp = new CorpusPack(spark,
+      new StateStore(spark, tmpDir("vnd_state")), "vnd_crawl",
+      budgetTokens = 1024L)
+    val out = TableRef("prod", "vnd_crawl", "packed")
+    def ingest(docs: org.apache.spark.sql.DataFrame, d: String): Long =
+      DailyIngest.run(lake, dd, cp, out,
+        docs.withColumn("lang", lit("en")), "doc_id", "text", "lang",
+        java.sql.Date.valueOf(d), ttlDays = 30,
+        nearDupVerify = Some(0.75))
+    val text = "the quick brown fox jumps over the lazy dog and runs away fast"
+    assert(ingest(Seq((1L, text)).toDF("doc_id", "text"), "2024-03-01") === 1)
+    // if the commit wrote the CANDIDATE table (a gate/commit mismatch),
+    // day 2's verified gate would find no state and the near-dup would
+    // land — this is the pairing pin, not just the drop semantics
+    val day2 = Seq(
+      (2L, text.replace("away fast", "away now")), // verified near-dup
+      (3L, "totally unrelated writing about catalyst planner internals today ok")
+    ).toDF("doc_id", "text")
+    assert(ingest(day2, "2024-03-02") === 1, "verified near-dup must drop")
+    assert(new java.io.File(lake.path(dd.sigBandsDatedRef)).exists,
+      "verified ingest must write the verified state table")
+    assert(!new java.io.File(lake.path(dd.bandsDatedRef)).exists,
+      "verified ingest must not touch the candidate state table")
+  }
+
   test("the full crawl path: WARC -> extraction -> URL dedup -> quality gate -> ingest") {
     import graft.connectors.Warc
     import graft.functions.{QualityClassifier, UrlOps}

@@ -1124,6 +1124,77 @@ class LakeSpec extends SparkSpec {
     assert(dirs === Set("seen_date=2024-01-04"), dirs.toString)
   }
 
+  test("TTL verified near-dup: lane agreement decides, single-band flukes admitted") {
+    import graft.functions.DedupOps
+    import graft.lake.CorpusDedup
+    val lake = new Lake(spark, tmpDir("ttlv_lake"))
+    val dd = new CorpusDedup(spark, lake, "ttlv_test", numBuckets = 4)
+    def day(d: String) = java.sql.Date.valueOf(d)
+    val mon = day("2024-01-01"); val tue = day("2024-01-02")
+    val text = "the quick brown fox jumps over the lazy dog and runs away fast"
+    val near = text.replace("away fast", "away now")
+
+    // find, deterministically, a SINGLE-BAND FLUKE: a doc sharing >= 1
+    // LSH band with `text` while agreeing on < 6 of 8 MinHash lanes
+    // (the candidate gate drops it; the verified gate must admit it).
+    // One job over a generated candidate set; stable across runs
+    // because every hash is seeded md5.
+    val fillers = (0 until 40).map(i =>
+      (100L + i) -> (text + " " + Seq("alpha", "beta", "gamma", "delta",
+        "epsilon", "zeta", "eta", "theta").map(w => s"$w$i").mkString(" ")))
+    val probeDf = (Seq(0L -> text, 999L -> near) ++ fillers)
+      .toDF("doc_id", "text")
+    val rows = DedupOps.lshBandsWithSig(
+      DedupOps.minhashSignature(probeDf, "doc_id", "text"), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        (3 until 11).map(r.getLong)))
+    val aByBand = rows.filter(_._1 == 0L).map(b => (b._2, b._3)).toSet
+    val aLanes = rows.find(_._1 == 0L).get._4
+    def agreement(id: Long): Int =
+      rows.find(_._1 == id).get._4.zip(aLanes).count { case (x, y) => x == y }
+    // precondition the fixture: the true near-dup must verify as a dup
+    assert(agreement(999L) >= 6,
+      s"fixture: `near` agrees on only ${agreement(999L)}/8 lanes")
+    val flukes = fillers.map(_._1).filter(id =>
+      rows.exists(r => r._1 == id && aByBand((r._2, r._3))) &&
+        agreement(id) < 6)
+    assert(flukes.nonEmpty,
+      "fixture search found no single-band fluke — widen the candidate set")
+    val flukeText = fillers.toMap.apply(flukes.head)
+
+    val b1 = Seq((1L, text)).toDF("doc_id", "text")
+    dd.commitNearDupDated(b1, "doc_id", "text", mon, minDate = mon)
+    dd.commitNearDupVerifiedDated(b1, "doc_id", "text", mon, minDate = mon)
+
+    val b2 = Seq((2L, near), (3L, flukeText)).toDF("doc_id", "text")
+    // candidate-level gate: both collide -> both dropped
+    assert(dd.novelNearDupSince(b2, "doc_id", "text", minDate = mon)
+      .count() === 0)
+    // verified gate: the true near-dup still drops (high agreement),
+    // the single-band fluke is ADMITTED (collision, low agreement)
+    val verified = dd.novelNearDupVerifiedSince(b2, "doc_id", "text",
+        minDate = mon)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(verified === Set(3L), s"verified gate kept $verified")
+
+    // the state side stays partition-pruned, like the candidate gate
+    val plan = dd.novelNearDupVerifiedSince(b2, "doc_id", "text",
+        minDate = tue)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(seen_date"), plan)
+
+    // TTL: window starting Tuesday ages Monday's sighting out
+    assert(dd.novelNearDupVerifiedSince(b2, "doc_id", "text",
+      minDate = tue).count() === 2)
+    // expiry drops metastore partitions and files together
+    dd.commitNearDupVerifiedDated(b2, "doc_id", "text", tue, minDate = mon)
+    dd.expireNearDupVerified(tue)
+    val parts = spark.sql(
+      "SHOW PARTITIONS state_ttlv_test.seen_sigbands_dated")
+      .collect().map(_.getString(0)).toSet
+    assert(parts === Set("seen_date=2024-01-02"), parts.toString)
+  }
+
   test("incremental packing: batches == one-shot; replay-safe; monotone-guarded") {
     import graft.lake.CorpusPack
     import graft.state.StateStore
