@@ -213,6 +213,46 @@ object DedupOps {
       .distinct()
   }
 
+  /** [[lshCandidatePairs]] with BOTH signatures carried on every pair —
+    * the input of lane-agreement verification ([[q135]]'s shape and the
+    * batch form of the verified cross-run gate) without re-deriving or
+    * joining the signature frame back: the sig subtree is computed
+    * ONCE and rides the bucket collect (a join-back re-scans the
+    * corpus per side and needs the sig frame shuffled or broadcast —
+    * neither survives 10^10 docs). Pair expansion is an interpreted
+    * HOF here (members are structs, outside [[SortedPairs]]' long-array
+    * kernel) — acceptable because it runs per over-1 bucket, bounded
+    * by bucket size like the candidate path. Returns
+    * (id_a, id_b, a0..a{k-1}, b0..b{k-1}). */
+  def lshCandidatePairsWithSig(sig: DataFrame, idCol: String,
+                               numHashes: Int = 8, rowsPerBand: Int = 2,
+                               starBucketThreshold: Int = Int.MaxValue)
+      : DataFrame = {
+    require(starBucketThreshold >= 2, "starBucketThreshold must be >= 2")
+    val bands = lshBandsWithSig(sig, idCol, numHashes, rowsPerBand)
+    val member = struct(col(idCol).as("id") +:
+      (0 until numHashes).map(i => col(s"h$i")): _*)
+    val all = expr(
+      """flatten(transform(ms, (a, i) ->
+        |  transform(slice(ms, i + 2, size(ms) - i - 1),
+        |    b -> struct(a AS a, b AS b))))""".stripMargin)
+    val star = expr(
+      "transform(slice(ms, 2, size(ms) - 1), x -> struct(ms[0] AS a, x AS b))")
+    val pairsCol =
+      if (starBucketThreshold == Int.MaxValue) all
+      else when(size(col("ms")) <= starBucketThreshold, all).otherwise(star)
+    bands.groupBy(col("band_idx"), col("band_key"))
+      // struct ordering is field order and `id` leads, so the sorted
+      // set pairs ascending ids, like the candidate path
+      .agg(sort_array(collect_set(member)).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(pairsCol).as("p"))
+      .select(col("p.a.id").as("id_a") +: col("p.b.id").as("id_b") +:
+        ((0 until numHashes).map(i => col(s"p.a.h$i").as(s"a$i")) ++
+          (0 until numHashes).map(i => col(s"p.b.h$i").as(s"b$i"))): _*)
+      .distinct()
+  }
+
   /** Truncate iterative/reused lineage. Default is `localCheckpoint`
     * (executor block storage — fast, but NON-reliable: losing an
     * executor mid-job forces a full job retry). For 1000-executor runs

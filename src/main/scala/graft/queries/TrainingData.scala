@@ -315,6 +315,26 @@ object TrainingData {
       DedupOps.lshCandidatePairs(sig, "doc_id")
         .orderBy(col("id_a"), col("id_b"))
     }),
+    // MinHash LANE AGREEMENT over the LSH candidates — the decision
+    // function of the verified cross-run near-dup gate
+    // (CorpusDedup.novelNearDupVerifiedSince) as an oracle-checkable
+    // batch query: n_agree = matching lanes out of 8 (the MinHash
+    // Jaccard estimate ×8), verified = n_agree >= 6 (minAgree 0.75).
+    // Both signatures RIDE the pair rows (lshCandidatePairsWithSig):
+    // one corpus scan total — a sig join-back would re-derive the
+    // minhash subtree per side and shuffle/broadcast a corpus-sized
+    // sig frame. The cheap verify, vs q53's exact token one.
+    "q135_lane_verify" -> ((s, dir) => {
+      val pairs = DedupOps.lshCandidatePairsWithSig(
+        DedupOps.minhashSignature(t(s, dir, "documents"), "doc_id", "text"),
+        "doc_id")
+      val agree = (0 until 8).map(i =>
+        when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      pairs.select(col("id_a"), col("id_b"), agree.as("n_agree"),
+          (agree >= 6L).cast("int").as("verified"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     // Exact token-set Jaccard verification of the LSH candidates. The
     // signature subtree shuffles nothing but partial mins (native
     // Shingles expression); the token subtree re-scans the columnar
@@ -1918,6 +1938,20 @@ object TrainingData {
       s"""WITH $sigCte,
          |$bandsCte
          |SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b""".stripMargin,
+    "q135_lane_verify" -> {
+      val agreeSql = (0 to 7)
+        .map(i => s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $sigCte,
+         |$bandsCte
+         |SELECT p.id_a, p.id_b,
+         |  CAST($agreeSql AS BIGINT) AS n_agree,
+         |  CAST(CASE WHEN $agreeSql >= 6 THEN 1 ELSE 0 END AS INT) AS verified
+         |FROM pairs p
+         |JOIN sig a ON a.doc_id = p.id_a
+         |JOIN sig b ON b.doc_id = p.id_b
+         |ORDER BY p.id_a, p.id_b""".stripMargin
+    },
     "q53_jaccard_verify" ->
       s"""WITH $sigCte,
          |$bandsCte,

@@ -102,6 +102,21 @@ class PropertiesSpec extends SparkSpec {
     }
     assert(survivors(capped) === survivors(full))
     assert(survivors(capped) === (Set(0L) ++ (100L until 105L).toSet))
+
+    // the sig-carrying pair path (one corpus scan, no sig join-back)
+    // finds the IDENTICAL pair set, its carried lanes byte-match the
+    // signature frame, and the star cap composes the same way
+    val withSig = DedupOps.lshCandidatePairsWithSig(sig, "doc_id")
+    assert(withSig.select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      === full.as[(Long, Long)].collect().toSet)
+    val sigMap = sig.collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(r.getLong)).toMap
+    withSig.collect().foreach { r =>
+      assert((2 until 10).map(r.getLong) === sigMap(r.getLong(0)), "a lanes")
+      assert((10 until 18).map(r.getLong) === sigMap(r.getLong(1)), "b lanes")
+    }
+    assert(DedupOps.lshCandidatePairsWithSig(sig, "doc_id",
+      starBucketThreshold = 10).count() === 59)
   }
 
   test("prop: bloom semi-join == exact semi-join; prefilter sits scan-side") {
