@@ -128,7 +128,7 @@ class CorpusDedup(spark: SparkSession, lake: Lake, dataset: String,
 
   /** Fold this batch's hashes into the seen-set (idempotent: hashes
     * already present are not re-added). */
-  /** The ONE seen-set commit discipline all six commit methods share
+  /** The ONE seen-set commit discipline every commit method shares
     * (review-consolidated from six near-identical copies): create the
     * bucketed table on first commit (dated refs add the seen_date
     * partition layer), else anti-join the (windowed) history and
@@ -510,10 +510,11 @@ class CorpusDedup(spark: SparkSession, lake: Lake, dataset: String,
   /** Fold per-run seen-set files back down, preserving the bucket
     * layout AND the dated tables' seen_date partition layer
     * ([[Lake.compactBucketed]] reads it from the catalog) —
-    * maintenance tick, under the dataset's RunLock. ALL six seen-set
-    * tables fold: the review-found gap (linesRef and the three dated
-    * tables missing) let line-scrub and TTL state accrete one bucketed
-    * file-set per commit forever. */
+    * maintenance tick, under the dataset's RunLock. ALL seven seen-set
+    * tables fold — including the verified gate's sigbands (added with
+    * the table: the earlier review-found gap, linesRef and the three
+    * dated tables missing, let line-scrub and TTL state accrete one
+    * bucketed file-set per commit forever). */
   def compact(): Unit = {
     Seq(
       hashesRef -> "content_hash",
@@ -521,6 +522,7 @@ class CorpusDedup(spark: SparkSession, lake: Lake, dataset: String,
       linesRef -> "line_hash",
       hashesDatedRef -> "content_hash",
       bandsDatedRef -> "band_key",
+      sigBandsDatedRef -> "band_key",
       linesDatedRef -> "line_hash"
     ).foreach { case (ref, bucketCol) =>
       if (tableExists(ref)) lake.compactBucketed(ref, bucketCol, numBuckets)

@@ -43,6 +43,13 @@ import org.apache.spark.sql.functions._
   * (never whole-file buffering, [[Warc.read]]); the seen-set check is
   * a broadcast-able anti-join (J5); only the segment NAME list ever
   * reaches the driver — a day of CommonCrawl is ~9×10⁴ names, KBs.
+  *
+  * Concurrency: like [[DailyIngest]], every state mutation here (the
+  * manifest pin, the processed-set mark, the ingest's own commits)
+  * assumes the dataset's [[graft.state.RunLock]] is held by the
+  * scheduler firing the tick — the state layer is single-writer per
+  * key, and two concurrent ticks of one day could otherwise pin
+  * divergent manifests.
   */
 object CrawlIngest {
 

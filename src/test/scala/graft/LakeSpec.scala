@@ -1193,6 +1193,12 @@ class LakeSpec extends SparkSpec {
       "SHOW PARTITIONS state_ttlv_test.seen_sigbands_dated")
       .collect().map(_.getString(0)).toSet
     assert(parts === Set("seen_date=2024-01-02"), parts.toString)
+    // maintenance compaction folds the verified table too (the seventh
+    // seen-set) and the gate reads it unchanged: b2's own Tuesday
+    // sighting makes both docs historical dups
+    dd.compact()
+    assert(dd.novelNearDupVerifiedSince(b2, "doc_id", "text",
+      minDate = tue).count() === 0)
   }
 
   test("incremental packing: batches == one-shot; replay-safe; monotone-guarded") {
