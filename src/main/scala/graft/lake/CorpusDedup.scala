@@ -34,8 +34,14 @@ import org.apache.spark.sql.functions._
   * Single-writer discipline: commits assume the caller holds the
   * dataset's [[graft.state.RunLock]] (same contract as [[Lake]] writes).
   */
+/** @param sigLanes MinHash lanes carried by the VERIFIED near-dup
+  *   state ([[novelNearDupVerifiedSince]]); more lanes sharpen the
+  *   Jaccard estimate (σ = √(J(1−J)/k) ≈ 0.15 at k=8, 0.11 at k=16)
+  *   at 8 bytes of state per band row each. Pin it per dataset — the
+  *   stored schema carries h0..h{k−1}, so changing it mid-history
+  *   breaks the verify join. */
 class CorpusDedup(spark: SparkSession, lake: Lake, dataset: String,
-                  numBuckets: Int = 64) {
+                  numBuckets: Int = 64, sigLanes: Int = 8) {
 
   val hashesRef: TableRef = TableRef("state", dataset, "seen_hashes")
   val bandsRef: TableRef = TableRef("state", dataset, "seen_bands")
@@ -341,7 +347,6 @@ class CorpusDedup(spark: SparkSession, lake: Lake, dataset: String,
 
   val sigBandsDatedRef: TableRef =
     TableRef("state", dataset, "seen_sigbands_dated")
-  private val sigLanes = 8
 
   private def sigBandsOf(docs: DataFrame, idCol: String,
                          textCol: String): DataFrame =
