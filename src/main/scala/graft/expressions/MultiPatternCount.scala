@@ -1,0 +1,135 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Dense Aho–Corasick automaton over the normalized-text alphabet
+  * ([a-z0-9 ] — 37 symbols; any other byte resets to root, which is
+  * exact because no pattern may contain one). Built once on the driver,
+  * shipped as a plan reference; matching is ONE linear pass over the
+  * document bytes regardless of lexicon size — the C4-scale word
+  * blocklist has hundreds of entries and a regex alternation or a
+  * contains-OR both degrade to O(entries × length) per row.
+  *
+  * `countDistinct` reports how many DISTINCT patterns occur (the
+  * audit-friendly form; `== 0` is the survival gate). The seen-bitmap
+  * allocates lazily, so clean documents — the overwhelming majority —
+  * match with zero per-row allocation. */
+class AhoCorasick(patterns: Seq[String]) extends Serializable {
+  private val pats: Array[Array[Byte]] =
+    patterns.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
+  val numPatterns: Int = pats.length
+  private val K = 37
+
+  @inline private def sym(b: Byte): Int =
+    if (b >= 'a' && b <= 'z') b - 'a'
+    else if (b >= '0' && b <= '9') 26 + (b - '0')
+    else if (b == ' ') 36
+    else -1
+
+  // dense goto (fail links folded in) + per-state closed output sets
+  private val (next: Array[Int], out: Array[Array[Int]]) = {
+    val maxNodes = pats.map(_.length).sum + 1
+    val go = Array.fill(maxNodes * K)(-1)
+    val outB = Array.fill(maxNodes)(List.empty[Int])
+    var nodes = 1
+    var pid = 0
+    while (pid < pats.length) {
+      val p = pats(pid)
+      var s = 0
+      var i = 0
+      while (i < p.length) {
+        val c = sym(p(i))
+        require(c >= 0,
+          s"lexicon entry not normalized to [a-z0-9 ]: ${new String(p, "UTF-8")}")
+        if (go(s * K + c) == -1) { go(s * K + c) = nodes; nodes += 1 }
+        s = go(s * K + c)
+        i += 1
+      }
+      outB(s) ::= pid
+      pid += 1
+    }
+    val fail = new Array[Int](nodes)
+    val queue = new java.util.ArrayDeque[Integer]()
+    var c = 0
+    while (c < K) {
+      val u = go(c)
+      if (u == -1) go(c) = 0 else { fail(u) = 0; queue.add(u) }
+      c += 1
+    }
+    while (!queue.isEmpty) {
+      val u = queue.poll().intValue()
+      // BFS order: fail(u) is shallower, its output set already closed
+      outB(u) = outB(u) ++ outB(fail(u))
+      var ch = 0
+      while (ch < K) {
+        val v = go(u * K + ch)
+        if (v == -1) go(u * K + ch) = go(fail(u) * K + ch)
+        else { fail(v) = go(fail(u) * K + ch); queue.add(v) }
+        ch += 1
+      }
+    }
+    (java.util.Arrays.copyOf(go, nodes * K),
+      outB.take(nodes).map(l => if (l.isEmpty) null else l.toArray))
+  }
+
+  def countDistinct(s: UTF8String): Int = {
+    var state = 0
+    var cnt = 0
+    var seen: Array[Boolean] = null
+    var i = 0
+    val n = s.numBytes()
+    while (i < n) {
+      val c = sym(s.getByte(i))
+      state = if (c < 0) 0 else next(state * K + c)
+      val os = out(state)
+      if (os != null) {
+        if (seen == null) seen = new Array[Boolean](numPatterns)
+        var j = 0
+        while (j < os.length) {
+          val p = os(j)
+          if (!seen(p)) { seen(p) = true; cnt += 1 }
+          j += 1
+        }
+      }
+      i += 1
+    }
+    cnt
+  }
+}
+
+/** Number of DISTINCT `patterns` occurring in the child string — the
+  * multi-substring kernel of [[graft.functions.TextOps.lexiconHits]].
+  * Patterns are stored structurally (Seq) so expression equality and
+  * canonicalization work; the automaton is a transient lazy on the
+  * driver and a serialized codegen reference on executors (the
+  * [[HashedNgramScore]] convention). */
+case class MultiPatternCount(child: Expression, patterns: Seq[String])
+    extends UnaryExpression {
+
+  @transient private lazy val ac = new AhoCorasick(patterns)
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "multi_pattern_count"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ac.countDistinct(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kref = ctx.addReferenceObj("acKernel", ac,
+      classOf[AhoCorasick].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $kref.countDistinct($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MultiPatternCount =
+    copy(child = newChild)
+}
+
+object MultiPatternCount {
+  def multi_pattern_count(c: Column, patterns: Seq[String]): Column =
+    Bridge.column(MultiPatternCount(Bridge.expression(c), patterns))
+}

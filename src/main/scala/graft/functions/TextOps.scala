@@ -519,4 +519,35 @@ object TextOps {
       hits(afterEmail, Ipv4Pattern) + hits(ip1, Ipv4Pattern),
       hits(text, PhonePattern) + hits(phone1, PhonePattern))
   }
+
+  /** One lexicon entry (word OR multi-word phrase), normalized the way
+    * the text side is: lowercase, non-alphanumeric runs to one space,
+    * space-padded so containment on the padded normalized text IS a
+    * word-boundary match ("ass" never fires inside "class"). */
+  private def lexiconEntry(e: String): Option[String] = {
+    val n = e.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+    if (n.isEmpty) None else Some(s" $n ")
+  }
+
+  /** C4's word-lexicon gate: how many DISTINCT lexicon entries (words
+    * or phrases, boundary-exact, case-insensitive) a document contains
+    * — `=== 0` is the survival predicate ([[dropByLexicon]]), the
+    * count is the scrub audit. Normalization is builtin codegen
+    * (lower + one regexp_replace); matching is a single Aho–Corasick
+    * pass ([[graft.expressions.MultiPatternCount]]) — O(length) per
+    * row however large the lexicon, where a regex alternation or a
+    * contains-OR pays O(entries × length). Scan-local, zero
+    * exchanges. */
+  def lexiconHits(text: Column, lexicon: Seq[String]): Column = {
+    val entries = lexicon.flatMap(lexiconEntry).distinct
+    require(entries.nonEmpty, "lexicon is empty after normalization")
+    val norm = concat(lit(" "),
+      regexp_replace(lower(text), "[^a-z0-9]+", " "), lit(" "))
+    graft.expressions.MultiPatternCount.multi_pattern_count(norm, entries)
+  }
+
+  /** Drop documents containing ANY lexicon entry — the C4 policy. */
+  def dropByLexicon(df: DataFrame, textCol: String,
+                    lexicon: Seq[String]): DataFrame =
+    df.filter(lexiconHits(col(textCol), lexicon) === 0)
 }

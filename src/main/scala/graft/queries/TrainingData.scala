@@ -133,6 +133,11 @@ object TrainingData {
        |  FROM stok GROUP BY doc_id)""".stripMargin
   }
 
+  /** q136's fixed test lexicon (a word + a phrase + a word, all present
+    * in the synthetic corpus vocabulary so both branches of the gate
+    * fire) — ONE definition feeds the Spark side and the oracle. */
+  private val q136Lexicon = Seq("slow", "big table", "vector")
+
   private val bandsCte =
     """bands AS (
       |  SELECT doc_id, 0 AS band_idx, md5(h0 || '|' || h1) AS band_key FROM sig
@@ -314,6 +319,24 @@ object TrainingData {
       val sig = DedupOps.minhashSignature(t(s, dir, "documents"), "doc_id", "text")
       DedupOps.lshCandidatePairs(sig, "doc_id")
         .orderBy(col("id_a"), col("id_b"))
+    }),
+    // C4's word-LEXICON gate: distinct-entry hit count + survival flag
+    // per doc. Normalization is builtin codegen; matching is ONE
+    // Aho-Corasick pass (expressions.MultiPatternCount) — O(length)
+    // per row however large the lexicon (a regex alternation or a
+    // contains-OR pays O(entries x length)). Scan-local, zero
+    // exchanges; phrase entries get word-boundary semantics from the
+    // space-padded normalized text. (ScaleProbe reads scan x2.0 here:
+    // that is the trailing ORDER BY's range-partitioning SAMPLE pass —
+    // oracle-comparison infrastructure, required on every query. The
+    // operator itself, TextOps.dropByLexicon, is a sort-free single
+    // pass; shuffle stays sublinear, 0.04 MiB at sf0.1.)
+    "q136_lexicon_gate" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+          TextOps.lexiconHits(col("text"), q136Lexicon)
+            .cast("long").as("lex_hits"))
+        .withColumn("survives", (col("lex_hits") === 0L).cast("int"))
+        .orderBy(col("doc_id"))
     }),
     // MinHash LANE AGREEMENT over the LSH candidates — the decision
     // function of the verified cross-run near-dup gate
@@ -1938,6 +1961,23 @@ object TrainingData {
       s"""WITH $sigCte,
          |$bandsCte
          |SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b""".stripMargin,
+    "q136_lexicon_gate" -> {
+      // the SAME Scala lexicon builds the oracle's literal list — the
+      // two sides cannot drift
+      val entries = q136Lexicon.map(e => s"' $e '").mkString("[", ", ", "]")
+      s"""WITH n AS (
+         |  SELECT doc_id,
+         |    ' ' || regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g') || ' '
+         |      AS norm
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id,
+         |    len(list_filter($entries, p -> contains(norm, p))) AS nh
+         |  FROM n)
+         |SELECT doc_id, CAST(nh AS BIGINT) AS lex_hits,
+         |  CAST(CASE WHEN nh = 0 THEN 1 ELSE 0 END AS INT) AS survives
+         |FROM h ORDER BY doc_id""".stripMargin
+    },
     "q135_lane_verify" -> {
       val agreeSql = (0 to 7)
         .map(i => s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)")

@@ -107,6 +107,7 @@ object CrawlIngest {
           qualityGate: Option[QualityClassifier.Model] = None,
           langModel: Option[LangId.LangIdModel] = None,
           blockedDomains: Option[DataFrame] = None,
+          lexicon: Option[Seq[String]] = None,
           perDomainCap: Option[Int] = None,
           lineScrub: Boolean = false,
           nearDupVerify: Option[Double] = None,
@@ -148,9 +149,14 @@ object CrawlIngest {
       val unblocked = blockedDomains
         .map(bl => UrlOps.dropBlockedDomains(extracted, "url", bl))
         .getOrElse(extracted)
+      // C4's word-lexicon gate, earliest (scan-local Aho-Corasick,
+      // zero exchanges): blocked pages never reach the URL window
+      val lexed = lexicon
+        .map(l => graft.functions.TextOps.dropByLexicon(unblocked, "text", l))
+        .getOrElse(unblocked)
       // first crawl of each canonical URL wins (warc_date is ISO-8601 —
       // lexicographic asc IS chronological asc)
-      val withId = UrlOps.dedupByUrl(unblocked, "url", "warc_date")
+      val withId = UrlOps.dedupByUrl(lexed, "url", "warc_date")
         .withColumn("doc_id", docId(day, col("url")))
       val capped = perDomainCap
         .map(k => UrlOps.capPerDomain(withId, "url", "doc_id", k))

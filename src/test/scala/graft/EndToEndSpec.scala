@@ -935,7 +935,10 @@ class EndToEndSpec extends SparkSpec {
     def day(d: String) = java.sql.Date.valueOf(d)
     def tick(d: String) = CrawlIngest.run(spark, lake, state, dd, cp, out,
       Seq(crawl), "inc_crawl", day(d), ttlDays = 30,
-      qualityGate = Some(model))
+      qualityGate = Some(model),
+      // the word-lexicon gate rides the same tick (the spam page dies
+      // here before the trained gate even scores it)
+      lexicon = Some(Seq("casino")))
 
     // day 1: both segments pinned and ingested; junk falls to the gate
     val r1 = tick("2024-03-01")

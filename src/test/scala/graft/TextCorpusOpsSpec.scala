@@ -106,6 +106,54 @@ class TextCorpusOpsSpec extends SparkSpec {
     assert(again2 === cappedIds, "the cap draw must be deterministic")
   }
 
+  test("lexiconHits / dropByLexicon: boundary-exact multi-pattern gate (Aho-Corasick)") {
+    import graft.functions.TextOps
+    val docs = Seq(
+      (1L, "The CLASS is large"),            // "ass" inside a word: NO hit
+      (2L, "what an ass... Big  Table stuff"), // word + phrase (case/punct-proof)
+      (3L, "bigtable is one word"),          // phrase must not match joined
+      (4L, "ass ass ass"),                   // DISTINCT entries, not occurrences
+      (5L, "perfectly clean text")
+    ).toDF("doc_id", "text")
+    val lex = Seq("ass", "Big Table")
+    val hits = docs.select($"doc_id", TextOps.lexiconHits($"text", lex).as("h"))
+      .as[(Long, Int)].collect().toMap
+    assert(hits === Map(1L -> 0, 2L -> 2, 3L -> 0, 4L -> 1, 5L -> 0), hits)
+    assert(TextOps.dropByLexicon(docs, "text", lex)
+      .select($"doc_id").as[Long].collect().toSet === Set(1L, 3L, 5L))
+
+    // shared-prefix entries exercise the automaton's fail links: after
+    // " big deal" fails out of " big table", " table " must still fire
+    val lex2 = Seq("big table", "big deal", "table")
+    val t2 = Seq((1L, "a big deal on the table"), (2L, "one big table here"))
+      .toDF("doc_id", "text")
+    val h2 = t2.select($"doc_id", TextOps.lexiconHits($"text", lex2).as("h"))
+      .as[(Long, Int)].collect().toMap
+    assert(h2 === Map(1L -> 2, 2L -> 2), h2) // doc 2: "big table" AND "table"
+
+    // randomized parity against an independent contains-per-entry
+    // reference (fixed seed -> deterministic fixture)
+    val rnd = new scala.util.Random(136)
+    val vocab = Vector("ass", "class", "big", "table", "deal", "data", "x9")
+    val lex3 = Seq("ass", "big table", "deal")
+    def norm(s: String) = " " + s.toLowerCase.replaceAll("[^a-z0-9]+", " ") + " "
+    val texts = (1 to 60).map(i =>
+      (i.toLong, (0 until rnd.nextInt(12)).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")))
+    val expected = texts.map { case (id, t) =>
+      id -> lex3.count(e => norm(t).contains(" " + e.toLowerCase + " "))
+    }.toMap
+    val got = texts.toDF("doc_id", "text")
+      .select($"doc_id", TextOps.lexiconHits($"text", lex3).as("h"))
+      .as[(Long, Int)].collect().toMap
+    assert(got === expected)
+
+    // the gate is scan-local: no Exchange anywhere in the plan
+    val plan = docs.select(TextOps.lexiconHits($"text", lex))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("htmlToText / htmlMainContent: extraction, entities, link-density boilerplate") {
     val html =
       """<html><head><title>T</title>
