@@ -20,6 +20,25 @@ class PropertiesSpec extends SparkSpec {
     assert(r.passed, r.status.toString)
   }
 
+  test("prop: AhoCorasick counts exactly the distinct patterns present") {
+    // adversarial shapes on purpose: patterns drawn from a 3-symbol
+    // alphabet are routinely substrings/prefixes/suffixes of each other
+    // and of the text — the fail-link and output-closure cases where
+    // hand-rolled automata break. Reference = naive per-pattern contains.
+    val alpha = Gen.oneOf('a', 'b', ' ')
+    val patGen = Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, alpha).map(_.mkString))
+    val gen = for {
+      pats <- Gen.choose(1, 8).flatMap(k => Gen.listOfN(k, patGen))
+      text <- Gen.choose(0, 60).flatMap(n => Gen.listOfN(n, alpha).map(_.mkString))
+    } yield (pats.distinct, text)
+    check(Prop.forAll(gen) { case (pats, text) =>
+      val ac = new graft.expressions.AhoCorasick(pats)
+      val got = ac.countDistinct(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text))
+      got == pats.count(text.contains(_))
+    })
+  }
+
   test("prop: normalizeName is idempotent and produces valid identifiers") {
     check(Prop.forAll(Gen.asciiPrintableStr) { s =>
       val once = SchemaNormalizer.normalizeName(s)
