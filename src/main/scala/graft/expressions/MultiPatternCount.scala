@@ -20,8 +20,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * allocates lazily, so clean documents — the overwhelming majority —
   * match with zero per-row allocation. */
 class AhoCorasick(patterns: Seq[String]) extends Serializable {
-  private val pats: Array[Array[Byte]] =
-    patterns.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
+  // deduped HERE, not only by callers: duplicate entries would get two
+  // pattern ids ending at one state and count twice, silently breaking
+  // the "distinct patterns" contract for any direct user (review-found)
+  private val pats: Array[Array[Byte]] = patterns.distinct
+    .map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
   val numPatterns: Int = pats.length
   private val K = 37
 

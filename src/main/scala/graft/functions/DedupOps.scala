@@ -136,14 +136,19 @@ object DedupOps {
   private def bandKeyOf(lanes: Seq[Column]): Column =
     md5(concat_ws("|", lanes: _*))
 
-  def lshBands(sig: DataFrame, idCol: String, numHashes: Int = 8,
-               rowsPerBand: Int = 2): DataFrame = {
-    val numBands = numHashes / rowsPerBand
-    val bandStructs = (0 until numBands).map { b =>
+  /** One (band_idx, band_key) struct per band — the ONE derivation the
+    * plain, sig-carrying, and pair paths all explode, so the band-key
+    * convention cannot drift between the candidate and verified gates. */
+  private def bandStructs(numHashes: Int, rowsPerBand: Int): Seq[Column] =
+    (0 until numHashes / rowsPerBand).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
       struct(lit(b).as("band_idx"), bandKeyOf(cols).as("band_key"))
     }
-    sig.select(col(idCol), explode(array(bandStructs: _*)).as("band"))
+
+  def lshBands(sig: DataFrame, idCol: String, numHashes: Int = 8,
+               rowsPerBand: Int = 2): DataFrame = {
+    sig.select(col(idCol),
+        explode(array(bandStructs(numHashes, rowsPerBand): _*)).as("band"))
       .select(col(idCol), col("band.band_idx").as("band_idx"),
         col("band.band_key").as("band_key"))
   }
@@ -155,13 +160,9 @@ object DedupOps {
     * Returns idCol, band_idx, band_key, h0..h{k-1}. */
   def lshBandsWithSig(sig: DataFrame, idCol: String, numHashes: Int = 8,
                       rowsPerBand: Int = 2): DataFrame = {
-    val numBands = numHashes / rowsPerBand
-    val bandStructs = (0 until numBands).map { b =>
-      val cols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-      struct(lit(b).as("band_idx"), bandKeyOf(cols).as("band_key"))
-    }
     val lanes = (0 until numHashes).map(i => col(s"h$i"))
-    sig.select(col(idCol) +: explode(array(bandStructs: _*)).as("band") +:
+    sig.select(col(idCol) +:
+        explode(array(bandStructs(numHashes, rowsPerBand): _*)).as("band") +:
         lanes: _*)
       .select(col(idCol) +: col("band.band_idx").as("band_idx") +:
         col("band.band_key").as("band_key") +: lanes: _*)

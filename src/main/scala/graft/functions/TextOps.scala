@@ -525,7 +525,12 @@ object TextOps {
     * space-padded so containment on the padded normalized text IS a
     * word-boundary match ("ass" never fires inside "class"). */
   private def lexiconEntry(e: String): Option[String] = {
-    val n = e.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+    // Locale.ROOT: a Turkish-locale driver JVM lowercases "BIG" to
+    // "bıg" (dotless ı) under the default-locale toLowerCase, and the
+    // entry silently never matches Spark's locale-independent lower()
+    // on the text side (review-found)
+    val n = e.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("[^a-z0-9]+", " ").trim
     if (n.isEmpty) None else Some(s" $n ")
   }
 

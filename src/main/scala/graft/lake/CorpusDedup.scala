@@ -33,8 +33,8 @@ import org.apache.spark.sql.functions._
   *
   * Single-writer discipline: commits assume the caller holds the
   * dataset's [[graft.state.RunLock]] (same contract as [[Lake]] writes).
-  */
-/** @param sigLanes MinHash lanes carried by the VERIFIED near-dup
+  *
+  * @param sigLanes MinHash lanes carried by the VERIFIED near-dup
   *   state ([[novelNearDupVerifiedSince]]); more lanes sharpen the
   *   Jaccard estimate (σ = √(J(1−J)/k) ≈ 0.15 at k=8, 0.11 at k=16)
   *   at 8 bytes of state per band row each. Pin it per dataset — the

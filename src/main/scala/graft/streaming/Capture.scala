@@ -148,15 +148,24 @@ class Capture(spark: SparkSession, lake: Lake, log: CaptureLog,
     *
     * Defense in depth on the READ side: an empty/unparseable tick
     * (a torn object on a non-atomic store) is treated as ABSENT —
-    * healed and re-created. The heal RE-READS before deleting, so a
-    * racer that saw a torn state cannot delete a tick that was
-    * validly committed in between (TOCTOU; review-found); and reads
+    * healed and re-created. The heal RE-READS before deleting, which
+    * NARROWS (not closes — no filesystem offers compare-and-delete)
+    * the window where a racer that saw a torn state deletes a tick
+    * committed in between; the residual window is two adjacent reads
+    * wide, only reachable from a legacy/non-atomic-store torn file,
+    * and its worst case equals the pre-hardening behavior. Reads
     * carry no exists() pre-check — a concurrent heal deleting the
     * file between exists and open would turn FileNotFoundException
     * into a micro-batch failure, so open's FileNotFoundException IS
     * the absent signal. Temps leaked by a crash between create and
-    * rename are swept (best-effort, per batchId) before a new mint,
-    * so the ticks dir cannot accumulate debris across replays. */
+    * rename are swept before a new mint (best-effort, per batchId,
+    * and only when OLDER than a minute — a live concurrent attempt
+    * holds its temp for milliseconds, so the age guard keeps the
+    * sweep from deleting an in-flight racer's file and starving both
+    * attempts; review-found). Stores with no FileContext binding fall
+    * back to FileSystem.rename with read-back-the-winner — the
+    * pre-hardening semantics, kept working rather than wedging the
+    * stream on UnsupportedFileSystemException (review-found). */
   private[graft] def tickFor(batchId: Long): Timestamp = {
     import org.apache.hadoop.fs.{FileContext, Path}
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -165,6 +174,13 @@ class Capture(spark: SparkSession, lake: Lake, log: CaptureLog,
     val fs = dir.getFileSystem(hconf)
     val f = new Path(dir, batchId.toString)
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    // resolved ONCE: absence of an AbstractFileSystem binding is a
+    // permanent property of the store, not a retryable race
+    val fc: Option[FileContext] =
+      try Some(FileContext.getFileContext(dir.toUri, hconf))
+      catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException => None
+      }
     // Some(Some(ts)) = committed; Some(None) = present but unparseable
     // (torn write); None = absent. No exists() pre-check — see Scaladoc.
     def readOnce(): Option[Option[Timestamp]] =
@@ -190,23 +206,35 @@ class Capture(spark: SparkSession, lake: Lake, log: CaptureLog,
         throw new java.io.IOException(s"tick file $f: could not commit")
       tryRead().getOrElse {
         fs.mkdirs(dir)
-        // sweep temps a crashed predecessor of THIS batchId leaked
+        // sweep temps a crashed predecessor of THIS batchId leaked —
+        // age-guarded so a LIVE racer's in-flight temp is never deleted
+        val now0 = System.currentTimeMillis()
         val stale = try fs.globStatus(new Path(dir, s".$batchId.*.tmp"))
         catch { case _: java.io.IOException => Array.empty[org.apache.hadoop.fs.FileStatus] }
-        Option(stale).getOrElse(Array.empty).foreach { st =>
-          try fs.delete(st.getPath, false)
-          catch { case _: java.io.IOException => () }
-        }
+        Option(stale).getOrElse(Array.empty)
+          .filter(st => now0 - st.getModificationTime > 60000L)
+          .foreach { st =>
+            try fs.delete(st.getPath, false)
+            catch { case _: java.io.IOException => () }
+          }
         val now = System.currentTimeMillis()
         val tmp = new Path(dir,
           s".$batchId.${java.util.UUID.randomUUID()}.tmp")
         val out = fs.create(tmp, true)
         try out.write(now.toString.getBytes(utf8))
         finally out.close()
-        // single-winner commit: atomic, fails if the destination exists
-        val won =
-          try { FileContext.getFileContext(dir.toUri, hconf).rename(tmp, f); true }
-          catch { case _: java.io.IOException => false }
+        val won = fc match {
+          // single-winner commit: atomic, fails if the destination exists
+          case Some(c) =>
+            try { c.rename(tmp, f); true }
+            catch { case _: java.io.IOException => false }
+          // no-FileContext store: plain rename + read-back-the-winner
+          // (may overwrite on POSIX local — the weaker pre-hardening
+          // contract, strictly better than wedging the stream)
+          case None =>
+            try fs.rename(tmp, f)
+            catch { case _: java.io.IOException => false }
+        }
         if (!won) {
           try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
         }

@@ -150,10 +150,16 @@ object CrawlIngest {
         .map(bl => UrlOps.dropBlockedDomains(extracted, "url", bl))
         .getOrElse(extracted)
       // C4's word-lexicon gate, earliest (scan-local Aho-Corasick,
-      // zero exchanges): blocked pages never reach the URL window
+      // zero exchanges): blocked pages never reach the URL window.
+      // PERSISTED: dedupByUrl and capPerDomain are each a
+      // null-bypass UNION whose two branches share no scan, so an
+      // unpersisted lineage here re-parses the day's WARC segments
+      // up to 4x (review-found) — the cache holds post-extraction
+      // TEXT, a small fraction of the raw crawl bytes.
       val lexed = lexicon
         .map(l => graft.functions.TextOps.dropByLexicon(unblocked, "text", l))
         .getOrElse(unblocked)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // first crawl of each canonical URL wins (warc_date is ISO-8601 —
       // lexicographic asc IS chronological asc)
       val withId = UrlOps.dedupByUrl(lexed, "url", "warc_date")
@@ -181,7 +187,10 @@ object CrawlIngest {
         logSegments(spark, lake, dataset, manifest, day,
           success = true, error = None)
         CrawlResult(manifest, landed)
-      } finally docs.unpersist(blocking = false)
+      } finally {
+        docs.unpersist(blocking = false)
+        lexed.unpersist(blocking = false)
+      }
     } catch {
       case e: Exception =>
         logSegments(spark, lake, dataset, manifest, day,

@@ -30,12 +30,13 @@ class PropertiesSpec extends SparkSpec {
     val gen = for {
       pats <- Gen.choose(1, 8).flatMap(k => Gen.listOfN(k, patGen))
       text <- Gen.choose(0, 60).flatMap(n => Gen.listOfN(n, alpha).map(_.mkString))
-    } yield (pats.distinct, text)
+    } yield (pats, text) // duplicates flow through ON PURPOSE — the
+    // automaton's own dedup must keep the "distinct patterns" contract
     check(Prop.forAll(gen) { case (pats, text) =>
       val ac = new graft.expressions.AhoCorasick(pats)
       val got = ac.countDistinct(
         org.apache.spark.unsafe.types.UTF8String.fromString(text))
-      got == pats.count(text.contains(_))
+      got == pats.distinct.count(text.contains(_))
     })
   }
 

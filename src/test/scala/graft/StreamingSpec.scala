@@ -435,12 +435,20 @@ class StreamingSpec extends SparkSpec {
     fs.delete(loser, false)
 
     // temps leaked by a crash between create and rename are swept on the
-    // next mint of the same batchId — the ticks dir accumulates no debris
-    fs.create(new org.apache.hadoop.fs.Path(
-      dir, ".13.deadbeef-0000.tmp"), true).close()
+    // next mint of the same batchId (age-guarded: only STALE temps go —
+    // a live concurrent attempt's fresh temp must survive the sweep)
+    val crashed = new org.apache.hadoop.fs.Path(dir, ".13.deadbeef-0000.tmp")
+    fs.create(crashed, true).close()
+    fs.setTimes(crashed, System.currentTimeMillis() - 600000L, -1L)
+    val live = new org.apache.hadoop.fs.Path(dir, ".13.cafebabe-0000.tmp")
+    fs.create(live, true).close() // fresh mtime = an in-flight racer
     val t4 = cap.tickFor(13L)
     assert(cap.tickFor(13L) === t4)
-    assert(!fs.listStatus(dir).exists(_.getPath.getName.endsWith(".tmp")))
+    val tmps = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.endsWith(".tmp")).toSet
+    assert(tmps === Set(".13.cafebabe-0000.tmp"),
+      s"stale temp must be swept, live temp must survive: $tmps")
+    fs.delete(live, false)
   }
 
   test("recapture backfill runs as ONE job and closes the gaps (T4/T5)") {
