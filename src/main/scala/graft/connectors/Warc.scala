@@ -89,7 +89,11 @@ object Warc {
           while (h != null && h.nonEmpty) {
             val i = h.indexOf(':')
             if (i > 0)
-              headers(h.substring(0, i).trim.toLowerCase) =
+              // Locale.ROOT: Turkish-locale lowercasing turns
+              // "WARC-Target-URI" into "warc-target-urı" and every
+              // header lookup silently misses (review-found)
+              headers(h.substring(0, i).trim
+                .toLowerCase(java.util.Locale.ROOT)) =
                 h.substring(i + 1).trim
             h = readLine()
           }

@@ -20,7 +20,10 @@ object SchemaNormalizer {
   def normalizeName(name: String): String = {
     val stripped = Normalizer.normalize(name, Normalizer.Form.NFKD)
       .replaceAll("\\p{M}+", "")
-    val slug = stripped.trim.toLowerCase
+    // Locale.ROOT: "ID" must slug to "id" on every driver locale —
+    // Turkish toLowerCase yields "ıd", an invalid identifier char
+    // that the [^a-z0-9_] strip would silently delete (review-found)
+    val slug = stripped.trim.toLowerCase(java.util.Locale.ROOT)
       .replaceAll("[\\s/\\\\.-]+", "_")
       .replaceAll("[^a-z0-9_]", "")
       .replaceAll("_+", "_")

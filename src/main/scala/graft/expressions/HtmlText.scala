@@ -138,7 +138,11 @@ object HtmlText {
           if (j < n && s.charAt(j) == '/') { closing = true; j += 1 }
           val nameStart = j
           while (j < n && Character.isLetterOrDigit(s.charAt(j))) j += 1
-          val name = s.substring(nameStart, j).toLowerCase
+          // Locale.ROOT: a Turkish-locale executor lowercases <SCRIPT>
+          // to "scrıpt" (dotless ı), misses the script-skip match, and
+          // leaks raw JavaScript into corpus text (review-found)
+          val name = s.substring(nameStart, j)
+            .toLowerCase(java.util.Locale.ROOT)
           // tag end respects QUOTED attribute values: a '>' inside
           // alt="cats > dogs" must not cut the tag and leak the
           // attribute tail into the corpus text

@@ -158,11 +158,13 @@ class Capture(spark: SparkSession, lake: Lake, log: CaptureLog,
     * file between exists and open would turn FileNotFoundException
     * into a micro-batch failure, so open's FileNotFoundException IS
     * the absent signal. Temps leaked by a crash between create and
-    * rename are swept before a new mint (best-effort, per batchId,
-    * and only when OLDER than a minute — a live concurrent attempt
-    * holds its temp for milliseconds, so the age guard keeps the
-    * sweep from deleting an in-flight racer's file and starving both
-    * attempts; review-found). Stores with no FileContext binding fall
+    * rename are swept before any new mint (best-effort, ALL batchIds
+    * — a same-batch-only sweep would never revisit an orphan younger
+    * than its own batch's commit — and only temps OLDER than a minute
+    * go: a live concurrent attempt holds its temp for milliseconds,
+    * so the age guard keeps the sweep from deleting an in-flight
+    * racer's file and starving both attempts; both review-found).
+    * Stores with no FileContext binding fall
     * back to FileSystem.rename with read-back-the-winner — the
     * pre-hardening semantics, kept working rather than wedging the
     * stream on UnsupportedFileSystemException (review-found). */
@@ -206,10 +208,15 @@ class Capture(spark: SparkSession, lake: Lake, log: CaptureLog,
         throw new java.io.IOException(s"tick file $f: could not commit")
       tryRead().getOrElse {
         fs.mkdirs(dir)
-        // sweep temps a crashed predecessor of THIS batchId leaked —
-        // age-guarded so a LIVE racer's in-flight temp is never deleted
+        // sweep crash-orphaned temps of EVERY batchId — a temp younger
+        // than its own batch's commit would never be revisited by a
+        // same-batch sweep (the sweep only runs while a tick is absent,
+        // and after the commit it never is again), so scoping the glob
+        // per batchId leaked young orphans forever (review-found).
+        // Age-guarded so a LIVE racer's in-flight temp (held for
+        // milliseconds, any batchId) is never deleted.
         val now0 = System.currentTimeMillis()
-        val stale = try fs.globStatus(new Path(dir, s".$batchId.*.tmp"))
+        val stale = try fs.globStatus(new Path(dir, ".*.tmp"))
         catch { case _: java.io.IOException => Array.empty[org.apache.hadoop.fs.FileStatus] }
         Option(stale).getOrElse(Array.empty)
           .filter(st => now0 - st.getModificationTime > 60000L)

@@ -179,6 +179,12 @@ object CrawlIngest {
         .select($"doc_id", $"text", $"lang")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
+        // materialize docs NOW (one job over the lexed cache), then
+        // release lexed — otherwise two full copies of the day's text
+        // stay pinned for the whole ingest (review-found); every
+        // DailyIngest consumer reads the docs cache from here on
+        docs.count()
+        lexed.unpersist(blocking = false)
         val landed = DailyIngest.run(lake, dd, cp, out, docs,
           "doc_id", "text", "lang", day, ttlDays,
           lineScrub = lineScrub, qualityGate = qualityGate,

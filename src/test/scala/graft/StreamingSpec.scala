@@ -440,6 +440,11 @@ class StreamingSpec extends SparkSpec {
     val crashed = new org.apache.hadoop.fs.Path(dir, ".13.deadbeef-0000.tmp")
     fs.create(crashed, true).close()
     fs.setTimes(crashed, System.currentTimeMillis() - 600000L, -1L)
+    // a stale orphan of ANOTHER batchId sweeps too — its own batch
+    // committed long ago, so no same-batch mint will ever revisit it
+    val orphan = new org.apache.hadoop.fs.Path(dir, ".7.00000000-0000.tmp")
+    fs.create(orphan, true).close()
+    fs.setTimes(orphan, System.currentTimeMillis() - 600000L, -1L)
     val live = new org.apache.hadoop.fs.Path(dir, ".13.cafebabe-0000.tmp")
     fs.create(live, true).close() // fresh mtime = an in-flight racer
     val t4 = cap.tickFor(13L)
@@ -447,7 +452,7 @@ class StreamingSpec extends SparkSpec {
     val tmps = fs.listStatus(dir).map(_.getPath.getName)
       .filter(_.endsWith(".tmp")).toSet
     assert(tmps === Set(".13.cafebabe-0000.tmp"),
-      s"stale temp must be swept, live temp must survive: $tmps")
+      s"stale temps (any batchId) must sweep, live temp must survive: $tmps")
     fs.delete(live, false)
   }
 
