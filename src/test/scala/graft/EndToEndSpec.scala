@@ -992,6 +992,22 @@ class EndToEndSpec extends SparkSpec {
     assert(r5.ingested.map(f => f.substring(f.lastIndexOf('/') + 1))
       === Seq("seg6.warc"))
     assert(lake.read(out).count() === 5)
+
+    // gzipped segments (CommonCrawl's wire format) flow the same path:
+    // discovery filters .warc.gz, Warc.read decompresses per record
+    val gzBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(rec("http://f.org/7",
+        "<p>History and growth meet where the nation values its region.</p>"))
+      gz.close(); bos.toByteArray
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(crawl, "seg7.warc.gz"), gzBytes)
+    val r6 = tick("2024-03-06")
+    assert(r6.ingested.map(f => f.substring(f.lastIndexOf('/') + 1))
+      === Seq("seg7.warc.gz"))
+    assert(lake.read(out).count() === 6)
   }
 
   test("daily ingest with the semantic gate: bootstrap, cross-day drop, replay") {
