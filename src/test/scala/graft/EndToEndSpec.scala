@@ -834,6 +834,12 @@ class EndToEndSpec extends SparkSpec {
       "verified ingest must write the verified state table")
     assert(!new java.io.File(lake.path(dd.bandsDatedRef)).exists,
       "verified ingest must not touch the candidate state table")
+    // same-day replay through the VERIFIED state: gate + commit
+    // recompute identically — the replay-exactness contract the other
+    // seen-sets carry holds for this one too
+    assert(ingest(day2, "2024-03-02") === 1,
+      "verified-gate replay must recompute the identical batch")
+    assert(lake.read(out).count() === 2, "replay must not duplicate rows")
   }
 
   test("the full crawl path: WARC -> extraction -> URL dedup -> quality gate -> ingest") {
