@@ -65,7 +65,15 @@ object UrlOps {
     * rows in one sort task — the capPerDomain split shape, applied
     * here too; review-found). Parseable per-key groups are crawl-dup
     * counts — small by nature — so the keep-first window on that side
-    * is the P8/q82 shape. */
+    * is the P8/q82 shape.
+    *
+    * CALLER CONTRACT — persist expensive inputs: the null-bypass split
+    * means BOTH branches re-evaluate `df`'s lineage (they share no
+    * scan), so an un-persisted expensive input (a WARC parse, a REST
+    * capture) pays its source cost twice, and a NON-DETERMINISTIC
+    * input can diverge between the branches (a row flipping sides
+    * would be dropped or doubled). Persist/localCheckpoint upstream —
+    * as [[graft.tools.CrawlIngest]] does — before calling. */
   def dedupByUrl(df: DataFrame, urlCol: String, orderCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__u_canon"))
@@ -84,7 +92,11 @@ object UrlOps {
     * at most `k` rows, chosen by the salted deterministic draw — the
     * skew-safe two-level rank of [[TextOps.stratifiedTake]], so a
     * million-page domain never funnels through one task. Rows with
-    * unparseable URLs pass through (no domain to cap). */
+    * unparseable URLs pass through (no domain to cap).
+    *
+    * Same caller contract as [[dedupByUrl]]: the null-bypass split's
+    * two branches re-evaluate the input lineage — persist expensive or
+    * non-deterministic inputs before calling. */
   def capPerDomain(df: DataFrame, urlCol: String, idCol: String, k: Int,
                    salt: String = "domain-cap"): DataFrame = {
     val withDom = df.withColumn("__u_dom", urlDomain(col(urlCol)))

