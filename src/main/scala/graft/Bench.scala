@@ -8,8 +8,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
   *
   * Queries are fully materialized through the `noop` sink (whole plan
-  * executes, zero result-serialization overhead). A warmup query runs
-  * first so JVM/codegen startup is not billed to the first measurement.
+  * executes, zero result-serialization overhead). An untimed warm-up
+  * pass of EVERY query runs first so no query's codegen-compile/JIT
+  * first-run cost lands in a timed iteration (single-query warmups
+  * left per-query spikes in run 1 — q51 13.8 s in r14).
   * `micro_batch` times a full capture tick (raw append → treat/nest →
   * staging append → log append) — the reference's 1-minute-cadence
   * envelope (BASELINE.md: must clear well under 60 s).
@@ -88,9 +90,6 @@ object Bench {
     def materialize(df: DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
 
-    // Warmup: small end-to-end pass to absorb JVM/codegen first-run cost.
-    materialize(SparkEntry.queries("q1_pricing_summary")(spark, sfDir))
-
     val qs = SparkEntry.queries
     def runHeadline(): Seq[(String, Double)] = headline.filter(qs.contains).map { name =>
       val t0 = System.nanoTime()
@@ -98,6 +97,14 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
       name -> (System.nanoTime() - t0) / 1e9
     }
+
+    // Warmup: one untimed pass of EVERY headline query, not just q1.
+    // Each query's first execution pays its own codegen compile + JIT
+    // warm-up, and a single-query warmup left that cost inside run 1
+    // of everything else — the recurring single-iteration spikes
+    // (q51 13.8 s in r14, q47 in r13) that pollute the recorded
+    // stddevs without moving medians.
+    runHeadline()
     // THREE timed runs after the warmup: a single run1/run2 sample cannot
     // tell a real 10% regression from ambient machine-load variance
     // (±30% observed on identical code). The per-query MEDIAN is the
@@ -132,6 +139,7 @@ object Bench {
       cap.processBatch(raw, Timestamp.valueOf("2024-02-01 00:00:00"))
       (System.nanoTime() - t0) / 1e9
     }
+    microBatch() // untimed warm-up tick, same protocol as the queries
     val mbs = Seq.fill(iterations)(microBatch())
 
     val allRuns: Seq[Seq[(String, Double)]] =

@@ -77,18 +77,32 @@ object BloomOps {
     * IDENTICAL to `big.join(smallKeys, key, "left_semi")` (the exact
     * join removes the bloom's false positives); the plan differs — the
     * big side shrinks at the scan, so the semi-join's shuffle carries
-    * the match-density sliver, not the corpus. */
+    * the match-density sliver, not the corpus.
+    *
+    * `expectedItems = None` (the default) sizes the filter from the
+    * small side's OBSERVED distinct cardinality — one count job over
+    * the small side (tiny by contract) before the filter build. This
+    * is the scale-safe default: a FIXED size under a growing reference
+    * set saturates the bloom (fpp → 1), the "prefilter" passes nearly
+    * everything, and the exact join's shuffle silently rides back up
+    * with the corpus — q91's 1.14 decade exponent until r15. Pass an
+    * explicit size only when the cardinality is known a priori and the
+    * extra job matters. */
   def bloomSemiJoin(big: DataFrame, bigKey: String,
                     small: DataFrame, smallKey: String,
-                    expectedItems: Long = 1000000L,
-                    fpp: Double = 0.01): DataFrame =
-    buildFilter(small, col(smallKey), expectedItems, fpp) match {
-      // empty build side: a semi-join against an empty RHS is empty —
-      // match that, don't throw (schema preserved)
+                    expectedItems: Option[Long] = None,
+                    fpp: Double = 0.01): DataFrame = {
+    val rhs = small.select(col(smallKey).as(bigKey)).distinct()
+    val n = expectedItems.getOrElse(rhs.count())
+    // empty build side: a semi-join against an empty RHS is empty —
+    // match that, don't throw (schema preserved). Checked BEFORE the
+    // build: BloomFilterAggregate requires estimatedNumItems > 0.
+    if (n <= 0L) big.filter(lit(false))
+    else buildFilter(small, col(smallKey), n, fpp) match {
       case None => big.filter(lit(false))
       case Some(blob) =>
-        val rhs = small.select(col(smallKey).as(bigKey)).distinct()
         big.filter(mightContain(blob, col(bigKey)))
           .join(rhs, Seq(bigKey), "left_semi")
     }
+  }
 }

@@ -1823,7 +1823,7 @@ object TrainingData {
     "q91_bloom_contamination" -> ((s, dir) => {
       val (trainSh, testSh) = contaminationInputs(s, dir)
       hitCounts(graft.functions.BloomOps.bloomSemiJoin(trainSh, "sh",
-        testSh, "sh", expectedItems = 200000L, fpp = 0.01))
+        testSh, "sh", fpp = 0.01))
     }),
     // PII scrub (the standard pretraining redaction pass): emails,
     // IPv4s and intl phone numbers → typed placeholders, with per-kind

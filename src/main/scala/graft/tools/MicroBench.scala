@@ -118,7 +118,7 @@ object MicroBench {
     }
     time("decontam bloom (broadcastable)") {
       noop(hits(graft.functions.BloomOps.bloomSemiJoin(
-        trainSh, "sh", testSh, "sh", expectedItems = 500000L, fpp = 0.01)))
+        trainSh, "sh", testSh, "sh", fpp = 0.01)))
     }
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     time("decontam semi-join (RHS>bcast)") {
@@ -126,7 +126,7 @@ object MicroBench {
     }
     time("decontam bloom (RHS>bcast)") {
       noop(hits(graft.functions.BloomOps.bloomSemiJoin(
-        trainSh, "sh", testSh, "sh", expectedItems = 500000L, fpp = 0.01)))
+        trainSh, "sh", testSh, "sh", fpp = 0.01)))
     }
     // Second condition for the bloom win: LOW match density. The
     // synthetic docs share a tiny vocabulary, so nearly every train
@@ -160,8 +160,7 @@ object MicroBench {
     }
     timeAndShuffle("selective bloom (RHS>bcast)") {
       noop(graft.functions.BloomOps.bloomSemiJoin(
-        li, "l_orderkey", rareKeys, "l_orderkey",
-        expectedItems = 200000L, fpp = 0.01))
+        li, "l_orderkey", rareKeys, "l_orderkey", fpp = 0.01))
     }
     spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")

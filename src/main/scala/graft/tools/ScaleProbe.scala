@@ -77,6 +77,29 @@ object ScaleProbe {
           0.35, trainSamplePct = 10).count()
         println(s"[probe] $dir q114 pair graph: $nPairs thresholded pairs")
       }
+      // q91 exponent decomposition (same data-vs-algorithm split as
+      // q114): the semi-join's shuffle carries the MATCHED train
+      // occurrences, and in this synthetic corpus the contamination
+      // density itself is superlinear — the test side is a 10% slice
+      // of the SAME growing corpus over a small shared vocabulary, so
+      // the match rate climbs with scale (12% → 60% across the
+      // sf0.01→sf0.1 decade; measured r15). Real decontamination has a
+      // FIXED test set, where the matched sliver scales with the
+      // corpus, not faster. Report the matched-occurrence count so the
+      // raw bytes exponent is read against the query's own OUTPUT
+      // growth — bytes growing slower than matches IS linear behavior.
+      if (probes.contains("q91_bloom_contamination")) {
+        val docs = Tables.load(spark, dir, "documents")
+          .withColumn("pct", graft.functions.TextOps.hashBucket(col("doc_id")))
+        val trainSh = docs.filter(col("pct") < 80)
+          .select(col("doc_id"),
+            explode(graft.functions.TextOps.shingles(col("text"), 3)).as("sh"))
+        val testSh = docs.filter(col("pct") >= 90)
+          .select(explode(graft.functions.TextOps.shingles(col("text"), 3))
+            .as("sh")).distinct()
+        val matched = trainSh.join(testSh, Seq("sh"), "left_semi").count()
+        println(s"[probe] $dir q91 matched train occurrences: $matched")
+      }
       val perQuery = probes.map { name =>
         val (sec, bytes) =
           measure(noop(graft.SparkEntry.queries(name)(spark, dir)))

@@ -153,8 +153,10 @@ class PropertiesSpec extends SparkSpec {
         val big = ks.zipWithIndex.map { case (k, i) => (i.toLong, k) }
           .toDF("row_id", "k")
         val small = ss.toDF("k")
+        // default = auto-sizing from the observed small-side cardinality
+        // (incl. the empty small side, where the count short-circuits)
         val viaBloom = BloomOps.bloomSemiJoin(big, "k", small, "k",
-          expectedItems = 64, fpp = 0.05).as[(Long, Long)].collect().toSet
+          fpp = 0.05).as[(Long, Long)].collect().toSet
         val exact = big.join(small.distinct(), Seq("k"), "left_semi")
           .as[(Long, Long)].collect().toSet
         viaBloom == exact // incl. empty small side → empty result
@@ -164,13 +166,13 @@ class PropertiesSpec extends SparkSpec {
     // of building a saturated filter that passes everything
     intercept[IllegalArgumentException] {
       BloomOps.bloomSemiJoin(spark.range(2).toDF("k"), "k",
-        spark.range(2).toDF("k"), "k", expectedItems = 500000000L)
+        spark.range(2).toDF("k"), "k", expectedItems = Some(500000000L))
     }
     // the might_contain predicate is a FILTER above the big-side scan,
     // upstream of the join — the corpus is cut before any exchange
     val big = spark.range(1000).select($"id".as("row_id"), ($"id" % 97).as("k"))
     val small = Seq(3L, 5L).toDF("k")
-    val plan = graft.functions.BloomOps.bloomSemiJoin(big, "k", small, "k", 64, 0.05)
+    val plan = graft.functions.BloomOps.bloomSemiJoin(big, "k", small, "k", Some(64L), 0.05)
       .queryExecution.executedPlan.toString
     assert(plan.contains("might_contain"), plan)
   }
