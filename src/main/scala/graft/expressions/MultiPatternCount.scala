@@ -7,7 +7,7 @@ import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{DataType, IntegerType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Dense Aho–Corasick automaton over the normalized-text alphabet
+/** Aho–Corasick automaton over the normalized-text alphabet
   * ([a-z0-9 ] — 37 symbols; any other byte resets to root, which is
   * exact because no pattern may contain one). Built once on the driver,
   * shipped as a plan reference; matching is ONE linear pass over the
@@ -15,11 +15,28 @@ import org.apache.spark.unsafe.types.UTF8String
   * blocklist has hundreds of entries and a regex alternation or a
   * contains-OR both degrade to O(entries × length) per row.
   *
+  * Two matching representations, chosen by memory at build time:
+  *
+  *  - DENSE: fail links folded into a `nodes × 37` goto array — one
+  *    array read per byte, the fastest loop, but ~148 bytes/state.
+  *    The C4 lexicon (hundreds of entries) is a few hundred KB.
+  *  - SPARSE: the raw trie edges in an open-addressed long→int table
+  *    (~24 bytes/state at 0.5 load) plus classic fail-link chasing —
+  *    amortized O(text) per row (each chase shortens the current
+  *    depth). This is the 100k-entry-blocklist path, where the dense
+  *    table would be ~200 MB duplicated into every executor's plan.
+  *
+  * The crossover is `denseBudgetInts` (default 2^24 goto cells =
+  * 64 MB): far above any curation lexicon, comfortably below the
+  * point where plan-reference duplication hurts.
+  *
   * `countDistinct` reports how many DISTINCT patterns occur (the
   * audit-friendly form; `== 0` is the survival gate). The seen-bitmap
   * allocates lazily, so clean documents — the overwhelming majority —
   * match with zero per-row allocation. */
-class AhoCorasick(patterns: Seq[String]) extends Serializable {
+class AhoCorasick(patterns: Seq[String],
+                  denseBudgetInts: Long = AhoCorasick.DefaultDenseBudgetInts)
+    extends Serializable {
   // deduped HERE, not only by callers: duplicate entries would get two
   // pattern ids ending at one state and count twice, silently breaking
   // the "distinct patterns" contract for any direct user (review-found)
@@ -39,12 +56,17 @@ class AhoCorasick(patterns: Seq[String]) extends Serializable {
     else if (b == ' ') 36
     else -1
 
-  // dense goto (fail links folded in) + per-state closed output sets
-  private val (next: Array[Int], out: Array[Array[Int]]) = {
-    val maxNodes = pats.map(_.length).sum + 1
-    val go = Array.fill(maxNodes * K)(-1)
-    val outB = Array.fill(maxNodes)(List.empty[Int])
-    var nodes = 1
+  // Build: sparse trie first (no maxNodes×K allocation — the build
+  // must not pay the dense footprint it may be avoiding), fail links +
+  // closed output sets by BFS, then freeze into one representation.
+  //  dense != null             → dense goto, fail folded in
+  //  sparseKeys/sparseVals/fail → open-addressed raw edges + chasing
+  // NOTE: no type ascriptions in this pattern — a typed pattern is a
+  // runtime check that null fails (MatchError on the sparse branch)
+  private val (nodes, dense, sparseKeys, sparseVals, fail, out) = {
+    val edges = new scala.collection.mutable.LongMap[Int]()
+    val outBuf = scala.collection.mutable.ArrayBuffer(List.empty[Int])
+    var n = 1
     var pid = 0
     while (pid < pats.length) {
       val p = pats(pid)
@@ -54,35 +76,108 @@ class AhoCorasick(patterns: Seq[String]) extends Serializable {
         val c = sym(p(i))
         require(c >= 0,
           s"lexicon entry not normalized to [a-z0-9 ]: ${new String(p, "UTF-8")}")
-        if (go(s * K + c) == -1) { go(s * K + c) = nodes; nodes += 1 }
-        s = go(s * K + c)
+        val key = s.toLong * K + c
+        s = edges.getOrElse(key, {
+          edges(key) = n; outBuf += List.empty[Int]; n += 1; n - 1
+        })
         i += 1
       }
-      outB(s) ::= pid
+      outBuf(s) ::= pid
       pid += 1
     }
-    val fail = new Array[Int](nodes)
-    val queue = new java.util.ArrayDeque[Integer]()
-    var c = 0
-    while (c < K) {
-      val u = go(c)
-      if (u == -1) go(c) = 0 else { fail(u) = 0; queue.add(u) }
-      c += 1
-    }
-    while (!queue.isEmpty) {
-      val u = queue.poll().intValue()
-      // BFS order: fail(u) is shallower, its output set already closed
-      outB(u) = outB(u) ++ outB(fail(u))
-      var ch = 0
-      while (ch < K) {
-        val v = go(u * K + ch)
-        if (v == -1) go(u * K + ch) = go(fail(u) * K + ch)
-        else { fail(v) = go(fail(u) * K + ch); queue.add(v) }
-        ch += 1
+    val fl = new Array[Int](n)
+    val order = new Array[Int](n) // BFS order: fail(u) precedes u
+    var head = 0
+    var tail = 0
+    order(tail) = 0; tail += 1
+    // children of the root fail to the root (fl default 0 is correct)
+    while (head < tail) {
+      val u = order(head); head += 1
+      var c = 0
+      while (c < K) {
+        edges.get(u.toLong * K + c) match {
+          case Some(v) =>
+            if (u != 0) {
+              // chase fail links for the deepest proper-suffix state
+              // with this edge; fl(u) is already final (BFS order)
+              var st = fl(u)
+              var nxt = -1
+              while ({
+                nxt = edges.getOrElse(st.toLong * K + c, -1)
+                nxt < 0 && st != 0
+              }) st = fl(st)
+              fl(v) = if (nxt >= 0) nxt else 0
+            }
+            order(tail) = v; tail += 1
+          case None => ()
+        }
+        c += 1
       }
     }
-    (java.util.Arrays.copyOf(go, nodes * K),
-      outB.take(nodes).map(l => if (l.isEmpty) null else l.toArray))
+    // close output sets in BFS order (fail target already closed)
+    var oi = 1
+    while (oi < n) {
+      val u = order(oi)
+      outBuf(u) = outBuf(u) ++ outBuf(fl(u))
+      oi += 1
+    }
+    val outArr =
+      outBuf.map(l => if (l.isEmpty) null else l.toArray).toArray
+
+    if (n.toLong * K <= denseBudgetInts) {
+      // fold fails into a dense goto; fill in BFS order so the fail
+      // target's row is complete when a state copies from it (node ids
+      // are insertion-ordered, so plain id order would read unfilled
+      // rows — a shallower state of a later pattern has a LARGER id)
+      val go = new Array[Int](n * K)
+      var bi = 0
+      while (bi < n) {
+        val u = order(bi)
+        var c = 0
+        while (c < K) {
+          go(u * K + c) = edges.getOrElse(u.toLong * K + c,
+            if (u == 0) 0 else go(fl(u) * K + c))
+          c += 1
+        }
+        bi += 1
+      }
+      (n, go, null, null, fl, outArr)
+    } else {
+      // freeze the raw edges into open-addressed parallel arrays
+      // (load ≤ 0.5, power-of-two capacity): serializable, no boxing,
+      // one probe sequence per miss in the hot loop
+      var cap = 8
+      while (cap < edges.size * 2) cap <<= 1
+      val ks = Array.fill(cap)(-1L)
+      val vs = new Array[Int](cap)
+      edges.foreachEntry { (k, v) =>
+        var idx = AhoCorasick.scramble(k) & (cap - 1)
+        while (ks(idx) != -1L) idx = (idx + 1) & (cap - 1)
+        ks(idx) = k; vs(idx) = v
+      }
+      (n, null, ks, vs, fl, outArr)
+    }
+  }
+
+  /** Which representation this automaton froze to (diagnostics). */
+  private[graft] def isDense: Boolean = dense != null
+
+  /** Live table ints: dense goto cells, or sparse key+value cells
+    * (a long key counts as two) — the number the crossover bounds. */
+  private[graft] def tableInts: Long =
+    if (isDense) dense.length.toLong else sparseKeys.length * 3L
+
+  @inline private def sparseGet(s: Int, c: Int): Int = {
+    val k = s.toLong * K + c
+    val mask = sparseKeys.length - 1
+    var idx = AhoCorasick.scramble(k) & mask
+    while (true) {
+      val kk = sparseKeys(idx)
+      if (kk == k) return sparseVals(idx)
+      if (kk == -1L) return -1
+      idx = (idx + 1) & mask
+    }
+    -1 // unreachable
   }
 
   def countDistinct(s: UTF8String): Int = {
@@ -91,9 +186,22 @@ class AhoCorasick(patterns: Seq[String]) extends Serializable {
     var seen: Array[Boolean] = null
     var i = 0
     val n = s.numBytes()
+    val dn = dense
     while (i < n) {
       val c = sym(s.getByte(i))
-      state = if (c < 0) 0 else next(state * K + c)
+      state =
+        if (c < 0) 0
+        else if (dn != null) dn(state * K + c)
+        else {
+          // raw-edge walk: chase fail links until an edge exists; each
+          // chase strictly shortens the matched suffix, so the whole
+          // pass is amortized O(n) — the classic AC argument
+          var st = state
+          var nxt = -1
+          while ({ nxt = sparseGet(st, c); nxt < 0 && st != 0 })
+            st = fail(st)
+          if (nxt >= 0) nxt else 0
+        }
       val os = out(state)
       if (os != null) {
         if (seen == null) seen = new Array[Boolean](numPatterns)
@@ -107,6 +215,21 @@ class AhoCorasick(patterns: Seq[String]) extends Serializable {
       i += 1
     }
     cnt
+  }
+}
+
+object AhoCorasick {
+  /** 2^24 dense goto cells = 64 MB — far above any curation lexicon
+    * (C4's is ~100 KB dense), below plan-reference-duplication pain. */
+  val DefaultDenseBudgetInts: Long = 1L << 24
+
+  /** Finalizer-free 64→64 bit mix (splitmix64 tail) for the
+    * open-addressed edge table. */
+  @inline private[expressions] def scramble(k: Long): Int = {
+    var z = k * 0xff51afd7ed558ccdL
+    z ^= (z >>> 33)
+    z *= 0xc4ceb9fe1a85ec53L
+    (z ^ (z >>> 33)).toInt
   }
 }
 

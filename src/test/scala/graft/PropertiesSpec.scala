@@ -33,11 +33,46 @@ class PropertiesSpec extends SparkSpec {
     } yield (pats, text) // duplicates flow through ON PURPOSE — the
     // automaton's own dedup must keep the "distinct patterns" contract
     check(Prop.forAll(gen) { case (pats, text) =>
-      val ac = new graft.expressions.AhoCorasick(pats)
-      val got = ac.countDistinct(
-        org.apache.spark.unsafe.types.UTF8String.fromString(text))
-      got == pats.distinct.count(text.contains(_))
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(text)
+      val expected = pats.distinct.count(text.contains(_))
+      // BOTH representations against the naive reference: the default
+      // budget freezes dense; budget 0 forces the sparse fail-chasing
+      // path a 100k-entry blocklist would take
+      val acDense = new graft.expressions.AhoCorasick(pats)
+      val acSparse = new graft.expressions.AhoCorasick(pats,
+        denseBudgetInts = 0L)
+      acDense.isDense && !acSparse.isDense &&
+        acDense.countDistinct(u) == expected &&
+        acSparse.countDistinct(u) == expected
     })
+
+    // memory at the crossover: past the budget the automaton freezes
+    // sparse, and its table is a small fraction of the dense footprint
+    // (raw trie edges ≈ nodes vs nodes×37 goto cells)
+    val big = (0 until 2000).map { i =>
+      val s = new StringBuilder
+      var x = i * 2654435761L & 0xffffffffL
+      (0 until 12).foreach { _ =>
+        s.append(('a' + (x % 26)).toChar); x = (x * 48271) % 2147483647L
+      }
+      s.toString
+    }
+    val denseTwin = new graft.expressions.AhoCorasick(big)
+    val forcedSparse = new graft.expressions.AhoCorasick(big,
+      denseBudgetInts = denseTwin.tableInts - 1)
+    assert(denseTwin.isDense && !forcedSparse.isDense)
+    // ≥3× headroom (the asymptotic ratio is ~6× at 0.5 load — 3 cells
+    // per edge vs 37 per node — but the power-of-two capacity jump can
+    // land just under 4× at an unlucky edge count, as here: 20k nodes
+    // → cap 65536)
+    assert(forcedSparse.tableInts * 3 < denseTwin.tableInts,
+      s"sparse ${forcedSparse.tableInts} ints should be well under dense " +
+        s"${denseTwin.tableInts}")
+    // and they agree on a text stitched from the patterns themselves
+    val probe = org.apache.spark.unsafe.types.UTF8String.fromString(
+      big.take(50).mkString(" ") + " zzz " + big.last)
+    assert(denseTwin.countDistinct(probe) === forcedSparse.countDistinct(probe))
+    assert(denseTwin.countDistinct(probe) === 51)
   }
 
   test("prop: normalizeName is idempotent and produces valid identifiers") {
