@@ -99,6 +99,40 @@ class RunLock(spark: SparkSession, root: String) {
     }
   }
 
+  /** True iff THIS instance currently holds `key`: the token we minted
+    * is still the one stored on the lock file. False after a TTL
+    * takeover (the file holds the successor's token) or if the file
+    * vanished — the two ways a holder silently stops being one. */
+  def isHeldByMe(key: String): Boolean = RunLock.gate.synchronized {
+    tokens.get(key).exists { token =>
+      val p = lockPath(key)
+      try {
+        val in = fs(p).open(p)
+        val stored = try {
+          val bos = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](256)
+          var n = in.read(buf)
+          while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
+          new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+        } finally in.close()
+        stored == token
+      } catch { case _: java.io.IOException => false }
+    }
+  }
+
+  /** Runtime form of the "caller holds the dataset's RunLock"
+    * Scaladoc contracts: state-mutation paths whose correctness
+    * assumes single-writer call this instead of trusting convention.
+    * Throws (rather than skipping) because proceeding without the
+    * lock is a correctness bug at the CALL SITE, not a concurrent-run
+    * race to yield to. */
+  def assertHeld(key: String): Unit =
+    if (!isHeldByMe(key))
+      throw new IllegalStateException(
+        s"single-writer violation: this process does not hold RunLock " +
+          s"'$key' (never acquired, released, or TTL-taken-over) — the " +
+          "state mutation it guards must run inside withLock")
+
   /** Run `body` under the lock; None = skipped because a run is active.
     * The lock is released even when the body throws — but NOT when the
     * JVM dies, which is what the TTL takeover is for. */

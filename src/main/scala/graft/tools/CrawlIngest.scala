@@ -49,7 +49,12 @@ import org.apache.spark.sql.functions._
   * assumes the dataset's [[graft.state.RunLock]] is held by the
   * scheduler firing the tick — the state layer is single-writer per
   * key, and two concurrent ticks of one day could otherwise pin
-  * divergent manifests.
+  * divergent manifests. Pass `lock = Some(runLock)` to make that
+  * contract a RUNTIME CHECK: each state mutation (and the handoff
+  * into [[DailyIngest]]'s commits) then asserts the lock under
+  * [[lockKey]] is still held by this process — catching both the
+  * caller that forgot to acquire and the holder whose TTL was taken
+  * over mid-run. [[backfill]] acquires it for you.
   */
 object CrawlIngest {
 
@@ -59,6 +64,11 @@ object CrawlIngest {
 
   def segmentLogRef(dataset: String): TableRef =
     TableRef("staging", dataset, "crawl_segments_log")
+
+  /** The dataset's single-writer lock key — shared by [[backfill]]'s
+    * acquisition and [[run]]'s assertHeld guard so they can never
+    * guard different locks. */
+  def lockKey(dataset: String): String = s"crawl_$dataset"
 
   private def manifestKey(dataset: String, day: Date) =
     s"crawl_manifest_${dataset}_$day"
@@ -127,10 +137,15 @@ object CrawlIngest {
           perDomainCap: Option[Int] = None,
           lineScrub: Boolean = false,
           nearDupVerify: Option[Double] = None,
-          minWords: Int = 3, maxLinkDensity: Double = 0.5): CrawlResult = {
+          minWords: Int = 3, maxLinkDensity: Double = 0.5,
+          lock: Option[graft.state.RunLock] = None): CrawlResult = {
     import spark.implicits._
     val pKey = processedKey(dataset)
     val mKey = manifestKey(dataset, day)
+    // re-checked before EVERY state mutation, not once on entry: a
+    // TTL takeover mid-run must stop the next commit, not just the
+    // next tick
+    def guard(): Unit = lock.foreach(_.assertHeld(lockKey(dataset)))
 
     // the day's batch: the pinned manifest, or pin it now (first
     // non-idle tick). An empty stored table and an absent one read the
@@ -145,7 +160,7 @@ object CrawlIngest {
           if (found.isEmpty) Nil
           else state.unprocessed(pKey, found.toDF("file"), "file")
             .as[String].collect().toSeq.sorted
-        if (pending.nonEmpty) state.writeTable(mKey, pending.toDF("file"))
+        if (pending.nonEmpty) { guard(); state.writeTable(mKey, pending.toDF("file")) }
         pending
       }
     if (manifest.isEmpty) return CrawlResult(Nil, 0L)
@@ -205,10 +220,12 @@ object CrawlIngest {
         // DailyIngest consumer reads the docs cache from here on
         docs.count()
         lexed.unpersist(blocking = false)
+        guard() // DailyIngest commits seen-sets/cursors under the same key
         val landed = DailyIngest.run(lake, dd, cp, out, docs,
           "doc_id", "text", "lang", day, ttlDays,
           lineScrub = lineScrub, qualityGate = qualityGate,
           nearDupVerify = nearDupVerify)
+        guard()
         state.markProcessed(pKey, manifest)
         logSegments(spark, lake, dataset, manifest, day,
           success = true, error = None)
@@ -224,6 +241,61 @@ object CrawlIngest {
         throw e
     }
   }
+
+  /** Multi-day crawl backfill: [[run]] stepped over `days` in calendar
+    * order under ONE [[graft.state.RunLock]] — the
+    * [[graft.materialize.ModelRunner.backfill]] stepper applied to the
+    * crawl (the reference's build_incremental_model shape,
+    * pipelines/rj_smtr/tasks.py:71-140: advance in fixed steps until
+    * caught up).
+    *
+    * `pathsFor` maps each day to its discovery roots (real crawls drop
+    * dated segment directories — CommonCrawl's CC-MAIN-YYYY-WW — so a
+    * backfill walks historical drops day by day; a constant function
+    * degenerates to "attribute everything pending to the first day").
+    * NOTE the roll-forward interaction: a segment landing in day k's
+    * directory AFTER day k's pin is only picked up by a later day
+    * whose `pathsFor` still covers that location — with strictly
+    * per-day roots it is orphaned. Include a trailing window of
+    * recent days' dirs (or the crawl root) when late placement into
+    * already-pinned days is possible.
+    *
+    * Crash discipline is [[run]]'s, day by day: a loop that died on day
+    * k left days < k complete (their replay is the cheap no-op tick),
+    * day k in one of run's documented crash windows (its retry
+    * replays the pinned manifest exactly), and days > k untouched —
+    * so RERUNNING THE WHOLE BACKFILL converges; completed days are
+    * never re-read. The lock is held across the whole loop (not
+    * re-acquired per day): a backfill is one logical run, and a
+    * concurrent daily tick sneaking between two of its days would
+    * pin a manifest the backfill then re-attributes.
+    *
+    * Returns None when another run holds the lock (skip, the
+    * reference's skip_if_running), Some(per-day results) otherwise. */
+  def backfill(spark: SparkSession, lake: Lake, state: StateStore,
+               dd: CorpusDedup, cp: CorpusPack, out: TableRef,
+               lock: graft.state.RunLock, dataset: String,
+               days: Seq[Date], pathsFor: Date => Seq[String],
+               ttlDays: Int,
+               qualityGate: Option[QualityClassifier.Model] = None,
+               langModel: Option[LangId.LangIdModel] = None,
+               blockedDomains: Option[DataFrame] = None,
+               lexicon: Option[Seq[String]] = None,
+               perDomainCap: Option[Int] = None,
+               lineScrub: Boolean = false,
+               nearDupVerify: Option[Double] = None,
+               minWords: Int = 3, maxLinkDensity: Double = 0.5)
+      : Option[Seq[(Date, CrawlResult)]] =
+    lock.withLock(lockKey(dataset), owner = "crawl-backfill") {
+      days.sortBy(_.getTime).map { d =>
+        d -> run(spark, lake, state, dd, cp, out, pathsFor(d), dataset,
+          d, ttlDays, qualityGate = qualityGate, langModel = langModel,
+          blockedDomains = blockedDomains, lexicon = lexicon,
+          perDomainCap = perDomainCap, lineScrub = lineScrub,
+          nearDupVerify = nearDupVerify, minWords = minWords,
+          maxLinkDensity = maxLinkDensity, lock = Some(lock))
+      }
+    }
 
   /** Per-segment completion rows — the `_logs` convention of
     * [[graft.lake.CaptureLog]] with the segment name as the unit. */

@@ -1066,6 +1066,92 @@ class EndToEndSpec extends SparkSpec {
     assert(lake.read(out).count() === 2)
   }
 
+  test("multi-day crawl backfill: one lock, day steps, crash replay, guard") {
+    import graft.lake.{CorpusDedup, CorpusPack}
+    import graft.state.RunLock
+    import graft.tools.CrawlIngest
+    def rec(uri: String, html: String): Array[Byte] = {
+      val body = ("HTTP/1.1 200 OK\r\n\r\n" + html).getBytes("UTF-8")
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: <$uri>\r\n" +
+        s"WARC-Date: 2024-03-01T00:00:00Z\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes("UTF-8") ++
+        body ++ "\r\n\r\n".getBytes("UTF-8")
+    }
+    // dated drops: one dir per day, the real backfill shape
+    val drop = tmpDir("bf_crawl")
+    def dayDir(d: String) = {
+      val p = java.nio.file.Paths.get(drop, s"day=$d")
+      java.nio.file.Files.createDirectories(p); p
+    }
+    def seg(d: String, name: String, uri: String, text: String): Unit =
+      java.nio.file.Files.write(dayDir(d).resolve(name),
+        rec(uri, s"<p>$text</p>"))
+    seg("2024-03-01", "s1.warc", "http://a.org/1",
+      "The history of the city begins at the river and the region.")
+    seg("2024-03-02", "s2a.warc", "http://b.org/2",
+      "A study of the growth of the nation and the culture.")
+    seg("2024-03-02", "s2b.warc", "http://c.org/3",
+      "The economy of the region and the culture of the city grow.")
+    seg("2024-03-03", "s3.warc", "http://d.org/4",
+      "Economy and history combine nation river study growth together.")
+
+    val lake = new Lake(spark, tmpDir("bf_lake"))
+    val state = new StateStore(spark, tmpDir("bf_state"))
+    val lockDir = tmpDir("bf_locks")
+    val lock = new RunLock(spark, lockDir)
+    val dd = new CorpusDedup(spark, lake, "bf_crawl", numBuckets = 4)
+    val cp = new CorpusPack(spark, state, "bf_crawl", budgetTokens = 1024L)
+    val out = TableRef("prod", "bf_crawl", "packed")
+    def day(d: String) = java.sql.Date.valueOf(d)
+    val pathsFor = (d: java.sql.Date) => Seq(s"$drop/day=$d")
+    def bf(days: Seq[String]) = CrawlIngest.backfill(spark, lake, state,
+      dd, cp, out, lock, "bf_crawl", days.map(day), pathsFor, ttlDays = 30)
+
+    // day 1 lands, then the loop "crashes"; day 2 is left in run's
+    // crash-after-pin window (manifest pinned by hand to a SUBSET —
+    // s2b plays the segment that arrived after the pin)
+    val r1 = bf(Seq("2024-03-01"))
+    assert(r1.exists(_.map(_._2.landed) === Seq(1L)))
+    val s2a = CrawlIngest.discover(spark, pathsFor(day("2024-03-02")))
+      .filter(_.endsWith("s2a.warc"))
+    state.writeTable("crawl_manifest_bf_crawl_2024-03-02", s2a.toDF("file"))
+
+    // rerunning the WHOLE backfill converges: day 1 replays as the
+    // no-op complete day, day 2 ingests EXACTLY its pinned manifest,
+    // day 3 steps fresh
+    val r2 = bf(Seq("2024-03-01", "2024-03-02", "2024-03-03")).get
+    assert(r2.map(_._1.toString) ===
+      Seq("2024-03-01", "2024-03-02", "2024-03-03"))
+    assert(r2(0)._2.ingested.isEmpty && r2(0)._2.landed === 1L)
+    assert(r2(1)._2.ingested === s2a,
+      "the crash replay must ingest exactly the pinned manifest")
+    assert(r2(2)._2.ingested.map(f => f.substring(f.lastIndexOf('/') + 1))
+      === Seq("s3.warc"))
+    assert(lake.read(out).count() === 3)
+
+    // full replay: every day idle-complete, nothing re-lands
+    val r3 = bf(Seq("2024-03-01", "2024-03-02", "2024-03-03")).get
+    assert(r3.forall(_._2.ingested.isEmpty))
+    assert(lake.read(out).count() === 3)
+
+    // skip-if-running: a concurrent holder of the dataset lock makes
+    // the whole backfill yield (None), not interleave
+    val rival = new RunLock(spark, lockDir)
+    assert(rival.tryAcquire(CrawlIngest.lockKey("bf_crawl"), owner = "rival"))
+    assert(bf(Seq("2024-03-03")).isEmpty)
+    rival.release(CrawlIngest.lockKey("bf_crawl"))
+
+    // the guard: run(lock = Some(...)) without holding it refuses the
+    // state mutation loudly instead of pinning a divergent manifest
+    seg("2024-03-04", "s4.warc", "http://e.org/5",
+      "Culture grows when region meets city through study then history.")
+    intercept[IllegalStateException] {
+      CrawlIngest.run(spark, lake, state, dd, cp, out,
+        pathsFor(day("2024-03-04")), "bf_crawl", day("2024-03-04"),
+        ttlDays = 30, lock = Some(lock))
+    }
+  }
+
   test("daily ingest with the semantic gate: bootstrap, cross-day drop, replay") {
     import graft.lake.{CorpusDedup, CorpusPack}
     import graft.tools.DailyIngest

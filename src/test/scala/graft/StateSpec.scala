@@ -232,6 +232,34 @@ class StateSpec extends SparkSpec {
     assert(!lockC.tryAcquire("k", owner = "C")) // B's lock survived
   }
 
+  test("run lock: isHeldByMe/assertHeld turn the single-writer contract " +
+    "into a runtime check") {
+    val dir = tmpDir("locks_held")
+    val lock = new RunLock(spark, dir)
+    // never acquired → violation
+    intercept[IllegalStateException](lock.assertHeld("crawl_ds"))
+    assert(!lock.isHeldByMe("crawl_ds"))
+    // held → passes
+    assert(lock.tryAcquire("crawl_ds", owner = "tick"))
+    assert(lock.isHeldByMe("crawl_ds"))
+    lock.assertHeld("crawl_ds") // no throw
+    // released → violation again
+    lock.release("crawl_ds")
+    intercept[IllegalStateException](lock.assertHeld("crawl_ds"))
+    // TTL takeover: the original holder's guard must FAIL — the
+    // successor owns the state now, and the overrun holder's next
+    // commit is exactly the write the guard exists to stop
+    val holder = new RunLock(spark, dir)
+    val taker = new RunLock(spark, dir)
+    assert(holder.tryAcquire("k2", owner = "old"))
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_locks/k2.lock")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .setTimes(p, System.currentTimeMillis() - 10 * 60000L, -1)
+    assert(taker.tryAcquire("k2", owner = "new", ttlMinutes = 5))
+    intercept[IllegalStateException](holder.assertHeld("k2"))
+    assert(taker.isHeldByMe("k2")) // the successor's guard passes
+  }
+
   test("run lock: stale takeover under 8-way contention admits exactly one") {
     val dir = tmpDir("locks3")
     val stale = new RunLock(spark, dir)
