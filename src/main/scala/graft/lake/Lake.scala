@@ -231,9 +231,17 @@ class Lake(spark: SparkSession, root: String) {
     def catalogPartCols(): Seq[String] = spark.catalog.listColumns(name)
       .collect().filter(_.isPartition).map(_.name).toSeq
 
+    // The "v1" header line makes a TORN sidecar (crash between create
+    // and write — the file exists with zero/partial bytes) distinguishable
+    // from a legitimately EMPTY column list (unpartitioned table):
+    // without it, torn reads as Seq() and the heal would rewrite a
+    // partitioned table unpartitioned — the data-loss class the sidecar
+    // exists to prevent (review-found). Torn ⇒ None ⇒ catalog fallback,
+    // which is sound: the sidecar commits before the table is touched,
+    // so a torn sidecar implies an intact table.
     def writeSidecar(cols: Seq[String]): Unit = {
       val out = fs.create(sidecar, true)
-      try out.write(cols.mkString("\n")
+      try out.write(("v1" +: cols).mkString("\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
     }
@@ -244,7 +252,10 @@ class Lake(spark: SparkSession, root: String) {
         val txt = try new String(in.readAllBytes(),
           java.nio.charset.StandardCharsets.UTF_8)
         finally in.close()
-        Some(txt.split("\n").toSeq.filter(_.nonEmpty))
+        val lines = txt.split("\n").toSeq
+        if (lines.headOption.contains("v1"))
+          Some(lines.tail.filter(_.nonEmpty))
+        else None // torn write — table untouched, catalog still answers
       } catch { case _: java.io.FileNotFoundException => None }
 
     def rewriteFrom(src: DataFrame, partCols: Seq[String]): Unit = {

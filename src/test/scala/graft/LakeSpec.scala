@@ -979,7 +979,7 @@ class LakeSpec extends SparkSpec {
     spark.table("state_bkh.t").write
       .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(snap.toString)
     val sc = fs.create(new org.apache.hadoop.fs.Path(snap, "_graft_partcols"), true)
-    sc.write("seen_date".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    sc.write("v1\nseen_date".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     sc.close()
     spark.sql("DROP TABLE state_bkh.t")
     fs.delete(new org.apache.hadoop.fs.Path(lake.path(ref)), true)
@@ -1000,6 +1000,21 @@ class LakeSpec extends SparkSpec {
         .findFirstMatchIn(plan).exists(_.group(1).toInt < 4), plan)
     } finally
       spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+
+    // a TORN sidecar (zero bytes — crash between create and write) must
+    // NOT read as "no partition columns": the table is intact in that
+    // window, so the heal falls back to the catalog and keeps the
+    // partition layer (an unversioned sidecar would have rewritten the
+    // table unpartitioned — the data-loss class under dynamic overwrite)
+    spark.table("state_bkh.t").write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(snap.toString)
+    fs.create(new org.apache.hadoop.fs.Path(snap, "_graft_partcols"), true).close()
+    lake.compactBucketed(ref, "k", 4)
+    assert(!fs.exists(snap))
+    assert(spark.table("state_bkh.t")
+      .as[(Long, Int, java.sql.Date)].collect().toSet === rows)
+    assert(spark.catalog.listColumns("state_bkh.t").collect()
+      .filter(_.isPartition).map(_.name).toSeq === Seq("seen_date"))
     spark.sql("DROP TABLE state_bkh.t")
   }
 
