@@ -93,16 +93,32 @@ object BloomOps {
                     expectedItems: Option[Long] = None,
                     fpp: Double = 0.01): DataFrame = {
     val rhs = small.select(col(smallKey).as(bigKey)).distinct()
-    val n = expectedItems.getOrElse(rhs.count())
-    // empty build side: a semi-join against an empty RHS is empty —
-    // match that, don't throw (schema preserved). Checked BEFORE the
-    // build: BloomFilterAggregate requires estimatedNumItems > 0.
-    if (n <= 0L) big.filter(lit(false))
-    else buildFilter(small, col(smallKey), n, fpp) match {
-      case None => big.filter(lit(false))
-      case Some(blob) =>
-        big.filter(mightContain(blob, col(bigKey)))
-          .join(rhs, Seq(bigKey), "left_semi")
+    def assemble(n: Long, buildSide: DataFrame, buildKey: String): DataFrame =
+      // empty build side: a semi-join against an empty RHS is empty —
+      // match that, don't throw (schema preserved). Checked BEFORE the
+      // build: BloomFilterAggregate requires estimatedNumItems > 0.
+      if (n <= 0L) big.filter(lit(false))
+      else buildFilter(buildSide, col(buildKey), n, fpp) match {
+        case None => big.filter(lit(false))
+        case Some(blob) =>
+          big.filter(mightContain(blob, col(bigKey)))
+            .join(rhs, Seq(bigKey), "left_semi")
+      }
+    expectedItems match {
+      case Some(n) => assemble(n, small, smallKey)
+      case None =>
+        // auto path: cache the distinct RHS so the sizing count and the
+        // filter build share ONE evaluation of the small side's lineage
+        // (which may be an explode over a corpus slice, not a cheap
+        // table) instead of re-deriving it per job; the cache is
+        // dropped before return, so the final join's execution
+        // recomputes it once — 2 total evaluations, not 3
+        // (review-found). Building over the cached DISTINCT keys
+        // yields the identical filter: bloom insertion is idempotent
+        // on duplicates.
+        rhs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try assemble(rhs.count(), rhs, bigKey)
+        finally rhs.unpersist(blocking = false)
     }
   }
 }

@@ -231,17 +231,20 @@ class Lake(spark: SparkSession, root: String) {
     def catalogPartCols(): Seq[String] = spark.catalog.listColumns(name)
       .collect().filter(_.isPartition).map(_.name).toSeq
 
-    // The "v1" header line makes a TORN sidecar (crash between create
-    // and write — the file exists with zero/partial bytes) distinguishable
-    // from a legitimately EMPTY column list (unpartitioned table):
-    // without it, torn reads as Seq() and the heal would rewrite a
-    // partitioned table unpartitioned — the data-loss class the sidecar
-    // exists to prevent (review-found). Torn ⇒ None ⇒ catalog fallback,
-    // which is sound: the sidecar commits before the table is touched,
-    // so a torn sidecar implies an intact table.
+    // The "v1" header AND "end" terminator make a TORN sidecar (crash
+    // mid-write — zero bytes, or any persisted PREFIX of the content,
+    // including one that truncates a multi-column list at a valid line
+    // boundary) distinguishable from a committed column list: without
+    // them, torn reads as an empty/shorter list — indistinguishable
+    // from a legitimately unpartitioned/narrower table — and the heal
+    // would rewrite with the wrong partition spec, the data-loss class
+    // the sidecar exists to prevent (review-found, twice). Torn ⇒
+    // None ⇒ catalog fallback, which is sound: the sidecar commits
+    // before the table is touched, so a torn sidecar implies an
+    // intact table.
     def writeSidecar(cols: Seq[String]): Unit = {
       val out = fs.create(sidecar, true)
-      try out.write(("v1" +: cols).mkString("\n")
+      try out.write((("v1" +: cols) :+ "end").mkString("\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
     }
@@ -253,8 +256,8 @@ class Lake(spark: SparkSession, root: String) {
           java.nio.charset.StandardCharsets.UTF_8)
         finally in.close()
         val lines = txt.split("\n").toSeq
-        if (lines.headOption.contains("v1"))
-          Some(lines.tail.filter(_.nonEmpty))
+        if (lines.headOption.contains("v1") && lines.lastOption.contains("end"))
+          Some(lines.slice(1, lines.length - 1).filter(_.nonEmpty))
         else None // torn write — table untouched, catalog still answers
       } catch { case _: java.io.FileNotFoundException => None }
 

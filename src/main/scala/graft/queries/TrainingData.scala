@@ -154,7 +154,10 @@ object TrainingData {
   /** Shared q85/q91 inputs: (train (doc_id, sh) stream, distinct test
     * shingle set) over q72's hash-bucket split — ONE definition so the
     * plain and bloom-prefiltered decontamination paths can never drift. */
-  private def contaminationInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  // private[graft]: ScaleProbe's q91 exponent decomposition must count
+  // the SAME inputs the measured query builds — a re-implementation
+  // there would silently drift if this split ever changes (review-found)
+  private[graft] def contaminationInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val docs = t(s, dir, "documents")
       .withColumn("pct", TextOps.hashBucket(col("doc_id")))
     val trainSh = docs.filter(col("pct") < 80)

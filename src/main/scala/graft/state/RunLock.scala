@@ -120,6 +120,21 @@ class RunLock(spark: SparkSession, root: String) {
     }
   }
 
+  /** Re-stamp a held lock's mtime so the TTL window measures IDLE time,
+    * not total hold time: a long-running holder (a multi-day backfill)
+    * that never refreshes would be judged stale by a contender's TTL
+    * mid-run and taken over while actively committing — the takeover
+    * the guard then catches, but only at its next check. Call between
+    * units of work; false = we no longer hold the key (refresh cannot
+    * resurrect a lost lock). */
+  def refresh(key: String): Boolean = RunLock.gate.synchronized {
+    isHeldByMe(key) && {
+      val p = lockPath(key)
+      try { fs(p).setTimes(p, System.currentTimeMillis(), -1L); true }
+      catch { case _: java.io.IOException => false }
+    }
+  }
+
   /** Runtime form of the "caller holds the dataset's RunLock"
     * Scaladoc contracts: state-mutation paths whose correctness
     * assumes single-writer call this instead of trusting convention.

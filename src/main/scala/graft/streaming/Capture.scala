@@ -194,8 +194,15 @@ class Capture(spark: SparkSession, lake: Lake, log: CaptureLog,
         val in = fs.open(f)
         Some(try new String(in.readAllBytes(), utf8) finally in.close())
       } catch { case _: java.io.FileNotFoundException => None }
+    // Plausibility-bounded: ticks are minted from currentTimeMillis, so
+    // a committed tick is a 13-14 digit epoch (2001..5138). A PARTIAL
+    // NUMERIC PREFIX left by a legacy direct-create crash ("1694" of
+    // "1694012345678") would otherwise parse as a bogus ~1970 tick and
+    // silently be accepted — the bound routes it to the same loud path
+    // as non-numeric corruption (review-found).
     def parse(s: String): Option[Timestamp] =
-      s.trim.toLongOption.map(ms => new Timestamp(ms))
+      s.trim.toLongOption.filter(ms => ms >= 1000000000000L &&
+        ms < 100000000000000L).map(ms => new Timestamp(ms))
     // Some(ts) = committed tick; None = absent (after healing an empty
     // file). Healing is restricted to ZERO-LENGTH files — the one state
     // a crashed writer actually leaves at the final path on a supported

@@ -169,14 +169,20 @@ object CrawlIngest {
     // report the landed count without re-reading a byte of WARC
     val todo = state.unprocessed(pKey, manifest.toDF("file"), "file")
       .as[String].collect()
-    if (todo.isEmpty)
+    if (todo.isEmpty) {
+      // only "output table not there yet" reads as landed=0 (a pinned
+      // day whose ingest admitted zero docs never created the path) —
+      // checked as PATH EXISTENCE, not a broad catch: an
+      // AnalysisException catch would also swallow schema drift
+      // (renamed/dropped ingest_day) and report 0 for a day that
+      // landed rows (review-found); any read failure on an existing
+      // path propagates
+      val outPath = new org.apache.hadoop.fs.Path(lake.path(out))
+      val ofs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       return CrawlResult(Nil,
-        // only "output table not there yet" reads as landed=0 (a pinned
-        // day whose ingest admitted zero docs never created the path);
-        // any other read failure propagates — swallowing a transient IO
-        // error here would silently report 0 for a day that landed rows
-        try lake.read(out).filter(col("ingest_day") === lit(day)).count()
-        catch { case _: org.apache.spark.sql.AnalysisException => 0L })
+        if (!ofs.exists(outPath)) 0L
+        else lake.read(out).filter(col("ingest_day") === lit(day)).count())
+    }
 
     try {
       val extracted =
@@ -271,12 +277,19 @@ object CrawlIngest {
     * pin a manifest the backfill then re-attributes.
     *
     * Returns None when another run holds the lock (skip, the
-    * reference's skip_if_running), Some(per-day results) otherwise. */
+    * reference's skip_if_running), Some(per-day results) otherwise.
+    *
+    * `ttlMinutes` is the lock's staleness horizon as seen by
+    * CONTENDERS; the lock's mtime is REFRESHED before each day's tick
+    * ([[graft.state.RunLock.refresh]]), so a backfill only needs
+    * ttlMinutes to exceed its longest SINGLE-day tick, not the whole
+    * range — without the refresh, a range longer than a contender's
+    * TTL was judged stale and taken over mid-run (review-found). */
   def backfill(spark: SparkSession, lake: Lake, state: StateStore,
                dd: CorpusDedup, cp: CorpusPack, out: TableRef,
                lock: graft.state.RunLock, dataset: String,
                days: Seq[Date], pathsFor: Date => Seq[String],
-               ttlDays: Int,
+               ttlDays: Int, ttlMinutes: Int = 60,
                qualityGate: Option[QualityClassifier.Model] = None,
                langModel: Option[LangId.LangIdModel] = None,
                blockedDomains: Option[DataFrame] = None,
@@ -286,8 +299,10 @@ object CrawlIngest {
                nearDupVerify: Option[Double] = None,
                minWords: Int = 3, maxLinkDensity: Double = 0.5)
       : Option[Seq[(Date, CrawlResult)]] =
-    lock.withLock(lockKey(dataset), owner = "crawl-backfill") {
+    lock.withLock(lockKey(dataset), owner = "crawl-backfill",
+        ttlMinutes = ttlMinutes) {
       days.sortBy(_.getTime).map { d =>
+        lock.refresh(lockKey(dataset)) // TTL measures idle, not range
         d -> run(spark, lake, state, dd, cp, out, pathsFor(d), dataset,
           d, ttlDays, qualityGate = qualityGate, langModel = langModel,
           blockedDomains = blockedDomains, lexicon = lexicon,

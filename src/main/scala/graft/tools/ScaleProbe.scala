@@ -89,14 +89,10 @@ object ScaleProbe {
       // raw bytes exponent is read against the query's own OUTPUT
       // growth — bytes growing slower than matches IS linear behavior.
       if (probes.contains("q91_bloom_contamination")) {
-        val docs = Tables.load(spark, dir, "documents")
-          .withColumn("pct", graft.functions.TextOps.hashBucket(col("doc_id")))
-        val trainSh = docs.filter(col("pct") < 80)
-          .select(col("doc_id"),
-            explode(graft.functions.TextOps.shingles(col("text"), 3)).as("sh"))
-        val testSh = docs.filter(col("pct") >= 90)
-          .select(explode(graft.functions.TextOps.shingles(col("text"), 3))
-            .as("sh")).distinct()
+        // the query's OWN input definition (shared, not re-implemented:
+        // a drifting copy would decompose a different query)
+        val (trainSh, testSh) =
+          graft.queries.TrainingData.contaminationInputs(spark, dir)
         val matched = trainSh.join(testSh, Seq("sh"), "left_semi").count()
         println(s"[probe] $dir q91 matched train occurrences: $matched")
       }

@@ -979,7 +979,7 @@ class LakeSpec extends SparkSpec {
     spark.table("state_bkh.t").write
       .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(snap.toString)
     val sc = fs.create(new org.apache.hadoop.fs.Path(snap, "_graft_partcols"), true)
-    sc.write("v1\nseen_date".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    sc.write("v1\nseen_date\nend".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     sc.close()
     spark.sql("DROP TABLE state_bkh.t")
     fs.delete(new org.apache.hadoop.fs.Path(lake.path(ref)), true)
@@ -1009,6 +1009,22 @@ class LakeSpec extends SparkSpec {
     spark.table("state_bkh.t").write
       .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(snap.toString)
     fs.create(new org.apache.hadoop.fs.Path(snap, "_graft_partcols"), true).close()
+    lake.compactBucketed(ref, "k", 4)
+    assert(!fs.exists(snap))
+    assert(spark.table("state_bkh.t")
+      .as[(Long, Int, java.sql.Date)].collect().toSet === rows)
+    assert(spark.catalog.listColumns("state_bkh.t").collect()
+      .filter(_.isPartition).map(_.name).toSeq === Seq("seen_date"))
+
+    // prefix-torn: the crash persisted the header but not the whole
+    // list (no "end" terminator) — a header-only check would read the
+    // truncation as a committed shorter/empty list; the terminator
+    // routes it to the catalog fallback like the zero-byte case
+    spark.table("state_bkh.t").write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(snap.toString)
+    val torn = fs.create(new org.apache.hadoop.fs.Path(snap, "_graft_partcols"), true)
+    torn.write("v1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    torn.close()
     lake.compactBucketed(ref, "k", 4)
     assert(!fs.exists(snap))
     assert(spark.table("state_bkh.t")

@@ -258,6 +258,21 @@ class StateSpec extends SparkSpec {
     assert(taker.tryAcquire("k2", owner = "new", ttlMinutes = 5))
     intercept[IllegalStateException](holder.assertHeld("k2"))
     assert(taker.isHeldByMe("k2")) // the successor's guard passes
+
+    // refresh: a long-running holder re-stamps its mtime so the TTL
+    // measures idle time — an aged-then-refreshed lock resists takeover
+    val worker = new RunLock(spark, dir)
+    assert(worker.tryAcquire("k3", owner = "long-run"))
+    val p3 = new org.apache.hadoop.fs.Path(s"$dir/_locks/k3.lock")
+    p3.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .setTimes(p3, System.currentTimeMillis() - 10 * 60000L, -1)
+    assert(worker.refresh("k3")) // between units of work
+    val contender = new RunLock(spark, dir)
+    assert(!contender.tryAcquire("k3", owner = "c", ttlMinutes = 5),
+      "a refreshed lock must not read as stale")
+    assert(worker.isHeldByMe("k3"))
+    worker.release("k3")
+    assert(!worker.refresh("k3")) // cannot resurrect a released lock
   }
 
   test("run lock: stale takeover under 8-way contention admits exactly one") {

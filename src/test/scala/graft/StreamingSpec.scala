@@ -420,6 +420,13 @@ class StreamingSpec extends SparkSpec {
     fs.delete(new org.apache.hadoop.fs.Path(dir, "9"), false)
     val t3 = cap.tickFor(9L)
     assert(cap.tickFor(9L) === t3)
+    // a PARTIAL NUMERIC PREFIX ("1694" of an epoch-millis string) must
+    // not be accepted as a committed ~1970 tick — the plausibility
+    // bound routes it to the same loud path as non-numeric garbage
+    val pfx = fs.create(new org.apache.hadoop.fs.Path(dir, "11"), true)
+    pfx.write("1694".getBytes); pfx.close()
+    intercept[java.io.IOException] { cap.tickFor(11L) }
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "11"), false)
     // and the healed/re-minted ticks are real timestamps
     assert(t2.getTime > 0L && t3.getTime > 0L)
 
