@@ -138,6 +138,38 @@ object TextOps {
       .otherwise(lit(0.0))
   }
 
+  /** The Gopher document-quality counters (Rae et al. 2021 §A1.1) as
+    * ONE codegen byte-walk per row — struct(n_words, word_chars,
+    * alpha_words, n_lines, bullet_lines, ellipsis_lines, hash_chars,
+    * ellipsis_runs, stop_present); see
+    * [[graft.expressions.GopherStats]]. The rule arithmetic composes
+    * over these fields in ordinary Columns ([[gopherKeep]]). */
+  def gopherStats(text: Column): Column =
+    graft.expressions.GopherStats.gopher_stats(text)
+
+  /** Gopher's keep decision (1/0) from a [[gopherStats]] struct — the
+    * published thresholds as defaults: word count in [minWords,
+    * maxWords], mean word length in [3, 10], '#' and "..." per-word
+    * ratios < 0.1, <90% bullet lines, <30% ellipsis-ended lines, >80%
+    * words with an alphabetic char, ≥2 of the 8 stop words present.
+    * Pure per-row integer/double arithmetic over the struct — the
+    * whole gate (counters + decision) is a single codegen'd scan. */
+  def gopherKeep(st: Column, minWords: Long = 50L,
+                 maxWords: Long = 100000L): Column = {
+    val w = st.getField("n_words").cast("double")
+    val lines = st.getField("n_lines").cast("double")
+    (st.getField("n_words") >= minWords &&
+      st.getField("n_words") <= maxWords &&
+      st.getField("word_chars").cast("double") / w >= 3.0 &&
+      st.getField("word_chars").cast("double") / w <= 10.0 &&
+      st.getField("hash_chars").cast("double") / w < 0.1 &&
+      st.getField("ellipsis_runs").cast("double") / w < 0.1 &&
+      st.getField("bullet_lines").cast("double") / lines < 0.9 &&
+      st.getField("ellipsis_lines").cast("double") / lines < 0.3 &&
+      st.getField("alpha_words").cast("double") / w > 0.8 &&
+      st.getField("stop_present") >= 2L).cast("int")
+  }
+
   /** Share of all word n-grams taken by the single most frequent one —
     * native one-pass hash count ([[graft.expressions.TopNgramFrac]],
     * O(tokens) per row; the earlier array_distinct × filter HOF was

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.expressions.GopherStats
 import graft.functions.{Bpe, BpeVocab, DedupOps, TextOps, TripletOps, VectorOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -339,6 +340,39 @@ object TrainingData {
           TextOps.lexiconHits(col("text"), q136Lexicon)
             .cast("long").as("lex_hits"))
         .withColumn("survives", (col("lex_hits") === 0L).cast("int"))
+        .orderBy(col("doc_id"))
+    }),
+    // The Gopher document-quality rules (Rae et al. 2021 §A1.1 — the
+    // gate MassiveText/RefinedWeb/FineWeb curation carries): counters
+    // from ONE codegen byte-walk (expressions.GopherStats — the
+    // composable form pays a split + interpreted lambda HOF per rule,
+    // per row), rule arithmetic in plain Columns, keep = the published
+    // conjunction. Line-rule variance is INJECTED deterministically
+    // from doc_id (the q93 PII pattern: the flat synthetic corpus has
+    // no newlines/bullets/ellipses, so the rules would be vacuous on
+    // it) — the SAME CASE tail is built into the oracle. Zero
+    // exchanges but the output sort: gating 100 TB is one scan.
+    "q137_gopher_rules" -> ((s, dir) => {
+      // tails chosen so every rule FIRES somewhere and some docs still
+      // pass: %3==0/2 carry ≥2 stopwords (pass iff the natural word
+      // count clears 50); %3==1 is ellipsis-heavy (3/4 lines) and is
+      // correctly rejected by the <30% ellipsis-line rule
+      val tail = when(pmod(col("doc_id"), lit(3)) === 0,
+          lit("\n- first bullet point\n- second bullet point\nthat should have been it with the rest"))
+        .when(pmod(col("doc_id"), lit(3)) === 1,
+          lit("\na trailing thought...\n#tag line with more...\nthe end of it..."))
+        .otherwise(lit("\nthat line will have the words\nwith a plain closing"))
+      val st = TextOps.gopherStats(concat(col("text"), tail))
+      val w = st.getField("n_words").cast("double")
+      val lines = st.getField("n_lines").cast("double")
+      t(s, dir, "documents").select(col("doc_id"),
+          st.getField("n_words").as("n_words"),
+          (st.getField("word_chars").cast("double") / w).as("mean_word_len"),
+          (st.getField("bullet_lines").cast("double") / lines).as("bullet_frac"),
+          (st.getField("ellipsis_lines").cast("double") / lines).as("ellipsis_frac"),
+          (st.getField("alpha_words").cast("double") / w).as("alpha_frac"),
+          st.getField("stop_present").as("stop_present"),
+          TextOps.gopherKeep(st).as("keep"))
         .orderBy(col("doc_id"))
     }),
     // MinHash LANE AGREEMENT over the LSH candidates — the decision
@@ -1980,6 +2014,59 @@ object TrainingData {
          |SELECT doc_id, CAST(nh AS BIGINT) AS lex_hits,
          |  CAST(CASE WHEN nh = 0 THEN 1 ELSE 0 END AS INT) AS survives
          |FROM h ORDER BY doc_id""".stripMargin
+    },
+    "q137_gopher_rules" -> {
+      val stopSum = GopherStats.Stops
+        .map(w => s"(CASE WHEN list_contains(words, '$w') THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH inj AS (
+         |  SELECT doc_id, text ||
+         |    CASE CAST(doc_id % 3 AS INT)
+         |      WHEN 0 THEN chr(10) || '- first bullet point' || chr(10) ||
+         |        '- second bullet point' || chr(10) ||
+         |        'that should have been it with the rest'
+         |      WHEN 1 THEN chr(10) || 'a trailing thought...' || chr(10) ||
+         |        '#tag line with more...' || chr(10) || 'the end of it...'
+         |      ELSE chr(10) || 'that line will have the words' || chr(10) ||
+         |        'with a plain closing'
+         |    END AS t
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(t, '[ \n]'), w -> w <> '') AS words,
+         |    string_split(t, chr(10)) AS lines,
+         |    len(t) - len(replace(t, '#', '')) AS hash_chars,
+         |    (len(t) - len(replace(t, '...', ''))) // 3 AS ell_runs
+         |  FROM inj),
+         |s AS (
+         |  SELECT doc_id,
+         |    len(words) AS n_words,
+         |    list_sum(list_transform(words, w -> len(w))) AS word_chars,
+         |    len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words,
+         |    len(lines) AS n_lines,
+         |    len(list_filter(lines, l -> ltrim(l, ' ') LIKE '-%'
+         |      OR ltrim(l, ' ') LIKE '*%')) AS bullet_lines,
+         |    len(list_filter(lines, l -> rtrim(l, ' ') LIKE '%...')) AS ellipsis_lines,
+         |    hash_chars, ell_runs,
+         |    ($stopSum) AS stop_present
+         |  FROM c)
+         |SELECT doc_id,
+         |  CAST(n_words AS BIGINT) AS n_words,
+         |  CAST(word_chars AS DOUBLE) / n_words AS mean_word_len,
+         |  CAST(bullet_lines AS DOUBLE) / n_lines AS bullet_frac,
+         |  CAST(ellipsis_lines AS DOUBLE) / n_lines AS ellipsis_frac,
+         |  CAST(alpha_words AS DOUBLE) / n_words AS alpha_frac,
+         |  CAST(stop_present AS BIGINT) AS stop_present,
+         |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+         |    AND CAST(word_chars AS DOUBLE) / n_words >= 3.0
+         |    AND CAST(word_chars AS DOUBLE) / n_words <= 10.0
+         |    AND CAST(hash_chars AS DOUBLE) / n_words < 0.1
+         |    AND CAST(ell_runs AS DOUBLE) / n_words < 0.1
+         |    AND CAST(bullet_lines AS DOUBLE) / n_lines < 0.9
+         |    AND CAST(ellipsis_lines AS DOUBLE) / n_lines < 0.3
+         |    AND CAST(alpha_words AS DOUBLE) / n_words > 0.8
+         |    AND stop_present >= 2 THEN 1 ELSE 0 END AS INT) AS keep
+         |FROM s ORDER BY doc_id""".stripMargin
     },
     "q135_lane_verify" -> {
       val agreeSql = (0 to 7)
