@@ -590,6 +590,34 @@ object MicroBench {
             .as("score")))
       }
     }
+
+    // Aho-Corasick representation A/B (the r15 sparse fallback): the
+    // dense fail-folded goto (one array read per byte) vs the
+    // open-addressed raw-edge table + fail chasing a 100k-entry
+    // blocklist forces. Same lexicon, same corpus scan; the delta is
+    // the per-byte transition cost — the number that says what the
+    // memory-driven crossover trades away.
+    {
+      val lex = (0 until 500).map { i =>
+        var x = (i * 2654435761L) & 0xffffffffL
+        (0 until 10).map { _ =>
+          x = (x * 48271) % 2147483647L; ('a' + (x % 26)).toChar
+        }.mkString
+      }
+      val dense = new graft.expressions.AhoCorasick(lex)
+      val sparse = new graft.expressions.AhoCorasick(lex, denseBudgetInts = 0L)
+      val texts = docs.select(col("text")).collect().map(
+        r => org.apache.spark.unsafe.types.UTF8String.fromString(
+          r.getString(0)))
+      def sweep(name: String, ac: graft.expressions.AhoCorasick): Unit =
+        time(name) {
+          var s = 0L
+          texts.foreach(t => s += ac.countDistinct(t))
+          if (s < 0) println(s) // keep the loop live
+        }
+      sweep("AC dense kernel", dense)
+      sweep("AC sparse kernel", sparse)
+    }
     spark.stop()
   }
 }
