@@ -137,6 +137,7 @@ object CrawlIngest {
           perDomainCap: Option[Int] = None,
           lineScrub: Boolean = false,
           nearDupVerify: Option[Double] = None,
+          gopherRules: Option[(Long, Long)] = None,
           minWords: Int = 3, maxLinkDensity: Double = 0.5,
           lock: Option[graft.state.RunLock] = None): CrawlResult = {
     import spark.implicits._
@@ -230,7 +231,7 @@ object CrawlIngest {
         val landed = DailyIngest.run(lake, dd, cp, out, docs,
           "doc_id", "text", "lang", day, ttlDays,
           lineScrub = lineScrub, qualityGate = qualityGate,
-          nearDupVerify = nearDupVerify)
+          nearDupVerify = nearDupVerify, gopherRules = gopherRules)
         guard()
         state.markProcessed(pKey, manifest)
         logSegments(spark, lake, dataset, manifest, day,
@@ -297,6 +298,7 @@ object CrawlIngest {
                perDomainCap: Option[Int] = None,
                lineScrub: Boolean = false,
                nearDupVerify: Option[Double] = None,
+               gopherRules: Option[(Long, Long)] = None,
                minWords: Int = 3, maxLinkDensity: Double = 0.5)
       : Option[Seq[(Date, CrawlResult)]] =
     lock.withLock(lockKey(dataset), owner = "crawl-backfill",
@@ -307,7 +309,8 @@ object CrawlIngest {
           d, ttlDays, qualityGate = qualityGate, langModel = langModel,
           blockedDomains = blockedDomains, lexicon = lexicon,
           perDomainCap = perDomainCap, lineScrub = lineScrub,
-          nearDupVerify = nearDupVerify, minWords = minWords,
+          nearDupVerify = nearDupVerify, gopherRules = gopherRules,
+          minWords = minWords,
           maxLinkDensity = maxLinkDensity, lock = Some(lock))
       }
     }

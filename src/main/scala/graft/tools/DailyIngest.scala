@@ -115,7 +115,18 @@ object DailyIngest {
     * `minAgree`, so single-band flukes are admitted. Gate and commit
     * pair on the verified state table; choose the policy when the
     * dataset's seen-set is first created and keep it — the two tables
-    * are separate state. */
+    * are separate state.
+    *
+    * `gopherRules = Some((minWords, maxWords))` applies the Gopher
+    * document-quality rule set (q137,
+    * [[graft.functions.TextOps.gopherKeep]]) as the EARLIEST gate —
+    * before even the trained classifier: it is a single codegen
+    * byte-walk predicate with zero exchanges, and the heuristic rules
+    * are exactly the cheap junk screen the trained gate should not
+    * have to spend its signal on. Deterministic, so it composes with
+    * the replay invariants like any constant filter; like the trained
+    * gate, rejected docs never reach the seen-sets (the admitted-only
+    * commit contract). */
   def run(lake: Lake, dd: CorpusDedup, cp: CorpusPack, out: TableRef,
           docs: DataFrame, idCol: String, textCol: String, langCol: String,
           day: Date, ttlDays: Int,
@@ -125,13 +136,18 @@ object DailyIngest {
           pqRefine: Option[Int] = None,
           lineScrub: Boolean = false,
           qualityGate: Option[graft.functions.QualityClassifier.Model] = None,
-          nearDupVerify: Option[Double] = None)
+          nearDupVerify: Option[Double] = None,
+          gopherRules: Option[(Long, Long)] = None)
       : Long = {
     require(semanticThreshold.isEmpty || ann.nonEmpty,
       "semanticThreshold needs the ann leg — the index is the seen-set")
     val minDate = Date.valueOf(day.toLocalDate.minusDays(ttlDays.toLong))
+    val ruled = gopherRules.map { case (minW, maxW) =>
+      docs.filter(graft.functions.TextOps.gopherKeep(
+        graft.functions.TextOps.gopherStats(col(textCol)), minW, maxW) === 1)
+    }.getOrElse(docs)
     val admitted = qualityGate.map(m =>
-      docs.filter(round(m.scoreCol(col(textCol)), 4) > 0.0)).getOrElse(docs)
+      ruled.filter(round(m.scoreCol(col(textCol)), 4) > 0.0)).getOrElse(ruled)
     val exactNovel = dd.novelExactSince(admitted, idCol, textCol, minDate)
     // `nearDupVerify = Some(minAgree)` swaps the candidate-level
     // cross-run gate for the signature-VERIFIED one (single-band

@@ -1066,6 +1066,41 @@ class EndToEndSpec extends SparkSpec {
     assert(lake.read(out).count() === 2)
   }
 
+  test("daily ingest with the Gopher rule gate: junk dies earliest, " +
+    "seen-sets stay clean") {
+    import graft.lake.{CorpusDedup, CorpusPack}
+    import graft.tools.DailyIngest
+    val lake = new Lake(spark, tmpDir("gopher_lake"))
+    val dd = new CorpusDedup(spark, lake, "gopher_ds", numBuckets = 4)
+    val cp = new CorpusPack(spark,
+      new StateStore(spark, tmpDir("gopher_state")), "gopher_ds",
+      budgetTokens = 1024L)
+    val out = TableRef("prod", "gopher_ds", "packed")
+    def day(d: String) = java.sql.Date.valueOf(d)
+    // good clears every rule at minWords=10; junk fails alpha-word
+    // (0 < 0.8) and stopword-presence (0 < 2) — the heuristic screen,
+    // no trained model needed
+    val good = "the growth of the region and the culture of " +
+      "the nation have been with it"
+    val junk = "11 22 33 44 55 66 77 88 99 00 11 22"
+    val docs = Seq((1L, good), (2L, junk)).toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+    val landed = DailyIngest.run(lake, dd, cp, out, docs,
+      "doc_id", "text", "lang", day("2024-05-01"), ttlDays = 30,
+      gopherRules = Some((10L, 100000L)))
+    assert(landed === 1, "the rule gate must drop exactly the junk doc")
+    // admitted-only commit contract: the rejected text never entered
+    // the seen-sets, so the SAME text lands later when the policy
+    // changes (not starved by junk history — the r14 model-upgrade
+    // invariant, held by the heuristic gate too)
+    val retry = Seq((3L, junk)).toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+    val landed2 = DailyIngest.run(lake, dd, cp, out, retry,
+      "doc_id", "text", "lang", day("2024-05-02"), ttlDays = 30)
+    assert(landed2 === 1, "rule-rejected text must not poison the seen-set")
+    assert(lake.read(out).count() === 2)
+  }
+
   test("multi-day crawl backfill: one lock, day steps, crash replay, guard") {
     import graft.lake.{CorpusDedup, CorpusPack}
     import graft.state.RunLock
