@@ -342,6 +342,46 @@ object TrainingData {
         .withColumn("survives", (col("lex_hits") === 0L).cast("int"))
         .orderBy(col("doc_id"))
     }),
+    // Decontamination by SPAN REMOVAL (GPT-3 appendix C / the
+    // open-pretraining practice): q85 DETECTS eval-contaminated train
+    // docs; this SCRUBS them — every 3-gram colliding with the test
+    // set is cut together with a ±2-word margin, and the doc survives
+    // with the overlap removed instead of being dropped whole. Shape:
+    // posexplode(shingles) → semi-join the (distinct, broadcastable)
+    // test set → per-doc span list (tiny: collisions per doc) joined
+    // back by doc_id → ONE per-row rebuild filtering words against
+    // the span array. Only collision candidates ever shuffle — clean
+    // docs pass through the join as null-span rows and keep their
+    // text untouched.
+    "q138_decontam_scrub" -> ((s, dir) => {
+      val (_, testSh) = contaminationInputs(s, dir)
+      val docs = t(s, dir, "documents")
+        .withColumn("pct", TextOps.hashBucket(col("doc_id")))
+      val train = docs.filter(col("pct") < 80)
+        .select(col("doc_id"), col("text"))
+      // 0-based shingle index j covers words j..j+2; margin 2 → remove
+      // word indices in [j-2, j+4] (inclusive, clamped at 0)
+      val hits = train
+        .select(col("doc_id"),
+          posexplode(TextOps.shingles(col("text"), 3)).as(Seq("j", "sh")))
+        .join(testSh, Seq("sh"), "left_semi")
+      val spans = hits.groupBy(col("doc_id"))
+        .agg(collect_list(struct(
+          greatest(col("j") - 2, lit(0)).as("lo"),
+          (col("j") + 4).as("hi"))).as("spans"))
+      val words = split(col("text"), " ")
+      val kept = filter(words, (w, i) =>
+        !exists(col("spans"), sp =>
+          i >= sp.getField("lo") && i <= sp.getField("hi")))
+      train.join(spans, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("spans").isNull, lit(0L))
+            .otherwise((size(words) - size(kept)).cast("long"))
+            .as("n_removed"),
+          when(col("spans").isNull, col("text"))
+            .otherwise(array_join(kept, " ")).as("text_clean"))
+        .orderBy(col("doc_id"))
+    }),
     // The Gopher document-quality rules (Rae et al. 2021 §A1.1 — the
     // gate MassiveText/RefinedWeb/FineWeb curation carries): counters
     // from ONE codegen byte-walk (expressions.GopherStats — the
@@ -2015,6 +2055,41 @@ object TrainingData {
          |  CAST(CASE WHEN nh = 0 THEN 1 ELSE 0 END AS INT) AS survives
          |FROM h ORDER BY doc_id""".stripMargin
     },
+    "q138_decontam_scrub" ->
+      """WITH b AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS words,
+        |    CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)),
+        |      1, 15)) AS BIGINT) % 100 AS pct
+        |  FROM documents),
+        |te AS (
+        |  SELECT DISTINCT
+        |    unnest(list_transform(range(1, greatest(len(words)-1, 1)),
+        |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
+        |  FROM b WHERE pct >= 90),
+        |tr AS (SELECT doc_id, text, words FROM b WHERE pct < 80),
+        |hits AS (
+        |  SELECT t.doc_id, u.i AS i
+        |  FROM tr t, UNNEST(range(1, greatest(len(t.words)-1, 1))) AS u(i)
+        |  WHERE t.words[u.i] || ' ' || t.words[u.i+1] || ' ' || t.words[u.i+2]
+        |    IN (SELECT sh FROM te)),
+        |spans AS (
+        |  SELECT doc_id,
+        |    list(struct_pack(lo := greatest(i-2, 1), hi := i+4)) AS spans
+        |  FROM hits GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CAST(CASE WHEN s.spans IS NULL THEN 0
+        |    ELSE len(t.words) - len(list_filter(t.words, (w, k) ->
+        |      len(list_filter(s.spans, sp -> k >= sp.lo AND k <= sp.hi)) = 0))
+        |    END AS BIGINT) AS n_removed,
+        |  CASE WHEN s.spans IS NULL THEN t.text
+        |    -- COALESCE: a fully-scrubbed doc keeps '' like Spark's
+        |    -- array_join; DuckDB's array_to_string([]) is NULL
+        |    ELSE COALESCE(array_to_string(list_filter(t.words, (w, k) ->
+        |      len(list_filter(s.spans, sp -> k >= sp.lo AND k <= sp.hi)) = 0),
+        |      ' '), '')
+        |    END AS text_clean
+        |FROM tr t LEFT JOIN spans s ON s.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     "q137_gopher_rules" -> {
       val stopSum = GopherStats.Stops
         .map(w => s"(CASE WHEN list_contains(words, '$w') THEN 1 ELSE 0 END)")
