@@ -110,7 +110,7 @@ object GopherStats {
         var chars = 0L
         var hasAlpha = false
         var dotRun = 0
-        while (i < len && !isSep(bytes(i)) && bytes(i) != '\n') {
+        while (i < len && !isSep(bytes(i))) { // isSep covers '\n'
           val b = bytes(i)
           if ((b & 0xC0) != 0x80) {
             chars += 1

@@ -150,8 +150,13 @@ object TextOps {
   /** Gopher's keep decision (1/0) from a [[gopherStats]] struct — the
     * published thresholds as defaults: word count in [minWords,
     * maxWords], mean word length in [3, 10], '#' and "..." per-word
-    * ratios < 0.1, <90% bullet lines, <30% ellipsis-ended lines, >80%
+    * ratios ≤ 0.1, ≤90% bullet lines, ≤30% ellipsis-ended lines, ≥80%
     * words with an alphabetic char, ≥2 of the 8 stop words present.
+    * Boundary semantics follow the paper exactly: Rae et al. REMOVE on
+    * strictly-greater ratios (strictly-less for alpha), so a document
+    * sitting ON a threshold is KEPT — every comparison here is
+    * inclusive on the keep side (review-found: strict comparisons
+    * silently rejected boundary values the cited rule set admits).
     * Pure per-row integer/double arithmetic over the struct — the
     * whole gate (counters + decision) is a single codegen'd scan. */
   def gopherKeep(st: Column, minWords: Long = 50L,
@@ -162,11 +167,11 @@ object TextOps {
       st.getField("n_words") <= maxWords &&
       st.getField("word_chars").cast("double") / w >= 3.0 &&
       st.getField("word_chars").cast("double") / w <= 10.0 &&
-      st.getField("hash_chars").cast("double") / w < 0.1 &&
-      st.getField("ellipsis_runs").cast("double") / w < 0.1 &&
-      st.getField("bullet_lines").cast("double") / lines < 0.9 &&
-      st.getField("ellipsis_lines").cast("double") / lines < 0.3 &&
-      st.getField("alpha_words").cast("double") / w > 0.8 &&
+      st.getField("hash_chars").cast("double") / w <= 0.1 &&
+      st.getField("ellipsis_runs").cast("double") / w <= 0.1 &&
+      st.getField("bullet_lines").cast("double") / lines <= 0.9 &&
+      st.getField("ellipsis_lines").cast("double") / lines <= 0.3 &&
+      st.getField("alpha_words").cast("double") / w >= 0.8 &&
       st.getField("stop_present") >= 2L).cast("int")
   }
 

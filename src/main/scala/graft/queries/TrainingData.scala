@@ -158,12 +158,21 @@ object TrainingData {
   // private[graft]: ScaleProbe's q91 exponent decomposition must count
   // the SAME inputs the measured query builds — a re-implementation
   // there would silently drift if this split ever changes (review-found)
-  private[graft] def contaminationInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  /** The 80/90 train/test DOC split — the single source of the split
+    * constants for the whole decontamination family (q85/q91 member-
+    * ship, q138's scrub): a drifting copy would semi-join a train side
+    * against a test set from a DIFFERENT partition (review-found). */
+  private[graft] def contaminationSplit(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val docs = t(s, dir, "documents")
       .withColumn("pct", TextOps.hashBucket(col("doc_id")))
-    val trainSh = docs.filter(col("pct") < 80)
+    (docs.filter(col("pct") < 80), docs.filter(col("pct") >= 90))
+  }
+
+  private[graft] def contaminationInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val (train, test) = contaminationSplit(s, dir)
+    val trainSh = train
       .select(col("doc_id"), explode(TextOps.shingles(col("text"), 3)).as("sh"))
-    val testSh = docs.filter(col("pct") >= 90)
+    val testSh = test
       .select(explode(TextOps.shingles(col("text"), 3)).as("sh")).distinct()
     (trainSh, testSh)
   }
@@ -355,9 +364,7 @@ object TrainingData {
     // text untouched.
     "q138_decontam_scrub" -> ((s, dir) => {
       val (_, testSh) = contaminationInputs(s, dir)
-      val docs = t(s, dir, "documents")
-        .withColumn("pct", TextOps.hashBucket(col("doc_id")))
-      val train = docs.filter(col("pct") < 80)
+      val train = contaminationSplit(s, dir)._1
         .select(col("doc_id"), col("text"))
       // 0-based shingle index j covers words j..j+2; margin 2 → remove
       // word indices in [j-2, j+4] (inclusive, clamped at 0)
@@ -2135,11 +2142,11 @@ object TrainingData {
          |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000
          |    AND CAST(word_chars AS DOUBLE) / n_words >= 3.0
          |    AND CAST(word_chars AS DOUBLE) / n_words <= 10.0
-         |    AND CAST(hash_chars AS DOUBLE) / n_words < 0.1
-         |    AND CAST(ell_runs AS DOUBLE) / n_words < 0.1
-         |    AND CAST(bullet_lines AS DOUBLE) / n_lines < 0.9
-         |    AND CAST(ellipsis_lines AS DOUBLE) / n_lines < 0.3
-         |    AND CAST(alpha_words AS DOUBLE) / n_words > 0.8
+         |    AND CAST(hash_chars AS DOUBLE) / n_words <= 0.1
+         |    AND CAST(ell_runs AS DOUBLE) / n_words <= 0.1
+         |    AND CAST(bullet_lines AS DOUBLE) / n_lines <= 0.9
+         |    AND CAST(ellipsis_lines AS DOUBLE) / n_lines <= 0.3
+         |    AND CAST(alpha_words AS DOUBLE) / n_words >= 0.8
          |    AND stop_present >= 2 THEN 1 ELSE 0 END AS INT) AS keep
          |FROM s ORDER BY doc_id""".stripMargin
     },
