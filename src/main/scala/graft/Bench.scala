@@ -48,7 +48,13 @@ object Bench {
     // Round-12 addition — the trained quality-classifier family's
     // flagship (NB train + one-scan codegen scoring). Excluded from
     // the comparable subset like the r9/r11 additions.
-    "q130_quality_classifier"
+    "q130_quality_classifier",
+    // Round-15 additions — the Gopher rule gate (one-byte-walk
+    // counters + keep conjunction, pure scan) and the decontamination
+    // span scrub (indexed explode → semi-join → per-row rebuild).
+    // Excluded from the comparable subset like earlier additions.
+    "q137_gopher_rules",
+    "q138_decontam_scrub"
   )
 
   /** Fixed CPU-bound calibration workload — constant size regardless of
@@ -171,7 +177,8 @@ object Bench {
     // this subtotal keeps cross-round comparisons one field-read
     // instead of hand arithmetic.
     val addedSinceR8 = Set("q113_substring_dedup", "q115_lm_quality_scaled",
-      "q124_line_dedup", "q130_quality_classifier")
+      "q124_line_dedup", "q130_quality_classifier",
+      "q137_gopher_rules", "q138_decontam_scrub")
     val totalR8Comparable =
       medians.filterNot(p => addedSinceR8(p._1)).map(_._2).sum
     // calibration_s normalizes cross-round totals: a drifted host moves
