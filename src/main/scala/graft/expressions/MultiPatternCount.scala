@@ -124,7 +124,11 @@ class AhoCorasick(patterns: Seq[String],
     val outArr =
       outBuf.map(l => if (l.isEmpty) null else l.toArray).toArray
 
-    if (n.toLong * K <= denseBudgetInts) {
+    // clamp the caller-supplied budget to Int.MaxValue before choosing
+    // dense: a budget above it would admit an n*K that overflows the
+    // Int arithmetic of the allocation below (NegativeArraySizeException
+    // at best, a silently undersized goto table at worst)
+    if (n.toLong * K <= math.min(denseBudgetInts, Int.MaxValue.toLong)) {
       // fold fails into a dense goto; fill in BFS order so the fail
       // target's row is complete when a state copies from it (node ids
       // are insertion-ordered, so plain id order would read unfilled

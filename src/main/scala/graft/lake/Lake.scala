@@ -231,20 +231,24 @@ class Lake(spark: SparkSession, root: String) {
     def catalogPartCols(): Seq[String] = spark.catalog.listColumns(name)
       .collect().filter(_.isPartition).map(_.name).toSeq
 
-    // The "v1" header AND "end" terminator make a TORN sidecar (crash
-    // mid-write — zero bytes, or any persisted PREFIX of the content,
-    // including one that truncates a multi-column list at a valid line
-    // boundary) distinguishable from a committed column list: without
-    // them, torn reads as an empty/shorter list — indistinguishable
-    // from a legitimately unpartitioned/narrower table — and the heal
-    // would rewrite with the wrong partition spec, the data-loss class
-    // the sidecar exists to prevent (review-found, twice). Torn ⇒
-    // None ⇒ catalog fallback, which is sound: the sidecar commits
-    // before the table is touched, so a torn sidecar implies an
-    // intact table.
+    // The counted "v1 <n>" header AND "end" terminator make a TORN
+    // sidecar (crash mid-write — zero bytes, or any persisted PREFIX of
+    // the content) distinguishable from a committed column list: a
+    // prefix either has fewer than n+2 lines or a truncated last line
+    // that is not "end", so torn reads as None — never as a
+    // shorter/blanker column list the heal would then rewrite with, the
+    // data-loss class the sidecar exists to prevent (review-found,
+    // twice). The COUNT is what disambiguates a partition column
+    // literally named "end": with a bare terminator, the torn prefix
+    // "v1\na\nend" of cols ["a","end","b"] parsed as a committed
+    // two-line list (advisor-found, r15); with the count, that prefix
+    // fails the n+2 length check. Torn ⇒ None ⇒ catalog fallback,
+    // which is sound: the sidecar commits before the table is touched,
+    // so a torn sidecar implies an intact table.
     def writeSidecar(cols: Seq[String]): Unit = {
+      require(cols.forall(_.nonEmpty), "empty partition column name")
       val out = fs.create(sidecar, true)
-      try out.write((("v1" +: cols) :+ "end").mkString("\n")
+      try out.write(((s"v1 ${cols.length}" +: cols) :+ "end").mkString("\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
     }
@@ -255,10 +259,20 @@ class Lake(spark: SparkSession, root: String) {
         val txt = try new String(in.readAllBytes(),
           java.nio.charset.StandardCharsets.UTF_8)
         finally in.close()
-        val lines = txt.split("\n").toSeq
-        if (lines.headOption.contains("v1") && lines.lastOption.contains("end"))
-          Some(lines.slice(1, lines.length - 1).filter(_.nonEmpty))
-        else None // torn write — table untouched, catalog still answers
+        val lines = txt.split("\n", -1).toSeq
+        lines.headOption match {
+          case Some(h) if h.startsWith("v1 ") =>
+            h.stripPrefix("v1 ").toIntOption
+              .filter(n => lines.length == n + 2 && lines.last == "end" &&
+                lines.slice(1, n + 1).forall(_.nonEmpty))
+              .map(n => lines.slice(1, n + 1))
+          // legacy uncounted format (pre-r16 writer crashed mid-rewrite,
+          // healed after upgrade): ambiguous only for a column literally
+          // named "end" — accepted as before for heal compatibility
+          case Some("v1") if lines.lastOption.contains("end") =>
+            Some(lines.slice(1, lines.length - 1).filter(_.nonEmpty))
+          case _ => None // torn — table untouched, catalog still answers
+        }
       } catch { case _: java.io.FileNotFoundException => None }
 
     def rewriteFrom(src: DataFrame, partCols: Seq[String]): Unit = {

@@ -126,13 +126,46 @@ class RunLock(spark: SparkSession, root: String) {
     * mid-run and taken over while actively committing — the takeover
     * the guard then catches, but only at its next check. Call between
     * units of work; false = we no longer hold the key (refresh cannot
-    * resurrect a lost lock). */
+    * resurrect a lost lock) OR the store could not extend the TTL.
+    *
+    * setTimes is a silent no-op on some stores (object stores expose
+    * immutable mtimes), so the stamp is VERIFIED by reading the mtime
+    * back; when it did not advance, the token file is REWRITTEN with
+    * its own content — a content write always moves mtime, and on
+    * object stores a PUT is an atomic replace. Returning true on a
+    * frozen mtime would be the exact failure refresh exists to fix: a
+    * long backfill believing itself protected while contenders see an
+    * ever-staler lock. The final isHeldByMe closes the check→stamp
+    * TOCTOU: a takeover landing between them means our stamp touched
+    * the SUCCESSOR's lock (harmless to it — fresher mtime only delays
+    * its own takeover horizon) and we must report the loss. */
   def refresh(key: String): Boolean = RunLock.gate.synchronized {
     isHeldByMe(key) && {
       val p = lockPath(key)
-      try { fs(p).setTimes(p, System.currentTimeMillis(), -1L); true }
-      catch { case _: java.io.IOException => false }
-    }
+      val f = fs(p)
+      try {
+        val before = f.getFileStatus(p).getModificationTime
+        val now = System.currentTimeMillis()
+        try f.setTimes(p, now, -1L)
+        catch { case _: java.io.IOException => () } // fall through to rewrite
+        var after = f.getFileStatus(p).getModificationTime
+        if (after == before && before < now) {
+          // setTimes no-opped (or threw): bump mtime by rewriting the
+          // token. Crash mid-write leaves a content-less lock nobody
+          // owns until TTL — the same exposure as any holder crash.
+          tokens.get(key).foreach { token =>
+            val out = f.create(p, true)
+            try out.write(
+              token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            finally out.close()
+          }
+          after = f.getFileStatus(p).getModificationTime
+        }
+        // before >= now: the lock was stamped within this clock tick —
+        // already maximally fresh, nothing to extend
+        after > before || before >= now
+      } catch { case _: java.io.IOException => false }
+    } && isHeldByMe(key)
   }
 
   /** Runtime form of the "caller holds the dataset's RunLock"

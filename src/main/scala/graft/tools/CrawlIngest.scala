@@ -304,7 +304,16 @@ object CrawlIngest {
     lock.withLock(lockKey(dataset), owner = "crawl-backfill",
         ttlMinutes = ttlMinutes) {
       days.sortBy(_.getTime).map { d =>
-        lock.refresh(lockKey(dataset)) // TTL measures idle, not range
+        // TTL measures idle, not range — and a FAILED refresh means the
+        // lock is no longer ours (TTL takeover, or a store that cannot
+        // extend mtimes): abort BEFORE the day starts rather than letting
+        // run()'s assertHeld catch it mid-day after discovery work.
+        // Completed days are durable; rerunning the backfill converges.
+        if (!lock.refresh(lockKey(dataset)))
+          throw new IllegalStateException(
+            s"backfill lost RunLock '${lockKey(dataset)}' before day $d " +
+              "(TTL takeover or unrefreshable store) — aborting; " +
+              "completed days are committed, rerun to resume")
         d -> run(spark, lake, state, dd, cp, out, pathsFor(d), dataset,
           d, ttlDays, qualityGate = qualityGate, langModel = langModel,
           blockedDomains = blockedDomains, lexicon = lexicon,

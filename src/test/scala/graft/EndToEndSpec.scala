@@ -1185,6 +1185,25 @@ class EndToEndSpec extends SparkSpec {
         pathsFor(day("2024-03-04")), "bf_crawl", day("2024-03-04"),
         ttlDays = 30, lock = Some(lock))
     }
+
+    // a refresh that FAILS mid-backfill (TTL takeover, or a store that
+    // cannot extend mtimes) aborts BEFORE the next day starts — not
+    // mid-day at run's next state-mutation guard after discovery work
+    // (advisor-found, r15: the Boolean was discarded)
+    val flaky = new RunLock(spark, lockDir) {
+      private var calls = 0
+      override def refresh(key: String): Boolean = {
+        calls += 1; calls <= 1 && super.refresh(key)
+      }
+    }
+    val ex = intercept[IllegalStateException] {
+      CrawlIngest.backfill(spark, lake, state, dd, cp, out, flaky,
+        "bf_crawl", Seq(day("2024-03-04"), day("2024-03-05")), pathsFor,
+        ttlDays = 30)
+    }
+    assert(ex.getMessage.contains("backfill lost RunLock"))
+    // the completed day landed before the abort; the failed day did not
+    assert(lake.read(out).filter($"ingest_day" === day("2024-03-04")).count() === 1)
   }
 
   test("daily ingest with the semantic gate: bootstrap, cross-day drop, replay") {

@@ -1031,6 +1031,39 @@ class LakeSpec extends SparkSpec {
       .as[(Long, Int, java.sql.Date)].collect().toSet === rows)
     assert(spark.catalog.listColumns("state_bkh.t").collect()
       .filter(_.isPartition).map(_.name).toSeq === Seq("seen_date"))
+
+    // the COUNTED format (r16 writer): a mid-rewrite crash heals from
+    // "v1 <n>" with no catalog table at all
+    spark.table("state_bkh.t").write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(snap.toString)
+    val cnt = fs.create(new org.apache.hadoop.fs.Path(snap, "_graft_partcols"), true)
+    cnt.write("v1 1\nseen_date\nend".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    cnt.close()
+    spark.sql("DROP TABLE state_bkh.t")
+    fs.delete(new org.apache.hadoop.fs.Path(lake.path(ref)), true)
+    lake.compactBucketed(ref, "k", 4)
+    assert(!fs.exists(snap))
+    assert(spark.table("state_bkh.t")
+      .as[(Long, Int, java.sql.Date)].collect().toSet === rows)
+    assert(spark.catalog.listColumns("state_bkh.t").collect()
+      .filter(_.isPartition).map(_.name).toSeq === Seq("seen_date"))
+
+    // advisor-found (r15) ambiguity: a torn prefix of a list whose
+    // MIDDLE column is literally named "end" — "v1 3\na\nend" from
+    // ["a","end","b"] — parsed as a committed 2-entry list under the
+    // bare-terminator format. The count makes it torn (3 declared,
+    // 1 listed): catalog fallback, partition layer preserved.
+    spark.table("state_bkh.t").write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(snap.toString)
+    val amb = fs.create(new org.apache.hadoop.fs.Path(snap, "_graft_partcols"), true)
+    amb.write("v1 3\na\nend".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    amb.close()
+    lake.compactBucketed(ref, "k", 4)
+    assert(!fs.exists(snap))
+    assert(spark.table("state_bkh.t")
+      .as[(Long, Int, java.sql.Date)].collect().toSet === rows)
+    assert(spark.catalog.listColumns("state_bkh.t").collect()
+      .filter(_.isPartition).map(_.name).toSeq === Seq("seen_date"))
     spark.sql("DROP TABLE state_bkh.t")
   }
 

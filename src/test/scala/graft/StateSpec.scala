@@ -267,12 +267,23 @@ class StateSpec extends SparkSpec {
     p3.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .setTimes(p3, System.currentTimeMillis() - 10 * 60000L, -1)
     assert(worker.refresh("k3")) // between units of work
+    // refresh VERIFIES the stamp (advisor-found, r15: setTimes is a
+    // silent no-op on some stores): the mtime must actually have moved
+    // off the aged value, or refresh must have said false
+    val agedBy10Min = System.currentTimeMillis() - 9 * 60000L
+    assert(p3.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(p3).getModificationTime > agedBy10Min,
+      "refresh returned true without advancing the mtime")
     val contender = new RunLock(spark, dir)
     assert(!contender.tryAcquire("k3", owner = "c", ttlMinutes = 5),
       "a refreshed lock must not read as stale")
     assert(worker.isHeldByMe("k3"))
     worker.release("k3")
     assert(!worker.refresh("k3")) // cannot resurrect a released lock
+    // refresh after a TTL takeover: the old holder must learn it lost
+    // the lock (the check→stamp TOCTOU re-verifies ownership at the end)
+    assert(!holder.refresh("k2"),
+      "refresh must report a lock lost to takeover")
   }
 
   test("run lock: stale takeover under 8-way contention admits exactly one") {
