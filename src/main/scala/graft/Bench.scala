@@ -76,6 +76,43 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Noise-gate retry policy (pure — spec-driven): run `attempt` until
+    * its reported jitter clears `maxJitter` or `maxAttempts` is
+    * exhausted, and keep the QUIETEST attempt seen. The r15 lesson: the
+    * calibration canary (stddev/median of the fixed CPU-bound workload)
+    * was computed and printed but never acted on, so an ambient-load
+    * spike recorded q51 at 48.2 s — 37× its idle-host time — as the
+    * round's number of record, with the canary at 95% jitter right
+    * beside it. Returns (bestJitter, bestPayload, attemptsRun); the
+    * caller stamps `noisy_host` when even the best attempt is above the
+    * gate — a wrong number may still be recorded, but never silently. */
+  def retryUntilQuiet[A](maxAttempts: Int, maxJitter: Double)(
+      attempt: () => (Double, A)): (Double, A, Int) = {
+    require(maxAttempts >= 1, "need at least one attempt")
+    var best = attempt()
+    var n = 1
+    while (best._1 > maxJitter && n < maxAttempts) {
+      val next = attempt()
+      if (next._1 < best._1) best = next
+      n += 1
+    }
+    (best._1, best._2, n)
+  }
+
+  /** stddev/median of the interleaved calibration samples — the
+    * host-noise canary [[retryUntilQuiet]] gates on. */
+  def jitterOf(cals: Seq[Double]): Double = {
+    val s = cals.sorted
+    val med =
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    if (med <= 0 || cals.size < 2) 0.0
+    else {
+      val m = cals.sum / cals.size
+      math.sqrt(cals.map(x => (x - m) * (x - m)).sum / (cals.size - 1)) / med
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.contains("--ab")) {
       graft.tools.BenchAb.main(args.dropWhile(_ != "--ab").drop(1))
@@ -122,15 +159,6 @@ object Bench {
         s"SPARK_GRAFT_BENCH_ITERS must be an integer, got '$itersStr'")
     }
     require(iterations >= 2, "bench needs >=2 iterations (run2 field)")
-    // One calibration sample per iteration, interleaved with the real
-    // runs so it sees the same ambient-load window they do. A throwaway
-    // first call absorbs its codegen compile.
-    calibration(spark)
-    val calAndRuns: Seq[(Double, Seq[(String, Double)])] =
-      Seq.fill(iterations)((calibration(spark), runHeadline()))
-    val cals = calAndRuns.map(_._1)
-    val runs: Seq[Seq[(String, Double)]] = calAndRuns.map(_._2)
-
     // Capture micro-batch: one tick of the streaming pipeline at this SF
     // (fresh lake each iteration, same median/stddev protocol).
     def microBatch(): Double = {
@@ -145,11 +173,42 @@ object Bench {
       cap.processBatch(raw, Timestamp.valueOf("2024-02-01 00:00:00"))
       (System.nanoTime() - t0) / 1e9
     }
-    microBatch() // untimed warm-up tick, same protocol as the queries
-    val mbs = Seq.fill(iterations)(microBatch())
-
-    val allRuns: Seq[Seq[(String, Double)]] =
-      runs.zip(mbs).map { case (r, mb) => r :+ ("micro_batch" -> mb) }
+    // One calibration sample per iteration, interleaved with the real
+    // runs so it sees the same ambient-load window they do. A throwaway
+    // first call absorbs its codegen compile; the micro-batch warm-up
+    // tick follows the same protocol as the queries.
+    calibration(spark)
+    microBatch()
+    // ONE timed attempt: `iterations` interleaved (calibration, queries)
+    // pairs plus the micro-batch ticks.
+    def sampleOnce(): (Seq[Double], Seq[Seq[(String, Double)]]) = {
+      val calAndRuns: Seq[(Double, Seq[(String, Double)])] =
+        Seq.fill(iterations)((calibration(spark), runHeadline()))
+      val mbs = Seq.fill(iterations)(microBatch())
+      (calAndRuns.map(_._1),
+        calAndRuns.map(_._2).zip(mbs).map { case (r, mb) =>
+          r :+ ("micro_batch" -> mb)
+        })
+    }
+    // The noise gate (r15: BENCH_r15.json recorded an ambient-load
+    // spike as the round's numbers while its own canary read 95%
+    // jitter — the harness computed the canary but never acted on it).
+    // A noisy attempt re-runs, bounded; the quietest attempt is the
+    // one recorded, and `noisy_host` stamps the record either way.
+    val maxJitter =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_JITTER", "0.25").toDouble
+    val maxAttempts =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_ATTEMPTS", "3").toInt
+    val (calJitter, (cals, allRuns), attempts) =
+      retryUntilQuiet(maxAttempts, maxJitter) { () =>
+        val s = sampleOnce()
+        (jitterOf(s._1), s)
+      }
+    val noisyHost = calJitter > maxJitter
+    if (noisyHost)
+      System.err.println(f"[bench] WARNING: calibration jitter " +
+        f"$calJitter%.3f still above $maxJitter%.2f after $attempts " +
+        "attempt(s) - recording the quietest attempt with noisy_host=true")
     val names = allRuns.head.map(_._1)
     val samples: Map[String, Seq[Double]] =
       names.map(n => n -> allRuns.map(_.toMap.apply(n))).toMap
@@ -195,7 +254,7 @@ object Bench {
     // full per-run detail goes to stderr for humans.
     val calMedian = median(cals)
     System.err.println(f"""[bench-detail] {"queries_run1":${toJson(allRuns.head)},"total_run1":$total%.3f,"queries_run2":${toJson(allRuns(1))},"total_run2":${allRuns(1).map(_._2).sum}%.3f}""")
-    val line = f"""{"metric":"total","value":$totalMedian%.3f,"unit":"sec","value_semantics":"median_of_$iterations","queries":${toJson(medians)},"stddev":${toJson(stddevs)},"total_median":$totalMedian%.3f,"total_r8_comparable":$totalR8Comparable%.3f,"calibration_s":$calMedian%.3f,"calibration_stddev":${stddev(cals)}%.3f,"total_per_cal":${totalMedian / calMedian}%.3f,"iterations":$iterations,"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$totalMedian%.3f,"unit":"sec","value_semantics":"median_of_$iterations","queries":${toJson(medians)},"stddev":${toJson(stddevs)},"total_median":$totalMedian%.3f,"total_r8_comparable":$totalR8Comparable%.3f,"calibration_s":$calMedian%.3f,"calibration_stddev":${stddev(cals)}%.3f,"calibration_jitter":$calJitter%.3f,"noisy_host":$noisyHost,"attempts":$attempts,"total_per_cal":${totalMedian / calMedian}%.3f,"iterations":$iterations,"sf":"$sfDir"}"""
     if (line.length > 1900)
       System.err.println(s"[bench] WARNING: stdout JSON is ${line.length} " +
         "chars - may exceed the driver's 2000-char tail capture")

@@ -802,4 +802,39 @@ class ExtrasSpec extends SparkSpec {
     assert(got("only")._1 === 2L && got("only")._2 === 0L)
     assert(got("only")._3.isNaN, got("only").toString)
   }
+
+  test("bench noise gate: retries on a loaded host, keeps the quietest attempt") {
+    // the r15 lesson: the calibration canary read 95% jitter while the
+    // harness recorded a 48 s q51 that was really 1.28 s — the gate
+    // must RE-RUN a noisy attempt and stamp the record either way
+    var calls = 0
+    val jitters = Seq(0.95, 0.40, 0.08) // loaded → settling → idle
+    def attempt(): (Double, String) = {
+      val j = jitters(calls); calls += 1; (j, s"payload$calls")
+    }
+    val (j, payload, n) = Bench.retryUntilQuiet(5, 0.25)(attempt _)
+    assert(n === 3, "must retry until the canary clears the gate")
+    assert(j === 0.08 && payload === "payload3")
+
+    // quiet first attempt: no retry at all
+    calls = 0
+    val (j1, _, n1) = Bench.retryUntilQuiet(5, 0.25)(() => { calls += 1; (0.02, "p") })
+    assert(n1 === 1 && j1 === 0.02 && calls === 1)
+
+    // never-quiet host: bounded attempts, QUIETEST one wins, and the
+    // caller's noisy_host stamp fires (jitter still above the gate)
+    var seq2 = Seq(0.90, 0.60, 0.75)
+    val (j2, p2, n2) = Bench.retryUntilQuiet(3, 0.25)(() => {
+      val h = seq2.head; seq2 = seq2.tail; (h, s"a$h")
+    })
+    assert(n2 === 3 && j2 === 0.60 && p2 === "a0.6")
+    assert(j2 > 0.25, "caller stamps noisy_host from exactly this check")
+
+    // jitterOf: the canary itself — stddev/median of the interleaved
+    // calibration samples; a constant series is 0, a spiky one is large
+    assert(Bench.jitterOf(Seq(1.0, 1.0, 1.0)) === 0.0)
+    assert(Bench.jitterOf(Seq(1.0)) === 0.0) // too few samples
+    val spiky = Bench.jitterOf(Seq(0.5, 0.6, 37.0))
+    assert(spiky > 5.0, s"spike must scream: $spiky")
+  }
 }
