@@ -363,30 +363,17 @@ object TrainingData {
     // docs pass through the join as null-span rows and keep their
     // text untouched.
     "q138_decontam_scrub" -> ((s, dir) => {
+      // 0-based shingle index j covers words j..j+2; margin 2 → remove
+      // word indices in [j-2, j+4] (inclusive, clamped at 0). The
+      // shared TextOps.decontamScrub merges the per-hit spans to
+      // sorted disjoint intervals and rebuilds through the gap slices
+      // (O(words + spans); the raw-span exists filter it replaced was
+      // O(words × spans) — quadratic under pathological contamination)
       val (_, testSh) = contaminationInputs(s, dir)
       val train = contaminationSplit(s, dir)._1
         .select(col("doc_id"), col("text"))
-      // 0-based shingle index j covers words j..j+2; margin 2 → remove
-      // word indices in [j-2, j+4] (inclusive, clamped at 0)
-      val hits = train
-        .select(col("doc_id"),
-          posexplode(TextOps.shingles(col("text"), 3)).as(Seq("j", "sh")))
-        .join(testSh, Seq("sh"), "left_semi")
-      val spans = hits.groupBy(col("doc_id"))
-        .agg(collect_list(struct(
-          greatest(col("j") - 2, lit(0)).as("lo"),
-          (col("j") + 4).as("hi"))).as("spans"))
-      val words = split(col("text"), " ")
-      val kept = filter(words, (w, i) =>
-        !exists(col("spans"), sp =>
-          i >= sp.getField("lo") && i <= sp.getField("hi")))
-      train.join(spans, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          when(col("spans").isNull, lit(0L))
-            .otherwise((size(words) - size(kept)).cast("long"))
-            .as("n_removed"),
-          when(col("spans").isNull, col("text"))
-            .otherwise(array_join(kept, " ")).as("text_clean"))
+      TextOps.decontamScrub(train, "doc_id", "text", testSh,
+          n = 3, margin = 2)
         .orderBy(col("doc_id"))
     }),
     // The Gopher document-quality rules (Rae et al. 2021 §A1.1 — the

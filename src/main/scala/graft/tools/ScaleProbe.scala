@@ -96,6 +96,21 @@ object ScaleProbe {
         val matched = trainSh.join(testSh, Seq("sh"), "left_semi").count()
         println(s"[probe] $dir q91 matched train occurrences: $matched")
       }
+      // q138 exponent decomposition (q91's data-vs-algorithm split
+      // applies verbatim — same synthetic superlinear contamination
+      // density): the only frame that shuffles is the (id, lo, hi)
+      // collision-span list, so bytes growing WITH the collision count
+      // is the linear plan behaving; report the count so the raw
+      // exponent is read against the query's own input growth.
+      if (probes.contains("q138_decontam_scrub")) {
+        val (train, _) =
+          graft.queries.TrainingData.contaminationSplit(spark, dir)
+        val nSpans = graft.functions.TextOps.decontamHits(
+          train.select(col("doc_id"), col("text")), "doc_id", "text",
+          graft.queries.TrainingData.contaminationInputs(spark, dir)._2,
+          3, 2).count()
+        println(s"[probe] $dir q138 collision spans: $nSpans")
+      }
       val perQuery = probes.map { name =>
         val (sec, bytes) =
           measure(noop(graft.SparkEntry.queries(name)(spark, dir)))
@@ -307,6 +322,55 @@ object ScaleProbe {
           else math.log(bHi.toDouble / bLo) / math.log(rowRatio)
         println(f"[probe] q124_viral_line_skew: ${bLo / 1048576.0}%.2f -> " +
           f"${bHi / 1048576.0}%.2f MiB, exponent $exp%.2f")
+      } finally Seq(skLo, skHi).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    }
+
+    // q138 at the PATHOLOGICAL-CONTAMINATION regime: ONE train doc's
+    // text grows a ~30k-word tail that is 30% test-set text, interleaved
+    // so the collision spans stay DISJOINT (a 3-gram hit every 10 words
+    // → ~3k merged intervals on one row). The r15 rebuild ran `exists`
+    // over the RAW span list per word — O(words × spans), ~9e7 struct
+    // compares on this one task — while the merged-interval gap walk is
+    // O(words + spans log spans). Bytes should track the corpus decade
+    // (the tail is a constant), and the wall-clock at each SF should
+    // stay near the plain q138 run's.
+    if (probes.exists(_.startsWith("q138"))) {
+      def skewDir(src: String): String = {
+        val out = java.nio.file.Files
+          .createTempDirectory(s"graft_decon_${new java.io.File(src).getName}_")
+          .toString
+        val docs = Tables.load(spark, src, "documents")
+        val pct = graft.functions.TextOps.hashBucket(col("doc_id"))
+        // a REAL test-split 3-gram: the skew must collide with the
+        // query's own test set, not a synthetic stranger
+        val testShingle = docs.withColumn("pct", pct)
+          .filter(col("pct") >= 90).orderBy(col("doc_id"))
+          .select(col("text")).head().getString(0)
+          .split(" ").take(3).mkString(" ")
+        // 3 hit words + 7 never-colliding fillers per unit: hits land
+        // every 10 words, margin 2 keeps the spans disjoint (~3k of them)
+        val unit = testShingle + " zq1 zq2 zq3 zq4 zq5 zq6 zq7"
+        val blob = Seq.fill(3000)(unit).mkString(" ")
+        val trainMin = docs.withColumn("pct", pct)
+          .filter(col("pct") < 80).agg(min(col("doc_id"))).head().getLong(0)
+        docs.withColumn("text",
+            when(col("doc_id") === trainMin,
+              concat(col("text"), lit(" " + blob))).otherwise(col("text")))
+          .write.mode("overwrite").parquet(s"$out/documents.parquet")
+        out
+      }
+      val (skLo, skHi) = (skewDir(lo), skewDir(hi))
+      try {
+        val (sLo, bLo) =
+          measure(noop(graft.SparkEntry.queries("q138_decontam_scrub")(spark, skLo)))
+        val (sHi, bHi) =
+          measure(noop(graft.SparkEntry.queries("q138_decontam_scrub")(spark, skHi)))
+        val exp =
+          if (bLo <= 0 || bHi <= 0 || rowRatio <= 1.0) Double.NaN
+          else math.log(bHi.toDouble / bLo) / math.log(rowRatio)
+        println(f"[probe] q138_contamination_skew: ${bLo / 1048576.0}%.2f -> " +
+          f"${bHi / 1048576.0}%.2f MiB ($sLo%.2f -> $sHi%.2f s), exponent $exp%.2f")
       } finally Seq(skLo, skHi).foreach(d =>
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
     }
