@@ -284,6 +284,62 @@ class CorpusDedup(spark: SparkSession, lake: Lake, dataset: String,
   def expireLines(minDate: java.sql.Date): Unit =
     expireDated(linesDatedRef, minDate)
 
+  // ---- benchmark decontamination (test-set shingles, dated) ------------
+
+  val testShinglesRef: TableRef = TableRef("state", dataset, "test_shingles_dated")
+
+  /** Test-set entries are never TTL'd — a released benchmark stays
+    * forbidden; decontamination has no recency window — so the
+    * idempotent anti-join on commit runs against the FULL history. */
+  private val testShinglesEpoch = java.sql.Date.valueOf("1970-01-01")
+
+  /** Register a benchmark/test set's DISTINCT word `n`-grams under
+    * `date`. This is an OUT-OF-BAND registration (a benchmark release,
+    * not a batch commit — the reference analog is the staged treat
+    * config arriving beside the flow, pipelines/rj_smtr/tasks.py:1403),
+    * but it shares [[commitSeen]]'s discipline: idempotent (shingles
+    * already registered are not re-added), bucketed on `sh`, and runs
+    * under the dataset's RunLock like every state mutation.
+    *
+    * The `seen_date` partition exists for the REPLAY contract, not for
+    * expiry: [[decontamScrubSince]] reads strictly-BEFORE partitions,
+    * so a set registered on day d scrubs ingests from d+1 on, and a
+    * crash replay of day d computes the identical scrub no matter what
+    * was registered since. Backdating a registration (date < an
+    * already-ingested day) breaks that contract — register with the
+    * release date and let the next ingests pick it up. */
+  def commitTestShingles(testDocs: DataFrame, textCol: String,
+                         date: java.sql.Date, n: Int = 3): Unit =
+    commitSeen(testDocs
+        .select(explode(graft.functions.TextOps.shingles(col(textCol), n))
+          .as("sh"))
+        .distinct(),
+      testShinglesRef, Seq("sh"), "sh", Some((date, testShinglesEpoch)))
+
+  /** Decontamination stage of the daily ingest: GPT-3 appendix-C span
+    * removal ([[graft.functions.TextOps.decontamScrub]], the q138
+    * operator) against every test set registered STRICTLY BEFORE
+    * `beforeDate`. Same replay discipline as [[scrubLinesSince]]'s
+    * beforeDate: the window a crash replay sees cannot include
+    * registrations that landed after the original attempt started.
+    * Passthrough (n_removed = 0) until the first registration.
+    *
+    * Scale shape: the q138 plan's — only (id, lo, hi) collision spans
+    * shuffle; the registered shingle table broadcast-joins at
+    * benchmark scale (test suites are MBs against a 100 TB corpus). */
+  def decontamScrubSince(docs: DataFrame, idCol: String, textCol: String,
+                         beforeDate: java.sql.Date, n: Int = 3,
+                         margin: Int = 2): DataFrame =
+    if (!tableExists(testShinglesRef))
+      docs.select(col(idCol) +: docs.columns.filterNot(c =>
+          c == idCol || c == textCol).map(col).toSeq :+
+        lit(0L).as("n_removed") :+ col(textCol).as("text_clean"): _*)
+    else
+      graft.functions.TextOps.decontamScrub(docs, idCol, textCol,
+        spark.table(qualified(testShinglesRef))
+          .filter(col("seen_date") < lit(beforeDate)).select(col("sh")),
+        n, margin)
+
   // ---- near-dup (MinHash-LSH candidate level) --------------------------
 
   private def bandsOf(docs: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -138,6 +138,7 @@ object CrawlIngest {
           lineScrub: Boolean = false,
           nearDupVerify: Option[Double] = None,
           gopherRules: Option[(Long, Long)] = None,
+          decontam: Boolean = false,
           minWords: Int = 3, maxLinkDensity: Double = 0.5,
           lock: Option[graft.state.RunLock] = None): CrawlResult = {
     import spark.implicits._
@@ -231,7 +232,8 @@ object CrawlIngest {
         val landed = DailyIngest.run(lake, dd, cp, out, docs,
           "doc_id", "text", "lang", day, ttlDays,
           lineScrub = lineScrub, qualityGate = qualityGate,
-          nearDupVerify = nearDupVerify, gopherRules = gopherRules)
+          nearDupVerify = nearDupVerify, gopherRules = gopherRules,
+          decontam = decontam)
         guard()
         state.markProcessed(pKey, manifest)
         logSegments(spark, lake, dataset, manifest, day,
@@ -299,6 +301,7 @@ object CrawlIngest {
                lineScrub: Boolean = false,
                nearDupVerify: Option[Double] = None,
                gopherRules: Option[(Long, Long)] = None,
+               decontam: Boolean = false,
                minWords: Int = 3, maxLinkDensity: Double = 0.5)
       : Option[Seq[(Date, CrawlResult)]] =
     lock.withLock(lockKey(dataset), owner = "crawl-backfill",
@@ -319,7 +322,7 @@ object CrawlIngest {
           blockedDomains = blockedDomains, lexicon = lexicon,
           perDomainCap = perDomainCap, lineScrub = lineScrub,
           nearDupVerify = nearDupVerify, gopherRules = gopherRules,
-          minWords = minWords,
+          decontam = decontam, minWords = minWords,
           maxLinkDensity = maxLinkDensity, lock = Some(lock))
       }
     }

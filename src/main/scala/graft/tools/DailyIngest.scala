@@ -117,6 +117,19 @@ object DailyIngest {
     * dataset's seen-set is first created and keep it — the two tables
     * are separate state.
     *
+    * `decontam = true` adds benchmark DECONTAMINATION as a REWRITE
+    * stage after the doc-level gates and before the line scrub: spans
+    * around collisions with every test set registered strictly before
+    * `day` ([[CorpusDedup.commitTestShingles]] — registration is
+    * out-of-band, a benchmark release) are removed via the q138
+    * operator ([[CorpusDedup.decontamScrubSince]]); docs scrubbed to
+    * nothing (pure benchmark text) drop like the line scrub's
+    * n_kept = 0 rule. Replay-exact by the same strictly-before-day
+    * window as every `beforeDate` in this composition: a crash replay
+    * sees the identical registered set even if a new benchmark landed
+    * since. Ordered BEFORE the line scrub so benchmark text can never
+    * survive as a "novel line" in the day's line seen-set view.
+    *
     * `gopherRules = Some((minWords, maxWords))` applies the Gopher
     * document-quality rule set (q137,
     * [[graft.functions.TextOps.gopherKeep]]) as the EARLIEST gate —
@@ -137,7 +150,8 @@ object DailyIngest {
           lineScrub: Boolean = false,
           qualityGate: Option[graft.functions.QualityClassifier.Model] = None,
           nearDupVerify: Option[Double] = None,
-          gopherRules: Option[(Long, Long)] = None)
+          gopherRules: Option[(Long, Long)] = None,
+          decontam: Boolean = false)
       : Long = {
     require(semanticThreshold.isEmpty || ann.nonEmpty,
       "semanticThreshold needs the ann leg — the index is the seen-set")
@@ -188,17 +202,35 @@ object DailyIngest {
     // keeps the stage replay-exact — see scrubLinesSince. The gated
     // frame persists because the scrub's two segment passes plus the
     // join-back would otherwise re-derive the 3-gate chain four times.
-    val semPersisted = if (lineScrub)
+    val semPersisted = if (lineScrub || decontam)
       Some(semNovel.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     else None
-    val gatedNovel = semPersisted.map { sem =>
-      val scrub = dd.scrubLinesSince(sem, idCol, textCol, minDate,
+    // benchmark decontamination rewrites FIRST (strictly-before-day
+    // registered sets — see the Scaladoc): a span of benchmark text
+    // must not reach the line segmenter, and a doc scrubbed to nothing
+    // is pure benchmark text and drops (originally-empty docs have
+    // n_removed = 0 and pass)
+    val decontamed = semPersisted.filter(_ => decontam).map { sem =>
+      dd.decontamScrubSince(sem, idCol, textCol, day)
+        .filter(col("n_removed") === 0 || col("text_clean") =!= "")
+        .drop("n_removed")
+        .withColumnRenamed("text_clean", textCol)
+    }.getOrElse(semPersisted.getOrElse(semNovel))
+    // with BOTH rewrite stages on, the intermediate persists too: the
+    // line scrub's two segment passes plus its join-back would re-run
+    // the span scrub three times otherwise
+    val decontamPersisted = if (decontam && lineScrub)
+      Some(decontamed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    else None
+    val lineBase = decontamPersisted.getOrElse(decontamed)
+    val gatedNovel = if (lineScrub) {
+      val scrub = dd.scrubLinesSince(lineBase, idCol, textCol, minDate,
         beforeDate = Some(day))
-      sem.drop(textCol).join(
+      lineBase.drop(textCol).join(
         scrub.filter(col("n_kept") > 0)
           .select(col(idCol), col("text_dedup").as(textCol)),
         Seq(idCol))
-    }.getOrElse(semNovel)
+    } else lineBase
     // persisted: `novel` is the most expensive frame of the composition
     // (three dedup gates deep) and is consumed by the land, the ANN leg
     // and the pack commit — without the cache each consumer re-derives
@@ -250,6 +282,7 @@ object DailyIngest {
       landed
     } finally {
       novel.unpersist(blocking = false)
+      decontamPersisted.foreach(_.unpersist(blocking = false))
       semPersisted.foreach(_.unpersist(blocking = false))
     }
   }
@@ -504,6 +537,9 @@ object DailyIngest {
     val vocabArg = rest.lift(4)
     val pqRefine = rest.lift(5).map(_.toInt)
     val lineScrub = rest.lift(6).contains("scrub-lines")
+    // literal `decontam` in position 8: scrub registered-benchmark
+    // spans (CorpusDedup.commitTestShingles registers sets out-of-band)
+    val decontam = rest.lift(7).contains("decontam")
     // The dedup seen-sets and ANN lists are CATALOG tables (bucket specs
     // live in the metastore); with Spark's default in-memory catalog a
     // new JVM forgets them and every day-2 run re-admits the whole
@@ -541,7 +577,7 @@ object DailyIngest {
       val n = run(lake, dd, cp, TableRef("prod", "crawl", "packed"),
         docs, "doc_id", "text", "lang", day, ttlDays,
         ann = ann, semanticThreshold = semTh, vocab = vocab,
-        pqRefine = pqRefine, lineScrub = lineScrub)
+        pqRefine = pqRefine, lineScrub = lineScrub, decontam = decontam)
       // health watch: drift on the RAW feed (pre-dedup, keyed by lang;
       // NaN = a language vanished = maximal drift) plus generic quality
       // checks on the landed partition, routed through the alert sink

@@ -733,6 +733,96 @@ class EndToEndSpec extends SparkSpec {
     assert(lake.read(out).count() === 6)
   }
 
+  test("daily ingest with decontamination: registered benchmark spans strip, crash replay exact") {
+    import graft.lake.{CorpusDedup, CorpusPack}
+    import graft.tools.DailyIngest
+    val lake = new Lake(spark, tmpDir("dc_lake"))
+    val dd = new CorpusDedup(spark, lake, "dc_crawl", numBuckets = 4)
+    val cp = new CorpusPack(spark,
+      new StateStore(spark, tmpDir("dc_state")), "dc_crawl",
+      budgetTokens = 1024L)
+    val out = TableRef("prod", "dc_crawl", "packed")
+    def day(d: String) = java.sql.Date.valueOf(d)
+    def ingest(docs: org.apache.spark.sql.DataFrame, d: String): Long =
+      DailyIngest.run(lake, dd, cp, out,
+        docs.withColumn("lang", lit("en")), "doc_id", "text", "lang",
+        day(d), ttlDays = 30, decontam = true)
+    def nTok(t: String): Long = Seq(t).toDF("t")
+      .select(graft.functions.Bpe.bpeTokenCount($"t")).as[Long].head()
+
+    // day 1: NO test set registered yet — the stage is a passthrough
+    val doc1 = (1 to 10).map(i => s"w$i").mkString(" ")
+    assert(ingest(Seq((1L, doc1)).toDF("doc_id", "text"), "2024-03-01") === 1)
+    assert(lake.read(out).filter($"doc_id" === 1L)
+      .select($"n_tok").as[Long].head() === nTok(doc1))
+
+    // benchmark B releases on 03-01 (AFTER day 1 ingested — day 1 is
+    // already committed history and stays untouched); applies from 03-02
+    val bench = "alpha beta gamma delta epsilon"
+    dd.commitTestShingles(Seq(bench).toDF("text"), "text", day("2024-03-01"))
+    // registration is idempotent: a re-release re-adds nothing
+    val nState = spark.table("state_dc_crawl.test_shingles_dated").count()
+    dd.commitTestShingles(Seq(bench).toDF("text"), "text", day("2024-03-01"))
+    assert(spark.table("state_dc_crawl.test_shingles_dated").count() === nState)
+
+    // day 2: doc 10 carries ONE benchmark trigram mid-text — the span
+    // (hit ± margin 2) strips, neighbors included; doc 11 is PURE
+    // benchmark text — scrubbed to nothing, dropped; doc 12 is clean
+    val doc10 = ((1 to 8).map(i => s"c$i") ++ Seq("alpha", "beta", "gamma") ++
+      (9 to 12).map(i => s"c$i")).mkString(" ")
+    val doc10Clean = ((1 to 6).map(i => s"c$i") ++ Seq("c11", "c12")).mkString(" ")
+    val doc12 = (1 to 10).map(i => s"d$i").mkString(" ")
+    assert(ingest(Seq((10L, doc10), (11L, bench), (12L, doc12))
+      .toDF("doc_id", "text"), "2024-03-02") === 2)
+    val landed2 = lake.read(out).filter($"ingest_day" === day("2024-03-02"))
+      .select($"doc_id", $"n_tok").as[(Long, Long)].collect().toMap
+    assert(landed2.keySet === Set(10L, 12L), "pure-benchmark doc must drop")
+    assert(landed2(10L) === nTok(doc10Clean),
+      "doc 10 must land with the SCRUBBED token count")
+
+    // crash window (the widest: day 3 landed, NO commit ran). The
+    // replay must recompute the identical scrub — even though a NEW
+    // benchmark registers in between: its seen_date (03-03) is not
+    // strictly before day 3, so the replay's window excludes it.
+    val doc20 = ((1 to 4).map(i => s"e$i") ++ Seq("alpha", "beta", "gamma") ++
+      (5 to 8).map(i => s"e$i")).mkString(" ")
+    val doc20Clean = Seq("e1", "e2", "e7", "e8").mkString(" ")
+    val day3 = Seq((20L, doc20)).toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+    val scrub3 = dd.decontamScrubSince(day3, "doc_id", "text",
+      day("2024-03-03"))
+    assert(scrub3.select($"text_clean").as[String].head() === doc20Clean)
+    val novel3 = scrub3.drop("n_removed")
+      .withColumnRenamed("text_clean", "text")
+      .withColumn("n_tok", graft.functions.Bpe.bpeTokenCount(col("text")))
+    val packed3 = cp.assign(novel3, "lang", "doc_id", "n_tok", "2024-03-03")
+      .withColumn("ingest_day", lit(day("2024-03-03")))
+    lake.overwritePartitions(packed3.select(col("doc_id"), col("lang"),
+      col("n_tok"), col("pack_id"), col("ingest_day")), out,
+      partitionBy = Seq("ingest_day"))
+    // ...crash here (no commits). A second benchmark releases, dated
+    // the crash day — doc 20's OWN tail words, the worst case: seen by
+    // the replay, it would re-scrub doc 20 differently.
+    dd.commitTestShingles(Seq("e5 e6 e7 e8 e9").toDF("text"), "text",
+      day("2024-03-03"))
+    assert(ingest(day3, "2024-03-03") === 1)
+    assert(lake.read(out).filter($"doc_id" === 20L)
+      .select($"n_tok").as[Long].head() === nTok(doc20Clean),
+      "crash replay must scrub against the strictly-before-day window")
+    // replay after full commit converges too (exact gate swallows it)
+    assert(ingest(day3, "2024-03-03") === 1)
+    assert(lake.read(out).count() === 4)
+
+    // day 4 scrubs against BOTH benchmarks (03-03 < 03-04): doc 30
+    // repeats benchmark-2 text and loses its span
+    val doc30 = ((1 to 6).map(i => s"f$i") ++ Seq("e5", "e6", "e7") ++
+      (7 to 10).map(i => s"f$i")).mkString(" ")
+    val doc30Clean = ((1 to 4).map(i => s"f$i") ++ Seq("f9", "f10")).mkString(" ")
+    assert(ingest(Seq((30L, doc30)).toDF("doc_id", "text"), "2024-03-04") === 1)
+    assert(lake.read(out).filter($"doc_id" === 30L)
+      .select($"n_tok").as[Long].head() === nTok(doc30Clean))
+  }
+
   test("daily ingest with the trained quality gate: junk drops pre-dedup, replay exact") {
     import graft.lake.{CorpusDedup, CorpusPack}
     import graft.tools.DailyIngest
