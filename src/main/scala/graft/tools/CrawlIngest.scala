@@ -229,11 +229,14 @@ object CrawlIngest {
         docs.count()
         lexed.unpersist(blocking = false)
         guard() // DailyIngest commits seen-sets/cursors under the same key
+        // ...and re-asserts per commit itself (the r15 asymmetry: the
+        // runtime check used to stop at this boundary)
         val landed = DailyIngest.run(lake, dd, cp, out, docs,
           "doc_id", "text", "lang", day, ttlDays,
           lineScrub = lineScrub, qualityGate = qualityGate,
           nearDupVerify = nearDupVerify, gopherRules = gopherRules,
-          decontam = decontam)
+          decontam = decontam,
+          lock = lock.map(l => (l, lockKey(dataset))))
         guard()
         state.markProcessed(pKey, manifest)
         logSegments(spark, lake, dataset, manifest, day,

@@ -42,13 +42,30 @@ import graft.state.{RunLock, StateStore}
   * empty while the cursors still pointed before the landed rows — the
   * next day would then reuse the same pack ids for different documents.
   *
-  * All state mutations assume the dataset's [[RunLock]] (taken by
-  * [[main]]; library callers compose their own locking). [[maintain]]
-  * is the index-maintenance branch of the same schedule — periodic
-  * list compaction plus recall-triggered quantizer retrain — and runs
-  * under the same lock, after the day's ingest and [[expire]].
+  * All state mutations assume the dataset's [[RunLock]]. Pass
+  * `lock = Some((runLock, key))` to make that contract a RUNTIME CHECK
+  * (the [[CrawlIngest.run]] discipline): [[run]], [[expire]] and
+  * [[maintain]] then re-assert the lock before EVERY state mutation —
+  * the land, the index writes, the pack-cursor advance, each seen-set
+  * commit, the expiries and the compaction/retrain — catching both the
+  * caller that never acquired and the holder whose TTL was taken over
+  * mid-ingest. [[main]] passes its own lock through; library callers
+  * that compose their own locking should too, because a
+  * documentation-only contract drifts (r15 adjudication: the runtime
+  * check stopped at CrawlIngest while these commits trusted
+  * convention). [[maintain]] is the index-maintenance branch of the
+  * same schedule — periodic list compaction plus recall-triggered
+  * quantizer retrain — and runs under the same lock, after the day's
+  * ingest and [[expire]].
   */
 object DailyIngest {
+
+  /** The optional runtime form of the single-writer contract: (lock,
+    * key) asserted before every state mutation. */
+  type LockRef = Option[(RunLock, String)]
+
+  private def guard(lock: LockRef): Unit =
+    lock.foreach { case (l, k) => l.assertHeld(k) }
 
   /** One day's ingest. Returns the number of rows present in the day's
     * partition after the ingest — STABLE under replay (a clean rerun
@@ -151,7 +168,8 @@ object DailyIngest {
           qualityGate: Option[graft.functions.QualityClassifier.Model] = None,
           nearDupVerify: Option[Double] = None,
           gopherRules: Option[(Long, Long)] = None,
-          decontam: Boolean = false)
+          decontam: Boolean = false,
+          lock: LockRef = None)
       : Long = {
     require(semanticThreshold.isEmpty || ann.nonEmpty,
       "semanticThreshold needs the ann leg — the index is the seen-set")
@@ -248,6 +266,7 @@ object DailyIngest {
       // materialize-then-commit contract) and is itself idempotent: the
       // dynamic overwrite replaces exactly this day's partition, and an
       // empty frame touches no partition at all
+      guard(lock)
       lake.overwritePartitions(
         packed.select(col(idCol), col(langCol), col("n_tok"),
           col("pack_id"), col("ingest_day")),
@@ -255,6 +274,7 @@ object DailyIngest {
       val landed = lake.read(out)
         .filter(col("ingest_day") === lit(day)).count()
       ann.foreach { case (idx, embedCol) =>
+        guard(lock)
         val vecs = novel.select(col(idCol), col(embedCol))
         if (!idx.exists) {
           val n = vecs.count()
@@ -263,6 +283,7 @@ object DailyIngest {
               k = math.max(4, (n / 500L).toInt), day)
         } else idx.appendDated(vecs, idCol, embedCol, day)
       }
+      guard(lock)
       cp.commit(novel, langCol, idCol, "n_tok", batchId)
       // seen-set contract: the ADMITTED frame (post-quality-gate), not
       // the raw batch. Committing pre-gate docs would mean a later,
@@ -271,14 +292,16 @@ object DailyIngest {
       // Gate-dropped docs re-arriving re-score the same (the model is
       // a constant), so excluding them loses no dedup power; replay
       // recomputes the identical admitted frame from unchanged state.
+      guard(lock)
       dd.commitExactDated(admitted, textCol, day, minDate)
+      guard(lock)
       nearDupVerify match {
         case Some(_) =>
           dd.commitNearDupVerifiedDated(admitted, idCol, textCol, day, minDate)
         case None =>
           dd.commitNearDupDated(admitted, idCol, textCol, day, minDate)
       }
-      if (lineScrub) dd.commitLinesDated(admitted, textCol, day, minDate)
+      if (lineScrub) { guard(lock); dd.commitLinesDated(admitted, textCol, day, minDate) }
       landed
     } finally {
       novel.unpersist(blocking = false)
@@ -291,8 +314,9 @@ object DailyIngest {
     * the window start — the maintenance tick a scheduler runs after
     * (not during) the day's ingest. */
   def expire(dd: CorpusDedup, day: Date, ttlDays: Int,
-             ann: Option[AnnIndex] = None): Unit = {
+             ann: Option[AnnIndex] = None, lock: LockRef = None): Unit = {
     val minDate = Date.valueOf(day.toLocalDate.minusDays(ttlDays.toLong))
+    guard(lock)
     dd.expireExact(minDate)
     dd.expireNearDup(minDate)
     dd.expireNearDupVerified(minDate) // no-op until a verified ingest
@@ -331,11 +355,11 @@ object DailyIngest {
   def maintain(idx: AnnIndex, day: Date, compactEveryDays: Int = 7,
                minRecall: Double = 0.9, nQueries: Int = 16, k: Int = 10,
                nprobe: Int = 2, perCellDivisor: Int = 500,
-               minRetrainRows: Long = 64L): Maintenance = {
+               minRetrainRows: Long = 64L, lock: LockRef = None): Maintenance = {
     if (!idx.exists) return Maintenance(compacted = false, 1.0,
       retrained = false, 1.0)
     val compacted = day.toLocalDate.toEpochDay % compactEveryDays == 0
-    if (compacted) idx.compact()
+    if (compacted) { guard(lock); idx.compact() }
     val before = idx.measuredRecall(nQueries, k, nprobe)
     // storedCount (a lists-table scan) only when recall actually dips —
     // the healthy steady-state tick must not pay a daily full count
@@ -346,6 +370,7 @@ object DailyIngest {
       // draw of a small index can miss the drifted region entirely and
       // retrain into the same bad quantizer)
       val pct = if (n < 10000L) 100 else 10
+      guard(lock)
       idx.retrain(k = math.max(4, (n / perCellDivisor.toLong).toInt),
         samplePct = pct)
       Maintenance(compacted, before, retrained = true,
@@ -563,7 +588,9 @@ object DailyIngest {
     val day = Date.valueOf(dayStr)
     val ann = embedCol.map(c =>
       (new AnnIndex(spark, lake, "crawl_ann"), c))
-    val done = new RunLock(spark, stateRoot).withLock("crawl_daily_ingest") {
+    val runLock = new RunLock(spark, stateRoot)
+    val lockRef: LockRef = Some((runLock, "crawl_daily_ingest"))
+    val done = runLock.withLock("crawl_daily_ingest") {
       val docs = spark.read.parquet(input)
       // vocab resolution runs INSIDE the lock: day-one training and the
       // merges-file write are state mutations like any other
@@ -577,7 +604,8 @@ object DailyIngest {
       val n = run(lake, dd, cp, TableRef("prod", "crawl", "packed"),
         docs, "doc_id", "text", "lang", day, ttlDays,
         ann = ann, semanticThreshold = semTh, vocab = vocab,
-        pqRefine = pqRefine, lineScrub = lineScrub, decontam = decontam)
+        pqRefine = pqRefine, lineScrub = lineScrub, decontam = decontam,
+        lock = lockRef)
       // health watch: drift on the RAW feed (pre-dedup, keyed by lang;
       // NaN = a language vanished = maximal drift) plus generic quality
       // checks on the landed partition, routed through the alert sink
@@ -587,9 +615,9 @@ object DailyIngest {
         "doc_id", "lang", day, new graft.ops.ConsoleAlerter)
       if (nAlerts == 0)
         println(s"[daily-ingest] health: drift + quality clean vs previous day")
-      expire(dd, day, ttlDays, ann = ann.map(_._1))
+      expire(dd, day, ttlDays, ann = ann.map(_._1), lock = lockRef)
       ann.foreach { case (idx, _) =>
-        val m = maintain(idx, day)
+        val m = maintain(idx, day, lock = lockRef)
         println(s"[daily-ingest] ann maintenance: $m")
       }
       println(s"[daily-ingest] day=$day landed=$n")

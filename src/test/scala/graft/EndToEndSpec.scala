@@ -823,6 +823,58 @@ class EndToEndSpec extends SparkSpec {
       .select($"n_tok").as[Long].head() === nTok(doc30Clean))
   }
 
+  test("daily ingest under the runtime lock: unlocked caller refused, takeover stops commits") {
+    import graft.lake.{CorpusDedup, CorpusPack}
+    import graft.state.RunLock
+    import graft.tools.DailyIngest
+    val lake = new Lake(spark, tmpDir("lk_lake"))
+    val dd = new CorpusDedup(spark, lake, "lk_crawl", numBuckets = 4)
+    val cp = new CorpusPack(spark,
+      new StateStore(spark, tmpDir("lk_state")), "lk_crawl",
+      budgetTokens = 1024L)
+    val out = TableRef("prod", "lk_crawl", "packed")
+    val lockDir = tmpDir("lk_locks")
+    val lock = new RunLock(spark, lockDir)
+    def day(d: String) = java.sql.Date.valueOf(d)
+    def ingest(docs: org.apache.spark.sql.DataFrame, d: String): Long =
+      DailyIngest.run(lake, dd, cp, out,
+        docs.withColumn("lang", lit("en")), "doc_id", "text", "lang",
+        day(d), ttlDays = 30, lock = Some((lock, "lk_key")))
+    val docs1 = Seq((1L, "the history of the city and the river"))
+      .toDF("doc_id", "text")
+
+    // never acquired → refused BEFORE the land (r15: DailyIngest's
+    // commits trusted the Scaladoc while CrawlIngest asserted)
+    intercept[IllegalStateException] { ingest(docs1, "2024-03-01") }
+    val outPath = new org.apache.hadoop.fs.Path(lake.path(out))
+    assert(!outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(outPath), "an unlocked run must not land anything")
+
+    // held → the same call lands
+    assert(lock.tryAcquire("lk_key", owner = "scheduler"))
+    assert(ingest(docs1, "2024-03-01") === 1)
+
+    // TTL takeover between days: the overrun holder's next ingest must
+    // throw at its first state mutation, and the successor's must land
+    val p = new org.apache.hadoop.fs.Path(s"$lockDir/_locks/lk_key.lock")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .setTimes(p, System.currentTimeMillis() - 10 * 60000L, -1)
+    val taker = new RunLock(spark, lockDir)
+    assert(taker.tryAcquire("lk_key", owner = "successor", ttlMinutes = 5))
+    val docs2 = Seq((10L, "a study of the growth of a region"))
+      .toDF("doc_id", "text")
+    intercept[IllegalStateException] { ingest(docs2, "2024-03-02") }
+    intercept[IllegalStateException] {
+      DailyIngest.expire(dd, day("2024-03-02"), 30,
+        lock = Some((lock, "lk_key")))
+    }
+    assert(lake.read(out).count() === 1, "the lost holder landed nothing new")
+    val landed2 = DailyIngest.run(lake, dd, cp, out,
+      docs2.withColumn("lang", lit("en")), "doc_id", "text", "lang",
+      day("2024-03-02"), ttlDays = 30, lock = Some((taker, "lk_key")))
+    assert(landed2 === 1L)
+  }
+
   test("daily ingest with the trained quality gate: junk drops pre-dedup, replay exact") {
     import graft.lake.{CorpusDedup, CorpusPack}
     import graft.tools.DailyIngest
