@@ -175,6 +175,74 @@ object TextOps {
       st.getField("stop_present") >= 2L).cast("int")
   }
 
+  /** Per-domain curation rollup — the operational loop FineWeb /
+    * RefinedWeb teams actually run: curation decisions are triaged per
+    * SOURCE/DOMAIN, not per document, so the per-doc gate signals the
+    * engine already computes (the Gopher counters, exact-dup hashes,
+    * char mass) aggregate to one row per key with keep rates, per-rule
+    * violation counts and dup rates. The reference analog is the A5
+    * health-counts pattern (per-key status rollups,
+    * pipelines/rj_smtr/constants.py:244-330) applied to the crawl.
+    *
+    * `rawText` feeds the dup-rate hash (dedup is about the text as
+    * ingested); `gopherText` feeds the rule counters (callers may
+    * inject synthetic line structure — q139's oracle tail); `chars`
+    * is the char-mass column (a stored n_chars, or length(text)).
+    *
+    * Scale shape: ONE scan — every per-doc signal is scan-local
+    * codegen (the gopher byte-walk + md5) — and one partial-agg
+    * shuffle keyed by `keyCols` collapsing to a |domains×langs|-row
+    * frame; the countDistinct dup rate adds the standard two-phase
+    * distinct expansion keyed (key, hash). Rule-violation flags use
+    * the keep-side-inclusive boundary semantics of [[gopherKeep]]
+    * (violation = the REMOVE side, strictly past the threshold). */
+  def domainRollup(df: DataFrame, keyCols: Seq[String], rawText: Column,
+                   gopherText: Column, chars: Column,
+                   minWords: Long = 50L, maxWords: Long = 100000L)
+      : DataFrame = {
+    require(keyCols.nonEmpty, "domainRollup needs at least one key column")
+    val st = gopherStats(gopherText)
+    val w = st.getField("n_words").cast("double")
+    val lines = st.getField("n_lines").cast("double")
+    def flag(c: Column) = when(c, 1L).otherwise(0L)
+    val wordLen = st.getField("word_chars").cast("double") / w
+    val perDoc = df.select(keyCols.map(col) ++ Seq(
+      md5(rawText).as("__dr_h"),
+      chars.as("__dr_chars"),
+      st.getField("n_words").as("__dr_words"),
+      gopherKeep(st, minWords, maxWords).cast("long").as("__dr_keep"),
+      flag(st.getField("n_words") < minWords ||
+        st.getField("n_words") > maxWords).as("__dr_v_words"),
+      flag(wordLen < 3.0 || wordLen > 10.0).as("__dr_v_wordlen"),
+      flag(st.getField("hash_chars").cast("double") / w > 0.1 ||
+        st.getField("ellipsis_runs").cast("double") / w > 0.1)
+        .as("__dr_v_symbol"),
+      flag(st.getField("bullet_lines").cast("double") / lines > 0.9 ||
+        st.getField("ellipsis_lines").cast("double") / lines > 0.3)
+        .as("__dr_v_lines"),
+      flag(st.getField("alpha_words").cast("double") / w < 0.8)
+        .as("__dr_v_alpha"),
+      flag(st.getField("stop_present") < 2L).as("__dr_v_stop")): _*)
+    perDoc.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__dr_words")).as("total_words"),
+        // round only the AGG outputs (summation-order noise); the
+        // per-doc flags above are exact comparisons
+        round(sum(col("__dr_keep")).cast("double") / count(lit(1)), 4)
+          .as("keep_rate"),
+        sum(col("__dr_v_words")).as("n_v_words"),
+        sum(col("__dr_v_wordlen")).as("n_v_wordlen"),
+        sum(col("__dr_v_symbol")).as("n_v_symbol"),
+        sum(col("__dr_v_lines")).as("n_v_lines"),
+        sum(col("__dr_v_alpha")).as("n_v_alpha"),
+        sum(col("__dr_v_stop")).as("n_v_stop"),
+        round(lit(1.0) - countDistinct(col("__dr_h")).cast("double") /
+          count(lit(1)), 4).as("dup_rate"),
+        // exact long sum / one division — order-free (the q100 rule)
+        (sum(col("__dr_chars")).cast("double") / count(lit(1)))
+          .as("mean_chars"))
+  }
+
   /** Share of all word n-grams taken by the single most frequent one —
     * native one-pass hash count ([[graft.expressions.TopNgramFrac]],
     * O(tokens) per row; the earlier array_distinct × filter HOF was

@@ -150,6 +150,61 @@ object TrainingData {
       |  FROM bands a JOIN bands b USING (band_idx, band_key)
       |  WHERE a.doc_id < b.doc_id)""".stripMargin
 
+  /** Shared q137/q139 oracle CTE: the Gopher per-doc counters over the
+    * tail-injected text (mirrors `gopherTail` + the GopherStats
+    * byte-walk). Yields relation `s(doc_id, n_words, word_chars,
+    * alpha_words, n_lines, bullet_lines, ellipsis_lines, hash_chars,
+    * ell_runs, stop_present)`. */
+  private val gopherDocCte: String = {
+    val stopSum = GopherStats.Stops
+      .map(w => s"(CASE WHEN list_contains(words, '$w') THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""inj AS (
+       |  SELECT doc_id, text ||
+       |    CASE CAST(doc_id % 3 AS INT)
+       |      WHEN 0 THEN chr(10) || '- first bullet point' || chr(10) ||
+       |        '- second bullet point' || chr(10) ||
+       |        'that should have been it with the rest'
+       |      WHEN 1 THEN chr(10) || 'a trailing thought...' || chr(10) ||
+       |        '#tag line with more...' || chr(10) || 'the end of it...'
+       |      ELSE chr(10) || 'that line will have the words' || chr(10) ||
+       |        'with a plain closing'
+       |    END AS t
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(t, '[ \n]'), w -> w <> '') AS words,
+       |    string_split(t, chr(10)) AS lines,
+       |    len(t) - len(replace(t, '#', '')) AS hash_chars,
+       |    (len(t) - len(replace(t, '...', ''))) // 3 AS ell_runs
+       |  FROM inj),
+       |s AS (
+       |  SELECT doc_id,
+       |    len(words) AS n_words,
+       |    list_sum(list_transform(words, w -> len(w))) AS word_chars,
+       |    len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words,
+       |    len(lines) AS n_lines,
+       |    len(list_filter(lines, l -> ltrim(l, ' ') LIKE '-%'
+       |      OR ltrim(l, ' ') LIKE '*%')) AS bullet_lines,
+       |    len(list_filter(lines, l -> rtrim(l, ' ') LIKE '%...')) AS ellipsis_lines,
+       |    hash_chars, ell_runs,
+       |    ($stopSum) AS stop_present
+       |  FROM c)""".stripMargin
+  }
+
+  /** The Gopher keep decision over `s`'s columns (0/1) — shared by the
+    * q137 gate and q139's keep-rate aggregation. */
+  private val gopherKeepSql: String =
+    """CASE WHEN n_words BETWEEN 50 AND 100000
+      |    AND CAST(word_chars AS DOUBLE) / n_words >= 3.0
+      |    AND CAST(word_chars AS DOUBLE) / n_words <= 10.0
+      |    AND CAST(hash_chars AS DOUBLE) / n_words <= 0.1
+      |    AND CAST(ell_runs AS DOUBLE) / n_words <= 0.1
+      |    AND CAST(bullet_lines AS DOUBLE) / n_lines <= 0.9
+      |    AND CAST(ellipsis_lines AS DOUBLE) / n_lines <= 0.3
+      |    AND CAST(alpha_words AS DOUBLE) / n_words >= 0.8
+      |    AND stop_present >= 2 THEN 1 ELSE 0 END""".stripMargin
+
   /** DuckDB double dot product over 64-dim float lists (widened per
     * element, like the Spark side). */
   /** Shared q85/q91 inputs: (train (doc_id, sh) stream, distinct test
@@ -243,6 +298,23 @@ object TrainingData {
       .select(col("doc_id"),
         coalesce(col("comp"), col("doc_id")).as("cluster_id"))
   }
+
+  /** q137/q139 shared line-rule variance tail, INJECTED
+    * deterministically from doc_id (the q93 PII pattern: the flat
+    * synthetic corpus has no newlines/bullets/ellipses, so the Gopher
+    * line rules would be vacuous on it). Tails chosen so every rule
+    * FIRES somewhere and some docs still pass: %3==0/2 carry ≥2
+    * stopwords (pass iff the natural word count clears 50); %3==1 is
+    * ellipsis-heavy (3/4 lines) and is correctly rejected by the <30%
+    * ellipsis-line rule. ONE definition (mirrored by the shared oracle
+    * CTE) so the gate query and the domain rollup can never score the
+    * same document under different texts. */
+  private val gopherTail =
+    when(pmod(col("doc_id"), lit(3)) === 0,
+      lit("\n- first bullet point\n- second bullet point\nthat should have been it with the rest"))
+    .when(pmod(col("doc_id"), lit(3)) === 1,
+      lit("\na trailing thought...\n#tag line with more...\nthe end of it..."))
+    .otherwise(lit("\nthat line will have the words\nwith a plain closing"))
 
   /** q101/q107 language-share targets — ONE definition so the composed
     * recipe can never drift from the standalone resampler. The oracles
@@ -387,16 +459,7 @@ object TrainingData {
     // it) — the SAME CASE tail is built into the oracle. Zero
     // exchanges but the output sort: gating 100 TB is one scan.
     "q137_gopher_rules" -> ((s, dir) => {
-      // tails chosen so every rule FIRES somewhere and some docs still
-      // pass: %3==0/2 carry ≥2 stopwords (pass iff the natural word
-      // count clears 50); %3==1 is ellipsis-heavy (3/4 lines) and is
-      // correctly rejected by the <30% ellipsis-line rule
-      val tail = when(pmod(col("doc_id"), lit(3)) === 0,
-          lit("\n- first bullet point\n- second bullet point\nthat should have been it with the rest"))
-        .when(pmod(col("doc_id"), lit(3)) === 1,
-          lit("\na trailing thought...\n#tag line with more...\nthe end of it..."))
-        .otherwise(lit("\nthat line will have the words\nwith a plain closing"))
-      val st = TextOps.gopherStats(concat(col("text"), tail))
+      val st = TextOps.gopherStats(concat(col("text"), gopherTail))
       val w = st.getField("n_words").cast("double")
       val lines = st.getField("n_lines").cast("double")
       t(s, dir, "documents").select(col("doc_id"),
@@ -408,6 +471,21 @@ object TrainingData {
           st.getField("stop_present").as("stop_present"),
           TextOps.gopherKeep(st).as("keep"))
         .orderBy(col("doc_id"))
+    }),
+    // Per-domain curation rollup (TextOps.domainRollup — the
+    // FineWeb/RefinedWeb operational loop: curation teams triage
+    // domains, not documents): keep rates, per-rule Gopher violation
+    // counts, exact-dup rates and char mass per (source, lang), from
+    // the SAME per-doc signals q137/q100/q109 compute — one scan, one
+    // partial-agg shuffle to a |sources×langs|-row frame. The gopher
+    // counters run over the q137 tail-injected text (shared
+    // `gopherTail` — the two queries can never score a doc under
+    // different texts); the dup hash runs over the RAW text.
+    "q139_domain_rollup" -> ((s, dir) => {
+      TextOps.domainRollup(t(s, dir, "documents"),
+          Seq("source", "lang"), col("text"),
+          concat(col("text"), gopherTail), col("n_chars"))
+        .orderBy(col("source"), col("lang"))
     }),
     // MinHash LANE AGREEMENT over the LSH candidates — the decision
     // function of the verified cross-run near-dup gate
@@ -2084,41 +2162,8 @@ object TrainingData {
         |    END AS text_clean
         |FROM tr t LEFT JOIN spans s ON s.doc_id = t.doc_id
         |ORDER BY t.doc_id""".stripMargin,
-    "q137_gopher_rules" -> {
-      val stopSum = GopherStats.Stops
-        .map(w => s"(CASE WHEN list_contains(words, '$w') THEN 1 ELSE 0 END)")
-        .mkString(" + ")
-      s"""WITH inj AS (
-         |  SELECT doc_id, text ||
-         |    CASE CAST(doc_id % 3 AS INT)
-         |      WHEN 0 THEN chr(10) || '- first bullet point' || chr(10) ||
-         |        '- second bullet point' || chr(10) ||
-         |        'that should have been it with the rest'
-         |      WHEN 1 THEN chr(10) || 'a trailing thought...' || chr(10) ||
-         |        '#tag line with more...' || chr(10) || 'the end of it...'
-         |      ELSE chr(10) || 'that line will have the words' || chr(10) ||
-         |        'with a plain closing'
-         |    END AS t
-         |  FROM documents),
-         |c AS (
-         |  SELECT doc_id,
-         |    list_filter(string_split_regex(t, '[ \n]'), w -> w <> '') AS words,
-         |    string_split(t, chr(10)) AS lines,
-         |    len(t) - len(replace(t, '#', '')) AS hash_chars,
-         |    (len(t) - len(replace(t, '...', ''))) // 3 AS ell_runs
-         |  FROM inj),
-         |s AS (
-         |  SELECT doc_id,
-         |    len(words) AS n_words,
-         |    list_sum(list_transform(words, w -> len(w))) AS word_chars,
-         |    len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words,
-         |    len(lines) AS n_lines,
-         |    len(list_filter(lines, l -> ltrim(l, ' ') LIKE '-%'
-         |      OR ltrim(l, ' ') LIKE '*%')) AS bullet_lines,
-         |    len(list_filter(lines, l -> rtrim(l, ' ') LIKE '%...')) AS ellipsis_lines,
-         |    hash_chars, ell_runs,
-         |    ($stopSum) AS stop_present
-         |  FROM c)
+    "q137_gopher_rules" ->
+      s"""WITH $gopherDocCte
          |SELECT doc_id,
          |  CAST(n_words AS BIGINT) AS n_words,
          |  CAST(word_chars AS DOUBLE) / n_words AS mean_word_len,
@@ -2126,17 +2171,44 @@ object TrainingData {
          |  CAST(ellipsis_lines AS DOUBLE) / n_lines AS ellipsis_frac,
          |  CAST(alpha_words AS DOUBLE) / n_words AS alpha_frac,
          |  CAST(stop_present AS BIGINT) AS stop_present,
-         |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000
-         |    AND CAST(word_chars AS DOUBLE) / n_words >= 3.0
-         |    AND CAST(word_chars AS DOUBLE) / n_words <= 10.0
-         |    AND CAST(hash_chars AS DOUBLE) / n_words <= 0.1
-         |    AND CAST(ell_runs AS DOUBLE) / n_words <= 0.1
-         |    AND CAST(bullet_lines AS DOUBLE) / n_lines <= 0.9
-         |    AND CAST(ellipsis_lines AS DOUBLE) / n_lines <= 0.3
-         |    AND CAST(alpha_words AS DOUBLE) / n_words >= 0.8
-         |    AND stop_present >= 2 THEN 1 ELSE 0 END AS INT) AS keep
-         |FROM s ORDER BY doc_id""".stripMargin
-    },
+         |  CAST($gopherKeepSql AS INT) AS keep
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "q139_domain_rollup" ->
+      s"""WITH $gopherDocCte,
+         |k AS (
+         |  SELECT doc_id, n_words,
+         |    $gopherKeepSql AS keep,
+         |    CASE WHEN n_words < 50 OR n_words > 100000
+         |      THEN 1 ELSE 0 END AS v_words,
+         |    CASE WHEN CAST(word_chars AS DOUBLE) / n_words < 3.0
+         |      OR CAST(word_chars AS DOUBLE) / n_words > 10.0
+         |      THEN 1 ELSE 0 END AS v_wordlen,
+         |    CASE WHEN CAST(hash_chars AS DOUBLE) / n_words > 0.1
+         |      OR CAST(ell_runs AS DOUBLE) / n_words > 0.1
+         |      THEN 1 ELSE 0 END AS v_symbol,
+         |    CASE WHEN CAST(bullet_lines AS DOUBLE) / n_lines > 0.9
+         |      OR CAST(ellipsis_lines AS DOUBLE) / n_lines > 0.3
+         |      THEN 1 ELSE 0 END AS v_lines,
+         |    CASE WHEN CAST(alpha_words AS DOUBLE) / n_words < 0.8
+         |      THEN 1 ELSE 0 END AS v_alpha,
+         |    CASE WHEN stop_present < 2 THEN 1 ELSE 0 END AS v_stop
+         |  FROM s)
+         |SELECT d.source, d.lang,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(k.n_words) AS BIGINT) AS total_words,
+         |  round(CAST(SUM(k.keep) AS DOUBLE) / COUNT(*), 4) AS keep_rate,
+         |  CAST(SUM(k.v_words) AS BIGINT) AS n_v_words,
+         |  CAST(SUM(k.v_wordlen) AS BIGINT) AS n_v_wordlen,
+         |  CAST(SUM(k.v_symbol) AS BIGINT) AS n_v_symbol,
+         |  CAST(SUM(k.v_lines) AS BIGINT) AS n_v_lines,
+         |  CAST(SUM(k.v_alpha) AS BIGINT) AS n_v_alpha,
+         |  CAST(SUM(k.v_stop) AS BIGINT) AS n_v_stop,
+         |  round(1.0 - CAST(COUNT(DISTINCT md5(d.text)) AS DOUBLE) /
+         |    COUNT(*), 4) AS dup_rate,
+         |  CAST(SUM(d.n_chars) AS DOUBLE) / COUNT(*) AS mean_chars
+         |FROM documents d JOIN k USING (doc_id)
+         |GROUP BY d.source, d.lang
+         |ORDER BY d.source, d.lang""".stripMargin,
     "q135_lane_verify" -> {
       val agreeSql = (0 to 7)
         .map(i => s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)")

@@ -430,13 +430,23 @@ object DailyIngest {
     *    barely changed (a templating bug repeats the same head tokens:
     *    small JSD, big flattening). Keys with a null slope either day
     *    (< 2 distinct tokens) are the JSD's NaN territory, not
-    *    re-flagged here. */
+    *    re-flagged here.
+    *
+    *  - CURATION (q139,
+    *    [[graft.functions.TextOps.domainRollup]]): per-key Gopher keep
+    *    rate and exact-dup rate over the day's RAW feed — a key whose
+    *    keep rate falls below `minKeepRate` or whose dup rate exceeds
+    *    `maxDupRate` flags with its dominant violated rule, the signal
+    *    a curation team triages by (FineWeb's per-domain loop). One
+    *    extra scan of the day's batch, ≤ |keys| rows collected. */
   def healthTick(lake: Lake, histOut: TableRef, out: TableRef,
                  docs: DataFrame, keyCol: String, textCol: String,
                  idCol: String, langCol: String, day: Date,
                  alerter: graft.ops.Alerter,
                  jsdThreshold: Double = 0.05,
-                 slopeDelta: Double = 0.3): Int = {
+                 slopeDelta: Double = 0.3,
+                 minKeepRate: Double = 0.0,
+                 maxDupRate: Double = 1.0): Int = {
     import graft.ops.Alerts
     import graft.quality.Quality
     var sentMessages = 0
@@ -468,6 +478,36 @@ object DailyIngest {
           s"$keyCol=${r.get(0)} slope ${r.get(1)} -> ${r.get(2)}")
         Alerts.sendChunked(alerter,
           s"[shape] day=$day ${lines.length} key(s) zipf-slope shifted: " +
+            lines.mkString("; "))
+        sentMessages += 1
+      }
+    }
+    // curation watch (off at the defaults): the q139 rollup over the
+    // day's raw feed, flagged keys carry their per-rule violation
+    // counts so the alert names WHAT degraded, not just that something
+    // did
+    if (minKeepRate > 0.0 || maxDupRate < 1.0) {
+      val roll = graft.functions.TextOps.domainRollup(docs, Seq(keyCol),
+          col(textCol), col(textCol), length(col(textCol)))
+        .filter(col("keep_rate") < minKeepRate ||
+          col("dup_rate") > maxDupRate)
+        .select(col(keyCol), col("keep_rate"), col("dup_rate"),
+          col("n_docs"), col("n_v_words"), col("n_v_wordlen"),
+          col("n_v_symbol"), col("n_v_lines"), col("n_v_alpha"),
+          col("n_v_stop")).collect()
+      if (roll.nonEmpty) {
+        val lines = roll.map { r =>
+          val rules = Seq("words" -> r.getLong(4), "wordlen" -> r.getLong(5),
+            "symbol" -> r.getLong(6), "lines" -> r.getLong(7),
+            "alpha" -> r.getLong(8), "stop" -> r.getLong(9))
+            .filter(_._2 > 0).sortBy(-_._2)
+            .map { case (n, c) => s"$n=$c" }.mkString(",")
+          s"$keyCol=${r.get(0)} keep_rate=${r.get(1)} dup_rate=${r.get(2)} " +
+            s"n=${r.get(3)}" + (if (rules.nonEmpty) s" rules[$rules]" else "")
+        }
+        Alerts.sendChunked(alerter,
+          s"[curation] day=$day ${lines.length} key(s) below curation " +
+            s"floor (keep<$minKeepRate or dup>$maxDupRate): " +
             lines.mkString("; "))
         sentMessages += 1
       }

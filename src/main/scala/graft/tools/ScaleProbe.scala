@@ -42,7 +42,8 @@ object ScaleProbe {
       "q121_shuffled_pack", "q124_line_dedup", "q126_ngram_diversity",
       "q127_zipf_slope", "q130_quality_classifier",
       "q131_classifier_gate_pipeline", "q135_lane_verify",
-      "q136_lexicon_gate", "q137_gopher_rules", "q138_decontam_scrub")
+      "q136_lexicon_gate", "q137_gopher_rules", "q138_decontam_scrub",
+      "q139_domain_rollup")
     // optional 3rd arg: comma-separated substring filter (probe a single
     // query's decade without re-running the whole set)
     val probes = args.lift(2) match {

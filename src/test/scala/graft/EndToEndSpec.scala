@@ -1712,6 +1712,24 @@ class EndToEndSpec extends SparkSpec {
     assert(a5.sent.head.startsWith("[shape]") &&
       a5.sent.head.contains("lang=en") && !a5.sent.head.contains("lang=fr"),
       a5.sent.head)
+    // day six: distribution-stable feed, CURATION thresholds opted in
+    // (q139's rollup — the defaults keep the watch off, which is what
+    // every earlier day proved by sending nothing): every key's tiny
+    // docs fail the Gopher word-count rule (keep_rate 0) and en
+    // repeats one text (dup_rate 0.5) → ONE [curation] message naming
+    // the keys, the dominant violated rule and the dup rate
+    land(Seq((11L, "en", Some(8L)), (12L, "fr", Some(4L))), "2024-06-06")
+    val a6 = new BufferAlerter
+    val n6 = DailyIngest.healthTick(lake, hist, out,
+      mkDocs(Seq((11L, "alpha beta alpha beta", "en"),
+        (12L, "alpha beta alpha beta", "en"),
+        (13L, "oui non", "fr"))), "lang", "text",
+      "doc_id", "lang", day("2024-06-06"), a6, minKeepRate = 0.5)
+    assert(n6 === 1 && a6.sent.size === 1, a6.sent.mkString(" // "))
+    assert(a6.sent.head.startsWith("[curation]") &&
+      a6.sent.head.contains("lang=en") && a6.sent.head.contains("lang=fr") &&
+      a6.sent.head.contains("rules[words=") &&
+      a6.sent.head.contains("dup_rate=0.5"), a6.sent.head)
   }
 
   test("ensureVocab: trains+persists once, reloads identically, external file wins") {
