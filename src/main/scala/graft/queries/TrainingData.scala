@@ -93,18 +93,58 @@ object TrainingData {
     * one source of truth for the vocabulary. Words whose best applicable
     * merge is NULL leave the recursion; `term` re-identifies them by the
     * same emptiness test. */
+  /** Shared sanitize + pretokenize head of every tokenizer oracle (the
+    * q110 shape): `san(doc_id, lang, t)` ASCII-projected text,
+    * `docw(doc_id, w)` pretokens WITH multiplicity. */
+  private val sanDocwCte: String =
+    """san AS (SELECT doc_id, lang,
+      |        regexp_replace(text, '[^ -~]', '', 'g') AS t FROM documents),
+      |docw AS (SELECT doc_id,
+      |  unnest(regexp_extract_all(t, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS w
+      |  FROM san)""".stripMargin
+
+  /** Independent unigram-LM Viterbi in SQL: enumerate EVERY vocabulary
+    * segmentation of each distinct word as a recursive path walk
+    * (pos strictly advances so it terminates; word lengths are bounded,
+    * so the path count stays small), then keep the max-log-likelihood
+    * path, fewest-pieces on ties — exactly the (ll, ntok) part of the
+    * Spark Viterbi's tie rule, and the only part that can affect a
+    * COUNT (equal-ll equal-count ties are count-invariant). The piece
+    * logprobs interpolate from the SAME committed vocab resource the
+    * Spark side loads, as shortest-repr decimal literals — both
+    * engines parse them to bit-identical doubles, and both accumulate
+    * a path's ll left-to-right, so comparisons agree bit-for-bit.
+    * Yields `ubest(w, ntok)`; expects `docw`. */
+  private lazy val unigramCte: String = {
+    def sq(s: String) = "'" + s.replace("'", "''") + "'"
+    val vs = graft.functions.UnigramVocab.default.pieces
+      .map { case (p, lp) => s"(${sq(p)}, $lp)" }.mkString(", ")
+    s"""uv(piece, lp) AS (SELECT piece, CAST(lp AS DOUBLE)
+       |  FROM (VALUES $vs) t(piece, lp)),
+       |uwords AS (SELECT DISTINCT w FROM docw),
+       |paths AS (
+       |  SELECT w, 0 AS pos, CAST(0 AS DOUBLE) AS ll, 0 AS ntok FROM uwords
+       |  UNION ALL
+       |  SELECT p.w, p.pos + length(v.piece), p.ll + v.lp, p.ntok + 1
+       |  FROM paths p JOIN uv v
+       |    ON substr(p.w, p.pos + 1, length(v.piece)) = v.piece
+       |  WHERE p.pos < length(p.w)),
+       |ubest AS (
+       |  SELECT w, ntok FROM (
+       |    SELECT w, ntok,
+       |      row_number() OVER (PARTITION BY w ORDER BY ll DESC, ntok ASC)
+       |        AS rn
+       |    FROM paths WHERE pos = length(w)) WHERE rn = 1)""".stripMargin
+  }
+
   private lazy val bpeCte: String = {
     val sep = "\u001f"
     def sq(s: String) = "'" + s.replace("'", "''") + "'"
     val ml = bpeVocab48.merges.map { case (a, b) =>
       s"{'p': ${sq(sep + a + sep + sep + b + sep)}, 'm': ${sq(sep + a + b + sep)}}"
     }.mkString("[", ", ", "]")
-    s"""ml(l) AS (SELECT $ml),
-       |san AS (SELECT doc_id, lang,
-       |        regexp_replace(text, '[^ -~]', '', 'g') AS t FROM documents),
-       |docw AS (SELECT doc_id,
-       |  unnest(regexp_extract_all(t, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS w
-       |  FROM san),
+    s"""$sanDocwCte,
+       |ml(l) AS (SELECT $ml),
        |words AS (SELECT DISTINCT w FROM docw),
        |enc AS (SELECT w, chr(31) || array_to_string(
        |    list_transform(range(1, length(w)+1), i -> w[i]), chr(31)||chr(31)) ||
@@ -486,6 +526,47 @@ object TrainingData {
           Seq("source", "lang"), col("text"),
           concat(col("text"), gopherTail), col("n_chars"))
         .orderBy(col("source"), col("lang"))
+    }),
+    // Unigram-LM tokenization (Kudo 2018 — the SentencePiece family;
+    // functions/Unigram.scala): q110's shape for the SECOND tokenizer
+    // family. Viterbi segmentation over the committed 80-piece
+    // max-len-4 vocabulary (trained by tools/UnigramTrain — EM with
+    // forward-backward expected counts over the word-count aggregate,
+    // like every trainer in this engine), one codegen scan with the
+    // per-task word cache. Oracle: an independent path-enumeration
+    // Viterbi in DuckDB over the same vocab literals. The piece-length
+    // cap keeps segmentation non-trivial on the fixture corpus — the
+    // q110 48-merge-prefix rationale.
+    "q140_unigram_tokens" -> ((s, dir) => {
+      val san = Bpe.sanitizeAscii(col("text"))
+      t(s, dir, "documents").select(col("doc_id"),
+          size(Bpe.pieces(san)).cast("long").as("n_pieces"),
+          graft.functions.Unigram.unigramTokenCount(san).as("n_uni"))
+        .orderBy(col("doc_id"))
+    }),
+    // q129's fertility metric PARAMETERIZED over tokenizer family —
+    // the retraining trigger finally has an alternative to compare
+    // against: per language, BPE and unigram token mass over the SAME
+    // pretoken denominator and whitespace baseline, in ONE scan (both
+    // counters are scan-local codegen kernels; the corpus is read
+    // once). A language whose unigram fertility undercuts its BPE
+    // fertility is the signal to switch families, not just retrain.
+    "q141_unigram_fertility" -> ((s, dir) => {
+      val san = Bpe.sanitizeAscii(col("text"))
+      t(s, dir, "documents")
+        .select(col("lang"),
+          graft.functions.Unigram.unigramTokenCount(san).as("n_uni"),
+          Bpe.bpeTokenCount(san, bpeVocab48).as("n_bpe"),
+          size(split(col("text"), " ")).cast("long").as("n_ws"))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_uni")).as("n_uni"), sum(col("n_bpe")).as("n_bpe"),
+          sum(col("n_ws")).as("n_ws"))
+        .select(col("lang"), col("n_uni"), col("n_bpe"), col("n_ws"),
+          round(col("n_uni").cast("double") / col("n_ws"), 4)
+            .as("fertility_uni"),
+          round(col("n_bpe").cast("double") / col("n_ws"), 4)
+            .as("fertility_bpe"))
+        .orderBy(col("lang"))
     }),
     // MinHash LANE AGREEMENT over the LSH candidates — the decision
     // function of the verified cross-run near-dup gate
@@ -2388,6 +2469,37 @@ object TrainingData {
          |  CAST(COALESCE(c.n_bpe, 0) AS BIGINT) AS n_bpe
          |FROM san s LEFT JOIN cnt c ON s.doc_id = c.doc_id
          |ORDER BY s.doc_id""".stripMargin,
+    "q140_unigram_tokens" ->
+      s"""WITH RECURSIVE $sanDocwCte,
+         |$unigramCte,
+         |cnt AS (SELECT dw.doc_id, SUM(b.ntok) AS n_uni
+         |        FROM docw dw JOIN ubest b ON dw.w = b.w GROUP BY dw.doc_id)
+         |SELECT s.doc_id,
+         |  CAST(len(regexp_extract_all(s.t, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+         |    AS BIGINT) AS n_pieces,
+         |  CAST(COALESCE(c.n_uni, 0) AS BIGINT) AS n_uni
+         |FROM san s LEFT JOIN cnt c ON s.doc_id = c.doc_id
+         |ORDER BY s.doc_id""".stripMargin,
+    "q141_unigram_fertility" ->
+      s"""WITH RECURSIVE $bpeCte,
+         |$unigramCte,
+         |cntb AS (SELECT dw.doc_id, SUM(t.n) AS n_bpe
+         |         FROM docw dw JOIN term t ON dw.w = t.w GROUP BY dw.doc_id),
+         |cntu AS (SELECT dw.doc_id, SUM(b.ntok) AS n_uni
+         |         FROM docw dw JOIN ubest b ON dw.w = b.w GROUP BY dw.doc_id),
+         |per AS (
+         |  SELECT d.lang, COALESCE(u.n_uni, 0) AS n_uni,
+         |    COALESCE(c.n_bpe, 0) AS n_bpe,
+         |    len(string_split(d.text, ' ')) AS n_ws
+         |  FROM documents d
+         |  LEFT JOIN cntb c ON d.doc_id = c.doc_id
+         |  LEFT JOIN cntu u ON d.doc_id = u.doc_id)
+         |SELECT lang, CAST(SUM(n_uni) AS BIGINT) AS n_uni,
+         |  CAST(SUM(n_bpe) AS BIGINT) AS n_bpe,
+         |  CAST(SUM(n_ws) AS BIGINT) AS n_ws,
+         |  round(CAST(SUM(n_uni) AS DOUBLE) / SUM(n_ws), 4) AS fertility_uni,
+         |  round(CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_ws), 4) AS fertility_bpe
+         |FROM per GROUP BY lang ORDER BY lang""".stripMargin,
     "q111_bpe_quantiles" ->
       s"""WITH RECURSIVE $bpeCte,
          |cnt AS (SELECT dw.doc_id, SUM(t.n) AS n_bpe
