@@ -568,6 +568,54 @@ object TrainingData {
             .as("fertility_bpe"))
         .orderBy(col("lang"))
     }),
+    // CLOSED-LOOP GATE CALIBRATION — the missing feedback edge of the
+    // trained quality gate: q130's acceptance threshold is a fixed
+    // constant (log-odds > 0), but a curation team budgets KEPT TOKENS
+    // per source. q142 picks, per source, the tightest threshold whose
+    // kept-token share reaches the 50% target — from a (source,
+    // rounded-score) VALUE HISTOGRAM of token mass (q102's trick): the
+    // corpus is scanned once into a bounded frame, the threshold walk
+    // is a window over distinct 4-dp scores, and NO re-scan happens
+    // when the target changes. SELF-CHECKING by construction:
+    // within_tol pins that the kept share clears the target AND that
+    // dropping the threshold bucket would undershoot — the tightest
+    // achievable cut under discrete scores; a logic regression flips
+    // it to 0 and the oracle catches the flip.
+    "q142_gate_calibration" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val model = graft.functions.QualityClassifier.train(docs, "text",
+        col("source").isin("src0", "src1"))
+      val scored = docs.select(col("source"),
+        round(model.scoreCol(col("text")), 4).as("score"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val hist = scored.groupBy(col("source"), col("score"))
+        .agg(sum(col("n_tok")).as("mass"))
+      val cum = hist
+        .withColumn("cum", sum(col("mass")).over(
+          W.partitionBy(col("source")).orderBy(col("score").desc)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .withColumn("total", sum(col("mass")).over(
+          W.partitionBy(col("source"))))
+      cum.filter(col("cum") >= col("total") * lit(0.5))
+        .groupBy(col("source"))
+        // the qualifying bucket with the SMALLEST cum is the highest
+        // qualifying score — min(struct) carries its mass along
+        .agg(max(col("score")).as("threshold"),
+          min(struct(col("cum"), col("mass"))).as("__sel"),
+          max(col("total")).as("total_tokens"))
+        .select(col("source"), col("threshold"),
+          col("__sel").getField("cum").as("kept_tokens"),
+          col("total_tokens"),
+          round(col("__sel").getField("cum").cast("double") /
+            col("total_tokens"), 4).as("kept_share"),
+          (col("__sel").getField("cum") >=
+              col("total_tokens").cast("double") * 0.5 &&
+            (col("__sel").getField("cum") - col("__sel").getField("mass"))
+              .cast("double") < col("total_tokens").cast("double") * 0.5)
+            .cast("int").as("within_tol"))
+        .orderBy(col("source"))
+    }),
     // MinHash LANE AGREEMENT over the LSH candidates — the decision
     // function of the verified cross-run near-dup gate
     // (CorpusDedup.novelNearDupVerifiedSince) as an oracle-checkable
@@ -2469,6 +2517,36 @@ object TrainingData {
          |  CAST(COALESCE(c.n_bpe, 0) AS BIGINT) AS n_bpe
          |FROM san s LEFT JOIN cnt c ON s.doc_id = c.doc_id
          |ORDER BY s.doc_id""".stripMargin,
+    "q142_gate_calibration" ->
+      s"""WITH $clfScoredCte,
+         |caldoc AS (
+         |  SELECT d.source, c.score,
+         |    len(string_split(d.text, ' ')) AS n_tok
+         |  FROM documents d JOIN clf_scored c ON d.doc_id = c.doc_id),
+         |calh AS (SELECT source, score, SUM(n_tok) AS mass
+         |         FROM caldoc GROUP BY source, score),
+         |calc AS (
+         |  SELECT source, score, mass,
+         |    SUM(mass) OVER (PARTITION BY source ORDER BY score DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    SUM(mass) OVER (PARTITION BY source) AS total
+         |  FROM calh),
+         |sel AS (
+         |  SELECT source, MAX(score) AS threshold, MIN(cum) AS kept_tokens,
+         |    MAX(total) AS total_tokens
+         |  FROM calc WHERE cum >= total * 0.5 GROUP BY source)
+         |SELECT s.source, s.threshold,
+         |  CAST(s.kept_tokens AS BIGINT) AS kept_tokens,
+         |  CAST(s.total_tokens AS BIGINT) AS total_tokens,
+         |  round(CAST(s.kept_tokens AS DOUBLE) / s.total_tokens, 4)
+         |    AS kept_share,
+         |  CAST(CASE WHEN CAST(s.kept_tokens AS DOUBLE) >=
+         |      s.total_tokens * 0.5
+         |    AND CAST(s.kept_tokens - h.mass AS DOUBLE) <
+         |      s.total_tokens * 0.5 THEN 1 ELSE 0 END AS INT) AS within_tol
+         |FROM sel s JOIN calh h
+         |  ON h.source = s.source AND h.score = s.threshold
+         |ORDER BY s.source""".stripMargin,
     "q140_unigram_tokens" ->
       s"""WITH RECURSIVE $sanDocwCte,
          |$unigramCte,
