@@ -134,6 +134,12 @@ object DailyIngest {
     * dataset's seen-set is first created and keep it — the two tables
     * are separate state.
     *
+    * `unigramVocab = Some(v)` switches the n_tok denomination from BPE
+    * to the unigram-LM family ([[graft.functions.Unigram]]); the q141
+    * cross-family fertility comparison is the signal for the switch.
+    * Pin the family per dataset — mixing denominations across days
+    * makes pack budgets incomparable (the BPE vocab-file contract).
+    *
     * `decontam = true` adds benchmark DECONTAMINATION as a REWRITE
     * stage after the doc-level gates and before the line scrub: spans
     * around collisions with every test set registered strictly before
@@ -169,7 +175,8 @@ object DailyIngest {
           nearDupVerify: Option[Double] = None,
           gopherRules: Option[(Long, Long)] = None,
           decontam: Boolean = false,
-          lock: LockRef = None)
+          lock: LockRef = None,
+          unigramVocab: Option[graft.functions.UnigramVocab] = None)
       : Long = {
     require(semanticThreshold.isEmpty || ann.nonEmpty,
       "semanticThreshold needs the ann leg — the index is the seen-set")
@@ -255,8 +262,18 @@ object DailyIngest {
     // the whole gate chain. Persistence is an execution hint, not a
     // semantic change, so the replay invariant is untouched (a crash
     // replay recomputes the identical frame from unchanged state).
+    // the n_tok DENOMINATION: BPE by default; `unigramVocab = Some(v)`
+    // switches the ingest to the unigram-LM family (the q141 fertility
+    // comparison is the signal for doing so) — every downstream
+    // consumer (pack budgets, cards, health ticks) is
+    // denomination-agnostic, it just sums n_tok. Pin the family per
+    // dataset: mixing denominations across days makes pack budgets
+    // incomparable (same contract as the BPE vocab file itself).
+    val tokenCount = unigramVocab
+      .map(u => graft.functions.Unigram.unigramTokenCount(col(textCol), u))
+      .getOrElse(Bpe.bpeTokenCount(col(textCol), vocab))
     val novel = gatedNovel
-      .withColumn("n_tok", Bpe.bpeTokenCount(col(textCol), vocab))
+      .withColumn("n_tok", tokenCount)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val batchId = day.toString
@@ -572,6 +589,39 @@ object DailyIngest {
     }
   }
 
+  /** [[ensureVocab]]'s twin for the unigram-LM family: load the
+    * vocabulary from `vocabFile`, TRAINING from `docs` and persisting
+    * (write-to-temp + rename) if absent — same crash story: a death
+    * before the rename retrains deterministically on the retry. The
+    * file format is the public piece<TAB>logprob text, so an
+    * externally trained SentencePiece-style vocab dropped at the path
+    * wins over training. */
+  def ensureUnigramVocab(spark: SparkSession, docs: DataFrame,
+                         textCol: String, vocabFile: String,
+                         vocabSize: Int = 8192, maxPieceLen: Int = 8)
+      : graft.functions.UnigramVocab = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(vocabFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      try graft.functions.UnigramVocab.fromVocabText(
+        new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    } else {
+      val vocab = graft.functions.Unigram.train(docs, col(textCol),
+        vocabSize, maxPieceLen = maxPieceLen)
+      val tmp = new Path(p.getParent, p.getName + ".tmp")
+      val out = fs.create(tmp, true)
+      try out.write((vocab.toVocabText + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (!fs.rename(tmp, p) && !fs.exists(p))
+        throw new java.io.IOException(s"could not persist unigram vocab at $p")
+      vocab
+    }
+  }
+
   /** CLI: DailyIngest <lakeRoot> <stateRoot> <inputParquet> <yyyy-mm-dd>
     * [ttlDays=30] [budgetTokens=2048] [embedCol] [semanticThreshold]
     * [vocab] [pqRefine] [scrub-lines].
@@ -634,18 +684,34 @@ object DailyIngest {
       val docs = spark.read.parquet(input)
       // vocab resolution runs INSIDE the lock: day-one training and the
       // merges-file write are state mutations like any other
-      val vocab = vocabArg match {
-        case Some("builtin") => BpeVocab.default
-        case Some(path) => ensureVocab(spark, docs, "text", path)
-        case None =>
+      // `unigram` / `unigram:<path>` switch the n_tok denomination to
+      // the unigram-LM family (managed under <stateRoot>/unigram, or an
+      // external piece<TAB>logprob file); anything else is the BPE
+      // family as before
+      val unigramVocab = vocabArg match {
+        case Some("unigram") => Some(ensureUnigramVocab(spark, docs, "text",
+          s"$stateRoot/unigram/vocab.tsv"))
+        case Some(v) if v.startsWith("unigram:") =>
+          Some(ensureUnigramVocab(spark, docs, "text",
+            v.stripPrefix("unigram:")))
+        case _ => None
+      }
+      val vocab = (vocabArg, unigramVocab) match {
+        case (_, Some(u)) =>
+          println(s"[daily-ingest] unigram vocab: ${u.pieces.length} pieces")
+          BpeVocab.default // unused: n_tok rides the unigram counter
+        case (Some("builtin"), _) => BpeVocab.default
+        case (Some(path), _) => ensureVocab(spark, docs, "text", path)
+        case (None, _) =>
           ensureVocab(spark, docs, "text", s"$stateRoot/bpe/merges.txt")
       }
-      println(s"[daily-ingest] bpe vocab: ${vocab.merges.length} merges")
+      if (unigramVocab.isEmpty)
+        println(s"[daily-ingest] bpe vocab: ${vocab.merges.length} merges")
       val n = run(lake, dd, cp, TableRef("prod", "crawl", "packed"),
         docs, "doc_id", "text", "lang", day, ttlDays,
         ann = ann, semanticThreshold = semTh, vocab = vocab,
         pqRefine = pqRefine, lineScrub = lineScrub, decontam = decontam,
-        lock = lockRef)
+        lock = lockRef, unigramVocab = unigramVocab)
       // health watch: drift on the RAW feed (pre-dedup, keyed by lang;
       // NaN = a language vanished = maximal drift) plus generic quality
       // checks on the landed partition, routed through the alert sink

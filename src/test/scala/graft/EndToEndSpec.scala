@@ -1732,6 +1732,49 @@ class EndToEndSpec extends SparkSpec {
       a6.sent.head.contains("dup_rate=0.5"), a6.sent.head)
   }
 
+  test("daily ingest with the unigram denomination: landed n_tok rides the family switch") {
+    import graft.lake.{CorpusDedup, CorpusPack}
+    import graft.tools.DailyIngest
+    import graft.functions.{Unigram, UnigramVocab}
+    val lake = new Lake(spark, tmpDir("uni_lake"))
+    val dd = new CorpusDedup(spark, lake, "uni_crawl", numBuckets = 4)
+    val cp = new CorpusPack(spark,
+      new StateStore(spark, tmpDir("uni_state")), "uni_crawl",
+      budgetTokens = 1024L)
+    val out = TableRef("prod", "uni_crawl", "packed")
+    val docs = Seq(
+      (1L, "the history of the city and the river"),
+      (2L, "a study of the growth of a region"))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val v = UnigramVocab.default
+    val landed = DailyIngest.run(lake, dd, cp, out, docs,
+      "doc_id", "text", "lang", java.sql.Date.valueOf("2024-03-01"),
+      ttlDays = 30, unigramVocab = Some(v))
+    assert(landed === 2)
+    val want = docs.select($"doc_id",
+        Unigram.unigramTokenCount($"text", v).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val got = lake.read(out).select($"doc_id", $"n_tok")
+      .as[(Long, Long)].collect().toMap
+    assert(got === want, "landed n_tok must be the unigram denomination")
+    // and it genuinely differs from the BPE default here — the switch
+    // is observable, not vacuous
+    val bpe = docs.select($"doc_id",
+        graft.functions.Bpe.bpeTokenCount($"text").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(got !== bpe, s"unigram and BPE counts coincide: $got")
+
+    // ensureUnigramVocab: trains+persists once, reloads identically
+    val root = tmpDir("uni_vocab")
+    val path = s"$root/unigram/vocab.tsv"
+    val v1 = DailyIngest.ensureUnigramVocab(spark, docs, "text", path,
+      vocabSize = 40, maxPieceLen = 4)
+    assert(new java.io.File(path).isFile)
+    val poisoned = docs.withColumn("text", lit("zz zz zz"))
+    val v2 = DailyIngest.ensureUnigramVocab(spark, poisoned, "text", path)
+    assert(v2 === v1, "second call must LOAD, not retrain")
+  }
+
   test("ensureVocab: trains+persists once, reloads identically, external file wins") {
     import graft.tools.DailyIngest
     import graft.functions.BpeVocab
