@@ -339,6 +339,29 @@ object TrainingData {
         coalesce(col("comp"), col("doc_id")).as("cluster_id"))
   }
 
+  /** Shared q142/q143 calibration frame: the q130 classifier's 4-dp
+    * scores rolled into a (source, score) TOKEN-MASS value histogram
+    * (q102's trick — the corpus scans once into a bounded frame) with
+    * per-source descending cumulative mass and totals. ONE definition
+    * so the reported calibration (q142) and the gate that applies it
+    * (q143) can never disagree about where a threshold sits. */
+  private def calibrationFrame(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val model = graft.functions.QualityClassifier.train(docs, "text",
+      col("source").isin("src0", "src1"))
+    val scored = docs.select(col("source"),
+      round(model.scoreCol(col("text")), 4).as("score"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    scored.groupBy(col("source"), col("score"))
+      .agg(sum(col("n_tok")).as("mass"))
+      .withColumn("cum", sum(col("mass")).over(
+        W.partitionBy(col("source")).orderBy(col("score").desc)
+          .rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .withColumn("total", sum(col("mass")).over(
+        W.partitionBy(col("source"))))
+  }
+
   /** q137/q139 shared line-rule variance tail, INJECTED
     * deterministically from doc_id (the q93 PII pattern: the flat
     * synthetic corpus has no newlines/bullets/ellipses, so the Gopher
@@ -568,6 +591,27 @@ object TrainingData {
             .as("fertility_bpe"))
         .orderBy(col("lang"))
     }),
+    // The calibrated gate APPLIED (q131's relationship to q130): each
+    // source's q142 threshold becomes a per-doc keep decision — the
+    // thresholds frame is |sources| rows and BROADCASTS back onto the
+    // scoring scan, so the gate adds one tiny join to a corpus pass
+    // and a re-budgeted target never re-scans the corpus. Shares
+    // `calibrationFrame` with q142, so the reported calibration and
+    // the gate can never disagree.
+    "q143_calibrated_gate" -> ((s, dir) => {
+      val thresholds = calibrationFrame(s, dir)
+        .filter(col("cum") >= col("total") * lit(0.5))
+        .groupBy(col("source")).agg(max(col("score")).as("__cal_th"))
+      val docs = t(s, dir, "documents")
+      val model = graft.functions.QualityClassifier.train(docs, "text",
+        col("source").isin("src0", "src1"))
+      docs.select(col("doc_id"), col("source"),
+          round(model.scoreCol(col("text")), 4).as("score"))
+        .join(broadcast(thresholds), Seq("source"))
+        .select(col("doc_id"), col("source"), col("score"),
+          (col("score") >= col("__cal_th")).cast("int").as("kept"))
+        .orderBy(col("doc_id"))
+    }),
     // CLOSED-LOOP GATE CALIBRATION — the missing feedback edge of the
     // trained quality gate: q130's acceptance threshold is a fixed
     // constant (log-odds > 0), but a curation team budgets KEPT TOKENS
@@ -582,22 +626,7 @@ object TrainingData {
     // achievable cut under discrete scores; a logic regression flips
     // it to 0 and the oracle catches the flip.
     "q142_gate_calibration" -> ((s, dir) => {
-      val W = org.apache.spark.sql.expressions.Window
-      val docs = t(s, dir, "documents")
-      val model = graft.functions.QualityClassifier.train(docs, "text",
-        col("source").isin("src0", "src1"))
-      val scored = docs.select(col("source"),
-        round(model.scoreCol(col("text")), 4).as("score"),
-        size(split(col("text"), " ")).cast("long").as("n_tok"))
-      val hist = scored.groupBy(col("source"), col("score"))
-        .agg(sum(col("n_tok")).as("mass"))
-      val cum = hist
-        .withColumn("cum", sum(col("mass")).over(
-          W.partitionBy(col("source")).orderBy(col("score").desc)
-            .rowsBetween(W.unboundedPreceding, W.currentRow)))
-        .withColumn("total", sum(col("mass")).over(
-          W.partitionBy(col("source"))))
-      cum.filter(col("cum") >= col("total") * lit(0.5))
+      calibrationFrame(s, dir).filter(col("cum") >= col("total") * lit(0.5))
         .groupBy(col("source"))
         // the qualifying bucket with the SMALLEST cum is the highest
         // qualifying score — min(struct) carries its mass along
@@ -2517,6 +2546,27 @@ object TrainingData {
          |  CAST(COALESCE(c.n_bpe, 0) AS BIGINT) AS n_bpe
          |FROM san s LEFT JOIN cnt c ON s.doc_id = c.doc_id
          |ORDER BY s.doc_id""".stripMargin,
+    "q143_calibrated_gate" ->
+      s"""WITH $clfScoredCte,
+         |caldoc AS (
+         |  SELECT d.doc_id, d.source, c.score,
+         |    len(string_split(d.text, ' ')) AS n_tok
+         |  FROM documents d JOIN clf_scored c ON d.doc_id = c.doc_id),
+         |calh AS (SELECT source, score, SUM(n_tok) AS mass
+         |         FROM caldoc GROUP BY source, score),
+         |calc AS (
+         |  SELECT source, score,
+         |    SUM(mass) OVER (PARTITION BY source ORDER BY score DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    SUM(mass) OVER (PARTITION BY source) AS total
+         |  FROM calh),
+         |th AS (SELECT source, MAX(score) AS threshold
+         |       FROM calc WHERE cum >= total * 0.5 GROUP BY source)
+         |SELECT d.doc_id, d.source, d.score,
+         |  CAST(CASE WHEN d.score >= t.threshold THEN 1 ELSE 0 END AS INT)
+         |    AS kept
+         |FROM caldoc d JOIN th t ON t.source = d.source
+         |ORDER BY d.doc_id""".stripMargin,
     "q142_gate_calibration" ->
       s"""WITH $clfScoredCte,
          |caldoc AS (

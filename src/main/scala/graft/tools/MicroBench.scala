@@ -242,6 +242,34 @@ object MicroBench {
       uniqueCorpus.count()
       rate("bpe count 90-merge unique", BpeVocab.default, uniqueCorpus, nDocs / 10)
       rate("bpe count 32k-merge unique", vocab32k, uniqueCorpus, nDocs / 10)
+
+      // ---- unigram-LM encoder on the SAME corpora: the cross-family
+      // throughput comparison (q141 compares fertility; this compares
+      // cost). Viterbi is O(len × maxPieceLen) per COLD word vs BPE's
+      // O(len²) worst-case merge loop — the interesting regime is the
+      // cache-hostile one, where every word pays the cold encode.
+      // Trained on the top-16k head of the same Zipf table (EM over a
+      // substring lattice is driver-side; the head carries ~99% of the
+      // occurrence mass, and encode throughput is what's measured).
+      val tTrainU = System.nanoTime()
+      val uni8k = graft.functions.Unigram.trainFromWordCounts(
+        wc.sortBy { case (w, c) => (-c, w) }.take(16384), 8192,
+        maxPieceLen = 6)
+      println(f"unigram train(16k words -> ${uni8k.pieces.length} pieces): " +
+        f"${(System.nanoTime() - tTrainU) / 1e9}%.1f s")
+      def rateU(name: String, df: org.apache.spark.sql.DataFrame,
+                docs: Long): Unit =
+        (1 to 3).foreach { i =>
+          val t0 = System.nanoTime()
+          noop(df.select(
+            graft.functions.Unigram.unigramTokenCount(col("text"), uni8k)
+              .as("n")))
+          val s = (System.nanoTime() - t0) / 1e9
+          println(f"$name run$i: $s%.3f s, ${docs / s / 1000}%.0f kdocs/s, " +
+            f"${docs * wordsPerDoc / s / 1e6}%.1f Mpieces/s")
+        }
+      rateU("unigram count 8k-piece zipf", zipfCorpus, nDocs)
+      rateU("unigram count 8k-piece unique", uniqueCorpus, nDocs / 10)
       zipfCorpus.unpersist()
       uniqueCorpus.unpersist()
 
