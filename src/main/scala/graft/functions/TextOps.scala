@@ -602,6 +602,28 @@ object TextOps {
             split(col(textCol), " "), dropIdxs)).as("text_clean"): _*)
   }
 
+  /** Zero-shuffle twin of [[decontamScrub]] for test sets that fit a
+    * plan reference (benchmark suites are MBs against a 100 TB corpus —
+    * the common case): the whole scrub fuses into ONE per-row kernel
+    * ([[graft.expressions.DecontamScrub]] — set probe, ±1 diff-array
+    * coverage, single-pass rebuild), so clean AND contaminated docs
+    * alike never leave their scan and the plan has zero exchanges.
+    * Value-identical to the distributed path (property-pinned). Same
+    * output schema: (idCol, other cols…, n_removed, text_clean). */
+  def decontamScrubBroadcast(df: DataFrame, idCol: String, textCol: String,
+                             testShingles: Iterable[String], n: Int = 3,
+                             margin: Int = 2): DataFrame = {
+    // sorted entries: a deterministic plan reference, so replays and
+    // A/B comparisons see byte-identical plans
+    val set = new graft.expressions.DecontamSet(
+      testShingles.toArray.distinct.sorted)
+    val st = graft.expressions.DecontamScrub.scrub(col(textCol), set, n, margin)
+    df.select(col(idCol) +: df.columns.filterNot(c =>
+        c == idCol || c == textCol).map(col).toSeq :+
+      st.getField("n_removed").as("n_removed") :+
+      st.getField("text_clean").as("text_clean"): _*)
+  }
+
   /** Temperature-scaled mixture weights over sources — the multilingual
     * sampling rule of mBERT/XLM-R (Conneau et al. 2020 §3.1): sample
     * source s with probability ∝ p_s^τ where p_s is its share of the

@@ -317,28 +317,40 @@ class CorpusDedup(spark: SparkSession, lake: Lake, dataset: String,
       testShinglesRef, Seq("sh"), "sh", Some((date, testShinglesEpoch)))
 
   /** Decontamination stage of the daily ingest: GPT-3 appendix-C span
-    * removal ([[graft.functions.TextOps.decontamScrub]], the q138
-    * operator) against every test set registered STRICTLY BEFORE
+    * removal against every test set registered STRICTLY BEFORE
     * `beforeDate`. Same replay discipline as [[scrubLinesSince]]'s
     * beforeDate: the window a crash replay sees cannot include
     * registrations that landed after the original attempt started.
     * Passthrough (n_removed = 0) until the first registration.
     *
-    * Scale shape: the q138 plan's — only (id, lo, hi) collision spans
-    * shuffle; the registered shingle table broadcast-joins at
-    * benchmark scale (test suites are MBs against a 100 TB corpus). */
+    * Two value-identical plans, chosen by the registered set's size
+    * (counted from the bucketed state table — cheap, and replay-stable
+    * because the strictly-before window is immutable):
+    *  - ≤ `maxKernelEntries`: the set rides the plan as ONE per-row
+    *    kernel ([[graft.functions.TextOps.decontamScrubBroadcast]]) —
+    *    zero exchanges, the common case (benchmark suites are MBs
+    *    against a 100 TB corpus);
+    *  - larger: the q138 distributed plan
+    *    ([[graft.functions.TextOps.decontamScrub]]) — only (id, lo,
+    *    hi) collision spans ever shuffle. */
   def decontamScrubSince(docs: DataFrame, idCol: String, textCol: String,
                          beforeDate: java.sql.Date, n: Int = 3,
-                         margin: Int = 2): DataFrame =
+                         margin: Int = 2,
+                         maxKernelEntries: Long = 1L << 20): DataFrame =
     if (!tableExists(testShinglesRef))
       docs.select(col(idCol) +: docs.columns.filterNot(c =>
           c == idCol || c == textCol).map(col).toSeq :+
         lit(0L).as("n_removed") :+ col(textCol).as("text_clean"): _*)
-    else
-      graft.functions.TextOps.decontamScrub(docs, idCol, textCol,
-        spark.table(qualified(testShinglesRef))
-          .filter(col("seen_date") < lit(beforeDate)).select(col("sh")),
-        n, margin)
+    else {
+      val registered = spark.table(qualified(testShinglesRef))
+        .filter(col("seen_date") < lit(beforeDate)).select(col("sh"))
+      if (registered.count() <= maxKernelEntries)
+        graft.functions.TextOps.decontamScrubBroadcast(docs, idCol, textCol,
+          registered.collect().map(_.getString(0)), n, margin)
+      else
+        graft.functions.TextOps.decontamScrub(docs, idCol, textCol,
+          registered, n, margin)
+    }
 
   // ---- near-dup (MinHash-LSH candidate level) --------------------------
 

@@ -345,11 +345,18 @@ object TrainingData {
     * per-source descending cumulative mass and totals. ONE definition
     * so the reported calibration (q142) and the gate that applies it
     * (q143) can never disagree about where a threshold sits. */
-  private def calibrationFrame(s: SparkSession, dir: String): DataFrame = {
+  /** The q130/q142/q143 classifier fit — factored so q143 trains ONCE
+    * (calibrating and gating with different models would be a silent
+    * nonsense; training twice is also a whole extra corpus pass). */
+  private def calibrationModel(s: SparkSession, dir: String)
+      : graft.functions.QualityClassifier.Model =
+    graft.functions.QualityClassifier.train(t(s, dir, "documents"), "text",
+      col("source").isin("src0", "src1"))
+
+  private def calibrationFrame(s: SparkSession, dir: String,
+      model: graft.functions.QualityClassifier.Model): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val docs = t(s, dir, "documents")
-    val model = graft.functions.QualityClassifier.train(docs, "text",
-      col("source").isin("src0", "src1"))
     val scored = docs.select(col("source"),
       round(model.scoreCol(col("text")), 4).as("score"),
       size(split(col("text"), " ")).cast("long").as("n_tok"))
@@ -599,13 +606,11 @@ object TrainingData {
     // `calibrationFrame` with q142, so the reported calibration and
     // the gate can never disagree.
     "q143_calibrated_gate" -> ((s, dir) => {
-      val thresholds = calibrationFrame(s, dir)
+      val model = calibrationModel(s, dir)
+      val thresholds = calibrationFrame(s, dir, model)
         .filter(col("cum") >= col("total") * lit(0.5))
         .groupBy(col("source")).agg(max(col("score")).as("__cal_th"))
-      val docs = t(s, dir, "documents")
-      val model = graft.functions.QualityClassifier.train(docs, "text",
-        col("source").isin("src0", "src1"))
-      docs.select(col("doc_id"), col("source"),
+      t(s, dir, "documents").select(col("doc_id"), col("source"),
           round(model.scoreCol(col("text")), 4).as("score"))
         .join(broadcast(thresholds), Seq("source"))
         .select(col("doc_id"), col("source"), col("score"),
@@ -626,7 +631,8 @@ object TrainingData {
     // achievable cut under discrete scores; a logic regression flips
     // it to 0 and the oracle catches the flip.
     "q142_gate_calibration" -> ((s, dir) => {
-      calibrationFrame(s, dir).filter(col("cum") >= col("total") * lit(0.5))
+      calibrationFrame(s, dir, calibrationModel(s, dir))
+        .filter(col("cum") >= col("total") * lit(0.5))
         .groupBy(col("source"))
         // the qualifying bucket with the SMALLEST cum is the highest
         // qualifying score — min(struct) carries its mass along

@@ -265,6 +265,34 @@ object StreamDedup {
     * [[graft.lake.Lake.compact]] folds old batch partitions into plain
     * files (the batch id becomes a data column) once those batches are
     * beyond every replayable checkpoint. */
+  /** Streaming benchmark DECONTAMINATION — the continuous-ingestion
+    * counterpart of [[graft.lake.CorpusDedup.decontamScrubSince]]:
+    * spans around collisions with the registered test set strip from
+    * each arriving document. Because the whole scrub is the fused
+    * per-row kernel ([[graft.expressions.DecontamScrub]], test set as
+    * a plan reference), the stage is a pure STATELESS projection — no
+    * watermark, no state store, no stream-side shuffle, usable in any
+    * output mode. The test-set snapshot is pinned when the query
+    * STARTS (the plan reference serializes once); a newly registered
+    * benchmark applies from the next query (re)start — the streaming
+    * analog of the batch stage's strictly-before-day replay window.
+    * Emits the input columns with `textCol` REWRITTEN plus `n_removed`;
+    * docs scrubbed to nothing pass through empty for a downstream
+    * filter to drop (a streaming stage must not silently change row
+    * cardinality semantics mid-pipeline). */
+  def decontamScrub(stream: DataFrame, textCol: String,
+                    testShingles: Iterable[String], n: Int = 3,
+                    margin: Int = 2): DataFrame = {
+    require(!stream.columns.contains("n_removed"),
+      "n_removed is reserved by decontamScrub; drop or rename the input column")
+    val set = new graft.expressions.DecontamSet(
+      testShingles.toArray.distinct.sorted)
+    val st = graft.expressions.DecontamScrub.scrub(col(textCol), set, n, margin)
+    stream.select(stream.columns.map(c =>
+      if (c == textCol) st.getField("text_clean").as(textCol)
+      else col(c)).toSeq :+ st.getField("n_removed").as("n_removed"): _*)
+  }
+
   def landBatch(lake: Lake, ref: TableRef, novel: DataFrame, batchId: Long,
                 batchCol: String = "ingest_batch"): Unit = {
     require(!novel.columns.contains(batchCol),

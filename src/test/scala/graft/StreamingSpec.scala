@@ -104,6 +104,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decontamination: stateless span scrub on arriving docs") {
+    import graft.streaming.StreamDedup
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF.toDF("id", "text")
+    // registered benchmark: one 3-gram; margin 2 strips neighbors too
+    val testSh = Seq("alpha beta gamma")
+    val out = StreamDedup.decontamScrub(stream, "text", testSh)
+    // STATELESS: append mode with no watermark must be accepted —
+    // the stage is a projection, not a stateful operator
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dc_out").start()
+    try {
+      mem.addData(
+        (1L, "c1 c2 c3 c4 c5 c6 c7 c8 alpha beta gamma c9 c10 c11 c12"),
+        (2L, "clean words only here"),
+        (3L, "alpha beta gamma")) // pure benchmark → scrubbed to ""
+      q.processAllAvailable()
+      // batch 2 sees the same pinned set (plan reference): still scrubs
+      mem.addData((4L, "x1 x2 alpha beta gamma"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT id, text, n_removed FROM dc_out")
+        .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got(1L) === (("c1 c2 c3 c4 c5 c6 c11 c12", 7L)))
+      assert(got(2L) === (("clean words only here", 0L)))
+      assert(got(3L) === (("", 3L))) // downstream filter's job to drop
+      assert(got(4L) === (("", 5L))) // span [0-2=0, 2+4] covers all 5
+    } finally q.stop()
+  }
+
   test("streaming line scrub: earlier micro-batches' lines strip from later ones") {
     import graft.lake.{CorpusDedup, Lake}
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
