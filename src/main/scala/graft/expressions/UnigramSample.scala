@@ -1,0 +1,100 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.{Bpe, UnigramVocab}
+
+/** Subword-regularization sampling as a native expression — the
+  * stochastic sibling of [[UnigramEncode]] ([[UnigramVocab.sampleWord]]
+  * per pretoken, segmentations drawn ∝ P^α). Binary: (text, seed) —
+  * the seed column is the caller's (doc id, epoch) derivation, so one
+  * text yields a DIFFERENT deterministic token sequence per epoch (the
+  * augmentation Kudo 2018 §3.1 trains with) while any replay of an
+  * epoch reproduces its exact stream. Per-piece seeds decorrelate via
+  * a SplitMix step over the piece index, so a word repeated within one
+  * document samples independently. No word cache: the sample depends
+  * on (word, seed), which defeats the Zipf cache by design. */
+case class UnigramSample(left: Expression, right: Expression,
+                         vocab: UnigramVocab, alpha: Double,
+                         countOnly: Boolean)
+    extends BinaryExpression {
+  require(alpha > 0.0, s"alpha must be positive: $alpha")
+
+  override def dataType: DataType =
+    if (countOnly) LongType else ArrayType(StringType, containsNull = false)
+  override def prettyName: String =
+    if (countOnly) "unigram_sample_count" else "unigram_sample"
+
+  override protected def nullSafeEval(text: Any, seed: Any): Any = {
+    val t = text.asInstanceOf[UTF8String]
+    val s = seed.asInstanceOf[Long]
+    if (countOnly) UnigramSample.computeCount(t, s, vocab, alpha)
+    else UnigramSample.computeTokens(t, s, vocab, alpha)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vocabRef =
+      ctx.addReferenceObj("uniVocab", vocab, classOf[UnigramVocab].getName)
+    val kernel = if (countOnly) "computeCount" else "computeTokens"
+    nullSafeCodeGen(ctx, ev, (t, s) =>
+      s"${ev.value} = graft.expressions.UnigramSample.$kernel($t, $s, $vocabRef, $alpha);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): UnigramSample =
+    copy(left = newLeft, right = newRight)
+}
+
+object UnigramSample {
+
+  @inline private def mix(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  def computeTokens(text: UTF8String, seed: Long, vocab: UnigramVocab,
+                    alpha: Double): ArrayData = {
+    val pieces = Bpe.pretokenize(text.toString)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < pieces.length) {
+      val toks = vocab.sampleWord(pieces(i), alpha, mix(seed ^ i.toLong))
+      var j = 0
+      while (j < toks.length) {
+        out += UTF8String.fromString(toks(j)); j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  def computeCount(text: UTF8String, seed: Long, vocab: UnigramVocab,
+                   alpha: Double): Long = {
+    val pieces = Bpe.pretokenize(text.toString)
+    var n = 0L
+    var i = 0
+    while (i < pieces.length) {
+      n += vocab.sampleWord(pieces(i), alpha, mix(seed ^ i.toLong)).length
+      i += 1
+    }
+    n
+  }
+
+  def tokens(text: Column, seed: Column, vocab: UnigramVocab,
+             alpha: Double): Column =
+    Bridge.column(UnigramSample(Bridge.expression(text),
+      Bridge.expression(seed), vocab, alpha, countOnly = false))
+
+  def count(text: Column, seed: Column, vocab: UnigramVocab,
+            alpha: Double): Column =
+    Bridge.column(UnigramSample(Bridge.expression(text),
+      Bridge.expression(seed), vocab, alpha, countOnly = true))
+}

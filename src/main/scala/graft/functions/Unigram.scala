@@ -121,6 +121,102 @@ final case class UnigramVocab(pieces: Vector[(String, Double)]) {
     out.reverseIterator.toArray
   }
 
+  /** SUBWORD REGULARIZATION sampling (Kudo 2018 §3.1 — the paper's
+    * actual point): draw a segmentation with probability ∝ P(seg)^α
+    * via forward-filtering backward-sampling over the same lattice the
+    * Viterbi walks. α→∞ degenerates to Viterbi (argmax); small α
+    * flattens toward uniform over segmentations — the data-augmentation
+    * dial NMT/LLM training uses (one text yields different token
+    * sequences per epoch, regularizing the model).
+    *
+    * DETERMINISTIC by construction, like every sampling op in this
+    * engine ([[TextOps.hashFrac]]'s rule): the randomness is a SplitMix
+    * walk of `seed` — same (word, α, seed) ⇒ same segmentation on any
+    * JVM, executor count, or run. Callers derive the seed from
+    * (doc id, epoch) so replays reproduce an epoch's exact token stream
+    * while epochs differ. Unknown codepoints follow the Viterbi rule:
+    * an unk step is FORCED (only exists where no vocabulary piece ends),
+    * so it contributes no branching probability. */
+  def sampleWord(word: String, alpha: Double, seed: Long): Array[String] = {
+    val n = word.length
+    if (n == 0) return Array.empty
+    val NEG = Double.NegativeInfinity
+    // forward log-mass with temperature α; unkFrom(i) >= 0 marks the
+    // forced unk predecessor at positions no vocab piece reaches
+    val fw = new Array[Double](n + 1)
+    val unkFrom = new Array[Int](n + 1)
+    java.util.Arrays.fill(fw, NEG)
+    java.util.Arrays.fill(unkFrom, -1)
+    fw(0) = 0.0
+    def lse(a: Double, b: Double): Double =
+      if (a == NEG) b else if (b == NEG) a
+      else if (a > b) a + math.log1p(math.exp(b - a))
+      else b + math.log1p(math.exp(a - b))
+    var i = 1
+    while (i <= n) {
+      var any = false
+      var j = math.max(0, i - maxPieceLen)
+      while (j < i) {
+        if (fw(j) != NEG) {
+          val lp = logProb.get(word.substring(j, i))
+          if (lp != null) {
+            fw(i) = lse(fw(i), fw(j) + alpha * lp.doubleValue()); any = true
+          }
+        }
+        j += 1
+      }
+      if (!any) {
+        val lo = if (i >= 2 && Character.isSurrogatePair(word.charAt(i - 2),
+          word.charAt(i - 1))) i - 2 else i - 1
+        if (fw(lo) != NEG) { fw(i) = fw(lo); unkFrom(i) = lo }
+      }
+      i += 1
+    }
+    // backward sampling: at position i, predecessor j drawn with
+    // probability exp(fw(j) + α·lp − fw(i)); the uniform comes from a
+    // SplitMix step keyed by (seed, i) — one draw per emitted piece
+    val out = new scala.collection.mutable.ArrayBuffer[String]()
+    var pos = n
+    while (pos > 0) {
+      if (unkFrom(pos) >= 0) {
+        out += word.substring(unkFrom(pos), pos)
+        pos = unkFrom(pos)
+      } else {
+        var x = seed ^ (pos.toLong * 0x9e3779b97f4a7c15L)
+        x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+        x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+        x = x ^ (x >>> 31)
+        val u = (x >>> 11).toDouble / (1L << 53).toDouble // [0, 1)
+        var acc = 0.0
+        var chosen = -1
+        var j = math.max(0, pos - maxPieceLen)
+        while (j < pos && chosen < 0) {
+          if (fw(j) != NEG) {
+            val lp = logProb.get(word.substring(j, pos))
+            if (lp != null) {
+              acc += math.exp(fw(j) + alpha * lp.doubleValue() - fw(pos))
+              if (u < acc) chosen = j
+            }
+          }
+          j += 1
+        }
+        // float round-off can leave acc a hair under 1: fall back to
+        // the LAST valid predecessor (ascending walk ⇒ deterministic)
+        if (chosen < 0) {
+          j = pos - 1
+          while (chosen < 0 && j >= math.max(0, pos - maxPieceLen)) {
+            if (fw(j) != NEG && logProb.get(word.substring(j, pos)) != null)
+              chosen = j
+            j -= 1
+          }
+        }
+        out += word.substring(chosen, pos)
+        pos = chosen
+      }
+    }
+    out.reverseIterator.toArray
+  }
+
   /** Per-task word→pieces cache — [[BpeVocab.encodeCached]]'s contract:
     * bounded, no eviction, transient across serialization. */
   @transient private lazy val cache =
@@ -180,6 +276,20 @@ object Unigram {
   /** Unigram token COUNT — count-only kernel, no array materializes. */
   def unigramTokenCount(c: Column, vocab: UnigramVocab = UnigramVocab.default): Column =
     graft.expressions.UnigramEncode.count(c, vocab)
+
+  /** Subword-regularization SAMPLE of a text column — segmentations
+    * drawn ∝ P^α ([[UnigramVocab.sampleWord]] per pretoken), seeded by
+    * `seed` (derive it from (doc id, epoch): replays reproduce an
+    * epoch's exact token stream, epochs differ — the Kudo 2018 §3.1
+    * augmentation as a deterministic engine op). */
+  def sampleTokens(c: Column, seed: Column, alpha: Double = 0.2,
+                   vocab: UnigramVocab = UnigramVocab.default): Column =
+    graft.expressions.UnigramSample.tokens(c, seed, vocab, alpha)
+
+  /** Count-only twin of [[sampleTokens]]. */
+  def sampleTokenCount(c: Column, seed: Column, alpha: Double = 0.2,
+                       vocab: UnigramVocab = UnigramVocab.default): Column =
+    graft.expressions.UnigramSample.count(c, seed, vocab, alpha)
 
   /** Deterministic unigram-LM training from a word→count table (Kudo
     * §3.2 over the bounded vocabulary frame — driver-side by design,

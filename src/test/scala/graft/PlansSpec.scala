@@ -679,4 +679,23 @@ class PlansSpec extends SparkSpec {
     intercept[IllegalArgumentException](CorpusPack.epochShuffledPack(
       docs.withColumn("__prev", lit(1)), "doc_id", "n_tok", "e0"))
   }
+  test("decontam kernel path: zero exchanges; q140 unigram scan-local") {
+    import graft.functions.TextOps
+    // the fused scrub (test set as a plan reference) must be a pure
+    // scan-side projection: clean AND contaminated docs never leave
+    // their scan — the plan the streaming stage relies on being
+    // stateless, and the batch auto-route's whole point
+    val docs = Tables.load(spark, sf001, "documents")
+    val scrub = TextOps.decontamScrubBroadcast(docs, "doc_id", "text",
+      Seq("the quick fox", "lorem ipsum dolor"))
+    val sp = scrub.queryExecution.executedPlan.toString
+    assert(!sp.contains("Exchange"), sp)
+    assert(sp.contains("*(1)"), s"no codegen stage:\n$sp")
+    // unigram token counting: one codegen scan, shuffle only for the
+    // oracle-required output sort (q137's shape)
+    val q140 = graft.queries.TrainingData
+      .defs("q140_unigram_tokens")(spark, sf001)
+    val p140 = q140.queryExecution.executedPlan.toString
+    assert(!p140.contains("Exchange hashpartitioning"), p140)
+  }
 }

@@ -121,6 +121,60 @@ class UnigramSpec extends SparkSpec {
     assert(back.toVocabText === txt)
   }
 
+  test("subword-regularization sampling: deterministic, lattice-faithful, Viterbi at high alpha") {
+    // vocab with a genuine two-way lattice for "ab": {ab} vs {a,b}
+    // P(ab) = e^-1, P(a)·P(b) = e^-3 → at α=1, P({ab}) = e^-1/(e^-1+e^-3)
+    val v = UnigramVocab(Vector(("a", -1.5), ("b", -1.5), ("ab", -1.0)))
+    // deterministic: same (word, α, seed) ⇒ same segmentation, always
+    (0L until 20L).foreach { s =>
+      assert(v.sampleWord("ab", 1.0, s).toSeq === v.sampleWord("ab", 1.0, s).toSeq)
+    }
+    // every sample reassembles the word
+    (0L until 200L).foreach { s =>
+      val toks = v.sampleWord("abab", 0.5, s)
+      assert(toks.mkString("") === "abab", toks.toSeq)
+    }
+    // empirical share of the {ab} segmentation across seeds tracks the
+    // exact lattice probability (α=1): e^-1/(e^-1+e^-3) ≈ 0.8808
+    val nOne = (0L until 4000L).count(s => v.sampleWord("ab", 1.0, s).length == 1)
+    val want = math.exp(-1.0) / (math.exp(-1.0) + math.exp(-3.0))
+    assert(math.abs(nOne / 4000.0 - want) < 0.03,
+      s"empirical ${nOne / 4000.0} vs lattice $want")
+    // α→∞ collapses to the Viterbi argmax on every seed
+    (0L until 50L).foreach { s =>
+      assert(v.sampleWord("ab", 50.0, s).toSeq === v.encodeWord("ab").toSeq)
+    }
+    // small α flattens: the dispreferred {a,b} split shows up far more
+    // often than at α=1
+    val nSplitLow = (0L until 4000L).count(s => v.sampleWord("ab", 0.1, s).length == 2)
+    assert(nSplitLow > 1200, s"α=0.1 split share $nSplitLow/4000")
+    // unk codepoints stay forced (never sampled around)
+    (0L until 20L).foreach { s =>
+      assert(v.sampleWord("axb", 1.0, s).toSeq === Seq("a", "x", "b"))
+    }
+
+    // the expression form: per-doc seeds decorrelate repeated words in
+    // one document, replays are exact, count == size(tokens)
+    val df = Seq((1L, "ab ab ab ab ab ab ab ab"), (2L, "ab"))
+      .toDF("doc_id", "text")
+    def run() = df.select($"doc_id",
+        graft.functions.Unigram.sampleTokens($"text", $"doc_id", 0.2, v).as("toks"),
+        graft.functions.Unigram.sampleTokenCount($"text", $"doc_id", 0.2, v).as("n"))
+      .as[(Long, Seq[String], Long)].collect().sortBy(_._1)
+    val a = run(); val b = run()
+    assert(a.map(r => (r._1, r._2)).toSeq === b.map(r => (r._1, r._2)).toSeq,
+      "replay must reproduce the epoch's exact token stream")
+    a.foreach { case (_, toks, cnt) => assert(toks.length.toLong === cnt) }
+    // the sampled stream still reassembles the document's text
+    val firstDoc = a.find(_._1 == 1L).get._2
+    assert(firstDoc.mkString("") === "abababababababab")
+    // 8 repeats of "ab" in one doc at α=0.2 (≈60/40 whole-vs-split per
+    // repeat): per-piece seed mixing must DECORRELATE them — both
+    // outcomes appear within the one document. Deterministic: this
+    // pins the committed seed walk's actual mix.
+    assert(firstDoc.length > 8 && firstDoc.length < 16, firstDoc.toString)
+  }
+
   test("expression: tokens/count agree and stay inside whole-stage codegen") {
     val v = UnigramVocab.default
     val df = Tables.load(spark, sf001, "documents")
