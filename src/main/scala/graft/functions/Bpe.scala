@@ -75,6 +75,68 @@ final case class BpeVocab(merges: Vector[(String, String)]) {
     toks
   }
 
+  /** BPE-DROPOUT encode (Provilkov et al. 2020) — the BPE family's
+    * subword-regularization twin of
+    * [[graft.functions.UnigramVocab.sampleWord]]: at each merge step,
+    * every candidate pair present in the word is DROPPED from
+    * consideration with probability `p` before the lowest-rank
+    * survivor applies; when every candidate drops, segmentation stops
+    * early — the finer segmentation IS the augmentation. p = 0 is
+    * byte-identical to [[encodeWord]] (spec-pinned); p = 1 degenerates
+    * to pure codepoints.
+    *
+    * DETERMINISTIC like every sampling op in this engine: draws are a
+    * SplitMix walk keyed (seed, step, pair rank) — same (word, p,
+    * seed) ⇒ same tokens on any JVM or executor count; callers derive
+    * `seed` from (doc id, epoch) so replays reproduce an epoch's
+    * stream while epochs differ. */
+  def encodeWordDropout(word: String, p: Double, seed: Long): Array[String] = {
+    require(p >= 0.0 && p <= 1.0, s"dropout must be in [0,1]: $p")
+    if (p == 0.0) return encodeWord(word)
+    @inline def mix(x0: Long): Long = {
+      var x = x0 + 0x9e3779b97f4a7c15L
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      x ^ (x >>> 31)
+    }
+    var toks = BpeVocab.codepoints(word)
+    var step = 0L
+    var done = toks.length < 2
+    while (!done) {
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < toks.length - 1) {
+        val r = ranks.getOrElse((toks(i), toks(i + 1)), Int.MaxValue)
+        if (r < bestRank) {
+          // drop THIS candidate pair with probability p (one draw per
+          // distinct pair per step: keyed by its rank, not position,
+          // matching the reference implementation's pair-level filter)
+          val u = (mix(seed ^ (step << 20) ^ r.toLong) >>> 11).toDouble /
+            (1L << 53).toDouble
+          if (u >= p) bestRank = r
+        }
+        i += 1
+      }
+      if (bestRank == Int.MaxValue) done = true // all dropped or none left
+      else {
+        val (a, b) = merges(bestRank)
+        val merged = a + b
+        val out = new Array[String](toks.length)
+        var n = 0
+        var j = 0
+        while (j < toks.length) {
+          if (j < toks.length - 1 && toks(j) == a && toks(j + 1) == b) {
+            out(n) = merged; n += 1; j += 2
+          } else { out(n) = toks(j); n += 1; j += 1 }
+        }
+        toks = java.util.Arrays.copyOf(out, n)
+        done = toks.length < 2
+      }
+      step += 1
+    }
+    toks
+  }
+
   /** Per-task word→tokens cache. Word-level encode is a pure function
     * and word frequencies are Zipfian, so nearly every piece is a cache
     * hit. Bounded (no eviction: past the cap new words just re-encode —
@@ -171,6 +233,18 @@ object Bpe {
     * only per-piece counts are cached and summed, no array materializes. */
   def bpeTokenCount(c: Column, vocab: BpeVocab = BpeVocab.default): Column =
     graft.expressions.BpeEncode.count(c, vocab)
+
+  /** BPE-dropout token array ([[BpeVocab.encodeWordDropout]] per
+    * pretoken) — seed from (doc id, epoch), like
+    * [[graft.functions.Unigram.sampleTokens]]. */
+  def dropoutTokens(c: Column, seed: Column, p: Double,
+                    vocab: BpeVocab = BpeVocab.default): Column =
+    graft.expressions.BpeDropout.tokens(c, seed, vocab, p)
+
+  /** Count-only twin of [[dropoutTokens]]. */
+  def dropoutTokenCount(c: Column, seed: Column, p: Double,
+                        vocab: BpeVocab = BpeVocab.default): Column =
+    graft.expressions.BpeDropout.count(c, seed, vocab, p)
 
   /** Deterministic BPE training from a word→count table. Classic
     * Sennrich selection — per iteration the highest-count adjacent

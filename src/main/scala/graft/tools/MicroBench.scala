@@ -270,6 +270,27 @@ object MicroBench {
         }
       rateU("unigram count 8k-piece zipf", zipfCorpus, nDocs)
       rateU("unigram count 8k-piece unique", uniqueCorpus, nDocs / 10)
+
+      // regularization sampling throughput: uncached by design (the
+      // sample depends on the seed), so the cache-friendly corpus pays
+      // the full per-word lattice walk — the augmentation's real cost
+      def rateSampled(name: String, c: org.apache.spark.sql.Column,
+                      df: org.apache.spark.sql.DataFrame, docs: Long): Unit =
+        (1 to 3).foreach { i =>
+          val t0 = System.nanoTime()
+          noop(df.select(c.as("n")))
+          val s = (System.nanoTime() - t0) / 1e9
+          println(f"$name run$i: $s%.3f s, ${docs / s / 1000}%.0f kdocs/s, " +
+            f"${docs * wordsPerDoc / s / 1e6}%.1f Mpieces/s")
+        }
+      rateSampled("unigram sample a=0.2 zipf",
+        graft.functions.Unigram.sampleTokenCount(col("text"),
+          expr("monotonically_increasing_id()"), 0.2, uni8k),
+        zipfCorpus, nDocs)
+      rateSampled("bpe dropout p=0.1 zipf",
+        Bpe.dropoutTokenCount(col("text"),
+          expr("monotonically_increasing_id()"), 0.1, vocab32k),
+        zipfCorpus, nDocs)
       zipfCorpus.unpersist()
       uniqueCorpus.unpersist()
 

@@ -175,6 +175,48 @@ class UnigramSpec extends SparkSpec {
     assert(firstDoc.length > 8 && firstDoc.length < 16, firstDoc.toString)
   }
 
+  test("bpe-dropout: p=0 parity, determinism, monotone fragmentation, p=1 codepoints") {
+    import graft.functions.BpeVocab
+    val v = BpeVocab(Vector(("l", "o"), ("lo", "w"), ("e", "r")))
+    // p = 0 is byte-identical to the plain encoder on every seed
+    (0L until 30L).foreach { s =>
+      assert(v.encodeWordDropout("lower", 0.0, s).toSeq ===
+        v.encodeWord("lower").toSeq)
+    }
+    // deterministic per (word, p, seed); always reassembles
+    (0L until 100L).foreach { s =>
+      val a = v.encodeWordDropout("lower", 0.3, s)
+      assert(a.toSeq === v.encodeWordDropout("lower", 0.3, s).toSeq)
+      assert(a.mkString("") === "lower")
+    }
+    // p = 1: every merge drops — pure codepoints
+    (0L until 10L).foreach { s =>
+      assert(v.encodeWordDropout("lower", 1.0, s).toSeq ===
+        Seq("l", "o", "w", "e", "r"))
+    }
+    // fragmentation grows with p (averaged over seeds): the
+    // augmentation dial actually dials
+    def meanLen(p: Double): Double =
+      (0L until 400L).map(s => v.encodeWordDropout("lower", p, s).length)
+        .sum / 400.0
+    val (m0, m3, m7) = (meanLen(0.0), meanLen(0.3), meanLen(0.7))
+    assert(m0 < m3 && m3 < m7, s"$m0 / $m3 / $m7")
+    // expression form: replay-exact, count == size, differs from the
+    // plain encoding somewhere (the dropout is observable)
+    val df = Seq((1L, "lower lower lower lower"), (2L, "lower"))
+      .toDF("doc_id", "text")
+    def run() = df.select($"doc_id",
+        Bpe.dropoutTokens($"text", $"doc_id", 0.5, v).as("toks"),
+        Bpe.dropoutTokenCount($"text", $"doc_id", 0.5, v).as("n"))
+      .as[(Long, Seq[String], Long)].collect().sortBy(_._1)
+    val a = run(); val b = run()
+    assert(a.map(r => (r._1, r._2)).toSeq === b.map(r => (r._1, r._2)).toSeq)
+    a.foreach { case (_, toks, cnt) => assert(toks.length.toLong === cnt) }
+    val plain = df.select(size(Bpe.bpeTokens($"text", v)).cast("long"))
+      .as[Long].collect().sum
+    assert(a.map(_._3).sum > plain, "dropout must fragment beyond plain BPE")
+  }
+
   test("expression: tokens/count agree and stay inside whole-stage codegen") {
     val v = UnigramVocab.default
     val df = Tables.load(spark, sf001, "documents")
