@@ -574,6 +574,27 @@ object TrainingData {
           graft.functions.Unigram.unigramTokenCount(san).as("n_uni"))
         .orderBy(col("doc_id"))
     }),
+    // q111's corpus quantiles under the unigram denomination — the
+    // third of the q110/q111/q129 metric family parameterized over
+    // tokenizer. Same value-histogram plan (the corpus contributes one
+    // partial-agg shuffle of distinct counts; the quantile walk runs
+    // over the bounded histogram frame).
+    "q144_unigram_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      val hist = t(s, dir, "documents")
+        .select(graft.functions.Unigram.unigramTokenCount(
+          Bpe.sanitizeAscii(col("text"))).as("n_uni"))
+        .groupBy(col("n_uni")).agg(count(lit(1)).as("cnt"))
+      val cum = hist.withColumn("cum",
+        sum(col("cnt")).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_uni"))
+          .rowsBetween(Long.MinValue, 0)))
+        .crossJoin(hist.agg(sum(col("cnt")).as("total")))
+      cum.crossJoin(Seq(0.25, 0.5, 0.75, 0.9).toDF("q"))
+        .filter(col("cum") >= ceil(col("q") * col("total")))
+        .groupBy(col("q")).agg(min(col("n_uni")).as("value"))
+        .orderBy(col("q"))
+    }),
     // q129's fertility metric PARAMETERIZED over tokenizer family —
     // the retraining trigger finally has an alternative to compare
     // against: per language, BPE and unigram token mass over the SAME
@@ -2614,6 +2635,20 @@ object TrainingData {
          |  CAST(COALESCE(c.n_uni, 0) AS BIGINT) AS n_uni
          |FROM san s LEFT JOIN cnt c ON s.doc_id = c.doc_id
          |ORDER BY s.doc_id""".stripMargin,
+    "q144_unigram_quantiles" ->
+      s"""WITH RECURSIVE $sanDocwCte,
+         |$unigramCte,
+         |cnt AS (SELECT dw.doc_id, SUM(b.ntok) AS n_uni
+         |        FROM docw dw JOIN ubest b ON dw.w = b.w GROUP BY dw.doc_id),
+         |doc AS (SELECT CAST(COALESCE(c.n_uni, 0) AS BIGINT) AS n_uni
+         |        FROM san s LEFT JOIN cnt c ON s.doc_id = c.doc_id),
+         |h AS (SELECT n_uni, count(*) AS cnt FROM doc GROUP BY 1),
+         |tt AS (SELECT sum(cnt) AS total FROM h),
+         |cum AS (SELECT n_uni, sum(cnt) OVER (ORDER BY n_uni) AS cum FROM h),
+         |qs AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9]) AS DOUBLE) AS q)
+         |SELECT q, min(n_uni) AS value
+         |FROM qs, cum, tt WHERE cum >= ceil(q * total)
+         |GROUP BY q ORDER BY q""".stripMargin,
     "q141_unigram_fertility" ->
       s"""WITH RECURSIVE $bpeCte,
          |$unigramCte,
