@@ -1732,6 +1732,105 @@ class EndToEndSpec extends SparkSpec {
       a6.sent.head.contains("dup_rate=0.5"), a6.sent.head)
   }
 
+  test("maximal ingest: gopher+quality+verified-neardup+decontam+line-scrub+unigram+lock compose and replay") {
+    import graft.lake.{CorpusDedup, CorpusPack}
+    import graft.state.RunLock
+    import graft.tools.DailyIngest
+    import graft.functions.{QualityClassifier, Unigram, UnigramVocab}
+    // every text-pipeline feature ON at once — the pairwise suites
+    // can't see cross-stage interactions (notably decontam→line-scrub
+    // ordering and the decontamPersisted branch, which only exists
+    // when BOTH rewrite stages run)
+    val lake = new Lake(spark, tmpDir("max_lake"))
+    val dd = new CorpusDedup(spark, lake, "max_crawl", numBuckets = 4)
+    val cp = new CorpusPack(spark,
+      new StateStore(spark, tmpDir("max_state")), "max_crawl",
+      budgetTokens = 4096L)
+    val out = TableRef("prod", "max_crawl", "packed")
+    val lock = new RunLock(spark, tmpDir("max_locks"))
+    assert(lock.tryAcquire("max_key", owner = "sched"))
+    def day(d: String) = java.sql.Date.valueOf(d)
+    // 10-token lines opening "the of": clears the Gopher stopword
+    // (≥2 of 8) and mean-word-length (≥3) rules by construction
+    def line(p: String) =
+      "the of " + (1 to 8).map(i => s"${p}word$i").mkString(" ")
+    val lineA = line("a")
+    val lineBench =
+      "the of bword1 alpha beta gamma bword2 bword3 bword4 bword5"
+    // benchmark registered BEFORE day one → applies to every ingest day
+    dd.commitTestShingles(Seq("alpha beta gamma delta epsilon")
+      .toDF("text"), "text", day("2024-02-28"))
+    // quality model fitted on a labeled fixture sharing the corpus
+    // vocabulary (good = the line families, junk = spam words)
+    val labeled = Seq(
+      (lineA + " " + line("b"), true),
+      (line("n") + " " + line("x"), true),
+      (line("c") + " " + lineBench, true),
+      ("buy cheap deals now win big casino bonus the of", false),
+      ("click here free free casino win the of now now", false),
+      ("win casino cheap click bonus free deals now the of", false))
+      .toDF("text", "curated")
+    val model = QualityClassifier.train(labeled, "text", col("curated"))
+    val uni = UnigramVocab.default
+    def nUni(t: String): Long = Seq(t).toDF("t")
+      .select(Unigram.unigramTokenCount($"t", uni)).as[Long].head()
+    def ingest(docs: org.apache.spark.sql.DataFrame, d: String): Long =
+      DailyIngest.run(lake, dd, cp, out,
+        docs.withColumn("lang", lit("en")), "doc_id", "text", "lang",
+        day(d), ttlDays = 30,
+        gopherRules = Some((5L, 100000L)), qualityGate = Some(model),
+        nearDupVerify = Some(0.75), lineScrub = true, decontam = true,
+        lock = Some((lock, "max_key")), unigramVocab = Some(uni))
+
+    // day 1: doc 1 clean; doc 2 junk (quality gate); doc 3 too short
+    // (gopher); doc 4 carries a benchmark trigram — its span strips
+    // ([j−2, j+4] keeps "the", "bword4", "bword5" of that line)
+    assert(ingest(Seq(
+      (1L, lineA + " " + line("b")),
+      (2L, "buy cheap deals now win big casino bonus the of"),
+      (3L, "tiny doc here"),
+      (4L, line("c") + " " + lineBench)).toDF("doc_id", "text"),
+      "2024-03-01") === 2)
+    val d1 = lake.read(out).select($"doc_id", $"n_tok")
+      .as[(Long, Long)].collect().toMap
+    assert(d1.keySet === Set(1L, 4L))
+    assert(d1(4L) === nUni(line("c") + " the bword4 bword5"),
+      "decontam must strip the span before the token count")
+
+    // day 2: doc 10 repeats day-1's line A (line scrub strips it);
+    // doc 11 is an exact dup of doc 1; doc 12 novel
+    assert(ingest(Seq(
+      (10L, Seq(lineA, line("e"), line("f"), line("g")).mkString(" ")),
+      (11L, lineA + " " + line("b")),
+      (12L, line("h") + " " + line("i"))).toDF("doc_id", "text"),
+      "2024-03-02") === 2)
+    val d2 = lake.read(out)
+      .filter($"ingest_day" === day("2024-03-02"))
+      .select($"doc_id", $"n_tok").as[(Long, Long)].collect().toMap
+    assert(d2.keySet === Set(10L, 12L))
+    assert(d2(10L) ===
+      nUni(Seq(line("e"), line("f"), line("g")).mkString(" ")))
+
+    // day 3: doc 20 hits BOTH rewrite stages — the benchmark span
+    // strips FIRST (decontam precedes line segmentation), THEN the
+    // rewritten text re-segments and day-1's line A strips
+    val doc20 = Seq(lineA, lineBench, line("n")).mkString(" ")
+    val doc20Final = "the bword4 bword5 the of nword1 nword2 nword3 " +
+      "nword4 nword5 nword6 nword7 nword8"
+    assert(ingest(Seq((20L, doc20)).toDF("doc_id", "text"),
+      "2024-03-03") === 1)
+    assert(lake.read(out).filter($"doc_id" === 20L)
+      .select($"n_tok").as[Long].head() === nUni(doc20Final),
+      "decontam → line-scrub ordering produced the wrong final text")
+
+    // full replay of day 3 converges: the exact gate swallows the
+    // batch, nothing re-lands, counts stay stable
+    assert(ingest(Seq((20L, doc20)).toDF("doc_id", "text"),
+      "2024-03-03") === 1)
+    assert(lake.read(out).count() === 5)
+    lock.release("max_key")
+  }
+
   test("daily ingest with the unigram denomination: landed n_tok rides the family switch") {
     import graft.lake.{CorpusDedup, CorpusPack}
     import graft.tools.DailyIngest
