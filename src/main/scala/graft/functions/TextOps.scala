@@ -243,6 +243,38 @@ object TextOps {
           .as("mean_chars"))
   }
 
+  /** The Gopher REPETITION filter counters (Rae et al. 2021 §A1.1's
+    * other half — [[gopherStats]]/[[gopherKeep]] carry the quality
+    * rules): thirteen fractions from ONE kernel pass per row
+    * ([[graft.expressions.RepetitionStats]] — the split happens once,
+    * nine hash passes reuse it; a HOF encoding would re-split per
+    * lambda element). See the expression's Scaladoc for the pinned
+    * semantics (beyond-first duplicates, lex-smallest top-gram ties,
+    * coverage-mask dup n-grams). */
+  def repetitionStats(text: Column): Column =
+    graft.expressions.RepetitionStats.repetition_stats(text)
+
+  /** Gopher's repetition keep decision (1/0) — the published §A1.1
+    * thresholds, rejection on STRICTLY greater (the [[gopherKeep]]
+    * boundary convention): duplicate line/paragraph fractions ≤ 0.30,
+    * their char fractions ≤ 0.20, top 2/3/4-gram char fractions ≤
+    * 0.20/0.18/0.16, duplicated 5..10-gram char fractions ≤
+    * 0.15/0.14/0.13/0.12/0.11/0.10. */
+  def repetitionKeep(st: Column): Column =
+    (st.getField("dup_line_frac") <= 0.30 &&
+      st.getField("dup_para_frac") <= 0.30 &&
+      st.getField("dup_line_char_frac") <= 0.20 &&
+      st.getField("dup_para_char_frac") <= 0.20 &&
+      st.getField("top2_char_frac") <= 0.20 &&
+      st.getField("top3_char_frac") <= 0.18 &&
+      st.getField("top4_char_frac") <= 0.16 &&
+      st.getField("dup5_char_frac") <= 0.15 &&
+      st.getField("dup6_char_frac") <= 0.14 &&
+      st.getField("dup7_char_frac") <= 0.13 &&
+      st.getField("dup8_char_frac") <= 0.12 &&
+      st.getField("dup9_char_frac") <= 0.11 &&
+      st.getField("dup10_char_frac") <= 0.10).cast("int")
+
   /** Share of all word n-grams taken by the single most frequent one —
     * native one-pass hash count ([[graft.expressions.TopNgramFrac]],
     * O(tokens) per row; the earlier array_distinct × filter HOF was

@@ -386,6 +386,23 @@ object TrainingData {
       lit("\na trailing thought...\n#tag line with more...\nthe end of it..."))
     .otherwise(lit("\nthat line will have the words\nwith a plain closing"))
 
+  /** q145's repetition-variance tail (the q137 pattern, its own const:
+    * the flat synthetic corpus has no repeated lines/paragraphs/long
+    * n-grams, so the repetition rules would be vacuous). Branch %4:
+    * 0 = three identical LINES (dup-line rules fire); 1 = a duplicated
+    * PARAGRAPH (para rules, plus the empty-line dup the \n\n split
+    * implies); 2 = a "big table"×5 run (top-2-gram rule, with doc
+    * LENGTH deciding keep — short docs reject, long ones absorb it);
+    * 3 = a plain clean tail. Mirrored verbatim by the oracle CASE. */
+  private val repetitionTail =
+    when(pmod(col("doc_id"), lit(4)) === 0,
+      lit("\nrepeat line alpha beta\nrepeat line alpha beta\nrepeat line alpha beta"))
+    .when(pmod(col("doc_id"), lit(4)) === 1,
+      lit("\n\nshared paragraph content words\n\nshared paragraph content words"))
+    .when(pmod(col("doc_id"), lit(4)) === 2,
+      lit(" big table big table big table big table big table"))
+    .otherwise(lit(" and a plain trailing remark"))
+
   /** q101/q107 language-share targets — ONE definition so the composed
     * recipe can never drift from the standalone resampler. The oracles
     * enumerate the same five langs explicitly with NO ELSE branch: an
@@ -556,6 +573,24 @@ object TrainingData {
           Seq("source", "lang"), col("text"),
           concat(col("text"), gopherTail), col("n_chars"))
         .orderBy(col("source"), col("lang"))
+    }),
+    // The Gopher REPETITION rule set (Rae et al. 2021 §A1.1's other
+    // half — q137 carries the quality rules): thirteen published
+    // fractions + the keep conjunction from ONE kernel pass per row
+    // (expressions.RepetitionStats; coverage-mask dup n-grams and
+    // lex-smallest top-gram ties pinned there and mirrored by the
+    // oracle). Repetition variance is INJECTED deterministically
+    // (repetitionTail — the corpus is flat) so every rule family fires
+    // somewhere and doc length decides marginal keeps. Zero exchanges
+    // but the output sort: gating 100 TB on repetition is one scan,
+    // same as q137.
+    "q145_gopher_repetition" -> ((s, dir) => {
+      val st = TextOps.repetitionStats(concat(col("text"), repetitionTail))
+      t(s, dir, "documents").select(col("doc_id") +:
+          graft.expressions.RepetitionStats.Schema.fieldNames.toSeq.map(f =>
+            st.getField(f).as(f)) :+
+          TextOps.repetitionKeep(st).as("keep"): _*)
+        .orderBy(col("doc_id"))
     }),
     // Unigram-LM tokenization (Kudo 2018 — the SentencePiece family;
     // functions/Unigram.scala): q110's shape for the SECOND tokenizer
@@ -2624,6 +2659,126 @@ object TrainingData {
          |FROM sel s JOIN calh h
          |  ON h.source = s.source AND h.score = s.threshold
          |ORDER BY s.source""".stripMargin,
+    "q145_gopher_repetition" ->
+      """WITH inj AS (
+        |  SELECT doc_id, text ||
+        |    CASE CAST(doc_id % 4 AS INT)
+        |      WHEN 0 THEN chr(10) || 'repeat line alpha beta' ||
+        |        chr(10) || 'repeat line alpha beta' ||
+        |        chr(10) || 'repeat line alpha beta'
+        |      WHEN 1 THEN chr(10) || chr(10) ||
+        |        'shared paragraph content words' || chr(10) || chr(10) ||
+        |        'shared paragraph content words'
+        |      WHEN 2 THEN ' big table big table big table big table big table'
+        |      ELSE ' and a plain trailing remark'
+        |    END AS t
+        |  FROM documents),
+        |lp AS (
+        |  SELECT doc_id,
+        |    string_split(t, chr(10)) AS lines,
+        |    string_split(t, chr(10) || chr(10)) AS paras
+        |  FROM inj),
+        |lpf AS (
+        |  SELECT doc_id,
+        |    CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+        |      / len(lines) AS dup_line_frac,
+        |    CASE WHEN COALESCE(list_sum(list_transform(lines, l -> len(l))), 0) = 0
+        |      THEN 0.0
+        |      ELSE CAST(list_sum(list_transform(lines, l -> len(l))) -
+        |        list_sum(list_transform(list_distinct(lines), l -> len(l)))
+        |        AS DOUBLE) / list_sum(list_transform(lines, l -> len(l)))
+        |      END AS dup_line_char_frac,
+        |    CAST(len(paras) - len(list_distinct(paras)) AS DOUBLE)
+        |      / len(paras) AS dup_para_frac,
+        |    CASE WHEN COALESCE(list_sum(list_transform(paras, l -> len(l))), 0) = 0
+        |      THEN 0.0
+        |      ELSE CAST(list_sum(list_transform(paras, l -> len(l))) -
+        |        list_sum(list_transform(list_distinct(paras), l -> len(l)))
+        |        AS DOUBLE) / list_sum(list_transform(paras, l -> len(l)))
+        |      END AS dup_para_char_frac
+        |  FROM lp),
+        |rw AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(t, '[ \n]'), x -> x <> '') AS words
+        |  FROM inj),
+        |rwc AS (
+        |  SELECT doc_id,
+        |    COALESCE(list_sum(list_transform(words, x -> len(x))), 0) AS twc
+        |  FROM rw),
+        |gr AS (
+        |  SELECT rw.doc_id, ns.n, u.j AS j,
+        |    array_to_string(list_slice(rw.words, u.j + 1, u.j + ns.n), ' ') AS g
+        |  FROM rw,
+        |    (SELECT unnest([2, 3, 4, 5, 6, 7, 8, 9, 10]) AS n) ns,
+        |    UNNEST(range(0, greatest(len(rw.words) - ns.n + 1, 0))) AS u(j)),
+        |gc AS (SELECT doc_id, n, g, COUNT(*) AS c
+        |       FROM gr GROUP BY doc_id, n, g),
+        |tops AS (
+        |  SELECT doc_id,
+        |    MAX(CASE WHEN n = 2 THEN c * (len(g) - 1) END) AS t2,
+        |    MAX(CASE WHEN n = 3 THEN c * (len(g) - 2) END) AS t3,
+        |    MAX(CASE WHEN n = 4 THEN c * (len(g) - 3) END) AS t4
+        |  FROM (SELECT doc_id, n, g, c,
+        |          row_number() OVER (PARTITION BY doc_id, n
+        |            ORDER BY c DESC, g ASC) AS rk
+        |        FROM gc WHERE n <= 4)
+        |  WHERE rk = 1 GROUP BY doc_id),
+        |cov AS (
+        |  SELECT DISTINCT gr.doc_id, gr.n, u.p
+        |  FROM gr
+        |  JOIN gc ON gc.doc_id = gr.doc_id AND gc.n = gr.n AND gc.g = gr.g,
+        |    UNNEST(range(gr.j, gr.j + gr.n)) AS u(p)
+        |  WHERE gr.n >= 5 AND gc.c >= 2),
+        |covc AS (
+        |  SELECT c.doc_id,
+        |    SUM(CASE WHEN c.n = 5 THEN len(rw.words[c.p + 1]) ELSE 0 END) AS c5,
+        |    SUM(CASE WHEN c.n = 6 THEN len(rw.words[c.p + 1]) ELSE 0 END) AS c6,
+        |    SUM(CASE WHEN c.n = 7 THEN len(rw.words[c.p + 1]) ELSE 0 END) AS c7,
+        |    SUM(CASE WHEN c.n = 8 THEN len(rw.words[c.p + 1]) ELSE 0 END) AS c8,
+        |    SUM(CASE WHEN c.n = 9 THEN len(rw.words[c.p + 1]) ELSE 0 END) AS c9,
+        |    SUM(CASE WHEN c.n = 10 THEN len(rw.words[c.p + 1]) ELSE 0 END) AS c10
+        |  FROM cov c JOIN rw ON rw.doc_id = c.doc_id
+        |  GROUP BY c.doc_id),
+        |fr AS (
+        |  SELECT l.doc_id,
+        |    l.dup_line_frac, l.dup_line_char_frac,
+        |    l.dup_para_frac, l.dup_para_char_frac,
+        |    CASE WHEN w.twc = 0 THEN 0.0
+        |      ELSE CAST(COALESCE(t.t2, 0) AS DOUBLE) / w.twc END AS top2_char_frac,
+        |    CASE WHEN w.twc = 0 THEN 0.0
+        |      ELSE CAST(COALESCE(t.t3, 0) AS DOUBLE) / w.twc END AS top3_char_frac,
+        |    CASE WHEN w.twc = 0 THEN 0.0
+        |      ELSE CAST(COALESCE(t.t4, 0) AS DOUBLE) / w.twc END AS top4_char_frac,
+        |    CASE WHEN w.twc = 0 THEN 0.0
+        |      ELSE CAST(COALESCE(v.c5, 0) AS DOUBLE) / w.twc END AS dup5_char_frac,
+        |    CASE WHEN w.twc = 0 THEN 0.0
+        |      ELSE CAST(COALESCE(v.c6, 0) AS DOUBLE) / w.twc END AS dup6_char_frac,
+        |    CASE WHEN w.twc = 0 THEN 0.0
+        |      ELSE CAST(COALESCE(v.c7, 0) AS DOUBLE) / w.twc END AS dup7_char_frac,
+        |    CASE WHEN w.twc = 0 THEN 0.0
+        |      ELSE CAST(COALESCE(v.c8, 0) AS DOUBLE) / w.twc END AS dup8_char_frac,
+        |    CASE WHEN w.twc = 0 THEN 0.0
+        |      ELSE CAST(COALESCE(v.c9, 0) AS DOUBLE) / w.twc END AS dup9_char_frac,
+        |    CASE WHEN w.twc = 0 THEN 0.0
+        |      ELSE CAST(COALESCE(v.c10, 0) AS DOUBLE) / w.twc END AS dup10_char_frac
+        |  FROM lpf l
+        |  JOIN rwc w ON w.doc_id = l.doc_id
+        |  LEFT JOIN tops t ON t.doc_id = l.doc_id
+        |  LEFT JOIN covc v ON v.doc_id = l.doc_id)
+        |SELECT doc_id,
+        |  dup_line_frac, dup_line_char_frac, dup_para_frac, dup_para_char_frac,
+        |  top2_char_frac, top3_char_frac, top4_char_frac,
+        |  dup5_char_frac, dup6_char_frac, dup7_char_frac,
+        |  dup8_char_frac, dup9_char_frac, dup10_char_frac,
+        |  CAST(CASE WHEN dup_line_frac <= 0.30 AND dup_para_frac <= 0.30
+        |    AND dup_line_char_frac <= 0.20 AND dup_para_char_frac <= 0.20
+        |    AND top2_char_frac <= 0.20 AND top3_char_frac <= 0.18
+        |    AND top4_char_frac <= 0.16
+        |    AND dup5_char_frac <= 0.15 AND dup6_char_frac <= 0.14
+        |    AND dup7_char_frac <= 0.13 AND dup8_char_frac <= 0.12
+        |    AND dup9_char_frac <= 0.11 AND dup10_char_frac <= 0.10
+        |    THEN 1 ELSE 0 END AS INT) AS keep
+        |FROM fr ORDER BY doc_id""".stripMargin,
     "q140_unigram_tokens" ->
       s"""WITH RECURSIVE $sanDocwCte,
          |$unigramCte,

@@ -153,6 +153,12 @@ object DailyIngest {
     * since. Ordered BEFORE the line scrub so benchmark text can never
     * survive as a "novel line" in the day's line seen-set view.
     *
+    * `repetitionRules = true` adds the OTHER half of the Gopher §A1.1
+    * gate (q145, [[graft.functions.TextOps.repetitionKeep]] — the
+    * thirteen published repetition thresholds) right after the quality
+    * rules: the same zero-exchange scan-local predicate class, and the
+    * same admitted-only seen-set contract.
+    *
     * `gopherRules = Some((minWords, maxWords))` applies the Gopher
     * document-quality rule set (q137,
     * [[graft.functions.TextOps.gopherKeep]]) as the EARLIEST gate —
@@ -176,15 +182,24 @@ object DailyIngest {
           gopherRules: Option[(Long, Long)] = None,
           decontam: Boolean = false,
           lock: LockRef = None,
-          unigramVocab: Option[graft.functions.UnigramVocab] = None)
+          unigramVocab: Option[graft.functions.UnigramVocab] = None,
+          repetitionRules: Boolean = false)
       : Long = {
     require(semanticThreshold.isEmpty || ann.nonEmpty,
       "semanticThreshold needs the ann leg — the index is the seen-set")
     val minDate = Date.valueOf(day.toLocalDate.minusDays(ttlDays.toLong))
-    val ruled = gopherRules.map { case (minW, maxW) =>
+    val ruled0 = gopherRules.map { case (minW, maxW) =>
       docs.filter(graft.functions.TextOps.gopherKeep(
         graft.functions.TextOps.gopherStats(col(textCol)), minW, maxW) === 1)
     }.getOrElse(docs)
+    // `repetitionRules = true` completes the Gopher gate: the §A1.1
+    // REPETITION half (q145, TextOps.repetitionKeep) beside the
+    // quality half — another scan-local codegen predicate with zero
+    // exchanges, deterministic, so the replay invariants hold unchanged
+    val ruled = if (repetitionRules)
+      ruled0.filter(graft.functions.TextOps.repetitionKeep(
+        graft.functions.TextOps.repetitionStats(col(textCol))) === 1)
+    else ruled0
     val admitted = qualityGate.map(m =>
       ruled.filter(round(m.scoreCol(col(textCol)), 4) > 0.0)).getOrElse(ruled)
     val exactNovel = dd.novelExactSince(admitted, idCol, textCol, minDate)

@@ -1732,7 +1732,7 @@ class EndToEndSpec extends SparkSpec {
       a6.sent.head.contains("dup_rate=0.5"), a6.sent.head)
   }
 
-  test("maximal ingest: gopher+quality+verified-neardup+decontam+line-scrub+unigram+lock compose and replay") {
+  test("maximal ingest: gopher+repetition+quality+verified-neardup+decontam+line-scrub+unigram+lock compose and replay") {
     import graft.lake.{CorpusDedup, CorpusPack}
     import graft.state.RunLock
     import graft.tools.DailyIngest
@@ -1740,7 +1740,11 @@ class EndToEndSpec extends SparkSpec {
     // every text-pipeline feature ON at once — the pairwise suites
     // can't see cross-stage interactions (notably decontam→line-scrub
     // ordering and the decontamPersisted branch, which only exists
-    // when BOTH rewrite stages run)
+    // when BOTH rewrite stages run). Docs are 4×10-token lines: the
+    // repetition gate's top-4-gram rule legitimately rejects very
+    // short docs even at frequency 1 (4 long words ARE >16% of a
+    // 20-word doc's chars — the reason Gopher pairs these rules with
+    // its ≥50-word floor), so realistic lengths are part of the test.
     val lake = new Lake(spark, tmpDir("max_lake"))
     val dd = new CorpusDedup(spark, lake, "max_crawl", numBuckets = 4)
     val cp = new CorpusPack(spark,
@@ -1757,18 +1761,30 @@ class EndToEndSpec extends SparkSpec {
     val lineA = line("a")
     val lineBench =
       "the of bword1 alpha beta gamma bword2 bword3 bword4 bword5"
+    // 4 junk lines: spam vocabulary, no repeated 3+-grams (the quality
+    // gate must be what cuts them, not the repetition gate)
+    val junk = Seq(
+      "buy cheap deals now win big casino bonus the of",
+      "click here free spins casino win cheap deals the of",
+      "now buy bonus free big win click spins the of",
+      "casino cheap click now free deals win buy the of")
     // benchmark registered BEFORE day one → applies to every ingest day
     dd.commitTestShingles(Seq("alpha beta gamma delta epsilon")
       .toDF("text"), "text", day("2024-02-28"))
     // quality model fitted on a labeled fixture sharing the corpus
-    // vocabulary (good = the line families, junk = spam words)
+    // vocabulary (good = the line families, junk = the spam lines)
     val labeled = Seq(
       (lineA + " " + line("b"), true),
-      (line("n") + " " + line("x"), true),
+      (line("p") + " " + line("q"), true),
       (line("c") + " " + lineBench, true),
-      ("buy cheap deals now win big casino bonus the of", false),
-      ("click here free free casino win the of now now", false),
-      ("win casino cheap click bonus free deals now the of", false))
+      (line("n") + " " + line("x"), true),
+      (line("h") + " " + line("i"), true),
+      (line("k") + " " + line("l"), true),
+      (line("e") + " " + line("f"), true),
+      (line("g") + " " + line("z"), true),
+      (junk(0) + " " + junk(1), false),
+      (junk(2) + " " + junk(3), false),
+      (junk(0) + " " + junk(3), false))
       .toDF("text", "curated")
     val model = QualityClassifier.train(labeled, "text", col("curated"))
     val uni = UnigramVocab.default
@@ -1780,30 +1796,36 @@ class EndToEndSpec extends SparkSpec {
         day(d), ttlDays = 30,
         gopherRules = Some((5L, 100000L)), qualityGate = Some(model),
         nearDupVerify = Some(0.75), lineScrub = true, decontam = true,
-        lock = Some((lock, "max_key")), unigramVocab = Some(uni))
+        lock = Some((lock, "max_key")), unigramVocab = Some(uni),
+        repetitionRules = true)
 
     // day 1: doc 1 clean; doc 2 junk (quality gate); doc 3 too short
-    // (gopher); doc 4 carries a benchmark trigram — its span strips
-    // ([j−2, j+4] keeps "the", "bword4", "bword5" of that line)
+    // (gopher quality); doc 4 carries a benchmark trigram — its span
+    // strips ([j−2, j+4] keeps "the", "bword4", "bword5" of that
+    // line); doc 5 is two identical 20-word halves — a duplicated
+    // 10-gram covers every word (dup10 = 1.0 > 0.10), the repetition
+    // gate's cut
     assert(ingest(Seq(
-      (1L, lineA + " " + line("b")),
-      (2L, "buy cheap deals now win big casino bonus the of"),
+      (1L, Seq(lineA, line("b"), line("p"), line("q")).mkString(" ")),
+      (2L, junk.mkString(" ")),
       (3L, "tiny doc here"),
-      (4L, line("c") + " " + lineBench)).toDF("doc_id", "text"),
-      "2024-03-01") === 2)
+      (4L, Seq(line("c"), lineBench, line("d"), line("m")).mkString(" ")),
+      (5L, lineA + " " + line("b") + " " + lineA + " " + line("b")))
+      .toDF("doc_id", "text"), "2024-03-01") === 2)
     val d1 = lake.read(out).select($"doc_id", $"n_tok")
       .as[(Long, Long)].collect().toMap
     assert(d1.keySet === Set(1L, 4L))
-    assert(d1(4L) === nUni(line("c") + " the bword4 bword5"),
+    assert(d1(4L) === nUni(Seq(line("c"), "the bword4 bword5",
+      line("d"), line("m")).mkString(" ")),
       "decontam must strip the span before the token count")
 
     // day 2: doc 10 repeats day-1's line A (line scrub strips it);
     // doc 11 is an exact dup of doc 1; doc 12 novel
     assert(ingest(Seq(
       (10L, Seq(lineA, line("e"), line("f"), line("g")).mkString(" ")),
-      (11L, lineA + " " + line("b")),
-      (12L, line("h") + " " + line("i"))).toDF("doc_id", "text"),
-      "2024-03-02") === 2)
+      (11L, Seq(lineA, line("b"), line("p"), line("q")).mkString(" ")),
+      (12L, Seq(line("h"), line("i"), line("k"), line("l")).mkString(" ")))
+      .toDF("doc_id", "text"), "2024-03-02") === 2)
     val d2 = lake.read(out)
       .filter($"ingest_day" === day("2024-03-02"))
       .select($"doc_id", $"n_tok").as[(Long, Long)].collect().toMap
@@ -1814,9 +1836,9 @@ class EndToEndSpec extends SparkSpec {
     // day 3: doc 20 hits BOTH rewrite stages — the benchmark span
     // strips FIRST (decontam precedes line segmentation), THEN the
     // rewritten text re-segments and day-1's line A strips
-    val doc20 = Seq(lineA, lineBench, line("n")).mkString(" ")
-    val doc20Final = "the bword4 bword5 the of nword1 nword2 nword3 " +
-      "nword4 nword5 nword6 nword7 nword8"
+    val doc20 = Seq(lineA, lineBench, line("n"), line("z")).mkString(" ")
+    val doc20Final = Seq("the bword4 bword5", line("n"), line("z"))
+      .mkString(" ")
     assert(ingest(Seq((20L, doc20)).toDF("doc_id", "text"),
       "2024-03-03") === 1)
     assert(lake.read(out).filter($"doc_id" === 20L)
