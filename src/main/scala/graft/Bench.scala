@@ -54,7 +54,13 @@ object Bench {
     // span scrub (indexed explode → semi-join → per-row rebuild).
     // Excluded from the comparable subset like earlier additions.
     "q137_gopher_rules",
-    "q138_decontam_scrub"
+    "q138_decontam_scrub",
+    // Round-16 additions — the per-domain curation rollup (one scan +
+    // one partial-agg shuffle to a |domains×langs| frame) and the
+    // Gopher repetition gate (thirteen fractions from one kernel pass
+    // per row). Excluded from the comparable subset like the rest.
+    "q139_domain_rollup",
+    "q145_gopher_repetition"
   )
 
   /** Fixed CPU-bound calibration workload — constant size regardless of
@@ -237,7 +243,8 @@ object Bench {
     // instead of hand arithmetic.
     val addedSinceR8 = Set("q113_substring_dedup", "q115_lm_quality_scaled",
       "q124_line_dedup", "q130_quality_classifier",
-      "q137_gopher_rules", "q138_decontam_scrub")
+      "q137_gopher_rules", "q138_decontam_scrub",
+      "q139_domain_rollup", "q145_gopher_repetition")
     val totalR8Comparable =
       medians.filterNot(p => addedSinceR8(p._1)).map(_._2).sum
     // calibration_s normalizes cross-round totals: a drifted host moves
