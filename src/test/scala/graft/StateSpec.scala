@@ -5,6 +5,16 @@ import java.sql.Timestamp
 import graft.state.{RunLock, StateStore}
 import org.apache.spark.sql.functions._
 
+/** A local filesystem whose setTimes is a SILENT NO-OP — the S3A shape
+  * (object stores expose immutable mtimes) the RunLock.refresh rewrite
+  * fallback exists for. Registered under the `nomtime` scheme by the
+  * refresh-fallback test. */
+class NoMtimeFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("nomtime:///")
+  override def setTimes(p: org.apache.hadoop.fs.Path, mtime: Long,
+                        atime: Long): Unit = () // silently ignored
+}
+
 class StateSpec extends SparkSpec {
   import spark.implicits._
 
@@ -284,6 +294,33 @@ class StateSpec extends SparkSpec {
     // the lock (the check→stamp TOCTOU re-verifies ownership at the end)
     assert(!holder.refresh("k2"),
       "refresh must report a lock lost to takeover")
+  }
+
+  test("run lock refresh: rewrite fallback when setTimes is a silent no-op") {
+    // the advisor-found failure (r15): on stores that ignore setTimes
+    // (S3A-shaped), refresh returned true WITHOUT extending the TTL —
+    // a long backfill believed itself protected while contenders saw
+    // an ever-staler lock. The fix verifies the stamp and falls back
+    // to rewriting the token file; this drives that exact path.
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.nomtime.impl", classOf[NoMtimeFs].getName)
+    val dir = tmpDir("locks_nomtime")
+    val lock = new RunLock(spark, s"nomtime://$dir")
+    assert(lock.tryAcquire("k", owner = "long-run"))
+    val local = new java.io.File(s"$dir/_locks/k.lock")
+    assert(local.isFile)
+    // age the lock OUTSIDE the no-op fs (plain java.io)
+    assert(local.setLastModified(System.currentTimeMillis() - 10 * 60000L))
+    val before = local.lastModified()
+    assert(lock.refresh("k"),
+      "refresh must succeed via the token-rewrite fallback")
+    assert(local.lastModified() > before,
+      "the fallback must actually advance the mtime")
+    // and the refreshed lock resists a TTL takeover
+    val contender = new RunLock(spark, s"nomtime://$dir")
+    assert(!contender.tryAcquire("k", owner = "c", ttlMinutes = 5))
+    assert(lock.isHeldByMe("k"))
+    lock.release("k")
   }
 
   test("run lock: stale takeover under 8-way contention admits exactly one") {
