@@ -51,6 +51,65 @@ case class UnigramSample(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** The (vocab, α)-bound kernel behind [[UnigramExpected]] — a
+  * plan-shippable holder so the per-task word→expectation cache (the
+  * DP is a pure function of the word once α is fixed) rides the
+  * codegen reference array like every vocabulary in this family. */
+final class UnigramExpectedKernel(vocab: UnigramVocab, alpha: Double)
+    extends Serializable {
+  @transient private lazy val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+
+  private def cached(word: String): Double = {
+    val hit = cache.get(word)
+    if (hit != null) hit.doubleValue()
+    else {
+      val e = vocab.expectedPieces(word, alpha)
+      if (cache.size < (1 << 16)) cache.put(word, java.lang.Double.valueOf(e))
+      e
+    }
+  }
+
+  def compute(text: UTF8String): Double = {
+    val pieces = Bpe.pretokenize(text.toString)
+    var e = 0.0
+    var i = 0
+    while (i < pieces.length) { e += cached(pieces(i)); i += 1 }
+    e
+  }
+}
+
+/** Exact expected token count under the P^α regularization
+  * distribution ([[graft.functions.UnigramVocab.expectedPieces]] per
+  * pretoken) — unary and DETERMINISTIC (no seed), so it caches per
+  * word like the argmax encoder and gets an exact oracle (q146). */
+case class UnigramExpected(child: Expression, kernel: UnigramExpectedKernel)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "unigram_expected_count"
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("uniExpKernel", kernel,
+      classOf[UnigramExpectedKernel].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnigramExpected =
+    copy(child = newChild)
+}
+
+object UnigramExpected {
+  def count(text: Column, vocab: UnigramVocab, alpha: Double): Column = {
+    require(alpha > 0.0, s"alpha must be positive: $alpha")
+    Bridge.column(UnigramExpected(Bridge.expression(text),
+      new UnigramExpectedKernel(vocab, alpha)))
+  }
+}
+
 object UnigramSample {
 
   @inline private def mix(x0: Long): Long = {

@@ -217,6 +217,56 @@ final case class UnigramVocab(pieces: Vector[(String, Double)]) {
     out.reverseIterator.toArray
   }
 
+  /** EXACT expected piece count of `word` under the subword-
+    * regularization distribution P(seg) ∝ P(seg)^α — the closed-form
+    * companion of [[sampleWord]]: E[|seg|] = Σ_seg w(seg)·|seg| / Z
+    * by one linear DP (Z and the count-weighted mass W advance
+    * together; log-space so long words cannot underflow; forced unk
+    * steps multiply both sides by 1 and add one piece, leaving the
+    * ratio exact). What it is for: the fertility impact of a chosen α
+    * is a DETERMINISTIC number two engines can agree on — q146 pins
+    * it against an independent path-enumeration oracle — where any
+    * finite set of samples is only an estimate. */
+  def expectedPieces(word: String, alpha: Double): Double = {
+    val n = word.length
+    if (n == 0) return 0.0
+    val NEG = Double.NegativeInfinity
+    def lse(a: Double, b: Double): Double =
+      if (a == NEG) b else if (b == NEG) a
+      else if (a > b) a + math.log1p(math.exp(b - a))
+      else b + math.log1p(math.exp(a - b))
+    val lz = Array.fill(n + 1)(NEG) // log Σ_seg w(seg)
+    val lw = Array.fill(n + 1)(NEG) // log Σ_seg w(seg)·|seg|
+    lz(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var any = false
+      var j = math.max(0, i - maxPieceLen)
+      while (j < i) {
+        if (lz(j) != NEG) {
+          val lp = logProb.get(word.substring(j, i))
+          if (lp != null) {
+            val step = alpha * lp.doubleValue()
+            lz(i) = lse(lz(i), lz(j) + step)
+            lw(i) = lse(lw(i), lse(lw(j), lz(j)) + step)
+            any = true
+          }
+        }
+        j += 1
+      }
+      if (!any) {
+        val lo = if (i >= 2 && Character.isSurrogatePair(word.charAt(i - 2),
+          word.charAt(i - 1))) i - 2 else i - 1
+        if (lz(lo) != NEG) {
+          lz(i) = lz(lo)
+          lw(i) = lse(lw(lo), lz(lo)) // +1 piece, weight unchanged
+        }
+      }
+      i += 1
+    }
+    if (lz(n) == NEG) 0.0 else math.exp(lw(n) - lz(n))
+  }
+
   /** Per-task word→pieces cache — [[BpeVocab.encodeCached]]'s contract:
     * bounded, no eviction, transient across serialization. */
   @transient private lazy val cache =
@@ -290,6 +340,15 @@ object Unigram {
   def sampleTokenCount(c: Column, seed: Column, alpha: Double = 0.2,
                        vocab: UnigramVocab = UnigramVocab.default): Column =
     graft.expressions.UnigramSample.count(c, seed, vocab, alpha)
+
+  /** EXACT expected token count under the P^α sampling distribution
+    * ([[UnigramVocab.expectedPieces]] per pretoken, cached) — the
+    * deterministic closed form of what [[sampleTokenCount]] estimates:
+    * the fertility cost of a regularization α, decidable without
+    * drawing a single sample (q146's oracle-checked number). */
+  def expectedTokenCount(c: Column, alpha: Double = 0.2,
+                         vocab: UnigramVocab = UnigramVocab.default): Column =
+    graft.expressions.UnigramExpected.count(c, vocab, alpha)
 
   /** Deterministic unigram-LM training from a word→count table (Kudo
     * §3.2 over the bounded vocabulary frame — driver-side by design,

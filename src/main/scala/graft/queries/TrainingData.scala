@@ -630,6 +630,21 @@ object TrainingData {
         .groupBy(col("q")).agg(min(col("n_uni")).as("value"))
         .orderBy(col("q"))
     }),
+    // EXACT expected token count under subword regularization at
+    // α = 0.3 — the deterministic closed form of the sampler's
+    // fertility cost (E[|seg|] over P^α by one log-space DP per word;
+    // samples can only estimate this number, so the sampler family's
+    // distribution gets an exact oracle here: an independent
+    // path-enumeration expectation in DuckDB over the same vocab
+    // literals). 4-dp round absorbs the association-order ulps between
+    // the DP and the enumeration (the q130 convention); zero exchanges
+    // but the output sort.
+    "q146_subword_expected" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+          round(graft.functions.Unigram.expectedTokenCount(
+            Bpe.sanitizeAscii(col("text")), alpha = 0.3), 4).as("e_uni"))
+        .orderBy(col("doc_id"))
+    }),
     // q129's fertility metric PARAMETERIZED over tokenizer family —
     // the retraining trigger finally has an alternative to compare
     // against: per language, BPE and unigram token mass over the SAME
@@ -2779,6 +2794,19 @@ object TrainingData {
         |    AND dup9_char_frac <= 0.11 AND dup10_char_frac <= 0.10
         |    THEN 1 ELSE 0 END AS INT) AS keep
         |FROM fr ORDER BY doc_id""".stripMargin,
+    "q146_subword_expected" ->
+      s"""WITH RECURSIVE $sanDocwCte,
+         |$unigramCte,
+         |ew AS (
+         |  SELECT w,
+         |    SUM(exp(0.3 * ll) * ntok) / SUM(exp(0.3 * ll)) AS e
+         |  FROM paths WHERE pos = length(w) GROUP BY w),
+         |ecnt AS (SELECT dw.doc_id, SUM(e.e) AS e_uni
+         |         FROM docw dw JOIN ew e ON dw.w = e.w GROUP BY dw.doc_id)
+         |SELECT s.doc_id,
+         |  round(COALESCE(c.e_uni, 0), 4) AS e_uni
+         |FROM san s LEFT JOIN ecnt c ON s.doc_id = c.doc_id
+         |ORDER BY s.doc_id""".stripMargin,
     "q140_unigram_tokens" ->
       s"""WITH RECURSIVE $sanDocwCte,
          |$unigramCte,

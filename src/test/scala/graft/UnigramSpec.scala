@@ -152,6 +152,17 @@ class UnigramSpec extends SparkSpec {
     (0L until 20L).foreach { s =>
       assert(v.sampleWord("axb", 1.0, s).toSeq === Seq("a", "x", "b"))
     }
+    // the EXACT expectation (closed-form DP, q146's number): hand value
+    // E = 1·P({ab}) + 2·P({a,b}), the sampler's empirical mean tracks
+    // it, and α→∞ collapses it to the Viterbi length
+    val eAb = v.expectedPieces("ab", 1.0)
+    assert(math.abs(eAb - (1 * want + 2 * (1 - want))) < 1e-12, eAb)
+    val meanAb = (0L until 4000L)
+      .map(s => v.sampleWord("ab", 1.0, s).length).sum / 4000.0
+    assert(math.abs(meanAb - eAb) < 0.05, s"empirical $meanAb vs exact $eAb")
+    assert(math.abs(v.expectedPieces("ab", 50.0) - 1.0) < 1e-9)
+    // forced unk steps count as pieces in the expectation too
+    assert(math.abs(v.expectedPieces("axb", 50.0) - 3.0) < 1e-9)
 
     // the expression form: per-doc seeds decorrelate repeated words in
     // one document, replays are exact, count == size(tokens)
