@@ -283,6 +283,12 @@ object MicroBench {
           println(f"$name run$i: $s%.3f s, ${docs / s / 1000}%.0f kdocs/s, " +
             f"${docs * wordsPerDoc / s / 1e6}%.1f Mpieces/s")
         }
+      // the full 13-rule repetition gate (q145) at corpus throughput:
+      // one kernel pass per row — the "gating 100 TB is one scan" claim
+      rateSampled("repetition gate zipf",
+        graft.functions.TextOps.repetitionKeep(
+          graft.functions.TextOps.repetitionStats(col("text"))).cast("long"),
+        zipfCorpus, nDocs)
       rateSampled("unigram sample a=0.2 zipf",
         graft.functions.Unigram.sampleTokenCount(col("text"),
           expr("monotonically_increasing_id()"), 0.2, uni8k),
