@@ -115,7 +115,10 @@ object DailyIngest {
     * all). Recall cost mirrors nprobe: a PQ-misranked true neighbor
     * ADMITS a duplicate, never drops a novel doc.
     *
-    * `qualityGate = Some(model)` drops documents scoring ≤ 0 log-odds
+    * `qualityGate = Some(model)` drops documents scoring ≤
+    * `qualityThreshold` log-odds (default 0 — P(curated) ≤ 0.5; pass
+    * a q142-calibrated per-dataset value to hit a kept-token budget
+    * instead of the fixed cut)
     * under a TRAINED [[graft.functions.QualityClassifier]] model (the
     * q130 gate) BEFORE any dedup stage — the scale-right order: the
     * gate is one scan-local codegen'd predicate (zero shuffles), so
@@ -183,7 +186,8 @@ object DailyIngest {
           decontam: Boolean = false,
           lock: LockRef = None,
           unigramVocab: Option[graft.functions.UnigramVocab] = None,
-          repetitionRules: Boolean = false)
+          repetitionRules: Boolean = false,
+          qualityThreshold: Double = 0.0)
       : Long = {
     require(semanticThreshold.isEmpty || ann.nonEmpty,
       "semanticThreshold needs the ann leg — the index is the seen-set")
@@ -200,8 +204,13 @@ object DailyIngest {
       ruled0.filter(graft.functions.TextOps.repetitionKeep(
         graft.functions.TextOps.repetitionStats(col(textCol))) === 1)
     else ruled0
+    // the acceptance cut is a PARAMETER, not the hardcoded log-odds 0:
+    // q142's calibration picks the threshold that hits a kept-token
+    // budget, and this is where its number lands (> comparison on the
+    // 4-dp ROUNDED score, the q130 oracle convention)
     val admitted = qualityGate.map(m =>
-      ruled.filter(round(m.scoreCol(col(textCol)), 4) > 0.0)).getOrElse(ruled)
+      ruled.filter(round(m.scoreCol(col(textCol)), 4) > qualityThreshold))
+      .getOrElse(ruled)
     val exactNovel = dd.novelExactSince(admitted, idCol, textCol, minDate)
     // `nearDupVerify = Some(minAgree)` swaps the candidate-level
     // cross-run gate for the signature-VERIFIED one (single-band

@@ -1040,6 +1040,14 @@ class EndToEndSpec extends SparkSpec {
     // 4 crawled pages -> 3 after URL dedup -> 2 after the quality gate
     assert(landed === 2, "junk page must fall to the trained gate")
     assert(lake.read(out).count() === 2)
+    // the acceptance cut is calibratable (q142's number lands here): a
+    // prohibitive threshold admits nothing on the next day — and an
+    // all-rejected day is a clean no-op land, not a failure
+    val landedStrict = DailyIngest.run(lake, dd, cp, out, docs,
+      "doc_id", "text", "lang", java.sql.Date.valueOf("2024-03-02"),
+      ttlDays = 30, qualityGate = Some(model), qualityThreshold = 1e9)
+    assert(landedStrict === 0, "a prohibitive calibrated cut admits nothing")
+    assert(lake.read(out).count() === 2)
   }
 
   test("incremental crawl ingest: manifest pin, seen segments, idle and late-arrival ticks") {
