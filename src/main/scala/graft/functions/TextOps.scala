@@ -243,6 +243,46 @@ object TextOps {
           .as("mean_chars"))
   }
 
+  /** C4's LINE-STRUCTURE policy (Raffel et al. 2020 §2.2 — the third
+    * leg of the C4 family beside the word blocklist [[dropByLexicon]]
+    * and the line dedup [[lineDedup]]): keep only lines that end in a
+    * terminal punctuation mark, carry ≥ 3 words, and do not mention
+    * javascript; then drop pages with fewer than 5 sentences, any
+    * curly brace (code), or "lorem ipsum". Returns (idCol, other
+    * cols…, n_lines, n_kept_lines, n_sentences, keep, text_clean) —
+    * text_clean is the kept lines rejoined, so the op is a REWRITE
+    * plus a page gate, like the paper's.
+    *
+    * Scale shape: pure per-row Column arithmetic — the line array is
+    * per-doc-small and every lambda touches only its own element (no
+    * outer-capture re-evaluation), so the policy is one scan with
+    * zero exchanges. Sentence count = terminal marks in the KEPT
+    * text (the paper's sentence splitting approximated engine-
+    * portably; the oracle mirrors it exactly). */
+  def c4LineClean(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    Seq("n_lines", "n_kept_lines", "n_sentences", "keep", "text_clean")
+      .foreach { c =>
+        require(!df.columns.contains(c),
+          s"$c is reserved by c4LineClean; drop or rename the input column")
+      }
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, l =>
+      trim(l).rlike("[.!?\"]$") &&
+        size(split(trim(l), " ")) >= 3 &&
+        !lower(l).contains("javascript"))
+    val joined = array_join(kept, "\n")
+    val nSent = (length(joined) -
+      length(regexp_replace(joined, "[.!?]", ""))).cast("long")
+    df.select(col(idCol) +: df.columns.filterNot(c =>
+        c == idCol || c == textCol).map(col).toSeq ++: Seq(
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept_lines"),
+      nSent.as("n_sentences"),
+      (nSent >= 5 && !col(textCol).contains("{") &&
+        !lower(col(textCol)).contains("lorem ipsum")).cast("int").as("keep"),
+      joined.as("text_clean")): _*)
+  }
+
   /** The Gopher REPETITION filter counters (Rae et al. 2021 §A1.1's
     * other half — [[gopherStats]]/[[gopherKeep]] carry the quality
     * rules): thirteen fractions from ONE kernel pass per row

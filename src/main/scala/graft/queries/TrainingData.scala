@@ -403,6 +403,30 @@ object TrainingData {
       lit(" big table big table big table big table big table"))
     .otherwise(lit(" and a plain trailing remark"))
 
+  /** q147's line-structure variance tail (the q137/q145 pattern): the
+    * flat corpus has no newlines or punctuation, so the C4 line rules
+    * would be vacuous. Branch %5: 0 = five proper sentences plus one
+    * too-short line (page KEEPS, short line drops); 1 = a javascript
+    * line plus one sentence (line drops, page under 5 sentences);
+    * 2 = a curly-brace code line (page marker drop); 3 = lorem-ipsum
+    * filler (page marker drop, case-insensitive); 4 = plain
+    * unpunctuated tail (no kept lines). Mirrored by the oracle CASE. */
+  private val c4Tail =
+    when(pmod(col("doc_id"), lit(5)) === 0,
+      lit("\nFirst full sentence arrives right now.\nShort line.\n" +
+        "The second sentence is also here.\nA third sentence follows " +
+        "the second one.\nThe fourth sentence looks quite healthy.\n" +
+        "Finally the fifth sentence closes it."))
+    .when(pmod(col("doc_id"), lit(5)) === 1,
+      lit("\nJavascript must be enabled to continue.\n" +
+        "Only one proper sentence remains here."))
+    .when(pmod(col("doc_id"), lit(5)) === 2,
+      lit("\ncode block follows { now }\nA sentence after the brace appears."))
+    .when(pmod(col("doc_id"), lit(5)) === 3,
+      lit("\nLorem ipsum dolor sit amet tonight.\n" +
+        "The page copies filler text sadly."))
+    .otherwise(lit(" plain trailing words without punctuation"))
+
   /** q101/q107 language-share targets — ONE definition so the composed
     * recipe can never drift from the standalone resampler. The oracles
     * enumerate the same five langs explicitly with NO ELSE branch: an
@@ -590,6 +614,21 @@ object TrainingData {
           graft.expressions.RepetitionStats.Schema.fieldNames.toSeq.map(f =>
             st.getField(f).as(f)) :+
           TextOps.repetitionKeep(st).as("keep"): _*)
+        .orderBy(col("doc_id"))
+    }),
+    // C4's line-structure policy (Raffel et al. 2020 §2.2 — the third
+    // C4 leg beside the q136 word blocklist and the q124 line dedup):
+    // terminal-punctuation + ≥3-word + no-javascript line filter, then
+    // the <5-sentences / curly-brace / lorem-ipsum page gate, as one
+    // zero-exchange scan (TextOps.c4LineClean). Line variance injected
+    // deterministically (c4Tail — the flat corpus has neither newlines
+    // nor punctuation); each tail branch exercises one rule.
+    "q147_c4_line_policy" -> ((s, dir) => {
+      TextOps.c4LineClean(
+          t(s, dir, "documents")
+            .select(col("doc_id"),
+              concat(col("text"), c4Tail).as("text")),
+          "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
     // Unigram-LM tokenization (Kudo 2018 — the SentencePiece family;
@@ -2794,6 +2833,49 @@ object TrainingData {
         |    AND dup9_char_frac <= 0.11 AND dup10_char_frac <= 0.10
         |    THEN 1 ELSE 0 END AS INT) AS keep
         |FROM fr ORDER BY doc_id""".stripMargin,
+    "q147_c4_line_policy" ->
+      """WITH inj AS (
+        |  SELECT doc_id, text ||
+        |    CASE CAST(doc_id % 5 AS INT)
+        |      WHEN 0 THEN chr(10) || 'First full sentence arrives right now.' ||
+        |        chr(10) || 'Short line.' ||
+        |        chr(10) || 'The second sentence is also here.' ||
+        |        chr(10) || 'A third sentence follows the second one.' ||
+        |        chr(10) || 'The fourth sentence looks quite healthy.' ||
+        |        chr(10) || 'Finally the fifth sentence closes it.'
+        |      WHEN 1 THEN chr(10) || 'Javascript must be enabled to continue.' ||
+        |        chr(10) || 'Only one proper sentence remains here.'
+        |      WHEN 2 THEN chr(10) || 'code block follows { now }' ||
+        |        chr(10) || 'A sentence after the brace appears.'
+        |      WHEN 3 THEN chr(10) || 'Lorem ipsum dolor sit amet tonight.' ||
+        |        chr(10) || 'The page copies filler text sadly.'
+        |      ELSE ' plain trailing words without punctuation'
+        |    END AS t
+        |  FROM documents),
+        |c4 AS (
+        |  SELECT doc_id, t,
+        |    string_split(t, chr(10)) AS lines,
+        |    list_filter(string_split(t, chr(10)), l ->
+        |      regexp_matches(trim(l), '[.!?"]$')
+        |      AND len(string_split(trim(l), ' ')) >= 3
+        |      AND NOT contains(lower(l), 'javascript')) AS kept
+        |  FROM inj),
+        |c4j AS (
+        |  SELECT doc_id, t, lines, kept,
+        |    COALESCE(array_to_string(kept, chr(10)), '') AS kt
+        |  FROM c4)
+        |SELECT doc_id,
+        |  CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept_lines,
+        |  CAST(len(kt) - len(regexp_replace(kt, '[.!?]', '', 'g'))
+        |    AS BIGINT) AS n_sentences,
+        |  CAST(CASE WHEN
+        |      len(kt) - len(regexp_replace(kt, '[.!?]', '', 'g')) >= 5
+        |      AND NOT contains(t, '{')
+        |      AND NOT contains(lower(t), 'lorem ipsum')
+        |    THEN 1 ELSE 0 END AS INT) AS keep,
+        |  kt AS text_clean
+        |FROM c4j ORDER BY doc_id""".stripMargin,
     "q146_subword_expected" ->
       s"""WITH RECURSIVE $sanDocwCte,
          |$unigramCte,
