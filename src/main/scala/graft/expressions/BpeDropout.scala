@@ -47,12 +47,7 @@ case class BpeDropout(left: Expression, right: Expression,
 
 object BpeDropout {
 
-  @inline private def mix(x0: Long): Long = {
-    var x = x0 + 0x9e3779b97f4a7c15L
-    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-    x ^ (x >>> 31)
-  }
+  import graft.core.Mix.mix
 
   def computeTokens(text: UTF8String, seed: Long, vocab: BpeVocab,
                     p: Double): ArrayData = {

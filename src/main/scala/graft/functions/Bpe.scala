@@ -93,12 +93,7 @@ final case class BpeVocab(merges: Vector[(String, String)]) {
   def encodeWordDropout(word: String, p: Double, seed: Long): Array[String] = {
     require(p >= 0.0 && p <= 1.0, s"dropout must be in [0,1]: $p")
     if (p == 0.0) return encodeWord(word)
-    @inline def mix(x0: Long): Long = {
-      var x = x0 + 0x9e3779b97f4a7c15L
-      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-      x ^ (x >>> 31)
-    }
+    import graft.core.Mix.mix
     var toks = BpeVocab.codepoints(word)
     var step = 0L
     var done = toks.length < 2

@@ -148,10 +148,7 @@ final case class UnigramVocab(pieces: Vector[(String, Double)]) {
     java.util.Arrays.fill(fw, NEG)
     java.util.Arrays.fill(unkFrom, -1)
     fw(0) = 0.0
-    def lse(a: Double, b: Double): Double =
-      if (a == NEG) b else if (b == NEG) a
-      else if (a > b) a + math.log1p(math.exp(b - a))
-      else b + math.log1p(math.exp(a - b))
+    import graft.core.Mix.lse
     var i = 1
     while (i <= n) {
       var any = false
@@ -182,10 +179,7 @@ final case class UnigramVocab(pieces: Vector[(String, Double)]) {
         out += word.substring(unkFrom(pos), pos)
         pos = unkFrom(pos)
       } else {
-        var x = seed ^ (pos.toLong * 0x9e3779b97f4a7c15L)
-        x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-        x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-        x = x ^ (x >>> 31)
+        val x = graft.core.Mix.mix(seed ^ (pos.toLong * 0x9e3779b9L))
         val u = (x >>> 11).toDouble / (1L << 53).toDouble // [0, 1)
         var acc = 0.0
         var chosen = -1
@@ -231,10 +225,7 @@ final case class UnigramVocab(pieces: Vector[(String, Double)]) {
     val n = word.length
     if (n == 0) return 0.0
     val NEG = Double.NegativeInfinity
-    def lse(a: Double, b: Double): Double =
-      if (a == NEG) b else if (b == NEG) a
-      else if (a > b) a + math.log1p(math.exp(b - a))
-      else b + math.log1p(math.exp(a - b))
+    import graft.core.Mix.lse
     val lz = Array.fill(n + 1)(NEG) // log Σ_seg w(seg)
     val lw = Array.fill(n + 1)(NEG) // log Σ_seg w(seg)·|seg|
     lz(0) = 0.0
@@ -416,10 +407,7 @@ object Unigram {
         // forward log-mass of prefixes / backward of suffixes
         val fw = Array.fill(n + 1)(NEG); fw(0) = 0.0
         val bw = Array.fill(n + 1)(NEG); bw(n) = 0.0
-        def lse(a: Double, b: Double): Double =
-          if (a == NEG) b else if (b == NEG) a
-          else if (a > b) a + math.log1p(math.exp(b - a))
-          else b + math.log1p(math.exp(a - b))
+        import graft.core.Mix.lse
         var i = 1
         while (i <= n) {
           var j = math.max(0, i - maxLen)

@@ -22,12 +22,7 @@ object BpeTrain {
     * Shared with MicroBench's corpus synthesis and BpeSpec's property
     * tables — one implementation, so the generated fixtures can never
     * drift apart. */
-  private[graft] def mix(x: Long): Long = {
-    var z = x + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  private[graft] def mix(x: Long): Long = graft.core.Mix.mix(x)
 
   /** Deterministic Zipf word→count table for REALISTIC-VOCAB training.
     * The fixture corpus holds 31 distinct pieces — no 32k-merge
