@@ -139,6 +139,8 @@ object CrawlIngest {
           nearDupVerify: Option[Double] = None,
           gopherRules: Option[(Long, Long)] = None,
           decontam: Boolean = false,
+          repetitionRules: Boolean = false,
+          qualityThreshold: Double = 0.0,
           minWords: Int = 3, maxLinkDensity: Double = 0.5,
           lock: Option[graft.state.RunLock] = None): CrawlResult = {
     import spark.implicits._
@@ -235,7 +237,8 @@ object CrawlIngest {
           "doc_id", "text", "lang", day, ttlDays,
           lineScrub = lineScrub, qualityGate = qualityGate,
           nearDupVerify = nearDupVerify, gopherRules = gopherRules,
-          decontam = decontam,
+          decontam = decontam, repetitionRules = repetitionRules,
+          qualityThreshold = qualityThreshold,
           lock = lock.map(l => (l, lockKey(dataset))))
         guard()
         state.markProcessed(pKey, manifest)
@@ -305,6 +308,8 @@ object CrawlIngest {
                nearDupVerify: Option[Double] = None,
                gopherRules: Option[(Long, Long)] = None,
                decontam: Boolean = false,
+               repetitionRules: Boolean = false,
+               qualityThreshold: Double = 0.0,
                minWords: Int = 3, maxLinkDensity: Double = 0.5)
       : Option[Seq[(Date, CrawlResult)]] =
     lock.withLock(lockKey(dataset), owner = "crawl-backfill",
@@ -325,7 +330,8 @@ object CrawlIngest {
           blockedDomains = blockedDomains, lexicon = lexicon,
           perDomainCap = perDomainCap, lineScrub = lineScrub,
           nearDupVerify = nearDupVerify, gopherRules = gopherRules,
-          decontam = decontam, minWords = minWords,
+          decontam = decontam, repetitionRules = repetitionRules,
+          qualityThreshold = qualityThreshold, minWords = minWords,
           maxLinkDensity = maxLinkDensity, lock = Some(lock))
       }
     }

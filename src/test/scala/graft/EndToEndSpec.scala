@@ -1216,6 +1216,59 @@ class EndToEndSpec extends SparkSpec {
     assert(lake.read(out).count() === 2)
   }
 
+  test("crawl tick forwards the repetition gate and the calibrated " +
+    "quality cut") {
+    import graft.functions.QualityClassifier
+    import graft.lake.{CorpusDedup, CorpusPack}
+    import graft.tools.CrawlIngest
+    def rec(uri: String, html: String): Array[Byte] = {
+      val body = ("HTTP/1.1 200 OK\r\n\r\n" + html).getBytes("UTF-8")
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: <$uri>\r\n" +
+        s"WARC-Date: 2024-03-01T00:00:00Z\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes("UTF-8") ++
+        body ++ "\r\n\r\n".getBytes("UTF-8")
+    }
+    val crawl = tmpDir("gate_crawl")
+    // good: 40 distinct words — no n-gram repeats, clears every §A1.1
+    // repetition threshold; bad: two identical 20-word halves — every
+    // word sits under a duplicated 10-gram (dup10 = 1.0 > 0.10)
+    def words(p: String, n: Int) = (1 to n).map(i => s"${p}word$i").mkString(" ")
+    val half = words("a", 20)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(crawl, "seg1.warc"),
+      rec("http://good.org/1", s"<p>${words("g", 40)}</p>") ++
+        rec("http://rep.org/2", s"<p>$half $half</p>"))
+    val lake = new Lake(spark, tmpDir("gate_crawl_lake"))
+    val state = new StateStore(spark, tmpDir("gate_crawl_state"))
+    val dd = new CorpusDedup(spark, lake, "gate_crawl", numBuckets = 4)
+    val cp = new CorpusPack(spark, state, "gate_crawl", budgetTokens = 4096L)
+    val out = TableRef("prod", "gate_crawl", "packed")
+    def day(d: String) = java.sql.Date.valueOf(d)
+
+    // day 1: repetition gate rides the tick — the duplicated-half page
+    // dies scan-side, the 40-distinct-word page lands
+    val r1 = CrawlIngest.run(spark, lake, state, dd, cp, out,
+      Seq(crawl), "gate_crawl", day("2024-03-01"), ttlDays = 30,
+      repetitionRules = true)
+    assert(r1.landed === 1, "the duplicated-half page must fall to the gate")
+    assert(lake.read(out).count() === 1)
+
+    // day 2: the calibrated cut rides the tick — a prohibitive
+    // threshold (q142's number, forwarded verbatim) admits nothing
+    val model = QualityClassifier.train(
+      Seq((1L, words("g", 8), true), (2L, words("z", 8), false))
+        .toDF("doc_id", "text", "tgt"), "text", $"tgt", buckets = 256)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(crawl, "seg2.warc"),
+      rec("http://good.org/3", s"<p>${words("h", 40)}</p>"))
+    val r2 = CrawlIngest.run(spark, lake, state, dd, cp, out,
+      Seq(crawl), "gate_crawl", day("2024-03-02"), ttlDays = 30,
+      qualityGate = Some(model), qualityThreshold = 1e9)
+    assert(r2.ingested.nonEmpty && r2.landed === 0,
+      "a prohibitive calibrated cut must admit nothing through the tick")
+    assert(lake.read(out).count() === 1)
+  }
+
   test("daily ingest with the Gopher rule gate: junk dies earliest, " +
     "seen-sets stay clean") {
     import graft.lake.{CorpusDedup, CorpusPack}
