@@ -315,6 +315,31 @@ object TextOps {
       st.getField("dup9_char_frac") <= 0.11 &&
       st.getField("dup10_char_frac") <= 0.10).cast("int")
 
+  /** The Stack / StarCoder code-corpus preprocessing counters
+    * (Kocetkov et al. 2022 §2.2; Allal et al. 2023 §4.2) as ONE
+    * codegen byte-walk per row — struct(n_chars, n_lines, line_chars,
+    * max_line_chars, alnum_chars, xml_head); see
+    * [[graft.expressions.CodeStats]]. The rule arithmetic composes
+    * over these fields in ordinary Columns ([[stackCodeKeep]]). */
+  def codeStats(text: Column): Column =
+    graft.expressions.CodeStats.code_stats(text)
+
+  /** The Stack's keep decision (1/0) from a [[codeStats]] struct — the
+    * published thresholds: average line length ≤ 100, maximum line
+    * length ≤ 1000, alphanumeric character fraction ≥ 0.25, and no
+    * XML declaration in the first 100 characters. Removal is on the
+    * STRICTLY-past side (the [[gopherKeep]] boundary convention — a
+    * file sitting ON a threshold is kept), and every comparison is
+    * INTEGER arithmetic (line_chars ≤ 100·n_lines, 4·alnum_chars ≥
+    * n_chars), so two engines can never disagree on a ratio's
+    * rounding. Alphanumeric = ASCII [a-zA-Z0-9] over code points —
+    * pinned here and mirrored by the q148 oracle's regexp. */
+  def stackCodeKeep(st: Column): Column =
+    (st.getField("line_chars") <= st.getField("n_lines") * 100L &&
+      st.getField("max_line_chars") <= 1000L &&
+      st.getField("alnum_chars") * 4L >= st.getField("n_chars") &&
+      st.getField("xml_head") === 0L).cast("int")
+
   /** Share of all word n-grams taken by the single most frequent one —
     * native one-pass hash count ([[graft.expressions.TopNgramFrac]],
     * O(tokens) per row; the earlier array_distinct × filter HOF was

@@ -427,6 +427,27 @@ object TrainingData {
         "The page copies filler text sadly."))
     .otherwise(lit(" plain trailing words without punctuation"))
 
+  /** q148's code-shape variance tail (the q137/q145/q147 pattern): the
+    * flat prose corpus has no newlines, so The Stack's line-length and
+    * XML rules would be vacuous. A 40-char prefix of the real text
+    * keeps corpus variance in every counter; branch %5 then exercises
+    * exactly one rule each: 0 = short alphanumeric code lines (KEEP);
+    * 1 = one 1002-char line amid enough short lines that only the
+    * max-line rule fires; 2 = three 160-char lines (only the average
+    * rule fires); 3 = two 90-char punctuation-only lines (only the
+    * alnum rule fires); 4 = an XML declaration at char position ≤ 100
+    * (only the XML rule fires). Mirrored by the oracle CASE. */
+  private val stackTail =
+    when(pmod(col("doc_id"), lit(5)) === 0,
+      lit("\nint main() { return 0; }\nlet x = 42;\nprintln(done)"))
+    .when(pmod(col("doc_id"), lit(5)) === 1,
+      concat(lit("\n"), repeat(lit("a1"), 501), repeat(lit("\nsh rt ln"), 10)))
+    .when(pmod(col("doc_id"), lit(5)) === 2,
+      repeat(concat(lit("\n"), repeat(lit("ab c"), 40)), 3))
+    .when(pmod(col("doc_id"), lit(5)) === 3,
+      repeat(concat(lit("\n"), repeat(lit("-= "), 30)), 2))
+    .otherwise(lit("\n<?xml version=\"1.0\"?>\nAnd a short alnum line here"))
+
   /** q101/q107 language-share targets — ONE definition so the composed
     * recipe can never drift from the standalone resampler. The oracles
     * enumerate the same five langs explicitly with NO ELSE branch: an
@@ -629,6 +650,26 @@ object TrainingData {
             .select(col("doc_id"),
               concat(col("text"), c4Tail).as("text")),
           "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+    // The Stack / StarCoder code-corpus preprocessing filter (Kocetkov
+    // et al. 2022 §2.2; Allal et al. 2023 §4.2 — the published rule
+    // set every code-pretraining pipeline applies first): average line
+    // length ≤ 100, max line length ≤ 1000, alphanumeric char fraction
+    // ≥ 0.25, no XML declaration in the first 100 chars. Counters from
+    // ONE codegen byte-walk (expressions.CodeStats); the keep decision
+    // is pure INTEGER Column arithmetic (TextOps.stackCodeKeep), so
+    // engines cannot disagree on ratio rounding. Code-shape variance
+    // injected deterministically (stackTail — each branch fires exactly
+    // one rule). Zero exchanges but the output sort: gating a multi-TB
+    // code corpus is one scan, the q137 shape.
+    "q148_stack_code_filter" -> ((s, dir) => {
+      val st = TextOps.codeStats(
+        concat(substring(col("text"), 1, 40), stackTail))
+      t(s, dir, "documents").select(col("doc_id") +:
+          graft.expressions.CodeStats.schema.fieldNames.toSeq.map(f =>
+            st.getField(f).as(f)) :+
+          TextOps.stackCodeKeep(st).as("keep"): _*)
         .orderBy(col("doc_id"))
     }),
     // Unigram-LM tokenization (Kudo 2018 — the SentencePiece family;
@@ -2876,6 +2917,41 @@ object TrainingData {
         |    THEN 1 ELSE 0 END AS INT) AS keep,
         |  kt AS text_clean
         |FROM c4j ORDER BY doc_id""".stripMargin,
+    "q148_stack_code_filter" ->
+      """WITH inj AS (
+        |  SELECT doc_id, substr(text, 1, 40) ||
+        |    CASE CAST(doc_id % 5 AS INT)
+        |      WHEN 0 THEN chr(10) || 'int main() { return 0; }' ||
+        |        chr(10) || 'let x = 42;' || chr(10) || 'println(done)'
+        |      WHEN 1 THEN chr(10) || repeat('a1', 501) ||
+        |        repeat(chr(10) || 'sh rt ln', 10)
+        |      WHEN 2 THEN repeat(chr(10) || repeat('ab c', 40), 3)
+        |      WHEN 3 THEN repeat(chr(10) || repeat('-= ', 30), 2)
+        |      ELSE chr(10) || '<?xml version="1.0"?>' ||
+        |        chr(10) || 'And a short alnum line here'
+        |    END AS t
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, t, string_split(t, chr(10)) AS lines FROM inj),
+        |cnt AS (
+        |  SELECT doc_id,
+        |    CAST(length(t) AS BIGINT) AS n_chars,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(length(t) - (len(lines) - 1) AS BIGINT) AS line_chars,
+        |    CAST(list_max(list_transform(lines, l -> length(l)))
+        |      AS BIGINT) AS max_line_chars,
+        |    CAST(length(regexp_replace(t, '[^a-zA-Z0-9]', '', 'g'))
+        |      AS BIGINT) AS alnum_chars,
+        |    CAST(CASE WHEN strpos(substr(t, 1, 113), '<?xml version=')
+        |      BETWEEN 1 AND 100 THEN 1 ELSE 0 END AS BIGINT) AS xml_head
+        |  FROM st)
+        |SELECT doc_id, n_chars, n_lines, line_chars, max_line_chars,
+        |  alnum_chars, xml_head,
+        |  CAST(CASE WHEN line_chars <= 100 * n_lines
+        |    AND max_line_chars <= 1000
+        |    AND alnum_chars * 4 >= n_chars
+        |    AND xml_head = 0 THEN 1 ELSE 0 END AS INT) AS keep
+        |FROM cnt ORDER BY doc_id""".stripMargin,
     "q146_subword_expected" ->
       s"""WITH RECURSIVE $sanDocwCte,
          |$unigramCte,

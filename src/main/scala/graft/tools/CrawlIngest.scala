@@ -141,6 +141,7 @@ object CrawlIngest {
           decontam: Boolean = false,
           repetitionRules: Boolean = false,
           qualityThreshold: Double = 0.0,
+          codeRules: Boolean = false,
           minWords: Int = 3, maxLinkDensity: Double = 0.5,
           lock: Option[graft.state.RunLock] = None): CrawlResult = {
     import spark.implicits._
@@ -238,7 +239,7 @@ object CrawlIngest {
           lineScrub = lineScrub, qualityGate = qualityGate,
           nearDupVerify = nearDupVerify, gopherRules = gopherRules,
           decontam = decontam, repetitionRules = repetitionRules,
-          qualityThreshold = qualityThreshold,
+          qualityThreshold = qualityThreshold, codeRules = codeRules,
           lock = lock.map(l => (l, lockKey(dataset))))
         guard()
         state.markProcessed(pKey, manifest)
@@ -310,6 +311,7 @@ object CrawlIngest {
                decontam: Boolean = false,
                repetitionRules: Boolean = false,
                qualityThreshold: Double = 0.0,
+               codeRules: Boolean = false,
                minWords: Int = 3, maxLinkDensity: Double = 0.5)
       : Option[Seq[(Date, CrawlResult)]] =
     lock.withLock(lockKey(dataset), owner = "crawl-backfill",
@@ -331,7 +333,8 @@ object CrawlIngest {
           perDomainCap = perDomainCap, lineScrub = lineScrub,
           nearDupVerify = nearDupVerify, gopherRules = gopherRules,
           decontam = decontam, repetitionRules = repetitionRules,
-          qualityThreshold = qualityThreshold, minWords = minWords,
+          qualityThreshold = qualityThreshold, codeRules = codeRules,
+          minWords = minWords,
           maxLinkDensity = maxLinkDensity, lock = Some(lock))
       }
     }

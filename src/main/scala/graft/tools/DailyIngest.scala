@@ -162,6 +162,13 @@ object DailyIngest {
     * rules: the same zero-exchange scan-local predicate class, and the
     * same admitted-only seen-set contract.
     *
+    * `codeRules = true` applies The Stack's code-corpus preprocessing
+    * filter (q148, [[graft.functions.TextOps.stackCodeKeep]] —
+    * Kocetkov et al. 2022 §2.2: line-length bounds, alnum fraction,
+    * XML-declaration screen) as the gate a CODE ingest runs where a
+    * web ingest runs the gopher/repetition rules — same scan-local
+    * deterministic predicate class, same admitted-only contract.
+    *
     * `gopherRules = Some((minWords, maxWords))` applies the Gopher
     * document-quality rule set (q137,
     * [[graft.functions.TextOps.gopherKeep]]) as the EARLIEST gate —
@@ -187,7 +194,8 @@ object DailyIngest {
           lock: LockRef = None,
           unigramVocab: Option[graft.functions.UnigramVocab] = None,
           repetitionRules: Boolean = false,
-          qualityThreshold: Double = 0.0)
+          qualityThreshold: Double = 0.0,
+          codeRules: Boolean = false)
       : Long = {
     require(semanticThreshold.isEmpty || ann.nonEmpty,
       "semanticThreshold needs the ann leg — the index is the seen-set")
@@ -200,10 +208,20 @@ object DailyIngest {
     // REPETITION half (q145, TextOps.repetitionKeep) beside the
     // quality half — another scan-local codegen predicate with zero
     // exchanges, deterministic, so the replay invariants hold unchanged
-    val ruled = if (repetitionRules)
+    val ruled1 = if (repetitionRules)
       ruled0.filter(graft.functions.TextOps.repetitionKeep(
         graft.functions.TextOps.repetitionStats(col(textCol))) === 1)
     else ruled0
+    // `codeRules = true` applies The Stack's code-corpus preprocessing
+    // (q148, TextOps.stackCodeKeep): line-length bounds, the alnum
+    // fraction and the XML-declaration screen — the gate a CODE ingest
+    // runs where a web ingest runs gopher/repetition. Same class of
+    // predicate (one codegen byte-walk, zero exchanges, deterministic),
+    // same admitted-only seen-set contract.
+    val ruled = if (codeRules)
+      ruled1.filter(graft.functions.TextOps.stackCodeKeep(
+        graft.functions.TextOps.codeStats(col(textCol))) === 1)
+    else ruled1
     // the acceptance cut is a PARAMETER, not the hardcoded log-odds 0:
     // q142's calibration picks the threshold that hits a kept-token
     // budget, and this is where its number lands (> comparison on the

@@ -44,7 +44,8 @@ object ScaleProbe {
       "q131_classifier_gate_pipeline", "q135_lane_verify",
       "q136_lexicon_gate", "q137_gopher_rules", "q138_decontam_scrub",
       "q139_domain_rollup", "q140_unigram_tokens", "q142_gate_calibration",
-      "q145_gopher_repetition")
+      "q145_gopher_repetition", "q147_c4_line_policy",
+      "q148_stack_code_filter")
     // optional 3rd arg: comma-separated substring filter (probe a single
     // query's decade without re-running the whole set)
     val probes = args.lift(2) match {

@@ -1304,6 +1304,40 @@ class EndToEndSpec extends SparkSpec {
     assert(lake.read(out).count() === 2)
   }
 
+  test("daily ingest with the Stack code rules: the q148 gate rides " +
+    "a code-corpus ingest") {
+    import graft.lake.{CorpusDedup, CorpusPack}
+    import graft.tools.DailyIngest
+    val lake = new Lake(spark, tmpDir("code_lake"))
+    val dd = new CorpusDedup(spark, lake, "code_ds", numBuckets = 4)
+    val cp = new CorpusPack(spark,
+      new StateStore(spark, tmpDir("code_state")), "code_ds",
+      budgetTokens = 4096L)
+    val out = TableRef("prod", "code_ds", "packed")
+    // good: short alphanumeric lines; minified: one 1200-char line
+    // (the max-line rule — the file a human never wrote); art: the
+    // alnum-fraction rule (ASCII-art/punctuation payload)
+    val good = "int main() {\n  return compute(42);\n}\n"
+    val minified = "var a=" + ("x" * 1200) + ";\nshort tail line"
+    val art = ("-= " * 20 + "\n") * 4
+    val docs = Seq((1L, good), (2L, minified), (3L, art))
+      .toDF("doc_id", "text").withColumn("lang", lit("code"))
+    val landed = DailyIngest.run(lake, dd, cp, out, docs,
+      "doc_id", "text", "lang", java.sql.Date.valueOf("2024-06-01"),
+      ttlDays = 30, codeRules = true)
+    assert(landed === 1, "the code gate must drop the minified and art docs")
+    assert(lake.read(out).select($"doc_id").as[Long].collect().toSeq
+      === Seq(1L))
+    // admitted-only contract holds for this gate too: the rejected
+    // text lands later when the policy is lifted
+    val landed2 = DailyIngest.run(lake, dd, cp, out,
+      Seq((4L, minified)).toDF("doc_id", "text")
+        .withColumn("lang", lit("code")),
+      "doc_id", "text", "lang", java.sql.Date.valueOf("2024-06-02"),
+      ttlDays = 30)
+    assert(landed2 === 1, "rule-rejected text must not poison the seen-set")
+  }
+
   test("multi-day crawl backfill: one lock, day steps, crash replay, guard") {
     import graft.lake.{CorpusDedup, CorpusPack}
     import graft.state.RunLock

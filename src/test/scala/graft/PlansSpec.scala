@@ -697,5 +697,12 @@ class PlansSpec extends SparkSpec {
       .defs("q140_unigram_tokens")(spark, sf001)
     val p140 = q140.queryExecution.executedPlan.toString
     assert(!p140.contains("Exchange hashpartitioning"), p140)
+    // q148 code filter: one codegen byte-walk scan, shuffle only for
+    // the oracle-required output sort (the q137/q140 shape)
+    val q148 = graft.queries.TrainingData
+      .defs("q148_stack_code_filter")(spark, sf001)
+    val p148 = q148.queryExecution.executedPlan.toString
+    assert(!p148.contains("Exchange hashpartitioning"), p148)
+    assert(p148.contains("code_stats"), s"kernel missing from plan:\n$p148")
   }
 }
