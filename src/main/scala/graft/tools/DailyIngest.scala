@@ -138,10 +138,13 @@ object DailyIngest {
     * are separate state.
     *
     * `unigramVocab = Some(v)` switches the n_tok denomination from BPE
-    * to the unigram-LM family ([[graft.functions.Unigram]]); the q141
-    * cross-family fertility comparison is the signal for the switch.
-    * Pin the family per dataset — mixing denominations across days
-    * makes pack budgets incomparable (the BPE vocab-file contract).
+    * to the unigram-LM family ([[graft.functions.Unigram]]);
+    * `wordpieceVocab = Some(v)` to WordPiece
+    * ([[graft.functions.WordPiece]]) — at most one switch may be set.
+    * The q141/q150 cross-family fertility comparison is the signal
+    * for the switch. Pin the family per dataset — mixing
+    * denominations across days makes pack budgets incomparable (the
+    * BPE vocab-file contract).
     *
     * `decontam = true` adds benchmark DECONTAMINATION as a REWRITE
     * stage after the doc-level gates and before the line scrub: spans
@@ -195,10 +198,13 @@ object DailyIngest {
           unigramVocab: Option[graft.functions.UnigramVocab] = None,
           repetitionRules: Boolean = false,
           qualityThreshold: Double = 0.0,
-          codeRules: Boolean = false)
+          codeRules: Boolean = false,
+          wordpieceVocab: Option[graft.functions.WordPieceVocab] = None)
       : Long = {
     require(semanticThreshold.isEmpty || ann.nonEmpty,
       "semanticThreshold needs the ann leg — the index is the seen-set")
+    require(unigramVocab.isEmpty || wordpieceVocab.isEmpty,
+      "pick ONE n_tok denomination: unigramVocab or wordpieceVocab")
     val minDate = Date.valueOf(day.toLocalDate.minusDays(ttlDays.toLong))
     val ruled0 = gopherRules.map { case (minW, maxW) =>
       docs.filter(graft.functions.TextOps.gopherKeep(
@@ -311,9 +317,13 @@ object DailyIngest {
     // denomination-agnostic, it just sums n_tok. Pin the family per
     // dataset: mixing denominations across days makes pack budgets
     // incomparable (same contract as the BPE vocab file itself).
-    val tokenCount = unigramVocab
-      .map(u => graft.functions.Unigram.unigramTokenCount(col(textCol), u))
-      .getOrElse(Bpe.bpeTokenCount(col(textCol), vocab))
+    val tokenCount = (unigramVocab, wordpieceVocab) match {
+      case (Some(u), _) =>
+        graft.functions.Unigram.unigramTokenCount(col(textCol), u)
+      case (_, Some(w)) =>
+        graft.functions.WordPiece.wordpieceTokenCount(col(textCol), w)
+      case _ => Bpe.bpeTokenCount(col(textCol), vocab)
+    }
     val novel = gatedNovel
       .withColumn("n_tok", tokenCount)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -660,6 +670,39 @@ object DailyIngest {
       finally out.close()
       if (!fs.rename(tmp, p) && !fs.exists(p))
         throw new java.io.IOException(s"could not persist unigram vocab at $p")
+      vocab
+    }
+  }
+
+  /** [[ensureVocab]]'s twin for the WordPiece family: load the
+    * vocabulary from `vocabFile`, TRAINING from `docs` and persisting
+    * (write-to-temp + rename) if absent — same crash story: a death
+    * before the rename retrains deterministically on the retry. The
+    * file format is the public one-piece-per-line BERT vocab.txt, so
+    * an externally trained vocabulary dropped at the path wins over
+    * training. */
+  def ensureWordPieceVocab(spark: SparkSession, docs: DataFrame,
+                           textCol: String, vocabFile: String,
+                           vocabSize: Int = 8192)
+      : graft.functions.WordPieceVocab = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(vocabFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      try graft.functions.WordPieceVocab.fromVocabText(
+        new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    } else {
+      val vocab = graft.functions.WordPiece.train(docs, col(textCol),
+        vocabSize)
+      val tmp = new Path(p.getParent, p.getName + ".tmp")
+      val out = fs.create(tmp, true)
+      try out.write((vocab.toVocabText + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (!fs.rename(tmp, p) && !fs.exists(p))
+        throw new java.io.IOException(s"could not persist wordpiece vocab at $p")
       vocab
     }
   }

@@ -1991,6 +1991,60 @@ class EndToEndSpec extends SparkSpec {
     assert(v2 === v1, "second call must LOAD, not retrain")
   }
 
+  test("daily ingest with the WordPiece denomination: landed n_tok rides the family switch") {
+    import graft.lake.{CorpusDedup, CorpusPack}
+    import graft.tools.DailyIngest
+    import graft.functions.{WordPiece, WordPieceVocab}
+    val lake = new Lake(spark, tmpDir("wp_lake"))
+    val dd = new CorpusDedup(spark, lake, "wp_crawl", numBuckets = 4)
+    val cp = new CorpusPack(spark,
+      new StateStore(spark, tmpDir("wp_state")), "wp_crawl",
+      budgetTokens = 1024L)
+    val out = TableRef("prod", "wp_crawl", "packed")
+    // texts where the two families genuinely disagree: greedy
+    // MaxMatch fragments "aggregate"/"vectors" differently than BPE's
+    // merge order, and the fox pangram's unseen words hit the
+    // whole-word [UNK] collapse BPE doesn't have
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "aggregate filters join vectors downstream"))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val v = WordPieceVocab.default
+    val landed = DailyIngest.run(lake, dd, cp, out, docs,
+      "doc_id", "text", "lang", java.sql.Date.valueOf("2024-03-01"),
+      ttlDays = 30, wordpieceVocab = Some(v))
+    assert(landed === 2)
+    val want = docs.select($"doc_id",
+        WordPiece.wordpieceTokenCount($"text", v).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val got = lake.read(out).select($"doc_id", $"n_tok")
+      .as[(Long, Long)].collect().toMap
+    assert(got === want, "landed n_tok must be the WordPiece denomination")
+    // the switch is observable, not vacuous
+    val bpe = docs.select($"doc_id",
+        graft.functions.Bpe.bpeTokenCount($"text").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(got !== bpe, s"WordPiece and BPE counts coincide: $got")
+
+    // at most one denomination switch may be set
+    intercept[IllegalArgumentException] {
+      DailyIngest.run(lake, dd, cp, out, docs,
+        "doc_id", "text", "lang", java.sql.Date.valueOf("2024-03-02"),
+        ttlDays = 30, wordpieceVocab = Some(v),
+        unigramVocab = Some(graft.functions.UnigramVocab.default))
+    }
+
+    // ensureWordPieceVocab: trains+persists once, reloads identically
+    val root = tmpDir("wp_vocab")
+    val path = s"$root/wordpiece/vocab.txt"
+    val v1 = DailyIngest.ensureWordPieceVocab(spark, docs, "text", path,
+      vocabSize = 40)
+    assert(new java.io.File(path).isFile)
+    val poisoned = docs.withColumn("text", lit("zz zz zz"))
+    val v2 = DailyIngest.ensureWordPieceVocab(spark, poisoned, "text", path)
+    assert(v2 === v1, "second call must LOAD, not retrain")
+  }
+
   test("ensureVocab: trains+persists once, reloads identically, external file wins") {
     import graft.tools.DailyIngest
     import graft.functions.BpeVocab
