@@ -504,4 +504,146 @@ object VectorOps {
     bruteForceTopK(corpus.join(broadcast(probes), Seq(partCol)),
       queryVec, idCol, vecCol, k)
   }
+
+  /** In-Context Pretraining document ordering (Shi et al. 2023:
+    * "In-Context Pretraining: Language Modeling Beyond Document
+    * Boundaries") — order a corpus so SEMANTICALLY RELATED documents
+    * are adjacent, so that packing consecutive documents into a context
+    * window gives the model related (not random) neighbors. The paper's
+    * recipe: embed, retrieve nearest neighbors, then chain documents
+    * greedily by similarity; at their scale the traveral is sharded.
+    *
+    * This engine's deterministic variant, blocked exactly like the
+    * semantic-dedup family: documents are chained WITHIN each cluster
+    * (`labelCol` — an IVF list / trained-quantizer assignment, the same
+    * blocking [[graft.lake.AnnIndex]] and `semanticDedupBlocked` use),
+    * and the clusters themselves are chained by CENTROID similarity, so
+    * the corpus-level order is cluster-chain-major. Within a cluster the
+    * walk starts at the LOWEST id and repeatedly moves to the unvisited
+    * member with the highest cosine to the CURRENT document (4-dp
+    * rounded — the engine-portable convention every vector query here
+    * uses; ties break to the lowest id). The cluster chain starts at the
+    * lowest label and greedily follows the highest rounded
+    * centroid-to-centroid cosine. Both walks are total and
+    * deterministic, so every engine, executor count and replay derives
+    * the same epoch order (the [[graft.lake.CorpusPack]] seed
+    * discipline).
+    *
+    * Returns (idCol long, labelCol long, label_rank, pos, prev_sim,
+    * global_pos): `pos` is the position within the cluster's chain,
+    * `prev_sim` the rounded cosine to the chain predecessor (null at
+    * chain heads — the jump edges the paper's traversal also treats as
+    * similarity-free), `global_pos` the corpus-level order key a packer
+    * consumes.
+    *
+    * 100 TB posture: ONE shuffle of (id, vector) by cluster label —
+    * unavoidable for any within-cluster traversal — then all O(m²·dim)
+    * chain work runs cluster-local and embarrassingly parallel across
+    * clusters (the paper's sharding); the centroid table, cluster-size
+    * frame and cluster chain are |clusters|-bounded driver work (the
+    * IVF-quantizer boundedness every ANN path here already relies on).
+    * Cluster sizes are the quantizer's k dial: `maxClusterSize` refuses
+    * loudly instead of letting one mega-cluster quadratic-bomb an
+    * executor — raise k (more, smaller lists) rather than the cap. */
+  def icpOrder(corpus: DataFrame, idCol: String, labelCol: String,
+               vecCol: String, maxClusterSize: Int = 1 << 15): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    def round4(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    def cosArr(a: Array[Double], na: Double, b: Array[Double],
+               nb: Double): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); i += 1 }
+      round4(d / (na * nb))
+    }
+
+    // within-cluster greedy chains: one exchange on the label, then
+    // cluster-local argmax walks (no further shuffles)
+    val typed = corpus.select(col(labelCol).cast("long"),
+        col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Long, Array[Double])]
+    val chains = typed.groupByKey(_._1).flatMapGroups { (label, it) =>
+      val members = it.map { case (_, id, v) => (id, v) }.toArray.sortBy(_._1)
+      require(members.length <= maxClusterSize,
+        s"icpOrder: cluster $label has ${members.length} members " +
+          s"(> $maxClusterSize) - retrain the quantizer with more lists " +
+          "instead of raising the cap")
+      val norms = members.map { case (_, v) =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        math.sqrt(s)
+      }
+      val m = members.length
+      val visited = new Array[Boolean](m)
+      val out = new Array[(Long, Long, Int, Option[Double])](m)
+      var cur = 0 // lowest id = first after the sort
+      visited(0) = true
+      out(0) = (members(0)._1, label, 0, None)
+      var step = 1
+      while (step < m) {
+        var best = -1
+        var bestSim = Double.NegativeInfinity
+        var j = 0
+        while (j < m) {
+          if (!visited(j)) {
+            val s = cosArr(members(cur)._2, norms(cur), members(j)._2, norms(j))
+            // strict > keeps the lowest-id tie-break (j ascends by id)
+            if (s > bestSim) { bestSim = s; best = j }
+          }
+          j += 1
+        }
+        visited(best) = true
+        out(step) = (members(best)._1, label, step, Some(bestSim))
+        cur = best
+        step += 1
+      }
+      out.iterator
+    }.toDF(idCol, labelCol, "pos", "prev_sim")
+
+    // cluster chain over the |clusters|-bounded rounded-centroid table
+    val centRows = centroids(corpus, labelCol, vecCol).collect()
+    val cents: Map[Long, Array[Double]] = centRows
+      .groupBy(r => r.get(0).asInstanceOf[Number].longValue())
+      .map { case (l, rows) =>
+        l -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+      }
+    val cnorms = cents.map { case (l, v) =>
+      l -> math.sqrt(v.map(x => x * x).sum)
+    }
+    val labels = cents.keys.toArray.sorted
+    val rank = new scala.collection.mutable.HashMap[Long, Int]
+    var curL = labels.head
+    rank(curL) = 0
+    while (rank.size < labels.length) {
+      var bestL = -1L
+      var bestSim = Double.NegativeInfinity
+      labels.foreach { l =>
+        if (!rank.contains(l)) {
+          val s = cosArr(cents(curL), cnorms(curL), cents(l), cnorms(l))
+          if (s > bestSim || (s == bestSim && (bestL == -1L || l < bestL))) {
+            bestSim = s; bestL = l
+          }
+        }
+      }
+      rank(bestL) = rank.size
+      curL = bestL
+    }
+
+    // |clusters|-bounded offsets: global_pos = chain offset + pos
+    val sizes = corpus.groupBy(col(labelCol).cast("long").as(labelCol))
+      .agg(count(lit(1)).as("m"))
+      .as[(Long, Long)].collect().toMap
+    var acc = 0L
+    val offs = rank.toSeq.sortBy(_._2).map { case (l, r) =>
+      val o = (l, r, acc); acc += sizes(l); o
+    }.toDF(labelCol, "label_rank", "off")
+
+    chains.join(broadcast(offs), Seq(labelCol))
+      .select(col(idCol), col(labelCol), col("label_rank"), col("pos"),
+        col("prev_sim"), (col("off") + col("pos")).as("global_pos"))
+      .orderBy(col("global_pos"))
+  }
 }

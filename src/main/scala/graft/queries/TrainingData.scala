@@ -137,6 +137,47 @@ object TrainingData {
        |    FROM paths WHERE pos = length(w)) WHERE rn = 1)""".stripMargin
   }
 
+  /** Independent WordPiece greedy MaxMatch in SQL: every (word,
+    * position, piece) match materializes as a plain join (role fixed
+    * by position: head pieces at 0, "##" continuations after), the
+    * greedy choice is max(next-position) per (word, position) —
+    * computed OUTSIDE the recursion as an ordinary aggregate, which is
+    * what makes a greedy walk expressible in a recursive CTE — and the
+    * walk just follows that function. A word whose walk dead-ends
+    * before its last character never reaches pos = length(w) and
+    * COALESCEs to 1: the whole-word [UNK] rule the Spark kernel pins.
+    * Piece literals come from the SAME committed vocab resource the
+    * Spark expression loads. Yields `wbest(w, ntok)`; expects `docw`. */
+  private lazy val wordpieceCte: String = {
+    def sq(s: String) = "'" + s.replace("'", "''") + "'"
+    val vs = graft.functions.WordPieceVocab.default.pieces
+      .filterNot(_ == graft.functions.WordPieceVocab.Unk)
+      .map(p => s"(${sq(p)})").mkString(", ")
+    s"""wpv(piece) AS (SELECT piece FROM (VALUES $vs) t(piece)),
+       |wpr AS (SELECT piece,
+       |    CASE WHEN piece LIKE '##%' THEN substr(piece, 3) ELSE piece END
+       |      AS raw,
+       |    (piece LIKE '##%') AS cont FROM wpv),
+       |wwords AS (SELECT DISTINCT w FROM docw),
+       |wm AS (
+       |  SELECT b.w, b.pos, b.pos + length(r.raw) AS np
+       |  FROM (SELECT w, unnest(range(0, length(w))) AS pos FROM wwords) b
+       |  JOIN wpr r
+       |    ON substr(b.w, b.pos + 1, length(r.raw)) = r.raw
+       |   AND ((b.pos = 0) = (NOT r.cont))),
+       |wg AS (SELECT w, pos, max(np) AS np FROM wm GROUP BY w, pos),
+       |wwalk AS (
+       |  SELECT w, 0 AS pos, 0 AS ntok FROM wwords
+       |  UNION ALL
+       |  SELECT k.w, g.np, k.ntok + 1
+       |  FROM wwalk k JOIN wg g ON g.w = k.w AND g.pos = k.pos
+       |  WHERE k.pos < length(k.w)),
+       |wbest AS (
+       |  SELECT w, COALESCE(max(CASE WHEN pos = length(w) THEN ntok END), 1)
+       |    AS ntok
+       |  FROM wwalk GROUP BY w)""".stripMargin
+  }
+
   private lazy val bpeCte: String = {
     val sep = "\u001f"
     def sq(s: String) = "'" + s.replace("'", "''") + "'"
@@ -672,6 +713,22 @@ object TrainingData {
           TextOps.stackCodeKeep(st).as("keep"): _*)
         .orderBy(col("doc_id"))
     }),
+    // WordPiece tokenization (Schuster & Nakajima 2012 — the BERT
+    // family; functions/WordPiece.scala): q110/q140's shape for the
+    // THIRD tokenizer family. Greedy longest-match-first over the
+    // committed 128-piece likelihood-trained vocabulary (merges score
+    // count(xy)/(count(x)·count(y)) — WordPieceTrain), one codegen
+    // scan with the per-task word cache; un-matchable words collapse
+    // to ONE [UNK] token (the published whole-word rule). Oracle: an
+    // independent greedy walk in DuckDB — matches as a join, the
+    // greedy choice as max(next-pos) outside the recursion.
+    "q149_wordpiece_tokens" -> ((s, dir) => {
+      val san = Bpe.sanitizeAscii(col("text"))
+      t(s, dir, "documents").select(col("doc_id"),
+          size(Bpe.pieces(san)).cast("long").as("n_pieces"),
+          graft.functions.WordPiece.wordpieceTokenCount(san).as("n_wp"))
+        .orderBy(col("doc_id"))
+    }),
     // Unigram-LM tokenization (Kudo 2018 — the SentencePiece family;
     // functions/Unigram.scala): q110's shape for the SECOND tokenizer
     // family. Viterbi segmentation over the committed 80-piece
@@ -748,6 +805,49 @@ object TrainingData {
           round(col("n_bpe").cast("double") / col("n_ws"), 4)
             .as("fertility_bpe"))
         .orderBy(col("lang"))
+    }),
+    // q141 completed across the WHOLE triad: per-language fertility
+    // for all THREE production tokenizer families (BPE / unigram-LM /
+    // WordPiece) over the same pretoken denominator and whitespace
+    // baseline, in ONE scan — three scan-local codegen counters, one
+    // partial-agg shuffle to a |langs| frame. This is the table a
+    // tokenizer-selection decision actually reads: which family's
+    // token mass undercuts the others, per language.
+    "q150_family_fertility" -> ((s, dir) => {
+      val san = Bpe.sanitizeAscii(col("text"))
+      t(s, dir, "documents")
+        .select(col("lang"),
+          graft.functions.Unigram.unigramTokenCount(san).as("n_uni"),
+          Bpe.bpeTokenCount(san, bpeVocab48).as("n_bpe"),
+          graft.functions.WordPiece.wordpieceTokenCount(san).as("n_wp"),
+          size(split(col("text"), " ")).cast("long").as("n_ws"))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_uni")).as("n_uni"), sum(col("n_bpe")).as("n_bpe"),
+          sum(col("n_wp")).as("n_wp"), sum(col("n_ws")).as("n_ws"))
+        .select(col("lang"), col("n_uni"), col("n_bpe"), col("n_wp"),
+          col("n_ws"),
+          round(col("n_uni").cast("double") / col("n_ws"), 4)
+            .as("fertility_uni"),
+          round(col("n_bpe").cast("double") / col("n_ws"), 4)
+            .as("fertility_bpe"),
+          round(col("n_wp").cast("double") / col("n_ws"), 4)
+            .as("fertility_wp"))
+        .orderBy(col("lang"))
+    }),
+    // In-Context Pretraining document ordering (Shi et al. 2023 —
+    // functions/VectorOps.icpOrder): chain semantically related docs
+    // adjacent so context windows pack related neighbors. Blocked like
+    // the semantic-dedup family: greedy rounded-cosine walks WITHIN
+    // each cluster (start = lowest id, next = most-similar unvisited,
+    // ties low id), clusters chained by centroid similarity; one
+    // exchange on the label, all chain work cluster-local. Oracle: the
+    // same walks in recursive DuckDB SQL — each node's neighbor list
+    // is precomputed ORDERED as a struct list (aggregation outside the
+    // recursion), so the recursive step is pure scalar list ops:
+    // first-unvisited = list_filter(...)[1].
+    "q151_icp_order" -> ((s, dir) => {
+      VectorOps.icpOrder(t(s, dir, "embeddings"), "vec_id", "label",
+        "embedding")
     }),
     // The calibrated gate APPLIED (q131's relationship to q130): each
     // source's q142 threshold becomes a per-doc keep decision — the
@@ -2965,6 +3065,17 @@ object TrainingData {
          |  round(COALESCE(c.e_uni, 0), 4) AS e_uni
          |FROM san s LEFT JOIN ecnt c ON s.doc_id = c.doc_id
          |ORDER BY s.doc_id""".stripMargin,
+    "q149_wordpiece_tokens" ->
+      s"""WITH RECURSIVE $sanDocwCte,
+         |$wordpieceCte,
+         |cnt AS (SELECT dw.doc_id, SUM(b.ntok) AS n_wp
+         |        FROM docw dw JOIN wbest b ON dw.w = b.w GROUP BY dw.doc_id)
+         |SELECT s.doc_id,
+         |  CAST(len(regexp_extract_all(s.t, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+         |    AS BIGINT) AS n_pieces,
+         |  CAST(COALESCE(c.n_wp, 0) AS BIGINT) AS n_wp
+         |FROM san s LEFT JOIN cnt c ON s.doc_id = c.doc_id
+         |ORDER BY s.doc_id""".stripMargin,
     "q140_unigram_tokens" ->
       s"""WITH RECURSIVE $sanDocwCte,
          |$unigramCte,
@@ -3010,6 +3121,93 @@ object TrainingData {
          |  round(CAST(SUM(n_uni) AS DOUBLE) / SUM(n_ws), 4) AS fertility_uni,
          |  round(CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_ws), 4) AS fertility_bpe
          |FROM per GROUP BY lang ORDER BY lang""".stripMargin,
+    "q150_family_fertility" ->
+      s"""WITH RECURSIVE $bpeCte,
+         |$unigramCte,
+         |$wordpieceCte,
+         |cntb AS (SELECT dw.doc_id, SUM(t.n) AS n_bpe
+         |         FROM docw dw JOIN term t ON dw.w = t.w GROUP BY dw.doc_id),
+         |cntu AS (SELECT dw.doc_id, SUM(b.ntok) AS n_uni
+         |         FROM docw dw JOIN ubest b ON dw.w = b.w GROUP BY dw.doc_id),
+         |cntw AS (SELECT dw.doc_id, SUM(b.ntok) AS n_wp
+         |         FROM docw dw JOIN wbest b ON dw.w = b.w GROUP BY dw.doc_id),
+         |per AS (
+         |  SELECT d.lang, COALESCE(u.n_uni, 0) AS n_uni,
+         |    COALESCE(c.n_bpe, 0) AS n_bpe,
+         |    COALESCE(w.n_wp, 0) AS n_wp,
+         |    len(string_split(d.text, ' ')) AS n_ws
+         |  FROM documents d
+         |  LEFT JOIN cntb c ON d.doc_id = c.doc_id
+         |  LEFT JOIN cntu u ON d.doc_id = u.doc_id
+         |  LEFT JOIN cntw w ON d.doc_id = w.doc_id)
+         |SELECT lang, CAST(SUM(n_uni) AS BIGINT) AS n_uni,
+         |  CAST(SUM(n_bpe) AS BIGINT) AS n_bpe,
+         |  CAST(SUM(n_wp) AS BIGINT) AS n_wp,
+         |  CAST(SUM(n_ws) AS BIGINT) AS n_ws,
+         |  round(CAST(SUM(n_uni) AS DOUBLE) / SUM(n_ws), 4) AS fertility_uni,
+         |  round(CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_ws), 4) AS fertility_bpe,
+         |  round(CAST(SUM(n_wp) AS DOUBLE) / SUM(n_ws), 4) AS fertility_wp
+         |FROM per GROUP BY lang ORDER BY lang""".stripMargin,
+    "q151_icp_order" ->
+      s"""WITH RECURSIVE
+         |pairs AS (
+         |  SELECT a.label, a.vec_id AS u, b.vec_id AS v,
+         |    ${duckCos("a", "b")} AS s
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id <> b.vec_id),
+         |nbrs AS (
+         |  SELECT label, u, list({'v': v, 's': s} ORDER BY s DESC, v) AS nl
+         |  FROM pairs GROUP BY label, u),
+         |starts AS (SELECT label, min(vec_id) AS v0 FROM embeddings
+         |           GROUP BY label),
+         |walk(label, cur, pos, prev_sim, visited) AS (
+         |  SELECT label, v0, 0, CAST(NULL AS DOUBLE), [v0] FROM starts
+         |  UNION ALL
+         |  SELECT w.label,
+         |    list_filter(n.nl, x -> NOT list_contains(w.visited, x.v))[1].v,
+         |    w.pos + 1,
+         |    list_filter(n.nl, x -> NOT list_contains(w.visited, x.v))[1].s,
+         |    list_append(w.visited,
+         |      list_filter(n.nl, x -> NOT list_contains(w.visited, x.v))[1].v)
+         |  FROM walk w JOIN nbrs n ON n.label = w.label AND n.u = w.cur
+         |  WHERE len(list_filter(n.nl,
+         |    x -> NOT list_contains(w.visited, x.v))) > 0),
+         |cents AS (
+         |  SELECT label, dim, round(avg(CAST(x AS DOUBLE)), 4) AS c
+         |  FROM (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+         |    unnest(embedding) AS x FROM embeddings)
+         |  GROUP BY label, dim),
+         |cpairs AS (
+         |  SELECT a.label AS u, b.label AS v,
+         |    round(sum(a.c * b.c) /
+         |      (sqrt(sum(a.c * a.c)) * sqrt(sum(b.c * b.c))), 4) AS s
+         |  FROM cents a JOIN cents b ON a.dim = b.dim AND a.label <> b.label
+         |  GROUP BY a.label, b.label),
+         |cnbrs AS (SELECT u, list({'v': v, 's': s} ORDER BY s DESC, v) AS nl
+         |          FROM cpairs GROUP BY u),
+         |cwalk(cur, rnk, visited) AS (
+         |  SELECT min(label), 0, [min(label)] FROM embeddings
+         |  UNION ALL
+         |  SELECT list_filter(n.nl, x -> NOT list_contains(w.visited, x.v))[1].v,
+         |    w.rnk + 1,
+         |    list_append(w.visited,
+         |      list_filter(n.nl, x -> NOT list_contains(w.visited, x.v))[1].v)
+         |  FROM cwalk w JOIN cnbrs n ON n.u = w.cur
+         |  WHERE len(list_filter(n.nl,
+         |    x -> NOT list_contains(w.visited, x.v))) > 0),
+         |sizes AS (SELECT label, count(*) AS m FROM embeddings GROUP BY label),
+         |offs AS (
+         |  SELECT c.cur AS label, c.rnk,
+         |    CAST(COALESCE(sum(s.m) OVER (ORDER BY c.rnk
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS off
+         |  FROM cwalk c JOIN sizes s ON s.label = c.cur)
+         |SELECT CAST(w.cur AS BIGINT) AS vec_id,
+         |  CAST(w.label AS BIGINT) AS label,
+         |  o.rnk AS label_rank, w.pos, w.prev_sim,
+         |  CAST(o.off + w.pos AS BIGINT) AS global_pos
+         |FROM walk w JOIN offs o ON o.label = w.label
+         |ORDER BY global_pos""".stripMargin,
     "q111_bpe_quantiles" ->
       s"""WITH RECURSIVE $bpeCte,
          |cnt AS (SELECT dw.doc_id, SUM(t.n) AS n_bpe

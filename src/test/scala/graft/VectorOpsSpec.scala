@@ -456,6 +456,54 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("icpOrder: greedy similarity chains, cluster chaining, permutation") {
+    import spark.implicits._
+    // hand-built clusters: within label 0, vectors sit on a 2-D fan so
+    // the greedy chain from the lowest id is hand-computable — 0 is at
+    // angle 0°, 1 at 90°, 2 at 10°, 3 at 80°. From 0 the most similar
+    // is 2 (10°), then 3 (Δ70° beats 1's Δ80°... from 2: 3 at Δ70°,
+    // 1 at Δ80° → 3), then 1. Label 1 is a singleton; label 2 points
+    // OPPOSITE label 0 so the centroid chain is 0 → 1 → 2 (label 1's
+    // centroid is nearer 0's than label 2's antipode).
+    def ang(deg: Double) = Seq(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val df = Seq(
+      (0L, ang(0), 0), (1L, ang(90), 0), (2L, ang(10), 0), (3L, ang(80), 0),
+      (10L, ang(45), 1),
+      (20L, ang(180), 2), (21L, ang(190), 2))
+      .toDF("vec_id", "embedding", "label")
+    val got = VectorOps.icpOrder(df, "vec_id", "label", "embedding")
+      .select($"vec_id", $"label", $"label_rank", $"pos", $"global_pos")
+      .as[(Long, Long, Int, Int, Long)].collect().sortBy(_._5)
+    assert(got.map(_._1).toSeq === Seq(0L, 2L, 3L, 1L, 10L, 20L, 21L),
+      s"wrong order: ${got.mkString(", ")}")
+    assert(got.map(_._5).toSeq === (0L until 7L), "global_pos must be dense")
+    assert(got.map(g => (g._2, g._3)).distinct.toSeq ===
+      Seq((0L, 0), (1L, 1), (2L, 2)), "centroid chain 0 -> 1 -> 2")
+    assert(got.map(g => (g._2, g._4)).groupBy(_._1).forall { case (_, ps) =>
+      ps.map(_._2).sorted.toSeq == (0 until ps.length) },
+      "pos must be dense within each cluster")
+
+    // prev_sim: null exactly at the three chain heads, and each link's
+    // similarity is the max over the docs that were still unvisited
+    val full = VectorOps.icpOrder(df, "vec_id", "label", "embedding")
+      .select($"label", $"pos", $"prev_sim")
+      .as[(Long, Int, Option[Double])].collect()
+    assert(full.count(_._3.isEmpty) === 3)
+    assert(full.forall { case (_, pos, ps) => (pos == 0) == ps.isEmpty })
+
+    // a mega-cluster refuses loudly instead of quadratic-bombing
+    val big = (0 until 40).map(i => (i.toLong, ang(i * 3.0), 0))
+      .toDF("vec_id", "embedding", "label")
+    val ex = intercept[Exception](
+      VectorOps.icpOrder(big, "vec_id", "label", "embedding",
+        maxClusterSize = 10).collect())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("retrain the quantizer")),
+      s"wrong failure: $ex")
+  }
+
   test("TripletOps: a pair id missing from emb fails loudly, not a silent drop") {
     import graft.functions.TripletOps
     import spark.implicits._
