@@ -603,13 +603,24 @@ object VectorOps {
       out.iterator
     }.toDF(idCol, labelCol, "pos", "prev_sim")
 
-    // cluster chain over the |clusters|-bounded rounded-centroid table
-    val centRows = centroids(corpus, labelCol, vecCol).collect()
+    // cluster chain over the |clusters|-bounded rounded-centroid table;
+    // cluster sizes ride the SAME aggregation (count per (label, dim)
+    // is the member count), so centroids + offsets cost one scan, not
+    // two — chains + this are the operator's only two corpus passes
+    val centRows = corpus
+      .select(col(labelCol).cast("long").as(labelCol),
+        posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col(labelCol), col("dim"))
+      .agg(round(avg(col("x").cast("double")), 4).as("centroid"),
+        count(lit(1)).as("m"))
+      .collect()
     val cents: Map[Long, Array[Double]] = centRows
-      .groupBy(r => r.get(0).asInstanceOf[Number].longValue())
+      .groupBy(_.getLong(0))
       .map { case (l, rows) =>
         l -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
       }
+    val sizes: Map[Long, Long] =
+      centRows.filter(_.getInt(1) == 0).map(r => r.getLong(0) -> r.getLong(3)).toMap
     val cnorms = cents.map { case (l, v) =>
       l -> math.sqrt(v.map(x => x * x).sum)
     }
@@ -633,9 +644,6 @@ object VectorOps {
     }
 
     // |clusters|-bounded offsets: global_pos = chain offset + pos
-    val sizes = corpus.groupBy(col(labelCol).cast("long").as(labelCol))
-      .agg(count(lit(1)).as("m"))
-      .as[(Long, Long)].collect().toMap
     var acc = 0L
     val offs = rank.toSeq.sortBy(_._2).map { case (l, r) =>
       val o = (l, r, acc); acc += sizes(l); o

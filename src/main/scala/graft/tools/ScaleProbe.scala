@@ -45,7 +45,8 @@ object ScaleProbe {
       "q136_lexicon_gate", "q137_gopher_rules", "q138_decontam_scrub",
       "q139_domain_rollup", "q140_unigram_tokens", "q142_gate_calibration",
       "q145_gopher_repetition", "q147_c4_line_policy",
-      "q148_stack_code_filter")
+      "q148_stack_code_filter", "q149_wordpiece_tokens",
+      "q150_family_fertility", "q151_icp_order")
     // optional 3rd arg: comma-separated substring filter (probe a single
     // query's decade without re-running the whole set)
     val probes = args.lift(2) match {
@@ -54,14 +55,17 @@ object ScaleProbe {
         allProbes.filter(p => wanted.exists(p.contains))
       case None => allProbes
     }
-    case class Obs(docRows: Long, bytes: Map[String, Long])
+    case class Obs(docRows: Long, embRows: Long, bytes: Map[String, Long])
 
     // which base table a probe query scans — the honest denominator
     // for scan amplification (q97/q103 read embeddings, not documents)
     val probeTable = Map(
       "q97_semantic_dedup" -> "embeddings",
       "q103_semdedup" -> "embeddings",
-      "q114_semdedup_scaled" -> "embeddings").withDefaultValue("documents")
+      "q114_semdedup_scaled" -> "embeddings",
+      "q151_icp_order" -> "embeddings",
+      "ann_search" -> "embeddings",
+      "semantic_gate" -> "embeddings").withDefaultValue("documents")
 
     def observe(dir: String): Obs = {
       val docRows = Tables.load(spark, dir, "documents").count()
@@ -162,7 +166,7 @@ object ScaleProbe {
       val (sec, bytes) = searched
       println(f"[probe] $dir ann_search: $sec%.2f s, shuffle ${bytes / 1048576.0}%.2f MiB")
       println(f"[probe] $dir semantic_gate: ${gated._1}%.2f s, shuffle ${gated._2 / 1048576.0}%.2f MiB")
-      Obs(docRows, perQuery +
+      Obs(docRows, baseRows("embeddings"), perQuery +
         ("ann_search" -> bytes) + ("semantic_gate" -> gated._2))
     }
 
@@ -176,12 +180,18 @@ object ScaleProbe {
     if (rowRatio <= 1.0)
       println("[probe] WARNING: row counts do not grow between the two dirs — " +
         "exponents are undefined (pick SF dirs a real factor apart)")
+    val embRatio = oHi.embRows.toDouble / oLo.embRows
     (probes ++ Seq("ann_search", "semantic_gate")).foreach { name =>
       val (bLo, bHi) = (oLo.bytes(name), oHi.bytes(name))
+      // each query's exponent is against ITS OWN table's growth —
+      // embeddings grow slower than documents between the fixture SFs,
+      // so a docRows denominator would understate embedding queries
+      val ratio =
+        if (probeTable(name) == "embeddings") embRatio else rowRatio
       val exp =
-        if (bLo <= 0 || bHi <= 0 || rowRatio <= 1.0) Double.NaN
-        else math.log(bHi.toDouble / bLo) / math.log(rowRatio)
-      println(f"[probe] $name: ${bLo / 1048576.0}%.2f -> ${bHi / 1048576.0}%.2f MiB, exponent $exp%.2f")
+        if (bLo <= 0 || bHi <= 0 || ratio <= 1.0) Double.NaN
+        else math.log(bHi.toDouble / bLo) / math.log(ratio)
+      println(f"[probe] $name: ${bLo / 1048576.0}%.2f -> ${bHi / 1048576.0}%.2f MiB, exponent $exp%.2f (vs x$ratio%.1f ${probeTable(name)})")
     }
 
     // recall of the persisted index at the HI scale factor, for the
@@ -246,8 +256,6 @@ object ScaleProbe {
     }
     val (srLo, sbLo, hwLo, ewLo) = semStreamProbe(lo)
     val (srHi, sbHi, hwHi, ewHi) = semStreamProbe(hi)
-    val embRatio = Tables.load(spark, hi, "embeddings").count().toDouble /
-      Tables.load(spark, lo, "embeddings").count()
     // state ROWS are the bucket KEYS (2^bits, corpus-free by design);
     // the stored vectors live inside each bucket's value, so the
     // growth quantity is state MEMORY — exponent vs in-horizon vectors
