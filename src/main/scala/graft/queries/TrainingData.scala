@@ -178,6 +178,73 @@ object TrainingData {
        |  FROM wwalk GROUP BY w)""".stripMargin
   }
 
+  /** Shared q151/q152 ICP ordering in SQL: the greedy visited-set walk
+    * is made expressible in a recursive CTE by precomputing each node's
+    * ORDERED neighbor list as a struct list (aggregation OUTSIDE the
+    * recursion), so the recursive step is pure scalar list ops —
+    * first-unvisited = list_filter(nl, unvisited)[1]. Same trick for
+    * the centroid chain over labels. Yields `icpord(vec_id, label,
+    * label_rank, pos, prev_sim, global_pos)`. */
+  private lazy val icpOrderCte: String =
+    s"""pairs AS (
+       |  SELECT a.label, a.vec_id AS u, b.vec_id AS v,
+       |    ${duckCos("a", "b")} AS s
+       |  FROM embeddings a JOIN embeddings b
+       |    ON a.label = b.label AND a.vec_id <> b.vec_id),
+       |nbrs AS (
+       |  SELECT label, u, list({'v': v, 's': s} ORDER BY s DESC, v) AS nl
+       |  FROM pairs GROUP BY label, u),
+       |starts AS (SELECT label, min(vec_id) AS v0 FROM embeddings
+       |           GROUP BY label),
+       |walk(label, cur, pos, prev_sim, visited) AS (
+       |  SELECT label, v0, 0, CAST(NULL AS DOUBLE), [v0] FROM starts
+       |  UNION ALL
+       |  SELECT w.label,
+       |    list_filter(n.nl, x -> NOT list_contains(w.visited, x.v))[1].v,
+       |    w.pos + 1,
+       |    list_filter(n.nl, x -> NOT list_contains(w.visited, x.v))[1].s,
+       |    list_append(w.visited,
+       |      list_filter(n.nl, x -> NOT list_contains(w.visited, x.v))[1].v)
+       |  FROM walk w JOIN nbrs n ON n.label = w.label AND n.u = w.cur
+       |  WHERE len(list_filter(n.nl,
+       |    x -> NOT list_contains(w.visited, x.v))) > 0),
+       |icents AS (
+       |  SELECT label, dim, round(avg(CAST(x AS DOUBLE)), 4) AS c
+       |  FROM (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+       |    unnest(embedding) AS x FROM embeddings)
+       |  GROUP BY label, dim),
+       |cpairs AS (
+       |  SELECT a.label AS u, b.label AS v,
+       |    round(sum(a.c * b.c) /
+       |      (sqrt(sum(a.c * a.c)) * sqrt(sum(b.c * b.c))), 4) AS s
+       |  FROM icents a JOIN icents b ON a.dim = b.dim AND a.label <> b.label
+       |  GROUP BY a.label, b.label),
+       |cnbrs AS (SELECT u, list({'v': v, 's': s} ORDER BY s DESC, v) AS nl
+       |          FROM cpairs GROUP BY u),
+       |cwalk(cur, rnk, visited) AS (
+       |  SELECT min(label), 0, [min(label)] FROM embeddings
+       |  UNION ALL
+       |  SELECT list_filter(n.nl, x -> NOT list_contains(w.visited, x.v))[1].v,
+       |    w.rnk + 1,
+       |    list_append(w.visited,
+       |      list_filter(n.nl, x -> NOT list_contains(w.visited, x.v))[1].v)
+       |  FROM cwalk w JOIN cnbrs n ON n.u = w.cur
+       |  WHERE len(list_filter(n.nl,
+       |    x -> NOT list_contains(w.visited, x.v))) > 0),
+       |isizes AS (SELECT label, count(*) AS m FROM embeddings GROUP BY label),
+       |ioffs AS (
+       |  SELECT c.cur AS label, c.rnk,
+       |    CAST(COALESCE(sum(s.m) OVER (ORDER BY c.rnk
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS off
+       |  FROM cwalk c JOIN isizes s ON s.label = c.cur),
+       |icpord AS (
+       |  SELECT CAST(w.cur AS BIGINT) AS vec_id,
+       |    CAST(w.label AS BIGINT) AS label,
+       |    o.rnk AS label_rank, w.pos, w.prev_sim,
+       |    CAST(o.off + w.pos AS BIGINT) AS global_pos
+       |  FROM walk w JOIN ioffs o ON o.label = w.label)""".stripMargin
+
   private lazy val bpeCte: String = {
     val sep = "\u001f"
     def sq(s: String) = "'" + s.replace("'", "''") + "'"
@@ -848,6 +915,29 @@ object TrainingData {
     "q151_icp_order" -> ((s, dir) => {
       VectorOps.icpOrder(t(s, dir, "embeddings"), "vec_id", "label",
         "embedding")
+    }),
+    // The ordering APPLIED (the paper's actual deliverable): pack
+    // consecutive ICP-ordered docs into fixed token-budget contexts.
+    // Same greedy budget-pack as q121 but keyed by global_pos instead
+    // of a shuffle draw — the running total rides GlobalOrder's
+    // sharded prefix-sum (no global single-task sort stage), with the
+    // order key zero-padded so prefix shards order consistently with
+    // the numeric key. vec_id joins doc n_tok 1:1 (the fixture's
+    // embedding-per-doc contract, q97's).
+    "q152_icp_pack" -> ((s, dir) => {
+      val ord = VectorOps.icpOrder(t(s, dir, "embeddings"), "vec_id",
+          "label", "embedding")
+        .select(col("vec_id"), col("global_pos"))
+      val ntok = t(s, dir, "documents").select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val joined = ord.join(ntok, col("vec_id") === col("doc_id"))
+        .select(col("vec_id"), col("global_pos"), col("n_tok"),
+          lpad(col("global_pos").cast("string"), 12, "0").as("__gp"))
+      graft.core.GlobalOrder
+        .precedingSum(joined, "vec_id", "__gp", "n_tok", "__prev")
+        .select(col("vec_id"), col("global_pos"), col("n_tok"),
+          expr("__prev div 2048L").as("pack_id"))
+        .orderBy(col("vec_id"))
     }),
     // The calibrated gate APPLIED (q131's relationship to q130): each
     // source's q142 threshold becomes a per-doc keep decision — the
@@ -3149,65 +3239,22 @@ object TrainingData {
          |  round(CAST(SUM(n_wp) AS DOUBLE) / SUM(n_ws), 4) AS fertility_wp
          |FROM per GROUP BY lang ORDER BY lang""".stripMargin,
     "q151_icp_order" ->
-      s"""WITH RECURSIVE
-         |pairs AS (
-         |  SELECT a.label, a.vec_id AS u, b.vec_id AS v,
-         |    ${duckCos("a", "b")} AS s
-         |  FROM embeddings a JOIN embeddings b
-         |    ON a.label = b.label AND a.vec_id <> b.vec_id),
-         |nbrs AS (
-         |  SELECT label, u, list({'v': v, 's': s} ORDER BY s DESC, v) AS nl
-         |  FROM pairs GROUP BY label, u),
-         |starts AS (SELECT label, min(vec_id) AS v0 FROM embeddings
-         |           GROUP BY label),
-         |walk(label, cur, pos, prev_sim, visited) AS (
-         |  SELECT label, v0, 0, CAST(NULL AS DOUBLE), [v0] FROM starts
-         |  UNION ALL
-         |  SELECT w.label,
-         |    list_filter(n.nl, x -> NOT list_contains(w.visited, x.v))[1].v,
-         |    w.pos + 1,
-         |    list_filter(n.nl, x -> NOT list_contains(w.visited, x.v))[1].s,
-         |    list_append(w.visited,
-         |      list_filter(n.nl, x -> NOT list_contains(w.visited, x.v))[1].v)
-         |  FROM walk w JOIN nbrs n ON n.label = w.label AND n.u = w.cur
-         |  WHERE len(list_filter(n.nl,
-         |    x -> NOT list_contains(w.visited, x.v))) > 0),
-         |cents AS (
-         |  SELECT label, dim, round(avg(CAST(x AS DOUBLE)), 4) AS c
-         |  FROM (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
-         |    unnest(embedding) AS x FROM embeddings)
-         |  GROUP BY label, dim),
-         |cpairs AS (
-         |  SELECT a.label AS u, b.label AS v,
-         |    round(sum(a.c * b.c) /
-         |      (sqrt(sum(a.c * a.c)) * sqrt(sum(b.c * b.c))), 4) AS s
-         |  FROM cents a JOIN cents b ON a.dim = b.dim AND a.label <> b.label
-         |  GROUP BY a.label, b.label),
-         |cnbrs AS (SELECT u, list({'v': v, 's': s} ORDER BY s DESC, v) AS nl
-         |          FROM cpairs GROUP BY u),
-         |cwalk(cur, rnk, visited) AS (
-         |  SELECT min(label), 0, [min(label)] FROM embeddings
-         |  UNION ALL
-         |  SELECT list_filter(n.nl, x -> NOT list_contains(w.visited, x.v))[1].v,
-         |    w.rnk + 1,
-         |    list_append(w.visited,
-         |      list_filter(n.nl, x -> NOT list_contains(w.visited, x.v))[1].v)
-         |  FROM cwalk w JOIN cnbrs n ON n.u = w.cur
-         |  WHERE len(list_filter(n.nl,
-         |    x -> NOT list_contains(w.visited, x.v))) > 0),
-         |sizes AS (SELECT label, count(*) AS m FROM embeddings GROUP BY label),
-         |offs AS (
-         |  SELECT c.cur AS label, c.rnk,
-         |    CAST(COALESCE(sum(s.m) OVER (ORDER BY c.rnk
+      s"""WITH RECURSIVE $icpOrderCte
+         |SELECT vec_id, label, label_rank, pos, prev_sim, global_pos
+         |FROM icpord ORDER BY global_pos""".stripMargin,
+    "q152_icp_pack" ->
+      s"""WITH RECURSIVE $icpOrderCte,
+         |nt AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |  FROM documents)
+         |SELECT o.vec_id, o.global_pos, nt.n_tok,
+         |  CAST(FLOOR(COALESCE(SUM(nt.n_tok) OVER (
+         |      ORDER BY o.global_pos
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         |      AS BIGINT) AS off
-         |  FROM cwalk c JOIN sizes s ON s.label = c.cur)
-         |SELECT CAST(w.cur AS BIGINT) AS vec_id,
-         |  CAST(w.label AS BIGINT) AS label,
-         |  o.rnk AS label_rank, w.pos, w.prev_sim,
-         |  CAST(o.off + w.pos AS BIGINT) AS global_pos
-         |FROM walk w JOIN offs o ON o.label = w.label
-         |ORDER BY global_pos""".stripMargin,
+         |    / 2048.0) AS BIGINT) AS pack_id
+         |FROM icpord o JOIN nt ON nt.doc_id = o.vec_id
+         |ORDER BY o.vec_id""".stripMargin,
     "q111_bpe_quantiles" ->
       s"""WITH RECURSIVE $bpeCte,
          |cnt AS (SELECT dw.doc_id, SUM(t.n) AS n_bpe
