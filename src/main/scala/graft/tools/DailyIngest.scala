@@ -727,7 +727,13 @@ object DailyIngest {
     *   - a path: an externally trained merges.txt in the public
     *     one-merge-per-line format;
     *   - the literal `builtin`: the committed fixture vocabulary
-    *     (90 merges — test-scale, NOT a production denomination). */
+    *     (90 merges — test-scale, NOT a production denomination);
+    *   - `unigram` / `unigram:<path>`: the unigram-LM family (managed
+    *     under `<stateRoot>/unigram`, or an external piece<TAB>logprob
+    *     file);
+    *   - `wordpiece` / `wordpiece:<path>`: the WordPiece family
+    *     (managed under `<stateRoot>/wordpiece`, or an external BERT
+    *     one-piece-per-line vocab.txt). */
   def main(args: Array[String]): Unit = {
     val Array(lakeRoot, stateRoot, input, dayStr, rest @ _*) = args
     val ttlDays = rest.headOption.map(_.toInt).getOrElse(30)
@@ -781,22 +787,37 @@ object DailyIngest {
             v.stripPrefix("unigram:")))
         case _ => None
       }
-      val vocab = (vocabArg, unigramVocab) match {
-        case (_, Some(u)) =>
+      // `wordpiece` / `wordpiece:<path>` likewise select the WordPiece
+      // family (managed under <stateRoot>/wordpiece, or an external
+      // BERT one-piece-per-line vocab.txt)
+      val wordpieceVocab = vocabArg match {
+        case Some("wordpiece") => Some(ensureWordPieceVocab(spark, docs,
+          "text", s"$stateRoot/wordpiece/vocab.txt"))
+        case Some(v) if v.startsWith("wordpiece:") =>
+          Some(ensureWordPieceVocab(spark, docs, "text",
+            v.stripPrefix("wordpiece:")))
+        case _ => None
+      }
+      val vocab = (vocabArg, unigramVocab, wordpieceVocab) match {
+        case (_, Some(u), _) =>
           println(s"[daily-ingest] unigram vocab: ${u.pieces.length} pieces")
           BpeVocab.default // unused: n_tok rides the unigram counter
-        case (Some("builtin"), _) => BpeVocab.default
-        case (Some(path), _) => ensureVocab(spark, docs, "text", path)
-        case (None, _) =>
+        case (_, _, Some(w)) =>
+          println(s"[daily-ingest] wordpiece vocab: ${w.pieces.length} pieces")
+          BpeVocab.default // unused: n_tok rides the wordpiece counter
+        case (Some("builtin"), _, _) => BpeVocab.default
+        case (Some(path), _, _) => ensureVocab(spark, docs, "text", path)
+        case (None, _, _) =>
           ensureVocab(spark, docs, "text", s"$stateRoot/bpe/merges.txt")
       }
-      if (unigramVocab.isEmpty)
+      if (unigramVocab.isEmpty && wordpieceVocab.isEmpty)
         println(s"[daily-ingest] bpe vocab: ${vocab.merges.length} merges")
       val n = run(lake, dd, cp, TableRef("prod", "crawl", "packed"),
         docs, "doc_id", "text", "lang", day, ttlDays,
         ann = ann, semanticThreshold = semTh, vocab = vocab,
         pqRefine = pqRefine, lineScrub = lineScrub, decontam = decontam,
-        lock = lockRef, unigramVocab = unigramVocab)
+        lock = lockRef, unigramVocab = unigramVocab,
+        wordpieceVocab = wordpieceVocab)
       // health watch: drift on the RAW feed (pre-dedup, keyed by lang;
       // NaN = a language vanished = maximal drift) plus generic quality
       // checks on the landed partition, routed through the alert sink
