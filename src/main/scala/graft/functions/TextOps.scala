@@ -340,6 +340,60 @@ object TextOps {
       st.getField("alnum_chars") * 4L >= st.getField("n_chars") &&
       st.getField("xml_head") === 0L).cast("int")
 
+  /** License ids The Stack / StarCoder treat as permissive (Kocetkov
+    * et al. 2022 §2.3: the release keeps permissively-licensed files
+    * only). Lowercased SPDX ids. */
+  val PermissiveLicenses: Seq[String] =
+    Seq("mit", "apache-2.0", "bsd-2-clause", "bsd-3-clause", "isc",
+      "unlicense", "0bsd", "cc0-1.0")
+
+  /** Detect a source file's license from its TEXT — the file-level half
+    * of The Stack's license filter (Kocetkov et al. 2022 §2.3; their
+    * repo-level half reads forge metadata, a connector concern). Two
+    * published marker classes, machine-declared beating prose:
+    *  1. an SPDX-License-Identifier tag (the SPDX spec's in-file
+    *     declaration) — its id verbatim, lowercased;
+    *  2. else the license's distinctive opening phrase (the
+    *     fingerprints ScanCode/go-license-detector key on): MIT's
+    *     "permission is hereby granted, free of charge", Apache-2.0's
+    *     "apache license, version 2.0", the BSD clause stem with the
+    *     "neither the name" 3-clause discriminator, GPL-2/3, MPL-2.0,
+    *     ISC; else 'none'.
+    * Pure Column logic (lower + contains + regexp_extract + a when
+    * chain): scan-local, codegen'd, zero exchanges — the q148 contract.
+    * Matching is case-insensitive over the whole text; real corpora
+    * carry the notice in the header comment, and a false hit from
+    * quoted license text elsewhere is the same over-trigger the
+    * published detectors accept. */
+  def licenseDetect(text: Column): Column = {
+    val lo = lower(text)
+    val spdx = lower(regexp_extract(text,
+      "SPDX-License-Identifier:\\s*([A-Za-z0-9.+\\-]+)", 1))
+    when(spdx =!= "", spdx)
+      .when(lo.contains("permission is hereby granted, free of charge"),
+        lit("mit"))
+      .when(lo.contains("apache license, version 2.0") ||
+        lo.contains("apache license version 2.0"), lit("apache-2.0"))
+      .when(lo.contains("redistribution and use in source and binary forms"),
+        when(lo.contains("neither the name"), lit("bsd-3-clause"))
+          .otherwise(lit("bsd-2-clause")))
+      .when(lo.contains("gnu general public license") &&
+        lo.contains("version 3"), lit("gpl-3.0"))
+      .when(lo.contains("gnu general public license") &&
+        lo.contains("version 2"), lit("gpl-2.0"))
+      .when(lo.contains("mozilla public license, v. 2.0") ||
+        lo.contains("mozilla public license version 2.0"), lit("mpl-2.0"))
+      .when(lo.contains("permission to use, copy, modify, and/or distribute"),
+        lit("isc"))
+      .otherwise(lit("none"))
+  }
+
+  /** The Stack's keep decision over [[licenseDetect]]: permissive ids
+    * pass, everything else — copyleft, unknown tags, AND unlicensed
+    * ('none') — is excluded from the permissive release. */
+  def licenseKeep(license: Column): Column =
+    license.isin(PermissiveLicenses: _*).cast("int")
+
   /** Share of all word n-grams taken by the single most frequent one —
     * native one-pass hash count ([[graft.expressions.TopNgramFrac]],
     * O(tokens) per row; the earlier array_distinct × filter HOF was

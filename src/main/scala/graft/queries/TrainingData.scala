@@ -178,6 +178,30 @@ object TrainingData {
        |  FROM wwalk GROUP BY w)""".stripMargin
   }
 
+  /** q153's injected license headers, one per detector branch
+    * (doc_id % 10 selects): SPDX tag, MIT, Apache-2.0, BSD-3, BSD-2,
+    * GPL-3, GPL-2, MPL-2.0, ISC, none. Shared verbatim with the oracle
+    * so both engines inject identical text. */
+  private[queries] val licenseHeaders: Seq[String] = Seq(
+    "// SPDX-License-Identifier: MIT ",
+    "/* Permission is hereby granted, free of charge, to any person " +
+      "obtaining a copy of this software */ ",
+    "// Licensed under the Apache License, Version 2.0 (the License) ",
+    "/* Redistribution and use in source and binary forms, with or " +
+      "without modification, are permitted. Neither the name of the " +
+      "project may be used to endorse derived products. */ ",
+    "/* Redistribution and use in source and binary forms, with or " +
+      "without modification, are permitted. */ ",
+    "// This program is free software under the GNU General Public " +
+      "License, version 3 or later. ",
+    "// This program is free software under the GNU General Public " +
+      "License, version 2 of the License. ",
+    "/* This Source Code Form is subject to the terms of the Mozilla " +
+      "Public License, v. 2.0. */ ",
+    "// Permission to use, copy, modify, and/or distribute this " +
+      "software for any purpose is hereby granted. ",
+    "")
+
   /** Shared q151/q152 ICP ordering in SQL: the greedy visited-set walk
     * is made expressible in a recursive CTE by precomputing each node's
     * ORDERED neighbor list as a struct list (aggregation OUTSIDE the
@@ -778,6 +802,25 @@ object TrainingData {
           graft.expressions.CodeStats.schema.fieldNames.toSeq.map(f =>
             st.getField(f).as(f)) :+
           TextOps.stackCodeKeep(st).as("keep"): _*)
+        .orderBy(col("doc_id"))
+    }),
+    // The Stack's LICENSE gate (Kocetkov et al. 2022 §2.3 —
+    // TextOps.licenseDetect/licenseKeep): detect the in-file license
+    // from an SPDX tag (machine declaration wins) or the license's
+    // distinctive opening phrase, keep permissive only. Fixture docs
+    // carry no licenses, so a rotating header (doc_id % 10: SPDX tag,
+    // the eight phrase fingerprints, bare) is injected — q93's PII
+    // recipe — exercising every branch incl. the BSD 2-vs-3-clause
+    // discriminator and the copyleft/none rejections. Pure Column
+    // logic, scan-local, zero exchanges.
+    "q153_license_filter" -> ((s, dir) => {
+      val injected = concat(
+        element_at(typedLit(TrainingData.licenseHeaders),
+          (col("doc_id") % 10).cast("int") + 1),
+        col("text"))
+      val lic = TextOps.licenseDetect(injected)
+      t(s, dir, "documents").select(col("doc_id"), lic.as("license"),
+          TextOps.licenseKeep(lic).as("keep"))
         .orderBy(col("doc_id"))
     }),
     // WordPiece tokenization (Schuster & Nakajima 2012 — the BERT
@@ -3142,6 +3185,51 @@ object TrainingData {
         |    AND alnum_chars * 4 >= n_chars
         |    AND xml_head = 0 THEN 1 ELSE 0 END AS INT) AS keep
         |FROM cnt ORDER BY doc_id""".stripMargin,
+    "q153_license_filter" -> {
+      val hdrVals = licenseHeaders.zipWithIndex
+        .map { case (h, i) => s"($i, '${h.replace("'", "''")}')" }
+        .mkString(", ")
+      val perm = graft.functions.TextOps.PermissiveLicenses
+        .map(l => s"'$l'").mkString(", ")
+      s"""WITH h(i, hdr) AS (VALUES $hdrVals),
+         |inj AS (
+         |  SELECT d.doc_id, h.hdr || d.text AS t
+         |  FROM documents d JOIN h ON h.i = CAST(d.doc_id % 10 AS INT)),
+         |lo AS (SELECT doc_id, t, lower(t) AS lt FROM inj),
+         |det AS (
+         |  SELECT doc_id,
+         |    CASE
+         |      WHEN regexp_extract(t,
+         |          'SPDX-License-Identifier:\\s*([A-Za-z0-9.+\\-]+)', 1) <> ''
+         |        THEN lower(regexp_extract(t,
+         |          'SPDX-License-Identifier:\\s*([A-Za-z0-9.+\\-]+)', 1))
+         |      WHEN contains(lt,
+         |          'permission is hereby granted, free of charge')
+         |        THEN 'mit'
+         |      WHEN contains(lt, 'apache license, version 2.0')
+         |        OR contains(lt, 'apache license version 2.0')
+         |        THEN 'apache-2.0'
+         |      WHEN contains(lt,
+         |          'redistribution and use in source and binary forms')
+         |        THEN CASE WHEN contains(lt, 'neither the name')
+         |          THEN 'bsd-3-clause' ELSE 'bsd-2-clause' END
+         |      WHEN contains(lt, 'gnu general public license')
+         |        AND contains(lt, 'version 3') THEN 'gpl-3.0'
+         |      WHEN contains(lt, 'gnu general public license')
+         |        AND contains(lt, 'version 2') THEN 'gpl-2.0'
+         |      WHEN contains(lt, 'mozilla public license, v. 2.0')
+         |        OR contains(lt, 'mozilla public license version 2.0')
+         |        THEN 'mpl-2.0'
+         |      WHEN contains(lt,
+         |          'permission to use, copy, modify, and/or distribute')
+         |        THEN 'isc'
+         |      ELSE 'none' END AS license
+         |  FROM lo)
+         |SELECT doc_id, license,
+         |  CAST(CASE WHEN license IN ($perm) THEN 1 ELSE 0 END AS INT)
+         |    AS keep
+         |FROM det ORDER BY doc_id""".stripMargin
+    },
     "q146_subword_expected" ->
       s"""WITH RECURSIVE $sanDocwCte,
          |$unigramCte,

@@ -171,6 +171,9 @@ object DailyIngest {
     * XML-declaration screen) as the gate a CODE ingest runs where a
     * web ingest runs the gopher/repetition rules — same scan-local
     * deterministic predicate class, same admitted-only contract.
+    * `permissiveOnly = true` adds The Stack's §2.3 license gate
+    * (q153, [[graft.functions.TextOps.licenseDetect]]): keep only
+    * files whose detected in-file license is permissive.
     *
     * `gopherRules = Some((minWords, maxWords))` applies the Gopher
     * document-quality rule set (q137,
@@ -199,7 +202,8 @@ object DailyIngest {
           repetitionRules: Boolean = false,
           qualityThreshold: Double = 0.0,
           codeRules: Boolean = false,
-          wordpieceVocab: Option[graft.functions.WordPieceVocab] = None)
+          wordpieceVocab: Option[graft.functions.WordPieceVocab] = None,
+          permissiveOnly: Boolean = false)
       : Long = {
     require(semanticThreshold.isEmpty || ann.nonEmpty,
       "semanticThreshold needs the ann leg — the index is the seen-set")
@@ -224,10 +228,19 @@ object DailyIngest {
     // runs where a web ingest runs gopher/repetition. Same class of
     // predicate (one codegen byte-walk, zero exchanges, deterministic),
     // same admitted-only seen-set contract.
-    val ruled = if (codeRules)
+    val ruled2 = if (codeRules)
       ruled1.filter(graft.functions.TextOps.stackCodeKeep(
         graft.functions.TextOps.codeStats(col(textCol))) === 1)
     else ruled1
+    // `permissiveOnly = true` applies The Stack's OTHER gate (§2.3,
+    // q153): keep only files whose detected in-file license is
+    // permissive — copyleft, unknown and unlicensed are all excluded
+    // from the permissive release. Same scan-local Column predicate,
+    // zero exchanges, deterministic.
+    val ruled = if (permissiveOnly)
+      ruled2.filter(graft.functions.TextOps.licenseKeep(
+        graft.functions.TextOps.licenseDetect(col(textCol))) === 1)
+    else ruled2
     // the acceptance cut is a PARAMETER, not the hardcoded log-odds 0:
     // q142's calibration picks the threshold that hits a kept-token
     // budget, and this is where its number lands (> comparison on the

@@ -46,7 +46,8 @@ object ScaleProbe {
       "q139_domain_rollup", "q140_unigram_tokens", "q142_gate_calibration",
       "q145_gopher_repetition", "q147_c4_line_policy",
       "q148_stack_code_filter", "q149_wordpiece_tokens",
-      "q150_family_fertility", "q151_icp_order", "q152_icp_pack")
+      "q150_family_fertility", "q151_icp_order", "q152_icp_pack",
+      "q153_license_filter")
     // optional 3rd arg: comma-separated substring filter (probe a single
     // query's decade without re-running the whole set)
     val probes = args.lift(2) match {

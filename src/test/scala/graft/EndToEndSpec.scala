@@ -1338,6 +1338,38 @@ class EndToEndSpec extends SparkSpec {
     assert(landed2 === 1, "rule-rejected text must not poison the seen-set")
   }
 
+  test("daily ingest with the license gate: permissive lands, copyleft and " +
+    "unlicensed do not") {
+    import graft.lake.{CorpusDedup, CorpusPack}
+    import graft.tools.DailyIngest
+    val lake = new Lake(spark, tmpDir("lic_lake"))
+    val dd = new CorpusDedup(spark, lake, "lic_ds", numBuckets = 4)
+    val cp = new CorpusPack(spark,
+      new StateStore(spark, tmpDir("lic_state")), "lic_ds",
+      budgetTokens = 4096L)
+    val out = TableRef("prod", "lic_ds", "packed")
+    val mit = "// SPDX-License-Identifier: MIT\nint main() { return 7; }"
+    val gpl = "// under the GNU General Public License, version 3\n" +
+      "int main() { return 8; }"
+    val bare = "int main() { return 9; }"
+    val docs = Seq((1L, mit), (2L, gpl), (3L, bare))
+      .toDF("doc_id", "text").withColumn("lang", lit("code"))
+    val landed = DailyIngest.run(lake, dd, cp, out, docs,
+      "doc_id", "text", "lang", java.sql.Date.valueOf("2024-06-01"),
+      ttlDays = 30, permissiveOnly = true)
+    assert(landed === 1, "only the MIT-tagged file may land")
+    assert(lake.read(out).select($"doc_id").as[Long].collect().toSeq
+      === Seq(1L))
+    // admitted-only contract: the copyleft text was never committed to
+    // the seen-set, so it lands when the policy is lifted
+    val landed2 = DailyIngest.run(lake, dd, cp, out,
+      Seq((4L, gpl)).toDF("doc_id", "text")
+        .withColumn("lang", lit("code")),
+      "doc_id", "text", "lang", java.sql.Date.valueOf("2024-06-02"),
+      ttlDays = 30)
+    assert(landed2 === 1, "gate-rejected text must not poison the seen-set")
+  }
+
   test("multi-day crawl backfill: one lock, day steps, crash replay, guard") {
     import graft.lake.{CorpusDedup, CorpusPack}
     import graft.state.RunLock

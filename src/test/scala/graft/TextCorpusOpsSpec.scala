@@ -154,6 +154,46 @@ class TextCorpusOpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("licenseDetect: SPDX beats prose, BSD clause split, permissive keep set") {
+    def det(texts: (String, String)*): Unit = {
+      val got = texts.map(_._1).toDF("t")
+        .select(TextOps.licenseDetect($"t")).as[String].collect()
+      got.zip(texts).foreach { case (g, (t, want)) =>
+        assert(g === want, s"text: $t")
+      }
+    }
+    det(
+      // an SPDX tag is the machine declaration — it wins even when a
+      // DIFFERENT license's prose follows
+      ("// SPDX-License-Identifier: GPL-3.0-only\n" +
+        "Permission is hereby granted, free of charge", "gpl-3.0-only"),
+      ("Permission is hereby granted, free of charge, to any person",
+        "mit"),
+      ("Licensed under the Apache License, Version 2.0", "apache-2.0"),
+      // the 3-clause discriminator is the "neither the name" clause
+      ("Redistribution and use in source and binary forms; " +
+        "Neither the name of X may be used", "bsd-3-clause"),
+      ("Redistribution and use in source and binary forms is permitted",
+        "bsd-2-clause"),
+      ("under the GNU General Public License, version 3", "gpl-3.0"),
+      ("under the GNU General Public License, version 2", "gpl-2.0"),
+      ("subject to the Mozilla Public License, v. 2.0", "mpl-2.0"),
+      ("Permission to use, copy, modify, and/or distribute this", "isc"),
+      ("no license text at all", "none"))
+    // keep = The Stack's permissive set; copyleft AND none both fail
+    val keeps = Seq("mit", "apache-2.0", "bsd-3-clause", "gpl-3.0",
+        "none", "isc").toDF("l")
+      .select($"l", TextOps.licenseKeep($"l").as("k"))
+      .as[(String, Int)].collect().toMap
+    assert(keeps === Map("mit" -> 1, "apache-2.0" -> 1,
+      "bsd-3-clause" -> 1, "isc" -> 1, "gpl-3.0" -> 0, "none" -> 0))
+    // scan-local: no Exchange in the gate's plan
+    val plan = Seq("x").toDF("t")
+      .select(TextOps.licenseKeep(TextOps.licenseDetect($"t")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("htmlToText / htmlMainContent: extraction, entities, link-density boilerplate") {
     val html =
       """<html><head><title>T</title>
