@@ -60,7 +60,15 @@ object Bench {
     // Gopher repetition gate (thirteen fractions from one kernel pass
     // per row). Excluded from the comparable subset like the rest.
     "q139_domain_rollup",
-    "q145_gopher_repetition"
+    "q145_gopher_repetition",
+    // Round-16 second-wave additions — the tokenizer-family triad
+    // fertility (three codegen token counters in ONE scan: BPE,
+    // unigram-LM Viterbi, WordPiece MaxMatch — the densest per-row
+    // compute in the engine) and the ICP document ordering (per-cluster
+    // greedy similarity chains + centroid chain). Excluded from the
+    // comparable subset like the rest.
+    "q150_family_fertility",
+    "q151_icp_order"
   )
 
   /** Fixed CPU-bound calibration workload — constant size regardless of
@@ -244,7 +252,8 @@ object Bench {
     val addedSinceR8 = Set("q113_substring_dedup", "q115_lm_quality_scaled",
       "q124_line_dedup", "q130_quality_classifier",
       "q137_gopher_rules", "q138_decontam_scrub",
-      "q139_domain_rollup", "q145_gopher_repetition")
+      "q139_domain_rollup", "q145_gopher_repetition",
+      "q150_family_fertility", "q151_icp_order")
     val totalR8Comparable =
       medians.filterNot(p => addedSinceR8(p._1)).map(_._2).sum
     // calibration_s normalizes cross-round totals: a drifted host moves

@@ -590,10 +590,22 @@ object VectorOps {
         while (j < m) {
           if (!visited(j)) {
             val s = cosArr(members(cur)._2, norms(cur), members(j)._2, norms(j))
-            // strict > keeps the lowest-id tie-break (j ascends by id)
+            // strict > keeps the lowest-id tie-break (j ascends by id);
+            // a zero-norm vector yields NaN cosine and never wins, so
+            // the fallback below chains it last by id instead of
+            // crashing the argmax (degenerate input, not a real path —
+            // production embeddings are normalized)
             if (s > bestSim) { bestSim = s; best = j }
           }
           j += 1
+        }
+        if (best == -1) {
+          var j2 = 0
+          while (best == -1 && j2 < m) {
+            if (!visited(j2)) best = j2
+            j2 += 1
+          }
+          bestSim = Double.NaN
         }
         visited(best) = true
         out(step) = (members(best)._1, label, step, Some(bestSim))
