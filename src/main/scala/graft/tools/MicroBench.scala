@@ -271,6 +271,30 @@ object MicroBench {
       rateU("unigram count 8k-piece zipf", zipfCorpus, nDocs)
       rateU("unigram count 8k-piece unique", uniqueCorpus, nDocs / 10)
 
+      // ---- WordPiece encoder, the third family, same corpora: greedy
+      // MaxMatch is O(len × maxPieceLen) per COLD word like Viterbi but
+      // with a HashSet probe instead of a lattice DP — expect it between
+      // BPE-warm and unigram-cold. Trained on the same 16k head
+      // (likelihood merges full-rescan per merge, driver-side).
+      val tTrainW = System.nanoTime()
+      val wp8k = graft.functions.WordPiece.trainFromWordCounts(
+        wc.sortBy { case (w, c) => (-c, w) }.take(16384), 8192)
+      println(f"wordpiece train(16k words -> ${wp8k.pieces.length} pieces): " +
+        f"${(System.nanoTime() - tTrainW) / 1e9}%.1f s")
+      def rateW(name: String, df: org.apache.spark.sql.DataFrame,
+                docs: Long): Unit =
+        (1 to 3).foreach { i =>
+          val t0 = System.nanoTime()
+          noop(df.select(
+            graft.functions.WordPiece.wordpieceTokenCount(col("text"), wp8k)
+              .as("n")))
+          val s = (System.nanoTime() - t0) / 1e9
+          println(f"$name run$i: $s%.3f s, ${docs / s / 1000}%.0f kdocs/s, " +
+            f"${docs * wordsPerDoc / s / 1e6}%.1f Mpieces/s")
+        }
+      rateW("wordpiece count 8k-piece zipf", zipfCorpus, nDocs)
+      rateW("wordpiece count 8k-piece unique", uniqueCorpus, nDocs / 10)
+
       // regularization sampling throughput: uncached by design (the
       // sample depends on the seed), so the cache-friendly corpus pays
       // the full per-word lattice walk — the augmentation's real cost

@@ -504,6 +504,76 @@ class VectorOpsSpec extends SparkSpec {
       s"wrong failure: $ex")
   }
 
+  test("prop: icpOrder == a naive reference on random clustered vectors") {
+    import spark.implicits._
+    def round4(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val (d, na, nb) = a.zip(b).foldLeft((0.0, 0.0, 0.0)) {
+        case ((d, na, nb), (x, y)) =>
+          (d + x.toDouble * y, na + x.toDouble * x, nb + y.toDouble * y)
+      }
+      round4(d / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    // independent implementation of the same spec, collections-style
+    def naive(rows: Seq[(Long, Seq[Float], Long)])
+        : Seq[(Long, Long, Int, Int, Long)] = {
+      val byLabel = rows.groupBy(_._3)
+      val chains = byLabel.map { case (l, ms) =>
+        val sorted = ms.sortBy(_._1)
+        var chain = List(sorted.head)
+        var rest = sorted.tail.toList
+        while (rest.nonEmpty) {
+          val cur = chain.head
+          val next = rest.minBy(r => (-cos(cur._2, r._2), r._1))
+          chain ::= next
+          rest = rest.filterNot(_._1 == next._1)
+        }
+        l -> chain.reverse.map(_._1)
+      }
+      val cents = byLabel.map { case (l, ms) =>
+        val dim = ms.head._2.length
+        l -> (0 until dim).map(d =>
+          round4(ms.map(_._2(d).toDouble).sum / ms.size).toFloat)
+      }
+      val labels = cents.keys.toSeq.sorted
+      var lchain = List(labels.head)
+      var lrest = labels.tail
+      while (lrest.nonEmpty) {
+        val next = lrest.minBy(l => (-cos(cents(lchain.head), cents(l)), l))
+        lchain ::= next
+        lrest = lrest.filterNot(_ == next)
+      }
+      val ranked = lchain.reverse.zipWithIndex.toMap
+      var off = 0L
+      lchain.reverse.flatMap { l =>
+        val c = chains(l)
+        val res = c.zipWithIndex.map { case (id, p) =>
+          (id, l, ranked(l), p, off + p)
+        }
+        off += c.size
+        res
+      }
+    }
+    val rnd = new scala.util.Random(20260815L)
+    (1 to 4).foreach { round =>
+      val nLabels = 2 + rnd.nextInt(3)
+      val dim = 4 + rnd.nextInt(5)
+      val rows = (0 until 30 + rnd.nextInt(40)).map { i =>
+        (i.toLong,
+          Seq.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat),
+          rnd.nextInt(nLabels).toLong)
+      }
+      val got = VectorOps.icpOrder(
+          rows.toDF("vec_id", "embedding", "label"),
+          "vec_id", "label", "embedding")
+        .select($"vec_id", $"label", $"label_rank", $"pos", $"global_pos")
+        .as[(Long, Long, Int, Int, Long)].collect().sortBy(_._5).toSeq
+      assert(got === naive(rows), s"round=$round dim=$dim labels=$nLabels")
+    }
+  }
+
   test("TripletOps: a pair id missing from emb fails loudly, not a silent drop") {
     import graft.functions.TripletOps
     import spark.implicits._
