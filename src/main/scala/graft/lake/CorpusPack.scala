@@ -171,4 +171,37 @@ object CorpusPack {
         // non-negative token counts so truncation == floor
         expr(s"__prev div ${budgetTokens}L").as("pack_id"))
   }
+
+  /** In-Context Pretraining packing (Shi et al. 2023; driver-visible as
+    * q152): instead of [[epochShuffledPack]]'s random epoch permutation,
+    * order documents by [[graft.functions.VectorOps.icpOrder]]'s
+    * similarity chains and pack CONSECUTIVE documents into fixed
+    * `budgetTokens` contexts — so a context window holds semantically
+    * related neighbors rather than random ones. Same sharded prefix-sum
+    * (no global single-task sort); the order key is the chain's
+    * global_pos, zero-padded so the prefix shards order consistently
+    * with the numeric key.
+    *
+    * `embeddings(embIdCol)` must cover every doc id — the join is inner
+    * (a doc without an embedding cannot be placed on a chain), so
+    * callers align the two frames first; the engine's ingest does (the
+    * ANN leg's embedding-column contract).
+    *
+    * Returns (idCol, global_pos, nTokCol, pack_id). */
+  def icpPack(docs: DataFrame, idCol: String, nTokCol: String,
+              embeddings: DataFrame, embIdCol: String, labelCol: String,
+              vecCol: String, budgetTokens: Long = 2048L): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
+    val ord = graft.functions.VectorOps
+      .icpOrder(embeddings, embIdCol, labelCol, vecCol)
+      .select(col(embIdCol).as("__icp_id"), col("global_pos"))
+    val joined = docs.select(col(idCol), col(nTokCol))
+      .join(ord, col(idCol) === col("__icp_id"))
+      .select(col(idCol), col("global_pos"), col(nTokCol),
+        lpad(col("global_pos").cast("string"), 12, "0").as("__gp"))
+    graft.core.GlobalOrder
+      .precedingSum(joined, idCol, "__gp", nTokCol, "__prev")
+      .select(col(idCol), col("global_pos"), col(nTokCol),
+        expr(s"__prev div ${budgetTokens}L").as("pack_id"))
+  }
 }

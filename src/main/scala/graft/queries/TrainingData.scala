@@ -968,18 +968,11 @@ object TrainingData {
     // the numeric key. vec_id joins doc n_tok 1:1 (the fixture's
     // embedding-per-doc contract, q97's).
     "q152_icp_pack" -> ((s, dir) => {
-      val ord = VectorOps.icpOrder(t(s, dir, "embeddings"), "vec_id",
-          "label", "embedding")
-        .select(col("vec_id"), col("global_pos"))
       val ntok = t(s, dir, "documents").select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tok"))
-      val joined = ord.join(ntok, col("vec_id") === col("doc_id"))
-        .select(col("vec_id"), col("global_pos"), col("n_tok"),
-          lpad(col("global_pos").cast("string"), 12, "0").as("__gp"))
-      graft.core.GlobalOrder
-        .precedingSum(joined, "vec_id", "__gp", "n_tok", "__prev")
-        .select(col("vec_id"), col("global_pos"), col("n_tok"),
-          expr("__prev div 2048L").as("pack_id"))
+      graft.lake.CorpusPack.icpPack(ntok, "doc_id", "n_tok",
+          t(s, dir, "embeddings"), "vec_id", "label", "embedding")
+        .withColumnRenamed("doc_id", "vec_id")
         .orderBy(col("vec_id"))
     }),
     // The calibrated gate APPLIED (q131's relationship to q130): each
