@@ -142,6 +142,7 @@ object CrawlIngest {
           repetitionRules: Boolean = false,
           qualityThreshold: Double = 0.0,
           codeRules: Boolean = false,
+          permissiveOnly: Boolean = false,
           minWords: Int = 3, maxLinkDensity: Double = 0.5,
           lock: Option[graft.state.RunLock] = None): CrawlResult = {
     import spark.implicits._
@@ -240,6 +241,7 @@ object CrawlIngest {
           nearDupVerify = nearDupVerify, gopherRules = gopherRules,
           decontam = decontam, repetitionRules = repetitionRules,
           qualityThreshold = qualityThreshold, codeRules = codeRules,
+          permissiveOnly = permissiveOnly,
           lock = lock.map(l => (l, lockKey(dataset))))
         guard()
         state.markProcessed(pKey, manifest)
@@ -312,6 +314,7 @@ object CrawlIngest {
                repetitionRules: Boolean = false,
                qualityThreshold: Double = 0.0,
                codeRules: Boolean = false,
+               permissiveOnly: Boolean = false,
                minWords: Int = 3, maxLinkDensity: Double = 0.5)
       : Option[Seq[(Date, CrawlResult)]] =
     lock.withLock(lockKey(dataset), owner = "crawl-backfill",
@@ -334,7 +337,7 @@ object CrawlIngest {
           nearDupVerify = nearDupVerify, gopherRules = gopherRules,
           decontam = decontam, repetitionRules = repetitionRules,
           qualityThreshold = qualityThreshold, codeRules = codeRules,
-          minWords = minWords,
+          permissiveOnly = permissiveOnly, minWords = minWords,
           maxLinkDensity = maxLinkDensity, lock = Some(lock))
       }
     }
