@@ -514,6 +514,46 @@ object TextOps {
       lineDropped(lineSegments(df, idCol, textCol, lineTokens), None),
       idCol, textCol, lineTokens)
 
+  /** Bloom filter over a corpus's distinct line-segment hashes — the
+    * build half of [[lineScrubBloom]]. Sized from the OBSERVED distinct
+    * cardinality (the q91 lesson: a fixed size under a growing corpus
+    * saturates toward fpp ≈ 1 in silence); None when the corpus has no
+    * segments. The blob is n·log₂(1/fpp)/ln2 BITS — a 10⁹-line seen-set
+    * at fpp 0.01 is ~1.2 GB as a filter vs tens of GB as a table, and
+    * it broadcasts into the scan instead of joining. */
+  def lineBloomFilter(df: DataFrame, idCol: String, textCol: String,
+                      lineTokens: Int = 10,
+                      fpp: Double = 0.01): Option[Array[Byte]] = {
+    val rhs = lineSegments(df, idCol, textCol, lineTokens)
+      .select(col("__ld_h")).distinct()
+    rhs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = rhs.count()
+      if (n <= 0L) None
+      else graft.functions.BloomOps.buildFilter(rhs, col("__ld_h"), n, fpp)
+    } finally rhs.unpersist(blocking = false)
+  }
+
+  /** Dolma's Bloom-filter line/paragraph dedup (Soldaini et al. 2024 —
+    * their exact dedup keeps the seen-set AS a Bloom filter): scrub
+    * every segment whose hash HITS the prior-corpus filter, rebuild the
+    * text. The cross-run trade vs [[graft.lake.CorpusDedup.scrubLines]]'
+    * exact seen-table: no false NEGATIVES ever (a committed line always
+    * hits — the guarantee dedup needs), while false positives drop
+    * novel lines at ≤ fpp (the accepted Dolma trade; q154 measures it
+    * against the exact recompute). The filter is a broadcast plan
+    * literal, so the gate is a codegen scan predicate — the seen-set
+    * never joins, never shuffles. Output: (idCol, text_dedup, n_lines,
+    * n_kept), [[lineDedup]]'s contract. */
+  def lineScrubBloom(df: DataFrame, idCol: String, textCol: String,
+                     filter: Array[Byte], lineTokens: Int = 10): DataFrame = {
+    val segs = lineSegments(df, idCol, textCol, lineTokens)
+    val dropped = segs
+      .filter(graft.functions.BloomOps.mightContain(filter, col("__ld_h")))
+      .select(col(idCol), col("__ld_idx")).distinct()
+    lineRebuild(df, dropped, idCol, textCol, lineTokens)
+  }
+
   /** The segment stream behind [[lineDedup]] (and the cross-run line
     * scrub, `lake.CorpusDedup.scrubLines`): one row per disjoint
     * `lineTokens`-token segment, carrying the segment hash and the

@@ -823,6 +823,48 @@ object TrainingData {
           TextOps.licenseKeep(lic).as("keep"))
         .orderBy(col("doc_id"))
     }),
+    // Dolma's Bloom-filter line dedup, MEASURED (Soldaini et al. 2024;
+    // TextOps.lineBloomFilter/lineScrubBloom): the prior half of the
+    // corpus (even doc_ids) commits its line hashes as a Bloom filter,
+    // the current half (odd) gates against it. Self-checking, the
+    // q128/q114 verdict pattern: DuckDB recomputes n_lines and the
+    // EXACT seen count per doc; no_false_neg pins the bloom guarantee
+    // (every truly-seen line hit — per-doc, computed from the exact
+    // recompute), fp_in_bound pins the corpus false-positive rate on
+    // novel lines at ≤ 2×fpp (deterministic for a fixed corpus). The
+    // filter is a broadcast literal: the gate itself never shuffles.
+    "q154_bloom_line_scrub" -> ((s, dir) => {
+      import org.apache.spark.sql.DataFrame
+      val docs = t(s, dir, "documents")
+      val prior = docs.filter(col("doc_id") % 2 === 0)
+      val cur = docs.filter(col("doc_id") % 2 === 1)
+      val filter = TextOps.lineBloomFilter(prior, "doc_id", "text").get
+      val segs = TextOps.lineSegments(cur, "doc_id", "text", 10)
+        .withColumn("__hit", graft.functions.BloomOps
+          .mightContain(filter, col("__ld_h")).cast("int"))
+      val priorH = TextOps.lineSegments(prior, "doc_id", "text", 10)
+        .select(col("__ld_h")).distinct().withColumn("__exact", lit(1))
+      val per = segs.join(priorH, Seq("__ld_h"), "left")
+        .withColumn("__exact", coalesce(col("__exact"), lit(0)))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("__exact")).as("n_seen"),
+          sum(when(col("__exact") === 1 && col("__hit") === 0, 1L)
+            .otherwise(0L)).as("__missed"),
+          sum(when(col("__exact") === 0 && col("__hit") === 1, 1L)
+            .otherwise(0L)).as("__fp"),
+          sum(lit(1L) - col("__exact")).as("__novel"))
+      val bound = per.agg(
+        (sum(col("__fp")).cast("double") /
+          greatest(sum(col("__novel")).cast("double"), lit(1.0)))
+          .as("__rate"))
+        .select((col("__rate") <= 0.02).cast("int").as("fp_in_bound"))
+      per.crossJoin(broadcast(bound))
+        .select(col("doc_id"), col("n_lines"), col("n_seen"),
+          (col("__missed") === 0L).cast("int").as("no_false_neg"),
+          col("fp_in_bound"))
+        .orderBy(col("doc_id"))
+    }),
     // WordPiece tokenization (Schuster & Nakajima 2012 — the BERT
     // family; functions/WordPiece.scala): q110/q140's shape for the
     // THIRD tokenizer family. Greedy longest-match-first over the
@@ -3223,6 +3265,29 @@ object TrainingData {
          |    AS keep
          |FROM det ORDER BY doc_id""".stripMargin
     },
+    // q154: DuckDB recomputes the segments (q124's list_slice chunk
+    // shape), the prior distinct-hash set and the EXACT per-doc seen
+    // count, and pins both self-check flags at 1 — a false negative or
+    // an out-of-bound fp rate flips a flag and fails the hash
+    "q154_bloom_line_scrub" ->
+      """WITH segs AS (
+        |  SELECT doc_id, i,
+        |    array_to_string(list_slice(toks, i * 10 + 1, i * 10 + 10), ' ')
+        |      AS seg
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(range(0, (len(toks) + 9) // 10)) AS i
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |              FROM documents))),
+        |prior AS (SELECT DISTINCT md5(seg) AS h FROM segs
+        |          WHERE doc_id % 2 = 0),
+        |cur AS (SELECT doc_id, md5(seg) AS h FROM segs WHERE doc_id % 2 = 1)
+        |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CASE WHEN p.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_seen,
+        |  CAST(1 AS INT) AS no_false_neg,
+        |  CAST(1 AS INT) AS fp_in_bound
+        |FROM cur c LEFT JOIN prior p ON p.h = c.h
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
     "q146_subword_expected" ->
       s"""WITH RECURSIVE $sanDocwCte,
          |$unigramCte,
