@@ -283,8 +283,13 @@ final case class UnigramVocab(pieces: Vector[(String, Double)]) {
 object UnigramVocab {
 
   def fromVocabText(text: String): UnigramVocab = UnigramVocab(
+    // No comment syntax: '#' is a legitimate single-codepoint piece
+    // (PretokenPattern emits it and the trainer always keeps singles),
+    // so a leading-'#' filter would silently drop it on reload and
+    // break toVocabText's byte-identical round-trip. Every non-empty
+    // line must be a piece<TAB>logprob pair.
     text.linesIterator
-      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .filter(_.nonEmpty)
       .map { l =>
         val tab = l.indexOf('\t')
         require(tab > 0, s"malformed vocab line: '$l'")

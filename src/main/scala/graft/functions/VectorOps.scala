@@ -637,6 +637,13 @@ object VectorOps {
       l -> math.sqrt(v.map(x => x * x).sum)
     }
     val labels = cents.keys.toArray.sorted
+    // Empty input → empty result with the full output schema
+    // (labels.head below would throw NoSuchElementException on the
+    // driver; icpPack inherits this early return).
+    if (labels.isEmpty)
+      return chains.limit(0)
+        .select(col(idCol), col(labelCol), lit(0).as("label_rank"),
+          col("pos"), col("prev_sim"), lit(0L).as("global_pos"))
     val rank = new scala.collection.mutable.HashMap[Long, Int]
     var curL = labels.head
     rank(curL) = 0

@@ -29,6 +29,22 @@ class RunLock(spark: SparkSession, root: String) {
   private def fs(p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** The token currently stored on the lock file; None when the file
+    * is unreadable (vanished, mid-takeover rename). */
+  private def storedToken(f: org.apache.hadoop.fs.FileSystem,
+                          p: Path): Option[String] =
+    try {
+      val in = f.open(p)
+      try {
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](256)
+        var n = in.read(buf)
+        while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
+        Some(new String(bos.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8))
+      } finally in.close()
+    } catch { case _: java.io.IOException => None }
+
   /** True = this caller now holds the lock. False = another run is
     * active (the caller should SKIP, mirroring the reference). */
   def tryAcquire(key: String, owner: String = "run",
@@ -85,17 +101,7 @@ class RunLock(spark: SparkSession, root: String) {
     val p = lockPath(key)
     val f = fs(p)
     tokens.remove(key).foreach { token =>
-      val current = try {
-        val in = f.open(p)
-        try {
-          val bos = new java.io.ByteArrayOutputStream()
-          val buf = new Array[Byte](256)
-          var n = in.read(buf)
-          while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
-          new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
-        } finally in.close()
-      } catch { case _: java.io.IOException => "" }
-      if (current == token) f.delete(p, false)
+      if (storedToken(f, p).contains(token)) f.delete(p, false)
     }
   }
 
@@ -106,17 +112,7 @@ class RunLock(spark: SparkSession, root: String) {
   def isHeldByMe(key: String): Boolean = RunLock.gate.synchronized {
     tokens.get(key).exists { token =>
       val p = lockPath(key)
-      try {
-        val in = fs(p).open(p)
-        val stored = try {
-          val bos = new java.io.ByteArrayOutputStream()
-          val buf = new Array[Byte](256)
-          var n = in.read(buf)
-          while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
-          new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
-        } finally in.close()
-        stored == token
-      } catch { case _: java.io.IOException => false }
+      storedToken(fs(p), p).contains(token)
     }
   }
 
@@ -153,11 +149,20 @@ class RunLock(spark: SparkSession, root: String) {
           // setTimes no-opped (or threw): bump mtime by rewriting the
           // token. Crash mid-write leaves a content-less lock nobody
           // owns until TTL — the same exposure as any holder crash.
+          // Re-read IMMEDIATELY before the overwrite: a TTL takeover
+          // landing after the leading isHeldByMe would otherwise be
+          // ERASED by create(overwrite = true) — the file would hold
+          // OUR token again, the trailing isHeldByMe would match, and
+          // BOTH holders would proceed. A mismatch means the lock is
+          // lost: skip the rewrite so the successor's token survives
+          // and the trailing check reports the loss.
           tokens.get(key).foreach { token =>
-            val out = f.create(p, true)
-            try out.write(
-              token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            finally out.close()
+            if (storedToken(f, p).contains(token)) {
+              val out = f.create(p, true)
+              try out.write(
+                token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              finally out.close()
+            }
           }
           after = f.getFileStatus(p).getModificationTime
         }

@@ -119,6 +119,11 @@ class UnigramSpec extends SparkSpec {
     val back = UnigramVocab.fromVocabText(txt)
     assert(back === v)
     assert(back.toVocabText === txt)
+    // '#' is a legitimate single-codepoint piece (PretokenPattern emits
+    // it, singles are never pruned) — the parser must NOT treat a
+    // leading '#' as a comment and drop the entry on reload
+    val withHash = UnigramVocab(Vector(("#", -2.0), ("a", -1.0), ("#a", -3.0)))
+    assert(UnigramVocab.fromVocabText(withHash.toVocabText) === withHash)
   }
 
   test("subword-regularization sampling: deterministic, lattice-faithful, Viterbi at high alpha") {

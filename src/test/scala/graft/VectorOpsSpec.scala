@@ -502,6 +502,13 @@ class VectorOpsSpec extends SparkSpec {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(ex).exists(_.contains("retrain the quantizer")),
       s"wrong failure: $ex")
+
+    // empty input: empty result with the full schema, not a driver
+    // NoSuchElementException from the centroid chain walk
+    val empty = VectorOps.icpOrder(df.limit(0), "vec_id", "label", "embedding")
+    assert(empty.columns.toSeq ===
+      Seq("vec_id", "label", "label_rank", "pos", "prev_sim", "global_pos"))
+    assert(empty.count() === 0L)
   }
 
   test("prop: icpOrder == a naive reference on random clustered vectors") {
