@@ -365,10 +365,23 @@ object TextOps {
     * carry the notice in the header comment, and a false hit from
     * quoted license text elsewhere is the same over-trigger the
     * published detectors accept. */
+  /** SPDX tag capture: a license id, optionally continued by the SPDX
+    * spec's CASE-SENSITIVE uppercase operators (OR / AND / WITH) into a
+    * full license EXPRESSION — `MIT OR GPL-2.0-only` resolves as a
+    * whole instead of silently truncating to its first id. Operators
+    * stay uppercase-only on purpose: prose after a tag ("MIT and the
+    * following...") must not be swallowed into the expression. Parens
+    * ride along in the atom class and are stripped after capture (the
+    * keep policy below is parenthesization-insensitive). */
+  private val SpdxExprPattern =
+    "SPDX-License-Identifier:[ \\t]*([A-Za-z0-9.+\\-()]+" +
+      "(?:[ \\t]+(?:OR|AND|WITH)[ \\t]+[A-Za-z0-9.+\\-()]+)*)"
+
   def licenseDetect(text: Column): Column = {
     val lo = lower(text)
-    val spdx = lower(regexp_extract(text,
-      "SPDX-License-Identifier:\\s*([A-Za-z0-9.+\\-]+)", 1))
+    val spdx = trim(regexp_replace(regexp_replace(
+      lower(regexp_extract(text, SpdxExprPattern, 1)),
+      "[()]", " "), "\\s+", " "))
     when(spdx =!= "", spdx)
       .when(lo.contains("permission is hereby granted, free of charge"),
         lit("mit"))
@@ -390,9 +403,80 @@ object TextOps {
 
   /** The Stack's keep decision over [[licenseDetect]]: permissive ids
     * pass, everything else — copyleft, unknown tags, AND unlicensed
-    * ('none') — is excluded from the permissive release. */
-  def licenseKeep(license: Column): Column =
-    license.isin(PermissiveLicenses: _*).cast("int")
+    * ('none') — is excluded from the permissive release.
+    *
+    * Dual-license SPDX EXPRESSIONS resolve instead of truncating
+    * (Kocetkov et al. 2022 §2.3's permissive policy applied to the
+    * SPDX operator semantics): `WITH <exception>` is dropped (the
+    * exception rides its license's verdict — `Apache-2.0 WITH
+    * LLVM-exception` keeps iff apache-2.0 keeps); an expression
+    * containing OR keeps iff ANY named license is permissive (the
+    * consumer may elect that side); an AND-only expression keeps iff
+    * ALL are (every obligation binds). Mixed parenthesized forms use
+    * the same any/all approximation — conservative in the AND-only
+    * direction, eager on OR, matching a permissive-release gate's
+    * intent without a boolean-expression parser in the scan. Pure
+    * Column logic, scan-local, zero exchanges. */
+  def licenseKeep(license: Column): Column = {
+    val norm = trim(regexp_replace(regexp_replace(license,
+      "\\bwith\\s+[a-z0-9.+\\-]+", " "), "\\s+", " "))
+    val raw = split(norm, " ")
+    val hasOr = array_contains(raw, "or")
+    val toks = filter(raw, t => t =!= "" && t =!= "or" && t =!= "and")
+    val permLit = typedLit(PermissiveLicenses)
+    val anyPerm = exists(toks, t => array_contains(permLit, t))
+    val allPerm = forall(toks, t => array_contains(permLit, t))
+    when(size(toks) === 0, lit(false))
+      .when(hasOr, anyPerm)
+      .otherwise(allPerm)
+      .cast("int")
+  }
+
+  /** The repo-level half of The Stack's license filter (Kocetkov et
+    * al. 2022 §2.3): most source files carry NO in-file notice — the
+    * license lives in the repo root's LICENSE/COPYING blob and files
+    * inherit it. Detects from the license files' CONTENT through
+    * [[licenseDetect]] (basename match case-insensitive, optional
+    * extension: LICENSE, LICENSE.md, COPYING.txt, LICENCE-MIT, ...).
+    * Multiple detections per repo (LICENSE + COPYING) resolve to the
+    * lexicographically smallest non-'none' id — deterministic across
+    * engines. Output: (repoCol, repo_license); repos with no detected
+    * license are absent (their files inherit 'none'). One shuffle on
+    * the repo key over the license-file subset only. */
+  def repoLicenseTable(files: org.apache.spark.sql.DataFrame,
+                       repoCol: String, pathCol: String,
+                       textCol: String): org.apache.spark.sql.DataFrame = {
+    val base = lower(element_at(split(col(pathCol), "/"), -1))
+    files.filter(base.rlike("^(license|licence|copying)([.-][a-z0-9.\\-]*)?$"))
+      .select(col(repoCol), licenseDetect(col(textCol)).as("__lic"))
+      .filter(col("__lic") =!= "none")
+      .groupBy(col(repoCol)).agg(min(col("__lic")).as("repo_license"))
+  }
+
+  /** File-effective license: in-file evidence (an SPDX tag or a header
+    * phrase, [[licenseDetect]]) OVERRIDES; otherwise the file inherits
+    * the repo's license from `repoLic` ([[repoLicenseTable]]) or
+    * 'none'. Adds `license` and `inherited` (int: 1 = the license came
+    * from the repo table). The join is hinted broadcast by default —
+    * the J1 state-join shape, right for a |repos|-bounded table; at
+    * forge scale (tens of millions of repos) pass `broadcastRepo =
+    * false` to let it shuffle on the repo key, which both sides
+    * already carry. */
+  def licenseInherit(files: org.apache.spark.sql.DataFrame,
+                     repoLic: org.apache.spark.sql.DataFrame,
+                     repoCol: String, textCol: String,
+                     broadcastRepo: Boolean = true)
+      : org.apache.spark.sql.DataFrame = {
+    val inFile = licenseDetect(col(textCol))
+    val rl = if (broadcastRepo) broadcast(repoLic) else repoLic
+    files.join(rl, Seq(repoCol), "left")
+      .withColumn("license",
+        when(inFile =!= "none", inFile)
+          .otherwise(coalesce(col("repo_license"), lit("none"))))
+      .withColumn("inherited",
+        (inFile === "none" && col("repo_license").isNotNull).cast("int"))
+      .drop("repo_license")
+  }
 
   /** Share of all word n-grams taken by the single most frequent one —
     * native one-pass hash count ([[graft.expressions.TopNgramFrac]],

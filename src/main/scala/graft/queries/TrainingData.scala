@@ -202,6 +202,56 @@ object TrainingData {
       "software for any purpose is hereby granted. ",
     "")
 
+  /** q155's in-file SPDX EXPRESSION headers (doc_id % 7 selects), one
+    * per dual-licensing resolution branch: OR with a permissive side
+    * (keep), OR all-copyleft (reject), AND all-permissive (keep), AND
+    * with a copyleft conjunct (reject), WITH exception (keep — rides
+    * the license), parenthesized mixed (keep via the any/all policy),
+    * unknown LicenseRef (reject). Shared verbatim with the oracle.
+    * Operators uppercase per the SPDX spec — the detector is
+    * deliberately case-sensitive on them so tag-adjacent prose is
+    * never swallowed. */
+  private[queries] val spdxExprHeaders: Seq[String] = Seq(
+    "// SPDX-License-Identifier: MIT OR GPL-2.0-only ",
+    "// SPDX-License-Identifier: GPL-2.0-only OR GPL-3.0-only ",
+    "// SPDX-License-Identifier: Apache-2.0 AND MIT ",
+    "// SPDX-License-Identifier: Apache-2.0 AND GPL-3.0-only ",
+    "// SPDX-License-Identifier: Apache-2.0 WITH LLVM-exception ",
+    "// SPDX-License-Identifier: (MIT OR Apache-2.0) AND ISC ",
+    "// SPDX-License-Identifier: LicenseRef-custom-internal ")
+
+  /** DuckDB mirror of [[graft.functions.TextOps.licenseDetect]] — the
+    * SPDX EXPRESSION capture (uppercase operators, paren strip,
+    * whitespace normalize) then the phrase chain — parameterized on the
+    * raw/lowercased text column names so the q155 oracle resolves
+    * exactly the strings the engine does. */
+  private def licenseDetectSql(t: String, lt: String): String = {
+    val pat = "SPDX-License-Identifier:[ \\t]*([A-Za-z0-9.+\\-()]+" +
+      "(?:[ \\t]+(?:OR|AND|WITH)[ \\t]+[A-Za-z0-9.+\\-()]+)*)"
+    s"""CASE
+      WHEN regexp_extract($t, '$pat', 1) <> ''
+        THEN trim(regexp_replace(regexp_replace(
+          lower(regexp_extract($t, '$pat', 1)), '[()]', ' ', 'g'),
+          '\\s+', ' ', 'g'))
+      WHEN contains($lt, 'permission is hereby granted, free of charge')
+        THEN 'mit'
+      WHEN contains($lt, 'apache license, version 2.0')
+        OR contains($lt, 'apache license version 2.0') THEN 'apache-2.0'
+      WHEN contains($lt, 'redistribution and use in source and binary forms')
+        THEN CASE WHEN contains($lt, 'neither the name')
+          THEN 'bsd-3-clause' ELSE 'bsd-2-clause' END
+      WHEN contains($lt, 'gnu general public license')
+        AND contains($lt, 'version 3') THEN 'gpl-3.0'
+      WHEN contains($lt, 'gnu general public license')
+        AND contains($lt, 'version 2') THEN 'gpl-2.0'
+      WHEN contains($lt, 'mozilla public license, v. 2.0')
+        OR contains($lt, 'mozilla public license version 2.0')
+        THEN 'mpl-2.0'
+      WHEN contains($lt, 'permission to use, copy, modify, and/or distribute')
+        THEN 'isc'
+      ELSE 'none' END"""
+  }
+
   /** Shared q151/q152 ICP ordering in SQL: the greedy visited-set walk
     * is made expressible in a recursive CTE by precomputing each node's
     * ORDERED neighbor list as a struct list (aggregation OUTSIDE the
@@ -821,6 +871,39 @@ object TrainingData {
       val lic = TextOps.licenseDetect(injected)
       t(s, dir, "documents").select(col("doc_id"), lic.as("license"),
           TextOps.licenseKeep(lic).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+    // The Stack's REPO-level license gate (Kocetkov et al. 2022 §2.3
+    // proper — TextOps.repoLicenseTable/licenseInherit): most source
+    // files carry no in-file notice; the license lives in the repo
+    // root's LICENSE blob and files INHERIT it, in-file evidence
+    // overriding. Fixture repos are synthesized from doc_id: repo =
+    // doc_id % 37; doc_id < 37 is that repo's LICENSE file carrying a
+    // rotating q153 header (index 9 is empty → three repos stay
+    // unlicensed); every other file with doc_id % 11 == 3 carries an
+    // in-file SPDX EXPRESSION override (spdxExprHeaders — OR/AND/WITH/
+    // parens/LicenseRef, exercising the dual-licensing resolution in
+    // licenseKeep); the rest inherit. The inherit join is the J1
+    // broadcast shape over the |repos|-bounded license table.
+    "q155_repo_license" -> ((s, dir) => {
+      val isLic = col("doc_id") < 37
+      val hdr = when(isLic, element_at(
+          typedLit(TrainingData.licenseHeaders),
+          (col("doc_id") % 10).cast("int") + 1))
+        .when(col("doc_id") % 11 === 3, element_at(
+          typedLit(TrainingData.spdxExprHeaders),
+          (col("doc_id") % 7).cast("int") + 1))
+        .otherwise(lit(""))
+      val files = t(s, dir, "documents").select(
+        col("doc_id"), (col("doc_id") % 37).cast("int").as("repo"),
+        when(isLic, lit("LICENSE"))
+          .otherwise(concat(lit("src/f"), col("doc_id"), lit(".py")))
+          .as("path"),
+        concat(hdr, col("text")).as("text"))
+      val repoLic = TextOps.repoLicenseTable(files, "repo", "path", "text")
+      TextOps.licenseInherit(files, repoLic, "repo", "text")
+        .select(col("doc_id"), col("repo"), col("license"),
+          col("inherited"), TextOps.licenseKeep(col("license")).as("keep"))
         .orderBy(col("doc_id"))
     }),
     // Dolma's Bloom-filter line dedup, MEASURED (Soldaini et al. 2024;
@@ -3264,6 +3347,67 @@ object TrainingData {
          |  CAST(CASE WHEN license IN ($perm) THEN 1 ELSE 0 END AS INT)
          |    AS keep
          |FROM det ORDER BY doc_id""".stripMargin
+    },
+    // q155: DuckDB rebuilds the synthetic repo tree (repo = doc_id %
+    // 37, LICENSE blob at doc_id < 37, SPDX-expression overrides at
+    // doc_id % 11 == 3), re-detects with the SAME expression-aware
+    // capture, derives the repo license table from the blobs (min
+    // non-'none'), inherits via a left join with in-file override, and
+    // resolves the dual-licensing keep with the any(OR)/all(AND) token
+    // policy over the permissive list — WITH-exceptions dropped first.
+    "q155_repo_license" -> {
+      val hdrVals = licenseHeaders.zipWithIndex
+        .map { case (h, i) => s"($i, '${h.replace("'", "''")}')" }
+        .mkString(", ")
+      val xVals = spdxExprHeaders.zipWithIndex
+        .map { case (h, i) => s"($i, '${h.replace("'", "''")}')" }
+        .mkString(", ")
+      val permList = "[" + graft.functions.TextOps.PermissiveLicenses
+        .map(l => s"'$l'").mkString(", ") + "]"
+      val tokExpr = "string_split(trim(regexp_replace(regexp_replace(" +
+        "license, '\\bwith\\s+[a-z0-9.+\\-]+', ' ', 'g'), " +
+        "'\\s+', ' ', 'g')), ' ')"
+      s"""WITH h(i, hdr) AS (VALUES $hdrVals),
+         |xh(i, hdr) AS (VALUES $xVals),
+         |files AS (
+         |  SELECT d.doc_id, CAST(d.doc_id % 37 AS INT) AS repo,
+         |    (d.doc_id < 37) AS is_lic,
+         |    (CASE WHEN d.doc_id < 37 THEN h.hdr
+         |          WHEN d.doc_id % 11 = 3 THEN xh.hdr
+         |          ELSE '' END) || d.text AS t
+         |  FROM documents d
+         |  LEFT JOIN h ON h.i = CAST(d.doc_id % 10 AS INT)
+         |  LEFT JOIN xh ON xh.i = CAST(d.doc_id % 7 AS INT)),
+         |lo AS (SELECT doc_id, repo, is_lic, t, lower(t) AS lt FROM files),
+         |det AS (
+         |  SELECT doc_id, repo, is_lic,
+         |    ${licenseDetectSql("t", "lt")} AS lic
+         |  FROM lo),
+         |repolic AS (
+         |  SELECT repo, min(lic) AS repo_license
+         |  FROM det WHERE is_lic AND lic <> 'none' GROUP BY repo),
+         |eff AS (
+         |  SELECT d.doc_id, d.repo,
+         |    CASE WHEN d.lic <> 'none' THEN d.lic
+         |         ELSE coalesce(r.repo_license, 'none') END AS license,
+         |    CAST(CASE WHEN d.lic = 'none' AND r.repo_license IS NOT NULL
+         |      THEN 1 ELSE 0 END AS INT) AS inherited
+         |  FROM det d LEFT JOIN repolic r ON r.repo = d.repo),
+         |tok AS (
+         |  SELECT doc_id, repo, license, inherited,
+         |    list_filter($tokExpr,
+         |      x -> x <> '' AND x <> 'or' AND x <> 'and') AS toks,
+         |    list_contains($tokExpr, 'or') AS has_or
+         |  FROM eff)
+         |SELECT doc_id, repo, license, inherited,
+         |  CAST(CASE
+         |    WHEN len(toks) = 0 THEN 0
+         |    WHEN has_or THEN CASE WHEN len(list_filter(toks,
+         |      x -> list_contains($permList, x))) > 0 THEN 1 ELSE 0 END
+         |    ELSE CASE WHEN len(list_filter(toks,
+         |      x -> NOT list_contains($permList, x))) = 0 THEN 1 ELSE 0 END
+         |    END AS INT) AS keep
+         |FROM tok ORDER BY doc_id""".stripMargin
     },
     // q154: DuckDB recomputes the segments (q124's list_slice chunk
     // shape), the prior distinct-hash set and the EXACT per-doc seen

@@ -143,6 +143,7 @@ object CrawlIngest {
           qualityThreshold: Double = 0.0,
           codeRules: Boolean = false,
           permissiveOnly: Boolean = false,
+          repoLicense: Option[(String, String)] = None,
           minWords: Int = 3, maxLinkDensity: Double = 0.5,
           lock: Option[graft.state.RunLock] = None): CrawlResult = {
     import spark.implicits._
@@ -241,7 +242,7 @@ object CrawlIngest {
           nearDupVerify = nearDupVerify, gopherRules = gopherRules,
           decontam = decontam, repetitionRules = repetitionRules,
           qualityThreshold = qualityThreshold, codeRules = codeRules,
-          permissiveOnly = permissiveOnly,
+          permissiveOnly = permissiveOnly, repoLicense = repoLicense,
           lock = lock.map(l => (l, lockKey(dataset))))
         guard()
         state.markProcessed(pKey, manifest)
@@ -315,6 +316,7 @@ object CrawlIngest {
                qualityThreshold: Double = 0.0,
                codeRules: Boolean = false,
                permissiveOnly: Boolean = false,
+               repoLicense: Option[(String, String)] = None,
                minWords: Int = 3, maxLinkDensity: Double = 0.5)
       : Option[Seq[(Date, CrawlResult)]] =
     lock.withLock(lockKey(dataset), owner = "crawl-backfill",
@@ -337,7 +339,8 @@ object CrawlIngest {
           nearDupVerify = nearDupVerify, gopherRules = gopherRules,
           decontam = decontam, repetitionRules = repetitionRules,
           qualityThreshold = qualityThreshold, codeRules = codeRules,
-          permissiveOnly = permissiveOnly, minWords = minWords,
+          permissiveOnly = permissiveOnly, repoLicense = repoLicense,
+          minWords = minWords,
           maxLinkDensity = maxLinkDensity, lock = Some(lock))
       }
     }

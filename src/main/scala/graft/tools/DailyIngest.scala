@@ -173,7 +173,13 @@ object DailyIngest {
     * deterministic predicate class, same admitted-only contract.
     * `permissiveOnly = true` adds The Stack's §2.3 license gate
     * (q153, [[graft.functions.TextOps.licenseDetect]]): keep only
-    * files whose detected in-file license is permissive.
+    * files whose detected license is permissive. Pass `repoLicense =
+    * Some((repoCol, pathCol))` to run it at REPO level (q155,
+    * [[graft.functions.TextOps.licenseInherit]]) — licenses detected
+    * from LICENSE/COPYING blobs, files inherit, in-file evidence
+    * overrides; the published pipeline's actual discipline, without
+    * which a real code corpus (where most files carry no header)
+    * mis-rejects nearly everything.
     *
     * `gopherRules = Some((minWords, maxWords))` applies the Gopher
     * document-quality rule set (q137,
@@ -203,7 +209,8 @@ object DailyIngest {
           qualityThreshold: Double = 0.0,
           codeRules: Boolean = false,
           wordpieceVocab: Option[graft.functions.WordPieceVocab] = None,
-          permissiveOnly: Boolean = false)
+          permissiveOnly: Boolean = false,
+          repoLicense: Option[(String, String)] = None)
       : Long = {
     require(semanticThreshold.isEmpty || ann.nonEmpty,
       "semanticThreshold needs the ann leg — the index is the seen-set")
@@ -233,14 +240,27 @@ object DailyIngest {
         graft.functions.TextOps.codeStats(col(textCol))) === 1)
     else ruled1
     // `permissiveOnly = true` applies The Stack's OTHER gate (§2.3,
-    // q153): keep only files whose detected in-file license is
-    // permissive — copyleft, unknown and unlicensed are all excluded
-    // from the permissive release. Same scan-local Column predicate,
-    // zero exchanges, deterministic.
-    val ruled = if (permissiveOnly)
-      ruled2.filter(graft.functions.TextOps.licenseKeep(
-        graft.functions.TextOps.licenseDetect(col(textCol))) === 1)
-    else ruled2
+    // q153): keep only files whose detected license is permissive —
+    // copyleft, unknown and unlicensed are all excluded from the
+    // permissive release. With `repoLicense = Some((repoCol, pathCol))`
+    // the gate runs the published pipeline's ACTUAL discipline (q155):
+    // repo licenses detected from LICENSE/COPYING blobs over the
+    // PRE-GATE corpus (a license blob must name the repo's license
+    // even when it would itself be filtered), files inherit via the
+    // broadcast join, in-file evidence overrides. Without repo info
+    // the in-file-only scan-local predicate applies (zero exchanges).
+    val ruled = if (permissiveOnly) repoLicense match {
+      case Some((repoCol, pathCol)) =>
+        val repoLic = graft.functions.TextOps
+          .repoLicenseTable(docs, repoCol, pathCol, textCol)
+        graft.functions.TextOps
+          .licenseInherit(ruled2, repoLic, repoCol, textCol)
+          .filter(graft.functions.TextOps.licenseKeep(col("license")) === 1)
+          .drop("license", "inherited")
+      case None =>
+        ruled2.filter(graft.functions.TextOps.licenseKeep(
+          graft.functions.TextOps.licenseDetect(col(textCol))) === 1)
+    } else ruled2
     // the acceptance cut is a PARAMETER, not the hardcoded log-odds 0:
     // q142's calibration picks the threshold that hits a kept-token
     // budget, and this is where its number lands (> comparison on the

@@ -1370,6 +1370,42 @@ class EndToEndSpec extends SparkSpec {
     assert(landed2 === 1, "gate-rejected text must not poison the seen-set")
   }
 
+  test("daily ingest with the REPO-level license gate: headerless files " +
+    "inherit the LICENSE blob, in-file evidence overrides") {
+    import graft.lake.{CorpusDedup, CorpusPack}
+    import graft.tools.DailyIngest
+    val lake = new Lake(spark, tmpDir("rlic_lake"))
+    val dd = new CorpusDedup(spark, lake, "rlic_ds", numBuckets = 4)
+    val cp = new CorpusPack(spark,
+      new StateStore(spark, tmpDir("rlic_state")), "rlic_ds",
+      budgetTokens = 4096L)
+    val out = TableRef("prod", "rlic_ds", "packed")
+    val docs = Seq(
+      // repo m: MIT LICENSE blob -> its headerless file INHERITS and
+      // lands (the in-file-only gate would reject it as 'none')
+      (1L, "m", "LICENSE",
+        "Permission is hereby granted, free of charge, to anyone"),
+      (2L, "m", "src/a.py", "def a(): return 1"),
+      // repo g: GPL blob -> headerless file inherits copyleft, rejected
+      (3L, "g", "COPYING",
+        "under the GNU General Public License, version 3"),
+      (4L, "g", "src/b.py", "def b(): return 2"),
+      // ...but an in-file permissive SPDX tag overrides the repo GPL
+      (5L, "g", "src/c.py",
+        "# SPDX-License-Identifier: MIT\ndef c(): return 3"),
+      // unlicensed repo: rejected
+      (6L, "u", "src/d.py", "def d(): return 4"))
+      .toDF("doc_id", "repo", "path", "text")
+      .withColumn("lang", lit("code"))
+    val landed = DailyIngest.run(lake, dd, cp, out, docs,
+      "doc_id", "text", "lang", java.sql.Date.valueOf("2024-06-03"),
+      ttlDays = 30, permissiveOnly = true,
+      repoLicense = Some(("repo", "path")))
+    assert(landed === 3, "MIT blob + inheriting file + override file")
+    assert(lake.read(out).select($"doc_id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L, 5L))
+  }
+
   test("multi-day crawl backfill: one lock, day steps, crash replay, guard") {
     import graft.lake.{CorpusDedup, CorpusPack}
     import graft.state.RunLock

@@ -194,6 +194,93 @@ class TextCorpusOpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("licenseDetect/licenseKeep: SPDX dual-license expressions resolve") {
+    // the full expression is captured — not truncated to its first id
+    val det = Seq(
+      "// SPDX-License-Identifier: MIT OR GPL-2.0-only\ncode",
+      "// SPDX-License-Identifier: (MIT OR Apache-2.0) AND ISC\ncode",
+      "// SPDX-License-Identifier: Apache-2.0 WITH LLVM-exception\ncode",
+      // operators are case-sensitive UPPERCASE per the SPDX spec:
+      // tag-adjacent prose must never be swallowed into the expression
+      "// SPDX-License-Identifier: MIT and the following text\ncode",
+      "// SPDX-License-Identifier: GPL-2.0-or-later\ncode")
+      .toDF("t").select(TextOps.licenseDetect($"t")).as[String].collect()
+    assert(det.toSeq === Seq(
+      "mit or gpl-2.0-only",
+      "mit or apache-2.0 and isc",
+      "apache-2.0 with llvm-exception",
+      "mit",
+      "gpl-2.0-or-later"))
+    // keep policy: OR keeps iff ANY side is permissive, AND-only iff
+    // ALL are, WITH rides its license, unknown ids reject
+    val keeps = Seq(
+      "mit or gpl-2.0-only" -> 1,
+      "gpl-2.0-only or gpl-3.0-only" -> 0,
+      "apache-2.0 and mit" -> 1,
+      "apache-2.0 and gpl-3.0-only" -> 0,
+      "apache-2.0 with llvm-exception" -> 1,
+      "gpl-2.0-only with classpath-exception" -> 0,
+      "mit or apache-2.0 and isc" -> 1,
+      "gpl-2.0-or-later" -> 0,
+      "licenseref-custom-internal" -> 0)
+    val got = keeps.map(_._1).toDF("l")
+      .select($"l", TextOps.licenseKeep($"l").as("k"))
+      .as[(String, Int)].collect().toMap
+    keeps.foreach { case (l, want) => assert(got(l) === want, l) }
+  }
+
+  test("repoLicenseTable + licenseInherit: blobs name the repo, files " +
+    "inherit, in-file overrides, broadcast join") {
+    val mitText = "Permission is hereby granted, free of charge, to anyone"
+    val gplText = "under the GNU General Public License, version 3"
+    val apacheText = "Licensed under the Apache License, Version 2.0"
+    val files = Seq(
+      // repo a: root LICENSE blob (MIT prose)
+      ("a", "LICENSE", mitText),
+      ("a", "src/x.py", "def f(): pass"),
+      // repo b: COPYING blob (GPL-3) + one file with an in-file
+      // permissive SPDX override
+      ("b", "COPYING", gplText),
+      ("b", "src/y.py", "def g(): pass"),
+      ("b", "src/z.py", "# SPDX-License-Identifier: Apache-2.0\npass"),
+      // repo c: unlicensed
+      ("c", "src/w.py", "def h(): pass"),
+      // repo d: TWO license blobs -> lexicographically smallest id wins
+      ("d", "LICENSE.md", mitText),
+      ("d", "COPYING.txt", apacheText),
+      ("d", "lib/v.py", "def v(): pass"),
+      // a nested path named license is NOT a repo-root blob basename
+      // miss: basename match is on the last path segment only
+      ("a", "docs/license-notes/readme.py", gplText))
+      .toDF("repo", "path", "text")
+    val repoLic = TextOps.repoLicenseTable(files, "repo", "path", "text")
+      .as[(String, String)].collect().toMap
+    assert(repoLic === Map("a" -> "mit", "b" -> "gpl-3.0",
+      "d" -> "apache-2.0"))
+    val eff = TextOps.licenseInherit(files, TextOps.repoLicenseTable(
+        files, "repo", "path", "text"), "repo", "text")
+      .select($"path", $"license", $"inherited",
+        TextOps.licenseKeep($"license").as("keep"))
+      .as[(String, String, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(eff("src/x.py") === (("mit", 1, 1)), "inherits the repo MIT")
+    assert(eff("src/y.py") === (("gpl-3.0", 1, 0)), "inherits copyleft")
+    assert(eff("src/z.py") === (("apache-2.0", 0, 1)),
+      "in-file SPDX overrides the repo's GPL")
+    assert(eff("src/w.py") === (("none", 0, 0)), "unlicensed repo")
+    assert(eff("lib/v.py") === (("apache-2.0", 1, 1)),
+      "two blobs resolve to the lex-smallest id")
+    assert(eff("LICENSE") === (("mit", 0, 1)),
+      "the blob itself carries in-file evidence")
+    assert(eff("docs/license-notes/readme.py")._1 === "gpl-3.0",
+      "nested gpl text is in-file evidence for that file only")
+    // the inherit join is the broadcast state-join shape
+    val plan = TextOps.licenseInherit(files, TextOps.repoLicenseTable(
+        files, "repo", "path", "text"), "repo", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("htmlToText / htmlMainContent: extraction, entities, link-density boilerplate") {
     val html =
       """<html><head><title>T</title>
