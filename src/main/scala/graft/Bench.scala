@@ -173,6 +173,81 @@ object Bench {
         s"SPARK_GRAFT_BENCH_ITERS must be an integer, got '$itersStr'")
     }
     require(iterations >= 2, "bench needs >=2 iterations (run2 field)")
+    // The maximal LLM-ingest tick (r16 verdict #3: "the composed
+    // LLM-ingest tick is never timed"): one DailyIngest.run at this SF
+    // with every WEB-corpus stage ON — quality gate (trained NB model),
+    // Gopher repetition rules, benchmark decontamination, exact +
+    // verified-near-dup + line + semantic dedup, unigram token
+    // denomination, greedy pack, partitioned land. Fresh lake/state and
+    // a fresh dataset name per tick (the dedup seen-set catalogs are
+    // session-global, so a reused name would let tick N's state gate
+    // tick N+1 and shrink its work). Setup (model fit, benchmark-
+    // shingle registration, frame construction) is untimed — the tick
+    // is the product path being measured, like micro_batch's
+    // processBatch. Deliberately OFF: gopherRules (the corpus carries
+    // <2 Gopher stopwords per doc, so the quality half would reject
+    // 100% and starve every downstream stage — it is benched standalone
+    // as q137) and codeRules/permissiveOnly (a CODE corpus's gates; on
+    // prose they reject ~everything the same way — benched as
+    // q148/q153-shape scans).
+    val llmSetup = {
+      val docsRaw = Tables.load(spark, sfDir, "documents")
+      val emb = Tables.load(spark, sfDir, "embeddings")
+      import org.apache.spark.sql.functions._
+      // real 64-dim embedding where present (vec_id ⊂ doc_id), a
+      // deterministic synthetic one otherwise — the semantic gate must
+      // see every row
+      val docs = docsRaw.join(emb, docsRaw("doc_id") === emb("vec_id"), "left")
+        .select(col("doc_id"), col("text"), col("lang"),
+          coalesce(col("embedding"),
+            expr("transform(sequence(0, 63), j -> cos(doc_id * (j + 1)))"))
+            .as("emb"))
+      // quality model: curated = 4 of the 20 sources (the q130 label
+      // recipe), fitted once — deterministic, reused by every tick
+      val model = graft.functions.QualityClassifier.train(
+        docsRaw, "text",
+        col("source").isin("src0", "src1", "src2", "src3"))
+      // benchmark set for decontam: a fixed 1-in-251 doc slice
+      val bench = docsRaw.filter(col("doc_id") % 251 === 0).select(col("text"))
+      (docs, model, bench)
+    }
+    var llmTick = 0
+    def llmIngest(): Double = {
+      val (docs, model, bench) = llmSetup
+      llmTick += 1
+      val tmp = java.nio.file.Files.createTempDirectory("bench_llm").toString
+      val lake = new graft.lake.Lake(spark, s"$tmp/lake")
+      val ds = s"bench_llm_$llmTick"
+      val dd = new graft.lake.CorpusDedup(spark, lake, ds, numBuckets = 8)
+      val cp = new graft.lake.CorpusPack(spark,
+        new graft.state.StateStore(spark, s"$tmp/state"), ds,
+        budgetTokens = 8192L)
+      val idx = new graft.lake.AnnIndex(spark, lake, ds, numBuckets = 8)
+      val out = graft.lake.TableRef("bench", ds, "packed")
+      dd.commitTestShingles(bench, "text",
+        java.sql.Date.valueOf("2024-02-28"))
+      // steady-state semantic gate: seed the index with a day of
+      // synthetic history strictly before the ingest day (distinct id
+      // space + vectors, so the batch itself is not wiped) — the tick
+      // then exercises the dated IVF probe every day-N ingest runs,
+      // not the day-one pairwise bootstrap
+      import org.apache.spark.sql.functions._
+      idx.buildDated(spark.range(2000).select(
+          (col("id") + 1000000L).as("doc_id"),
+          expr("transform(sequence(0, 63), j -> sin((id + 7) * (j + 1)))")
+            .as("emb")),
+        "doc_id", "emb", k = 8, java.sql.Date.valueOf("2024-02-28"))
+      val t0 = System.nanoTime()
+      graft.tools.DailyIngest.run(lake, dd, cp, out, docs,
+        "doc_id", "text", "lang",
+        java.sql.Date.valueOf("2024-03-01"), ttlDays = 30,
+        ann = Some((idx, "emb")), semanticThreshold = Some(0.95),
+        qualityGate = Some(model),
+        nearDupVerify = Some(0.75), lineScrub = true, decontam = true,
+        unigramVocab = Some(graft.functions.UnigramVocab.default),
+        repetitionRules = true)
+      (System.nanoTime() - t0) / 1e9
+    }
     // Capture micro-batch: one tick of the streaming pipeline at this SF
     // (fresh lake each iteration, same median/stddev protocol).
     def microBatch(): Double = {
@@ -193,15 +268,17 @@ object Bench {
     // tick follows the same protocol as the queries.
     calibration(spark)
     microBatch()
+    llmIngest()
     // ONE timed attempt: `iterations` interleaved (calibration, queries)
-    // pairs plus the micro-batch ticks.
+    // pairs plus the micro-batch and llm-ingest ticks.
     def sampleOnce(): (Seq[Double], Seq[Seq[(String, Double)]]) = {
       val calAndRuns: Seq[(Double, Seq[(String, Double)])] =
         Seq.fill(iterations)((calibration(spark), runHeadline()))
       val mbs = Seq.fill(iterations)(microBatch())
+      val llms = Seq.fill(iterations)(llmIngest())
       (calAndRuns.map(_._1),
-        calAndRuns.map(_._2).zip(mbs).map { case (r, mb) =>
-          r :+ ("micro_batch" -> mb)
+        calAndRuns.map(_._2).zip(mbs).zip(llms).map { case ((r, mb), li) =>
+          r :+ ("micro_batch" -> mb) :+ ("llm_ingest" -> li)
         })
     }
     // The noise gate (r15: BENCH_r15.json recorded an ambient-load
@@ -253,7 +330,9 @@ object Bench {
       "q124_line_dedup", "q130_quality_classifier",
       "q137_gopher_rules", "q138_decontam_scrub",
       "q139_domain_rollup", "q145_gopher_repetition",
-      "q150_family_fertility", "q151_icp_order")
+      "q150_family_fertility", "q151_icp_order",
+      // r17: the composed LLM-ingest tick (verdict #3)
+      "llm_ingest")
     val totalR8Comparable =
       medians.filterNot(p => addedSinceR8(p._1)).map(_._2).sum
     // calibration_s normalizes cross-round totals: a drifted host moves

@@ -152,22 +152,166 @@ object WordPiece {
     * reason coverage never needs a fallback within the training
     * corpus. Then, until `vocabSize` is reached, fuse the adjacent
     * pair maximizing the LIKELIHOOD score count(xy)/(count(x)·count(y))
-    * over the corpus's current segmentation. Scores are compared by
-    * exact INTEGER cross-multiplication (BigInt — no float rounding
-    * can reorder two pairs), ties break lexicographically, words
-    * iterate in sorted order: byte-reproducible on any JVM. Pairs are
-    * required to repeat (count ≥ 2) — a singleton pair is noise, the
-    * [[Bpe]] rule.
+    * over the corpus's current segmentation. Argmax semantics are
+    * exact-rational (no float rounding can reorder two pairs), ties
+    * break lexicographically, words iterate in sorted order:
+    * byte-reproducible on any JVM. Pairs are required to repeat
+    * (count ≥ 2) — a singleton pair is noise, the [[Bpe]] rule.
     *
-    * Full-rescan per merge (O(merges × corpus symbols)): unlike BPE,
-    * a WordPiece merge changes the DENOMINATOR of every pair sharing
-    * a symbol with it, so the incremental TreeSet trick buys little —
-    * and the input is the bounded word table, never the corpus.
+    * INCREMENTAL (r17): the r16 trainer re-counted every symbol and
+    * pair from scratch per merge — O(merges × corpus symbols) with a
+    * BigInt argmax over every pair, 94 s for the 16k-word/8k-piece
+    * MicroBench shape and projected tens of minutes at the production
+    * 64k/32k shape. A WordPiece merge changes the DENOMINATOR of every
+    * pair sharing a symbol, so a BPE-style best-first TreeSet does not
+    * transfer — but the COUNTS themselves change only in words that
+    * contain the merged pair. This trainer therefore maintains
+    * `symCount`/`pairCount` incrementally (subtract-reapply-add on just
+    * the affected words, found through a pair→word-index occurrence
+    * set) and scans pairs per merge only for the argmax — in DOUBLE
+    * precision first, with an exact BigInt cross-multiplication
+    * re-comparison over the ≥ (1−1e-9)·max near-tie candidates (double
+    * relative error is ~1e-15 for c/(cx·cy), five orders inside the
+    * margin, so the exact pass always sees the true argmax). Result is
+    * BIT-IDENTICAL to the full-rescan reference — pinned by the
+    * fast-vs-naive property test ([[trainFromWordCountsNaive]] is the
+    * r16 trainer, kept verbatim as the oracle).
     *
     * @param vocabSize target TOTAL piece count incl. the alphabet and
     *                  [UNK]; training stops early when no pair repeats. */
   def trainFromWordCounts(counts: Iterable[(String, Long)],
                           vocabSize: Int): WordPieceVocab = {
+    require(vocabSize > 0, s"vocabSize must be positive: $vocabSize")
+    val words = counts.toArray.sortBy(_._1)
+    val wc = words.map(_._2)
+    val segs: Array[Array[String]] = words.map { case (w, _) =>
+      val cps = BpeVocab.codepoints(w)
+      val out = new Array[String](cps.length)
+      var i = 0
+      while (i < cps.length) {
+        out(i) = if (i == 0) cps(i) else "##" + cps(i)
+        i += 1
+      }
+      out
+    }
+    val alphabet: Vector[String] =
+      segs.iterator.flatten.toSet.toVector.sorted
+    val have = scala.collection.mutable.HashSet[String](alphabet: _*)
+    val merges = Vector.newBuilder[String]
+
+    type Pair = (String, String)
+    val symCount = new java.util.HashMap[String, Long]()
+    val pairCount = new java.util.HashMap[Pair, Long]()
+    // words (indices) where a pair occurred at registration time — a
+    // SUPERSET of its current occurrences (entries go stale as later
+    // merges rewrite a word; consumers re-check adjacency)
+    val occ = new java.util.HashMap[Pair, java.util.HashSet[Integer]]()
+
+    def bump(s: Array[String], c: Long): Unit = {
+      var j = 0
+      while (j < s.length) {
+        if (symCount.merge(s(j), c, (x, y) => x + y) == 0L)
+          symCount.remove(s(j))
+        if (j < s.length - 1 &&
+          pairCount.merge((s(j), s(j + 1)), c, (x, y) => x + y) == 0L)
+          pairCount.remove((s(j), s(j + 1)))
+        j += 1
+      }
+    }
+    def register(s: Array[String], wi: Int): Unit = {
+      var j = 0
+      while (j < s.length - 1) {
+        occ.computeIfAbsent((s(j), s(j + 1)), _ => new java.util.HashSet())
+          .add(wi)
+        j += 1
+      }
+    }
+    var wi0 = 0
+    while (wi0 < segs.length) {
+      bump(segs(wi0), wc(wi0))
+      register(segs(wi0), wi0)
+      wi0 += 1
+    }
+
+    val ord = implicitly[Ordering[Pair]]
+    var done = false
+    while (!done && have.size + 1 < vocabSize) {
+      // pass 1: double-precision max of c/(cx·cy) over repeating pairs
+      var maxD = -1.0
+      pairCount.forEach { (p, c) =>
+        if (c >= 2L) {
+          val d = c.toDouble /
+            (symCount.get(p._1).toDouble * symCount.get(p._2).toDouble)
+          if (d > maxD) maxD = d
+        }
+      }
+      if (maxD < 0) done = true
+      else {
+        // pass 2: exact-rational argmax over the near-tie candidates
+        val floor = maxD * (1 - 1e-9)
+        var best: Pair = null
+        var bestNum = BigInt(0)
+        var bestDen = BigInt(1)
+        pairCount.forEach { (p, c) =>
+          if (c >= 2L) {
+            val cx = symCount.get(p._1)
+            val cy = symCount.get(p._2)
+            if (c.toDouble / (cx.toDouble * cy.toDouble) >= floor) {
+              val num = BigInt(c)
+              val den = BigInt(cx) * BigInt(cy)
+              val cmp = (num * bestDen).compare(bestNum * den)
+              if (best == null || cmp > 0 || (cmp == 0 && ord.lt(p, best))) {
+                best = p; bestNum = num; bestDen = den
+              }
+            }
+          }
+        }
+        val (a, b) = best
+        val name = a + b.stripPrefix("##")
+        if (have.add(name)) merges += name
+        // every CURRENT occurrence of (a,b) lives in a word occ has seen
+        // (registration precedes use); consume the set, re-check
+        // adjacency per word to skip stale entries
+        val hits = occ.remove(best)
+        if (hits != null) {
+          val it = hits.iterator()
+          while (it.hasNext) {
+            val t = it.next().intValue()
+            val s = segs(t)
+            var has = false
+            var j = 0
+            while (j < s.length - 1 && !has) {
+              has = s(j) == a && s(j + 1) == b; j += 1
+            }
+            if (has) {
+              bump(s, -wc(t))
+              val out = new Array[String](s.length)
+              var n = 0
+              j = 0
+              while (j < s.length) {
+                if (j < s.length - 1 && s(j) == a && s(j + 1) == b) {
+                  out(n) = name; n += 1; j += 2
+                } else { out(n) = s(j); n += 1; j += 1 }
+              }
+              segs(t) = java.util.Arrays.copyOf(out, n)
+              bump(segs(t), wc(t))
+              register(segs(t), t)
+            }
+          }
+        }
+      }
+    }
+    WordPieceVocab((WordPieceVocab.Unk +: alphabet) ++ merges.result())
+  }
+
+  /** The r16 full-rescan trainer, kept VERBATIM as the reference the
+    * incremental [[trainFromWordCounts]] is property-tested against
+    * (the [[Bpe.trainFromWordCountsNaive]] pattern): re-counts every
+    * symbol and adjacent pair from scratch per merge and arg-maxes by
+    * exact BigInt cross-multiplication over all pairs —
+    * O(merges × corpus symbols), unambiguously correct. */
+  def trainFromWordCountsNaive(counts: Iterable[(String, Long)],
+                               vocabSize: Int): WordPieceVocab = {
     require(vocabSize > 0, s"vocabSize must be positive: $vocabSize")
     val words = counts.toArray.sortBy(_._1)
     val wc = words.map(_._2)

@@ -214,6 +214,16 @@ object DailyIngest {
       : Long = {
     require(semanticThreshold.isEmpty || ann.nonEmpty,
       "semanticThreshold needs the ann leg — the index is the seen-set")
+    // Label every stage's jobs (guide §1.5): the tick is ~10 sequential
+    // state commits plus the gate-chain materialization, and an
+    // unlabeled UI/listener view of ~80 jobs is unreadable. Labels are
+    // thread-local and cleared on exit.
+    val sc = docs.sparkSession.sparkContext
+    def labeled[A](stage: String)(f: => A): A = {
+      val prev = sc.getLocalProperty("spark.job.description")
+      sc.setJobDescription(s"ingest $day: $stage")
+      try f finally sc.setJobDescription(prev)
+    }
     require(unigramVocab.isEmpty || wordpieceVocab.isEmpty,
       "pick ONE n_tok denomination: unigramVocab or wordpieceVocab")
     val minDate = Date.valueOf(day.toLocalDate.minusDays(ttlDays.toLong))
@@ -268,17 +278,18 @@ object DailyIngest {
     val admitted = qualityGate.map(m =>
       ruled.filter(round(m.scoreCol(col(textCol)), 4) > qualityThreshold))
       .getOrElse(ruled)
-    val exactNovel = dd.novelExactSince(admitted, idCol, textCol, minDate)
+    val exactNovel = labeled("exact gate plan")(
+      dd.novelExactSince(admitted, idCol, textCol, minDate))
     // `nearDupVerify = Some(minAgree)` swaps the candidate-level
     // cross-run gate for the signature-VERIFIED one (single-band
     // flukes admitted; drops need >= minAgree lane agreement) — gate
     // and commit must pair on the same state table, chosen here once
-    val textNovel = nearDupVerify match {
+    val textNovel = labeled("neardup gate plan")(nearDupVerify match {
       case Some(minAgree) => dd.novelNearDupVerifiedSince(
         exactNovel, idCol, textCol, minDate, minAgree)
       case None => dd.novelNearDupSince(exactNovel, idCol, textCol, minDate)
-    }
-    val semNovel = (ann, semanticThreshold) match {
+    })
+    val semNovel = labeled("semantic gate plan")((ann, semanticThreshold) match {
       // branch on "the PRE-day window holds vectors", NOT on
       // idx.exists: the bootstrap day WRITES the index before the
       // state commits, so a crash in between would flip exists on the
@@ -298,7 +309,7 @@ object DailyIngest {
           .filter(col("keep") === 1).select(col(idCol))
         textNovel.join(keepers, Seq(idCol), "left_semi")
       case _ => textNovel
-    }
+    })
     // `lineScrub` adds the C4 LINE policy as a REWRITE stage after the
     // three doc-level gates (cheapest order — whole-doc dups drop
     // before their lines are ever segmented): lines already committed
@@ -317,7 +328,8 @@ object DailyIngest {
     // is pure benchmark text and drops (originally-empty docs have
     // n_removed = 0 and pass)
     val decontamed = semPersisted.filter(_ => decontam).map { sem =>
-      dd.decontamScrubSince(sem, idCol, textCol, day)
+      labeled("decontam scrub plan")(
+        dd.decontamScrubSince(sem, idCol, textCol, day))
         .filter(col("n_removed") === 0 || col("text_clean") =!= "")
         .drop("n_removed")
         .withColumnRenamed("text_clean", textCol)
@@ -330,8 +342,9 @@ object DailyIngest {
     else None
     val lineBase = decontamPersisted.getOrElse(decontamed)
     val gatedNovel = if (lineScrub) {
-      val scrub = dd.scrubLinesSince(lineBase, idCol, textCol, minDate,
-        beforeDate = Some(day))
+      val scrub = labeled("line scrub plan")(
+        dd.scrubLinesSince(lineBase, idCol, textCol, minDate,
+          beforeDate = Some(day)))
       lineBase.drop(textCol).join(
         scrub.filter(col("n_kept") > 0)
           .select(col(idCol), col("text_dedup").as(textCol)),
@@ -357,36 +370,59 @@ object DailyIngest {
         graft.functions.WordPiece.wordpieceTokenCount(col(textCol), w)
       case _ => Bpe.bpeTokenCount(col(textCol), vocab)
     }
-    val novel = gatedNovel
+    // localCheckpoint, NOT persist (r17, probe-measured): with the
+    // steady-state semantic gate, novel's plan READS the ANN lists
+    // table, and the ann-append step below refreshes that table —
+    // which invalidates any persisted plan referencing it, so the
+    // pack-commit (and every later consumer) silently re-derived the
+    // ENTIRE gate chain (52 jobs, ~13.5 s of a 12 s tick at sf0.001;
+    // the bootstrap path never hit this because its in-batch gate
+    // reads no table). Checkpointing cuts the lineage to stored
+    // blocks the refresh cannot invalidate. Lazy: the land below is
+    // the first action and materializes it. Same execution-hint
+    // semantics as the persist it replaces (replay invariant
+    // untouched); blocks are freed by the ContextCleaner when the
+    // checkpointed RDD goes out of scope. Cluster caveat: local
+    // checkpoints die with an executor (DedupOps.materialize's
+    // documented trade) — an executor loss forces the job retry Spark
+    // already handles.
+    // (labeled: under AQE, even the lazy checkpoint materializes every
+    // intermediate exchange of the chain at this call — these are the
+    // tick's heaviest jobs)
+    val novel = labeled("gate chain checkpoint")(gatedNovel
       .withColumn("n_tok", tokenCount)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false))
     try {
       val batchId = day.toString
-      val packed = cp.assign(novel, langCol, idCol, "n_tok", batchId)
+      val packed = labeled("pack assign")(
+        cp.assign(novel, langCol, idCol, "n_tok", batchId))
         .withColumn("ingest_day", lit(day))
       // the land MATERIALIZES the assigned frame (CorpusPack's
       // materialize-then-commit contract) and is itself idempotent: the
       // dynamic overwrite replaces exactly this day's partition, and an
       // empty frame touches no partition at all
       guard(lock)
-      lake.overwritePartitions(
+      labeled("gates+dedup+land")(lake.overwritePartitions(
         packed.select(col(idCol), col(langCol), col("n_tok"),
           col("pack_id"), col("ingest_day")),
-        out, partitionBy = Seq("ingest_day"))
-      val landed = lake.read(out)
-        .filter(col("ingest_day") === lit(day)).count()
+        out, partitionBy = Seq("ingest_day")))
+      val landed = labeled("landed count")(lake.read(out)
+        .filter(col("ingest_day") === lit(day)).count())
       ann.foreach { case (idx, embedCol) =>
         guard(lock)
-        val vecs = novel.select(col(idCol), col(embedCol))
-        if (!idx.exists) {
-          val n = vecs.count()
-          if (n > 0)
-            idx.buildDated(vecs, idCol, embedCol,
-              k = math.max(4, (n / 500L).toInt), day)
-        } else idx.appendDated(vecs, idCol, embedCol, day)
+        labeled("ann index") {
+          val vecs = novel.select(col(idCol), col(embedCol))
+          if (!idx.exists) {
+            val n = vecs.count()
+            if (n > 0)
+              idx.buildDated(vecs, idCol, embedCol,
+                k = math.max(4, (n / 500L).toInt), day)
+          } else idx.appendDated(vecs, idCol, embedCol, day)
+        }
       }
       guard(lock)
-      cp.commit(novel, langCol, idCol, "n_tok", batchId)
+      labeled("pack commit")(
+        cp.commit(novel, langCol, idCol, "n_tok", batchId))
       // seen-set contract: the ADMITTED frame (post-quality-gate), not
       // the raw batch. Committing pre-gate docs would mean a later,
       // better gate model finds recurring text it now admits already
@@ -394,19 +430,37 @@ object DailyIngest {
       // Gate-dropped docs re-arriving re-score the same (the model is
       // a constant), so excluding them loses no dedup power; replay
       // recomputes the identical admitted frame from unchanged state.
+      // The three seen-set commits stay SEQUENTIAL. They are mutually
+      // independent (each writes its own state table; every gate read
+      // is windowed strictly before `day`, so any committed subset
+      // replays clean), and guide §2.6 suggests overlapping them — but
+      // the measured result on local[32] was a 5× REGRESSION (probe:
+      // 12.2 s sequential vs 66.7 s with a 3-thread pool; the three
+      // bucketed insertInto writes contend on the catalog and the
+      // concurrent gate-chain scans triple the per-core load exactly
+      // when each job needs the cores). Re-evaluate on a real cluster
+      // where the anti-join tails leave executors idle; here the
+      // overlap costs more than the tails it fills.
       guard(lock)
-      dd.commitExactDated(admitted, textCol, day, minDate)
+      labeled("exact commit")(
+        dd.commitExactDated(admitted, textCol, day, minDate))
       guard(lock)
-      nearDupVerify match {
+      labeled("neardup commit")(nearDupVerify match {
         case Some(_) =>
           dd.commitNearDupVerifiedDated(admitted, idCol, textCol, day, minDate)
         case None =>
           dd.commitNearDupDated(admitted, idCol, textCol, day, minDate)
+      })
+      if (lineScrub) {
+        guard(lock)
+        labeled("lines commit")(
+          dd.commitLinesDated(admitted, textCol, day, minDate))
       }
-      if (lineScrub) { guard(lock); dd.commitLinesDated(admitted, textCol, day, minDate) }
       landed
     } finally {
-      novel.unpersist(blocking = false)
+      // novel is localCheckpointed (not persisted): its blocks are
+      // released by the ContextCleaner once the checkpointed RDD is
+      // unreachable — there is no cache entry to unpersist
       decontamPersisted.foreach(_.unpersist(blocking = false))
       semPersisted.foreach(_.unpersist(blocking = false))
     }

@@ -276,11 +276,28 @@ object MicroBench {
       // with a HashSet probe instead of a lattice DP — expect it between
       // BPE-warm and unigram-cold. Trained on the same 16k head
       // (likelihood merges full-rescan per merge, driver-side).
+      val wpHead16k = wc.sortBy { case (w, c) => (-c, w) }.take(16384)
       val tTrainW = System.nanoTime()
-      val wp8k = graft.functions.WordPiece.trainFromWordCounts(
-        wc.sortBy { case (w, c) => (-c, w) }.take(16384), 8192)
+      val wp8k = graft.functions.WordPiece.trainFromWordCounts(wpHead16k, 8192)
       println(f"wordpiece train(16k words -> ${wp8k.pieces.length} pieces): " +
         f"${(System.nanoTime() - tTrainW) / 1e9}%.1f s")
+      // r17: the production 64k-word/32k-piece shape — the full-rescan
+      // r16 trainer projected to tens of minutes here; the incremental
+      // trainer makes it routine. The naive A/B leg re-times the r16
+      // trainer (94 s at the 16k shape on this host) only on demand —
+      // SPARK_GRAFT_MICRO_NAIVE=1 — so the default tool run stays fast.
+      val tTrainW64 = System.nanoTime()
+      val wp32k = graft.functions.WordPiece.trainFromWordCounts(wc, 32768)
+      println(f"wordpiece train(64k words -> ${wp32k.pieces.length} pieces): " +
+        f"${(System.nanoTime() - tTrainW64) / 1e9}%.1f s")
+      if (sys.env.get("SPARK_GRAFT_MICRO_NAIVE").contains("1")) {
+        val tNaive = System.nanoTime()
+        val wpN = graft.functions.WordPiece.trainFromWordCountsNaive(
+          wpHead16k, 8192)
+        println(f"wordpiece train NAIVE(16k words -> ${wpN.pieces.length} " +
+          f"pieces): ${(System.nanoTime() - tNaive) / 1e9}%.1f s")
+        require(wpN == wp8k, "naive/incremental trainer divergence")
+      }
       def rateW(name: String, df: org.apache.spark.sql.DataFrame,
                 docs: Long): Unit =
         (1 to 3).foreach { i =>

@@ -107,6 +107,32 @@ class WordPieceSpec extends SparkSpec {
     assert(WordPiece.trainFromWordCounts(counts, 9).pieces.length <= 9)
   }
 
+  test("prop: incremental trainer == full-rescan reference (r17)") {
+    // The r17 incremental trainer (dirty-word count maintenance +
+    // double-prescan/BigInt-exact argmax) must be BIT-IDENTICAL to the
+    // r16 full-rescan trainer on every input shape: random words
+    // (exercises stale occurrence entries as merges rewrite words),
+    // uniform counts (every pair ties — the exact lexicographic
+    // tiebreak carries the whole ordering), and the Zipf table the
+    // production vocab trains on.
+    val rnd = new scala.util.Random(20260817)
+    (1 to 4).foreach { round =>
+      val chars = "abcd"
+      val words = (1 to 120).map { _ =>
+        (0 until 1 + rnd.nextInt(9))
+          .map(_ => chars(rnd.nextInt(chars.length))).mkString
+      }.distinct
+      val counts = words.map(w => w ->
+        (if (round % 2 == 0) 7L else 1L + rnd.nextInt(50).toLong))
+      val fast = WordPiece.trainFromWordCounts(counts, vocabSize = 90)
+      val slow = WordPiece.trainFromWordCountsNaive(counts, vocabSize = 90)
+      assert(fast === slow, s"round=$round diverged")
+    }
+    val zipf = graft.tools.BpeTrain.zipfWordCounts(1 << 10)
+    assert(WordPiece.trainFromWordCounts(zipf, 700) ===
+      WordPiece.trainFromWordCountsNaive(zipf, 700))
+  }
+
   test("vocab text round-trip; '#'-headed pieces survive (no comment syntax)") {
     val v = WordPieceVocab(Vector(WordPieceVocab.Unk, "#", "a", "##a", "###"))
     val back = WordPieceVocab.fromVocabText(v.toVocabText)
