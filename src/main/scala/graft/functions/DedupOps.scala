@@ -330,7 +330,19 @@ object DedupOps {
       .unionByName(p.select(col("id_b").as(idCol))).distinct()
     // semi-join BEFORE the explode: only candidate docs pay the word
     // fan-out, so both the generate and the distinct shuffle scale with
-    // near-dup density instead of corpus size
+    // near-dup density instead of corpus size.
+    //
+    // Deliberately NOT checkpointed, although the verify stage consumes
+    // this frame three times (ta/tb intersection sides + per-doc sizes,
+    // so the plan re-derives the subtree in triplicate — q59's r17 plan
+    // audit). The r17 experiment that checkpointed it like `p` measured
+    // a clear REGRESSION: q59 8.6 s → 23.0 s at sf0.01, scan
+    // amplification ×3.7 → ×16, BenchAb median ratio 1.04 at sf0.1 —
+    // the eager materialization barrier costs AQE its size estimates
+    // (the downstream pair joins lose their broadcast choice) and the
+    // pipelined subtree is near-dup-density-sized anyway. Same family
+    // as the round-2 finding (persisting the corpus-wide exploded frame
+    // was 6× slower); the triplicate subtree is the cheaper trade.
     val toks = explodedWords(
         docs.join(broadcast(ids), Seq(idCol), "left_semi"), idCol, textCol)
       .select(col(idCol), col("__w").as("token")).distinct()

@@ -283,6 +283,25 @@ object TextOps {
       joined.as("text_clean")): _*)
   }
 
+  /** Evaluate a kernel-stats keep gate with ONE kernel evaluation per
+    * row (r17, probe-found): `keep(stats)` predicates reference the
+    * stats value once per rule — 13 times for [[repetitionKeep]] — and
+    * in a FILTER each reference re-evaluates the kernel: the pushed
+    * condition is split into per-rule conjuncts that whole-stage
+    * codegen evaluates independently (no cross-conjunct subexpression
+    * elimination, unlike Project/HashAggregate — probe-confirmed by
+    * wall time), and projecting the struct first does not help because
+    * PushPredicateThroughNonJoin inlines the alias straight back into
+    * the pushed condition. Binding the value as a lambda VARIABLE
+    * (`transform` over a one-element array) forces a single
+    * evaluation — no optimizer rule expands a lambda variable. The
+    * HOF itself is interpreted, but its per-row cost is a few dozen
+    * arithmetic nodes — orders below even one extra kernel pass.
+    * Probe-measured on the repetition gate at sf0.1: 6.8 s → see
+    * OPTIMIZATION_r17.md. */
+  def gateOnce(stats: Column, keep: Column => Column): Column =
+    element_at(transform(array(stats), keep), 1)
+
   /** The Gopher REPETITION filter counters (Rae et al. 2021 §A1.1's
     * other half — [[gopherStats]]/[[gopherKeep]] carry the quality
     * rules): thirteen fractions from ONE kernel pass per row

@@ -227,17 +227,25 @@ object DailyIngest {
     require(unigramVocab.isEmpty || wordpieceVocab.isEmpty,
       "pick ONE n_tok denomination: unigramVocab or wordpieceVocab")
     val minDate = Date.valueOf(day.toLocalDate.minusDays(ttlDays.toLong))
+    // Every stats-struct gate goes through TextOps.gateOnce (r17): a
+    // direct filter(keep(stats(text))) carries one kernel COPY per
+    // referenced field — 13 for the repetition gate — and FilterExec
+    // re-evaluates each (no subexpression elimination in filters;
+    // probe-measured 8.7 s vs 1.8 s at sf0.1). gateOnce binds the
+    // struct as a lambda variable: one kernel pass per row, same value.
+    import graft.functions.TextOps.gateOnce
     val ruled0 = gopherRules.map { case (minW, maxW) =>
-      docs.filter(graft.functions.TextOps.gopherKeep(
-        graft.functions.TextOps.gopherStats(col(textCol)), minW, maxW) === 1)
+      docs.filter(gateOnce(graft.functions.TextOps.gopherStats(col(textCol)),
+        graft.functions.TextOps.gopherKeep(_, minW, maxW)) === 1)
     }.getOrElse(docs)
     // `repetitionRules = true` completes the Gopher gate: the §A1.1
     // REPETITION half (q145, TextOps.repetitionKeep) beside the
     // quality half — another scan-local codegen predicate with zero
     // exchanges, deterministic, so the replay invariants hold unchanged
     val ruled1 = if (repetitionRules)
-      ruled0.filter(graft.functions.TextOps.repetitionKeep(
-        graft.functions.TextOps.repetitionStats(col(textCol))) === 1)
+      ruled0.filter(gateOnce(
+        graft.functions.TextOps.repetitionStats(col(textCol)),
+        graft.functions.TextOps.repetitionKeep) === 1)
     else ruled0
     // `codeRules = true` applies The Stack's code-corpus preprocessing
     // (q148, TextOps.stackCodeKeep): line-length bounds, the alnum
@@ -246,8 +254,8 @@ object DailyIngest {
     // predicate (one codegen byte-walk, zero exchanges, deterministic),
     // same admitted-only seen-set contract.
     val ruled2 = if (codeRules)
-      ruled1.filter(graft.functions.TextOps.stackCodeKeep(
-        graft.functions.TextOps.codeStats(col(textCol))) === 1)
+      ruled1.filter(gateOnce(graft.functions.TextOps.codeStats(col(textCol)),
+        graft.functions.TextOps.stackCodeKeep) === 1)
     else ruled1
     // `permissiveOnly = true` applies The Stack's OTHER gate (§2.3,
     // q153): keep only files whose detected license is permissive —
@@ -265,11 +273,17 @@ object DailyIngest {
           .repoLicenseTable(docs, repoCol, pathCol, textCol)
         graft.functions.TextOps
           .licenseInherit(ruled2, repoLic, repoCol, textCol)
-          .filter(graft.functions.TextOps.licenseKeep(col("license")) === 1)
+          // gateOnce here too: `license` is an alias (coalesce of the
+          // in-file detect chain and the joined repo license) that
+          // predicate pushdown inlines into the condition — licenseKeep
+          // references it ~6 times
+          .filter(gateOnce(col("license"),
+            graft.functions.TextOps.licenseKeep) === 1)
           .drop("license", "inherited")
       case None =>
-        ruled2.filter(graft.functions.TextOps.licenseKeep(
-          graft.functions.TextOps.licenseDetect(col(textCol))) === 1)
+        ruled2.filter(gateOnce(
+          graft.functions.TextOps.licenseDetect(col(textCol)),
+          graft.functions.TextOps.licenseKeep) === 1)
     } else ruled2
     // the acceptance cut is a PARAMETER, not the hardcoded log-odds 0:
     // q142's calibration picks the threshold that hits a kept-token

@@ -90,6 +90,59 @@ object IngestProbe {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // `stages` mode: time the commit-path building blocks in isolation
+    // (the tick showed one 21.6 s write job at sf0.1 — this splits it)
+    if (args.length > 2 && args(2) == "stages") {
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.mode("overwrite").format("noop").save()
+      def time(name: String)(f: => Unit): Unit = (1 to 2).foreach { i =>
+        val t0 = System.nanoTime()
+        f
+        println(f"[ingest-probe] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+      // production shape (DailyIngest's gateOnce form); the direct-vs-
+      // gateOnce A/B below isolates the difference
+      val admitted = docs
+        .filter(graft.functions.TextOps.gateOnce(
+          graft.functions.TextOps.repetitionStats(col("text")),
+          graft.functions.TextOps.repetitionKeep) === 1)
+        .filter(round(model.scoreCol(col("text")), 4) > 0.0)
+      time("docs scan+join+synthEmb")(noop(docs))
+      time("+ repetition gate")(noop(docs.filter(
+        graft.functions.TextOps.repetitionKeep(
+          graft.functions.TextOps.repetitionStats(col("text"))) === 1)))
+      time("+ repetition gate (gateOnce)")(noop(docs.filter(
+        graft.functions.TextOps.gateOnce(
+          graft.functions.TextOps.repetitionStats(col("text")),
+          graft.functions.TextOps.repetitionKeep) === 1)))
+      time("+ quality gate (admitted)")(noop(admitted))
+      time("admitted -> md5 distinct")(noop(
+        admitted.select(md5(col("text")).as("content_hash")).distinct()))
+      // plan evidence for plans/r17: the direct gate filter carries one
+      // kernel copy per referenced rule; the gateOnce form binds it once
+      def dumpPlan(path: String, df: org.apache.spark.sql.DataFrame): Unit =
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+          df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+      dumpPlan("/root/repo/plans/r17/llm_ingest_repetition_gate_before.txt",
+        docs.filter(graft.functions.TextOps.repetitionKeep(
+          graft.functions.TextOps.repetitionStats(col("text"))) === 1))
+      dumpPlan("/root/repo/plans/r17/llm_ingest_repetition_gate_after.txt",
+        docs.filter(graft.functions.TextOps.gateOnce(
+          graft.functions.TextOps.repetitionStats(col("text")),
+          graft.functions.TextOps.repetitionKeep) === 1))
+      time("full commitExactDated") {
+        val tmp = java.nio.file.Files.createTempDirectory("probe_cx").toString
+        val lake = new graft.lake.Lake(spark, s"$tmp/lake")
+        val dd = new graft.lake.CorpusDedup(spark, lake,
+          s"probe_cx_${System.nanoTime()}", numBuckets = 8)
+        dd.commitExactDated(admitted, "text",
+          Date.valueOf("2024-03-01"), Date.valueOf("2024-01-31"))
+      }
+      spark.stop()
+      return
+    }
+
     tick(0) // warm-up: codegen + catalog DDL first-run costs
     val wall = tick(1)
     Thread.sleep(500) // let listener events drain

@@ -8,6 +8,45 @@ import graft.functions.TextOps
 class TextCorpusOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("gateOnce: value-identical to the direct keep gate, kernel bound once") {
+    // gateOnce (r17) exists so a FILTER evaluates a stats kernel once
+    // per row instead of once per referenced field (FilterExec has no
+    // subexpression elimination; probe-measured 8.7 s vs 1.8 s on the
+    // repetition gate at sf0.1). Equivalence on the real fixture corpus
+    // across all four gate families, including NULL text. (No
+    // empty-string row: a ZERO-WORD doc divides by zero in gopherKeep's
+    // mean-word-length ratio under ANSI — identically in the direct and
+    // bound forms, a pre-existing property of the published ratio rules;
+    // q137 and the ingest tail-inject or pre-filter such docs.)
+    val docs = Tables.load(spark, sf001, "documents")
+      .select($"doc_id", $"text")
+      .unionByName(Seq((-1L, null: String)).toDF("doc_id", "text"))
+    def rows(c: org.apache.spark.sql.Column): Seq[Long] =
+      docs.filter(c === 1).select($"doc_id").as[Long].collect().toSeq.sorted
+    assert(
+      rows(TextOps.gateOnce(TextOps.repetitionStats($"text"),
+        TextOps.repetitionKeep)) ===
+      rows(TextOps.repetitionKeep(TextOps.repetitionStats($"text"))))
+    assert(
+      rows(TextOps.gateOnce(TextOps.gopherStats($"text"),
+        TextOps.gopherKeep(_, 5L, 100000L))) ===
+      rows(TextOps.gopherKeep(TextOps.gopherStats($"text"), 5L, 100000L)))
+    assert(
+      rows(TextOps.gateOnce(TextOps.codeStats($"text"),
+        TextOps.stackCodeKeep)) ===
+      rows(TextOps.stackCodeKeep(TextOps.codeStats($"text"))))
+    assert(
+      rows(TextOps.gateOnce(TextOps.licenseDetect($"text"),
+        TextOps.licenseKeep)) ===
+      rows(TextOps.licenseKeep(TextOps.licenseDetect($"text"))))
+    // the per-field values agree too, not just the final decision
+    val both = docs.select(
+      TextOps.repetitionKeep(TextOps.repetitionStats($"text")).as("a"),
+      TextOps.gateOnce(TextOps.repetitionStats($"text"),
+        TextOps.repetitionKeep).as("b"))
+    assert(both.filter(!($"a" <=> $"b")).count() === 0)
+  }
+
   test("lineDedup: first corpus-wide occurrence survives, docs reassemble") {
     val docs = Seq(
       (0L, ""),               // empty text = one empty line, first occurrence
