@@ -190,7 +190,11 @@ object Bench {
     // as q137) and codeRules/permissiveOnly (a CODE corpus's gates; on
     // prose they reject ~everything the same way — benched as
     // q148/q153-shape scans).
-    val llmSetup = {
+    // lazy: nothing llm-related (model fit included) runs before the
+    // classic block unless/until the llm measurement itself starts —
+    // and SPARK_GRAFT_BENCH_SKIP_LLM=1 skips the entry entirely (debug
+    // knob for isolating session-state effects; default off)
+    lazy val llmSetup = {
       val docsRaw = Tables.load(spark, sfDir, "documents")
       val emb = Tables.load(spark, sfDir, "embeddings")
       import org.apache.spark.sql.functions._
@@ -246,7 +250,13 @@ object Bench {
         nearDupVerify = Some(0.75), lineScrub = true, decontam = true,
         unigramVocab = Some(graft.functions.UnigramVocab.default),
         repetitionRules = true)
-      (System.nanoTime() - t0) / 1e9
+      val s = (System.nanoTime() - t0) / 1e9
+      // session hygiene: the index probe pins autoBucketedScan off for
+      // the session (AnnIndex.pinBucketedScan's documented contract);
+      // every tick frame has executed by now, so restore the default
+      // for whatever runs next in this shared bench session
+      idx.unpinBucketedScan()
+      s
     }
     // Capture micro-batch: one tick of the streaming pipeline at this SF
     // (fresh lake each iteration, same median/stddev protocol).
@@ -268,17 +278,20 @@ object Bench {
     // tick follows the same protocol as the queries.
     calibration(spark)
     microBatch()
-    llmIngest()
     // ONE timed attempt: `iterations` interleaved (calibration, queries)
-    // pairs plus the micro-batch and llm-ingest ticks.
+    // pairs plus the micro-batch ticks. llm_ingest is measured AFTER the
+    // noise-gated attempts, not inside them: a tick leaves session-wide
+    // state behind (seen-set catalogs, checkpoint blocks, the index
+    // probe's pinned scan conf, temp lakes), and interleaving measured
+    // micro_batch at 2.9 s vs 1.6 s isolated — polluting exactly the
+    // cross-round-comparable entries the noise gate protects.
     def sampleOnce(): (Seq[Double], Seq[Seq[(String, Double)]]) = {
       val calAndRuns: Seq[(Double, Seq[(String, Double)])] =
         Seq.fill(iterations)((calibration(spark), runHeadline()))
       val mbs = Seq.fill(iterations)(microBatch())
-      val llms = Seq.fill(iterations)(llmIngest())
       (calAndRuns.map(_._1),
-        calAndRuns.map(_._2).zip(mbs).zip(llms).map { case ((r, mb), li) =>
-          r :+ ("micro_batch" -> mb) :+ ("llm_ingest" -> li)
+        calAndRuns.map(_._2).zip(mbs).map { case (r, mb) =>
+          r :+ ("micro_batch" -> mb)
         })
     }
     // The noise gate (r15: BENCH_r15.json recorded an ambient-load
@@ -300,9 +313,19 @@ object Bench {
       System.err.println(f"[bench] WARNING: calibration jitter " +
         f"$calJitter%.3f still above $maxJitter%.2f after $attempts " +
         "attempt(s) - recording the quietest attempt with noisy_host=true")
-    val names = allRuns.head.map(_._1)
+    // llm_ingest runs LAST (see sampleOnce's note): same warm-up +
+    // median-of-iterations protocol, isolated so its session footprint
+    // cannot inflate the classic entries or a retried attempt
+    val skipLlm = sys.env.get("SPARK_GRAFT_BENCH_SKIP_LLM").contains("1")
+    val llmSamples = if (skipLlm) Nil else {
+      llmIngest()
+      Seq.fill(iterations)(llmIngest())
+    }
+    val names = allRuns.head.map(_._1) ++
+      (if (skipLlm) Nil else Seq("llm_ingest"))
     val samples: Map[String, Seq[Double]] =
-      names.map(n => n -> allRuns.map(_.toMap.apply(n))).toMap
+      names.map(n => n -> (if (n == "llm_ingest") llmSamples
+        else allRuns.map(_.toMap.apply(n)))).toMap
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2)

@@ -47,7 +47,12 @@ object ScaleProbe {
       "q145_gopher_repetition", "q147_c4_line_policy",
       "q148_stack_code_filter", "q149_wordpiece_tokens",
       "q150_family_fertility", "q151_icp_order", "q152_icp_pack",
-      "q153_license_filter")
+      "q153_license_filter",
+      // r17 (verdict #5): the remaining r16-round queries plus q155, so
+      // the sweep covers every query the round added
+      "q141_unigram_fertility", "q143_calibrated_gate",
+      "q144_unigram_quantiles", "q146_subword_expected",
+      "q154_bloom_line_scrub", "q155_repo_license")
     // optional 3rd arg: comma-separated substring filter (probe a single
     // query's decade without re-running the whole set)
     val probes = args.lift(2) match {
