@@ -90,6 +90,33 @@ object IngestProbe {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // `mb` mode: bisect the micro_batch slowdowns seen in full bench
+    // sessions — ticks on a fresh session, then after one headline
+    // pass, then again (distinguishes session-history pollution from
+    // ambient host noise)
+    if (args.length > 2 && args(2) == "mb") {
+      def microBatch(): Double = {
+        val tmp = java.nio.file.Files.createTempDirectory("probe_mb").toString
+        val lake = new graft.lake.Lake(spark, tmp)
+        val log = new graft.lake.CaptureLog(spark, lake)
+        val cap = new graft.streaming.Capture(spark, lake, log,
+          graft.streaming.CaptureConfig("bench", "events",
+            pk = Seq("event_id"), tsCol = "ts"))
+        val raw = Tables.load(spark, sfDir, "events")
+        val t0 = System.nanoTime()
+        cap.processBatch(raw, java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
+        (System.nanoTime() - t0) / 1e9
+      }
+      (1 to 5).foreach(i => println(f"[ingest-probe] mb-fresh tick$i: ${microBatch()}%.3f s"))
+      graft.Bench.headline.filter(graft.SparkEntry.queries.contains).foreach {
+        n => graft.SparkEntry.queries(n)(spark, sfDir)
+          .write.mode("overwrite").format("noop").save()
+      }
+      (1 to 3).foreach(i => println(f"[ingest-probe] mb-after-headline tick$i: ${microBatch()}%.3f s"))
+      spark.stop()
+      return
+    }
+
     // `stages` mode: time the commit-path building blocks in isolation
     // (the tick showed one 21.6 s write job at sf0.1 — this splits it)
     if (args.length > 2 && args(2) == "stages") {
