@@ -289,9 +289,17 @@ object DailyIngest {
     // q142's calibration picks the threshold that hits a kept-token
     // budget, and this is where its number lands (> comparison on the
     // 4-dp ROUNDED score, the q130 oracle convention)
+    // admitted is consumed FOUR times (the novel chain below plus the
+    // three seen-set commits, each of which re-derived the whole gate
+    // cascade — by design for replay, but the recompute is pure waste).
+    // localCheckpoint like `novel`: admitted's plan reads only the
+    // corpus (never the ANN lists table), so the §-novel invalidation
+    // hazard does not apply; lazy, so the first consumer materializes
+    // it. Probe-measured before keeping (see OPTIMIZATION_r17.md).
     val admitted = qualityGate.map(m =>
       ruled.filter(round(m.scoreCol(col(textCol)), 4) > qualityThreshold))
       .getOrElse(ruled)
+      .localCheckpoint(false)
     val exactNovel = labeled("exact gate plan")(
       dd.novelExactSince(admitted, idCol, textCol, minDate))
     // `nearDupVerify = Some(minAgree)` swaps the candidate-level
