@@ -242,24 +242,35 @@ object Bench {
             .as("emb")),
         "doc_id", "emb", k = 8, java.sql.Date.valueOf("2024-02-28"))
       val t0 = System.nanoTime()
-      graft.tools.DailyIngest.run(lake, dd, cp, out, docs,
-        "doc_id", "text", "lang",
-        java.sql.Date.valueOf("2024-03-01"), ttlDays = 30,
-        ann = Some((idx, "emb")), semanticThreshold = Some(0.95),
-        qualityGate = Some(model),
-        nearDupVerify = Some(0.75), lineScrub = true, decontam = true,
-        unigramVocab = Some(graft.functions.UnigramVocab.default),
-        repetitionRules = true)
-      val s = (System.nanoTime() - t0) / 1e9
-      // session hygiene: the index probe pins autoBucketedScan off for
-      // the session (AnnIndex.pinBucketedScan's documented contract);
-      // every tick frame has executed by now, so restore the default
-      // for whatever runs next in this shared bench session
-      idx.unpinBucketedScan()
-      s
+      try {
+        graft.tools.DailyIngest.run(lake, dd, cp, out, docs,
+          "doc_id", "text", "lang",
+          java.sql.Date.valueOf("2024-03-01"), ttlDays = 30,
+          ann = Some((idx, "emb")), semanticThreshold = Some(0.95),
+          qualityGate = Some(model),
+          nearDupVerify = Some(0.75), lineScrub = true, decontam = true,
+          unigramVocab = Some(graft.functions.UnigramVocab.default),
+          repetitionRules = true)
+        (System.nanoTime() - t0) / 1e9
+      } finally {
+        // session hygiene, exception-safe (r18): the index probe pins
+        // autoBucketedScan off for the session (AnnIndex.pinBucketedScan's
+        // documented contract) — restore the default for whatever runs
+        // next in this shared bench session even if the tick threw; and
+        // delete the tick's temp lake/state dir so iterations+1 ticks
+        // don't accumulate disk that could perturb later samples.
+        idx.unpinBucketedScan()
+        deleteRecursively(new java.io.File(tmp))
+      }
+    }
+    def deleteRecursively(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(deleteRecursively)
+      f.delete(): Unit
     }
     // Capture micro-batch: one tick of the streaming pipeline at this SF
-    // (fresh lake each iteration, same median/stddev protocol).
+    // (fresh lake each iteration, same median/stddev protocol; the
+    // temp lake is deleted after the timed region — r18, disk hygiene).
     def microBatch(): Double = {
       val tmp = java.nio.file.Files.createTempDirectory("bench_lake").toString
       val lake = new graft.lake.Lake(spark, tmp)
@@ -270,7 +281,9 @@ object Bench {
       val raw = Tables.load(spark, sfDir, "events")
       val t0 = System.nanoTime()
       cap.processBatch(raw, Timestamp.valueOf("2024-02-01 00:00:00"))
-      (System.nanoTime() - t0) / 1e9
+      val s = (System.nanoTime() - t0) / 1e9
+      deleteRecursively(new java.io.File(tmp))
+      s
     }
     // One calibration sample per iteration, interleaved with the real
     // runs so it sees the same ambient-load window they do. A throwaway
@@ -371,8 +384,24 @@ object Bench {
     // through calibration_s/BenchAb, not raw run1 deltas) — and the
     // full per-run detail goes to stderr for humans.
     val calMedian = median(cals)
-    System.err.println(f"""[bench-detail] {"queries_run1":${toJson(allRuns.head)},"total_run1":$total%.3f,"queries_run2":${toJson(allRuns(1))},"total_run2":${allRuns(1).map(_._2).sum}%.3f}""")
-    val line = f"""{"metric":"total","value":$totalMedian%.3f,"unit":"sec","value_semantics":"median_of_$iterations","queries":${toJson(medians)},"stddev":${toJson(stddevs)},"total_median":$totalMedian%.3f,"total_r8_comparable":$totalR8Comparable%.3f,"calibration_s":$calMedian%.3f,"calibration_stddev":${stddev(cals)}%.3f,"calibration_jitter":$calJitter%.3f,"noisy_host":$noisyHost,"attempts":$attempts,"total_per_cal":${totalMedian / calMedian}%.3f,"iterations":$iterations,"sf":"$sfDir"}"""
+    // r18: per-query CALIBRATION-NORMALIZED values (sec / calibration_s)
+    // in the stdout artifact, so cross-round comparisons have a
+    // noise-immune column (r17's 1.82×-slower driver host turned every
+    // raw median into a phantom regression; normalizing by the canary
+    // made the geomean read 1.01 — flat — but the adjudication had to
+    // be done by hand). "queries_per_cal" and "stddev" are ARRAYS
+    // aligned with the "queries" map's key order: the duplicated
+    // query-name keys were ~760 chars each and two full maps plus a
+    // third would overflow the driver's 2000-char stdout tail capture
+    // (the r11 truncation lesson). The full stddev MAP still goes to
+    // stderr in [bench-detail] for humans. This is a measurement-
+    // reporting change only — every timed query, the timing protocol,
+    // and the "queries" medians map are unchanged.
+    def toJsonArr(vals: Seq[Double]): String =
+      vals.map(v => f"$v%.3f").mkString("[", ",", "]")
+    val perCal = medians.map(_._2 / calMedian)
+    System.err.println(f"""[bench-detail] {"queries_run1":${toJson(allRuns.head)},"total_run1":$total%.3f,"queries_run2":${toJson(allRuns(1))},"total_run2":${allRuns(1).map(_._2).sum}%.3f,"stddev_map":${toJson(stddevs)}}""")
+    val line = f"""{"metric":"total","value":$totalMedian%.3f,"unit":"sec","value_semantics":"median_of_$iterations","queries":${toJson(medians)},"stddev":${toJsonArr(stddevs.map(_._2))},"queries_per_cal":${toJsonArr(perCal)},"total_median":$totalMedian%.3f,"total_r8_comparable":$totalR8Comparable%.3f,"calibration_s":$calMedian%.3f,"calibration_stddev":${stddev(cals)}%.3f,"calibration_jitter":$calJitter%.3f,"noisy_host":$noisyHost,"attempts":$attempts,"total_per_cal":${totalMedian / calMedian}%.3f,"iterations":$iterations,"sf":"$sfDir"}"""
     if (line.length > 1900)
       System.err.println(s"[bench] WARNING: stdout JSON is ${line.length} " +
         "chars - may exceed the driver's 2000-char tail capture")

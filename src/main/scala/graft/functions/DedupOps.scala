@@ -282,6 +282,16 @@ object DedupOps {
   }
 
   private def materialize(df: DataFrame, reliableCheckpointDir: Option[String]): DataFrame =
+    materializeFrame(df, reliableCheckpointDir, eager = true)
+
+  /** [[materialize]] with the eagerness exposed — the ingest tick
+    * ([[graft.tools.DailyIngest]]) checkpoints its gate-chain frames
+    * LAZILY (the first consumer materializes them under its own job
+    * label) but needs the same reliable-vs-local dispatch and
+    * checkpoint-dir ownership discipline as the eager path. */
+  private[graft] def materializeFrame(df: DataFrame,
+                                      reliableCheckpointDir: Option[String],
+                                      eager: Boolean): DataFrame =
     reliableCheckpointDir match {
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext
@@ -311,17 +321,18 @@ object DedupOps {
             sc.setCheckpointDir(dir)
             ownCheckpointDirs.add(qualified)
         }
-        df.checkpoint()
-      case None => df.localCheckpoint()
+        df.checkpoint(eager)
+      case None => df.localCheckpoint(eager)
     }
 
   /** Candidate-pruned verify inputs: materialize the (small) pair frame
     * once with localCheckpoint, then build the (id, token) frame ONLY for
-    * docs that appear in a pair. The corpus-wide token distinct is the
-    * biggest shuffle of the verify stage at 100 TB; pair members are a
-    * near-dup-density fraction of the corpus, and their id set broadcasts.
-    * Returns (pairs, tokens) with `pairs` safe to reuse without
-    * recomputing the signature subtree. */
+    * docs that appear in a pair. Pair members are a near-dup-density
+    * fraction of the corpus, and their id set broadcasts. Returns
+    * (pairs, tokens) with `pairs` safe to reuse without recomputing the
+    * signature subtree. `tokens` may carry duplicate (id, token) rows —
+    * [[pairOverlaps]] is presence-marking, so duplicates collapse inside
+    * its first grouped pass (see below). */
   def verifyInputs(docs: DataFrame, idCol: String, textCol: String,
                    pairs: DataFrame,
                    reliableCheckpointDir: Option[String] = None): (DataFrame, DataFrame) = {
@@ -329,44 +340,77 @@ object DedupOps {
     val ids = p.select(col("id_a").as(idCol))
       .unionByName(p.select(col("id_b").as(idCol))).distinct()
     // semi-join BEFORE the explode: only candidate docs pay the word
-    // fan-out, so both the generate and the distinct shuffle scale with
+    // fan-out, so the generate and everything after it scale with
     // near-dup density instead of corpus size.
     //
-    // Deliberately NOT checkpointed, although the verify stage consumes
-    // this frame three times (ta/tb intersection sides + per-doc sizes,
-    // so the plan re-derives the subtree in triplicate — q59's r17 plan
-    // audit). The r17 experiment that checkpointed it like `p` measured
-    // a clear REGRESSION: q59 8.6 s → 23.0 s at sf0.01, scan
+    // Deliberately NOT checkpointed: since the r18 pairOverlaps
+    // restructure the verify stage consumes this frame exactly ONCE, so
+    // there is no re-derivation left to save — and the r17 experiment
+    // that checkpointed the then-triplicated subtree measured a clear
+    // REGRESSION anyway: q59 8.6 s → 23.0 s at sf0.01, scan
     // amplification ×3.7 → ×16, BenchAb median ratio 1.04 at sf0.1 —
     // the eager materialization barrier costs AQE its size estimates
     // (the downstream pair joins lose their broadcast choice) and the
     // pipelined subtree is near-dup-density-sized anyway. Same family
     // as the round-2 finding (persisting the corpus-wide exploded frame
-    // was 6× slower); the triplicate subtree is the cheaper trade.
+    // was 6× slower).
+    // No `.distinct()` (r18): [[pairOverlaps]] marks per-(pair, token)
+    // PRESENCE (max of a side flag), so duplicate word occurrences
+    // collapse inside its first grouped pass — map-side, in the same
+    // aggregation that was running anyway — and the dedicated
+    // (id, token) distinct was a full shuffle of the exploded token
+    // stream for nothing. Sizes/intersections still count DISTINCT
+    // tokens, same integers as before.
     val toks = explodedWords(
         docs.join(broadcast(ids), Seq(idCol), "left_semi"), idCol, textCol)
-      .select(col(idCol), col("__w").as("token")).distinct()
+      .select(col(idCol), col("__w").as("token"))
     (p, toks)
   }
 
   /** Shared verify-stage overlap frame: (id_a, id_b, n_inter, sz_a,
-    * sz_b) for candidate pairs over (id, token) distinct rows. */
+    * sz_b) for candidate pairs over (id, token) rows — duplicate
+    * occurrences tolerated; sizes and intersections count DISTINCT
+    * tokens either way.
+    *
+    * ONE derivation of the token subtree (r18). The previous shape —
+    * `sizes` + intersection join over two renamed copies — consumed
+    * `tokens` four times (ta, tb, sz_a, sz_b), and q59's r17 plan audit
+    * showed the semi-join + posexplode + distinct subtree derived in
+    * QUADRUPLICATE (the r17 checkpoint experiment that tried to fix
+    * this with a barrier measured 8.6→23 s and was reverted — the
+    * restructure below keeps the pipeline and still collapses the
+    * subtree). Here each pair is broadcast to its two members' token
+    * rows (`membership` is 2·|pairs| rows — near-dup-density-sized, the
+    * same frame the semi-join inside [[verifyInputs]] already
+    * broadcasts), and intersection + both sizes come out of one grouped
+    * pass: `max(side flag)` per (pair, token) marks PRESENCE per side
+    * (insensitive to duplicate occurrences, which is why verifyInputs
+    * no longer pays a distinct shuffle) and the per-pair rollup counts
+    * sz_a / sz_b / n_inter together. Pairs where either member has NO
+    * token row are dropped — exactly the rows the old inner joins with
+    * `sizes` dropped. Counts are identical integers, so downstream
+    * Jaccard/containment doubles are bit-identical. */
   private def pairOverlaps(pairs: DataFrame, tokens: DataFrame,
                            idCol: String): DataFrame = {
-    val sizes = tokens.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val ta = tokens.select(col(idCol).as("id_a"), col("token"))
-    val tb = tokens.select(col(idCol).as("id_b"), col("token"))
-    val inter = pairs.join(ta, "id_a").join(tb, Seq("id_b", "token"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
-    pairs
-      .join(inter, Seq("id_a", "id_b"), "left")
-      .join(sizes.withColumnRenamed("sz", "sz_a").withColumnRenamed(idCol, "id_a"), "id_a")
-      .join(sizes.withColumnRenamed("sz", "sz_b").withColumnRenamed(idCol, "id_b"), "id_b")
-      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+    val pk = struct(col("id_a"), col("id_b")).as("pk")
+    val membership = pairs
+      .select(pk, col("id_a").as(idCol), lit(1).as("in_a"), lit(0).as("in_b"))
+      .unionByName(pairs
+        .select(pk, col("id_b").as(idCol), lit(0).as("in_a"), lit(1).as("in_b")))
+    tokens.join(broadcast(membership), idCol)
+      .groupBy(col("pk"), col("token"))
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+      .groupBy(col("pk"))
+      .agg(sum(col("in_a")).as("sz_a"), sum(col("in_b")).as("sz_b"),
+        sum(col("in_a") * col("in_b")).as("n_inter"))
+      .filter(col("sz_a") > 0 && col("sz_b") > 0)
+      .select(col("pk.id_a").as("id_a"), col("pk.id_b").as("id_b"),
+        col("n_inter"), col("sz_a"), col("sz_b"))
   }
 
   /** Exact token-set Jaccard for a set of candidate pairs (the LSH verify
-    * stage). `tokens` must be (id, token) distinct rows. */
+    * stage). `tokens` is (id, token) rows; duplicate occurrences are
+    * tolerated (presence-marked, see [[pairOverlaps]]). */
   def jaccardForPairs(pairs: DataFrame, tokens: DataFrame, idCol: String): DataFrame =
     pairOverlaps(pairs, tokens, idCol)
       .select(col("id_a"), col("id_b"),

@@ -1177,8 +1177,9 @@ object TrainingData {
     // signature subtree shuffles nothing but partial mins (native
     // Shingles expression); the token subtree re-scans the columnar
     // source pruned to PAIR MEMBERS (broadcast semi-join on the
-    // checkpointed pair frame), so the token distinct — the verify
-    // stage's biggest shuffle — is near-dup-density-sized, not
+    // checkpointed pair frame) exactly ONCE (r18: intersection + both
+    // sizes come out of one presence-marking grouped pass), so every
+    // verify-stage shuffle is near-dup-density-sized, not
     // corpus-sized. No block-manager caching anywhere (a round-2
     // persist of the exploded frame measured a 6× regression).
     "q53_jaccard_verify" -> ((s, dir) => {

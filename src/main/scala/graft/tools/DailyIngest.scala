@@ -181,6 +181,16 @@ object DailyIngest {
     * which a real code corpus (where most files carry no header)
     * mis-rejects nearly everything.
     *
+    * `checkpointDir = Some(dir)` is the CLUSTER-durability posture: the
+    * tick's two lineage-cut frames (`admitted`, `novel`) checkpoint
+    * RELIABLY to `dir` (shared storage) instead of executor-local
+    * blocks, so an executor loss re-reads files rather than failing
+    * the run. Default None keeps localCheckpoint — the right trade in
+    * local mode and on preemption-free clusters; an executor loss
+    * there aborts the run and recovery is the day-level replay
+    * invariant (the tick is idempotent). Results identical either
+    * way. The dir is run-scoped: delete it after the day's commits.
+    *
     * `gopherRules = Some((minWords, maxWords))` applies the Gopher
     * document-quality rule set (q137,
     * [[graft.functions.TextOps.gopherKeep]]) as the EARLIEST gate —
@@ -210,7 +220,8 @@ object DailyIngest {
           codeRules: Boolean = false,
           wordpieceVocab: Option[graft.functions.WordPieceVocab] = None,
           permissiveOnly: Boolean = false,
-          repoLicense: Option[(String, String)] = None)
+          repoLicense: Option[(String, String)] = None,
+          checkpointDir: Option[String] = None)
       : Long = {
     require(semanticThreshold.isEmpty || ann.nonEmpty,
       "semanticThreshold needs the ann leg — the index is the seen-set")
@@ -292,26 +303,35 @@ object DailyIngest {
     // admitted is consumed FOUR times (the novel chain below plus the
     // three seen-set commits, each of which re-derived the whole gate
     // cascade — by design for replay, but the recompute is pure waste).
-    // localCheckpoint like `novel`: admitted's plan reads only the
+    // Checkpoint like `novel`: admitted's plan reads only the
     // corpus (never the ANN lists table), so the §-novel invalidation
     // hazard does not apply; lazy, so the first consumer materializes
     // it. Probe-measured before keeping (see OPTIMIZATION_r17.md).
-    val admitted = qualityGate.map(m =>
-      ruled.filter(round(m.scoreCol(col(textCol)), 4) > qualityThreshold))
-      .getOrElse(ruled)
-      .localCheckpoint(false)
-    val exactNovel = labeled("exact gate plan")(
-      dd.novelExactSince(admitted, idCol, textCol, minDate))
+    // `checkpointDir` picks the durability mode — see `novel` below.
+    val admitted = graft.functions.DedupOps.materializeFrame(
+      qualityGate.map(m =>
+        ruled.filter(round(m.scoreCol(col(textCol)), 4) > qualityThreshold))
+        .getOrElse(ruled),
+      checkpointDir, eager = false)
+    // Gate construction below is PURE PLAN BUILDING — no Spark jobs run
+    // until a downstream action — so it carries no job labels (ADVICE
+    // r17: labels on plan-construction-only calls never attach to any
+    // job and made the IngestProbe breakdown misleading; the gate
+    // chain's actual jobs land under "gate chain checkpoint" /
+    // "gates+dedup+land"). The two constructions that DO run jobs —
+    // the semantic gate's window probe and the decontam kernel-entry
+    // sizing — keep labels of their own.
+    val exactNovel = dd.novelExactSince(admitted, idCol, textCol, minDate)
     // `nearDupVerify = Some(minAgree)` swaps the candidate-level
     // cross-run gate for the signature-VERIFIED one (single-band
     // flukes admitted; drops need >= minAgree lane agreement) — gate
     // and commit must pair on the same state table, chosen here once
-    val textNovel = labeled("neardup gate plan")(nearDupVerify match {
+    val textNovel = nearDupVerify match {
       case Some(minAgree) => dd.novelNearDupVerifiedSince(
         exactNovel, idCol, textCol, minDate, minAgree)
       case None => dd.novelNearDupSince(exactNovel, idCol, textCol, minDate)
-    })
-    val semNovel = labeled("semantic gate plan")((ann, semanticThreshold) match {
+    }
+    val semNovel = (ann, semanticThreshold) match {
       // branch on "the PRE-day window holds vectors", NOT on
       // idx.exists: the bootstrap day WRITES the index before the
       // state commits, so a crash in between would flip exists on the
@@ -320,18 +340,22 @@ object DailyIngest {
       // hazard beforeDate guards, one level up). An index whose
       // window has fully aged out re-bootstraps the same way.
       case (Some((idx, embedCol)), Some(th))
-          if idx.hasEntriesBefore(day, minDate) =>
+          if labeled("semantic gate window probe")(
+            idx.hasEntriesBefore(day, minDate)) =>
         dd.novelSemantic(idx, textNovel, idCol, embedCol, th,
           minDate = Some(minDate), beforeDate = Some(day),
           pqRefine = pqRefine.filter(_ => idx.pqEnabled))
       case (Some((_, embedCol)), Some(th)) =>
-        val keepers = graft.functions.DedupOps.semanticDedupBlocked(
-          textNovel.select(col(idCol), col(embedCol)), idCol, embedCol, th,
-          keepPerCluster = 1)
+        // the in-batch bootstrap DOES run jobs during construction
+        // (quantizer sizing count + Lloyd training) — label them
+        val keepers = labeled("semantic gate bootstrap")(
+          graft.functions.DedupOps.semanticDedupBlocked(
+            textNovel.select(col(idCol), col(embedCol)), idCol, embedCol, th,
+            keepPerCluster = 1))
           .filter(col("keep") === 1).select(col(idCol))
         textNovel.join(keepers, Seq(idCol), "left_semi")
       case _ => textNovel
-    })
+    }
     // `lineScrub` adds the C4 LINE policy as a REWRITE stage after the
     // three doc-level gates (cheapest order — whole-doc dups drop
     // before their lines are ever segmented): lines already committed
@@ -350,7 +374,9 @@ object DailyIngest {
     // is pure benchmark text and drops (originally-empty docs have
     // n_removed = 0 and pass)
     val decontamed = semPersisted.filter(_ => decontam).map { sem =>
-      labeled("decontam scrub plan")(
+      // this construction runs jobs (kernel-entry sizing count/collect
+      // inside decontamScrubSince) — the label is real
+      labeled("decontam scrub setup")(
         dd.decontamScrubSince(sem, idCol, textCol, day))
         .filter(col("n_removed") === 0 || col("text_clean") =!= "")
         .drop("n_removed")
@@ -364,9 +390,9 @@ object DailyIngest {
     else None
     val lineBase = decontamPersisted.getOrElse(decontamed)
     val gatedNovel = if (lineScrub) {
-      val scrub = labeled("line scrub plan")(
-        dd.scrubLinesSince(lineBase, idCol, textCol, minDate,
-          beforeDate = Some(day)))
+      // pure plan construction — no label (see the gate-chain note)
+      val scrub = dd.scrubLinesSince(lineBase, idCol, textCol, minDate,
+        beforeDate = Some(day))
       lineBase.drop(textCol).join(
         scrub.filter(col("n_kept") > 0)
           .select(col(idCol), col("text_dedup").as(textCol)),
@@ -392,7 +418,7 @@ object DailyIngest {
         graft.functions.WordPiece.wordpieceTokenCount(col(textCol), w)
       case _ => Bpe.bpeTokenCount(col(textCol), vocab)
     }
-    // localCheckpoint, NOT persist (r17, probe-measured): with the
+    // Checkpoint, NOT persist (r17, probe-measured): with the
     // steady-state semantic gate, novel's plan READS the ANN lists
     // table, and the ann-append step below refreshes that table —
     // which invalidates any persisted plan referencing it, so the
@@ -403,17 +429,29 @@ object DailyIngest {
     // blocks the refresh cannot invalidate. Lazy: the land below is
     // the first action and materializes it. Same execution-hint
     // semantics as the persist it replaces (replay invariant
-    // untouched); blocks are freed by the ContextCleaner when the
-    // checkpointed RDD goes out of scope. Cluster caveat: local
-    // checkpoints die with an executor (DedupOps.materialize's
-    // documented trade) — an executor loss forces the job retry Spark
-    // already handles.
+    // untouched); local-checkpoint blocks are freed by the
+    // ContextCleaner when the checkpointed RDD goes out of scope.
+    //
+    // DURABILITY is `checkpointDir`'s choice (r18, VERDICT r17 #2/#4):
+    //  - None (default, local mode): localCheckpoint — executor block
+    //    storage, fast, but lineage is CUT, so on a real cluster an
+    //    executor loss makes the blocks unrecomputable and the RUN
+    //    FAILS OUTRIGHT (not a task retry — there is no lineage to
+    //    retry from). Recovery is the day-level replay invariant: the
+    //    tick is idempotent, rerun it.
+    //  - Some(dir) (clustered posture): reliable checkpoint to shared
+    //    storage via DedupOps.materializeFrame — same results, an
+    //    executor loss re-reads the files and the run survives. The
+    //    checkpoint-dir ownership discipline (and its lifecycle: the
+    //    caller deletes the run-scoped dir after the tick's results
+    //    are committed) is DedupOps.materialize's documented contract.
     // (labeled: under AQE, even the lazy checkpoint materializes every
     // intermediate exchange of the chain at this call — these are the
     // tick's heaviest jobs)
-    val novel = labeled("gate chain checkpoint")(gatedNovel
-      .withColumn("n_tok", tokenCount)
-      .localCheckpoint(false))
+    val novel = labeled("gate chain checkpoint")(
+      graft.functions.DedupOps.materializeFrame(
+        gatedNovel.withColumn("n_tok", tokenCount),
+        checkpointDir, eager = false))
     try {
       val batchId = day.toString
       val packed = labeled("pack assign")(
@@ -480,7 +518,7 @@ object DailyIngest {
       }
       landed
     } finally {
-      // novel is localCheckpointed (not persisted): its blocks are
+      // novel is checkpointed (not persisted): its blocks are
       // released by the ContextCleaner once the checkpointed RDD is
       // unreachable — there is no cache entry to unpersist
       decontamPersisted.foreach(_.unpersist(blocking = false))

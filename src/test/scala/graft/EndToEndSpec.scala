@@ -638,6 +638,51 @@ class EndToEndSpec extends SparkSpec {
     assert(byDay("2024-03-05") === Set(11L, 12L))
   }
 
+  test("daily ingest with a RELIABLE checkpoint dir: same results, files on shared storage") {
+    import graft.lake.{CorpusDedup, CorpusPack}
+    import graft.tools.DailyIngest
+    // checkpointDir = Some(dir) is the cluster posture (r18): the tick's
+    // lineage-cut frames (admitted, novel) checkpoint to SHARED storage
+    // instead of executor-local blocks, so an executor loss re-reads
+    // files instead of failing the run. Results must be IDENTICAL to
+    // the localCheckpoint default — run the same two days through both
+    // modes and compare the landed tables row for row.
+    def day(d: String) = java.sql.Date.valueOf(d)
+    val day1 = Seq(
+      (1L, "aa bb cc dd"), (2L, "ee ff gg hh"), (3L, "aa bb cc dd")
+    ).toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val day2 = Seq(
+      (4L, "ee ff gg hh"), (5L, "ii jj kk ll"), (6L, "mm nn oo pp")
+    ).toDF("doc_id", "text").withColumn("lang", lit("en"))
+    def runBoth(ckpt: Option[String], tag: String): Map[Long, Long] = {
+      val lake = new Lake(spark, tmpDir(s"rck_lake_$tag"))
+      val dd = new CorpusDedup(spark, lake, s"rck_$tag", numBuckets = 4)
+      val cp = new CorpusPack(spark,
+        new StateStore(spark, tmpDir(s"rck_state_$tag")), s"rck_$tag",
+        budgetTokens = 16L)
+      val out = TableRef("prod", s"rck_$tag", "packed")
+      def ingest(docs: org.apache.spark.sql.DataFrame, d: String): Long =
+        DailyIngest.run(lake, dd, cp, out, docs, "doc_id", "text", "lang",
+          day(d), ttlDays = 30, checkpointDir = ckpt)
+      assert(ingest(day1, "2024-03-01") === 2)
+      assert(ingest(day2, "2024-03-02") === 2)
+      lake.read(out).select($"doc_id", $"pack_id")
+        .as[(Long, Long)].collect().toMap
+    }
+    val ckptDir = tmpDir("rck_ckpt")
+    val reliable = runBoth(Some(ckptDir), "rel")
+    val local = runBoth(None, "loc")
+    assert(reliable === local)
+    assert(reliable === Map(1L -> 0L, 2L -> 0L, 5L -> 1L, 6L -> 1L))
+    // the reliable path actually WROTE checkpoint files to the dir
+    def anyFiles(f: java.io.File): Boolean = {
+      val kids = Option(f.listFiles()).getOrElse(Array.empty)
+      kids.exists(k => k.isFile || anyFiles(k))
+    }
+    assert(anyFiles(new java.io.File(ckptDir)),
+      "reliable mode left no checkpoint files under the configured dir")
+  }
+
   test("daily ingest with line scrub: historical lines strip, crash replay exact") {
     import graft.lake.{CorpusDedup, CorpusPack}
     import graft.tools.DailyIngest

@@ -47,6 +47,50 @@ class TextCorpusOpsSpec extends SparkSpec {
     assert(both.filter(!($"a" <=> $"b")).count() === 0)
   }
 
+  test("gateOnce: PLAN-SHAPE pin - exactly one kernel per gate filter") {
+    // gateOnce works because no current Catalyst rule expands a lambda
+    // variable — an optimizer NON-guarantee (VERDICT r17 #3). If a
+    // future Spark adds HOF inlining, the 13×-per-row kernel
+    // re-evaluation would come back SILENTLY: the value-equality spec
+    // above pins results, not evaluation count. This spec makes the
+    // regression loud by counting kernel invocations in the OPTIMIZED
+    // filter condition. The direct (unbound) forms are asserted
+    // multiplied, proving the counter can tell the two shapes apart —
+    // if Spark ever grows cross-conjunct subexpression elimination in
+    // filters, that assertion (not the gateOnce one) goes red, which is
+    // the signal gateOnce can be retired.
+    val docs = Tables.load(spark, sf001, "documents")
+      .select($"doc_id", $"text")
+    def kernelCount(gate: org.apache.spark.sql.Column,
+                    kernel: String): Int = {
+      val plan = docs.filter(gate === 1).queryExecution.optimizedPlan
+      val conds = plan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.toString
+      }
+      assert(conds.nonEmpty, "expected a Filter in the optimized plan")
+      val needle = kernel + "("
+      conds.map { c =>
+        var i = c.indexOf(needle); var n = 0
+        while (i >= 0) { n += 1; i = c.indexOf(needle, i + 1) }
+        n
+      }.sum
+    }
+    assert(kernelCount(TextOps.gateOnce(TextOps.repetitionStats($"text"),
+      TextOps.repetitionKeep), "repetition_stats") === 1)
+    assert(kernelCount(TextOps.gateOnce(TextOps.gopherStats($"text"),
+      TextOps.gopherKeep(_, 5L, 100000L)), "gopher_stats") === 1)
+    assert(kernelCount(TextOps.gateOnce(TextOps.codeStats($"text"),
+      TextOps.stackCodeKeep), "code_stats") === 1)
+    // direct forms: one kernel copy per referenced field (13 / 8 / 5)
+    assert(kernelCount(TextOps.repetitionKeep(
+      TextOps.repetitionStats($"text")), "repetition_stats") === 13)
+    assert(kernelCount(TextOps.gopherKeep(
+      TextOps.gopherStats($"text"), 5L, 100000L), "gopher_stats") > 1)
+    assert(kernelCount(TextOps.stackCodeKeep(
+      TextOps.codeStats($"text")), "code_stats") > 1)
+  }
+
   test("lineDedup: first corpus-wide occurrence survives, docs reassemble") {
     val docs = Seq(
       (0L, ""),               // empty text = one empty line, first occurrence
