@@ -168,9 +168,15 @@ object WordPiece {
     * contain the merged pair. This trainer therefore maintains
     * `symCount`/`pairCount` incrementally (subtract-reapply-add on just
     * the affected words, found through a pair→word-index occurrence
-    * set) and scans pairs per merge only for the argmax — in DOUBLE
-    * precision first, with an exact BigInt cross-multiplication
-    * re-comparison over the ≥ (1−1e-9)·max near-tie candidates (double
+    * set). The r17 version still scanned EVERY pair per merge for the
+    * argmax; r18 replaces that with a score-ordered set plus dirty-set
+    * rescoring (a merge of (a,b)→name can only move the scores of
+    * count-changed pairs and of pairs sharing a symbol with a, b or
+    * name — the pairsBySym index finds the latter), so per-merge work
+    * is O(dirty·log P) instead of O(P). The argmax semantics are
+    * unchanged: stored double scores equal fresh recomputation by
+    * induction, and an exact BigInt cross-multiplication re-compares
+    * the ≥ (1−1e-9)·max near-tie band walked in score order (double
     * relative error is ~1e-15 for c/(cx·cy), five orders inside the
     * margin, so the exact pass always sees the true argmax). Result is
     * BIT-IDENTICAL to the full-rescan reference — pinned by the
@@ -206,15 +212,50 @@ object WordPiece {
     // SUPERSET of its current occurrences (entries go stale as later
     // merges rewrite a word; consumers re-check adjacency)
     val occ = new java.util.HashMap[Pair, java.util.HashSet[Integer]]()
+    // r18 ARGMAX HEAP: pairs currently containing a symbol (both
+    // positions) + a score-ordered set + the score each pair is stored
+    // under. A merge of (a,b)→name changes pair COUNTS only in
+    // rewritten words (bump marks those dirty) and symbol counts only
+    // for a, b and name — so the pairs needing a rescore are exactly
+    // the count-dirty ones plus pairsBySym(a|b|name) (name may
+    // pre-exist: two merges can spell the same piece). Everything else
+    // keeps its stored score, which equals the freshly-computed double
+    // by induction — so the heap head is the same maxD the r17 full
+    // scan found, and the ≥(1−1e-9)·maxD near-tie band (walked in
+    // score order off the head) is the same exact-BigInt candidate
+    // set. Bit-identical vocabularies, O(dirty·log P) per merge
+    // instead of O(P).
+    val pairsBySym = new java.util.HashMap[String, java.util.HashSet[Pair]]()
+    val dirty = new java.util.HashSet[Pair]()
+    val ord = implicitly[Ordering[Pair]]
+    val entryOrd: Ordering[(Double, Pair)] = new Ordering[(Double, Pair)] {
+      def compare(x: (Double, Pair), y: (Double, Pair)): Int = {
+        val c = java.lang.Double.compare(y._1, x._1) // score DESC
+        if (c != 0) c else ord.compare(x._2, y._2)   // then pair ASC
+      }
+    }
+    val scores = scala.collection.mutable.TreeSet.empty[(Double, Pair)](entryOrd)
+    val entryScore = new java.util.HashMap[Pair, java.lang.Double]()
 
     def bump(s: Array[String], c: Long): Unit = {
       var j = 0
       while (j < s.length) {
         if (symCount.merge(s(j), c, (x, y) => x + y) == 0L)
           symCount.remove(s(j))
-        if (j < s.length - 1 &&
-          pairCount.merge((s(j), s(j + 1)), c, (x, y) => x + y) == 0L)
-          pairCount.remove((s(j), s(j + 1)))
+        if (j < s.length - 1) {
+          val p = (s(j), s(j + 1))
+          dirty.add(p)
+          if (pairCount.merge(p, c, (x, y) => x + y) == 0L) {
+            pairCount.remove(p)
+            val l = pairsBySym.get(p._1); if (l != null) l.remove(p)
+            val r = pairsBySym.get(p._2); if (r != null) r.remove(p)
+          } else {
+            pairsBySym.computeIfAbsent(p._1, _ => new java.util.HashSet())
+              .add(p)
+            pairsBySym.computeIfAbsent(p._2, _ => new java.util.HashSet())
+              .add(p)
+          }
+        }
         j += 1
       }
     }
@@ -226,43 +267,60 @@ object WordPiece {
         j += 1
       }
     }
+    // rescore every dirty pair: drop the stored entry, re-insert under
+    // the current counts when the pair still repeats
+    def refresh(): Unit = {
+      val it = dirty.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val old = entryScore.remove(p)
+        if (old != null) scores.remove((old.doubleValue(), p))
+        val c = pairCount.getOrDefault(p, 0L)
+        if (c >= 2L) {
+          val d = c.toDouble /
+            (symCount.get(p._1).toDouble * symCount.get(p._2).toDouble)
+          scores.add((d, p))
+          entryScore.put(p, d)
+        }
+      }
+      dirty.clear()
+    }
+    def markSymDirty(sym: String): Unit = {
+      val set = pairsBySym.get(sym)
+      if (set != null) dirty.addAll(set)
+    }
     var wi0 = 0
     while (wi0 < segs.length) {
       bump(segs(wi0), wc(wi0))
       register(segs(wi0), wi0)
       wi0 += 1
     }
+    refresh()
 
-    val ord = implicitly[Ordering[Pair]]
     var done = false
     while (!done && have.size + 1 < vocabSize) {
-      // pass 1: double-precision max of c/(cx·cy) over repeating pairs
-      var maxD = -1.0
-      pairCount.forEach { (p, c) =>
-        if (c >= 2L) {
-          val d = c.toDouble /
-            (symCount.get(p._1).toDouble * symCount.get(p._2).toDouble)
-          if (d > maxD) maxD = d
-        }
-      }
-      if (maxD < 0) done = true
+      if (scores.isEmpty) done = true
       else {
-        // pass 2: exact-rational argmax over the near-tie candidates
+        // exact-rational argmax over the ≥(1−1e-9)·max near-tie band,
+        // walked in stored-score order (the stored doubles ARE the
+        // fresh doubles — refresh() invariant), so the candidate set
+        // matches the r17 full double scan's
+        val maxD = scores.head._1
         val floor = maxD * (1 - 1e-9)
         var best: Pair = null
         var bestNum = BigInt(0)
         var bestDen = BigInt(1)
-        pairCount.forEach { (p, c) =>
-          if (c >= 2L) {
-            val cx = symCount.get(p._1)
-            val cy = symCount.get(p._2)
-            if (c.toDouble / (cx.toDouble * cy.toDouble) >= floor) {
-              val num = BigInt(c)
-              val den = BigInt(cx) * BigInt(cy)
-              val cmp = (num * bestDen).compare(bestNum * den)
-              if (best == null || cmp > 0 || (cmp == 0 && ord.lt(p, best))) {
-                best = p; bestNum = num; bestDen = den
-              }
+        val sit = scores.iterator
+        var walking = true
+        while (walking && sit.hasNext) {
+          val (d, p) = sit.next()
+          if (d < floor) walking = false
+          else {
+            val num = BigInt(pairCount.get(p))
+            val den = BigInt(symCount.get(p._1)) * BigInt(symCount.get(p._2))
+            val cmp = (num * bestDen).compare(bestNum * den)
+            if (best == null || cmp > 0 || (cmp == 0 && ord.lt(p, best))) {
+              best = p; bestNum = num; bestDen = den
             }
           }
         }
@@ -299,6 +357,14 @@ object WordPiece {
             }
           }
         }
+        // denominator dirt: symCount net-changed for a, b and name only
+        // (other symbols in rewritten words subtract and re-add to the
+        // same value), so every surviving pair touching one of the
+        // three rescores; count-dirty pairs were marked inside bump
+        markSymDirty(a)
+        markSymDirty(b)
+        markSymDirty(name)
+        refresh()
       }
     }
     WordPieceVocab((WordPieceVocab.Unk +: alphabet) ++ merges.result())
