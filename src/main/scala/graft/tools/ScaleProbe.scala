@@ -90,6 +90,26 @@ object ScaleProbe {
           0.35, trainSamplePct = 10).count()
         println(s"[probe] $dir q114 pair graph: $nPairs thresholded pairs")
       }
+      // q52 SKEW decomposition (VERDICT r17 #7): the in-bucket pair
+      // expansion is quadratic in bucket size, so the number that
+      // decides whether salting/capping is needed at scale is the
+      // BUCKET-SIZE DISTRIBUTION, not the total. max vs median says
+      // whether one viral bucket dominates (the starBucketThreshold
+      // guard's regime); Σ n·(n−1)/2 is the exact pair-expansion work.
+      if (probes.contains("q52_lsh_pairs")) {
+        val docs = Tables.load(spark, dir, "documents")
+        val buckets = graft.functions.DedupOps.lshBands(
+            graft.functions.DedupOps.minhashSignature(docs, "doc_id", "text"),
+            "doc_id")
+          .groupBy(col("band_idx"), col("band_key"))
+          .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+        val st = buckets.agg(count(lit(1)), max(col("n")),
+          expr("percentile(n, 0.5)"),
+          sum((col("n") * (col("n") - 1) / lit(2)).cast("long"))).head()
+        println(s"[probe] $dir q52 buckets>1: ${st.getLong(0)}, " +
+          s"max ${st.getLong(1)}, median ${st.getDouble(2)}, " +
+          s"pair expansions ${st.getLong(3)}")
+      }
       // q91 exponent decomposition (same data-vs-algorithm split as
       // q114): the semi-join's shuffle carries the MATCHED train
       // occurrences, and in this synthetic corpus the contamination
