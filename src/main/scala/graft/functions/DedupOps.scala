@@ -336,6 +336,14 @@ object DedupOps {
   def verifyInputs(docs: DataFrame, idCol: String, textCol: String,
                    pairs: DataFrame,
                    reliableCheckpointDir: Option[String] = None): (DataFrame, DataFrame) = {
+    // The PAIR checkpoint stays (re-measured r18 after the pairOverlaps
+    // restructure): dropping it and letting AQE ReusedExchange dedup the
+    // four pair consumptions (membership ×2 + ids union ×2) measured
+    // 10% SLOWER on q59 (BenchAb ratio 1.10) — four planned copies of
+    // the whole signature+LSH subtree cost more in planning/AQE than
+    // the one materialization barrier saves, the mirror image of the
+    // r17 token-checkpoint result. Structural once-ness wins here;
+    // pipelining wins there.
     val p = materialize(pairs, reliableCheckpointDir)
     val ids = p.select(col("id_a").as(idCol))
       .unionByName(p.select(col("id_b").as(idCol))).distinct()
